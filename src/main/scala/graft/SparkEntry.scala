@@ -1,13 +1,308 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MySqlDateFormat
+import graft.sinks.Upsert
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` (the t2
+  * correctness gate).
+  *
+  * Determinism rules (the driver hash-compares canonicalized rows):
+  *   - every LIMIT is preceded by an ORDER BY over a unique key, so the
+  *     selected row *set* is deterministic;
+  *   - floating-point aggregates go through an exact DECIMAL sum and are
+  *     cast back to DOUBLE, so Spark's and DuckDB's summation order can't
+  *     produce different ulps;
+  *   - computed columns carry the same alias on both sides (the driver
+  *     sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship: config-driven table transfer on sf0.001 — read → expr
+    * transforms → keyed upsert merge, the reference's core pipeline shape
+    * (reference: `internal/migration/mysql/mysql.go:186-380`). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = T(spark, dir, "lineitem")
+      .withColumn("l_extendedprice", expr("l_extendedprice * 100"))
+      .withColumn("l_returnflag", expr("UPPER(l_returnflag)"))
+    // keyed upsert of the transformed batch into itself = idempotence probe
+    Upsert.resolve(li, li, Seq("l_orderkey", "l_linenumber"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Query surface. Key → (spark impl, duckdb oracle). Names map to
+  // SURVEY §2 operator ids.
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- S1/S2: keyset-paginated scan (WHERE pk > last ORDER BY pk LIMIT n),
+    //     reference mysql.go:578-679 / postgresql.go:376-401
+    "s1_keyset_scan" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .where(col("l_orderkey") > 300)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)),
+
+    // --- S3: cursor scan with resume filter (Mongo `{_id:{$gt:last}}`),
+    //     reference mongodb.go:264-360
+    "s3_cursor_scan" -> ((s, d) =>
+      T(s, d, "events").where(col("event_id") > 500)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))),
+
+    // --- P1: explicit column projection (never SELECT *), mysql.go:617-627
+    "p1_projection" -> ((s, d) =>
+      T(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // --- P2: per-column scalar transform expressions (config-driven),
+    //     reference config.go:28-31 + configs/config.yaml:11-21
+    "p2_transform_upper" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey"), expr("UPPER(c_name)").as("c_name_upper"))),
+    "p2_transform_arith" -> ((s, d) =>
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        expr("l_extendedprice * 100").as("price_cents"))),
+    "p2_transform_dateformat" -> ((s, d) =>
+      T(s, d, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))),
+    "p2_transform_concat" -> ((s, d) =>
+      T(s, d, "orders").select(col("o_orderkey"),
+        expr("CONCAT('Status: ', o_orderstatus)").as("status_label"))),
+    // MySQL-dialect DATE_FORMAT pattern translated to JDK (SURVEY §7.4.3)
+    "p2_mysql_dateformat" -> ((s, d) =>
+      T(s, d, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), MySqlDateFormat.translate("%Y-%m-%d %H:%i")).as("od_mysql"))),
+
+    // --- P3: keyset predicate count, mysql.go:617-627
+    "p3_keyset_count" -> ((s, d) =>
+      T(s, d, "orders").where(col("o_orderkey") > 500).agg(count(lit(1)).as("cnt"))),
+
+    // --- P4: token-range predicate analog (Cassandra token() resume),
+    //     cassandra.go:1066-1142
+    "p4_token_predicate" -> ((s, d) =>
+      T(s, d, "orders")
+        .where(pmod(col("o_orderkey") * lit(2654435761L), lit(1000000007L)) >= 500000000L)
+        .agg(count(lit(1)).as("cnt"))),
+
+    // --- P5: completed-rows predicate (progress math), postgresql.go:312-317
+    "p5_completed_count" -> ((s, d) =>
+      T(s, d, "customer").where(col("c_custkey") <= 75).agg(count(lit(1)).as("cnt"))),
+
+    // --- A1: total row count (progress denominator), mysql.go:244-249
+    "a1_count" -> ((s, d) =>
+      T(s, d, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // --- A2: filtered count, mongodb.go:270-274
+    "a2_filtered_count" -> ((s, d) =>
+      T(s, d, "events").where(col("event_id") <= 500).agg(count(lit(1)).as("cnt"))),
+
+    // --- A3: running max of PK (resume cursor), mysql.go:654-662
+    "a3_max_pk" -> ((s, d) =>
+      T(s, d, "lineitem").agg(max(col("l_orderkey")).as("max_key"))),
+
+    // --- O1/O2: sort + limit = top-k (TakeOrderedAndProject), mysql.go:617-631
+    "o1_sort_limit" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+        .limit(100)),
+
+    // --- extensions: aggregation (TPC-H Q1 shape; partial agg map-side,
+    //     one shuffle on the two group keys)
+    "q1_agg" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1999-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))),
+
+    // --- extensions: 3-way join + agg + top-k (TPC-H Q3 shape).
+    //     customer is small relative to orders/lineitem → broadcast.
+    "q3_join" -> ((s, d) => {
+      val c = T(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = T(s, d, "orders")
+      val l = T(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // --- extensions: broadcast dim join (hash join, no shuffle of the dim)
+    "join_broadcast_dim" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val n = T(s, d, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- extensions: semi join (EXISTS)
+    "join_semi" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      val l = T(s, d, "lineitem").where(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select("o_orderkey")
+    }),
+
+    // --- extensions: anti join (NOT EXISTS)
+    "join_anti" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders").where(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+
+    // --- extensions: window rank-1 (dedup / latest-per-key pattern)
+    "window_rank_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      T(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+    }),
+
+    // --- extensions: analytic window (running sum, exact decimal frame)
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("running_value"))
+    }),
+
+    // --- extensions: set ops
+    "setop_except" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(T(s, d, "orders").where(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("key")))),
+    "setop_union" -> ((s, d) =>
+      T(s, d, "region").select(col("r_regionkey").as("key"))
+        .union(T(s, d, "nation").select(col("n_regionkey").as("key")))
+        .distinct()),
+
+    // --- extensions: distinct / count distinct / rollup
+    "agg_distinct" -> ((s, d) =>
+      T(s, d, "orders").select("o_orderpriority").distinct()),
+    "agg_count_distinct" -> ((s, d) =>
+      T(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("cnt"))),
+    "agg_rollup" -> ((s, d) =>
+      T(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // --- K1-K4 analog: last-writer-wins keyed upsert. A synthesized
+    //     update batch (+100 acctbal for custkey % 10 = 0) merged over the
+    //     base table; updates win per key (reference mysql.go:430-441).
+    "upsert_last_writer" -> ((s, d) => {
+      val base = T(s, d, "customer")
+      val updates = base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      Upsert.resolve(base, updates, Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query key; aliases match the Spark side
+    * exactly (the driver sorts columns by name before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "s1_keyset_scan" ->
+      """SELECT * FROM lineitem WHERE l_orderkey > 300
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+    "s3_cursor_scan" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events WHERE event_id > 500""".stripMargin,
+    "p1_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    "p2_transform_upper" ->
+      "SELECT c_custkey, UPPER(c_name) AS c_name_upper FROM customer",
+    "p2_transform_arith" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * 100 AS price_cents FROM lineitem",
+    "p2_transform_dateformat" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders",
+    "p2_transform_concat" ->
+      "SELECT o_orderkey, CONCAT('Status: ', o_orderstatus) AS status_label FROM orders",
+    "p2_mysql_dateformat" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M') AS od_mysql FROM orders",
+    "p3_keyset_count" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_orderkey > 500",
+    "p4_token_predicate" ->
+      "SELECT count(*) AS cnt FROM orders WHERE (o_orderkey * 2654435761) % 1000000007 >= 500000000",
+    "p5_completed_count" ->
+      "SELECT count(*) AS cnt FROM customer WHERE c_custkey <= 75",
+    "a1_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "a2_filtered_count" ->
+      "SELECT count(*) AS cnt FROM events WHERE event_id <= 500",
+    "a3_max_pk" ->
+      "SELECT max(l_orderkey) AS max_key FROM lineitem",
+    "o1_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 100""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_broadcast_dim" ->
+      """SELECT n_name, count(*) AS cnt FROM customer JOIN nation
+        |ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "window_rank_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "window_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    "setop_except" ->
+      """SELECT c_custkey AS key FROM customer EXCEPT
+        |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000""".stripMargin,
+    "setop_union" ->
+      "SELECT r_regionkey AS key FROM region UNION SELECT n_regionkey AS key FROM nation",
+    "agg_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders",
+    "agg_count_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS cnt FROM lineitem",
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "upsert_last_writer" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin
+  )
 }

