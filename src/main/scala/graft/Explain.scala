@@ -1,0 +1,20 @@
+package graft
+
+/** Dev tool: print the executed physical plan of a declared query after
+  * running it (so AQE's final plan is shown, not the initial one).
+  *
+  * Usage: sbt "runMain graft.Explain <queryName> [sfDir]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = Sessions.builder("graft-explain", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    println(s"=== $name @ $sfDir (final plan after AQE) ===")
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

@@ -127,13 +127,15 @@ object SparkEntry {
           count(lit(1)).as("count_order"))),
 
     // --- extensions: 3-way join + agg + top-k (TPC-H Q3 shape).
-    //     customer is small relative to orders/lineitem → broadcast.
+    //     No broadcast hint: customer grows with scale (~1.5M rows at
+    //     sf10), so a forced broadcast OOMs on a real cluster — AQE picks
+    //     broadcast-vs-shuffle from runtime stats instead.
     "q3_join" -> ((s, d) => {
       val c = T(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = T(s, d, "orders")
       val l = T(s, d, "lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,6)")).cast("double").as("revenue"))

@@ -3,6 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Keyed last-writer-wins merge — the engine-level analog of the
   * reference's idempotent upsert sinks (MySQL `INSERT ... ON DUPLICATE KEY
@@ -10,6 +11,16 @@ import org.apache.spark.sql.functions._
   * UPDATE`, `postgresql.go:725-777`; Mongo `$set` upsert,
   * `mongodb.go:390-431`). Parquet is append-only, so upsert becomes a
   * merge: later writes win per key.
+  *
+  * Tie-break semantics: the reference applies rows in statement order, so
+  * duplicates *within* one batch resolve last-in-batch-wins
+  * (`mysql.go:455-476`). A shuffled DataFrame has no statement order, so
+  * we impose a deterministic total order instead: within a batch,
+  * duplicate keys resolve to the row with the greatest tuple of orderable
+  * non-key columns (descending struct comparison). This diverges from
+  * "arrival order" — which does not exist in a distributed batch — but is
+  * stable across runs, partitionings, and retries, which is what the
+  * resume/idempotence invariants need (SURVEY §5.2.4).
   *
   * Scale notes (100 TB posture): the merge is a single shuffle on the key
   * (window over `partitionBy(pk)`), no driver-side state; with AQE on,
@@ -22,9 +33,8 @@ object Upsert {
   private val Rn   = "__graft_rn"
 
   /** Merge `updates` into `base`: one row per `keys`, rows from `updates`
-    * beat rows from `base`; ties inside a batch are broken by the highest
-    * precedence (batch index), matching "re-applying any batch suffix is a
-    * no-op" (SURVEY §5.2.4).
+    * beat rows from `base`; duplicate keys within one input resolve by the
+    * deterministic tie-break documented above.
     */
   def resolve(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     resolveAll(Seq(base, updates), keys)
@@ -38,7 +48,19 @@ object Upsert {
       df.select(cols.map(col): _*).withColumn(Prec, lit(i))
     }
     val unioned = tagged.reduce(_ unionByName _)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(Prec).desc)
+    // Orderable (atomic-typed) non-key columns give the deterministic
+    // intra-batch tie-break; maps/arrays/structs are skipped (not
+    // comparable or too wide to matter).
+    val orderable: DataType => Boolean = {
+      case _: StringType | _: NumericType | _: BooleanType | _: DateType |
+           _: TimestampType | _: TimestampNTZType | _: BinaryType => true
+      case _ => false
+    }
+    val tieCols = batches.head.schema.fields.collect {
+      case StructField(n, dt, _, _) if orderable(dt) && !keys.contains(n) => col(n).desc
+    }.toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(Prec).desc +: tieCols: _*)
     unioned
       .withColumn(Rn, row_number().over(w))
       .where(col(Rn) === 1)

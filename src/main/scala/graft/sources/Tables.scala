@@ -15,9 +15,12 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read natively; read it as a long (legacy flag) and convert to a
-      // microsecond TimestampType (the fixture carries no sub-µs data).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read natively; with spark.sql.legacy.parquet.nanosAsLong=true
+      // (set once at session build — graft.Sessions) it arrives as a
+      // long, converted here to a microsecond TimestampType (the fixture
+      // carries no sub-µs data).
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "build the session via graft.Sessions (needs nanosAsLong for events.ts)")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

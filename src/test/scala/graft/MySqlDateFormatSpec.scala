@@ -14,7 +14,16 @@ class MySqlDateFormatSpec extends AnyFunSuite {
     assert(MySqlDateFormat.translate("day %d of %M") == "'day 'dd' of 'MMMM")
   }
   test("escaped percent") {
-    assert(MySqlDateFormat.translate("100%% at %H") == "100% at HH")
+    // `a`/`t` are JDK pattern letters (AM/PM marker, …), so literal text
+    // containing letters must come out quoted — unquoted "100% at HH"
+    // would parse `a` as AM/PM.
+    assert(MySqlDateFormat.translate("100%% at %H") == "'100% at 'HH")
+  }
+  test("round-trip through JDK formatter proves quoting") {
+    val jdk = MySqlDateFormat.translate("100%% at %H")
+    val f = java.time.format.DateTimeFormatter.ofPattern(jdk)
+    val out = f.format(java.time.LocalDateTime.of(2024, 1, 2, 13, 4, 5))
+    assert(out == "100% at 13")
   }
   test("12-hour clock") {
     assert(MySqlDateFormat.translate("%h:%i %p") == "hh:mm a")

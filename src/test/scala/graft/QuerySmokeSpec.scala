@@ -13,11 +13,15 @@ class QuerySmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracleSql without a query impl: $missing")
   }
 
+  /** Queries that may legitimately return zero rows at sf0.001. */
+  private val mayBeEmpty: Set[String] = Set()
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
-      assert(df.count() >= 0)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")
     }
   }
 
@@ -28,6 +32,21 @@ class QuerySmokeSpec extends SparkTestBase {
     val out = graft.sinks.Upsert.resolve(base, upd, Seq("k"))
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("upsert duplicate keys within one batch resolve deterministically") {
+    import spark.implicits._
+    val base = Seq((1L, "x", 1.0)).toDF("k", "name", "v")
+    // duplicate key 1 inside the SAME update batch, shuffled differently
+    val updA = Seq((1L, "a", 5.0), (1L, "b", 7.0), (2L, "c", 2.0)).toDF("k", "name", "v")
+    val updB = updA.repartition(3).sortWithinPartitions($"v".desc)
+    val ra = graft.sinks.Upsert.resolve(base, updA, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val rb = graft.sinks.Upsert.resolve(base, updB, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(ra == rb, "winner must not depend on partitioning")
+    // documented rule: greatest tuple of non-key columns wins → ("b", 7.0)
+    assert(ra == Seq((1L, "b", 7.0), (2L, "c", 2.0)))
   }
 
   test("upsert re-apply is a no-op (idempotence)") {
