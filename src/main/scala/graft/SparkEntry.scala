@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.{ColumnTransformation, EndpointSpec, MigrationSpec, TableMapping, TransferSpec}
+import graft.engine.{TableTransferJob, TransferControl, TransferRunner}
 import graft.functions.MySqlDateFormat
 import graft.sinks.Upsert
 import graft.sources.Tables
@@ -26,16 +28,36 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Flagship: config-driven table transfer on sf0.001 — read → expr
-    * transforms → keyed upsert merge, the reference's core pipeline shape
-    * (reference: `internal/migration/mysql/mysql.go:186-380`). */
+  /** Flagship: the product itself — a config-driven multi-table transfer
+    * (YAML-shaped spec → chunked keyset read → validated expr transforms →
+    * idempotent chunk writes → checkpoint complete), then read the target
+    * back (reference: `internal/migration/mysql/mysql.go:186-380`). */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val li = T(spark, dir, "lineitem")
-      .withColumn("l_extendedprice", expr("l_extendedprice * 100"))
-      .withColumn("l_returnflag", expr("UPPER(l_returnflag)"))
-    // keyed upsert of the transformed batch into itself = idempotence probe
-    Upsert.resolve(li, li, Seq("l_orderkey", "l_linenumber"))
+    val (spec, _) = transferSpec(spark, "/root/testdata/sf0.001")
+    TransferRunner.run(spark, spec, log = _ => ())
+    TableTransferJob.readTarget(spark, spec, "orders_new")
+  }
+
+  /** Shared transfer spec used by `entry` and the transfer_* correctness
+    * entries: two tables, the reference config.yaml's transform
+    * vocabulary (`configs/config.yaml:8-21`), fresh temp dirs per call. */
+  private def transferSpec(spark: SparkSession, sfDir: String,
+                           batch: Int = 500): (TransferSpec, String) = {
+    val work = java.nio.file.Files.createTempDirectory("graft_xfer").toString
+    val spec = TransferSpec(
+      source = EndpointSpec("parquet", path = sfDir, tables = Seq(
+        TableMapping("orders", targetName = Some("orders_new"),
+          columnTransformations = Seq(
+            ColumnTransformation("o_orderstatus", "CONCAT('Status: ', o_orderstatus)"),
+            ColumnTransformation("o_totalprice", "o_totalprice * 100"))),
+        TableMapping("customer", targetName = Some("customer_new"),
+          columnTransformations = Seq(
+            ColumnTransformation("c_name", "UPPER(c_name)"),
+            ColumnTransformation("c_acctbal", "c_acctbal + 100"))))),
+      destination = EndpointSpec("parquet", path = s"$work/dest"),
+      migration = MigrationSpec(batchSize = batch, checkpointRowThreshold = batch,
+        checkpointDir = s"$work/checkpoints", rateLimit = 1000000000))
+    (spec, work)
   }
 
   // ---------------------------------------------------------------------
@@ -208,6 +230,35 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // --- R1/R4-R6/P2/P6: the config-driven transfer engine end-to-end —
+    //     two tables with validated transforms, chunked writes, completion
+    //     markers; result = transformed orders read back from the target.
+    "transfer_config_multi" -> ((s, d) => {
+      val (spec, _) = transferSpec(s, d)
+      val results = TransferRunner.run(s, spec, log = _ => ())
+      require(results.forall(_.outcome.isSuccess),
+        s"transfer failed: ${TransferRunner.summarize(results)}")
+      TableTransferJob.readTarget(s, spec, "orders_new")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    // --- R4/R5/R8: kill mid-run (checkpoint flush), resume from the
+    //     resume file — resumed destination must equal an uninterrupted
+    //     run (the reference's headline 断点续传 feature, mysql.go:533-576).
+    "transfer_resume" -> ((s, d) => {
+      val (spec, _) = transferSpec(s, d)
+      val customer = spec.source.tables.find(_.name == "customer").get
+      val killer = new TransferControl {
+        private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def isCancelled: Boolean = seen.incrementAndGet() > 1
+      }
+      new graft.engine.TableTransferJob(s, spec, customer, killer, _ => ()).run()
+      new graft.engine.TableTransferJob(s, spec, customer,
+        new TransferControl, _ => ()).run()
+      TableTransferJob.readTarget(s, spec, "customer_new")
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
     // --- K1-K4 analog: last-writer-wins keyed upsert. A synthesized
     //     update batch (+100 acctbal for custkey % 10 = 0) merged over the
     //     base table; updates win per key (reference mysql.go:430-441).
@@ -305,6 +356,12 @@ object SparkEntry {
     "upsert_last_writer" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin,
+    "transfer_config_multi" ->
+      """SELECT o_orderkey, CONCAT('Status: ', o_orderstatus) AS o_orderstatus,
+        |  o_totalprice * 100 AS o_totalprice FROM orders""".stripMargin,
+    "transfer_resume" ->
+      """SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
         |FROM customer""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import graft.Sessions
+import graft.core.TransferSpec
+import graft.engine.{TransferControl, TransferRunner}
+
+/** CLI entry point mirroring the reference's flag surface
+  * (`main.go:215-224`): `--config`, `--type`, `--generate-template`,
+  * `--template-output`, `--version`. i18n (R9) is out of scope per
+  * SURVEY — messages are English-only.
+  *
+  * Backend autodetect (R11): the reference sniffs ports
+  * (`main.go:342-363`); here the analog is scheme/extension sniffing on
+  * the source path when no type is given.
+  */
+object Main {
+  private val Version = "0.2.0"
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    if (opts.contains("version")) { println(s"graft transfer engine v$Version"); return }
+
+    if (opts.contains("generate-template")) {
+      val kind = opts.getOrElse("type", "parquet")
+      val out = opts.getOrElse("template-output", "config.yaml")
+      Files.writeString(Paths.get(out), TransferSpec.template(kind))
+      println(s"template written to $out")
+      return
+    }
+
+    val cfgPath = opts.getOrElse("config", "config.yaml")
+    val spec0 = TransferSpec.fromYamlFile(cfgPath)
+    val kind = opts.get("type")
+      .orElse(Option(spec0.source.kind).filter(_.nonEmpty))
+      .getOrElse(autodetect(spec0.source.path))
+    val spec = spec0.copy(source = spec0.source.copy(kind = kind))
+    require(kind == "parquet",
+      s"backend '$kind' is declared but needs its Spark connector on the " +
+        "classpath; this build executes 'parquet' natively")
+
+    val spark = Sessions.builder("graft-transfer", Sessions.cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val control = new TransferControl
+    val hook = TransferRunner.installShutdownHook(control)
+    val t0 = System.currentTimeMillis()
+    val results = TransferRunner.run(spark, spec, control)
+    TransferRunner.removeShutdownHook(hook)
+    println(TransferRunner.summarize(results))
+    println(f"total time: ${(System.currentTimeMillis() - t0) / 1000.0}%.1f s")
+    spark.stop()
+    if (results.exists(_.outcome.isFailure)) sys.exit(1)
+  }
+
+  /** `scheme://` or file-extension sniffing (R11 analog). */
+  private[graft] def autodetect(path: String): String = path match {
+    case p if p.startsWith("jdbc:mysql") => "mysql"
+    case p if p.startsWith("jdbc:postgresql") => "postgresql"
+    case p if p.startsWith("mongodb://") => "mongodb"
+    case p if p.contains(":9042") => "cassandra"
+    case _ => "parquet"
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i).dropWhile(_ == '-')
+      a match {
+        case "generate-template" | "version" => m(a) = "true"; i += 1
+        case "config" | "type" | "template-output" =>
+          require(i + 1 < args.length, s"--$a requires a value")
+          m(a) = args(i + 1); i += 2
+        case other => sys.error(s"unknown flag: --$other")
+      }
+    }
+    m.toMap
+  }
+}

@@ -1,0 +1,114 @@
+package graft.engine
+
+import java.io.File
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+/** Per-table resume token (reference `Checkpoint`,
+  * `internal/migration/migration.go:30-34`):
+  * `lastKey` maps key column → last fully-written upper bound (string
+  * encoded, like the reference), `complete` marks the table done so
+  * reruns skip it (R6, `mysql.go:226-229`).
+  */
+final case class Checkpoint(
+    lastKey: Map[String, String],
+    lastUpdated: Long,
+    complete: Boolean,
+    chunkIndex: Int = -1)
+
+/** Atomic JSON checkpoint files, one per table:
+  * `<dir>/<kind>_<table>.checkpoint` (naming per `mysql.go:533-576`).
+  *
+  * Save is write-tmp → fsync → atomic rename, matching the
+  * MySQL/PG/Mongo engines (`mysql.go:554-573`) and deliberately FIXING
+  * the reference's Cassandra path, which writes in place and can tear on
+  * crash (`cassandra.go:1059-1061`).
+  */
+object Checkpoint {
+
+  def path(dir: String, kind: String, table: String): Path =
+    Paths.get(dir, s"${kind}_$table.checkpoint")
+
+  def save(dir: String, kind: String, table: String, cp: Checkpoint): Unit = {
+    val target = path(dir, kind, table)
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(target.getParent, s".$table", ".tmp")
+    try {
+      Files.writeString(tmp, toJson(cp))
+      val ch = FileChannel.open(tmp, StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+      Files.move(tmp, target,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def load(dir: String, kind: String, table: String): Option[Checkpoint] = {
+    val p = path(dir, kind, table)
+    if (!Files.exists(p)) None
+    else fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  def delete(dir: String, kind: String, table: String): Unit =
+    Files.deleteIfExists(path(dir, kind, table))
+
+  def deleteAll(dir: String): Unit = {
+    val d = new File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".checkpoint")).foreach(_.delete())
+  }
+
+  // -- JSON (hand-rolled: flat schema, no library dependency drift) -----
+
+  private[graft] def toJson(cp: Checkpoint): String = {
+    val keys = cp.lastKey.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    s"""{"last_key": $keys, "last_updated": ${cp.lastUpdated}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}}"""
+  }
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private[graft] def fromJson(s: String): Option[Checkpoint] =
+    try {
+      // json4s ships with Spark; used read-side only (writes stay
+      // hand-rolled so the on-disk format is pinned by our code).
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(s)
+      val lastKey = (j \ "last_key") match {
+        case JObject(fs) => fs.map { case (k, v) => k -> v.values.toString }.toMap
+        case _ => Map.empty[String, String]
+      }
+      val updated = (j \ "last_updated") match {
+        case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+      }
+      val complete = (j \ "complete") match {
+        case JBool(b) => b; case _ => false
+      }
+      val chunk = (j \ "chunk_index") match {
+        case JInt(n) => n.toInt; case _ => -1
+      }
+      Some(Checkpoint(lastKey, updated, complete, chunk))
+    } catch { case _: Exception => None }
+}
+
+/** Cadence: save when either `checkpoint_row_threshold` rows were
+  * processed since the last save or `checkpoint_interval` seconds
+  * elapsed (reference `config.go:71-79`, applied `mysql.go:332-355`). */
+final class CheckpointPolicy(rowThreshold: Long, intervalMs: Long) {
+  private var rowsSinceSave = 0L
+  private var lastSaveAt = System.currentTimeMillis()
+
+  def observe(rows: Long): Boolean = {
+    rowsSinceSave += rows
+    val now = System.currentTimeMillis()
+    if (rowsSinceSave >= rowThreshold || now - lastSaveAt >= intervalMs) {
+      rowsSinceSave = 0L; lastSaveAt = now; true
+    } else false
+  }
+}

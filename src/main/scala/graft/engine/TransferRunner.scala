@@ -1,0 +1,73 @@
+package graft.engine
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.TransferSpec
+
+/** Multi-table transfer with bounded parallelism (R1): the reference runs
+  * one goroutine per table behind a counting semaphore of width `workers`
+  * (`mysql.go:138-184`). Here each table is a Scala Future on a
+  * fixed-size pool; Spark's FAIR scheduler interleaves their jobs on the
+  * cluster, so `workers` bounds the number of concurrently *submitted*
+  * table pipelines, not cluster slots.
+  */
+object TransferRunner {
+
+  final case class TableResult(table: String, outcome: Try[TransferOutcome])
+
+  def run(spark: SparkSession, spec: TransferSpec,
+          control: TransferControl = new TransferControl,
+          log: String => Unit = s => System.err.println(s"[transfer] $s"))
+      : Seq[TableResult] = {
+    val tables = spec.source.tables
+    require(tables.nonEmpty, "spec declares no tables")
+    val pool = Executors.newFixedThreadPool(math.max(1, spec.migration.workers))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = tables.map { t =>
+        Future {
+          // Isolate each table in a scheduler pool so long tables don't
+          // starve short ones (FAIR scheduling across table pipelines).
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
+          TableResult(t.name,
+            Try(new TableTransferJob(spark, spec, t, control, log).run()))
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** Wire SIGTERM/SIGINT to cooperative cancel + checkpoint flush (R8,
+    * reference `main.go:299-308`). Jobs observe the flag between chunks
+    * and save their checkpoint before returning `Interrupted`. Returns
+    * the hook thread — callers MUST deregister it after a normal finish
+    * (JVM shutdown hooks also run on clean exit). */
+  def installShutdownHook(control: TransferControl,
+                          log: String => Unit = s => System.err.println(s"[transfer] $s")): Thread = {
+    val hook = new Thread(() => {
+      log("interrupt received — cancelling after current chunk (checkpoints will flush)")
+      control.cancel()
+      // grace period matching the reference's 2 s drain (`main.go:305-307`)
+      Thread.sleep(2000)
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+    hook
+  }
+
+  def removeShutdownHook(hook: Thread): Unit =
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: IllegalStateException => () /* already shutting down */ }
+
+  /** One-line summary per table (driver/ops visibility). */
+  def summarize(results: Seq[TableResult]): String =
+    results.map {
+      case TableResult(t, Success(o)) => s"$t: $o"
+      case TableResult(t, Failure(e)) => s"$t: FAILED ${e.getMessage}"
+    }.mkString("; ")
+}

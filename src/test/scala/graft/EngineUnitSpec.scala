@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TransferSpec
+import graft.engine._
+
+/** Unit tests for the engine-internal machinery: checkpoint atomicity +
+  * JSON round-trip, cadence policy, rate-limiter math, retry/backoff,
+  * progress stats, YAML spec loading with reference-parity defaults. */
+class EngineUnitSpec extends AnyFunSuite {
+
+  // --- Checkpoint (R4) --------------------------------------------------
+
+  test("checkpoint JSON round-trips") {
+    val cp = Checkpoint(Map("o_orderkey" -> "1500"), 1723400000000L, complete = false, 7)
+    assert(Checkpoint.fromJson(Checkpoint.toJson(cp)).contains(cp))
+  }
+
+  test("checkpoint save is atomic and leaves no tmp files") {
+    val dir = java.nio.file.Files.createTempDirectory("cp").toString
+    val cp = Checkpoint(Map("id" -> "42"), 1L, complete = true, 3)
+    Checkpoint.save(dir, "parquet", "users", cp)
+    assert(Checkpoint.load(dir, "parquet", "users").contains(cp))
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"tmp files left behind: ${leftovers.toSeq}")
+    // overwrite keeps the file readable (atomic replace)
+    Checkpoint.save(dir, "parquet", "users", cp.copy(chunkIndex = 9))
+    assert(Checkpoint.load(dir, "parquet", "users").exists(_.chunkIndex == 9))
+  }
+
+  test("corrupt checkpoint reads as None, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("cp").toString
+    java.nio.file.Files.writeString(
+      Checkpoint.path(dir, "parquet", "t"), "{not json")
+    assert(Checkpoint.load(dir, "parquet", "t").isEmpty)
+  }
+
+  // --- Cadence (R5) -----------------------------------------------------
+
+  test("cadence: saves on row threshold OR time interval") {
+    val p = new CheckpointPolicy(rowThreshold = 1000, intervalMs = 100000)
+    assert(!p.observe(400))
+    assert(!p.observe(400))
+    assert(p.observe(400))   // 1200 >= 1000 → save, counter resets
+    assert(!p.observe(400))
+    val q = new CheckpointPolicy(rowThreshold = Long.MaxValue, intervalMs = 1)
+    Thread.sleep(5)
+    assert(q.observe(1))     // interval elapsed
+  }
+
+  // --- Rate limiter (R2) ------------------------------------------------
+
+  test("rate limiter sleeps to hold rows/sec; no sleep when under budget") {
+    var t = 0L; var slept = 0L
+    val rl = new RateLimiter(1000, now = () => t, sleep = s => slept += s)
+    assert(rl.acquire(500) == 500)  // 500 rows at t=0 → ideal 500ms ahead
+    t = 1000; slept = 0
+    assert(rl.acquire(100) == 0)    // 600 rows by t=1s → under 1000/s budget
+    assert(slept == 0)
+  }
+
+  // --- Retry (K5) -------------------------------------------------------
+
+  test("retry retries then succeeds; exhausts then throws") {
+    var n = 0
+    val r = Retry(attempts = 3, delayMs = 0, sleep = _ => ()) {
+      n += 1; if (n < 3) sys.error("boom") else "ok"
+    }
+    assert(r == "ok" && n == 3)
+    var m = 0
+    intercept[RuntimeException] {
+      Retry(attempts = 2, delayMs = 0, sleep = _ => ()) { m += 1; sys.error("x") }
+    }
+    assert(m == 2)
+  }
+
+  // --- Progress (R7) ----------------------------------------------------
+
+  test("progress stats: percent, windowed rate, remaining") {
+    var t = 0L
+    val s = new ProgressStats("t", totalRows = 1000, now = () => t)
+    s.add(250); t = 1000
+    val r1 = s.report()
+    assert(r1.contains("250/1000") && r1.contains("25.0%") && r1.contains("250 rows/s"))
+    s.add(250); t = 2000
+    val r2 = s.report() // window = last 1s, 250 rows
+    assert(r2.contains("500/1000") && r2.contains("250 rows/s"))
+    assert(s.remaining == 500)
+  }
+
+  // --- Spec loading (config.go parity) ----------------------------------
+
+  test("YAML spec parses with reference field names and defaults") {
+    val spec = TransferSpec.fromYaml(
+      """source:
+        |  type: parquet
+        |  path: "/data/in"
+        |  tables:
+        |    - name: "users"
+        |      target_name: "users_new"
+        |      primary_key: "id"
+        |      column_transformations:
+        |        - source_column: "name"
+        |          expression: "UPPER(name)"
+        |    - name: "orders"
+        |destination:
+        |  type: parquet
+        |  path: "/data/out"
+        |migration:
+        |  batch_size: 2000
+        |  workers: 8
+        |""".stripMargin)
+    assert(spec.source.tables.map(_.name) == Seq("users", "orders"))
+    assert(spec.source.tables.head.target == "users_new")
+    assert(spec.source.tables.head.primaryKeyCols.contains(Seq("id")))
+    assert(spec.source.tables.head.columnTransformations.head.expression == "UPPER(name)")
+    assert(spec.source.tables(1).target == "orders") // rename defaults to name
+    assert(spec.migration.batchSize == 2000 && spec.migration.workers == 8)
+    // defaults mirror reference SetDefaults (config.go:49-80)
+    assert(spec.migration.rateLimit == 10000)
+    assert(spec.migration.timeoutSec == 30)
+    assert(spec.migration.checkpointRowThreshold == 1000)
+    assert(spec.migration.checkpointIntervalSec == 1)
+    assert(spec.migration.progressIntervalSec == 10)
+  }
+
+  test("template generates loadable YAML") {
+    val spec = TransferSpec.fromYaml(TransferSpec.template("parquet"))
+    assert(spec.source.tables.nonEmpty)
+    assert(spec.migration.batchSize == 1000)
+  }
+
+  test("CLI autodetect sniffs backend from path (R11)") {
+    import graft.cli.Main.autodetect
+    assert(autodetect("jdbc:mysql://h/db") == "mysql")
+    assert(autodetect("jdbc:postgresql://h/db") == "postgresql")
+    assert(autodetect("mongodb://h:27017") == "mongodb")
+    assert(autodetect("h1:9042,h2:9042") == "cassandra")
+    assert(autodetect("/data/parquet") == "parquet")
+  }
+}

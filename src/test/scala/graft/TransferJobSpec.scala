@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core._
+import graft.engine._
+
+/** End-to-end tests of the config-driven transfer engine, including the
+  * SURVEY §5.2.4 invariant: for a random kill point, resuming from the
+  * checkpoint yields a destination identical (as a keyed set) to an
+  * uninterrupted run. */
+class TransferJobSpec extends SparkTestBase {
+
+  /** Minimal property-check driver (scalatestplus is not on the offline
+    * classpath): sample `n` values from a ScalaCheck Gen and assert each. */
+  private def forAllN[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      val v = gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail("gen exhausted"))
+      withClue(s"sample #$i = $v: ")(body(v))
+    }
+
+  /** Cancels after `n` chunk-boundary checks — the simulated kill. */
+  private class KillAfter(n: Int) extends TransferControl {
+    private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def isCancelled: Boolean = seen.incrementAndGet() > n
+  }
+
+  private def freshSpec(tables: Seq[TableMapping],
+                        batch: Int = 50): (TransferSpec, String) = {
+    val work = Files.createTempDirectory("xfer").toString
+    val spec = TransferSpec(
+      source = EndpointSpec("parquet", path = sf, tables = tables),
+      destination = EndpointSpec("parquet", path = s"$work/dest"),
+      migration = MigrationSpec(batchSize = batch, checkpointRowThreshold = batch,
+        checkpointDir = s"$work/checkpoints", rateLimit = 100000000))
+    (spec, work)
+  }
+
+  private val customerXform = TableMapping("customer",
+    targetName = Some("customer_new"),
+    columnTransformations = Seq(
+      ColumnTransformation("c_name", "UPPER(c_name)"),
+      ColumnTransformation("c_acctbal", "round(c_acctbal * 100, 0)")))
+
+  private def expectedCustomer = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables(spark, sf, "customer")
+      .withColumn("c_name", expr("UPPER(c_name)"))
+      .withColumn("c_acctbal", expr("round(c_acctbal * 100, 0)"))
+  }
+
+  test("full transfer: transforms applied, chunked dest matches source") {
+    val (spec, _) = freshSpec(Seq(customerXform))
+    val out = TransferRunner.run(spark, spec, log = _ => ())
+    assert(out.forall(_.outcome.isSuccess))
+    val dest = TableTransferJob.readTarget(spark, spec, "customer_new")
+    assert(dest.count() == expectedCustomer.count())
+    assert(dest.except(expectedCustomer).isEmpty)
+    assert(expectedCustomer.except(dest).isEmpty)
+    // artifacts: DDL sidecar (S8), completion marker, complete checkpoint
+    assert(Files.exists(Paths.get(spec.destination.path, "customer_new", "_schema.ddl")))
+    assert(Files.exists(Paths.get(spec.destination.path, "customer_new", "_GRAFT_COMPLETE")))
+    assert(Checkpoint.load(spec.migration.checkpointDir, "parquet", "customer")
+      .exists(_.complete))
+    // multiple chunks actually happened (150 rows / 50 per chunk)
+    val chunks = new java.io.File(s"${spec.destination.path}/customer_new")
+      .listFiles().count(_.getName.startsWith("chunk-"))
+    assert(chunks >= 2, s"expected chunked layout, got $chunks chunk dirs")
+  }
+
+  test("completed table is skipped on rerun (R6)") {
+    val (spec, _) = freshSpec(Seq(customerXform))
+    TransferRunner.run(spark, spec, log = _ => ())
+    val again = TransferRunner.run(spark, spec, log = _ => ())
+    assert(again.head.outcome.get == TransferOutcome.SkippedComplete)
+  }
+
+  test("kill+resume invariant: resumed destination == uninterrupted (SURVEY §5.2.4)") {
+    forAllN(Gen.choose(1, 4), 4) { k =>
+      val (spec, _) = freshSpec(Seq(customerXform))
+      val job = () => new TableTransferJob(spark, spec, customerXform,
+        new KillAfter(k), _ => ())
+      val first = job().run()
+      // with 3 chunks a kill point >= chunk count just completes
+      first match {
+        case TransferOutcome.Interrupted(_) =>
+          val resumed = new TableTransferJob(spark, spec, customerXform,
+            new TransferControl, _ => ()).run()
+          assert(resumed == TransferOutcome.Completed)
+        case TransferOutcome.Completed => ()
+        case other => fail(s"unexpected: $other")
+      }
+      val dest = TableTransferJob.readTarget(spark, spec, "customer_new")
+      assert(dest.count() == expectedCustomer.count())
+      assert(dest.except(expectedCustomer).isEmpty)
+      assert(expectedCustomer.except(dest).isEmpty)
+    }
+  }
+
+  test("orphan chunk dirs above the checkpoint are cleaned on resume") {
+    val (spec, _) = freshSpec(Seq(customerXform))
+    // simulate a crash that wrote an extra chunk the checkpoint never saw
+    val orphan = Paths.get(spec.destination.path, "customer_new", "chunk-00099")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "")
+    TransferRunner.run(spark, spec, log = _ => ())
+    assert(!Files.exists(orphan), "orphan chunk dir should be removed")
+    val dest = TableTransferJob.readTarget(spark, spec, "customer_new")
+    assert(dest.except(expectedCustomer).isEmpty)
+  }
+
+  test("non-numeric PK falls back to deterministic hash buckets (token analog)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("xferh").toString
+    Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0), ("e", 5.0), ("f", 6.0))
+      .toDF("sku", "price").write.parquet(s"$work/src/items.parquet")
+    val t = TableMapping("items", primaryKey = Some("sku"),
+      columnTransformations = Seq(ColumnTransformation("price", "price * 100")))
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(t)),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = 2, checkpointRowThreshold = 2,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    // kill mid-run, then resume
+    val first = new TableTransferJob(spark, spec, t, new KillAfter(1), _ => ()).run()
+    val second = new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+    assert(second == TransferOutcome.Completed || first == TransferOutcome.Completed)
+    val dest = TableTransferJob.readTarget(spark, spec, "items")
+    val expect = spark.read.parquet(s"$work/src/items.parquet")
+      .withColumn("price", org.apache.spark.sql.functions.expr("price * 100"))
+    assert(dest.count() == 6 && dest.except(expect).isEmpty)
+  }
+
+  test("transfer rejects a malicious transform up front (P6 wired in)") {
+    val bad = TableMapping("customer", columnTransformations =
+      Seq(ColumnTransformation("c_name", "reflect('java.lang.System','exit','0')")))
+    val (spec, _) = freshSpec(Seq(bad))
+    val out = TransferRunner.run(spark, spec, log = _ => ())
+    assert(out.head.outcome.isFailure)
+    assert(out.head.outcome.failed.get.getMessage.contains("allowlist"))
+  }
+}
