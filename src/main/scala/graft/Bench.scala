@@ -14,7 +14,13 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q3_join", "join_broadcast_dim", "window_rank_dedup",
     "window_running_sum", "s1_keyset_scan", "upsert_last_writer",
-    "o1_sort_limit", "agg_rollup")
+    "o1_sort_limit", "agg_rollup",
+    // LLM-pipeline extensions
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "ann_cosine_topk", "ann_bucket_topk", "text_quality",
+    "streaming_window_counts",
+    // the product pipeline end-to-end
+    "transfer_config_multi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.core.{ColumnTransformation, EndpointSpec, MigrationSpec, TableMapping, TransferSpec}
 import graft.engine.{TableTransferJob, TransferControl, TransferRunner}
 import graft.functions.MySqlDateFormat
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sinks.Upsert
 import graft.sources.Tables
+import graft.streaming.StreamingIngest
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` (the t2
@@ -42,7 +44,7 @@ object SparkEntry {
     * entries: two tables, the reference config.yaml's transform
     * vocabulary (`configs/config.yaml:8-21`), fresh temp dirs per call. */
   private def transferSpec(spark: SparkSession, sfDir: String,
-                           batch: Int = 500): (TransferSpec, String) = {
+                           batch: Int = 5000): (TransferSpec, String) = {
     val work = java.nio.file.Files.createTempDirectory("graft_xfer").toString
     val spec = TransferSpec(
       source = EndpointSpec("parquet", path = sfDir, tables = Seq(
@@ -246,7 +248,8 @@ object SparkEntry {
     //     resume file — resumed destination must equal an uninterrupted
     //     run (the reference's headline 断点续传 feature, mysql.go:533-576).
     "transfer_resume" -> ((s, d) => {
-      val (spec, _) = transferSpec(s, d)
+      // small chunks so the kill really interrupts mid-table at sf0.01
+      val (spec, _) = transferSpec(s, d, batch = 500)
       val customer = spec.source.tables.find(_.name == "customer").get
       val killer = new TransferControl {
         private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -258,6 +261,44 @@ object SparkEntry {
       TableTransferJob.readTarget(s, spec, "customer_new")
         .select("c_custkey", "c_name", "c_acctbal")
     }),
+
+    // =====================================================================
+    // LLM-data-pipeline extensions (first-class per the build brief):
+    // dedup family, similarity search, text analysis, multimodal, streaming.
+    // =====================================================================
+
+    // --- exact dedup: hash-groupBy on content (one shuffle on md5(text))
+    "dedup_exact" -> ((s, d) => Dedup.exact(T(s, d, "documents"))),
+
+    // --- fuzzy dedup: MinHash + banded LSH + exact-Jaccard confirm
+    //     (bucket-join on band keys — no cartesian; see Dedup.minhashLsh)
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T(s, d, "documents"))),
+
+    // --- SimHash fingerprints + hamming-banded near-dup pairs
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(T(s, d, "documents"))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(T(s, d, "documents"))),
+
+    // --- similarity search: exact brute-force baseline + LSH-bucketed ANN
+    "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(T(s, d, "embeddings"))),
+    "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
+
+    // --- text analysis
+    "text_langid" -> ((s, d) => TextAnalysis.langId(T(s, d, "documents"))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(T(s, d, "documents"))),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(T(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(T(s, d, "documents"))),
+
+    // --- multimodal: binary payload plumbing + JSON field extraction
+    "multimodal_binary" -> ((s, d) => Multimodal.binaryFeatures(T(s, d, "events"))),
+    "json_extract" -> ((s, d) => Multimodal.jsonExtract(T(s, d, "events"))),
+    // stub-decoder pipeline (no SQL oracle — rows-only check): binary →
+    // per-partition batch decode → typed features
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.extractFeatures(T(s, d, "events"), "event_id", "props")
+        .toDF().select(col("id"), col("byteLen"), col("width"), col("height"))),
+
+    // --- streaming: bounded Structured Streaming run == batch oracle
+    "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
     // --- K1-K4 analog: last-writer-wins keyed upsert. A synthesized
     //     update batch (+100 acctbal for custkey % 10 = 0) merged over the
@@ -362,6 +403,158 @@ object SparkEntry {
         |  o_totalprice * 100 AS o_totalprice FROM orders""".stripMargin,
     "transfer_resume" ->
       """SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    // --- LLM-pipeline extensions: oracles replicate the SAME deterministic
+    //     pipelines in DuckDB SQL (md5-based hashing, portable list ops).
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
+    "dedup_simhash_pairs" -> simhashPairsOracleSql,
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+        |p AS (SELECT qid, vec_id AS nn_id,
+        |  round(list_sum(list_transform(list_zip(qe, emb), t -> t[1]*t[2])) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(emb, x -> x*x)))), 6) AS cos
+        |  FROM q, e WHERE qid != vec_id)
+        |SELECT qid, nn_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+        |  FROM p) WHERE rn <= 5""".stripMargin,
+    "ann_bucket_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    CAST(list_sum(list_transform(range(0, 8),
+        |      i -> CASE WHEN embedding[i+1] > 0 THEN 2**i ELSE 0 END)) AS INT) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id < 10),
+        |p AS (SELECT qid, vec_id AS nn_id,
+        |  round(list_sum(list_transform(list_zip(qe, emb), t -> t[1]*t[2])) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(emb, x -> x*x)))), 6) AS cos
+        |  FROM q JOIN e USING (bucket) WHERE qid != vec_id)
+        |SELECT qid, nn_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+        |  FROM p) WHERE rn <= 3""".stripMargin,
+    "text_langid" -> langIdOracleSql,
+    "text_quality" -> qualityOracleSql,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text,' ')))::BIGINT AS n_distinct,
+        |  CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS n_subwords_est,
+        |  round(len(list_distinct(string_split(text,' ')))::DOUBLE /
+        |        len(string_split(text,' '))::DOUBLE, 6) AS ttr
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  length(text)::BIGINT AS n_chars_actual FROM documents""".stripMargin,
+    "multimodal_binary" ->
+      """SELECT event_id, octet_length(props::BLOB)::BIGINT AS blob_len,
+        |  md5(props) AS blob_md5 FROM events""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events""".stripMargin,
+    "streaming_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  // ---------------------------------------------------------------------
+  // Generated oracle SQL for the hash-pipeline ops (constants must match
+  // graft.ops.Dedup / TextAnalysis — k=12 hashes, 4 bands of 3,
+  // 3-gram shingles, threshold 0.5; 32-bit simhash; hamming <= 6).
+  // ---------------------------------------------------------------------
+
+  private def minhashOracleSql: String = {
+    val p = graft.ops.Dedup.MinhashP
+    val sigs = (0 until 12)
+      .map(j => s"    min((h1 + $j * h2) % $p) AS g$j")
+      .mkString(",\n")
+    val bandKeys = (0 until 4).map { b =>
+      val gs = (0 until 3).map(i => s"g${b * 3 + i}::VARCHAR").mkString(" || '|' || ")
+      s"md5($gs || '|$b')"
+    }.mkString(",\n    ")
+    s"""WITH sh0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(0, greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s FROM sh0),
+       |shf AS (SELECT * FROM sh WHERE len(s) > 0),
+       |hashed AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t.sg), 1, 12))::BIGINT AS h1,
+       |    ('0x' || substr(md5(t.sg), 13, 12))::BIGINT AS h2
+       |  FROM shf, unnest(s) AS t(sg)),
+       |sig AS (SELECT doc_id,
+       |$sigs
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([
+       |    $bandKeys]) AS bk FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |conf AS (SELECT doc_a, doc_b,
+       |    round(len(list_intersect(x.s, y.s))::DOUBLE /
+       |          len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 6) AS jaccard
+       |  FROM cand JOIN shf x ON doc_a = x.doc_id JOIN shf y ON doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM conf WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  private def simhashCte: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"    sum(CASE WHEN ('0x' || substr(h, ${j + 1}, 1))::INT >= 8 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n")
+    val fp = (0 until 32)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id, md5(t.u) AS h
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(u)),
+       |bits AS (SELECT doc_id,
+       |$bitSums
+       |  FROM w GROUP BY doc_id),
+       |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  private def simhashOracleSql: String =
+    s"WITH $simhashCte\nSELECT doc_id, simhash FROM f"
+
+  private def simhashPairsOracleSql: String =
+    s"""WITH $simhashCte,
+       |h AS (SELECT doc_id, simhash, unnest([
+       |    'hi:' || (simhash >> 16)::VARCHAR,
+       |    'lo:' || (simhash & 65535)::VARCHAR]) AS half FROM f),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM h a JOIN h b ON a.half = b.half AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
+
+  private def langIdOracleSql: String = {
+    def hits(ws: Seq[String]) = ws
+      .map(w => s"len(list_filter(string_split(text, ' '), x -> x = '$w'))")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT doc_id,
+       |  (${hits(Seq("the", "and", "of", "to", "is"))})::BIGINT AS en_hits,
+       |  (${hits(Seq("der", "die", "und", "ist", "das"))})::BIGINT AS de_hits,
+       |  (${hits(Seq("el", "la", "los", "es", "y"))})::BIGINT AS es_hits
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+       |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+       |       WHEN es_hits > 0 THEN 'es' ELSE 'und' END AS lang_pred,
+       |  en_hits, de_hits, es_hits FROM c""".stripMargin
+  }
+
+  private def qualityOracleSql: String = {
+    val stop = Seq("the", "and", "a", "of", "to", "is")
+      .map(w => s"len(list_filter(string_split(text, ' '), x -> x = '$w'))")
+      .mkString(" + ")
+    s"""SELECT doc_id, round(
+       |  least(len(string_split(text, ' '))::DOUBLE / 50, 1.0) * 0.5 +
+       |  least(((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE /
+       |         len(string_split(text, ' '))::DOUBLE) / 6, 1.0) * 0.3 +
+       |  least(($stop)::DOUBLE / len(string_split(text, ' '))::DOUBLE * 5, 1.0) * 0.2,
+       |  6) AS quality
+       |FROM documents""".stripMargin
+  }
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata alongside (SURVEY §1.3:
+  * Cassandra `blob` → `BinaryType`). Decode/feature-extract runs
+  * per-partition with a pluggable batch decoder; the real image/audio
+  * codecs are NOT in this container, so [[stubDecoder]] is a
+  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
+  * binary casts, partition batching, typed output) is real and tested.
+  */
+object Multimodal {
+
+  /** Feature record produced by a decoder. */
+  final case class MediaFeature(id: Long, byteLen: Int, width: Int,
+                                height: Int, feat: Array[Float])
+
+  /** Batch decoder signature: a whole partition's payloads at once, so a
+    * real implementation can amortize codec/model setup per partition
+    * (the `mapInPandas` batch shape, in Scala). */
+  type Decoder = Iterator[(Long, Array[Byte])] => Iterator[MediaFeature]
+
+  /** STUB: deterministic fake decode — derives pseudo width/height and a
+    * 4-dim feature from the bytes. Replace with a real codec in
+    * deployment; everything around it stays unchanged. */
+  val stubDecoder: Decoder = it => it.map { case (id, bytes) =>
+    val len = if (bytes == null) 0 else bytes.length
+    val sum = if (bytes == null) 0L else bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    MediaFeature(id, len, 1 + (sum % 64).toInt, 1 + (len % 64),
+      Array(len.toFloat, sum.toFloat, (sum % 7).toFloat, (len % 5).toFloat))
+  }
+
+  /** The plumbing: select (id, binary payload) → per-partition batch
+    * decode → typed feature Dataset. Binary stays columnar up to the
+    * decode boundary; no driver collection anywhere. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+                      decoder: Decoder = stubDecoder): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(decoder)
+  }
+
+  /** Oracle-checkable binary plumbing: treat a string column as a binary
+    * payload and compute byte-level features (length + digest) — proves
+    * the binary cast path end-to-end against DuckDB's blob functions. */
+  def binaryFeatures(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      length(col("props").cast("binary")).cast("bigint").as("blob_len"),
+      md5(col("props").cast("binary")).as("blob_md5"))
+
+  /** Nested/semi-structured column: parse `events.props` JSON with an
+    * explicit schema and query an extracted field (the Mongo `bson.M` /
+    * Cassandra UDT analog, SURVEY §1.3). */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k_val"))
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings(vec_id, embedding FLOAT[], label)`.
+  *
+  * Cosine is computed with an explicit sequential fold
+  * (`zip_with` + `aggregate`) and rounded to 6 dp so the DuckDB oracle's
+  * list arithmetic lands on the same values; ranking orders by the
+  * ROUNDED similarity with `vec_id` as tie-break, making top-k
+  * deterministic across engines.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force cosine top-k: the exact baseline. The (small) query set
+    * is broadcast against the full collection — at 100 TB this is the
+    * "scoring pass" shape: one scan of the big side, no shuffle of it,
+    * top-k per query via window. For large query sets use [[bucketTopK]].
+    */
+  def bruteForceTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"), cosine(col("qe"), col("emb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "nn_id", "cos")
+  }
+
+  /** Deterministic sign-bit bucket of the first `bits` dimensions — a
+    * fixed-hyperplane LSH (axis-aligned planes, so the oracle can
+    * reproduce it with plain SQL). */
+  private[ops] def signBucket(emb: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(emb, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN top-k — the scale path: queries join ONLY their own
+    * LSH bucket (equi-join on the bucket id → shuffle-on-bucket, no
+    * cross join anywhere in the plan), then exact cosine + window top-k
+    * within the candidates. Approximate by construction: neighbors in a
+    * different bucket are unseen (recall/cost is tuned by `bits`). */
+  def bucketTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 3,
+                 bits: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", signBucket(col("emb"), bits))
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    q.join(e, Seq("bucket"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"), cosine(col("qe"), col("emb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "nn_id", "cos")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token statistics, fingerprinting. All formulas are portable
+  * (array lambdas + string ops + exact ratios rounded to 6 dp) so the
+  * DuckDB oracle reproduces them bit-for-bit. */
+object TextAnalysis {
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Occurrences of an exact token (bigint, matching SQL `len()`). */
+  private def tokCount(w: String): Column =
+    size(filter(words, x => x === lit(w))).cast("bigint")
+
+  /** Marker-word language ID (n-gram/stopword heuristic): count
+    * language-specific function words, pick the argmax, `und`etermined
+    * when nothing matches. Majority vote over exact token hits — the
+    * classic cheap langid for pipeline pre-filtering. */
+  def langId(docs: DataFrame): DataFrame = {
+    val en = Seq("the", "and", "of", "to", "is").map(tokCount).reduce(_ + _)
+    val de = Seq("der", "die", "und", "ist", "das").map(tokCount).reduce(_ + _)
+    val es = Seq("el", "la", "los", "es", "y").map(tokCount).reduce(_ + _)
+    docs.select(col("doc_id"), en.as("en_hits"), de.as("de_hits"), es.as("es_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+          col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") > 0, "de")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("und"))
+      .select("doc_id", "lang_pred", "en_hits", "de_hits", "es_hits")
+  }
+
+  /** Quality score: bounded blend of length, average word length and
+    * stopword ratio — the standard cheap pre-training quality gate. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nTok = size(words).cast("double")
+    val avgWordLen = (length(col("text")) - nTok + 1) / nTok
+    val stopRatio = Seq("the", "and", "a", "of", "to", "is")
+      .map(tokCount).reduce(_ + _).cast("double") / nTok
+    docs.select(col("doc_id"),
+      round(
+        least(nTok / 50, lit(1.0)) * 0.5 +
+          least(avgWordLen / 6, lit(1.0)) * 0.3 +
+          least(stopRatio * 5, lit(1.0)) * 0.2, 6).as("quality"))
+  }
+
+  /** Token statistics: counts + type-token ratio (BPE-ish subword count
+    * approximated as ceil(chars/4), the usual tokens-per-char rule). */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = words
+    docs.select(col("doc_id"),
+      size(w).cast("bigint").as("n_tokens"),
+      size(array_distinct(w)).cast("bigint").as("n_distinct"),
+      ceil(length(col("text")).cast("double") / 4).cast("bigint").as("n_subwords_est"),
+      round(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6).as("ttr"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lower+trim) — the
+    * join key for cross-corpus exact matching. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("fp"),
+      length(col("text")).cast("bigint").as("n_chars_actual"))
+}

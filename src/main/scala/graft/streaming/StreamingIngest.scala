@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming ingest of the `events` table (SURVEY §2.7: the
+  * reference has no streaming; its resumable-cursor + checkpoint file is
+  * a poor-man's offset store. Here the real thing: `readStream` →
+  * watermark → tumbling window → sink).
+  *
+  * For the correctness gate the stream runs bounded with
+  * `Trigger.AvailableNow` into an in-memory sink and the resulting table
+  * is returned — stream results must equal the batch computation, which
+  * is exactly what the DuckDB oracle checks.
+  */
+object StreamingIngest {
+
+  /** Watermarked 1-hour tumbling-window counts per event type. Output
+    * mode is `complete` so bounded runs emit every window (with `append`,
+    * windows inside the final watermark delay would be withheld). */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // nanos→long via session conf
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Sessionized per-user event counts with a 30-minute gap — the
+    * `session_window` stateful-aggregation shape (extension surface;
+    * exercised by tests against a batch recomputation). */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("cnt"))
+
+    val name = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
