@@ -300,6 +300,33 @@ object SparkEntry {
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
+    // --- K4: per-cell TTL shadow columns — synthesize TTLs on events,
+    //     materialize expiry at a cutoff (the TTL-less-destination
+    //     semantics; Cassandra sinks map the shadows to USING TTL).
+    "k4_ttl_preserve" -> ((s, d) => {
+      val withTtl = T(s, d, "events").select(col("event_id"), col("value"))
+        .withColumn("ttl_value",
+          expr("CASE WHEN event_id % 3 = 0 THEN event_id % 100 ELSE NULL END").cast("bigint"))
+      graft.sinks.TtlColumns.expire(withTtl, elapsedSeconds = 50)
+    }),
+
+    // --- §2.8: registered scalar UDF callable from transform expressions
+    //     (after explicit opt-in to the P6 allowlist)
+    "udf_transform" -> ((s, d) => {
+      if (!graft.functions.UdfRegistry.allowedExtras("graft_slug")) {
+        graft.functions.UdfRegistry.registerString(s, "graft_slug",
+          v => if (v == null) null else v.toLowerCase.replace("#", "-"))
+        graft.functions.UdfRegistry.allowInTransforms("graft_slug")
+      }
+      T(s, d, "customer").select(col("c_custkey"),
+        expr("graft_slug(c_name)").as("c_slug"))
+    }),
+
+    // --- S5: catalog introspection (parquet footer as the catalog);
+    //     no SQL oracle — driver applies the rows-only check.
+    "catalog_columns" -> ((s, d) =>
+      graft.sources.Catalog.columns(s, d, "documents")),
+
     // --- K1-K4 analog: last-writer-wins keyed upsert. A synthesized
     //     update batch (+100 acctbal for custkey % 10 = 0) merged over the
     //     base table; updates win per key (reference mysql.go:430-441).
@@ -459,7 +486,18 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "streaming_window_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "k4_ttl_preserve" ->
+      """WITH t AS (SELECT event_id, value,
+        |    CASE WHEN event_id % 3 = 0 THEN event_id % 100 ELSE NULL END::BIGINT AS ttl_value
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN ttl_value IS NOT NULL AND ttl_value <= 50 THEN NULL ELSE value END AS value,
+        |  CASE WHEN ttl_value IS NOT NULL AND ttl_value > 50 THEN ttl_value - 50
+        |       ELSE NULL END::BIGINT AS ttl_value
+        |FROM t""".stripMargin,
+    "udf_transform" ->
+      "SELECT c_custkey, replace(lower(c_name), '#', '-') AS c_slug FROM customer"
   )
 
   // ---------------------------------------------------------------------

@@ -74,7 +74,8 @@ object ExpressionValidator {
           val name = f.nameParts.last.toLowerCase
           if (f.nameParts.length > 1)
             bad = bad.orElse(Some(s"qualified function '${f.nameParts.mkString(".")}' not allowed"))
-          else if (!allowedFunctions(name))
+          else if (!allowedFunctions(name) &&
+              !graft.functions.UdfRegistry.allowedExtras(name))
             bad = bad.orElse(Some(s"function '$name' not in the allowlist"))
         case _: SubqueryExpression =>
           bad = bad.orElse(Some("subqueries not allowed in transforms"))

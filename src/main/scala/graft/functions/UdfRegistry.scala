@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** UDF surface (§2.8). The reference's "UDF support" is two things:
+  * opaque source-side expressions (covered by `expr()` + the P6
+  * validator) and Cassandra server-side UDF DDL migration
+  * (`cassandra.go:385-440`). The Spark-native equivalent of the latter
+  * is a session UDF registry: named deterministic Scala functions
+  * registered once and then callable from any transform expression.
+  *
+  * Registration is gated: UDFs must be declared deterministic by the
+  * caller (non-deterministic transforms break resume, SURVEY §7.4.2),
+  * and names must not shadow Spark builtins (which would silently change
+  * the meaning of existing config expressions).
+  */
+object UdfRegistry {
+
+  /** Register a whitelisted-by-construction String=>String UDF. Returns
+    * the name so configs can reference it after adding the name to the
+    * transform allowlist via [[allowInTransforms]]. */
+  def registerString(spark: SparkSession, name: String, f: String => String): String = {
+    requireFreshName(spark, name)
+    spark.udf.register(name, f)
+    name
+  }
+
+  def registerLong(spark: SparkSession, name: String, f: Long => Long): String = {
+    requireFreshName(spark, name)
+    spark.udf.register(name, f)
+    name
+  }
+
+  private def requireFreshName(spark: SparkSession, name: String): Unit = {
+    require(name.matches("[a-zA-Z_][a-zA-Z0-9_]*"), s"invalid UDF name: $name")
+    val builtin = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase))
+    require(!builtin || name.startsWith("graft_"),
+      s"UDF '$name' would shadow a builtin — use a 'graft_' prefix")
+  }
+
+  /** Extend the P6 transform allowlist with registered UDF names (the
+    * validator is default-deny, so user UDFs must opt in explicitly). */
+  @volatile private var extraAllowed: Set[String] = Set.empty
+  def allowInTransforms(name: String): Unit =
+    extraAllowed += name.toLowerCase
+  def allowedExtras: Set[String] = extraAllowed
+}

@@ -132,6 +132,13 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(spec.migration.batchSize == 1000)
   }
 
+  test("catalog: PK discovery refuses unknown tables (S6)") {
+    assert(graft.sources.Catalog.primaryKey("lineitem") == Seq("l_orderkey", "l_linenumber"))
+    intercept[RuntimeException](graft.sources.Catalog.primaryKey("nope"))
+    assert(graft.sources.Catalog.tableExists("/root/testdata/sf0.001", "orders"))
+    assert(!graft.sources.Catalog.tableExists("/root/testdata/sf0.001", "nope"))
+  }
+
   test("CLI autodetect sniffs backend from path (R11)") {
     import graft.cli.Main.autodetect
     assert(autodetect("jdbc:mysql://h/db") == "mysql")

@@ -73,6 +73,37 @@ class OpsSpec extends SparkTestBase {
     f.unpersist()
   }
 
+  test("TTL shadow columns: validation, expiry semantics (K4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a", 10L), (2L, "b", 100L), (3L, "c", -1L))
+      .toDF("id", "v", "ttl0")
+      .withColumn("ttl_v", when(col("ttl0") >= 0, col("ttl0"))).drop("ttl0")
+    assert(graft.sinks.TtlColumns.ttlPairs(df) == Seq(("v", "ttl_v")))
+    val out = graft.sinks.TtlColumns.expire(df, 50)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), if (r.isNullAt(2)) -1 else r.getLong(2)))
+    // ttl 10 <= 50 → cell expired; ttl 100 → survives with 50 left; no ttl → untouched
+    assert(out.toSeq == Seq((1L, None, -1L), (2L, Some("b"), 50L), (3L, Some("c"), -1L)))
+    val orphan = Seq((1L, 5L)).toDF("id", "ttl_ghost")
+    intercept[IllegalArgumentException](graft.sinks.TtlColumns.expire(orphan, 1))
+  }
+
+  test("UDF registry: name gating and transform-allowlist opt-in (§2.8)") {
+    import graft.functions.UdfRegistry
+    // shadowing a builtin without the graft_ prefix is refused
+    intercept[IllegalArgumentException](
+      UdfRegistry.registerString(spark, "upper", identity))
+    intercept[IllegalArgumentException](
+      UdfRegistry.registerString(spark, "bad name!", identity))
+    val n = "graft_test_rev_" + System.nanoTime()
+    UdfRegistry.registerString(spark, n, s => if (s == null) null else s.reverse)
+    // not usable in transforms until opted in
+    assert(graft.core.ExpressionValidator.validate(spark, s"$n(c_name)").isLeft)
+    UdfRegistry.allowInTransforms(n)
+    assert(graft.core.ExpressionValidator.validate(spark, s"$n(c_name)").isRight)
+  }
+
   test("streaming window counts == batch computation") {
     import org.apache.spark.sql.functions._
     val stream = StreamingIngest.windowCounts(spark, sf)
