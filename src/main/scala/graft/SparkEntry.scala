@@ -282,6 +282,11 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(T(s, d, "embeddings"))),
     "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
 
+    // --- embedding-cosine near-dup (bucketed candidates + exact confirm)
+    //     and the user-facing dedup result set (survivors of near-dedup)
+    "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDup(T(s, d, "embeddings"))),
+    "dedup_near_keep" -> ((s, d) => Dedup.nearDedupKeep(T(s, d, "documents"))),
+
     // --- text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(T(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(T(s, d, "documents"))),
@@ -497,7 +502,24 @@ object SparkEntry {
         |       ELSE NULL END::BIGINT AS ttl_value
         |FROM t""".stripMargin,
     "udf_transform" ->
-      "SELECT c_custkey, replace(lower(c_name), '#', '-') AS c_slug FROM customer"
+      "SELECT c_custkey, replace(lower(c_name), '#', '-') AS c_slug FROM customer",
+    "dedup_embedding_cosine" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    CAST(list_sum(list_transform(range(0, 8),
+        |      i -> CASE WHEN embedding[i+1] > 0 THEN 2**i ELSE 0 END)) AS INT) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |  round(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
+        |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))), 6) AS cos
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
+        |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))), 6) >= 0.25""".stripMargin,
+    "dedup_near_keep" ->
+      s"""WITH pairs AS (${minhashOracleSql.replace("\n", "\n  ")})
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin
   )
 
   // ---------------------------------------------------------------------

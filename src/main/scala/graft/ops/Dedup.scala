@@ -95,6 +95,16 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The dedup RESULT: documents surviving near-dedup. Greedy keep rule:
+    * a doc is dropped iff it appears as the larger id of a confirmed
+    * near-dup pair — deterministic, one anti-join, and every dropped doc
+    * has a kept (or transitively kept) near-duplicate with a smaller id. */
+  def nearDedupKeep(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val drops = minhashLsh(docs, threshold = threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drops, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   /** 32-bit SimHash over word tokens: bit j of a token is the high bit
     * of hex nibble j of its md5; the fingerprint bit is the sign of the
     * token-sum. Pure string/arith ops → identical in any engine. */

@@ -49,6 +49,23 @@ object Similarity {
       .map(i => when(element_at(emb, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
+    * member of the dedup family: candidates come from the sign-bucket
+    * equi-join (self-join on bucket id, vec_id< ordering — no cartesian),
+    * confirmed by exact cosine ≥ threshold. */
+  def embeddingNearDup(emb: DataFrame, bits: Int = 8,
+                       threshold: Double = 0.25): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", signBucket(col("emb"), bits))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** Bucketed ANN top-k — the scale path: queries join ONLY their own
     * LSH bucket (equi-join on the bucket id → shuffle-on-bucket, no
     * cross join anywhere in the plan), then exact cosine + window top-k

@@ -39,6 +39,28 @@ object Upsert {
   def resolve(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     resolveAll(Seq(base, updates), keys)
 
+  /** Join-based two-way merge: `FULL OUTER` on the keys, update columns
+    * win where present. Semantically equal to [[resolve]] for inputs with
+    * unique keys per side; its value is the physical plan: when BOTH
+    * sides are bucketed tables bucketed+sorted by `keys` (same bucket
+    * count), the sort-merge join runs with ZERO shuffle exchanges — the
+    * read-merge-write amplification of the windowed merge disappears,
+    * which is the design that holds at 100 TB (base stays bucketed on
+    * disk; each merge shuffles only the delta at write time).
+    * `UpsertSpec` asserts the no-Exchange plan. */
+  def resolveJoined(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val b = base.as("b"); val u = updates.as("u")
+    val joined = b.join(u, keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _),
+      "full_outer")
+    val out = cols.map { c =>
+      if (keys.contains(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
+      else when(keys.map(k => col(s"u.$k").isNotNull).reduce(_ && _),
+        col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
+    }
+    joined.select(out: _*)
+  }
+
   /** N-way merge, later DataFrames win. All inputs must share a schema
     * (columns are aligned by name). */
   def resolveAll(batches: Seq[DataFrame], keys: Seq[String]): DataFrame = {
