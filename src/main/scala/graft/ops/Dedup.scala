@@ -79,10 +79,19 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
 
-    val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b, col("a.bk") === col("b.bk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs via group-by-band + in-bucket pair expansion: the
+    // same candidate set as a band-key self-join, but the (md5+agg-heavy)
+    // signature pipeline runs ONCE instead of once per join side. Bucket
+    // cardinality is bounded by band selectivity; a pathological band
+    // would need the standard cap — deliberately NOT applied silently
+    // (results would diverge from the exhaustive oracle).
+    val cand = banded.groupBy("bk")
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+          "struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
