@@ -305,6 +305,21 @@ object SparkEntry {
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
+    // --- streaming with explicit state (mapGroupsWithState): one bounded
+    //     micro-batch → per-user state update == batch GROUP BY
+    "streaming_stateful_counts" -> ((s, d) => StreamingIngest.statefulUserCounts(s, d)),
+
+    // --- skew-safe salted aggregation — result equals the plain groupBy
+    "agg_salted_count" -> ((s, d) =>
+      graft.ops.Salting.saltedCount(T(s, d, "lineitem"), Seq("l_returnflag"))),
+
+    // --- HLL cardinality sketch (approx_count_distinct). Estimates are
+    //     engine-specific → no SQL oracle; rows-only check + a spec
+    //     asserting ≤5% error vs exact.
+    "agg_approx_distinct" -> ((s, d) =>
+      T(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
     // --- K4: per-cell TTL shadow columns — synthesize TTLs on events,
     //     materialize expiry at a cutoff (the TTL-less-destination
     //     semantics; Cassandra sinks map the shadows to USING TTL).
@@ -492,6 +507,10 @@ object SparkEntry {
     "streaming_window_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "streaming_stateful_counts" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+    "agg_salted_count" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->
       """WITH t AS (SELECT event_id, value,
         |    CASE WHEN event_id % 3 = 0 THEN event_id % 100 ELSE NULL END::BIGINT AS ttl_value

@@ -19,7 +19,8 @@ final case class TableMapping(
     name: String,
     targetName: Option[String] = None,
     primaryKey: Option[String] = None,
-    columnTransformations: Seq[ColumnTransformation] = Nil) {
+    columnTransformations: Seq[ColumnTransformation] = Nil,
+    partitionBy: Seq[String] = Nil) {
   def target: String = targetName.getOrElse(name)
   def primaryKeyCols: Option[Seq[String]] =
     primaryKey.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -105,7 +106,8 @@ object TransferSpec {
       primaryKey = optStr(m, "primary_key"),
       columnTransformations = asList(m.getOrElse("column_transformations", null))
         .map(asMap).map(c =>
-          ColumnTransformation(str(c, "source_column"), str(c, "expression"))))
+          ColumnTransformation(str(c, "source_column"), str(c, "expression"))),
+      partitionBy = asList(m.getOrElse("partition_by", null)).map(_.toString))
 
   private def migration(m: Map[String, Any]): MigrationSpec = {
     val d = MigrationSpec()

@@ -246,6 +246,15 @@ final class TableTransferJob(
         complete, chunkIdx))
 
   private def finish(lastChunk: Int, lastKey: Option[Map[String, String]]): TransferOutcome = {
+    // Publish step: when the spec asks for a partitioned target layout,
+    // rewrite the chunk dirs into hive-style partitions once, at the end
+    // (a one-time full pass — partition values can span chunks, so
+    // per-chunk dynamic overwrite would clobber earlier chunks).
+    if (table.partitionBy.nonEmpty) {
+      spark.read.option("recursiveFileLookup", "true").parquet(destDir)
+        .write.mode("overwrite").partitionBy(table.partitionBy: _*)
+        .parquet(s"$destDir-final")
+    }
     saveCp(lastKey, lastChunk, complete = true)
     Files.writeString(Paths.get(destDir, "_GRAFT_COMPLETE"), "")
     TransferOutcome.Completed
@@ -258,8 +267,12 @@ final class TableTransferJob(
 }
 
 object TableTransferJob {
-  /** Read a transferred table back (all chunk dirs). */
-  def readTarget(spark: SparkSession, spec: TransferSpec, target: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
+  /** Read a transferred table back: the partitioned publish layout when
+    * present, else the chunk dirs. */
+  def readTarget(spark: SparkSession, spec: TransferSpec, target: String): DataFrame = {
+    val finalDir = s"${spec.destination.path}/$target-final"
+    if (Files.exists(Paths.get(finalDir))) spark.read.parquet(finalDir)
+    else spark.read.option("recursiveFileLookup", "true")
       .parquet(s"${spec.destination.path}/$target")
+  }
 }

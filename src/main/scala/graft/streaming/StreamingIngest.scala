@@ -36,6 +36,35 @@ object StreamingIngest {
     spark.table(name)
   }
 
+  /** Custom stateful aggregation via `mapGroupsWithState` (the
+    * KeyValueGroupedDataset path for state machines the built-in windows
+    * can't express): running per-user event counts held in explicit
+    * state. A bounded AvailableNow run processes the source as one
+    * micro-batch, so each user emits exactly one update — equal to the
+    * batch `GROUP BY user_id` count, which the oracle checks. */
+  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val updates = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user, events, state) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "cnt")
+
+    val name = "graft_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = updates.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Sessionized per-user event counts with a 30-minute gap — the
     * `session_window` stateful-aggregation shape (extension surface;
     * exercised by tests against a batch recomputation). */
