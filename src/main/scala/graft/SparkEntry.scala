@@ -293,6 +293,27 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(T(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(T(s, d, "documents"))),
 
+    // --- TF-IDF top-terms per document (two-shuffle exact design)
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(T(s, d, "documents"))),
+
+    // --- ArrayType column ops over embeddings (Cassandra list<> analog)
+    "array_stats" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      e.select(col("vec_id"),
+        size(col("emb")).cast("bigint").as("dim"),
+        round(element_at(col("emb"), 1), 6).as("first_val"),
+        round(sqrt(aggregate(transform(col("emb"), x => x * x),
+          lit(0.0), (a, x) => a + x)), 6).as("l2_norm"),
+        round(aggregate(col("emb"), lit(0.0), (a, x) => a + x) /
+          size(col("emb")).cast("double"), 6).as("mean_val"))
+    }),
+
+    // --- cube aggregation (alongside rollup)
+    "agg_cube" -> ((s, d) =>
+      T(s, d, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // --- multimodal: binary payload plumbing + JSON field extraction
     "multimodal_binary" -> ((s, d) => Multimodal.binaryFeatures(T(s, d, "events"))),
     "json_extract" -> ((s, d) => Multimodal.jsonExtract(T(s, d, "events"))),
@@ -498,6 +519,28 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  length(text)::BIGINT AS n_chars_actual FROM documents""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (SELECT doc_id, t.u AS term
+        |    FROM documents, unnest(string_split(text, ' ')) AS t(u)),
+        |tf AS (SELECT doc_id, term, count(*) AS occ FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS len FROM terms GROUP BY doc_id),
+        |dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS corpus_n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    round((occ::DOUBLE / len::DOUBLE) * ln(corpus_n / dfq::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM s) WHERE rn <= 5""".stripMargin,
+    "array_stats" ->
+      """SELECT vec_id, len(embedding)::BIGINT AS dim,
+        |  round(embedding[1]::DOUBLE, 6) AS first_val,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2_norm,
+        |  round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val
+        |FROM embeddings""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "multimodal_binary" ->
       """SELECT event_id, octet_length(props::BLOB)::BIGINT AS blob_len,
         |  md5(props) AS blob_md5 FROM events""".stripMargin,

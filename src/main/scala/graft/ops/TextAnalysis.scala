@@ -58,6 +58,32 @@ object TextAnalysis {
       round(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6).as("ttr"))
   }
 
+  /** TF-IDF, top-k terms per document. tf = occurrences/doc_len,
+    * idf = ln(N/df) over the corpus, both exact; score rounded to 6 dp
+    * and ranked (term as tie-break) so the result set is deterministic.
+    * Shape at scale: explode → two hash aggregations (term stats shuffle
+    * on term, doc stats on doc_id) → broadcast-sized doc-count → join on
+    * term. No driver-side vocabulary. */
+  def tfIdf(docs: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count() // corpus size: one scalar, computed once
+    val terms = docs
+      .select(col("doc_id"), explode(words).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("occ"))
+    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(docLen, "doc_id").join(df_, "term")
+      .withColumn("tfidf", round(
+        (col("occ").cast("double") / col("len").cast("double")) *
+          log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select("doc_id", "term", "tfidf")
+  }
+
   /** Content fingerprint: md5 of the normalized text (lower+trim) — the
     * join key for cross-corpus exact matching. */
   def fingerprint(docs: DataFrame): DataFrame =
