@@ -19,14 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct), `[]` for too-short docs. */
-  private[ops] def shingles(n: Int): Column = {
-    val w = split(col("text"), " ")
-    val cnt = size(w) - (n - 1)
-    when(cnt > lit(0),
-      array_distinct(transform(sequence(lit(0), cnt - 1),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+  /** (doc_id, shingle set) with the words array MATERIALIZED behind a
+    * repartition boundary. Two reasons, both measured: (a) an inline
+    * `split()` inside the transform lambda is re-evaluated per element
+    * (CollapseProject inlines projections — O(len²) work per doc);
+    * (b) small single-file tables arrive as one input split, so the
+    * CPU-heavy shingling would run in a single task. The exchange fixes
+    * both: split computes once per row, and downstream work spreads
+    * across the cluster. */
+  private[ops] def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val cnt = size(col("w")) - (n - 1)
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(parts)
+      .select(col("doc_id"),
+        when(cnt > lit(0),
+          array_distinct(transform(sequence(lit(0), cnt - 1),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("w"), i + j + 1)): _*))))
+          .otherwise(array().cast("array<string>")).as("sh"))
   }
 
   /** Exact dedup: group by content hash, keep the smallest doc_id as the
@@ -60,8 +70,7 @@ object Dedup {
                  shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = docs.select(col("doc_id"), shingles(shingleLen).as("sh"))
-      .where(size(col("sh")) > 0)
+    val sh = shingleSets(docs, shingleLen).where(size(col("sh")) > 0)
 
     val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("m"))
@@ -118,7 +127,10 @@ object Dedup {
     * of hex nibble j of its md5; the fingerprint bit is the sign of the
     * token-sum. Pure string/arith ops → identical in any engine. */
   def simhash(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
     val words = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(parts) // spread single-split sources before CPU-heavy explode+md5
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
     val bitSums = (0 until 32).map { j =>

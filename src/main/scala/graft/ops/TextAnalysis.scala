@@ -67,7 +67,10 @@ object TextAnalysis {
   def tfIdf(docs: DataFrame, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count() // corpus size: one scalar, computed once
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
     val terms = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(parts) // spread single-split sources before the explode
       .select(col("doc_id"), explode(words).as("term"))
     val tf = terms.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("occ"))
