@@ -41,6 +41,23 @@ class SinkAndSkewSpec extends SparkTestBase {
     assert(stmts.forall(_._1.startsWith("INSERT INTO t")))
   }
 
+  test("jdbc reader options: range partitioning sized by batch_size (S1/S2)") {
+    import graft.core._
+    val t = TableMapping("users")
+    val mig = MigrationSpec(batchSize = 1000, timeoutSec = 30)
+    val o = graft.sources.JdbcSource.readerOptions(
+      "jdbc:postgresql://h/db", t, mig, "id", (0L, 100000L), parallelism = 32)
+    assert(o("partitionColumn") == "id" && o("lowerBound") == "0" &&
+      o("upperBound") == "100000")
+    // 100k keys / 1k batch = 101 partitions, capped at parallelism 32
+    assert(o("numPartitions") == "32")
+    assert(o("fetchsize") == "1000" && o("queryTimeout") == "30")
+    // a tiny table gets one partition, never zero
+    val small = graft.sources.JdbcSource.readerOptions(
+      "u", t, mig, "id", (5L, 9L), parallelism = 32)
+    assert(small("numPartitions") == "1")
+  }
+
   test("salted count and salted join equal their unsalted counterparts") {
     val li = graft.sources.Tables(spark, sf, "lineitem")
     val plain = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
