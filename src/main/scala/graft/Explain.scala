@@ -9,7 +9,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = Sessions.builder("graft-explain", 8).getOrCreate()
+    val spark = Sessions.builder("graft-explain", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

@@ -42,10 +42,19 @@ object SparkEntry {
 
   /** Shared transfer spec used by `entry` and the transfer_* correctness
     * entries: two tables, the reference config.yaml's transform
-    * vocabulary (`configs/config.yaml:8-21`), fresh temp dirs per call. */
+    * vocabulary (`configs/config.yaml:8-21`). The work dir is
+    * deterministic per (sfDir, batch) and wiped at the start of each
+    * call — repeated bench/test runs must not leak a table copy per
+    * invocation into /tmp. */
   private def transferSpec(spark: SparkSession, sfDir: String,
                            batch: Int = 5000): (TransferSpec, String) = {
-    val work = java.nio.file.Files.createTempDirectory("graft_xfer").toString
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_xfer_" +
+      math.abs((sfDir + ":" + batch).hashCode).toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(work))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
     val spec = TransferSpec(
       source = EndpointSpec("parquet", path = sfDir, tables = Seq(
         TableMapping("orders", targetName = Some("orders_new"),

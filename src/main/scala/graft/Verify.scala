@@ -14,8 +14,7 @@ object Verify {
       // coalesce(1) only for small results; big dumps stay parallel (the
       // oracle reader globs *.parquet).
       try {
-        val df = fn(spark, sfDir)
-        val out = if (df.isStreaming) df else df.cache()
+        val out = fn(spark, sfDir).cache()
         val n = out.count()
         (if (n <= 20000) out.coalesce(1) else out)
           .write.mode("overwrite").parquet(s"$outDir/$name")

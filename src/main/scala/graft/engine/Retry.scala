@@ -13,8 +13,11 @@ object Retry {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
+      // NonFatal only: retrying after OutOfMemoryError/LinkageError runs
+      // the body in a corrupt JVM, and InterruptedException must reach
+      // the cooperative-cancel path, not sleep through retry delays.
       try return body
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         last = e; i += 1; onError(i, e)
         if (i < attempts) sleep(delayMs)
       }

@@ -23,8 +23,14 @@ object TransferOutcome {
   * checkpoint-on-interrupt, `main.go:299-308`, `mysql.go:357-367`). */
 class TransferControl {
   @volatile private var cancelled = false
+  private val active = new java.util.concurrent.atomic.AtomicInteger(0)
   def cancel(): Unit = cancelled = true
   def isCancelled: Boolean = cancelled
+  /** Jobs register while running so a shutdown hook can wait for their
+    * checkpoint flush instead of sleeping a fixed grace period. */
+  def jobStarted(): Unit = active.incrementAndGet()
+  def jobFinished(): Unit = active.decrementAndGet()
+  def activeJobs: Int = active.get()
 }
 
 /** One table's transfer: the reference's `migrateTable` pipeline
@@ -62,7 +68,16 @@ final class TableTransferJob(
     spec: TransferSpec,
     table: TableMapping,
     control: TransferControl = new TransferControl,
-    log: String => Unit = s => System.err.println(s"[transfer] $s")) {
+    log: String => Unit = s => System.err.println(s"[transfer] $s"),
+    sharedLimiter: Option[RateLimiter] = None) {
+
+  /** Process-wide rows/sec budget: one limiter shared by every table job
+    * of a run (TransferRunner injects it); standalone jobs fall back to
+    * their own. Matches the reference's GLOBAL limiter semantics
+    * (`migration.go:212-268`) — without sharing, aggregate throughput
+    * would be workers × rate_limit. */
+  private val limiter: RateLimiter =
+    sharedLimiter.getOrElse(new RateLimiter(spec.migration.rateLimit.toLong))
 
   private val mig = spec.migration
   private val kind = spec.source.kind
@@ -148,8 +163,22 @@ final class TableTransferJob(
       case Some(k) => source.where(col(pkCol) > k)
       case None => source
     }
-    val total = remaining.count()
+    // One pass: row count, TRUE max of the key (checkpoints must record
+    // it — the quantile max can undershoot, and recording an undershot
+    // bound would re-transfer (bound, max] after a crash), and a NULL-key
+    // probe (range predicates are null-rejecting, so NULL keys would be
+    // silently dropped — refuse them, like the reference refuses PK-less
+    // tables, mysql.go:216-218).
+    val probe = remaining.agg(
+      count(lit(1)).as("n"),
+      max(col(pkCol)).cast("double").as("mx"),
+      count(when(col(pkCol).isNull, 1)).as("nulls")).head()
+    val total = probe.getLong(0)
+    require(probe.getLong(2) == 0,
+      s"table '${table.name}' has ${probe.getLong(2)} NULL values in key " +
+        s"'$pkCol' — refusing (rows would be lost by range chunking)")
     if (total == 0) return finish(startChunk, lastKey.map(k => Map(pkCol -> fmtKey(k))))
+    val trueMax = probe.getDouble(1)
 
     val n = math.max(1, math.min(maxChunks,
       math.ceil(total.toDouble / chunkRows(total)).toInt))
@@ -162,7 +191,6 @@ final class TableTransferJob(
     val stats = new ProgressStats(table.name, total)
     val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
       mig.checkpointIntervalSec * 1000L)
-    val limiter = new RateLimiter(mig.rateLimit.toLong)
 
     var lo: Option[Double] = lastKey
     var chunkIdx = startChunk
@@ -182,18 +210,22 @@ final class TableTransferJob(
       if (!isLast) chunk = chunk.where(col(pkCol) <= hi)
       val written = writeChunk(chunk, chunkIdx)
       stats.add(written)
+      // The checkpointed bound must cover every row the chunk wrote: the
+      // last chunk extends past the (possibly undershot) quantile max, so
+      // its bound is the true max — never `hi`.
+      val bound = if (isLast) trueMax else hi
       // checkpoint BEFORE the rate-limit sleep: a kill during the sleep
       // then loses no completed chunk
       if (policy.observe(written))
-        saveCp(Some(Map(pkCol -> fmtKey(hi))), chunkIdx, complete = false)
+        saveCp(Some(Map(pkCol -> fmtKey(bound))), chunkIdx, complete = false)
       limiter.acquire(written)
       if (System.currentTimeMillis() - lastReport >= mig.progressIntervalSec * 1000L) {
         log(stats.report()); lastReport = System.currentTimeMillis()
       }
-      lo = Some(hi); chunkIdx += 1
+      lo = Some(bound); chunkIdx += 1
     }
     log(stats.report())
-    finish(chunkIdx - 1, lo.map(k => Map(pkCol -> fmtKey(k))))
+    finish(chunkIdx - 1, Some(Map(pkCol -> fmtKey(trueMax))))
   }
 
   /** Non-numeric-PK path: deterministic hash buckets (token-range
@@ -207,7 +239,6 @@ final class TableTransferJob(
     val stats = new ProgressStats(table.name, total)
     val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
       mig.checkpointIntervalSec * 1000L)
-    val limiter = new RateLimiter(mig.rateLimit.toLong)
     val bucketExpr = pmod(hash(pk.map(col): _*), lit(n))
 
     for (b <- (doneBucket + 1) until n) {
@@ -225,17 +256,18 @@ final class TableTransferJob(
     finish(n - 1, None)
   }
 
-  /** Idempotent chunk write with retry; returns rows written. */
+  /** Idempotent chunk write with retry; returns rows written. The count
+    * rides the write itself via `observe` — no caching, no second scan
+    * (a cache would materialize the whole chunk into executor storage,
+    * which does not survive the 100 TB posture). */
   private def writeChunk(chunk: DataFrame, idx: Int): Long = {
     val dir = f"$destDir/chunk-$idx%05d"
     Retry(attempts = 3, delayMs = 1000,
       onError = (i, e) => log(s"${table.name}: chunk $idx attempt $i failed: ${e.getMessage}")) {
-      val cached = chunk.cache()
-      try {
-        val rows = cached.count()
-        cached.write.mode("overwrite").parquet(dir)
-        rows
-      } finally cached.unpersist()
+      val obs = org.apache.spark.sql.Observation(f"chunk-$idx%05d-${System.nanoTime()}")
+      chunk.observe(obs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(dir)
+      obs.get("rows").asInstanceOf[Long]
     }
   }
 

@@ -29,14 +29,20 @@ object TransferRunner {
     require(tables.nonEmpty, "spec declares no tables")
     val pool = Executors.newFixedThreadPool(math.max(1, spec.migration.workers))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // ONE limiter for the whole run — the budget is process-wide
+    // (reference's global limiter, migration.go:212-268), not per table.
+    val limiter = new RateLimiter(spec.migration.rateLimit.toLong)
     try {
       val futures = tables.map { t =>
         Future {
           // Isolate each table in a scheduler pool so long tables don't
           // starve short ones (FAIR scheduling across table pipelines).
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
-          TableResult(t.name,
-            Try(new TableTransferJob(spark, spec, t, control, log).run()))
+          control.jobStarted()
+          try TableResult(t.name,
+            Try(new TableTransferJob(spark, spec, t, control, log,
+              Some(limiter)).run()))
+          finally control.jobFinished()
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)
@@ -49,12 +55,22 @@ object TransferRunner {
     * the hook thread — callers MUST deregister it after a normal finish
     * (JVM shutdown hooks also run on clean exit). */
   def installShutdownHook(control: TransferControl,
-                          log: String => Unit = s => System.err.println(s"[transfer] $s")): Thread = {
+                          log: String => Unit = s => System.err.println(s"[transfer] $s"),
+                          graceMs: Long = 30000): Thread = {
     val hook = new Thread(() => {
       log("interrupt received — cancelling after current chunk (checkpoints will flush)")
       control.cancel()
-      // grace period matching the reference's 2 s drain (`main.go:305-307`)
-      Thread.sleep(2000)
+      // Wait for running jobs to hit their between-chunk cancel check and
+      // flush checkpoints — a fixed 2 s (the reference's drain,
+      // main.go:305-307) silently loses the flush whenever the in-flight
+      // chunk outlives it. Bounded by graceMs so a wedged job can't hang
+      // shutdown.
+      val deadline = System.currentTimeMillis() + graceMs
+      while (control.activeJobs > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      if (control.activeJobs > 0)
+        log(s"grace period elapsed with ${control.activeJobs} job(s) still " +
+          "running — their last cadence checkpoint stands (resume is still safe)")
     })
     Runtime.getRuntime.addShutdownHook(hook)
     hook

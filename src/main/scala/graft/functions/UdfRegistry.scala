@@ -40,9 +40,13 @@ object UdfRegistry {
   }
 
   /** Extend the P6 transform allowlist with registered UDF names (the
-    * validator is default-deny, so user UDFs must opt in explicitly). */
+    * validator is default-deny, so user UDFs must opt in explicitly).
+    * Updates are synchronized — parallel table pipelines may register
+    * concurrently, and a lost update would make the validator reject a
+    * legitimately registered UDF. */
   @volatile private var extraAllowed: Set[String] = Set.empty
-  def allowInTransforms(name: String): Unit =
+  def allowInTransforms(name: String): Unit = synchronized {
     extraAllowed += name.toLowerCase
+  }
   def allowedExtras: Set[String] = extraAllowed
 }

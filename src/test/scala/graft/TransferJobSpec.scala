@@ -101,6 +101,50 @@ class TransferJobSpec extends SparkTestBase {
     }
   }
 
+  test("checkpoint bound covers every row written (no re-transfer duplicates)") {
+    import org.apache.spark.sql.functions._
+    // interrupted mid-run: all rows in chunks <= chunkIndex are <= lastKey
+    val (spec, _) = freshSpec(Seq(customerXform))
+    val r = new TableTransferJob(spark, spec, customerXform,
+      new KillAfter(2), _ => ()).run()
+    assert(r.isInstanceOf[TransferOutcome.Interrupted])
+    val cp = Checkpoint.load(spec.migration.checkpointDir, "parquet", "customer").get
+    val bound = cp.lastKey("c_custkey").toDouble
+    val written = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"${spec.destination.path}/customer_new")
+    val dirs = new java.io.File(s"${spec.destination.path}/customer_new")
+      .listFiles().count(_.getName.startsWith("chunk-"))
+    assert(dirs == cp.chunkIndex + 1, "checkpoint index matches written chunks")
+    val overBound = written.where(col("c_custkey") > bound).count()
+    assert(overBound == 0,
+      s"$overBound rows above checkpoint bound $bound would duplicate on resume")
+    // completed run: the recorded bound is the TRUE max of the key, so a
+    // rerun's remaining-set is empty even where the quantile undershot
+    val done = new TableTransferJob(spark, spec, customerXform,
+      new TransferControl, _ => ()).run()
+    assert(done == TransferOutcome.Completed)
+    val cpDone = Checkpoint.load(spec.migration.checkpointDir, "parquet", "customer").get
+    val trueMax = graft.sources.Tables(spark, sf, "customer")
+      .agg(max(col("c_custkey"))).head.getLong(0)
+    assert(cpDone.lastKey("c_custkey").toDouble == trueMax.toDouble)
+  }
+
+  test("NULL primary keys are refused, not silently dropped") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("xfern").toString
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, "c"))
+      .toDF("id", "v").write.parquet(s"$work/src/t.parquet")
+    val t = TableMapping("t", primaryKey = Some("id"))
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(t)),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(checkpointDir = s"$work/cp", rateLimit = 100000000))
+    val e = intercept[IllegalArgumentException] {
+      new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("orphan chunk dirs above the checkpoint are cleaned on resume") {
     val (spec, _) = freshSpec(Seq(customerXform))
     // simulate a crash that wrote an extra chunk the checkpoint never saw
