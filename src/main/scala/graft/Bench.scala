@@ -61,6 +61,22 @@ object Bench {
         .write.mode("overwrite").parquet(s"$tmp/lineitem")
     }
 
+    // Multi-table engine run: all 10 tables through the full transfer
+    // pipeline (chunked scans, checkpoints, 4 parallel tables) —
+    // BASELINE.md target ≤ 90 s wall.
+    results("transfer_all_tables") = time {
+      import graft.core._
+      val spec = TransferSpec(
+        EndpointSpec("parquet", path = sfDir,
+          tables = graft.sources.Tables.all.map(n => TableMapping(n))),
+        EndpointSpec("parquet", path = s"$tmp/all_dest"),
+        MigrationSpec(workers = 4, batchSize = 20000,
+          checkpointDir = s"$tmp/all_cp", rateLimit = 1000000000))
+      val res = graft.engine.TransferRunner.run(spark, spec, log = _ => ())
+      require(res.forall(_.outcome.isSuccess),
+        graft.engine.TransferRunner.summarize(res))
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
