@@ -221,6 +221,57 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("running_value"))
     }),
 
+    // --- extensions: exact interpolated percentiles (type-7, both engines)
+    "agg_percentiles" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"))),
+
+    // --- extensions: lead/lag analytic windows
+    "window_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, d, "events").select(col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+    }),
+
+    // --- extensions: range (non-equi) join against a tiny bucket dim —
+    //     broadcast nested-loop by construction (dim is 4 rows)
+    "join_range_bucket" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq((0L, 0.0, 25.0), (1L, 25.0, 50.0),
+        (2L, 50.0, 75.0), (3L, 75.0, 1e9)).toDF("bucket_id", "lo", "hi")
+      T(s, d, "events").join(broadcast(dim),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .select(col("event_id"), col("bucket_id"))
+    }),
+
+    // --- extensions: AS-OF join via carried-forward window state — for
+    //     each click, the user's most recent purchase value at-or-before
+    //     it (one shuffle on user_id; no join at all — the scalable as-of)
+    "join_asof_event" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "events")
+        .withColumn("last_purchase",
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "click")
+        .select("event_id", "user_id", "last_purchase")
+    }),
+
+    // --- extensions: fuzzy string matching (edit distance) on a small
+    //     self-pair set (25×25 nations, broadcast NLJ)
+    "fuzzy_match_levenshtein" -> ((s, d) => {
+      val a = T(s, d, "nation").select(col("n_name").as("name_a"))
+      val b = T(s, d, "nation").select(col("n_name").as("name_b"))
+      a.join(broadcast(b), col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+        .where(col("dist") <= 5)
+        .select("name_a", "name_b", "dist")
+    }),
+
     // --- extensions: set ops
     "setop_except" -> ((s, d) =>
       T(s, d, "customer").select(col("c_custkey").as("key"))
@@ -459,6 +510,33 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "window_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        |FROM events""".stripMargin,
+    "join_range_bucket" ->
+      """SELECT event_id, bucket_id::BIGINT AS bucket_id FROM events
+        |JOIN (VALUES (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0),
+        |             (3, 75.0, 1000000000.0)) AS b(bucket_id, lo, hi)
+        |ON value >= lo AND value < hi""".stripMargin,
+    "join_asof_event" ->
+      """SELECT event_id, user_id, last_purchase FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |  FROM events) WHERE event_type = 'click'""".stripMargin,
+    "fuzzy_match_levenshtein" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |  levenshtein(a.n_name, b.n_name)::BIGINT AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 5""".stripMargin,
     "setop_except" ->
       """SELECT c_custkey AS key FROM customer EXCEPT
         |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000""".stripMargin,
