@@ -600,12 +600,21 @@ object SparkEntry {
         |  len(string_split(text,' '))::BIGINT AS n_tokens,
         |  len(list_distinct(string_split(text,' ')))::BIGINT AS n_distinct,
         |  CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS n_subwords_est,
+        |  len(regexp_extract_all(text, '[a-zA-Z]{1,4}'))::BIGINT AS n_subwords_re,
         |  round(len(list_distinct(string_split(text,' ')))::DOUBLE /
         |        len(string_split(text,' '))::DOUBLE, 6) AS ttr
         |FROM documents""".stripMargin,
     "text_fingerprint" ->
-      """SELECT doc_id, md5(lower(trim(text))) AS fp,
-        |  length(text)::BIGINT AS n_chars_actual FROM documents""".stripMargin,
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, md5(lower(trim(text))) AS fp,
+         |  CASE WHEN len(w) - 2 > 0 THEN list_min(list_transform(
+         |    range(0, len(w) - 2),
+         |    i -> (('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 12))::BIGINT
+         |        + ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 13, 12))::BIGINT)
+         |        % ${graft.ops.Dedup.MinhashP}))
+         |  ELSE NULL END AS rolling_min_hash,
+         |  length(text)::BIGINT AS n_chars_actual
+         |FROM base""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, t.u AS term
         |    FROM documents, unnest(string_split(text, ' ')) AS t(u)),

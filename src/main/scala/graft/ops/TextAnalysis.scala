@@ -55,6 +55,9 @@ object TextAnalysis {
       size(w).cast("bigint").as("n_tokens"),
       size(array_distinct(w)).cast("bigint").as("n_distinct"),
       ceil(length(col("text")).cast("double") / 4).cast("bigint").as("n_subwords_est"),
+      // BPE-ish regex tokenization: ≤4-char alphabetic pieces
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]{1,4}"), lit(0)))
+        .cast("bigint").as("n_subwords_re"),
       round(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6).as("ttr"))
   }
 
@@ -87,10 +90,26 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf")
   }
 
-  /** Content fingerprint: md5 of the normalized text (lower+trim) — the
-    * join key for cross-corpus exact matching. */
-  def fingerprint(docs: DataFrame): DataFrame =
+  /** Content fingerprints: md5 of the normalized text (exact matching)
+    * plus a bottom-1 rolling-hash sketch — the minimum Carter-Wegman
+    * hash over the document's 3-gram shingles, which survives local
+    * edits the way an md5 cannot (two docs sharing their minimum shingle
+    * hash share at least one shingle). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val p = graft.ops.Dedup.MinhashP
+    val w = words
+    val cnt = size(w) - 2
+    val shingleHashes = transform(
+      sequence(lit(0), greatest(cnt - 1, lit(0))),
+      i => {
+        val m = md5(concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3)))
+        pmod(conv(substring(m, 1, 12), 16, 10).cast("bigint") +
+          conv(substring(m, 13, 12), 16, 10).cast("bigint"), lit(p))
+      })
     docs.select(col("doc_id"),
       md5(lower(trim(col("text")))).as("fp"),
+      when(cnt > 0, array_min(shingleHashes)).as("rolling_min_hash"),
       length(col("text")).cast("bigint").as("n_chars_actual"))
+  }
 }
