@@ -61,6 +61,37 @@ object Bench {
         .write.mode("overwrite").parquet(s"$tmp/lineitem")
     }
 
+    // Resume overhead (BASELINE.md: kill at ~50% + restart ≤ 1.2× an
+    // uninterrupted run): transfer orders uninterrupted, then again with
+    // a mid-run cancel + resume, same chunking.
+    {
+      import graft.core._
+      import graft.engine._
+      def spec(tag: String) = TransferSpec(
+        EndpointSpec("parquet", path = sfDir,
+          tables = Seq(TableMapping("orders", targetName = Some(s"orders_$tag")))),
+        EndpointSpec("parquet", path = s"$tmp/r_$tag"),
+        MigrationSpec(batchSize = 20000, checkpointRowThreshold = 20000,
+          checkpointDir = s"$tmp/rcp_$tag", rateLimit = 1000000000))
+      val plain = spec("plain")
+      results("transfer_orders") = time {
+        new TableTransferJob(spark, plain, plain.source.tables.head,
+          new TransferControl, _ => ()).run()
+      }
+      val killed = spec("killed")
+      val halfway = new TransferControl {
+        private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+        // orders at sf0.1 → ~8 chunks of 20k; cancel near the middle
+        override def isCancelled: Boolean = seen.incrementAndGet() > 4
+      }
+      results("transfer_orders_kill_resume") = time {
+        new TableTransferJob(spark, killed, killed.source.tables.head,
+          halfway, _ => ()).run()
+        new TableTransferJob(spark, killed, killed.source.tables.head,
+          new TransferControl, _ => ()).run()
+      }
+    }
+
     // Multi-table engine run: all 10 tables through the full transfer
     // pipeline (chunked scans, checkpoints, 4 parallel tables) —
     // BASELINE.md target ≤ 90 s wall.
