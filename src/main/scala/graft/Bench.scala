@@ -79,14 +79,10 @@ object Bench {
           new TransferControl, _ => ()).run()
       }
       val killed = spec("killed")
-      val halfway = new TransferControl {
-        private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
-        // orders at sf0.1 → ~8 chunks of 20k; cancel near the middle
-        override def isCancelled: Boolean = seen.incrementAndGet() > 4
-      }
       results("transfer_orders_kill_resume") = time {
+        // orders at sf0.1 → ~8 chunks of 20k; cancel near the middle
         new TableTransferJob(spark, killed, killed.source.tables.head,
-          halfway, _ => ()).run()
+          TransferControl.cancelAfterChecks(4), _ => ()).run()
         new TableTransferJob(spark, killed, killed.source.tables.head,
           new TransferControl, _ => ()).run()
       }

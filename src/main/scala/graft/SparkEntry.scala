@@ -50,10 +50,7 @@ object SparkEntry {
                            batch: Int = 5000): (TransferSpec, String) = {
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_xfer_" +
       math.abs((sfDir + ":" + batch).hashCode).toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    rm(new java.io.File(work))
+    graft.util.Fs.deleteRecursive(new java.io.File(work))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
     val spec = TransferSpec(
       source = EndpointSpec("parquet", path = sfDir, tables = Seq(
@@ -311,11 +308,8 @@ object SparkEntry {
       // small chunks so the kill really interrupts mid-table at sf0.01
       val (spec, _) = transferSpec(s, d, batch = 500)
       val customer = spec.source.tables.find(_.name == "customer").get
-      val killer = new TransferControl {
-        private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
-        override def isCancelled: Boolean = seen.incrementAndGet() > 1
-      }
-      new graft.engine.TableTransferJob(s, spec, customer, killer, _ => ()).run()
+      new graft.engine.TableTransferJob(s, spec, customer,
+        TransferControl.cancelAfterChecks(1), _ => ()).run()
       new graft.engine.TableTransferJob(s, spec, customer,
         new TransferControl, _ => ()).run()
       TableTransferJob.readTarget(s, spec, "customer_new")

@@ -61,17 +61,11 @@ object Checkpoint {
   // -- JSON (hand-rolled: flat schema, no library dependency drift) -----
 
   private[graft] def toJson(cp: Checkpoint): String = {
+    import graft.util.Fs.{jsonEscape => q}
     val keys = cp.lastKey.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
     s"""{"last_key": $keys, "last_updated": ${cp.lastUpdated}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}}"""
   }
-
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case '\r' => "\\r"; case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
 
   private[graft] def fromJson(s: String): Option[Checkpoint] =
     try {

@@ -33,6 +33,15 @@ class TransferControl {
   def activeJobs: Int = active.get()
 }
 
+object TransferControl {
+  /** Control that cancels after `n` chunk-boundary checks — the
+    * deterministic simulated kill used by resume tests and benchmarks. */
+  def cancelAfterChecks(n: Int): TransferControl = new TransferControl {
+    private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def isCancelled: Boolean = seen.incrementAndGet() > n
+  }
+}
+
 /** One table's transfer: the reference's `migrateTable` pipeline
   * (`mysql.go:186-380`) re-expressed Spark-first.
   *
@@ -135,12 +144,8 @@ final class TableTransferJob(
     val d = new java.io.File(destDir)
     Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory && f.getName.startsWith("chunk-") &&
-          f.getName.stripPrefix("chunk-").toIntOption.exists(_ > idx)) {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
-        }
-        rm(f)
-      }
+          f.getName.stripPrefix("chunk-").toIntOption.exists(_ > idx))
+        graft.util.Fs.deleteRecursive(f)
     }
   }
 

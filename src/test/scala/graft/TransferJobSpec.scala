@@ -24,10 +24,8 @@ class TransferJobSpec extends SparkTestBase {
     }
 
   /** Cancels after `n` chunk-boundary checks — the simulated kill. */
-  private class KillAfter(n: Int) extends TransferControl {
-    private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
-    override def isCancelled: Boolean = seen.incrementAndGet() > n
-  }
+  private def KillAfter(n: Int): TransferControl =
+    TransferControl.cancelAfterChecks(n)
 
   private def freshSpec(tables: Seq[TableMapping],
                         batch: Int = 50): (TransferSpec, String) = {
@@ -83,7 +81,7 @@ class TransferJobSpec extends SparkTestBase {
     forAllN(Gen.choose(1, 4), 4) { k =>
       val (spec, _) = freshSpec(Seq(customerXform))
       val job = () => new TableTransferJob(spark, spec, customerXform,
-        new KillAfter(k), _ => ())
+        KillAfter(k), _ => ())
       val first = job().run()
       // with 3 chunks a kill point >= chunk count just completes
       first match {
@@ -106,7 +104,7 @@ class TransferJobSpec extends SparkTestBase {
     // interrupted mid-run: all rows in chunks <= chunkIndex are <= lastKey
     val (spec, _) = freshSpec(Seq(customerXform))
     val r = new TableTransferJob(spark, spec, customerXform,
-      new KillAfter(2), _ => ()).run()
+      KillAfter(2), _ => ()).run()
     assert(r.isInstanceOf[TransferOutcome.Interrupted])
     val cp = Checkpoint.load(spec.migration.checkpointDir, "parquet", "customer").get
     val bound = cp.lastKey("c_custkey").toDouble
@@ -170,7 +168,7 @@ class TransferJobSpec extends SparkTestBase {
       MigrationSpec(batchSize = 2, checkpointRowThreshold = 2,
         checkpointDir = s"$work/cp", rateLimit = 100000000))
     // kill mid-run, then resume
-    val first = new TableTransferJob(spark, spec, t, new KillAfter(1), _ => ()).run()
+    val first = new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
     val second = new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
     assert(second == TransferOutcome.Completed || first == TransferOutcome.Completed)
     val dest = TableTransferJob.readTarget(spark, spec, "items")
