@@ -617,7 +617,7 @@ object SparkEntry {
         |dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
         |n AS (SELECT count(*)::DOUBLE AS corpus_n FROM documents),
         |s AS (SELECT tf.doc_id, tf.term,
-        |    round((occ::DOUBLE / len::DOUBLE) * ln(corpus_n / dfq::DOUBLE), 6) AS tfidf
+        |    round((occ::DOUBLE / len::DOUBLE) * ln(corpus_n / dfq::DOUBLE), 4) AS tfidf
         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tfidf FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn

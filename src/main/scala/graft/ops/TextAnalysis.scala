@@ -84,7 +84,7 @@ object TextAnalysis {
     tf.join(docLen, "doc_id").join(df_, "term")
       .withColumn("tfidf", round(
         (col("occ").cast("double") / col("len").cast("double")) *
-          log(lit(n.toDouble) / col("df").cast("double")), 6))
+          log(lit(n.toDouble) / col("df").cast("double")), 4))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= topK)
       .select("doc_id", "term", "tfidf")

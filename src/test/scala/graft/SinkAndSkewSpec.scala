@@ -58,6 +58,20 @@ class SinkAndSkewSpec extends SparkTestBase {
     assert(small("numPartitions") == "1")
   }
 
+  test("connector option builders carry spec knobs (S3/S4/K4)") {
+    import graft.core._
+    val t = TableMapping("users", targetName = Some("users_new"))
+    val mig = MigrationSpec(batchSize = 500, timeoutSec = 30)
+    val m = graft.sources.ConnectorSources.mongoOptions("mongodb://h", "db", t, mig)
+    assert(m("collection") == "users" && m("database") == "db")
+    val c = graft.sources.ConnectorSources.cassandraOptions("ks", t, mig)
+    assert(c("spark.cassandra.input.fetch.sizeInRows") == "500")
+    assert(c("spark.cassandra.read.timeoutMS") == "30000")
+    val w = graft.sources.ConnectorSources.cassandraWriteOptions("ks", t, mig)
+    assert(w("table") == "users_new" &&
+      w("spark.cassandra.output.consistency.level") == "QUORUM")
+  }
+
   test("salted count and salted join equal their unsalted counterparts") {
     val li = graft.sources.Tables(spark, sf, "lineitem")
     val plain = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
