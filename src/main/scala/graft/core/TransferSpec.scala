@@ -50,7 +50,12 @@ final case class MigrationSpec(
     checkpointDir: String = "./data/checkpoints",
     progressIntervalSec: Int = 10,
     checkpointRowThreshold: Int = 1000,
-    checkpointIntervalSec: Int = 1)
+    checkpointIntervalSec: Int = 1,
+    /** Chunk writes in flight per table (no reference analog — its read
+      * loop is strictly serial per table, `mysql.go:302-368`; chunks here
+      * are disjoint + idempotent, so pipelining them is safe and hides
+      * per-chunk job-submit + checkpoint latency). */
+    chunkParallelism: Int = 4)
 
 final case class TransferSpec(
     source: EndpointSpec,
@@ -119,7 +124,8 @@ object TransferSpec {
       checkpointDir = str(m, "checkpoint_dir", d.checkpointDir),
       progressIntervalSec = int(m, "progress_interval", d.progressIntervalSec),
       checkpointRowThreshold = int(m, "checkpoint_row_threshold", d.checkpointRowThreshold),
-      checkpointIntervalSec = int(m, "checkpoint_interval", d.checkpointIntervalSec))
+      checkpointIntervalSec = int(m, "checkpoint_interval", d.checkpointIntervalSec),
+      chunkParallelism = int(m, "chunk_parallelism", d.chunkParallelism))
   }
 
   /** `--generate-template` output (reference `main.go:60-213`). */

@@ -15,7 +15,11 @@ final case class Checkpoint(
     lastKey: Map[String, String],
     lastUpdated: Long,
     complete: Boolean,
-    chunkIndex: Int = -1)
+    chunkIndex: Int = -1,
+    /** Hash-bucket path only: the bucket count the run chunked with.
+      * Resume MUST reuse it — recomputing from a changed row count or
+      * config remaps `pmod(hash(pk), n)` and loses/duplicates rows. */
+    bucketCount: Int = -1)
 
 /** Atomic JSON checkpoint files, one per table:
   * `<dir>/<kind>_<table>.checkpoint` (naming per `mysql.go:533-576`).
@@ -64,7 +68,11 @@ object Checkpoint {
     import graft.util.Fs.{jsonEscape => q}
     val keys = cp.lastKey.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
-    s"""{"last_key": $keys, "last_updated": ${cp.lastUpdated}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}}"""
+    // last_updated is RFC3339, matching the reference's time.Time JSON
+    // encoding (migration.go:30-34) so checkpoint files are
+    // format-compatible; read-side accepts legacy epoch-millis too.
+    val ts = java.time.Instant.ofEpochMilli(cp.lastUpdated).toString
+    s"""{"last_key": $keys, "last_updated": ${q(ts)}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}, "bucket_count": ${cp.bucketCount}}"""
   }
 
   private[graft] def fromJson(s: String): Option[Checkpoint] =
@@ -79,7 +87,9 @@ object Checkpoint {
         case _ => Map.empty[String, String]
       }
       val updated = (j \ "last_updated") match {
-        case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+        case JInt(n) => n.toLong; case JLong(n) => n
+        case JString(s) => java.time.Instant.parse(s).toEpochMilli
+        case _ => 0L
       }
       val complete = (j \ "complete") match {
         case JBool(b) => b; case _ => false
@@ -87,7 +97,10 @@ object Checkpoint {
       val chunk = (j \ "chunk_index") match {
         case JInt(n) => n.toInt; case _ => -1
       }
-      Some(Checkpoint(lastKey, updated, complete, chunk))
+      val buckets = (j \ "bucket_count") match {
+        case JInt(n) => n.toInt; case _ => -1
+      }
+      Some(Checkpoint(lastKey, updated, complete, chunk, buckets))
     } catch { case _: Exception => None }
 }
 

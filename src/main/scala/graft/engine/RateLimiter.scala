@@ -15,7 +15,8 @@ package graft.engine
   */
 final class RateLimiter(rowsPerSec: Long,
                         now: () => Long = () => System.currentTimeMillis(),
-                        sleep: Long => Unit = Thread.sleep) {
+                        sleep: Long => Unit = Thread.sleep,
+                        maxCreditMs: Long = 1000L) {
   require(rowsPerSec > 0, "rate limit must be positive")
   private var windowStart = -1L
   private var admitted = 0L
@@ -26,6 +27,14 @@ final class RateLimiter(rowsPerSec: Long,
     val toSleep = synchronized {
       val t = now()
       if (windowStart < 0) windowStart = t
+      // Sliding window (reference migration.go:212-268): a caller far
+      // behind schedule (long chunks, idle gaps) banks at most
+      // `maxCreditMs` of budget. Slide BEFORE charging the new rows so
+      // the first burst after an idle gap is paced too — without the
+      // slide, accrued credit admits an arbitrarily large burst.
+      val preIdealMs = admitted * 1000.0 / rowsPerSec
+      if ((t - windowStart) - preIdealMs > maxCreditMs)
+        windowStart = t - (preIdealMs.toLong + maxCreditMs)
       admitted += rows
       val idealMs = admitted * 1000.0 / rowsPerSec
       val aheadMs = idealMs - (t - windowStart)

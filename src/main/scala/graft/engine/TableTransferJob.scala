@@ -1,10 +1,15 @@
 package graft.engine
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types._
 
 import graft.core.{ExpressionValidator, TableMapping, TransferSpec}
 
@@ -59,13 +64,24 @@ object TransferControl {
   *    parallel Spark job, so "batch" granularity costs no serialism;
   *  - non-numeric PK → deterministic hash buckets (`pmod(hash(pk), n)`),
   *    the Cassandra token-range analog (S4, `cassandra.go:1066-1142`);
-  *    resume skips completed bucket indices.
+  *    the bucket count is PERSISTED in the checkpoint and reused on
+  *    resume — recomputing it from a changed row count or config would
+  *    remap `pmod(hash(pk), n)` and silently lose or duplicate rows.
   *
-  * Each chunk writes `mode=overwrite` into its own subdirectory of the
-  * target, which makes a retried or resumed chunk idempotent (the analog
-  * of idempotent upserts K1-K4: re-applying a suffix of chunks is a
-  * no-op). The checkpoint advances only after the chunk write returns,
-  * so a crash re-writes at most one chunk.
+  * Both range bounds are applied to the SOURCE key, BEFORE column
+  * transformations (like the reference, which paginates on the raw PK
+  * and transforms only in the SELECT list, `mysql.go:599-631`) — a
+  * transform that rewrites the PK column must not shift chunk membership.
+  * Integral keys are chunked and checkpointed in their own domain
+  * (Long/Decimal), never through Double: snowflake-scale ids >= 2^53
+  * would round, and a rounded-down resume bound re-transfers rows.
+  *
+  * Chunks are range-disjoint and idempotent (each writes
+  * `mode=overwrite` into its own subdirectory), so up to
+  * `chunk_parallelism` of them are IN FLIGHT at once; completions are
+  * drained strictly in submission order so the checkpoint only ever
+  * records a fully-completed PREFIX. Out-of-order completions above a
+  * crash's checkpoint are dropped by `cleanupChunksAbove` on resume.
   *
   * 100 TB posture: no `.collect()` of data (only per-chunk counts and
   * quantile bounds reach the driver); chunk count is capped so checkpoint
@@ -128,9 +144,10 @@ final class TableTransferJob(
       Files.writeString(ddlPath, transformed(source).schema.toDDL + "\n")
 
     // A crash can leave chunk dirs written AFTER the last checkpoint save
-    // (cadence saves at-most-per-chunk): on resume those ranges are
-    // re-chunked with fresh bounds, so stale dirs above the checkpoint
-    // would duplicate rows. Drop them first — checkpoint is truth.
+    // (cadence saves at-most-per-chunk, and parallel dispatch can finish
+    // chunks above the prefix): on resume those ranges are re-chunked
+    // with fresh bounds, so stale dirs above the checkpoint would
+    // duplicate rows. Drop them first — checkpoint is truth.
     cleanupChunksAbove(cp.map(_.chunkIndex).getOrElse(-1))
 
     val pk = pkCols
@@ -159,106 +176,211 @@ final class TableTransferJob(
     math.max(base, math.ceil(total.toDouble / maxChunks).toLong)
   }
 
+  // -- PK value codec ----------------------------------------------------
+
+  /** Key values move through chunk bounds, checkpoint strings, and
+    * resume filters in the key's OWN domain. The previous Double routing
+    * lost precision on 64-bit ids >= 2^53 (ADVICE r2): a rounded-down
+    * resume bound re-transfers (bound, trueBound] and duplicates rows. */
+  private sealed trait KeyCodec {
+    def fromRow(v: Any): Any
+    def parse(s: String): Any
+    def fmt(v: Any): String
+    def lt(a: Any, b: Any): Boolean
+  }
+  private object LongKey extends KeyCodec {
+    def fromRow(v: Any): Any = v.asInstanceOf[Number].longValue
+    def parse(s: String): Any =
+      s.toLongOption.getOrElse(s.toDouble.toLong) // legacy "42.0" checkpoints
+    def fmt(v: Any): String = v.toString
+    def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Long] < b.asInstanceOf[Long]
+  }
+  private object DecimalKey extends KeyCodec {
+    private def bd(v: Any): java.math.BigDecimal = v match {
+      case d: java.math.BigDecimal => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case other => new java.math.BigDecimal(other.toString)
+    }
+    def fromRow(v: Any): Any = bd(v)
+    def parse(s: String): Any = new java.math.BigDecimal(s)
+    def fmt(v: Any): String = bd(v).toPlainString
+    def lt(a: Any, b: Any): Boolean = bd(a).compareTo(bd(b)) < 0
+  }
+  private object DoubleKey extends KeyCodec {
+    def fromRow(v: Any): Any = v.asInstanceOf[Number].doubleValue
+    def parse(s: String): Any = s.toDouble
+    /** Integer-valued keys render without a trailing `.0` so the
+      * string-encoded lastKey matches the reference's convention. */
+    def fmt(v: Any): String = {
+      val d = v.asInstanceOf[Double]
+      if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Double] < b.asInstanceOf[Double]
+  }
+  private def keyCodec(dt: DataType): KeyCodec = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongKey
+    case _: DecimalType => DecimalKey
+    case _ => DoubleKey
+  }
+
+  // -- parallel chunk dispatch -------------------------------------------
+
+  /** Runs chunk writes on a bounded pool; drains strictly in submission
+    * order so `save` only ever sees a fully-completed prefix. Stats,
+    * cadence, rate limiting, and progress reporting all happen on the
+    * table's own thread during drain — pool threads only execute the
+    * Spark write. */
+  private final class ChunkDispatcher[B](
+      save: (Int, B) => Unit, stats: ProgressStats, policy: CheckpointPolicy) {
+    private val width = math.max(1, mig.chunkParallelism)
+    private val pool = Executors.newFixedThreadPool(width)
+    private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    private val inFlight = mutable.Queue.empty[(Int, B, Future[Long])]
+    private var lastReport = System.currentTimeMillis()
+
+    def submit(idx: Int, bound: B)(work: => Long): Unit = {
+      inFlight.enqueue((idx, bound, Future(work)))
+      while (inFlight.size >= width) drainHead()
+      // opportunistic: keep the checkpoint fresh when heads finish early
+      while (inFlight.nonEmpty && inFlight.head._3.isCompleted) drainHead()
+    }
+
+    private def drainHead(): Unit = {
+      val (idx, bound, fut) = inFlight.dequeue()
+      val written = Await.result(fut, Duration.Inf)
+      stats.add(written)
+      // checkpoint BEFORE the rate-limit sleep: a kill during the sleep
+      // then loses no completed chunk
+      if (policy.observe(written)) save(idx, bound)
+      limiter.acquire(written)
+      if (System.currentTimeMillis() - lastReport >= mig.progressIntervalSec * 1000L) {
+        log(stats.report()); lastReport = System.currentTimeMillis()
+      }
+    }
+
+    def drainAll(): Unit = while (inFlight.nonEmpty) drainHead()
+    def shutdown(): Unit = pool.shutdown()
+  }
+
   /** Numeric-PK path: contiguous key ranges, resume via `pk > lastKey`. */
   private def runRangeChunks(source: DataFrame, pkCol: String,
                              cp: Option[Checkpoint]): TransferOutcome = {
-    val lastKey = cp.flatMap(_.lastKey.get(pkCol)).map(_.toDouble)
+    val codec = keyCodec(source.schema(pkCol).dataType)
+    val lastKey = cp.flatMap(_.lastKey.get(pkCol)).map(codec.parse)
     val startChunk = cp.map(_.chunkIndex).getOrElse(-1) + 1
     val remaining = lastKey match {
-      case Some(k) => source.where(col(pkCol) > k)
+      case Some(k) => source.where(col(pkCol) > lit(k))
       case None => source
     }
-    // One pass: row count, TRUE max of the key (checkpoints must record
-    // it — the quantile max can undershoot, and recording an undershot
-    // bound would re-transfer (bound, max] after a crash), and a NULL-key
-    // probe (range predicates are null-rejecting, so NULL keys would be
-    // silently dropped — refuse them, like the reference refuses PK-less
-    // tables, mysql.go:216-218).
+    // One pass: row count, TRUE max of the key in its native type
+    // (checkpoints must record it — the quantile max can undershoot, and
+    // recording an undershot bound would re-transfer (bound, max] after a
+    // crash), and a NULL-key probe (range predicates are null-rejecting,
+    // so NULL keys would be silently dropped — refuse them, like the
+    // reference refuses PK-less tables, mysql.go:216-218).
     val probe = remaining.agg(
       count(lit(1)).as("n"),
-      max(col(pkCol)).cast("double").as("mx"),
+      max(col(pkCol)).as("mx"),
       count(when(col(pkCol).isNull, 1)).as("nulls")).head()
     val total = probe.getLong(0)
     require(probe.getLong(2) == 0,
       s"table '${table.name}' has ${probe.getLong(2)} NULL values in key " +
         s"'$pkCol' — refusing (rows would be lost by range chunking)")
-    if (total == 0) return finish(startChunk, lastKey.map(k => Map(pkCol -> fmtKey(k))))
-    val trueMax = probe.getDouble(1)
+    if (total == 0) return finish(startChunk, lastKey.map(k => Map(pkCol -> codec.fmt(k))))
+    val trueMax = codec.fromRow(probe.get(1))
 
     val n = math.max(1, math.min(maxChunks,
       math.ceil(total.toDouble / chunkRows(total)).toInt))
-    // Quantile bounds over the REMAINING rows only; dedup handles heavy
-    // key duplication. relativeError 1/(4n) keeps chunks balanced.
-    val probes = (1 to n).map(_.toDouble / n).toArray
-    val bounds = remaining.stat
-      .approxQuantile(pkCol, probes, math.min(0.01, 1.0 / (4.0 * n)))
-      .distinct.sorted
+    // Quantile bounds over the REMAINING rows only, computed in the key's
+    // native type (percentile_approx preserves it — no Double round-trip);
+    // dedup handles heavy key duplication.
+    val probes = (1 to n).map(_.toDouble / n)
+    val bounds = remaining
+      .agg(percentile_approx(col(pkCol), array(probes.map(lit): _*),
+        lit(math.max(10000, 4 * n))).as("b"))
+      .head().getSeq[Any](0)
+      .map(codec.fromRow).distinct.sortWith(codec.lt)
     val stats = new ProgressStats(table.name, total)
     val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
       mig.checkpointIntervalSec * 1000L)
+    val dispatcher = new ChunkDispatcher[Any](
+      (idx, bound) => saveCp(Some(Map(pkCol -> codec.fmt(bound))), idx, complete = false),
+      stats, policy)
 
-    var lo: Option[Double] = lastKey
-    var chunkIdx = startChunk
-    var lastReport = System.currentTimeMillis()
-    for ((hi, i) <- bounds.zipWithIndex) {
-      if (control.isCancelled) {
-        saveCp(lo.map(k => Map(pkCol -> fmtKey(k))), chunkIdx - 1, complete = false)
-        log(s"${table.name}: interrupted, checkpoint at chunk ${chunkIdx - 1}")
-        return TransferOutcome.Interrupted(chunkIdx - startChunk)
+    try {
+      var lo: Option[Any] = lastKey
+      var chunkIdx = startChunk
+      for ((hi, i) <- bounds.zipWithIndex) {
+        if (control.isCancelled) {
+          // stop submitting; everything already in flight completes (the
+          // submitted set IS the prefix), then checkpoint at its end
+          dispatcher.drainAll()
+          saveCp(lo.map(k => Map(pkCol -> codec.fmt(k))), chunkIdx - 1, complete = false)
+          log(s"${table.name}: interrupted, checkpoint at chunk ${chunkIdx - 1}")
+          return TransferOutcome.Interrupted(chunkIdx - startChunk)
+        }
+        val isLast = i == bounds.length - 1
+        // Both bounds on the SOURCE key, BEFORE transformation — a
+        // transform targeting the PK column must not shift chunk
+        // membership (ADVICE r2; reference paginates on the raw PK,
+        // mysql.go:599-631). Last chunk takes everything above lo (the
+        // quantile max can undershoot the true max).
+        val filtered = (lo, isLast) match {
+          case (Some(l), false) => source.where(col(pkCol) > lit(l) && col(pkCol) <= lit(hi))
+          case (Some(l), true)  => source.where(col(pkCol) > lit(l))
+          case (None, false)    => source.where(col(pkCol) <= lit(hi))
+          case (None, true)     => source
+        }
+        val chunk = transformed(filtered)
+        // The checkpointed bound must cover every row the chunk wrote:
+        // the last chunk extends past the quantile max, so its bound is
+        // the true max — never `hi`.
+        val bound = if (isLast) trueMax else hi
+        val idx = chunkIdx
+        dispatcher.submit(idx, bound)(writeChunk(chunk, idx))
+        lo = Some(bound); chunkIdx += 1
       }
-      val isLast = i == bounds.length - 1
-      var chunk = lo match {
-        case Some(l) => transformed(source.where(col(pkCol) > l))
-        case None => transformed(source)
-      }
-      // last chunk takes everything above lo (quantile max can undershoot)
-      if (!isLast) chunk = chunk.where(col(pkCol) <= hi)
-      val written = writeChunk(chunk, chunkIdx)
-      stats.add(written)
-      // The checkpointed bound must cover every row the chunk wrote: the
-      // last chunk extends past the (possibly undershot) quantile max, so
-      // its bound is the true max — never `hi`.
-      val bound = if (isLast) trueMax else hi
-      // checkpoint BEFORE the rate-limit sleep: a kill during the sleep
-      // then loses no completed chunk
-      if (policy.observe(written))
-        saveCp(Some(Map(pkCol -> fmtKey(bound))), chunkIdx, complete = false)
-      limiter.acquire(written)
-      if (System.currentTimeMillis() - lastReport >= mig.progressIntervalSec * 1000L) {
-        log(stats.report()); lastReport = System.currentTimeMillis()
-      }
-      lo = Some(bound); chunkIdx += 1
-    }
-    log(stats.report())
-    finish(chunkIdx - 1, Some(Map(pkCol -> fmtKey(trueMax))))
+      dispatcher.drainAll()
+      log(stats.report())
+      finish(chunkIdx - 1, Some(Map(pkCol -> codec.fmt(trueMax))))
+    } finally dispatcher.shutdown()
   }
 
   /** Non-numeric-PK path: deterministic hash buckets (token-range
-    * analog); resume = skip bucket indices <= checkpointed. */
+    * analog); resume = skip bucket indices <= checkpointed. The bucket
+    * count comes from the CHECKPOINT on resume (ADVICE r2): recomputing
+    * it from a changed source count or config would remap
+    * `pmod(hash(pk), n)` across buckets and lose/duplicate rows. */
   private def runHashChunks(source: DataFrame, pk: Seq[String],
                             cp: Option[Checkpoint]): TransferOutcome = {
     val total = source.count()
-    val n = math.max(1, math.min(maxChunks,
-      math.ceil(total.toDouble / chunkRows(total)).toInt))
+    val n = cp.map(_.bucketCount).filter(_ > 0).getOrElse(
+      math.max(1, math.min(maxChunks,
+        math.ceil(total.toDouble / chunkRows(total)).toInt)))
     val doneBucket = cp.map(_.chunkIndex).getOrElse(-1)
     val stats = new ProgressStats(table.name, total)
     val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
       mig.checkpointIntervalSec * 1000L)
     val bucketExpr = pmod(hash(pk.map(col): _*), lit(n))
+    val dispatcher = new ChunkDispatcher[Unit](
+      (idx, _) => saveCp(None, idx, complete = false, bucketCount = n),
+      stats, policy)
 
-    for (b <- (doneBucket + 1) until n) {
-      if (control.isCancelled) {
-        saveCp(None, b - 1, complete = false)
-        return TransferOutcome.Interrupted(b - doneBucket - 1)
+    try {
+      for (b <- (doneBucket + 1) until n) {
+        if (control.isCancelled) {
+          dispatcher.drainAll()
+          saveCp(None, b - 1, complete = false, bucketCount = n)
+          return TransferOutcome.Interrupted(b - doneBucket - 1)
+        }
+        val chunk = transformed(source.where(bucketExpr === b))
+        dispatcher.submit(b, ())(writeChunk(chunk, b))
       }
-      val chunk = transformed(source.where(bucketExpr === b))
-      val written = writeChunk(chunk, b)
-      stats.add(written)
-      if (policy.observe(written)) saveCp(None, b, complete = false)
-      limiter.acquire(written)
-    }
-    log(stats.report())
-    finish(n - 1, None)
+      dispatcher.drainAll()
+      log(stats.report())
+      finish(n - 1, None, bucketCount = n)
+    } finally dispatcher.shutdown()
   }
 
   /** Idempotent chunk write with retry; returns rows written. The count
@@ -277,12 +399,13 @@ final class TableTransferJob(
   }
 
   private def saveCp(lastKey: Option[Map[String, String]], chunkIdx: Int,
-                     complete: Boolean): Unit =
+                     complete: Boolean, bucketCount: Int = -1): Unit =
     Checkpoint.save(mig.checkpointDir, kind, table.name,
       Checkpoint(lastKey.getOrElse(Map.empty), System.currentTimeMillis(),
-        complete, chunkIdx))
+        complete, chunkIdx, bucketCount))
 
-  private def finish(lastChunk: Int, lastKey: Option[Map[String, String]]): TransferOutcome = {
+  private def finish(lastChunk: Int, lastKey: Option[Map[String, String]],
+                     bucketCount: Int = -1): TransferOutcome = {
     // Publish step: when the spec asks for a partitioned target layout,
     // rewrite the chunk dirs into hive-style partitions once, at the end
     // (a one-time full pass — partition values can span chunks, so
@@ -292,15 +415,10 @@ final class TableTransferJob(
         .write.mode("overwrite").partitionBy(table.partitionBy: _*)
         .parquet(s"$destDir-final")
     }
-    saveCp(lastKey, lastChunk, complete = true)
+    saveCp(lastKey, lastChunk, complete = true, bucketCount = bucketCount)
     Files.writeString(Paths.get(destDir, "_GRAFT_COMPLETE"), "")
     TransferOutcome.Completed
   }
-
-  /** Integer-valued keys render without a trailing `.0` so the
-    * string-encoded lastKey matches the reference's convention. */
-  private def fmtKey(v: Double): String =
-    if (v == math.rint(v) && !v.isInfinite) v.toLong.toString else v.toString
 }
 
 object TableTransferJob {

@@ -30,6 +30,16 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(Checkpoint.load(dir, "parquet", "users").exists(_.chunkIndex == 9))
   }
 
+  test("checkpoint timestamp serializes as RFC3339; legacy epoch-millis still parses") {
+    val cp = Checkpoint(Map("id" -> "7"), 1723400000000L, complete = false, 2)
+    val json = Checkpoint.toJson(cp)
+    assert(json.contains("\"last_updated\": \"2024-08-11T"), json)
+    assert(Checkpoint.fromJson(json).contains(cp))
+    // r2-format checkpoints carried epoch millis — still readable
+    val legacy = """{"last_key": {"id": "7"}, "last_updated": 1723400000000, "complete": false, "chunk_index": 2}"""
+    assert(Checkpoint.fromJson(legacy).contains(cp))
+  }
+
   test("corrupt checkpoint reads as None, not a crash") {
     val dir = java.nio.file.Files.createTempDirectory("cp").toString
     java.nio.file.Files.writeString(
@@ -59,6 +69,19 @@ class EngineUnitSpec extends AnyFunSuite {
     t = 1000; slept = 0
     assert(rl.acquire(100) == 0)    // 600 rows by t=1s → under 1000/s budget
     assert(slept == 0)
+  }
+
+  test("rate limiter slides its window: idle time banks at most maxCreditMs of burst") {
+    var t = 0L; var slept = 0L
+    val rl = new RateLimiter(1000, now = () => t, sleep = s => slept += s,
+      maxCreditMs = 1000)
+    rl.acquire(100)          // t=0: 100 rows, ideal 100ms ahead → sleeps 100
+    t = 60000                // one minute idle: naive credit = ~60s of budget
+    slept = 0
+    // a 5000-row burst would be fully admitted with unbounded credit;
+    // with the slide only ~1s of credit is banked → must sleep ~4s
+    val s = rl.acquire(5000)
+    assert(s >= 3500, s"burst admitted with only ${s}ms sleep — window did not slide")
   }
 
   // --- Retry (K5) -------------------------------------------------------

@@ -177,6 +177,84 @@ class TransferJobSpec extends SparkTestBase {
     assert(dest.count() == 6 && dest.except(expect).isEmpty)
   }
 
+  test("transform rewriting the PK column does not shift chunk membership (ADVICE r2)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = Files.createTempDirectory("xferpk").toString
+    (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.parquet(s"$work/src/t.parquet")
+    // transform REWRITES the pk: id -> id * 1000. Bounds must apply to the
+    // source value, so every source row lands in exactly one chunk.
+    val t = TableMapping("t", primaryKey = Some("id"),
+      columnTransformations = Seq(ColumnTransformation("id", "id * 1000")))
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(t)),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = 50, checkpointRowThreshold = 50,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    val r = new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+    assert(r == TransferOutcome.Completed)
+    val dest = TableTransferJob.readTarget(spark, spec, "t")
+    assert(dest.count() == 200, "a post-transform upper bound drops/duplicates rows")
+    assert(dest.select(countDistinct(col("id"))).head.getLong(0) == 200)
+    assert(dest.agg(max(col("id"))).head.getLong(0) == 200000L)
+  }
+
+  test("integral PKs above 2^53 keep exact bounds (no double rounding; ADVICE r2)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = Files.createTempDirectory("xfersnow").toString
+    // snowflake-style ids: consecutive longs where double rounds to even
+    val base = (1L << 53) + 1L
+    (0L until 100L).map(i => (base + i, i)).toDF("id", "v")
+      .write.parquet(s"$work/src/t.parquet")
+    val t = TableMapping("t", primaryKey = Some("id"))
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(t)),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = 30, checkpointRowThreshold = 30,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    // kill mid-run so a resume actually consults the checkpointed bound
+    new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
+    val cp1 = Checkpoint.load(s"$work/cp", "parquet", "t")
+    cp1.flatMap(_.lastKey.get("id")).foreach { k =>
+      assert(k.toLong >= base && (k.toLong - base) < 100, s"rounded bound $k")
+    }
+    val r = new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+    assert(r == TransferOutcome.Completed)
+    val dest = TableTransferJob.readTarget(spark, spec, "t")
+    assert(dest.count() == 100, "double-rounded resume bound duplicated/lost rows")
+    assert(dest.select(countDistinct(col("id"))).head.getLong(0) == 100)
+    // final checkpoint records the exact max, not a rounded neighbour
+    val cp = Checkpoint.load(s"$work/cp", "parquet", "t").get
+    assert(cp.lastKey("id") == (base + 99L).toString)
+  }
+
+  test("hash-bucket resume reuses the persisted bucket count (ADVICE r2)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("xferbkt").toString
+    (1 to 40).map(i => (s"sku$i", i.toDouble)).toDF("sku", "price")
+      .write.parquet(s"$work/src/items.parquet")
+    val t = TableMapping("items", primaryKey = Some("sku"))
+    def spec(batch: Int) = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(t)),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = batch, checkpointRowThreshold = batch,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    // first run with batch=5 → 8 buckets; kill early
+    val first = new TableTransferJob(spark, spec(5), t, KillAfter(1), _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    val cp = Checkpoint.load(s"$work/cp", "parquet", "items").get
+    assert(cp.bucketCount == 8, s"expected 8 buckets persisted, got ${cp.bucketCount}")
+    // resume with a CHANGED batch size — must keep the original 8-bucket
+    // mapping, else pmod(hash(pk), n) remaps and loses/duplicates rows
+    val second = new TableTransferJob(spark, spec(20), t, new TransferControl, _ => ()).run()
+    assert(second == TransferOutcome.Completed)
+    val dest = TableTransferJob.readTarget(spark, spec(20), "items")
+    assert(dest.count() == 40)
+    assert(dest.select("sku").distinct().count() == 40)
+  }
+
   test("transfer rejects a malicious transform up front (P6 wired in)") {
     val bad = TableMapping("customer", columnTransformations =
       Seq(ColumnTransformation("c_name", "reflect('java.lang.System','exit','0')")))
