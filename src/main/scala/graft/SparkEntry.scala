@@ -417,6 +417,41 @@ object SparkEntry {
         expr("graft_slug(c_name)").as("c_slug"))
     }),
 
+    // --- S1/S2/S5-S8/K1/K5 LIVE: the reference's whole reason to exist,
+    //     against a real database (embedded Derby): seed a source table
+    //     through the MERGE sink, then run the full JDBC transfer —
+    //     introspected PK, DDL mirror, range-partitioned read, validated
+    //     transforms, idempotent MERGE upsert (run TWICE — second pass
+    //     must be a no-op), read back over JDBC.
+    "transfer_jdbc_roundtrip" -> ((s, d) => {
+      import graft.sinks.JdbcUpsert
+      import graft.sources.JdbcCatalog
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derby_" +
+        math.abs(d.hashCode).toString
+      // Derby caches booted databases by path: shut the old one down
+      // before wiping, or a rerun in the same JVM sees torn state.
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () } // shutdown SIGNALS via 08006
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+      System.setProperty("derby.system.home", work)
+      val url = s"jdbc:derby:$work/db;create=true"
+      val mig = MigrationSpec(batchSize = 1000, rateLimit = 1000000000)
+      JdbcCatalog.execute(url, "CREATE TABLE customer_src (" +
+        "c_custkey BIGINT NOT NULL PRIMARY KEY, c_name VARCHAR(64), c_acctbal DOUBLE)")
+      val src = T(s, d, "customer").where(col("c_custkey") <= 2000)
+        .select("c_custkey", "c_name", "c_acctbal")
+      JdbcUpsert.write(src.coalesce(1), JdbcUpsert.Derby, "customer_src",
+        Seq("c_custkey")) { () => new JdbcUpsert.ConnectionExecutor(url) }
+      val t = TableMapping("customer_src", targetName = Some("customer_dst"),
+        columnTransformations = Seq(
+          ColumnTransformation("c_name", "UPPER(c_name)"),
+          ColumnTransformation("c_acctbal", "c_acctbal + 100")))
+      graft.engine.JdbcTransfer.transfer(s, url, t, mig)
+      graft.engine.JdbcTransfer.transfer(s, url, t, mig) // idempotence
+      graft.engine.JdbcTransfer.readBack(s, url, "customer_dst", mig)
+    }),
+
     // --- S5: catalog introspection (parquet footer as the catalog);
     //     no SQL oracle — driver applies the rows-only check.
     "catalog_columns" -> ((s, d) =>
@@ -553,6 +588,9 @@ object SparkEntry {
     "transfer_resume" ->
       """SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
         |FROM customer""".stripMargin,
+    "transfer_jdbc_roundtrip" ->
+      """SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
+        |FROM customer WHERE c_custkey <= 2000""".stripMargin,
 
     // --- LLM-pipeline extensions: oracles replicate the SAME deterministic
     //     pipelines in DuckDB SQL (md5-based hashing, portable list ops).

@@ -1,32 +1,100 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
 
 /** Dialect-aware JDBC upsert sink (K1/K2/K3 real semantics). Spark's
   * built-in JDBC writer is insert-only, so upsert runs per partition:
-  * each executor batches rows into a multi-row upsert statement —
-  * exactly the reference's write path, distributed
+  * each executor batches rows into upsert statements — exactly the
+  * reference's write path, distributed
   * (MySQL `INSERT ... ON DUPLICATE KEY UPDATE`, `mysql.go:417-498`;
   * PostgreSQL `INSERT ... ON CONFLICT (pk) DO UPDATE`,
-  * `postgresql.go:725-777`).
+  * `postgresql.go:725-777`; ANSI `MERGE` for Derby-class stores).
   *
   * The statement generator and batching loop are pure and unit-tested;
   * the connection factory is injected so offline builds test the full
-  * path with a recording executor (no database in CI) and deployments
-  * pass `java.sql.DriverManager.getConnection` + a real statement
-  * runner.
+  * path with a recording executor and deployments pass a
+  * [[ConnectionExecutor]] (exercised for real against embedded Derby in
+  * `JdbcDerbySpec` — the first live-database execution of this path).
   */
 object JdbcUpsert {
 
   sealed trait Dialect { def name: String }
   case object MySql extends Dialect { val name = "mysql" }
   case object Postgres extends Dialect { val name = "postgresql" }
+  /** ANSI MERGE, one statement per row via the one-row dummy table
+    * (Derby rejects derived `VALUES` tables in `USING`, so a multi-row
+    * source is not expressible; the per-row statement is prepared once
+    * and re-executed). Works on Derby and DB2-family stores. */
+  case object Derby extends Dialect { val name = "derby" }
 
-  /** One multi-row upsert statement for `n` rows (`?` placeholders),
-    * update clause over the non-key columns (reference `mysql.go:430-441`
-    * / `postgresql.go:585-593`). */
+  /** Executor: receives the SQL and the flattened parameter vector for
+    * one statement. Deployments bind a PreparedStatement
+    * ([[ConnectionExecutor]]); tests record. SAM-convertible so a
+    * `(sql, params) => ...` lambda still works. */
+  trait Executor {
+    def apply(sql: String, params: Seq[Any]): Unit
+    def close(): Unit = ()
+  }
+
+  /** Real JDBC executor: one connection per partition, statements
+    * prepared once per SQL text and re-executed. Autocommit stays ON —
+    * every statement is individually durable, and the surrounding
+    * upsert semantics make task retries idempotent. */
+  final class ConnectionExecutor(url: String) extends Executor {
+    ConnectionExecutor.loadDrivers()
+    private lazy val conn = java.sql.DriverManager.getConnection(url)
+    private val stmts =
+      scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
+    def apply(sql: String, params: Seq[Any]): Unit = {
+      val ps = stmts.getOrElseUpdate(sql, conn.prepareStatement(sql))
+      params.zipWithIndex.foreach { case (p, i) =>
+        if (p == null)
+          ps.setNull(i + 1, ps.getParameterMetaData.getParameterType(i + 1))
+        else ps.setObject(i + 1, p)
+      }
+      ps.executeUpdate()
+      ()
+    }
+    override def close(): Unit = {
+      stmts.values.foreach(s => try s.close() catch { case _: Exception => () })
+      try conn.close() catch { case _: Exception => () }
+    }
+  }
+  object ConnectionExecutor {
+    /** JDBC 4 autoloads drivers via ServiceLoader; the explicit probe
+      * covers classloader setups where that misses (sbt layered CLs). */
+    private[graft] def loadDrivers(): Unit =
+      try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      catch { case _: Throwable => () }
+  }
+
+  /** Derby SQL type for a Catalyst type — used to give MERGE key
+    * parameters an explicit CAST (Derby refuses untyped `?` in the ON
+    * search condition) and by tests creating live tables. */
+  def derbySqlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case ByteType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case StringType => "VARCHAR(32672)"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case BinaryType => "BLOB"
+    case other => sys.error(s"no Derby mapping for Catalyst type $other")
+  }
+
+  /** One upsert statement (`?` placeholders): multi-row for MySQL/PG
+    * (`n` rows, reference `mysql.go:430-441` / `postgresql.go:585-593`),
+    * single-row MERGE for Derby (`keyTypes` supplies the CAST targets
+    * for the ON-clause key parameters). */
   def upsertSql(dialect: Dialect, table: String, cols: Seq[String],
-                keys: Seq[String], n: Int): String = {
+                keys: Seq[String], n: Int,
+                keyTypes: Map[String, String] = Map.empty): String = {
     require(n > 0 && cols.nonEmpty && keys.forall(cols.contains))
     val updatable = cols.filterNot(keys.contains)
     val valueRow = cols.map(_ => "?").mkString("(", ", ", ")")
@@ -40,12 +108,47 @@ object JdbcUpsert {
         val upd = updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")
         s"INSERT INTO $table ($colList) VALUES $values " +
           s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $upd"
+      case Derby =>
+        require(n == 1, "Derby MERGE dialect emits one statement per row")
+        require(keys.forall(keyTypes.contains),
+          s"Derby MERGE needs SQL types for keys $keys (got $keyTypes)")
+        val on = keys
+          .map(k => s"$table.$k = CAST(? AS ${keyTypes(k)})").mkString(" AND ")
+        val upd = if (updatable.isEmpty) ""
+          else "WHEN MATCHED THEN UPDATE SET " +
+            updatable.map(c => s"$c = ?").mkString(", ") + " "
+        s"MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on " +
+          s"${upd}WHEN NOT MATCHED THEN INSERT ($colList) VALUES $valueRow"
     }
   }
 
-  /** Executor: receives the SQL and the flattened parameter vector for
-    * one statement. Deployments bind a PreparedStatement; tests record. */
-  type Executor = (String, Seq[Any]) => Unit
+  /** Parameter vector for one row in the dialect's binding order:
+    * MySQL/PG bind the column list per VALUES row; Derby's MERGE binds
+    * ON keys, then UPDATE SET values, then the INSERT row. */
+  def rowParams(dialect: Dialect, cols: Seq[String], keys: Seq[String],
+                row: Row): Seq[Any] = {
+    def v(c: String): Any = row.get(row.fieldIndex(c))
+    dialect match {
+      case Derby =>
+        keys.map(v) ++ cols.filterNot(keys.contains).map(v) ++ cols.map(v)
+      case _ => cols.map(v)
+    }
+  }
+
+  /** Last-writer-wins dedup within one statement batch. PostgreSQL
+    * rejects an INSERT whose ON CONFLICT would update the same row twice
+    * and MERGE has the same cardinality rule, so duplicate keys inside a
+    * batch collapse to their LAST occurrence — exactly the keyed-upsert
+    * semantics the batch would have produced applied row by row. */
+  private[sinks] def dedupLastWins(batch: Seq[Row], cols: Seq[String],
+                                   keys: Seq[String]): Seq[Row] = {
+    val lastIdx = scala.collection.mutable.Map.empty[Seq[Any], Int]
+    batch.zipWithIndex.foreach { case (r, i) =>
+      lastIdx(keys.map(k => r.get(r.fieldIndex(k)))) = i
+    }
+    val keep = lastIdx.values.toSet
+    batch.zipWithIndex.collect { case (r, i) if keep(i) => r }
+  }
 
   /** Batch a partition's rows into `batchSize`-row statements (tail
     * batch included), with retry/backoff around each statement (K5). */
@@ -53,13 +156,25 @@ object JdbcUpsert {
                      keys: Seq[String], batchSize: Int,
                      rows: Iterator[Row], exec: Executor,
                      retries: Int = 3, retryDelayMs: Long = 5000,
-                     sleep: Long => Unit = Thread.sleep): Long = {
+                     sleep: Long => Unit = Thread.sleep,
+                     keyTypes: Map[String, String] = Map.empty): Long = {
     var written = 0L
-    rows.grouped(batchSize).foreach { batch =>
-      val sql = upsertSql(dialect, table, cols, keys, batch.size)
-      val params = batch.flatMap(r => cols.map(c => r.get(r.fieldIndex(c))))
-      graft.engine.Retry(attempts = retries, delayMs = retryDelayMs, sleep = sleep) {
-        exec(sql, params)
+    rows.grouped(batchSize).foreach { raw =>
+      val batch = dedupLastWins(raw, cols, keys)
+      dialect match {
+        case Derby =>
+          val sql = upsertSql(Derby, table, cols, keys, 1, keyTypes)
+          batch.foreach { r =>
+            graft.engine.Retry(attempts = retries, delayMs = retryDelayMs, sleep = sleep) {
+              exec(sql, rowParams(Derby, cols, keys, r))
+            }
+          }
+        case _ =>
+          val sql = upsertSql(dialect, table, cols, keys, batch.size)
+          val params = batch.flatMap(rowParams(dialect, cols, keys, _))
+          graft.engine.Retry(attempts = retries, delayMs = retryDelayMs, sleep = sleep) {
+            exec(sql, params)
+          }
       }
       written += batch.size
     }
@@ -74,9 +189,12 @@ object JdbcUpsert {
             keys: Seq[String], batchSize: Int = 1000)
            (executorFactory: () => Executor): Unit = {
     val cols = df.columns.toSeq
+    val keyTypes = keys.map(k => k -> derbySqlType(df.schema(k).dataType)).toMap
     df.foreachPartition { (rows: Iterator[Row]) =>
       val exec = executorFactory()
-      writePartition(dialect, table, cols, keys, batchSize, rows, exec)
+      try writePartition(dialect, table, cols, keys, batchSize, rows, exec,
+        keyTypes = keyTypes)
+      finally exec.close()
       ()
     }
   }

@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+
+/** Live-database catalog introspection (S5/S6/S7/S8 against a real
+  * store, via JDBC `DatabaseMetaData`) — the Spark-side analog of the
+  * reference's system-catalog queries: `SHOW COLUMNS` + `SHOW KEYS`
+  * (`mysql.go:382-404,681-737`), `information_schema.columns` +
+  * `pg_index` (`postgresql.go:672-722`). Exercised against embedded
+  * Derby, which ships on the Spark classpath.
+  */
+object JdbcCatalog {
+
+  final case class ColumnMeta(ordinal: Int, name: String, typeName: String,
+                              size: Int, scale: Int, nullable: Boolean) {
+    /** Reconstructed SQL type with length/precision — the reference
+      * rebuilds DDL the same way from `character_maximum_length` etc.
+      * (`postgresql.go:439-496`). */
+    def sqlType: String = typeName.toUpperCase match {
+      case t @ ("VARCHAR" | "CHAR" | "CHARACTER") => s"$t($size)"
+      case t @ ("DECIMAL" | "NUMERIC") => s"$t($size,$scale)"
+      case t => t
+    }
+  }
+
+  def withConnection[T](url: String)(f: Connection => T): T = {
+    graft.sinks.JdbcUpsert.ConnectionExecutor.loadDrivers()
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** S7: existence probe via table metadata (reference probes with
+    * `SELECT 1 ... LIMIT 1`, `mysql.go:200-207`). */
+  def tableExists(url: String, table: String): Boolean =
+    withConnection(url) { c =>
+      val rs = c.getMetaData.getTables(null, null, table.toUpperCase, null)
+      try rs.next() finally rs.close()
+    }
+
+  /** S5: column inventory in ordinal order. */
+  def columns(url: String, table: String): Seq[ColumnMeta] =
+    withConnection(url) { c =>
+      val rs = c.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val out = Seq.newBuilder[ColumnMeta]
+      try {
+        while (rs.next()) out += ColumnMeta(
+          rs.getInt("ORDINAL_POSITION") - 1,
+          rs.getString("COLUMN_NAME").toLowerCase,
+          rs.getString("TYPE_NAME"),
+          rs.getInt("COLUMN_SIZE"),
+          rs.getInt("DECIMAL_DIGITS"),
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)
+      } finally rs.close()
+      out.result().sortBy(_.ordinal)
+    }
+
+  /** S6: primary key columns in key-sequence order (reference
+    * `mysql.go:681-737` orders by `Seq_in_index`). */
+  def primaryKey(url: String, table: String): Seq[String] =
+    withConnection(url) { c =>
+      val rs = c.getMetaData.getPrimaryKeys(null, null, table.toUpperCase)
+      val out = Seq.newBuilder[(Short, String)]
+      try {
+        while (rs.next())
+          out += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME").toLowerCase))
+      } finally rs.close()
+      out.result().sortBy(_._1).map(_._2)
+    }
+
+  def execute(url: String, sql: String): Unit =
+    withConnection(url) { c =>
+      val st = c.createStatement()
+      try { st.executeUpdate(sql); () } finally st.close()
+    }
+
+  /** S8 live: `CREATE TABLE IF NOT EXISTS` analog at the destination —
+    * Derby has no IF NOT EXISTS, so probe-then-create (the reference
+    * copies `SHOW CREATE TABLE` output with the same guard,
+    * `mysql.go:254-274`). The DDL is reconstructed from source column
+    * metadata including the primary key. */
+  def mirrorTable(url: String, source: String, target: String): Unit = {
+    if (tableExists(url, target)) return
+    val cols = columns(url, source)
+    require(cols.nonEmpty, s"source table '$source' has no columns")
+    val pk = primaryKey(url, source)
+    val colDefs = cols.map { m =>
+      val notNull = if (m.nullable) "" else " NOT NULL"
+      s"${m.name} ${m.sqlType}$notNull"
+    }
+    val pkDef = if (pk.isEmpty) Nil else Seq(s"PRIMARY KEY (${pk.mkString(", ")})")
+    execute(url, s"CREATE TABLE $target (${(colDefs ++ pkDef).mkString(", ")})")
+  }
+}

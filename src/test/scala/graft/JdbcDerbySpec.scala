@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{ColumnTransformation, MigrationSpec, TableMapping}
+import graft.engine.JdbcTransfer
+import graft.sinks.JdbcUpsert
+import graft.sources.JdbcCatalog
+
+/** LIVE database tests against embedded Derby (on the Spark classpath):
+  * the first real execution of the connect → introspect → scan → upsert
+  * path (the reference's core loop, `mysql.go:186-380`). Covers S5/S6/S7
+  * live introspection, S8 DDL mirroring, S1/S2 partitioned JDBC read,
+  * K1-analog MERGE upsert with idempotence and last-writer-wins, and the
+  * full JdbcTransfer round-trip. */
+class JdbcDerbySpec extends SparkTestBase {
+
+  private lazy val work = {
+    val dir = java.nio.file.Files.createTempDirectory("derby").toString
+    System.setProperty("derby.system.home", dir) // keeps derby.log out of the repo
+    // fast deadlock detection: concurrent MERGE writers can deadlock on
+    // index page locks; the sink's per-statement Retry absorbs the abort
+    System.setProperty("derby.locks.deadlockTimeout", "2")
+    System.setProperty("derby.locks.waitTimeout", "10")
+    dir
+  }
+  private lazy val url = s"jdbc:derby:$work/db;create=true"
+  private val mig = MigrationSpec(batchSize = 500, rateLimit = 1000000000)
+
+  /** Serializable executor factory: closes over the URL STRING, never
+    * the spec instance (foreachPartition serializes the closure). */
+  private def factory: () => JdbcUpsert.Executor = {
+    val u = url
+    () => new JdbcUpsert.ConnectionExecutor(u)
+  }
+
+  private def seedUsers(table: String, n: Int): Unit = {
+    JdbcCatalog.execute(url,
+      s"CREATE TABLE $table (id BIGINT NOT NULL, name VARCHAR(64), bal DOUBLE, PRIMARY KEY (id))")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
+      (1 to n).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"user#$i"); ps.setDouble(3, i * 1.5)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+  }
+
+  test("derby MERGE upsert: insert, update, idempotent re-apply (K1 live)") {
+    import spark.implicits._
+    JdbcCatalog.execute(url,
+      "CREATE TABLE m1 (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(32), n DOUBLE)")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "v", "n")
+    def writeIt(d: org.apache.spark.sql.DataFrame) =
+      JdbcUpsert.write(d, JdbcUpsert.Derby, "m1", Seq("id"))(
+        factory)
+    writeIt(df)
+    // update 2, insert 4 — MERGE takes both paths in one pass
+    writeIt(Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("id", "v", "n"))
+    // idempotence: re-applying the same batch is a no-op
+    writeIt(Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("id", "v", "n"))
+    val back = JdbcTransfer.readBack(spark, url, "m1", mig)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("duplicate keys inside one batch collapse last-writer-wins (MERGE cardinality)") {
+    import spark.implicits._
+    JdbcCatalog.execute(url,
+      "CREATE TABLE m2 (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(32))")
+    // same key three times in ONE partition/batch: last occurrence must win
+    val df = Seq((1L, "first"), (1L, "second"), (1L, "third"), (2L, "x"))
+      .toDF("id", "v").coalesce(1)
+    JdbcUpsert.write(df, JdbcUpsert.Derby, "m2", Seq("id"))(
+      factory)
+    val back = JdbcTransfer.readBack(spark, url, "m2", mig)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "third"), (2L, "x")))
+  }
+
+  test("live catalog introspection: columns, PK order, existence (S5/S6/S7)") {
+    JdbcCatalog.execute(url,
+      "CREATE TABLE cat1 (b BIGINT NOT NULL, a VARCHAR(10), c DECIMAL(12,2), PRIMARY KEY (b))")
+    assert(JdbcCatalog.tableExists(url, "cat1"))
+    assert(!JdbcCatalog.tableExists(url, "nope"))
+    val cols = JdbcCatalog.columns(url, "cat1")
+    assert(cols.map(_.name) == Seq("b", "a", "c"), "ordinal order preserved")
+    assert(cols.map(_.sqlType) == Seq("BIGINT", "VARCHAR(10)", "DECIMAL(12,2)"))
+    assert(cols.find(_.name == "b").exists(!_.nullable))
+    assert(JdbcCatalog.primaryKey(url, "cat1") == Seq("b"))
+    // composite key comes back in KEY_SEQ order, not alphabetical
+    JdbcCatalog.execute(url,
+      "CREATE TABLE cat2 (x INT NOT NULL, y INT NOT NULL, PRIMARY KEY (y, x))")
+    assert(JdbcCatalog.primaryKey(url, "cat2") == Seq("y", "x"))
+  }
+
+  test("DDL mirror reconstructs types + PK at the destination (S8 live)") {
+    seedUsers("src8", 5)
+    JdbcCatalog.mirrorTable(url, "src8", "dst8")
+    assert(JdbcCatalog.tableExists(url, "dst8"))
+    assert(JdbcCatalog.columns(url, "dst8").map(_.sqlType) ==
+      Seq("BIGINT", "VARCHAR(64)", "DOUBLE"))
+    assert(JdbcCatalog.primaryKey(url, "dst8") == Seq("id"))
+    JdbcCatalog.mirrorTable(url, "src8", "dst8") // IF NOT EXISTS: second call no-ops
+  }
+
+  test("full JdbcTransfer round-trip: introspect → mirror → read → transform → MERGE") {
+    seedUsers("users", 300)
+    val t = TableMapping("users", targetName = Some("users_new"),
+      columnTransformations = Seq(
+        ColumnTransformation("name", "UPPER(name)"),
+        ColumnTransformation("bal", "bal + 100")))
+    val n = JdbcTransfer.transfer(spark, url, t, mig)
+    assert(n == 300)
+    // re-run: upsert idempotence means an unchanged destination
+    assert(JdbcTransfer.transfer(spark, url, t, mig) == 300)
+    val back = JdbcTransfer.readBack(spark, url, "users_new", mig)
+    assert(back.count() == 300)
+    val expect = JdbcTransfer.readBack(spark, url, "users", mig)
+      .withColumn("name", expr("UPPER(name)"))
+      .withColumn("bal", expr("bal + 100"))
+    assert(back.except(expect).isEmpty && expect.except(back).isEmpty)
+    // the partitioned read actually partitioned on the introspected pk
+    assert(JdbcCatalog.primaryKey(url, "users_new") == Seq("id"))
+  }
+
+  test("parallel writer connections upsert disjoint partitions (server-store path)") {
+    import spark.implicits._
+    JdbcCatalog.execute(url,
+      "CREATE TABLE par1 (id BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    val df = (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(4)
+    JdbcUpsert.write(df, JdbcUpsert.Derby, "par1", Seq("id"))(
+      factory)
+    val back = JdbcTransfer.readBack(spark, url, "par1", mig)
+    assert(back.count() == 400)
+    assert(back.agg(sum("v")).head.getDouble(0) == (1L to 400L).map(_ * 2.0).sum)
+  }
+
+  test("transfer refuses a PK-less live table (reference mysql.go:216-218)") {
+    JdbcCatalog.execute(url, "CREATE TABLE nopk (a INT, b INT)")
+    val e = intercept[IllegalArgumentException] {
+      JdbcTransfer.transfer(spark, url, TableMapping("nopk"), mig)
+    }
+    assert(e.getMessage.contains("primary key"))
+  }
+}
