@@ -715,7 +715,8 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // Generated oracle SQL for the hash-pipeline ops (constants must match
   // graft.ops.Dedup / TextAnalysis — k=12 hashes, 4 bands of 3,
-  // 3-gram shingles, threshold 0.5; 32-bit simhash; hamming <= 6).
+  // 3-gram shingles, threshold 0.5, LSH bucket cap 256; 64-bit simhash
+  // as 4×16-bit bands; hamming <= 6).
   // ---------------------------------------------------------------------
 
   private def minhashOracleSql: String = {
@@ -741,8 +742,11 @@ object SparkEntry {
        |  FROM hashed GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest([
        |    $bandKeys]) AS bk FROM sig),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |buckets AS (SELECT bk, list_sort(list(DISTINCT doc_id))[1:256] AS ids
+       |  FROM bands GROUP BY bk HAVING count(DISTINCT doc_id) > 1),
+       |cand AS (SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
+       |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+       |  WHERE x.a < y.b),
        |conf AS (SELECT doc_a, doc_b,
        |    round(len(list_intersect(x.s, y.s))::DOUBLE /
        |          len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 6) AS jaccard
@@ -751,33 +755,39 @@ object SparkEntry {
   }
 
   private def simhashCte: String = {
-    val bitSums = (0 until 32)
-      .map(j => s"    sum(CASE WHEN ('0x' || substr(h, ${j + 1}, 1))::INT >= 8 THEN 1 ELSE -1 END) AS b$j")
+    val bitSums = (0 until 64)
+      .map(j => s"    sum(CASE WHEN ((('0x' || substr(h, ${j / 4 + 1}, 1))::INT >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n")
-    val fp = (0 until 32)
-      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
+    val bandExprs = (0 until 4).map { k =>
+      val terms = (0 until 16)
+        .map(i => s"(CASE WHEN b${16 * k + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"    ($terms) AS band$k"
+    }.mkString(",\n")
     s"""w AS (SELECT doc_id, md5(t.u) AS h
        |  FROM documents, unnest(string_split(text, ' ')) AS t(u)),
        |bits AS (SELECT doc_id,
        |$bitSums
        |  FROM w GROUP BY doc_id),
-       |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits)""".stripMargin
+       |f AS (SELECT doc_id,
+       |$bandExprs
+       |  FROM bits)""".stripMargin
   }
 
   private def simhashOracleSql: String =
-    s"WITH $simhashCte\nSELECT doc_id, simhash FROM f"
+    s"WITH $simhashCte\nSELECT doc_id, " +
+      "printf('%04x%04x%04x%04x', band3, band2, band1, band0) AS simhash FROM f"
 
   private def simhashPairsOracleSql: String =
     s"""WITH $simhashCte,
-       |h AS (SELECT doc_id, simhash, unnest([
-       |    'hi:' || (simhash >> 16)::VARCHAR,
-       |    'lo:' || (simhash & 65535)::VARCHAR]) AS half FROM f),
+       |h AS (SELECT doc_id, band0, band1, band2, band3, unnest([
+       |    '0:' || band0::VARCHAR, '1:' || band1::VARCHAR,
+       |    '2:' || band2::VARCHAR, '3:' || band3::VARCHAR]) AS band_key FROM f),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.simhash AS sa, b.simhash AS sb
-       |  FROM h a JOIN h b ON a.half = b.half AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
+       |    (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+       |     bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT AS hamming
+       |  FROM h a JOIN h b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6""".stripMargin
 
   private def langIdOracleSql: String = {
     def hits(ws: Seq[String]) = ws
