@@ -380,6 +380,12 @@ object SparkEntry {
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
+    // --- streaming, product surface: append mode + watermark-closed
+    //     windows to a DURABLE parquet sink (bounded state — complete
+    //     mode above is gate-harness only); emits exactly the closed
+    //     windows, which the oracle recomputes in batch
+    "streaming_window_append" -> ((s, d) => StreamingIngest.windowCountsAppend(s, d)),
+
     // --- streaming with explicit state (mapGroupsWithState): one bounded
     //     micro-batch → per-user state update == batch GROUP BY
     "streaming_stateful_counts" -> ((s, d) => StreamingIngest.statefulUserCounts(s, d)),
@@ -680,6 +686,11 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "streaming_stateful_counts" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+    "streaming_window_append" ->
+      """SELECT * FROM (
+        |  SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->

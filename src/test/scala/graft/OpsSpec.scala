@@ -143,6 +143,20 @@ class OpsSpec extends SparkTestBase {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("append-mode streaming emits exactly the watermark-closed windows, durably") {
+    import org.apache.spark.sql.functions._
+    val appended = StreamingIngest.windowCountsAppend(spark, sf)
+    val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+    val closed = events.groupBy(
+        date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("w_start") + expr("INTERVAL 1 HOUR") <=
+        lit(maxTs) - expr("INTERVAL 1 HOUR"))
+    assert(appended.count() > 0, "append run emitted nothing — watermark never evicted")
+    assert(appended.except(closed).isEmpty && closed.except(appended).isEmpty,
+      "append output must equal the batch aggregation over closed windows")
+  }
+
   test("streaming session windows partition all events") {
     import org.apache.spark.sql.functions._
     val sess = StreamingIngest.sessionCounts(spark, sf)
