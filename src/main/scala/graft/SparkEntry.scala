@@ -316,6 +316,53 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_acctbal")
     }),
 
+    // --- Mongo bson.M analog: NESTED documents (struct + array + map
+    //     columns) moved through the chunked transfer engine intact,
+    //     then queried by nested-field extraction post-transfer
+    //     (reference moves whole documents opaquely, mongodb.go:327-335;
+    //     here the nesting survives a keyset-chunked, resumable engine).
+    "transfer_nested_roundtrip" -> ((s, d) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_nested_" +
+        math.abs(d.hashCode).toString
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      val nested = T(s, d, "events").select(
+        col("event_id"),
+        struct(col("event_type").as("etype"),
+          struct(col("user_id").as("uid")).as("who")).as("meta"),
+        array(col("value"), col("value") * 2).as("vals"),
+        map(lit("v"), col("value")).as("tags"))
+      nested.write.mode("overwrite").parquet(s"$work/src/evdoc.parquet")
+      val spec = TransferSpec(
+        EndpointSpec("parquet", path = s"$work/src", tables = Seq(
+          TableMapping("evdoc", primaryKey = Some("event_id")))),
+        EndpointSpec("parquet", path = s"$work/dest"),
+        MigrationSpec(batchSize = 5000, checkpointRowThreshold = 5000,
+          checkpointDir = s"$work/cp", rateLimit = 1000000000))
+      val results = TransferRunner.run(s, spec, log = _ => ())
+      require(results.forall(_.outcome.isSuccess),
+        s"nested transfer failed: ${TransferRunner.summarize(results)}")
+      TableTransferJob.readTarget(s, spec, "evdoc").select(
+        col("event_id"),
+        col("meta.etype").as("etype"),
+        col("meta.who.uid").as("uid"),
+        element_at(col("vals"), 2).as("v2"),
+        element_at(col("tags"), "v").as("tag_v"))
+    }),
+
+    // --- ragged/deep JSON documents: INFERRED union schema (no
+    //     hand-written DDL), per-row NULLs for absent fields — the
+    //     SURVEY §7.4.5 deep/ragged-document gap
+    "json_infer_extract" -> ((s, d) => {
+      val ragged = T(s, d, "events").select(col("event_id"),
+        when(col("event_id") % 3 === 0,
+          concat(lit("{\"extra\": {\"a\": "), col("event_id"), lit("}}")))
+          .otherwise(col("props")).as("doc"))
+      graft.ops.Multimodal.parseInferred(ragged, "doc")
+        .select(col("event_id"),
+          col("doc_doc.k").as("k_val"),
+          col("doc_doc.extra.a").as("a_val"))
+    }),
+
     // =====================================================================
     // LLM-data-pipeline extensions (first-class per the build brief):
     // dedup family, similarity search, text analysis, multimodal, streaming.
@@ -597,6 +644,15 @@ object SparkEntry {
     "transfer_jdbc_roundtrip" ->
       """SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
         |FROM customer WHERE c_custkey <= 2000""".stripMargin,
+    "transfer_nested_roundtrip" ->
+      """SELECT event_id, event_type AS etype, user_id AS uid,
+        |  value * 2 AS v2, value AS tag_v FROM events""".stripMargin,
+    "json_infer_extract" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_val,
+        |  CASE WHEN event_id % 3 = 0 THEN event_id ELSE NULL END AS a_val
+        |FROM events""".stripMargin,
 
     // --- LLM-pipeline extensions: oracles replicate the SAME deterministic
     //     pipelines in DuckDB SQL (md5-based hashing, portable list ops).

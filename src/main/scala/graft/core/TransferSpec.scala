@@ -20,7 +20,12 @@ final case class TableMapping(
     targetName: Option[String] = None,
     primaryKey: Option[String] = None,
     columnTransformations: Seq[ColumnTransformation] = Nil,
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil,
+    /** Execute `CREATE TABLE IF NOT EXISTS` against the session catalog
+      * after the transfer (S8's real DDL-at-destination semantics,
+      * `mysql.go:254-274`) — the target becomes queryable by name via
+      * `spark.table`/SQL, alongside the `_schema.ddl` sidecar. */
+    registerTable: Boolean = false) {
   def target: String = targetName.getOrElse(name)
   def primaryKeyCols: Option[Seq[String]] =
     primaryKey.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -112,7 +117,8 @@ object TransferSpec {
       columnTransformations = asList(m.getOrElse("column_transformations", null))
         .map(asMap).map(c =>
           ColumnTransformation(str(c, "source_column"), str(c, "expression"))),
-      partitionBy = asList(m.getOrElse("partition_by", null)).map(_.toString))
+      partitionBy = asList(m.getOrElse("partition_by", null)).map(_.toString),
+      registerTable = m.get("register_table").exists(_.toString.toBoolean))
 
   private def migration(m: Map[String, Any]): MigrationSpec = {
     val d = MigrationSpec()

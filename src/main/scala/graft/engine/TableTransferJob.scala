@@ -415,6 +415,19 @@ final class TableTransferJob(
         .write.mode("overwrite").partitionBy(table.partitionBy: _*)
         .parquet(s"$destDir-final")
     }
+    // S8, catalog half: the reference EXECUTES `CREATE TABLE IF NOT
+    // EXISTS` at the destination (`mysql.go:254-274`); the session-
+    // catalog analog makes the target queryable by name. External
+    // table, so dropping it never deletes the transferred data.
+    // Partitioned layouts point at the published dir (hive-style
+    // partition discovery); chunked layouts need the recursive lookup.
+    if (table.registerTable) {
+      val (loc, opts) =
+        if (table.partitionBy.nonEmpty) (s"$destDir-final", "")
+        else (destDir, ", recursiveFileLookup 'true'")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `${table.target}` USING parquet " +
+        s"OPTIONS (path '$loc'$opts)")
+    }
     saveCp(lastKey, lastChunk, complete = true, bucketCount = bucketCount)
     Files.writeString(Paths.get(destDir, "_GRAFT_COMPLETE"), "")
     TransferOutcome.Completed

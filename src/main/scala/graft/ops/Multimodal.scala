@@ -59,4 +59,26 @@ object Multimodal {
     events.select(col("event_id"),
       from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
         .getField("k").as("k_val"))
+
+  /** Schema INFERENCE over a ragged JSON column — the Mongo deep/ragged
+    * document case (`mongodb.go:327-335` moves whole `bson.M` docs;
+    * SURVEY §7.4.5 flags ragged props): one sampled inference pass
+    * yields the UNION schema across documents, then `from_json` parses
+    * with per-row NULLs for absent fields — no document is dropped for
+    * missing keys. At 100 TB, lower `samplingRatio` bounds the inference
+    * scan; parsing itself stays row-local and codegen'd. */
+  def inferJsonSchema(df: DataFrame, jsonCol: String,
+                      samplingRatio: Double = 1.0): org.apache.spark.sql.types.StructType = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spark.read.option("samplingRatio", samplingRatio.toString)
+      .json(df.select(col(jsonCol)).as[String]).schema
+  }
+
+  /** Parse a ragged JSON column with its inferred union schema into a
+    * nested struct column `<jsonCol>_doc`. */
+  def parseInferred(df: DataFrame, jsonCol: String,
+                    samplingRatio: Double = 1.0): DataFrame =
+    df.withColumn(s"${jsonCol}_doc",
+      from_json(col(jsonCol), inferJsonSchema(df, jsonCol, samplingRatio)))
 }

@@ -255,6 +255,50 @@ class TransferJobSpec extends SparkTestBase {
     assert(dest.select("sku").distinct().count() == 40)
   }
 
+  test("register_table executes CREATE TABLE IF NOT EXISTS on the session catalog (S8)") {
+    spark.sql("DROP TABLE IF EXISTS customer_new")
+    try {
+      val (spec, _) = freshSpec(Seq(customerXform.copy(registerTable = true)))
+      TransferRunner.run(spark, spec, log = _ => ())
+      assert(spark.catalog.tableExists("customer_new"), "target not in catalog")
+      val viaCatalog = spark.table("customer_new")
+      assert(viaCatalog.count() == expectedCustomer.count())
+      assert(viaCatalog.except(expectedCustomer).isEmpty)
+      // IF NOT EXISTS: a rerun with the table already registered succeeds
+      Checkpoint.deleteAll(spec.migration.checkpointDir)
+      TransferRunner.run(spark, spec, log = _ => ())
+      assert(spark.catalog.tableExists("customer_new"))
+      // external table: dropping it must NOT delete the transferred data
+      spark.sql("DROP TABLE customer_new")
+      assert(TableTransferJob.readTarget(spark, spec, "customer_new").count() ==
+        expectedCustomer.count())
+    } finally spark.sql("DROP TABLE IF EXISTS customer_new")
+  }
+
+  test("nested struct/array/map columns survive the chunked transfer intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = Files.createTempDirectory("xfernst").toString
+    val src = (1L to 120L).map(i => (i, (s"t$i", i * 2), Seq(i * 1.0, i * 2.0)))
+      .toDF("id", "meta", "vals")
+    src.write.parquet(s"$work/src/docs.parquet")
+    val t = TableMapping("docs", primaryKey = Some("id"))
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(t)),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = 40, checkpointRowThreshold = 40,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    // kill+resume over nested data, then complete
+    new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
+    new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+    val dest = TableTransferJob.readTarget(spark, spec, "docs")
+    assert(dest.count() == 120)
+    assert(dest.except(spark.read.parquet(s"$work/src/docs.parquet")).isEmpty)
+    // nested extraction works post-transfer
+    assert(dest.select(col("meta._2"), element_at(col("vals"), 2))
+      .where(col("meta._2") === element_at(col("vals"), 2)).count() == 120)
+  }
+
   test("transfer rejects a malicious transform up front (P6 wired in)") {
     val bad = TableMapping("customer", columnTransformations =
       Seq(ColumnTransformation("c_name", "reflect('java.lang.System','exit','0')")))
