@@ -18,9 +18,9 @@ object Bench {
     // LLM-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "ann_cosine_topk", "ann_bucket_topk", "text_quality",
-    "streaming_window_counts",
-    // the product pipeline end-to-end
-    "transfer_config_multi")
+    "streaming_window_counts", "streaming_window_append",
+    // the product pipeline end-to-end (parquet engine + live Derby JDBC)
+    "transfer_config_multi", "transfer_jdbc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

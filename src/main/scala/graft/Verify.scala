@@ -11,15 +11,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // coalesce(1) only for small results; big dumps stay parallel (the
-      // oracle reader globs *.parquet).
-      try {
-        val out = fn(spark, sfDir).cache()
-        val n = out.count()
-        (if (n <= 20000) out.coalesce(1) else out)
-          .write.mode("overwrite").parquet(s"$outDir/$name")
-        out.unpersist()
-      } catch { case e: Throwable =>
+      // ONE execution per query, straight into the sink — no cache (a
+      // result over the cache budget would double-execute on the write;
+      // VERDICT r2). AQE's partition coalescing keeps file counts sane;
+      // the oracle reader globs *.parquet either way.
+      try fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -19,7 +19,14 @@ final case class Checkpoint(
     /** Hash-bucket path only: the bucket count the run chunked with.
       * Resume MUST reuse it — recomputing from a changed row count or
       * config remaps `pmod(hash(pk), n)` and loses/duplicates rows. */
-    bucketCount: Int = -1)
+    bucketCount: Int = -1,
+    /** Range path only: the full chunk plan (string-encoded upper bounds,
+      * last = the exact key max). Persisted at plan time so a resume
+      * CONTINUES the same plan instead of re-probing + re-quantiling the
+      * remainder — the fixed resume cost drops to a checkpoint read. */
+    bounds: Seq[String] = Nil,
+    /** Row count at plan time (progress denominator on resume). */
+    totalRows: Long = -1L)
 
 /** Atomic JSON checkpoint files, one per table:
   * `<dir>/<kind>_<table>.checkpoint` (naming per `mysql.go:533-576`).
@@ -72,7 +79,8 @@ object Checkpoint {
     // encoding (migration.go:30-34) so checkpoint files are
     // format-compatible; read-side accepts legacy epoch-millis too.
     val ts = java.time.Instant.ofEpochMilli(cp.lastUpdated).toString
-    s"""{"last_key": $keys, "last_updated": ${q(ts)}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}, "bucket_count": ${cp.bucketCount}}"""
+    val bs = cp.bounds.map(q).mkString("[", ", ", "]")
+    s"""{"last_key": $keys, "last_updated": ${q(ts)}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}, "bucket_count": ${cp.bucketCount}, "bounds": $bs, "total_rows": ${cp.totalRows}}"""
   }
 
   private[graft] def fromJson(s: String): Option[Checkpoint] =
@@ -100,7 +108,14 @@ object Checkpoint {
       val buckets = (j \ "bucket_count") match {
         case JInt(n) => n.toInt; case _ => -1
       }
-      Some(Checkpoint(lastKey, updated, complete, chunk, buckets))
+      val bounds = (j \ "bounds") match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      val totalRows = (j \ "total_rows") match {
+        case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
+      }
+      Some(Checkpoint(lastKey, updated, complete, chunk, buckets, bounds, totalRows))
     } catch { case _: Exception => None }
 }
 

@@ -263,69 +263,100 @@ final class TableTransferJob(
     def shutdown(): Unit = pool.shutdown()
   }
 
-  /** Numeric-PK path: contiguous key ranges, resume via `pk > lastKey`. */
+  /** Numeric-PK path: contiguous key ranges, resume via `pk > lastKey`.
+    *
+    * The chunk PLAN (quantile upper bounds, last = exact key max) is
+    * computed once and persisted in the checkpoint; a resume continues
+    * the same plan from the last completed bound — no re-probe, no
+    * re-quantile, so resume overhead is a checkpoint read (mirrors the
+    * hash path's persisted bucket count). */
   private def runRangeChunks(source: DataFrame, pkCol: String,
                              cp: Option[Checkpoint]): TransferOutcome = {
     val codec = keyCodec(source.schema(pkCol).dataType)
     val lastKey = cp.flatMap(_.lastKey.get(pkCol)).map(codec.parse)
     val startChunk = cp.map(_.chunkIndex).getOrElse(-1) + 1
-    val remaining = lastKey match {
-      case Some(k) => source.where(col(pkCol) > lit(k))
-      case None => source
-    }
-    // One pass: row count, TRUE max of the key in its native type
-    // (checkpoints must record it — the quantile max can undershoot, and
-    // recording an undershot bound would re-transfer (bound, max] after a
-    // crash), and a NULL-key probe (range predicates are null-rejecting,
-    // so NULL keys would be silently dropped — refuse them, like the
-    // reference refuses PK-less tables, mysql.go:216-218).
-    val probe = remaining.agg(
-      count(lit(1)).as("n"),
-      max(col(pkCol)).as("mx"),
-      count(when(col(pkCol).isNull, 1)).as("nulls")).head()
-    val total = probe.getLong(0)
-    require(probe.getLong(2) == 0,
-      s"table '${table.name}' has ${probe.getLong(2)} NULL values in key " +
-        s"'$pkCol' — refusing (rows would be lost by range chunking)")
-    if (total == 0) return finish(startChunk, lastKey.map(k => Map(pkCol -> codec.fmt(k))))
-    val trueMax = codec.fromRow(probe.get(1))
+    val stored = cp.filter(c => c.bounds.nonEmpty && c.totalRows >= 0)
 
-    val n = math.max(1, math.min(maxChunks,
-      math.ceil(total.toDouble / chunkRows(total)).toInt))
-    // Quantile bounds over the REMAINING rows only, computed in the key's
-    // native type (percentile_approx preserves it — no Double round-trip);
-    // dedup handles heavy key duplication.
-    val probes = (1 to n).map(_.toDouble / n)
-    val bounds = remaining
-      .agg(percentile_approx(col(pkCol), array(probes.map(lit): _*),
-        lit(math.max(10000, 4 * n))).as("b"))
-      .head().getSeq[Any](0)
-      .map(codec.fromRow).distinct.sortWith(codec.lt)
+    val (planBounds: Seq[Any], total: Long) = stored match {
+      case Some(c) => (c.bounds.map(codec.parse), c.totalRows)
+      case None =>
+        val remaining = lastKey match {
+          case Some(k) => source.where(col(pkCol) > lit(k))
+          case None => source
+        }
+        // One pass: row count, TRUE max of the key in its native type
+        // (the plan's final bound must cover every row — a quantile max
+        // can undershoot), and a NULL-key probe (range predicates are
+        // null-rejecting, so NULL keys would be silently dropped —
+        // refuse them, like the reference refuses PK-less tables,
+        // mysql.go:216-218).
+        val probe = remaining.agg(
+          count(lit(1)).as("n"),
+          max(col(pkCol)).as("mx"),
+          count(when(col(pkCol).isNull, 1)).as("nulls")).head()
+        val n0 = probe.getLong(0)
+        require(probe.getLong(2) == 0,
+          s"table '${table.name}' has ${probe.getLong(2)} NULL values in key " +
+            s"'$pkCol' — refusing (rows would be lost by range chunking)")
+        if (n0 == 0)
+          return finish(startChunk, lastKey.map(k => Map(pkCol -> codec.fmt(k))))
+        val trueMax = codec.fromRow(probe.get(1))
+        val n = math.max(1, math.min(maxChunks,
+          math.ceil(n0.toDouble / chunkRows(n0)).toInt))
+        // Quantile bounds over the REMAINING rows only, computed in the
+        // key's native type (percentile_approx preserves it — no Double
+        // round-trip); the last bound is replaced by the exact max.
+        val probes = (1 to n).map(_.toDouble / n)
+        val qb = remaining
+          .agg(percentile_approx(col(pkCol), array(probes.map(lit): _*),
+            lit(math.max(10000, 4 * n))).as("b"))
+          .head().getSeq[Any](0)
+          .map(codec.fromRow).distinct.sortWith(codec.lt)
+        ((qb.dropRight(1) :+ trueMax).distinct, n0)
+    }
+    val boundsStr = planBounds.map(codec.fmt)
+    def save(lk: Option[Any], idx: Int, complete: Boolean): Unit =
+      Checkpoint.save(mig.checkpointDir, kind, table.name,
+        Checkpoint(lk.map(k => Map(pkCol -> codec.fmt(k))).getOrElse(Map.empty),
+          System.currentTimeMillis(), complete, idx,
+          bounds = boundsStr, totalRows = total))
+    // persist the plan up front so any resume continues it
+    if (stored.isEmpty) save(lastKey, startChunk - 1, complete = false)
+
+    // bounds still ahead of the resume cursor (a completed chunk's bound
+    // IS an element of the plan, so strict > resumes exactly after it)
+    val todo = lastKey match {
+      case Some(k) => planBounds.filter(b => codec.lt(k, b))
+      case None => planBounds
+    }
+    if (todo.isEmpty)
+      return finish(startChunk, Some(Map(pkCol -> codec.fmt(planBounds.last))))
+
     val stats = new ProgressStats(table.name, total)
     val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
       mig.checkpointIntervalSec * 1000L)
     val dispatcher = new ChunkDispatcher[Any](
-      (idx, bound) => saveCp(Some(Map(pkCol -> codec.fmt(bound))), idx, complete = false),
-      stats, policy)
+      (idx, bound) => save(Some(bound), idx, complete = false), stats, policy)
 
     try {
       var lo: Option[Any] = lastKey
       var chunkIdx = startChunk
-      for ((hi, i) <- bounds.zipWithIndex) {
+      for ((hi, i) <- todo.zipWithIndex) {
         if (control.isCancelled) {
           // stop submitting; everything already in flight completes (the
           // submitted set IS the prefix), then checkpoint at its end
           dispatcher.drainAll()
-          saveCp(lo.map(k => Map(pkCol -> codec.fmt(k))), chunkIdx - 1, complete = false)
+          save(lo, chunkIdx - 1, complete = false)
           log(s"${table.name}: interrupted, checkpoint at chunk ${chunkIdx - 1}")
           return TransferOutcome.Interrupted(chunkIdx - startChunk)
         }
-        val isLast = i == bounds.length - 1
+        val isLast = i == todo.length - 1
         // Both bounds on the SOURCE key, BEFORE transformation — a
         // transform targeting the PK column must not shift chunk
         // membership (ADVICE r2; reference paginates on the raw PK,
-        // mysql.go:599-631). Last chunk takes everything above lo (the
-        // quantile max can undershoot the true max).
+        // mysql.go:599-631). The last chunk takes everything above lo
+        // (its planned bound is the exact max; the open top end also
+        // absorbs any rows above a legacy checkpoint's undershot max).
         val filtered = (lo, isLast) match {
           case (Some(l), false) => source.where(col(pkCol) > lit(l) && col(pkCol) <= lit(hi))
           case (Some(l), true)  => source.where(col(pkCol) > lit(l))
@@ -333,17 +364,13 @@ final class TableTransferJob(
           case (None, true)     => source
         }
         val chunk = transformed(filtered)
-        // The checkpointed bound must cover every row the chunk wrote:
-        // the last chunk extends past the quantile max, so its bound is
-        // the true max — never `hi`.
-        val bound = if (isLast) trueMax else hi
         val idx = chunkIdx
-        dispatcher.submit(idx, bound)(writeChunk(chunk, idx))
-        lo = Some(bound); chunkIdx += 1
+        dispatcher.submit(idx, hi)(writeChunk(chunk, idx))
+        lo = Some(hi); chunkIdx += 1
       }
       dispatcher.drainAll()
       log(stats.report())
-      finish(chunkIdx - 1, Some(Map(pkCol -> codec.fmt(trueMax))))
+      finish(chunkIdx - 1, Some(Map(pkCol -> codec.fmt(planBounds.last))))
     } finally dispatcher.shutdown()
   }
 

@@ -8,6 +8,15 @@ import graft.sinks.JdbcUpsert
 object SinkProbe {
   val recorded = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
   val failFirst = new java.util.concurrent.atomic.AtomicBoolean(true)
+  /** Factory defined HERE (statics only) — an Executor built inside a
+    * test method would capture the spec instance via its outer pointer
+    * and fail closure serialization. */
+  val recordingFactory: () => JdbcUpsert.Executor = () => new JdbcUpsert.Executor {
+    def apply(sql: String, params: Seq[Any]): Unit = {
+      if (failFirst.compareAndSet(true, false)) sys.error("transient")
+      recorded.add((sql.take(30), params.size)); ()
+    }
+  }
 }
 
 /** JDBC upsert sink (dialect SQL + batched executor path, driven with a
@@ -31,10 +40,7 @@ class SinkAndSkewSpec extends SparkTestBase {
     // task closures are serialized even on local master — record through
     // a JVM-static holder, which local-mode tasks share
     JdbcUpsert.write(df.repartition(2), JdbcUpsert.MySql, "t", Seq("id"),
-      batchSize = 10) { () => (sql, params) =>
-        if (SinkProbe.failFirst.compareAndSet(true, false)) sys.error("transient")
-        SinkProbe.recorded.add((sql.take(30), params.size))
-      }
+      batchSize = 10)(SinkProbe.recordingFactory)
     val stmts = SinkProbe.recorded.toArray.map(_.asInstanceOf[(String, Int)])
     // 25 rows / batch 10 across 2 partitions → 3-4 statements, params = 2×rows
     assert(stmts.map(_._2).sum == 50, s"params: ${stmts.toSeq}")
