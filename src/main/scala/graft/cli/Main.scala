@@ -36,16 +36,23 @@ object Main {
       .orElse(Option(spec0.source.kind).filter(_.nonEmpty))
       .getOrElse(autodetect(spec0.source.path))
     val spec = spec0.copy(source = spec0.source.copy(kind = kind))
-    require(kind == "parquet",
+    val jdbcKinds = Map(
+      "jdbc" -> graft.sinks.JdbcUpsert.Derby,
+      "derby" -> graft.sinks.JdbcUpsert.Derby,
+      "mysql" -> graft.sinks.JdbcUpsert.MySql,
+      "postgresql" -> graft.sinks.JdbcUpsert.Postgres)
+    require(kind == "parquet" || jdbcKinds.contains(kind),
       s"backend '$kind' is declared but needs its Spark connector on the " +
-        "classpath; this build executes 'parquet' natively")
+        "classpath; this build executes 'parquet' and JDBC backends natively")
 
     val spark = Sessions.builder("graft-transfer", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val control = new TransferControl
     val hook = TransferRunner.installShutdownHook(control)
     val t0 = System.currentTimeMillis()
-    val results = TransferRunner.run(spark, spec, control)
+    val results =
+      if (kind == "parquet") TransferRunner.run(spark, spec, control)
+      else TransferRunner.runJdbc(spark, spec, jdbcKinds(kind))
     TransferRunner.removeShutdownHook(hook)
     println(TransferRunner.summarize(results))
     println(f"total time: ${(System.currentTimeMillis() - t0) / 1000.0}%.1f s")
@@ -57,6 +64,7 @@ object Main {
   private[graft] def autodetect(path: String): String = path match {
     case p if p.startsWith("jdbc:mysql") => "mysql"
     case p if p.startsWith("jdbc:postgresql") => "postgresql"
+    case p if p.startsWith("jdbc:") => "jdbc" // Derby & other ANSI-MERGE stores
     case p if p.startsWith("mongodb://") => "mongodb"
     case p if p.contains(":9042") => "cassandra"
     case _ => "parquet"

@@ -49,6 +49,36 @@ object TransferRunner {
     } finally pool.shutdown()
   }
 
+  /** JDBC-backed run (live database source+destination): per-table
+    * [[JdbcTransfer]] on the same bounded pool. There is no chunk
+    * checkpoint here — the MERGE upsert is idempotent, so a rerun after
+    * any failure IS the resume story (rows already written are updated
+    * in place, exactly the reference's re-runnable upsert batches,
+    * `mysql.go:417-498`). */
+  def runJdbc(spark: SparkSession, spec: TransferSpec,
+              dialect: graft.sinks.JdbcUpsert.Dialect = graft.sinks.JdbcUpsert.Derby,
+              log: String => Unit = s => System.err.println(s"[transfer] $s"))
+      : Seq[TableResult] = {
+    val tables = spec.source.tables
+    require(tables.nonEmpty, "spec declares no tables")
+    val pool = Executors.newFixedThreadPool(math.max(1, spec.migration.workers))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = tables.map { t =>
+        Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
+          TableResult(t.name, Try {
+            val rows = JdbcTransfer.transfer(spark, spec.source.path, t,
+              spec.migration, dialect)
+            log(s"${t.name}: $rows rows upserted into ${t.target}")
+            TransferOutcome.Completed: TransferOutcome
+          })
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Wire SIGTERM/SIGINT to cooperative cancel + checkpoint flush (R8,
     * reference `main.go:299-308`). Jobs observe the flag between chunks
     * and save their checkpoint before returning `Interrupted`. Returns

@@ -166,6 +166,7 @@ class EngineUnitSpec extends AnyFunSuite {
     import graft.cli.Main.autodetect
     assert(autodetect("jdbc:mysql://h/db") == "mysql")
     assert(autodetect("jdbc:postgresql://h/db") == "postgresql")
+    assert(autodetect("jdbc:derby:/tmp/db") == "jdbc")
     assert(autodetect("mongodb://h:27017") == "mongodb")
     assert(autodetect("h1:9042,h2:9042") == "cassandra")
     assert(autodetect("/data/parquet") == "parquet")

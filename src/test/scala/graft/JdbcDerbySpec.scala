@@ -137,6 +137,27 @@ class JdbcDerbySpec extends SparkTestBase {
     assert(back.agg(sum("v")).head.getDouble(0) == (1L to 400L).map(_ * 2.0).sum)
   }
 
+  test("spec-driven multi-table JDBC run (the CLI's jdbc backend path, R1+R11)") {
+    import graft.core.{EndpointSpec, TransferSpec}
+    seedUsers("cfg_a", 60)
+    seedUsers("cfg_b", 40)
+    val spec = TransferSpec(
+      EndpointSpec("jdbc", path = url, tables = Seq(
+        TableMapping("cfg_a", targetName = Some("cfg_a_new"),
+          columnTransformations = Seq(ColumnTransformation("name", "UPPER(name)"))),
+        TableMapping("cfg_b", targetName = Some("cfg_b_new")))),
+      EndpointSpec("jdbc", path = url),
+      mig)
+    val results = graft.engine.TransferRunner.runJdbc(spark, spec, log = _ => ())
+    assert(results.forall(_.outcome.isSuccess),
+      graft.engine.TransferRunner.summarize(results))
+    assert(JdbcTransfer.readBack(spark, url, "cfg_a_new", mig).count() == 60)
+    assert(JdbcTransfer.readBack(spark, url, "cfg_b_new", mig).count() == 40)
+    val up = JdbcTransfer.readBack(spark, url, "cfg_a_new", mig)
+      .where(col("name") === upper(col("name"))).count()
+    assert(up == 60, "transform not applied on the JDBC runner path")
+  }
+
   test("transfer refuses a PK-less live table (reference mysql.go:216-218)") {
     JdbcCatalog.execute(url, "CREATE TABLE nopk (a INT, b INT)")
     val e = intercept[IllegalArgumentException] {
