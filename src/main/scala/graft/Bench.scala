@@ -73,18 +73,26 @@ object Bench {
         EndpointSpec("parquet", path = s"$tmp/r_$tag"),
         MigrationSpec(batchSize = 20000, checkpointRowThreshold = 20000,
           checkpointDir = s"$tmp/rcp_$tag", rateLimit = 1000000000))
-      val plain = spec("plain")
-      results("transfer_orders") = time {
-        new TableTransferJob(spark, plain, plain.source.tables.head,
-          new TransferControl, _ => ()).run()
+      // best-of-2 with fresh dirs per attempt: both legs are ~1 s at
+      // sf0.1, where one scheduler hiccup swings the overhead RATIO by
+      // ±0.2 — min over repeats measures the work, not the jitter
+      def best2(mk: Int => Double): Double = math.min(mk(0), mk(1))
+      results("transfer_orders") = best2 { i =>
+        val plain = spec(s"plain$i")
+        time {
+          new TableTransferJob(spark, plain, plain.source.tables.head,
+            new TransferControl, _ => ()).run()
+        }
       }
-      val killed = spec("killed")
-      results("transfer_orders_kill_resume") = time {
-        // orders at sf0.1 → ~8 chunks of 20k; cancel near the middle
-        new TableTransferJob(spark, killed, killed.source.tables.head,
-          TransferControl.cancelAfterChecks(4), _ => ()).run()
-        new TableTransferJob(spark, killed, killed.source.tables.head,
-          new TransferControl, _ => ()).run()
+      results("transfer_orders_kill_resume") = best2 { i =>
+        val killed = spec(s"killed$i")
+        time {
+          // orders at sf0.1 → ~8 chunks of 20k; cancel near the middle
+          new TableTransferJob(spark, killed, killed.source.tables.head,
+            TransferControl.cancelAfterChecks(4), _ => ()).run()
+          new TableTransferJob(spark, killed, killed.source.tables.head,
+            new TransferControl, _ => ()).run()
+        }
       }
     }
 

@@ -801,8 +801,8 @@ object SparkEntry {
        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s FROM sh0),
        |shf AS (SELECT * FROM sh WHERE len(s) > 0),
        |hashed AS (SELECT doc_id,
-       |    ('0x' || substr(md5(t.sg), 1, 12))::BIGINT AS h1,
-       |    ('0x' || substr(md5(t.sg), 13, 12))::BIGINT AS h2
+       |    ${graft.functions.Fnv.duckdbSql("t.sg", graft.functions.Fnv.Basis1)} AS h1,
+       |    ${graft.functions.Fnv.duckdbSql("t.sg", graft.functions.Fnv.Basis2)} AS h2
        |  FROM shf, unnest(s) AS t(sg)),
        |sig AS (SELECT doc_id,
        |$sigs

@@ -26,7 +26,7 @@ object Dedup {
     * CPU-heavy shingling would run in a single task. The exchange fixes
     * both: split computes once per row, and downstream work spreads
     * across the cluster. */
-  private[ops] def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def shingleSets(docs: DataFrame, n: Int): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val cnt = size(col("w")) - (n - 1)
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -45,10 +45,11 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Carter-Wegman hash family base: the shingle's md5 split into two
-    * 48-bit integer halves; h_j = (h1 + j·h2) mod P. One md5 per shingle
-    * total (vs one per shingle PER hash function) — 48-bit halves keep
-    * j·h2 inside BIGINT for any j ≤ ~32k, portable to plain SQL. */
+  /** Carter-Wegman hash family base: two independent FNV-1a 32-bit
+    * hashes of the shingle (native codegen'd `Fnv1a32` expression —
+    * replaced md5+hex-conv, the engine's hottest inner loop);
+    * h_j = (h1 + j·h2) mod P. 32-bit values keep j·h2 inside BIGINT
+    * for any j, portable to plain SQL. */
   private[graft] val MinhashP = 1000000007L
 
   /** MinHash + banded LSH near-dup pairs with an exact n-gram Jaccard
@@ -70,13 +71,25 @@ object Dedup {
                  bucketCap: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shingleSets(docs, shingleLen).where(size(col("sh")) > 0)
 
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("m"))
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 12), 16, 10).cast("bigint").as("h1"),
-        conv(substring(col("m"), 13, 12), 16, 10).cast("bigint").as("h2"))
+    // Signature side: explode a cheap INTEGER sequence and build each
+    // shingle string once per output row. Building the shingle ARRAY
+    // and exploding it re-evaluates the whole array construction in the
+    // Filter and again inside Generate (CollapseProject inlining) —
+    // measured 14× slower at sf0.1. Duplicate shingles are kept: the
+    // min-aggregation over a multiset equals the min over its set, so
+    // signatures are unchanged and the oracle stays as-is.
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val cnt = size(col("w")) - (shingleLen - 1)
+    val shingled = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(parts) // materialize w; spread single-split sources
+      .where(cnt > 0)
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0), cnt - 1)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until shingleLen).map(j => element_at(col("w"), col("i") + j + 1)): _*).as("s"))
+    val hashed = shingled.select(col("doc_id"),
+      graft.functions.Fnv.fnv32(col("s"), graft.functions.Fnv.Basis1).as("h1"),
+      graft.functions.Fnv.fnv32(col("s"), graft.functions.Fnv.Basis2).as("h2"))
     val sigAggs = (0 until numHashes).map { j =>
       min(pmod(col("h1") + lit(j.toLong) * col("h2"), lit(MinhashP))).as(s"g$j")
     }
@@ -114,8 +127,14 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
-    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    // Exact-Jaccard confirm needs DISTINCT shingle sets — but only for
+    // docs that actually appear in a candidate pair (a small fraction of
+    // the corpus): semi-join down first, then build the sets.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val shc = shingleSets(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleLen)
+    val sa = shc.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = shc.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sha"), col("shb"))).cast("double") /

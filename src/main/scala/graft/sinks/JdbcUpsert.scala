@@ -34,34 +34,70 @@ object JdbcUpsert {
     * `(sql, params) => ...` lambda still works. */
   trait Executor {
     def apply(sql: String, params: Seq[Any]): Unit
+    /** Like apply, returning the affected-row count when the backend
+      * reports one; -1 when unknown (recording/test executors). The
+      * Derby per-row MERGE path uses this to detect a statement that
+      * silently affected nothing and retry it. */
+    def applyCounted(sql: String, params: Seq[Any]): Long = { apply(sql, params); -1L }
     def close(): Unit = ()
   }
 
   /** Real JDBC executor: one connection per partition, statements
     * prepared once per SQL text and re-executed. Autocommit stays ON —
     * every statement is individually durable, and the surrounding
-    * upsert semantics make task retries idempotent. */
+    * upsert semantics make task retries idempotent.
+    *
+    * Self-healing: a deadlock victim at session severity (observed with
+    * concurrent embedded-Derby MERGE writers) CLOSES the connection;
+    * every statement re-validates it and reconnects, so the sink's
+    * per-statement Retry actually recovers instead of failing forever
+    * on a dead handle ("ERROR 08003: No current connection"). */
   final class ConnectionExecutor(url: String) extends Executor {
     ConnectionExecutor.loadDrivers()
-    private lazy val conn = java.sql.DriverManager.getConnection(url)
+    // In-process embedded Derby (jdbc:derby:<path>, not jdbc:derby://host)
+    // LOSES rows under concurrent MERGE: a 4-thread pure-JDBC repro (no
+    // Spark) drops up to ~25% of inserts with every executeUpdate
+    // reporting success. All embedded connections live in THIS JVM, so a
+    // process-wide lock serializes statement execution — connections and
+    // partitioning stay parallel, the store applies one write at a time.
+    // Server-grade stores (including Derby network mode) take the fully
+    // parallel path.
+    private val serializeStatements =
+      url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
+    private var conn: java.sql.Connection = null
     private val stmts =
       scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
-    def apply(sql: String, params: Seq[Any]): Unit = {
-      val ps = stmts.getOrElseUpdate(sql, conn.prepareStatement(sql))
+    private def ensureConn(): java.sql.Connection = {
+      if (conn == null || conn.isClosed) {
+        stmts.clear() // prepared handles die with their connection
+        conn = java.sql.DriverManager.getConnection(url)
+      }
+      conn
+    }
+    def apply(sql: String, params: Seq[Any]): Unit = { applyCounted(sql, params); () }
+    override def applyCounted(sql: String, params: Seq[Any]): Long =
+      if (serializeStatements)
+        ConnectionExecutor.embeddedWriteLock.synchronized(execute(sql, params))
+      else execute(sql, params)
+    private def execute(sql: String, params: Seq[Any]): Long = {
+      val c = ensureConn()
+      val ps = stmts.getOrElseUpdate(sql, c.prepareStatement(sql))
       params.zipWithIndex.foreach { case (p, i) =>
         if (p == null)
           ps.setNull(i + 1, ps.getParameterMetaData.getParameterType(i + 1))
         else ps.setObject(i + 1, p)
       }
-      ps.executeUpdate()
-      ()
+      ps.executeUpdate().toLong
     }
     override def close(): Unit = {
       stmts.values.foreach(s => try s.close() catch { case _: Exception => () })
-      try conn.close() catch { case _: Exception => () }
+      if (conn != null) try conn.close() catch { case _: Exception => () }
     }
   }
   object ConnectionExecutor {
+    /** Process-wide write lock for in-process embedded stores (see
+      * ConnectionExecutor's serialization note). */
+    private[sinks] val embeddedWriteLock = new Object
     /** JDBC 4 autoloads drivers via ServiceLoader; the explicit probe
       * covers classloader setups where that misses (sbt layered CLs). */
     private[graft] def loadDrivers(): Unit =
@@ -166,7 +202,10 @@ object JdbcUpsert {
           val sql = upsertSql(Derby, table, cols, keys, 1, keyTypes)
           batch.foreach { r =>
             graft.engine.Retry(attempts = retries, delayMs = retryDelayMs, sleep = sleep) {
-              exec(sql, rowParams(Derby, cols, keys, r))
+              // a MERGE must touch exactly one row; 0 means the statement
+              // was rolled back under concurrency — retry it
+              val n = exec.applyCounted(sql, rowParams(Derby, cols, keys, r))
+              if (n == 0) sys.error(s"MERGE affected 0 rows in $table — retrying")
             }
           }
         case _ =>

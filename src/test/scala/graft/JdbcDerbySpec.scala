@@ -127,14 +127,20 @@ class JdbcDerbySpec extends SparkTestBase {
 
   test("parallel writer connections upsert disjoint partitions (server-store path)") {
     import spark.implicits._
-    JdbcCatalog.execute(url,
-      "CREATE TABLE par1 (id BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
-    val df = (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(4)
-    JdbcUpsert.write(df, JdbcUpsert.Derby, "par1", Seq("id"))(
-      factory)
-    val back = JdbcTransfer.readBack(spark, url, "par1", mig)
-    assert(back.count() == 400)
-    assert(back.agg(sum("v")).head.getDouble(0) == (1L to 400L).map(_ * 2.0).sum)
+    // Embedded Derby LOSES rows under concurrent MERGE (pure-JDBC
+    // 4-thread repro drops up to ~25% with all statements reporting
+    // success) — ConnectionExecutor serializes statements process-wide
+    // for in-process embedded URLs. Several rounds, because the loss
+    // was intermittent.
+    (1 to 5).foreach { round =>
+      JdbcCatalog.execute(url,
+        s"CREATE TABLE par$round (id BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+      val df = (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(4)
+      JdbcUpsert.write(df, JdbcUpsert.Derby, s"par$round", Seq("id"))(factory)
+      val back = JdbcTransfer.readBack(spark, url, s"par$round", mig)
+      withClue(s"round $round: ")(assert(back.count() == 400))
+      assert(back.agg(sum("v")).head.getDouble(0) == (1L to 400L).map(_ * 2.0).sum)
+    }
   }
 
   test("spec-driven multi-table JDBC run (the CLI's jdbc backend path, R1+R11)") {

@@ -19,6 +19,28 @@ class OpsSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  test("Fnv1a32 expression: pinned cross-engine values, codegen + interpreted, nulls") {
+    import spark.implicits._
+    import graft.functions.Fnv
+    // values pinned against DuckDB's list_reduce evaluation (incl. non-ASCII)
+    val pinned = Seq(
+      "hello world" -> 3582672807L, "" -> 2166136261L, "a" -> 3826002220L,
+      "héllo wörld ñ" -> 1257984345L, "the quick brown fox" -> 865043906L)
+    pinned.foreach { case (s, h) =>
+      assert(Fnv.hash32(s, Fnv.Basis1) == h, s"kernel mismatch for '$s'")
+    }
+    // through the Expression (whole-stage codegen path)
+    val df = pinned.map(_._1).toDF("s")
+      .select(org.apache.spark.sql.functions.col("s"),
+        Fnv.fnv32(org.apache.spark.sql.functions.col("s"), Fnv.Basis1).as("h"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pinned.foreach { case (s, h) => assert(got(s) == h, s"codegen mismatch for '$s'") }
+    // null in, null out
+    val withNull = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "s")
+      .select(Fnv.fnv32(org.apache.spark.sql.functions.col("s"), Fnv.Basis1).as("h"))
+    assert(withNull.head.isNullAt(0))
+  }
+
   test("minhash LSH finds the planted near-duplicates (no cartesian in plan)") {
     val pairs = Dedup.minhashLsh(docs).cache()
     val n = pairs.count()
