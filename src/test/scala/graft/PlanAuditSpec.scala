@@ -57,4 +57,48 @@ class PlanAuditSpec extends SparkTestBase {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(codegen.contains("WholeStageCodegen"), s"q1 not codegen'd:\n$codegen")
   }
+
+  test("Fnv1a32 runs INSIDE generated code, not as a black-box UDF") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables(spark, sf, "documents")
+      .select(graft.functions.Fnv.fnv32(col("text"), graft.functions.Fnv.Basis1).as("h"))
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("graft.functions.Fnv.hash32"),
+      s"fnv not in generated code:\n${codegen.take(2000)}")
+  }
+
+  test("minhash signatures: partial min-agg before the doc_id shuffle, codegen'd fnv") {
+    val plan = executedPlan("dedup_minhash_lsh")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"signature aggregation not map-side partial:\n${plan.take(3000)}")
+    assert(plan.contains("graft_fnv1a32"), "fnv expression missing from the plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("nested-field projection prunes the parquet read schema (struct pruning)") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("nestprune").toString
+    graft.sources.Tables(spark, sf, "events").select(
+      col("event_id"),
+      struct(col("event_type").as("etype"),
+        struct(col("user_id").as("uid")).as("who")).as("meta"),
+      array(col("value")).as("vals"))
+      .write.parquet(s"$work/n.parquet")
+    val q = spark.read.parquet(s"$work/n.parquet")
+      .select(col("event_id"), col("meta.who.uid").as("uid"))
+    q.write.format("noop").mode("overwrite").save()
+    val readSchema = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("uid") && !readSchema.contains("vals") &&
+      !readSchema.contains("etype"),
+      s"nested pruning failed — scan reads more than meta.who.uid: $readSchema")
+  }
+
+  test("jdbc roundtrip reads back through a range-partitioned JDBCRelation scan") {
+    val df = SparkEntry.queries("transfer_jdbc_roundtrip")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("JDBCRelation") && plan.contains("numPartitions="),
+      s"read-back is not a partitioned JDBC scan:\n$plan")
+  }
 }
