@@ -380,8 +380,10 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(T(s, d, "documents"))),
 
     // --- similarity search: exact brute-force baseline + LSH-bucketed ANN
+    //     + IVF (coarse-quantizer cells, nProbe scan) — the index path
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(T(s, d, "embeddings"))),
     "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(T(s, d, "embeddings"))),
 
     // --- embedding-cosine near-dup (bucketed candidates + exact confirm)
     //     and the user-facing dedup result set (survivors of near-dedup)
@@ -687,6 +689,7 @@ object SparkEntry {
         |SELECT qid, nn_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
         |  FROM p) WHERE rn <= 3""".stripMargin,
+    "ann_ivf_topk" -> ivfOracleSql,
     "text_langid" -> langIdOracleSql,
     "text_quality" -> qualityOracleSql,
     "text_tokens" ->
@@ -820,6 +823,34 @@ object SparkEntry {
        |  FROM cand JOIN shf x ON doc_a = x.doc_id JOIN shf y ON doc_b = y.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM conf WHERE jaccard >= 0.5""".stripMargin
   }
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
+
+  /** IVF oracle: same deterministic centroid/assignment/probe pipeline
+    * (constants match Similarity.ivfTopK — 16 cells, 2 probes, k=3,
+    * queries vec_id < 10; ranking on ROUNDED cosine, centroid-id / nn_id
+    * tie-breaks). */
+  private def ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
+       |assign AS (SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |probe AS (SELECT qid, qe, cell FROM (
+       |    SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS rn
+       |    FROM e, c WHERE e.vec_id < 10) WHERE rn <= 2),
+       |p AS (SELECT qid, a.vec_id AS nn_id, ${cosSql("qe", "a.emb")} AS cos
+       |  FROM probe JOIN assign a USING (cell) WHERE qid != a.vec_id)
+       |SELECT qid, nn_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+       |  FROM p) WHERE rn <= 3""".stripMargin
 
   private def simhashCte: String = {
     val bitSums = (0 until 64)

@@ -66,6 +66,56 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** IVF (inverted-file) ANN top-k — the index-structured scale path
+    * beside the hash-structured [[bucketTopK]]: vectors are PARTITIONED
+    * into cells by nearest coarse centroid, and a query scans only its
+    * `nProbe` closest cells instead of the collection.
+    *
+    * Centroids here are the vectors with `vec_id < nCells` — a
+    * deterministic stand-in for an offline-trained k-means coarse
+    * quantizer (training is a batch job; the operator IS the
+    * partition/probe machinery, which doesn't care where centroids came
+    * from). Assignment = argmax rounded cosine with centroid-id
+    * tie-break, so the oracle reproduces it bit-for-bit.
+    *
+    * Scale shape: centroids are bounded by construction (broadcast);
+    * assignment is one scan of the collection; the probe is an
+    * equi-join on the cell id (shuffle-on-cell, no cartesian). Recall
+    * vs cost is `nProbe/nCells`; at 100 TB you raise `nCells` (smaller
+    * cells) and keep `nProbe` small. */
+  def ivfTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 3,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("emb").as("ce"))
+
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cid"),
+        cosine(col("emb"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
+    val probes = q.join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"),
+        cosine(col("qe"), col("ce")).as("qsim"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid").as("cell"))
+
+    // scan ONLY the probed cells; a vector lives in exactly one cell, so
+    // no neighbor can surface twice
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+    probes.join(assigned, "cell")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qe"), col("emb")).as("cos"))
+      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
+      .select("qid", "nn_id", "cos")
+  }
+
   /** Bucketed ANN top-k — the scale path: queries join ONLY their own
     * LSH bucket (equi-join on the bucket id → shuffle-on-bucket, no
     * cross join anywhere in the plan), then exact cosine + window top-k

@@ -113,6 +113,23 @@ class OpsSpec extends SparkTestBase {
     assert(bk.count() > 0)
   }
 
+  test("IVF ANN: partition+probe recalls most brute-force neighbors, no cartesian") {
+    import spark.implicits._
+    val bf = Similarity.bruteForceTopK(emb, maxQueryId = 10, k = 3)
+      .select("qid", "nn_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, maxQueryId = 10, k = 3)
+    val got = ivf.select("qid", "nn_id").as[(Long, Long)].collect().toSet
+    // every query produced answers, at most k each
+    val perQ = ivf.groupBy("qid").count().collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) <= 3))
+    // probing 2/16 cells still recalls a meaningful share of true top-k
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall >= 0.3, f"IVF recall $recall%.2f vs brute force too low")
+    val plan = planOf(Similarity.ivfTopK(emb))
+    assert(!plan.contains("CartesianProduct"),
+      "IVF must probe via equi-join on the cell id, never a cartesian")
+  }
+
   test("multimodal stub decode: plumbing preserves ids, deterministic features") {
     val f = Multimodal.extractFeatures(events, "event_id", "props").cache()
     assert(f.count() == events.count())
