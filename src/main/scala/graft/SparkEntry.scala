@@ -390,6 +390,10 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDup(T(s, d, "embeddings"))),
     "dedup_near_keep" -> ((s, d) => Dedup.nearDedupKeep(T(s, d, "documents"))),
 
+    // --- transitive near-dup clusters (connected components over the
+    //     LSH pair graph, min-label propagation to fixpoint)
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(T(s, d, "documents"))),
+
     // --- text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(T(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(T(s, d, "documents"))),
@@ -779,7 +783,22 @@ object SparkEntry {
     "dedup_near_keep" ->
       s"""WITH pairs AS (${minhashOracleSql.replace("\n", "\n  ")})
          |SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin,
+    // transitive closure over the pair graph via recursive CTE; cluster =
+    // min reachable id (self for singletons) — equals Spark's min-label
+    // propagation fixpoint
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
+         |  ${minhashOracleSql.replace("\n", "\n  ")})),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+         |GROUP BY d.doc_id""".stripMargin
   )
 
   // ---------------------------------------------------------------------

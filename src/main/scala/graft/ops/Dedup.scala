@@ -153,6 +153,55 @@ object Dedup {
     docs.join(drops, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
+  /** Transitive near-dup CLUSTERS: connected components over the LSH
+    * pair graph, every doc labeled with the SMALLEST doc_id reachable
+    * through confirmed near-dup pairs (singletons label themselves).
+    * This is the production dedup rule — keep one representative per
+    * duplicate cluster — and strictly subsumes the greedy pairwise rule
+    * in [[nearDedupKeep]] for chains A~B~C where the A~C pair was
+    * band-missed.
+    *
+    * Min-label propagation to fixpoint, the standard distributed CC:
+    * each round is one join + one min-aggregation (both shuffle-on-key,
+    * no cartesian); rounds are bounded by the cluster diameter, which
+    * for near-dup graphs is small. Convergence is detected by the sum
+    * of labels, which is strictly decreasing until fixpoint — one
+    * scalar per round on the driver, never rows. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
+                      maxIters: Int = 15): DataFrame =
+    propagateMinLabels(docs.select("doc_id"),
+      minhashLsh(docs, threshold = threshold).select("doc_a", "doc_b"), maxIters)
+
+  /** The propagation core, separated so tests can drive exact edge sets:
+    * min-label propagation over an undirected pair graph to fixpoint. */
+  private[graft] def propagateMinLabels(ids: DataFrame, pairs: DataFrame,
+                                        maxIters: Int): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    try {
+      var prevSum = BigDecimal(labels.agg(sum(col("cluster"))).head.getLong(0))
+      var it = 0
+      var converged = false
+      while (it < maxIters && !converged) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+          .persist()
+        val nextSum = BigDecimal(next.agg(sum(col("cluster"))).head.getLong(0))
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        it += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** 64-bit SimHash carried as FOUR 16-bit band integers (VERDICT r2
     * #2: the old 32-bit/2-band form had only 2^17 band keys — at
     * billions of docs the in-bucket self-join goes quadratic; 64 bits +

@@ -95,6 +95,31 @@ class OpsSpec extends SparkTestBase {
     assert(overlap >= (mh.size * 0.7).toInt, s"overlap $overlap of ${mh.size}")
   }
 
+  test("near-dup clusters: labels are fixpoint-consistent and cover all docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val labels = Dedup.nearDupClusters(docs).cache()
+    assert(labels.count() == docs.count(), "every doc gets a cluster label")
+    // a cluster label is always <= the doc id (min-reachable semantics)
+    assert(labels.where(col("cluster") > col("doc_id")).count() == 0)
+    // fixpoint: both endpoints of every confirmed pair share a label
+    val pairs = Dedup.minhashLsh(docs).select("doc_a", "doc_b")
+    val la = labels.select(col("doc_id").as("doc_a"), col("cluster").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("cluster").as("cb"))
+    val split = pairs.join(la, "doc_a").join(lb, "doc_b")
+      .where(col("ca") =!= col("cb")).count()
+    assert(split == 0, s"$split near-dup pairs straddle two clusters — not converged")
+    // transitivity beats the pairwise rule: edges (1-2),(2-3) with NO
+    // direct 1-3 pair still collapse to one cluster; 4 stays alone
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val chainPairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val cl = Dedup.propagateMinLabels(ids, chainPairs, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+      s"transitive labels wrong: $cl")
+    labels.unpersist()
+  }
+
   test("exact dedup covers every document exactly once") {
     import org.apache.spark.sql.functions._
     val d = Dedup.exact(docs)
