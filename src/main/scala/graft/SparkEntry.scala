@@ -443,6 +443,10 @@ object SparkEntry {
     //     micro-batch → per-user state update == batch GROUP BY
     "streaming_stateful_counts" -> ((s, d) => StreamingIngest.statefulUserCounts(s, d)),
 
+    // --- streaming dedup: dropDuplicates state bounded by the watermark;
+    //     emitted key set == batch DISTINCT
+    "streaming_dedup" -> ((s, d) => StreamingIngest.streamingDedup(s, d)),
+
     // --- skew-safe salted aggregation — result equals the plain groupBy
     "agg_salted_count" -> ((s, d) =>
       graft.ops.Salting.saltedCount(T(s, d, "lineitem"), Seq("l_returnflag"))),
@@ -754,6 +758,8 @@ object SparkEntry {
         |  SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
         |  FROM events GROUP BY 1, 2)
         |WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
+    "streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->

@@ -100,6 +100,29 @@ object StreamingIngest {
     spark.table(name)
   }
 
+  /** Streaming DEDUPLICATION: `dropDuplicates` on a key set with a
+    * watermark bounding the dedup state (the streaming member of the
+    * dedup family — exact dedup for a live ingest pipeline). The
+    * emitted KEY SET equals the batch `SELECT DISTINCT`, which is what
+    * the oracle checks; only the keys are returned because "which
+    * duplicate arrived first" is an arrival-order artifact, not a
+    * property of the data. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+    val name = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Sessionized per-user event counts with a 30-minute gap — the
     * `session_window` stateful-aggregation shape (extension surface;
     * exercised by tests against a batch recomputation). */
