@@ -17,7 +17,8 @@ object Bench {
     "o1_sort_limit", "agg_rollup",
     // LLM-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "ann_cosine_topk", "ann_bucket_topk", "text_quality",
+    "dedup_clusters", "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk",
+    "text_quality",
     "streaming_window_counts", "streaming_window_append",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC)
     "transfer_config_multi", "transfer_jdbc_roundtrip")

@@ -198,7 +198,12 @@ object Dedup {
         prevSum = nextSum
         it += 1
       }
-      labels
+      // hand back an UNPERSISTED result: the fixpoint was already forced
+      // by the convergence probes, and a leaked cache entry per call
+      // would squat on executor storage for the rest of the session
+      val out = labels.localCheckpoint(true)
+      labels.unpersist()
+      out
     } finally edges.unpersist()
   }
 
