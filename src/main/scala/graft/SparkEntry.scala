@@ -447,6 +447,18 @@ object SparkEntry {
     //     emitted key set == batch DISTINCT
     "streaming_dedup" -> ((s, d) => StreamingIngest.streamingDedup(s, d)),
 
+    // --- stream-stream interval join (clicks ⋈ purchases within 30 min,
+    //     watermark-bounded state both sides) == batch interval join
+    "streaming_stream_join" -> ((s, d) => StreamingIngest.streamStreamJoin(s, d)),
+
+    // --- multimodal frame sampling: video-payload analog — per-partition
+    //     batch "codec" chunks the payload and samples every 2nd frame,
+    //     one typed row per sampled frame
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(T(s, d, "events"), "event_id", "props")
+        .toDF().select(col("id"), col("frameIdx").as("frame_idx"),
+          col("frameLen").as("frame_len"), col("frameMd5").as("frame_md5"))),
+
     // --- skew-safe salted aggregation — result equals the plain groupBy
     "agg_salted_count" -> ((s, d) =>
       graft.ops.Salting.saltedCount(T(s, d, "lineitem"), Seq("l_returnflag"))),
@@ -760,6 +772,18 @@ object SparkEntry {
         |WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "streaming_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "multimodal_frames" ->
+      """WITH f AS (SELECT event_id, props, unnest(range(0,
+        |    CAST(ceil(length(props) / 4.0) AS INT))) AS i FROM events)
+        |SELECT event_id AS id, i::INT AS frame_idx,
+        |  length(substr(props, i * 4 + 1, 4))::INT AS frame_len,
+        |  md5(substr(props, i * 4 + 1, 4)) AS frame_md5
+        |FROM f WHERE i % 2 = 0""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->

@@ -44,6 +44,42 @@ object Multimodal {
       .mapPartitions(decoder)
   }
 
+  /** One sampled frame of a media payload. */
+  final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)
+
+  /** Frame decoder signature — same per-partition batch shape as
+    * [[Decoder]], for frame-structured media (video). */
+  type FrameDecoder = Iterator[(Long, Array[Byte])] => Iterator[Frame]
+
+  /** STUB frame "codec": fixed-size byte chunking + every-kth sampling —
+    * a real implementation seeks keyframes via the container codec
+    * (absent in this environment); the chunk/sample/digest plumbing and
+    * the exploded one-row-per-frame output shape are the real thing. */
+  def stubFrameDecoder(frameSize: Int, every: Int): FrameDecoder = it =>
+    it.flatMap { case (id, bytes) =>
+      val bs = if (bytes == null) Array.empty[Byte] else bytes
+      bs.grouped(frameSize).zipWithIndex.collect {
+        case (chunk, i) if i % every == 0 =>
+          val md = java.security.MessageDigest.getInstance("MD5").digest(chunk)
+          Frame(id, i, chunk.length, md.map("%02x".format(_)).mkString)
+      }
+    }
+
+  /** Frame-sampling plumbing (video payloads): binary column →
+    * per-partition batch decode → one typed row per SAMPLED frame.
+    * Row-multiplying (like `mapInPandas` with an exploding batch
+    * function); frames of one payload stay in one partition. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   frameSize: Int = 4, every: Int = 2,
+                   decoder: Option[FrameDecoder] = None): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = decoder.getOrElse(stubFrameDecoder(frameSize, every))
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(dec)
+  }
+
   /** Oracle-checkable binary plumbing: treat a string column as a binary
     * payload and compute byte-level features (length + digest) — proves
     * the binary cast path end-to-end against DuckDB's blob functions. */

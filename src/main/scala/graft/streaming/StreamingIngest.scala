@@ -123,6 +123,38 @@ object StreamingIngest {
     spark.table(name)
   }
 
+  /** STREAM-STREAM interval join: each click joined to the same user's
+    * purchases within the following 30 minutes — two watermarked
+    * streams, state on both sides bounded by watermark + the interval
+    * condition (Spark evicts a side's rows once the other side's
+    * watermark passes the join range). Inner joins emit matches as
+    * soon as both rows exist, so a bounded run emits exactly the batch
+    * interval-join, which the oracle recomputes. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def src = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+
+    val name = "graft_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Sessionized per-user event counts with a 30-minute gap — the
     * `session_window` stateful-aggregation shape (extension surface;
     * exercised by tests against a batch recomputation). */
