@@ -430,6 +430,11 @@ object SparkEntry {
       Multimodal.extractFeatures(T(s, d, "events"), "event_id", "props")
         .toDF().select(col("id"), col("byteLen"), col("width"), col("height"))),
 
+    // --- multimodal resize stage: fit stub-decoded dims inside 32px,
+    //     integer-exact → oracle-gated (decode → feature → resize chain)
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePlan(T(s, d, "events"))),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -760,6 +765,20 @@ object SparkEntry {
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events""".stripMargin,
+    // dims replicate stubDecoder arithmetic: props is ASCII, so byte
+    // values == code points; fit-to-32 mirrors Multimodal.resizePlan
+    "multimodal_resize" ->
+      """WITH d AS (SELECT event_id AS id,
+        |    CAST(1 + list_sum(list_transform(range(1, length(props)+1),
+        |      i -> unicode(substr(props, i, 1)))) % 64 AS INT) AS w,
+        |    CAST(1 + length(props) % 64 AS INT) AS h
+        |  FROM events)
+        |SELECT id, w AS w0, h AS h0,
+        |  CAST(CASE WHEN greatest(w, h) <= 32 THEN w
+        |       ELSE greatest(1, CAST(floor(w * 32.0 / greatest(w, h)) AS INT)) END AS INT) AS w1,
+        |  CAST(CASE WHEN greatest(w, h) <= 32 THEN h
+        |       ELSE greatest(1, CAST(floor(h * 32.0 / greatest(w, h)) AS INT)) END AS INT) AS h1
+        |FROM d""".stripMargin,
     "streaming_window_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,

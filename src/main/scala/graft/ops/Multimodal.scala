@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads ride through the engine as
@@ -78,6 +78,23 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(dec)
+  }
+
+  /** Resize planning on stub-decoded dimensions: fit (width, height)
+    * inside `maxDim` preserving aspect ratio, integer arithmetic only —
+    * composes the decode stage with the resize stage of a media
+    * pipeline (the actual pixel resample lives in the codec, which is
+    * stubbed here; the dimension math IS the contract a resampler gets,
+    * and being integer-exact it is oracle-gated, not rows-only). */
+  def resizePlan(events: DataFrame, idCol: String = "event_id",
+                 binCol: String = "props", maxDim: Int = 32): DataFrame = {
+    val f = extractFeatures(events, idCol, binCol).toDF()
+    val m = greatest(col("width"), col("height"))
+    def fit(side: Column): Column =
+      when(m <= maxDim, side)
+        .otherwise(greatest(lit(1), floor(side * maxDim / m).cast("int")))
+    f.select(col("id"), col("width").as("w0"), col("height").as("h0"),
+      fit(col("width")).as("w1"), fit(col("height")).as("h1"))
   }
 
   /** Oracle-checkable binary plumbing: treat a string column as a binary
