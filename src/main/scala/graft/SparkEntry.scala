@@ -452,6 +452,21 @@ object SparkEntry {
     //     emitted key set == batch DISTINCT
     "streaming_dedup" -> ((s, d) => StreamingIngest.streamingDedup(s, d)),
 
+    // --- streaming INTO a live database: closed windows MERGE-upserted
+    //     into Derby per micro-batch (foreachBatch + the JDBC sink);
+    //     exactly-once = checkpoint replay × idempotent MERGE
+    "streaming_jdbc_sink" -> ((s, d) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derby_stream_" +
+        math.abs(d.hashCode).toString
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+      val url = s"jdbc:derby:$work/db;create=true"
+      StreamingIngest.windowCountsToJdbc(s, d, url, "window_counts")
+      graft.engine.JdbcTransfer.readAll(s, url, "window_counts")
+    }),
+
     // --- stream-stream interval join (clicks ⋈ purchases within 30 min,
     //     watermark-bounded state both sides) == batch interval join
     "streaming_stream_join" -> ((s, d) => StreamingIngest.streamStreamJoin(s, d)),
@@ -791,6 +806,11 @@ object SparkEntry {
         |WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
     "streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "streaming_jdbc_sink" ->
+      """SELECT * FROM (
+        |  SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
     "streaming_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
         |FROM events c JOIN events p ON c.user_id = p.user_id

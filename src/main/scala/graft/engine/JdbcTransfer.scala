@@ -82,6 +82,14 @@ object JdbcTransfer {
     df.toDF(df.columns.map(_.toLowerCase): _*)
   }
 
+  /** Unpartitioned read of a (small) live table — for read-back of
+    * results whose PK is not numeric (e.g. composite timestamp keys). */
+  def readAll(spark: SparkSession, url: String, name: String): DataFrame = {
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", name).load()
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+  }
+
   /** Read a live table back, introspecting its PK and bounds (the
     * verification side of a round-trip). */
   def readBack(spark: SparkSession, url: String, name: String,

@@ -123,6 +123,40 @@ object StreamingIngest {
     spark.table(name)
   }
 
+  /** Streaming INTO a live database: watermark-closed windows upserted
+    * per micro-batch into a JDBC store via `foreachBatch` + the MERGE
+    * sink — the streaming half of the transfer product. Exactly-once
+    * lands by composition: the streaming checkpoint replays a failed
+    * batch, and the keyed MERGE makes the replay a no-op (the same
+    * idempotence contract as the batch engine's chunk writes). */
+  def windowCountsToJdbc(spark: SparkSession, dir: String, url: String,
+                         table: String): Unit = {
+    import graft.sinks.JdbcUpsert
+    graft.sources.JdbcCatalog.execute(url, s"CREATE TABLE $table (" +
+      "w_start TIMESTAMP NOT NULL, event_type VARCHAR(64) NOT NULL, " +
+      "cnt BIGINT, PRIMARY KEY (w_start, event_type))")
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_sjdbc_" +
+      math.abs((dir + url).hashCode).toString
+    graft.util.Fs.deleteRecursive(new java.io.File(work))
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        JdbcUpsert.write(batch.coalesce(1), JdbcUpsert.Derby, table,
+          Seq("w_start", "event_type")) { () => new JdbcUpsert.ConnectionExecutor(url) }
+      }
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** STREAM-STREAM interval join: each click joined to the same user's
     * purchases within the following 30 minutes — two watermarked
     * streams, state on both sides bounded by watermark + the interval
