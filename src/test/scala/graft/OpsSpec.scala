@@ -155,6 +155,20 @@ class OpsSpec extends SparkTestBase {
       "IVF must probe via equi-join on the cell id, never a cartesian")
   }
 
+  test("k-means quantizer: Lloyd's objective non-increasing; trained IVF still answers") {
+    val init = Similarity.trainCentroids(emb, k = 8, iters = 0)
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 2).cache()
+    assert(trained.count() == 8, "quantizer must stay k-wide (empty cells kept)")
+    val obj0 = Similarity.kmeansObjective(emb, init)
+    val obj2 = Similarity.kmeansObjective(emb, trained)
+    assert(obj2 <= obj0 + 1e-6, f"objective rose: $obj0%.4f -> $obj2%.4f")
+    val res = Similarity.ivfTopK(emb, maxQueryId = 5, k = 3,
+      centroids = Some(trained))
+    val perQ = res.groupBy("qid").count().collect()
+    assert(perQ.length == 5 && perQ.forall(_.getLong(1) <= 3))
+    trained.unpersist()
+  }
+
   test("multimodal stub decode: plumbing preserves ids, deterministic features") {
     val f = Multimodal.extractFeatures(events, "event_id", "props").cache()
     assert(f.count() == events.count())
