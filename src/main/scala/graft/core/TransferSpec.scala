@@ -149,6 +149,7 @@ object TransferSpec {
        |        - source_column: "price"
        |          expression: "price * 100"
        |    - name: "orders"
+       |      register_table: true    # CREATE TABLE IF NOT EXISTS in the session catalog
        |      column_transformations:
        |        - source_column: "status"
        |          expression: "CONCAT('Status: ', status)"
@@ -166,5 +167,6 @@ object TransferSpec {
        |  progress_interval: 10   # seconds between progress reports
        |  checkpoint_row_threshold: 1000
        |  checkpoint_interval: 1
+       |  chunk_parallelism: 4    # chunk writes in flight per table
        |""".stripMargin
 }
