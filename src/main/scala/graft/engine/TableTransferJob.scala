@@ -452,8 +452,15 @@ final class TableTransferJob(
       val (loc, opts) =
         if (table.partitionBy.nonEmpty) (s"$destDir-final", "")
         else (destDir, ", recursiveFileLookup 'true'")
-      spark.sql(s"CREATE TABLE IF NOT EXISTS `${table.target}` USING parquet " +
-        s"OPTIONS (path '$loc'$opts)")
+      // Drop-then-create (v1 session catalog has no REPLACE TABLE): a
+      // stale registration from an earlier run would silently keep
+      // pointing at the OLD destination/layout (ADVICE r3). External
+      // table, so the drop never touches the transferred data. The path
+      // is escaped — a quote in it must not break the statement.
+      val escaped = loc.replace("'", "''")
+      spark.sql(s"DROP TABLE IF EXISTS `${table.target}`")
+      spark.sql(s"CREATE TABLE `${table.target}` USING parquet " +
+        s"OPTIONS (path '$escaped'$opts)")
     }
     saveCp(lastKey, lastChunk, complete = true, bucketCount = bucketCount)
     Files.writeString(Paths.get(destDir, "_GRAFT_COMPLETE"), "")

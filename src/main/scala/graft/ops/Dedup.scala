@@ -181,8 +181,17 @@ object Dedup {
       .toDF("src", "dst")
       .persist()
     var labels = ids.select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    // Convergence scalar summed as DECIMAL(38,0) INSIDE Spark — a Long
+    // sum() overflows (ANSI error / silent wrap) at billion-doc id scale,
+    // which is exactly where the probe must stay exact (ADVICE r3). An
+    // empty ids set sums to NULL → 0, and the loop exits immediately.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("cluster")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
+    }
     try {
-      var prevSum = BigDecimal(labels.agg(sum(col("cluster"))).head.getLong(0))
+      var prevSum = labelSum(labels)
       var it = 0
       var converged = false
       while (it < maxIters && !converged) {
@@ -191,13 +200,20 @@ object Dedup {
         val next = labels.union(prop)
           .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
           .persist()
-        val nextSum = BigDecimal(next.agg(sum(col("cluster"))).head.getLong(0))
+        val nextSum = labelSum(next)
         labels.unpersist()
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
         it += 1
       }
+      if (!converged)
+        // a non-fixpoint labeling diverges from the transitive closure for
+        // chains deeper than maxIters hops — surface it instead of
+        // silently returning (ADVICE r3)
+        System.err.println(s"[dedup] WARNING: min-label propagation hit " +
+          s"maxIters=$maxIters without converging; labels may not be the " +
+          "transitive-closure fixpoint (raise maxIters for deep chains)")
       // hand back an UNPERSISTED result: the fixpoint was already forced
       // by the convergence probes, and a leaked cache entry per call
       // would squat on executor storage for the rest of the session

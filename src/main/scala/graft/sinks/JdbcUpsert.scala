@@ -62,8 +62,7 @@ object JdbcUpsert {
     // partitioning stay parallel, the store applies one write at a time.
     // Server-grade stores (including Derby network mode) take the fully
     // parallel path.
-    private val serializeStatements =
-      url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
+    private val serializeStatements = isEmbeddedUrl(url)
     private var conn: java.sql.Connection = null
     private val stmts =
       scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
@@ -104,6 +103,14 @@ object JdbcUpsert {
       try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
       catch { case _: Throwable => () }
   }
+
+  /** In-process embedded store (`jdbc:derby:<path>`, not a `//host`
+    * network URL): single-disk, single-JVM — writes are serialized by
+    * [[ConnectionExecutor]] and callers should keep write parallelism at
+    * 1. Server-grade URLs (including Derby network mode) take the fully
+    * parallel per-partition path. */
+  def isEmbeddedUrl(url: String): Boolean =
+    url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://")
 
   /** Derby SQL type for a Catalyst type — used to give MERGE key
     * parameters an explicit CAST (Derby refuses untyped `?` in the ON
@@ -200,12 +207,17 @@ object JdbcUpsert {
       dialect match {
         case Derby =>
           val sql = upsertSql(Derby, table, cols, keys, 1, keyTypes)
+          // Key-only tables have no WHEN MATCHED clause, so a replayed row
+          // legitimately affects 0 rows — only a table WITH updatable
+          // columns can treat 0 as a concurrency rollback (ADVICE r3).
+          val hasUpdatable = cols.exists(!keys.contains(_))
           batch.foreach { r =>
             graft.engine.Retry(attempts = retries, delayMs = retryDelayMs, sleep = sleep) {
               // a MERGE must touch exactly one row; 0 means the statement
               // was rolled back under concurrency — retry it
               val n = exec.applyCounted(sql, rowParams(Derby, cols, keys, r))
-              if (n == 0) sys.error(s"MERGE affected 0 rows in $table — retrying")
+              if (n == 0 && hasUpdatable)
+                sys.error(s"MERGE affected 0 rows in $table — retrying")
             }
           }
         case _ =>

@@ -29,18 +29,42 @@ object JdbcCatalog {
     try f(conn) finally conn.close()
   }
 
+  /** Stored-case candidates for a table name, ordered by the store's
+    * declared identifier folding (`DatabaseMetaData.stores*`): Derby/DB2
+    * fold unquoted names to UPPER, PostgreSQL to lower, MySQL on Linux
+    * stores them as-given — hardcoding any one of them breaks the others
+    * (ADVICE r3). The reference sidesteps this by querying each store's
+    * own catalog with the name verbatim; here the folded form is probed
+    * first, then the remaining casings. */
+  private def nameCandidates(md: java.sql.DatabaseMetaData,
+                             table: String): Seq[String] = {
+    val folded =
+      if (md.storesUpperCaseIdentifiers()) table.toUpperCase
+      else if (md.storesLowerCaseIdentifiers()) table.toLowerCase
+      else table
+    Seq(folded, table, table.toLowerCase, table.toUpperCase).distinct
+  }
+
+  /** The table's stored-case name, if it exists (probes each candidate
+    * casing against `getTables`). */
+  private def storedName(c: Connection, table: String): Option[String] = {
+    val md = c.getMetaData
+    nameCandidates(md, table).find { cand =>
+      val rs = md.getTables(null, null, cand, null)
+      try rs.next() finally rs.close()
+    }
+  }
+
   /** S7: existence probe via table metadata (reference probes with
     * `SELECT 1 ... LIMIT 1`, `mysql.go:200-207`). */
   def tableExists(url: String, table: String): Boolean =
-    withConnection(url) { c =>
-      val rs = c.getMetaData.getTables(null, null, table.toUpperCase, null)
-      try rs.next() finally rs.close()
-    }
+    withConnection(url)(c => storedName(c, table).isDefined)
 
   /** S5: column inventory in ordinal order. */
   def columns(url: String, table: String): Seq[ColumnMeta] =
     withConnection(url) { c =>
-      val rs = c.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val name = storedName(c, table).getOrElse(table)
+      val rs = c.getMetaData.getColumns(null, null, name, null)
       val out = Seq.newBuilder[ColumnMeta]
       try {
         while (rs.next()) out += ColumnMeta(
@@ -58,7 +82,8 @@ object JdbcCatalog {
     * `mysql.go:681-737` orders by `Seq_in_index`). */
   def primaryKey(url: String, table: String): Seq[String] =
     withConnection(url) { c =>
-      val rs = c.getMetaData.getPrimaryKeys(null, null, table.toUpperCase)
+      val name = storedName(c, table).getOrElse(table)
+      val rs = c.getMetaData.getPrimaryKeys(null, null, name)
       val out = Seq.newBuilder[(Short, String)]
       try {
         while (rs.next())
