@@ -547,6 +547,73 @@ object SparkEntry {
       graft.engine.JdbcTransfer.readBack(s, url, "customer_dst", mig)
     }),
 
+    // --- R4/R8 LIVE: the reference's headline resume feature (断点续传)
+    //     on the live JDBC path. Chunked transfer with per-chunk
+    //     checkpoints is KILLED after 2 chunk checks (deterministic
+    //     simulated crash), then resumed — the resume continues the
+    //     PERSISTED chunk plan from the checkpointed prefix, and the
+    //     keyed MERGE absorbs any replayed tail. Result read back live.
+    "transfer_jdbc_kill_resume" -> ((s, d) => {
+      import graft.sinks.JdbcUpsert
+      import graft.sources.JdbcCatalog
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derbykr_" +
+        math.abs(d.hashCode).toString
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+      val url = s"jdbc:derby:$work/db;create=true"
+      // small chunks (batch 500 over ~2000 rows → 5-chunk plan) so the
+      // kill lands mid-plan; checkpoints live with the run
+      val mig = MigrationSpec(batchSize = 500, rateLimit = 1000000000,
+        checkpointRowThreshold = 500, checkpointDir = s"$work/cp")
+      JdbcCatalog.execute(url, "CREATE TABLE orders_src (" +
+        "o_orderkey BIGINT NOT NULL PRIMARY KEY, o_custkey BIGINT, o_totalprice DOUBLE)")
+      val src = T(s, d, "orders").where(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      JdbcUpsert.write(src.coalesce(1), JdbcUpsert.Derby, "orders_src",
+        Seq("o_orderkey")) { () => new JdbcUpsert.ConnectionExecutor(url) }
+      val t = TableMapping("orders_src", targetName = Some("orders_dst"),
+        columnTransformations = Seq(
+          ColumnTransformation("o_totalprice", "o_totalprice * 2")))
+      new graft.engine.JdbcTransferJob(s, url, t, mig,
+        control = graft.engine.TransferControl.cancelAfterChecks(2)).run()
+      new graft.engine.JdbcTransferJob(s, url, t, mig).run() // resume
+      graft.engine.JdbcTransfer.readBack(s, url, "orders_dst", mig)
+    }),
+
+    // --- VERDICT r3 #2: non-numeric PK on the live path. A VARCHAR key
+    //     gets RANK-PROBE chunk bounds (the key at row rank i·total/n via
+    //     the PK index — no getLong, no hash pushdown needed), then the
+    //     same kill+resume cycle as the numeric gate.
+    "transfer_jdbc_varchar_pk" -> ((s, d) => {
+      import graft.sinks.JdbcUpsert
+      import graft.sources.JdbcCatalog
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derbyvc_" +
+        math.abs(d.hashCode).toString
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+      val url = s"jdbc:derby:$work/db;create=true"
+      val mig = MigrationSpec(batchSize = 300, rateLimit = 1000000000,
+        checkpointRowThreshold = 300, checkpointDir = s"$work/cp")
+      JdbcCatalog.execute(url, "CREATE TABLE doc_src (" +
+        "doc_key VARCHAR(20) NOT NULL PRIMARY KEY, c_name VARCHAR(64), c_acctbal DOUBLE)")
+      val src = T(s, d, "customer").where(col("c_custkey") <= 1200)
+        .select(concat(lit("K"), lpad(col("c_custkey").cast("string"), 8, "0")).as("doc_key"),
+          col("c_name"), col("c_acctbal"))
+      JdbcUpsert.write(src.coalesce(1), JdbcUpsert.Derby, "doc_src",
+        Seq("doc_key")) { () => new JdbcUpsert.ConnectionExecutor(url) }
+      val t = TableMapping("doc_src", targetName = Some("doc_dst"),
+        columnTransformations = Seq(
+          ColumnTransformation("c_name", "UPPER(c_name)")))
+      new graft.engine.JdbcTransferJob(s, url, t, mig,
+        control = graft.engine.TransferControl.cancelAfterChecks(1)).run()
+      new graft.engine.JdbcTransferJob(s, url, t, mig).run() // resume
+      graft.engine.JdbcTransfer.readAll(s, url, "doc_dst")
+    }),
+
     // --- S5: catalog introspection (parquet footer as the catalog);
     //     no SQL oracle — driver applies the rows-only check.
     "catalog_columns" -> ((s, d) =>
@@ -686,6 +753,13 @@ object SparkEntry {
     "transfer_jdbc_roundtrip" ->
       """SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
         |FROM customer WHERE c_custkey <= 2000""".stripMargin,
+    "transfer_jdbc_kill_resume" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
+    "transfer_jdbc_varchar_pk" ->
+      """SELECT 'K' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS doc_key,
+        |  UPPER(c_name) AS c_name, c_acctbal
+        |FROM customer WHERE c_custkey <= 1200""".stripMargin,
     "transfer_nested_roundtrip" ->
       """SELECT event_id, event_type AS etype, user_id AS uid,
         |  value * 2 AS v2, value AS tag_v FROM events""".stripMargin,

@@ -1,0 +1,343 @@
+package graft.engine
+
+import java.sql.Connection
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ExpressionValidator, MigrationSpec, TableMapping}
+import graft.sinks.JdbcUpsert
+import graft.sources.JdbcCatalog
+
+/** Chunked, checkpointed transfer against a LIVE database — the
+  * reference's headline resume feature (断点续传, `mysql.go:533-576`,
+  * checkpoint save `internal/migration/migration.go:30-34`) on the live
+  * JDBC path, with the same contract as the parquet engine
+  * ([[TableTransferJob]]): plan persisted at start, per-chunk idempotent
+  * writes, prefix-only checkpoint, cancel checks between chunks, rate
+  * limiting and progress on the drain thread.
+  *
+  * Pipeline: existence probe (S7) → checkpoint load, skip-if-complete
+  * (R6) → PK introspection (S6) → transform validation (P6) → DDL mirror
+  * (S8) → chunk PLAN (typed, persisted) → chunked read→transform→MERGE
+  * loop with checkpoint cadence (R4/R5), rate limit (R2), progress (R7),
+  * cancel (R8) → complete marker in the checkpoint.
+  *
+  * Chunk plans are TYPED by the introspected key (the reference getLong'd
+  * bounds and died on VARCHAR keys — VERDICT r3 #2):
+  *  - numeric keys (integral, decimal, floating): one
+  *    `MIN/MAX/COUNT` probe, even-split range bounds computed in
+  *    BigDecimal (exact for 64-bit ids ≥ 2^53), the last bound the exact
+  *    max; wide chunks are sub-split into parallel range predicates so
+  *    the per-chunk read stays a parallel scan;
+  *  - character / timestamp / date keys: rank-probe bounds — the key at
+  *    row rank `i·total/n` via `ORDER BY pk OFFSET … FETCH NEXT 1 ROW`
+  *    (`LIMIT k,1` on MySQL), each an O(log) walk of the PK index. The
+  *    bounds are exact stored keys, so per-chunk predicates
+  *    `pk > lo AND pk <= hi` are disjoint and complete under the store's
+  *    own collation; the driver never compares key values itself (resume
+  *    is by chunk INDEX into the persisted plan).
+  *
+  * Bounds are applied server-side on the RAW key, before column
+  * transformations, exactly like the parquet engine and the reference's
+  * keyset pagination (`mysql.go:599-631`).
+  *
+  * Both the bounds and the row total live in the checkpoint, so a resume
+  * costs one checkpoint read — no re-probe, no re-count — and continues
+  * the SAME plan (re-planning against a drifted table would shift chunk
+  * membership). Rows written after the last checkpoint are re-merged on
+  * resume; the keyed MERGE makes that a no-op (idempotence is the
+  * correctness story, the checkpoint is the cost story).
+  *
+  * 100 TB posture: no driver-side data, chunk count capped at 256 so the
+  * checkpoint cadence scales with table size; per-chunk reads are indexed
+  * range scans the store can serve concurrently; writes are per-partition
+  * batched MERGEs (parallel against server-grade stores, serialized only
+  * for in-process embedded URLs).
+  */
+final class JdbcTransferJob(
+    spark: SparkSession,
+    url: String,
+    table: TableMapping,
+    mig: MigrationSpec,
+    dialect: JdbcUpsert.Dialect = JdbcUpsert.Derby,
+    /** Writer partitions per chunk: 0 = auto (1 for in-process embedded
+      * URLs, the chunk's own partitioning otherwise). */
+    writeParallelism: Int = 0,
+    control: TransferControl = new TransferControl,
+    log: String => Unit = s => System.err.println(s"[transfer] $s"),
+    sharedLimiter: Option[RateLimiter] = None,
+    /** Test seam; must be serializable (build in a static object). */
+    executorFactory: () => JdbcUpsert.Executor = null) {
+
+  private val kind = "jdbc"
+  private val maxChunks = 256
+  private val limiter: RateLimiter =
+    sharedLimiter.getOrElse(new RateLimiter(mig.rateLimit.toLong))
+  private val factory: () => JdbcUpsert.Executor =
+    if (executorFactory != null) executorFactory
+    else JdbcTransferJob.connectionFactory(url)
+
+  /** Rows written by the last `run()` (runner/CLI reporting). */
+  @volatile private var written = 0L
+  def rowsWritten: Long = written
+
+  // -- typed key plan ----------------------------------------------------
+
+  /** How the chunk planner treats the first PK column, from its
+    * introspected SQL type. */
+  private sealed trait KeyStyle { def literal(v: String): String }
+  /** Even-split numeric ranges; scale 0 for integral keys. */
+  private final case class NumericKey(scale: Int) extends KeyStyle {
+    def literal(v: String): String = v
+  }
+  /** Rank-probe bounds, quoted literal. */
+  private case object CharKey extends KeyStyle {
+    def literal(v: String): String = s"'${v.replace("'", "''")}'"
+  }
+  /** Rank-probe bounds, typed temporal literal. */
+  private final case class TemporalKey(sqlPrefix: String) extends KeyStyle {
+    def literal(v: String): String = s"$sqlPrefix '$v'"
+  }
+
+  private def keyStyle(meta: JdbcCatalog.ColumnMeta): KeyStyle =
+    meta.typeName.toUpperCase match {
+      case "TINYINT" | "SMALLINT" | "INTEGER" | "INT" | "BIGINT" =>
+        NumericKey(0)
+      case "DECIMAL" | "NUMERIC" => NumericKey(math.max(0, meta.scale))
+      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" => NumericKey(6)
+      case "DATE" => TemporalKey("DATE")
+      case t if t.startsWith("TIMESTAMP") => TemporalKey("TIMESTAMP")
+      case _ => CharKey
+    }
+
+  private def chunkRows(total: Long): Long = {
+    val base = math.max(mig.batchSize.toLong, mig.checkpointRowThreshold.toLong)
+    math.max(base, math.ceil(total.toDouble / maxChunks).toLong)
+  }
+  private def chunkCount(total: Long): Int =
+    math.max(1, math.min(maxChunks,
+      math.ceil(total.toDouble / chunkRows(total)).toInt))
+
+  /** Plan for a numeric key: one MIN/MAX/COUNT probe, even-split bounds
+    * in BigDecimal (floor at the key's scale), last bound the exact max. */
+  private def numericPlan(c: Connection, pkCol: String,
+                          scale: Int): (Seq[String], Long) = {
+    val st = c.createStatement()
+    val (lo, hi, total) =
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MIN($pkCol), MAX($pkCol), COUNT(*) FROM ${table.name}")
+        rs.next()
+        (rs.getBigDecimal(1), rs.getBigDecimal(2), rs.getLong(3))
+      } finally st.close()
+    if (total == 0) return (Nil, 0L)
+    val n = chunkCount(total)
+    val span = hi.subtract(lo)
+    val bounds = Seq.newBuilder[java.math.BigDecimal]
+    var prev = lo.subtract(java.math.BigDecimal.ONE)
+    for (i <- 1 until n) {
+      val b = lo.add(span.multiply(new java.math.BigDecimal(i))
+        .divide(new java.math.BigDecimal(n), scale, java.math.RoundingMode.FLOOR))
+      if (b.compareTo(prev) > 0 && b.compareTo(hi) < 0) {
+        bounds += b; prev = b
+      }
+    }
+    bounds += hi // exact max closes the plan
+    (bounds.result().map(_.toPlainString), total)
+  }
+
+  /** Plan for a character/temporal key: COUNT(*) then n-1 rank probes —
+    * the key at 0-based offset `i·total/n - 1`, each an indexed
+    * ORDER-BY-PK walk — plus the exact MAX as the final bound. */
+  private def rankPlan(c: Connection, pkCol: String): (Seq[String], Long) = {
+    val total = {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${table.name}")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    }
+    if (total == 0) return (Nil, 0L)
+    val n = chunkCount(total)
+    val offsets = (1 to n).map(i => i * total / n - 1)
+    val bounds = offsets.map { off =>
+      val sql = dialect match {
+        case JdbcUpsert.MySql =>
+          s"SELECT $pkCol FROM ${table.name} ORDER BY $pkCol LIMIT $off, 1"
+        case _ =>
+          s"SELECT $pkCol FROM ${table.name} ORDER BY $pkCol " +
+            s"OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY"
+      }
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        rs.next(); rs.getString(1)
+      } finally st.close()
+    }
+    (bounds.distinct, total)
+  }
+
+  // -- chunked transfer --------------------------------------------------
+
+  def run(): TransferOutcome = {
+    require(JdbcCatalog.tableExists(url, table.name),
+      s"source table not found: ${table.name}") // S7, mysql.go:200-207
+    val cp = Checkpoint.load(mig.checkpointDir, kind, table.name)
+    if (cp.exists(_.complete)) {
+      log(s"${table.name}: checkpoint complete, skipping (R6)")
+      return TransferOutcome.SkippedComplete
+    }
+
+    val pk = table.primaryKeyCols.getOrElse(JdbcCatalog.primaryKey(url, table.name))
+    require(pk.nonEmpty,
+      s"table '${table.name}' has no primary key — refusing (mysql.go:216-218)")
+    table.columnTransformations.foreach { ct =>
+      ExpressionValidator.validate(spark, ct.expression) match {
+        case Left(reason) => sys.error(
+          s"rejected transform for ${table.name}.${ct.sourceColumn}: $reason")
+        case Right(()) => ()
+      }
+    }
+    JdbcCatalog.mirrorTable(url, table.name, table.target) // S8
+
+    val pkCol = pk.head
+    val meta = JdbcCatalog.columns(url, table.name).find(_.name == pkCol)
+      .getOrElse(sys.error(s"key column '$pkCol' not found in ${table.name}"))
+    val style = keyStyle(meta)
+
+    // Plan from the checkpoint when one exists (resume = a file read, no
+    // re-probe); otherwise probe and persist before the first chunk.
+    val (bounds: Seq[String], total: Long) =
+      cp.filter(c => c.bounds.nonEmpty && c.totalRows >= 0) match {
+        case Some(c) => (c.bounds, c.totalRows)
+        case None =>
+          JdbcCatalog.withConnection(url) { c =>
+            style match {
+              case NumericKey(scale) => numericPlan(c, pkCol, scale)
+              case _ => rankPlan(c, pkCol)
+            }
+          }
+      }
+    val startChunk = cp.map(_.chunkIndex).getOrElse(-1) + 1
+
+    def save(idx: Int, complete: Boolean): Unit =
+      Checkpoint.save(mig.checkpointDir, kind, table.name,
+        Checkpoint(
+          if (idx >= 0 && bounds.nonEmpty)
+            Map(pkCol -> bounds(math.min(idx, bounds.size - 1)))
+          else Map.empty,
+          System.currentTimeMillis(), complete, idx,
+          bounds = bounds, totalRows = total))
+
+    if (bounds.isEmpty) { save(-1, complete = true); return TransferOutcome.Completed }
+    if (cp.isEmpty) save(startChunk - 1, complete = false) // persist the plan
+    if (startChunk >= bounds.size) { save(bounds.size - 1, complete = true)
+      return TransferOutcome.Completed }
+
+    val stats = new ProgressStats(table.name, total)
+    val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
+      mig.checkpointIntervalSec * 1000L)
+    val disp = new ChunkDispatcher[Unit](mig.chunkParallelism,
+      (idx, _) => save(idx, complete = false), stats, policy,
+      limiter, log, mig.progressIntervalSec * 1000L)
+
+    try {
+      for (i <- startChunk until bounds.size) {
+        if (control.isCancelled) {
+          disp.drainAll()
+          save(i - 1, complete = false)
+          written = stats.processedRows
+          log(s"${table.name}: interrupted, checkpoint at chunk ${i - 1}")
+          return TransferOutcome.Interrupted(i - startChunk)
+        }
+        val preds = chunkPredicates(pkCol, style, bounds, i)
+        disp.submit(i, ())(writeChunk(readChunk(preds), pk))
+      }
+      disp.drainAll()
+      log(stats.report())
+      written = stats.processedRows
+      save(bounds.size - 1, complete = true)
+      TransferOutcome.Completed
+    } finally disp.shutdown()
+  }
+
+  /** Server-side predicates for chunk `i`: the chunk range, sub-split
+    * into parallel sub-ranges for numeric keys wide enough to feed more
+    * than one read partition. */
+  private def chunkPredicates(pkCol: String, style: KeyStyle,
+                              bounds: Seq[String], i: Int): Array[String] = {
+    val hi = bounds(i)
+    val lo = if (i == 0) None else Some(bounds(i - 1))
+    style match {
+      case NumericKey(scale) =>
+        val hiD = new java.math.BigDecimal(hi)
+        val loD = lo.map(new java.math.BigDecimal(_))
+        val span = loD.map(hiD.subtract).getOrElse(java.math.BigDecimal.ZERO)
+        val parts = loD match {
+          case Some(_) => math.max(1, math.min(4,
+            span.divide(new java.math.BigDecimal(math.max(1, mig.batchSize)),
+              0, java.math.RoundingMode.FLOOR).longValue())).toInt
+          case None => 1 // first chunk has no lower bound to split from
+        }
+        if (parts <= 1 || loD.isEmpty)
+          Array(lo.fold(s"$pkCol <= $hi")(l => s"$pkCol > $l AND $pkCol <= $hi"))
+        else {
+          val l0 = loD.get
+          val subs = (1 to parts).map { j =>
+            if (j == parts) hiD
+            else l0.add(span.multiply(new java.math.BigDecimal(j))
+              .divide(new java.math.BigDecimal(parts), scale,
+                java.math.RoundingMode.FLOOR))
+          }
+          val uniq = subs.distinct
+          uniq.zipWithIndex.map { case (s, j) =>
+            val sl = if (j == 0) l0 else uniq(j - 1)
+            s"$pkCol > ${sl.toPlainString} AND $pkCol <= ${s.toPlainString}"
+          }.toArray
+        }
+      case s =>
+        Array(lo.fold(s"$pkCol <= ${s.literal(hi)}")(l =>
+          s"$pkCol > ${s.literal(l)} AND $pkCol <= ${s.literal(hi)}"))
+    }
+  }
+
+  /** One chunk's read: predicate-partitioned JDBC scan (each predicate is
+    * one partition, pushed verbatim into the store's WHERE clause),
+    * column names folded to lower case for the engine's expressions. */
+  private def readChunk(predicates: Array[String]): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("fetchsize", mig.batchSize.toString)
+    props.setProperty("queryTimeout", mig.timeoutSec.toString)
+    val df = spark.read.jdbc(url, table.name, predicates, props)
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+  }
+
+  /** Transform + MERGE one chunk; returns rows written. Chunk-level retry
+    * on top of the sink's per-statement retry — the keyed MERGE makes a
+    * partial replay a no-op. */
+  private def writeChunk(chunk: DataFrame, pk: Seq[String]): Long = {
+    val out = table.columnTransformations.foldLeft(chunk) { (d, ct) =>
+      d.withColumn(ct.sourceColumn, expr(ct.expression))
+    }
+    val wp =
+      if (writeParallelism > 0) writeParallelism
+      else if (JdbcUpsert.isEmbeddedUrl(url)) 1
+      else 0
+    val toWrite =
+      if (wp > 0 && wp < out.rdd.getNumPartitions) out.coalesce(wp) else out
+    Retry(attempts = 3, delayMs = 1000,
+      onError = (i, e) => log(s"${table.name}: chunk attempt $i failed: ${e.getMessage}")) {
+      JdbcUpsert.write(toWrite, dialect, table.target, pk,
+        mig.batchSize)(factory)
+    }
+  }
+}
+
+object JdbcTransferJob {
+  /** Serializable default executor factory (a lambda from a static
+    * method closes over only the URL string — safe to ship to
+    * executors). */
+  def connectionFactory(url: String): () => JdbcUpsert.Executor =
+    () => new JdbcUpsert.ConnectionExecutor(url)
+}

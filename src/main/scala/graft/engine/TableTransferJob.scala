@@ -1,11 +1,6 @@
 package graft.engine
 
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.Executors
-
-import scala.collection.mutable
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -224,44 +219,12 @@ final class TableTransferJob(
     case _ => DoubleKey
   }
 
-  // -- parallel chunk dispatch -------------------------------------------
+  // -- parallel chunk dispatch: shared [[ChunkDispatcher]] ---------------
 
-  /** Runs chunk writes on a bounded pool; drains strictly in submission
-    * order so `save` only ever sees a fully-completed prefix. Stats,
-    * cadence, rate limiting, and progress reporting all happen on the
-    * table's own thread during drain — pool threads only execute the
-    * Spark write. */
-  private final class ChunkDispatcher[B](
-      save: (Int, B) => Unit, stats: ProgressStats, policy: CheckpointPolicy) {
-    private val width = math.max(1, mig.chunkParallelism)
-    private val pool = Executors.newFixedThreadPool(width)
-    private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    private val inFlight = mutable.Queue.empty[(Int, B, Future[Long])]
-    private var lastReport = System.currentTimeMillis()
-
-    def submit(idx: Int, bound: B)(work: => Long): Unit = {
-      inFlight.enqueue((idx, bound, Future(work)))
-      while (inFlight.size >= width) drainHead()
-      // opportunistic: keep the checkpoint fresh when heads finish early
-      while (inFlight.nonEmpty && inFlight.head._3.isCompleted) drainHead()
-    }
-
-    private def drainHead(): Unit = {
-      val (idx, bound, fut) = inFlight.dequeue()
-      val written = Await.result(fut, Duration.Inf)
-      stats.add(written)
-      // checkpoint BEFORE the rate-limit sleep: a kill during the sleep
-      // then loses no completed chunk
-      if (policy.observe(written)) save(idx, bound)
-      limiter.acquire(written)
-      if (System.currentTimeMillis() - lastReport >= mig.progressIntervalSec * 1000L) {
-        log(stats.report()); lastReport = System.currentTimeMillis()
-      }
-    }
-
-    def drainAll(): Unit = while (inFlight.nonEmpty) drainHead()
-    def shutdown(): Unit = pool.shutdown()
-  }
+  private def dispatcher[B](save: (Int, B) => Unit, stats: ProgressStats,
+                            policy: CheckpointPolicy): ChunkDispatcher[B] =
+    new ChunkDispatcher[B](mig.chunkParallelism, save, stats, policy,
+      limiter, log, mig.progressIntervalSec * 1000L)
 
   /** Numeric-PK path: contiguous key ranges, resume via `pk > lastKey`.
     *
@@ -335,7 +298,7 @@ final class TableTransferJob(
     val stats = new ProgressStats(table.name, total)
     val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
       mig.checkpointIntervalSec * 1000L)
-    val dispatcher = new ChunkDispatcher[Any](
+    val disp = dispatcher[Any](
       (idx, bound) => save(Some(bound), idx, complete = false), stats, policy)
 
     try {
@@ -345,7 +308,7 @@ final class TableTransferJob(
         if (control.isCancelled) {
           // stop submitting; everything already in flight completes (the
           // submitted set IS the prefix), then checkpoint at its end
-          dispatcher.drainAll()
+          disp.drainAll()
           save(lo, chunkIdx - 1, complete = false)
           log(s"${table.name}: interrupted, checkpoint at chunk ${chunkIdx - 1}")
           return TransferOutcome.Interrupted(chunkIdx - startChunk)
@@ -365,13 +328,13 @@ final class TableTransferJob(
         }
         val chunk = transformed(filtered)
         val idx = chunkIdx
-        dispatcher.submit(idx, hi)(writeChunk(chunk, idx))
+        disp.submit(idx, hi)(writeChunk(chunk, idx))
         lo = Some(hi); chunkIdx += 1
       }
-      dispatcher.drainAll()
+      disp.drainAll()
       log(stats.report())
       finish(chunkIdx - 1, Some(Map(pkCol -> codec.fmt(planBounds.last))))
-    } finally dispatcher.shutdown()
+    } finally disp.shutdown()
   }
 
   /** Non-numeric-PK path: deterministic hash buckets (token-range
@@ -381,7 +344,10 @@ final class TableTransferJob(
     * `pmod(hash(pk), n)` across buckets and lose/duplicate rows. */
   private def runHashChunks(source: DataFrame, pk: Seq[String],
                             cp: Option[Checkpoint]): TransferOutcome = {
-    val total = source.count()
+    // Row count comes from the CHECKPOINT on resume (it was persisted at
+    // plan time, like the range path's totalRows) — a resume must not pay
+    // a full count scan just to size progress (VERDICT r3 #8).
+    val total = cp.map(_.totalRows).filter(_ >= 0).getOrElse(source.count())
     val n = cp.map(_.bucketCount).filter(_ > 0).getOrElse(
       math.max(1, math.min(maxChunks,
         math.ceil(total.toDouble / chunkRows(total)).toInt)))
@@ -390,24 +356,25 @@ final class TableTransferJob(
     val policy = new CheckpointPolicy(mig.checkpointRowThreshold.toLong,
       mig.checkpointIntervalSec * 1000L)
     val bucketExpr = pmod(hash(pk.map(col): _*), lit(n))
-    val dispatcher = new ChunkDispatcher[Unit](
-      (idx, _) => saveCp(None, idx, complete = false, bucketCount = n),
+    val disp = dispatcher[Unit](
+      (idx, _) => saveCp(None, idx, complete = false, bucketCount = n,
+        totalRows = total),
       stats, policy)
 
     try {
       for (b <- (doneBucket + 1) until n) {
         if (control.isCancelled) {
-          dispatcher.drainAll()
-          saveCp(None, b - 1, complete = false, bucketCount = n)
+          disp.drainAll()
+          saveCp(None, b - 1, complete = false, bucketCount = n, totalRows = total)
           return TransferOutcome.Interrupted(b - doneBucket - 1)
         }
         val chunk = transformed(source.where(bucketExpr === b))
-        dispatcher.submit(b, ())(writeChunk(chunk, b))
+        disp.submit(b, ())(writeChunk(chunk, b))
       }
-      dispatcher.drainAll()
+      disp.drainAll()
       log(stats.report())
-      finish(n - 1, None, bucketCount = n)
-    } finally dispatcher.shutdown()
+      finish(n - 1, None, bucketCount = n, totalRows = total)
+    } finally disp.shutdown()
   }
 
   /** Idempotent chunk write with retry; returns rows written. The count
@@ -426,13 +393,15 @@ final class TableTransferJob(
   }
 
   private def saveCp(lastKey: Option[Map[String, String]], chunkIdx: Int,
-                     complete: Boolean, bucketCount: Int = -1): Unit =
+                     complete: Boolean, bucketCount: Int = -1,
+                     totalRows: Long = -1L): Unit =
     Checkpoint.save(mig.checkpointDir, kind, table.name,
       Checkpoint(lastKey.getOrElse(Map.empty), System.currentTimeMillis(),
-        complete, chunkIdx, bucketCount))
+        complete, chunkIdx, bucketCount, totalRows = totalRows))
 
   private def finish(lastChunk: Int, lastKey: Option[Map[String, String]],
-                     bucketCount: Int = -1): TransferOutcome = {
+                     bucketCount: Int = -1,
+                     totalRows: Long = -1L): TransferOutcome = {
     // Publish step: when the spec asks for a partitioned target layout,
     // rewrite the chunk dirs into hive-style partitions once, at the end
     // (a one-time full pass — partition values can span chunks, so
@@ -462,7 +431,8 @@ final class TableTransferJob(
       spark.sql(s"CREATE TABLE `${table.target}` USING parquet " +
         s"OPTIONS (path '$escaped'$opts)")
     }
-    saveCp(lastKey, lastChunk, complete = true, bucketCount = bucketCount)
+    saveCp(lastKey, lastChunk, complete = true, bucketCount = bucketCount,
+      totalRows = totalRows)
     Files.writeString(Paths.get(destDir, "_GRAFT_COMPLETE"), "")
     TransferOutcome.Completed
   }

@@ -50,29 +50,36 @@ object TransferRunner {
   }
 
   /** JDBC-backed run (live database source+destination): per-table
-    * [[JdbcTransfer]] on the same bounded pool. There is no chunk
-    * checkpoint here — the MERGE upsert is idempotent, so a rerun after
-    * any failure IS the resume story (rows already written are updated
-    * in place, exactly the reference's re-runnable upsert batches,
-    * `mysql.go:417-498`). */
+    * chunked [[JdbcTransferJob]] on the same bounded pool, with the SAME
+    * run-wide contract as the parquet engine — one shared rate limiter
+    * across all table jobs, cooperative cancel, per-chunk checkpoints so
+    * a resume continues from the last completed prefix (and the keyed
+    * MERGE makes any replayed tail a no-op, the reference's re-runnable
+    * upsert batches, `mysql.go:417-498`). */
   def runJdbc(spark: SparkSession, spec: TransferSpec,
               dialect: graft.sinks.JdbcUpsert.Dialect = graft.sinks.JdbcUpsert.Derby,
-              log: String => Unit = s => System.err.println(s"[transfer] $s"))
+              log: String => Unit = s => System.err.println(s"[transfer] $s"),
+              control: TransferControl = new TransferControl)
       : Seq[TableResult] = {
     val tables = spec.source.tables
     require(tables.nonEmpty, "spec declares no tables")
     val pool = Executors.newFixedThreadPool(math.max(1, spec.migration.workers))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val limiter = new RateLimiter(spec.migration.rateLimit.toLong)
     try {
       val futures = tables.map { t =>
         Future {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
-          TableResult(t.name, Try {
-            val rows = JdbcTransfer.transfer(spark, spec.source.path, t,
-              spec.migration, dialect)
-            log(s"${t.name}: $rows rows upserted into ${t.target}")
-            TransferOutcome.Completed: TransferOutcome
+          control.jobStarted()
+          try TableResult(t.name, Try {
+            val job = new JdbcTransferJob(spark, spec.source.path, t,
+              spec.migration, dialect, control = control, log = log,
+              sharedLimiter = Some(limiter))
+            val outcome = job.run()
+            log(s"${t.name}: ${job.rowsWritten} rows upserted into ${t.target} ($outcome)")
+            outcome
           })
+          finally control.jobFinished()
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)

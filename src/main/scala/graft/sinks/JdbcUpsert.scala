@@ -235,18 +235,25 @@ object JdbcUpsert {
   /** Distributed upsert: one connection per partition, batched
     * statements, idempotent by upsert semantics (safe under task retry).
     * `executorFactory` must be serializable (typically a small function
-    * closing over a DSN string). */
+    * closing over a DSN string).
+    *
+    * Returns the rows written, counted by a Spark accumulator on the
+    * write action itself — no second scan, and exactly-once per
+    * partition (accumulator updates of a ResultStage task apply once
+    * even under task retry). */
   def write(df: DataFrame, dialect: Dialect, table: String,
             keys: Seq[String], batchSize: Int = 1000)
-           (executorFactory: () => Executor): Unit = {
+           (executorFactory: () => Executor): Long = {
     val cols = df.columns.toSeq
     val keyTypes = keys.map(k => k -> derbySqlType(df.schema(k).dataType)).toMap
+    val written = df.sparkSession.sparkContext.longAccumulator
     df.foreachPartition { (rows: Iterator[Row]) =>
       val exec = executorFactory()
-      try writePartition(dialect, table, cols, keys, batchSize, rows, exec,
-        keyTypes = keyTypes)
+      try written.add(writePartition(dialect, table, cols, keys, batchSize,
+        rows, exec, keyTypes = keyTypes))
       finally exec.close()
       ()
     }
+    written.value
   }
 }

@@ -168,6 +168,7 @@ object StreamingIngest {
         val toWrite = if (parallelism > 0) batch.coalesce(parallelism) else batch
         JdbcUpsert.write(toWrite, dialect, table,
           Seq("w_start", "event_type")) { () => new JdbcUpsert.ConnectionExecutor(url) }
+        ()
       }
       .option("checkpointLocation", s"$work/checkpoint")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -12,6 +12,56 @@ object ChaosProbe {
   val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** JVM-static statement counter: wraps the real Derby executor and counts
+  * every MERGE executed — the observable for "the resumed run re-writes
+  * ONLY the tail above the checkpoint". Static so local-mode task
+  * closures never capture the spec instance. */
+object CountingExec {
+  val statements = new java.util.concurrent.atomic.AtomicLong(0)
+  def factory(url: String): () => JdbcUpsert.Executor = () => {
+    val real = new JdbcUpsert.ConnectionExecutor(url)
+    new JdbcUpsert.Executor {
+      def apply(sql: String, params: Seq[Any]): Unit = { applyCounted(sql, params); () }
+      override def applyCounted(sql: String, params: Seq[Any]): Long = {
+        statements.incrementAndGet()
+        real.applyCounted(sql, params)
+      }
+      override def close(): Unit = real.close()
+    }
+  }
+}
+
+/** JVM-static concurrent key-value store with MERGE semantics — the
+  * server-grade stand-in for the fully-parallel executor path. This
+  * Spark distribution ships no derbynet.jar (only the Derby client
+  * driver), so a real network server cannot be started in-process; this
+  * store accepts genuinely concurrent writers (no process-wide lock) and
+  * records the peak concurrency so the test can PROVE the sink ran
+  * writers in parallel and still lost nothing. */
+object ParallelStore {
+  val rows = new java.util.concurrent.ConcurrentHashMap[Long, (String, Double)]()
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { rows.clear(); inFlight.set(0); peak.set(0) }
+  def factory: () => JdbcUpsert.Executor = () => new JdbcUpsert.Executor {
+    def apply(sql: String, params: Seq[Any]): Unit = { applyCounted(sql, params); () }
+    override def applyCounted(sql: String, params: Seq[Any]): Long = {
+      val cur = inFlight.incrementAndGet()
+      peak.updateAndGet(p => math.max(p, cur))
+      try {
+        // Derby-dialect binding order for cols=(id,v,n), keys=(id):
+        // ON key, UPDATE SET values, INSERT row
+        val id = params.head.asInstanceOf[Number].longValue
+        val v = params(1).asInstanceOf[String]
+        val n = params(2).asInstanceOf[Number].doubleValue
+        Thread.sleep(1) // widen the race window
+        rows.put(id, (v, n))
+        1L
+      } finally { inFlight.decrementAndGet(); () }
+    }
+  }
+}
+
 /** LIVE database tests against embedded Derby (on the Spark classpath):
   * the first real execution of the connect → introspect → scan → upsert
   * path (the reference's core loop, `mysql.go:186-380`). Covers S5/S6/S7
@@ -218,6 +268,123 @@ class JdbcDerbySpec extends SparkTestBase {
     assert(back.count() > 0)
     assert(back.except(closed).isEmpty && closed.except(back).isEmpty,
       "Derby contents must equal the closed-window batch aggregation")
+  }
+
+  test("chunked live transfer: kill, checkpoint, resume re-writes only the tail (R4/R8 live)") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferControl, TransferOutcome}
+    seedUsers("users_kr", 1000)
+    val cpDir = s"$work/cp_kr"
+    val mig2 = MigrationSpec(batchSize = 200, checkpointRowThreshold = 200,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("users_kr", targetName = Some("users_kr_new"),
+      columnTransformations = Seq(ColumnTransformation("bal", "bal * 2")))
+    // 1000 dense keys / 200-row chunks → 5-chunk plan; kill after 2 checks
+    val first = new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(2), log = _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    val cp = Checkpoint.load(cpDir, "jdbc", "users_kr").get
+    assert(!cp.complete && cp.chunkIndex == 1,
+      s"expected prefix checkpoint at chunk 1, got $cp")
+    assert(cp.bounds.size == 5 && cp.totalRows == 1000,
+      s"plan must be persisted in the checkpoint, got $cp")
+    // resume with a COUNTING executor: exactly the 3 remaining chunks'
+    // rows (600) may be merged — a full 1000-row rewrite means the
+    // checkpoint was ignored
+    CountingExec.statements.set(0)
+    val second = new JdbcTransferJob(spark, url, t, mig2, log = _ => (),
+      executorFactory = CountingExec.factory(url)).run()
+    assert(second == TransferOutcome.Completed)
+    assert(CountingExec.statements.get == 600,
+      s"resume must re-write only rows above the checkpoint, " +
+        s"merged ${CountingExec.statements.get}")
+    // resumed plan came from the checkpoint — same bounds, now complete
+    val done = Checkpoint.load(cpDir, "jdbc", "users_kr").get
+    assert(done.complete && done.bounds == cp.bounds)
+    // destination equals the transformed source
+    val back = JdbcTransfer.readBack(spark, url, "users_kr_new", mig2)
+    val expect = JdbcTransfer.readBack(spark, url, "users_kr", mig2)
+      .withColumn("bal", expr("bal * 2"))
+    assert(back.count() == 1000)
+    assert(back.except(expect).isEmpty && expect.except(back).isEmpty)
+    // skip-if-complete: a third run is a no-op (R6)
+    assert(new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run() ==
+      TransferOutcome.SkippedComplete)
+  }
+
+  test("VARCHAR PK gets a rank-probe chunk plan with string bounds (VERDICT r3 #2)") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferControl, TransferOutcome}
+    JdbcCatalog.execute(url, "CREATE TABLE vkey (" +
+      "k VARCHAR(16) NOT NULL PRIMARY KEY, v DOUBLE)")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO vkey VALUES (?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setString(1, f"K$i%04d"); ps.setDouble(2, i * 1.0); ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    val cpDir = s"$work/cp_vk"
+    val mig2 = MigrationSpec(batchSize = 25, checkpointRowThreshold = 25,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("vkey", targetName = Some("vkey_new"),
+      columnTransformations = Seq(ColumnTransformation("v", "v + 1")))
+    val first = new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(1), log = _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    val cp = Checkpoint.load(cpDir, "jdbc", "vkey").get
+    // 100 rows / 25-row chunks → 4 bounds, each an EXACT stored key
+    assert(cp.bounds == Seq("K0025", "K0050", "K0075", "K0100"),
+      s"rank-probe bounds must be stored keys, got ${cp.bounds}")
+    val second = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+    assert(second == TransferOutcome.Completed)
+    val back = JdbcTransfer.readAll(spark, url, "vkey_new")
+    assert(back.count() == 100)
+    assert(back.agg(sum("v")).head.getDouble(0) == (1 to 100).map(_ + 1.0).sum)
+  }
+
+  test("fully-parallel executor path: concurrent writers, no loss, LWW (VERDICT r3 #3)") {
+    import spark.implicits._
+    // No derbynet.jar ships with this Spark distribution, so a real
+    // network server cannot run in-process; ParallelStore accepts
+    // genuinely concurrent MERGE writers instead. 4 Spark partitions,
+    // no coalesce, no process-wide lock.
+    ParallelStore.reset()
+    val df = (1L to 800L).map(i => (i, s"v$i", i * 2.0)).toDF("id", "v", "n")
+      .repartition(4)
+    val written = JdbcUpsert.write(df, JdbcUpsert.Derby, "fake", Seq("id"))(
+      ParallelStore.factory)
+    assert(written == 800, s"accumulator reported $written")
+    assert(ParallelStore.rows.size == 800, "row loss on the parallel path")
+    assert(ParallelStore.peak.get > 1,
+      s"writers never overlapped (peak ${ParallelStore.peak.get}) — " +
+        "the parallel path was not exercised")
+    assert(ParallelStore.rows.get(400L) == (("v400", 800.0)))
+    // last-writer-wins on replay
+    JdbcUpsert.write(Seq((400L, "V400", 0.0)).toDF("id", "v", "n"),
+      JdbcUpsert.Derby, "fake", Seq("id"))(ParallelStore.factory)
+    assert(ParallelStore.rows.get(400L) == (("V400", 0.0)))
+    // and the URL classifier routes server URLs to this unserialized path
+    assert(!JdbcUpsert.isEmbeddedUrl("jdbc:derby://localhost:1527/db"))
+    assert(JdbcUpsert.isEmbeddedUrl("jdbc:derby:/tmp/x/db;create=true"))
+  }
+
+  test("live transfer honours the shared rate limiter (R2 on the JDBC path)") {
+    import graft.engine.{JdbcTransferJob, RateLimiter, TransferOutcome}
+    seedUsers("users_rl", 400)
+    val slept = new java.util.concurrent.atomic.AtomicLong(0)
+    // virtual clock: no real time passes, every sleep is recorded
+    val clock = new java.util.concurrent.atomic.AtomicLong(0)
+    val limiter = new RateLimiter(100, now = () => clock.get(),
+      sleep = ms => { slept.addAndGet(ms); clock.addAndGet(ms); () })
+    val mig2 = MigrationSpec(batchSize = 100, checkpointRowThreshold = 100,
+      rateLimit = 100, checkpointDir = s"$work/cp_rl")
+    val t = TableMapping("users_rl", targetName = Some("users_rl_new"))
+    val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => (),
+      sharedLimiter = Some(limiter)).run()
+    assert(out == TransferOutcome.Completed)
+    // 400 rows at 100 rows/s on a frozen clock → ~4 s of enforced sleep
+    assert(slept.get >= 3000,
+      s"limiter was not consulted on the live path (slept ${slept.get} ms)")
+    assert(JdbcTransfer.readBack(spark, url, "users_rl_new", mig2).count() == 400)
   }
 
   test("transfer refuses a PK-less live table (reference mysql.go:216-218)") {

@@ -255,6 +255,47 @@ class TransferJobSpec extends SparkTestBase {
     assert(dest.select("sku").distinct().count() == 40)
   }
 
+  test("hash-bucket resume skips the full count scan (VERDICT r3 #8)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("xferbnc").toString
+    (1 to 40).map(i => (s"sku$i", i.toDouble)).toDF("sku", "price")
+      .write.parquet(s"$work/src/items.parquet")
+    val t = TableMapping("items", primaryKey = Some("sku"))
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(t)),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = 5, checkpointRowThreshold = 5,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    val first = new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    val cp = Checkpoint.load(s"$work/cp", "parquet", "items").get
+    assert(cp.totalRows == 40,
+      s"hash checkpoint must persist the row total at plan time, got $cp")
+    // record every job call-site during the resume: bucket writes only —
+    // a `source.count()` would appear as "count at TableTransferJob..."
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        sites.add(Option(j.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse("")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val second = new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+      assert(second == TransferOutcome.Completed)
+      Thread.sleep(500) // listener bus drains asynchronously
+      val counted = sites.toArray.map(_.toString)
+        .filter(_.contains("count at TableTransferJob"))
+      assert(counted.isEmpty,
+        s"resume paid a count scan: ${counted.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val dest = TableTransferJob.readTarget(spark, spec, "items")
+    assert(dest.count() == 40)
+    assert(dest.select("sku").distinct().count() == 40)
+  }
+
   test("register_table executes CREATE TABLE IF NOT EXISTS on the session catalog (S8)") {
     spark.sql("DROP TABLE IF EXISTS customer_new")
     try {
