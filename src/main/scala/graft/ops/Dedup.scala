@@ -239,16 +239,32 @@ object Dedup {
       .repartition(parts) // spread single-split sources before CPU-heavy explode+md5
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      val nib = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
-      sum(when(shiftright(nib, j % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"b$j")
+    // PACKED per-row decode (VERDICT r3 #6 — the old form ran
+    // conv(substring(h, j, 1)) 64 times per token, one string decode per
+    // BIT, and doubled wall time when r2's 32-bit hash grew to 64): the
+    // 16 hex chars decode with FOUR conv calls (16 bits each); the
+    // per-bit work is then integer shift/mask inside codegen. Bit j of a
+    // token is still bit `j mod 4` of hex nibble `j div 4` (MSB-first
+    // string order), so band values — and the DuckDB oracle — are
+    // unchanged: nibble q = j/4 lives in word j/16 at nibble slot
+    // 3 - (q mod 4), giving shift 4*(3 - (j/4 mod 4)) + j mod 4.
+    val packed = words.select(col("doc_id") +:
+      (0 until 4).map(k =>
+        conv(substring(col("h"), 4 * k + 1, 4), 16, 10).cast("int").as(s"h$k")): _*)
+    // Popcount aggregation: sum of the 0/1 bit plus one token count —
+    // the sign of the classic ±1 bit-sum is `2*popcount - n > 0`,
+    // identically (no when() per row, half the branching).
+    val aggs = count(lit(1)).as("n") +: (0 until 64).map { j =>
+      val shift = 4 * (3 - (j / 4) % 4) + j % 4
+      sum(shiftright(col(s"h${j / 16}"), shift).bitwiseAND(lit(1))).as(s"p$j")
     }
     val bandCols = (0 until 4).map { k =>
       (0 until 16)
-        .map(i => when(col(s"b${16 * k + i}") > 0, lit(1 << i)).otherwise(lit(0)))
+        .map(i => when(col(s"p${16 * k + i}") * 2 > col("n"), lit(1 << i))
+          .otherwise(lit(0)))
         .reduce(_ + _).as(s"band$k")
     }
-    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    packed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id") +: bandCols: _*)
   }
 
