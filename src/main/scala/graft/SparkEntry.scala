@@ -385,6 +385,16 @@ object SparkEntry {
     "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(T(s, d, "embeddings"))),
 
+    // --- IVF fed by the TRAINED coarse quantizer (VERDICT r3 #7): two
+    //     deterministic Lloyd's rounds (distances and means rounded to
+    //     6 dp so the oracle reproduces the quantizer exactly), then the
+    //     same cell/probe machinery as ann_ivf_topk.
+    "ann_ivf_trained_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(emb, k = 16, iters = 2, scale = Some(6))
+      Similarity.ivfTopK(emb, centroids = Some(cents))
+    }),
+
     // --- embedding-cosine near-dup (bucketed candidates + exact confirm)
     //     and the user-facing dedup result set (survivors of near-dedup)
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDup(T(s, d, "embeddings"))),
@@ -443,6 +453,10 @@ object SparkEntry {
     //     mode above is gate-harness only); emits exactly the closed
     //     windows, which the oracle recomputes in batch
     "streaming_window_append" -> ((s, d) => StreamingIngest.windowCountsAppend(s, d)),
+
+    // --- streaming session windows (30-min gap): merged sessions per
+    //     user == a batch gap-and-island sessionization (VERDICT r3 #9)
+    "streaming_session_counts" -> ((s, d) => StreamingIngest.sessionCounts(s, d)),
 
     // --- streaming with explicit state (mapGroupsWithState): one bounded
     //     micro-batch → per-user state update == batch GROUP BY
@@ -804,6 +818,7 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
         |  FROM p) WHERE rn <= 3""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
+    "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
     "text_langid" -> langIdOracleSql,
     "text_quality" -> qualityOracleSql,
     "text_tokens" ->
@@ -873,6 +888,22 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "streaming_stateful_counts" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+    // gap-and-island sessionization: a session breaks where the gap to
+    // the previous event reaches 30 min (session_window merges windows
+    // that OVERLAP, so an exactly-30-min gap starts a new session);
+    // session end = last event + gap, matching session_window.end
+    "streaming_session_counts" ->
+      """WITH x AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM x)
+        |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  user_id, count(*) AS cnt
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "streaming_window_append" ->
       """SELECT * FROM (
         |  SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt
@@ -1008,6 +1039,51 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS rn
        |    FROM e, c WHERE e.vec_id < 10) WHERE rn <= 2),
+       |p AS (SELECT qid, a.vec_id AS nn_id, ${cosSql("qe", "a.emb")} AS cos
+       |  FROM probe JOIN assign a USING (cell) WHERE qid != a.vec_id)
+       |SELECT qid, nn_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+       |  FROM p) WHERE rn <= 3""".stripMargin
+
+  /** Rounded squared-L2 for the Lloyd's oracle (same 6-dp pin as the
+    * Spark side's `trainCentroids(scale = Some(6))`). */
+  private def sqSql(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), " +
+      s"t -> (t[1]-t[2])*(t[1]-t[2]))), 6)"
+
+  /** One Lloyd's round in DuckDB: assign to nearest centroid (rounded
+    * distance, cid tie-break), elementwise rounded means per cell, empty
+    * cells keep their previous centroid. */
+  private def lloydCte(prev: String, a: String, m: String, c: String): String =
+    s"""$a AS (SELECT emb, cell FROM (
+       |    SELECT e.emb, $prev.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqSql("e.emb", s"$prev.ce")}, $prev.cid) AS rn
+       |    FROM e, $prev) WHERE rn = 1),
+       |$m AS (SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM (
+       |    SELECT cell, pos, round(avg(v), 6) AS m FROM (
+       |      SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM $a)
+       |    GROUP BY cell, pos) GROUP BY cell),
+       |$c AS (SELECT $prev.cid, coalesce($m.ce, $prev.ce) AS ce
+       |  FROM $prev LEFT JOIN $m USING (cid))""".stripMargin
+
+  /** Trained-IVF oracle: the ivf pipeline with centroids from two
+    * deterministic Lloyd's rounds instead of the vec_id<16 stand-ins. */
+  private def ivfTrainedOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
+       |${lloydCte("c0", "a1", "m1", "c1")},
+       |${lloydCte("c1", "a2", "m2", "c2")},
+       |assign AS (SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c2.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c2.ce")} DESC, c2.cid) AS rn
+       |    FROM e, c2) WHERE rn = 1),
+       |probe AS (SELECT qid, qe, cell FROM (
+       |    SELECT e.vec_id AS qid, e.emb AS qe, c2.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c2.ce")} DESC, c2.cid) AS rn
+       |    FROM e, c2 WHERE e.vec_id < 10) WHERE rn <= 2),
        |p AS (SELECT qid, a.vec_id AS nn_id, ${cosSql("qe", "a.emb")} AS cos
        |  FROM probe JOIN assign a USING (cell) WHERE qid != a.vec_id)
        |SELECT qid, nn_id, cos FROM (

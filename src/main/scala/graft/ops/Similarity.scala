@@ -80,19 +80,26 @@ object Similarity {
     * squared distances) is non-increasing per Lloyd's guarantee —
     * asserted in tests. At 100 TB: train on a sample; the cost per
     * round is one scan + one (cell, dim)-sized shuffle. */
-  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2,
+                     scale: Option[Int] = None): DataFrame = {
+    // `scale`: round assignment distances and per-dimension means to this
+    // many decimals — pins the trained quantizer bit-for-bit across
+    // engines (the oracle mirrors the same rounding), at a precision far
+    // below anything that moves a cluster. None = full double precision.
+    def r(c: Column): Column = scale.map(s => round(c, s)).getOrElse(c)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     var cents = e.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("ce"))
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
       val assigned = e.join(broadcast(cents))
-        .select(col("vec_id"), col("emb"), col("cid"), sqDist(col("emb"), col("ce")).as("d"))
+        .select(col("vec_id"), col("emb"), col("cid"),
+          r(sqDist(col("emb"), col("ce"))).as("d"))
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("emb"), col("cid").as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell", "pos").agg(r(avg(col("v"))).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("ce"))
