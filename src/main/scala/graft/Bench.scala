@@ -18,10 +18,13 @@ object Bench {
     // LLM-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_clusters", "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk",
-    "text_quality",
+    "ann_ivf_trained_topk", "text_quality",
     "streaming_window_counts", "streaming_window_append",
-    // the product pipeline end-to-end (parquet engine + live Derby JDBC)
-    "transfer_config_multi", "transfer_jdbc_roundtrip")
+    "streaming_session_counts",
+    // the product pipeline end-to-end (parquet engine + live Derby JDBC,
+    // including the chunked checkpoint/resume live path)
+    "transfer_config_multi", "transfer_jdbc_roundtrip",
+    "transfer_jdbc_kill_resume", "transfer_jdbc_varchar_pk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

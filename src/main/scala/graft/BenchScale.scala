@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence benchmark (VERDICT r3 #10): runs the dedup/ANN family
+  * one notch ABOVE the largest driver-generated scale factor, on a
+  * derived dataset `SPARK_GRAFT_SCALE`× the size of `SPARK_GRAFT_SF_DIR`
+  * (default 10× sf0.1 ≈ sf1: 50k documents, 20k embeddings).
+  *
+  * The derived tables replicate the base data with per-copy
+  * perturbation — each copy's text gains a distinct tail token and each
+  * embedding a per-copy offset — so near-duplicate structure is
+  * preserved WITHIN a copy and partially across copies (the honest,
+  * harder case: candidate pairs grow superlinearly while the bucketed
+  * plans must stay linear-ish). This is EVIDENCE for the scale posture,
+  * not a correctness gate — the oracles stay at driver scale factors.
+  *
+  * Prints one JSON line per run: per-query seconds at the scaled size.
+  */
+object BenchScale {
+
+  private val family = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_clusters", "dedup_near_keep", "text_tfidf", "text_quality",
+    "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
+    "dedup_embedding_cosine")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scaled_x$factor"
+    val spark = Sessions.builder("graft-bench-scale", Sessions.cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsPath = s"$out/documents.parquet"
+    val embPath = s"$out/embeddings.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val nDocs = docs.count()
+      val copies = spark.range(factor.toLong).toDF("copy")
+      docs.crossJoin(copies)
+        .withColumn("doc_id", col("doc_id") + col("copy") * lit(nDocs))
+        .withColumn("text", when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zz"), col("copy"))))
+        .withColumn("n_chars", length(col("text")))
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsPath)
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val nVec = emb.count()
+      emb.crossJoin(copies)
+        .withColumn("vec_id", col("vec_id") + col("copy") * lit(nVec))
+        .withColumn("embedding", transform(col("embedding"),
+          x => x + col("copy").cast("float") * lit(0.0017f)))
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite").parquet(embPath)
+      System.err.println(s"[bench-scale] derived ${factor}x data at $out " +
+        s"(${nDocs * factor} docs, ${nVec * factor} vectors)")
+    }
+
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup (codegen/classloading) on the base size
+    force(SparkEntry.queries("dedup_exact")(spark, base))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    family.filter(SparkEntry.queries.contains).foreach { name =>
+      val sec = try time(force(SparkEntry.queries(name)(spark, out)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-scale] $name failed: ${e.getMessage}"); -1.0
+      }
+      results(name) = sec
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"scale":"${factor}x $base"}""")
+    spark.stop()
+  }
+}
