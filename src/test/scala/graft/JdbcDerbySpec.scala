@@ -208,7 +208,10 @@ class JdbcDerbySpec extends SparkTestBase {
           columnTransformations = Seq(ColumnTransformation("name", "UPPER(name)"))),
         TableMapping("cfg_b", targetName = Some("cfg_b_new")))),
       EndpointSpec("jdbc", path = url),
-      mig)
+      // runJdbc now CHECKPOINTS (chunked live path): keep the run's
+      // checkpoints with the run, or a complete marker from a previous
+      // JVM would skip the whole transfer against this fresh database
+      mig.copy(checkpointDir = s"$work/cp_cfg"))
     val results = graft.engine.TransferRunner.runJdbc(spark, spec, log = _ => ())
     assert(results.forall(_.outcome.isSuccess),
       graft.engine.TransferRunner.summarize(results))
