@@ -137,6 +137,21 @@ final class TableTransferJob(
     val ddlPath = Paths.get(destDir, "_schema.ddl")
     if (!Files.exists(ddlPath))
       Files.writeString(ddlPath, transformed(source).schema.toDDL + "\n")
+    // S9: Cassandra destinations also get the dependency migration DDL —
+    // CREATE TYPE per reachable struct (innermost first) + the table DDL
+    // referencing them (`cassandra.go:293-443`); a deployment executes
+    // the statements in file order through its session.
+    if (spec.destination.kind == "cassandra") {
+      val cqlPath = Paths.get(destDir, "_cassandra.ddl")
+      if (!Files.exists(cqlPath)) {
+        val ks = if (spec.destination.database.nonEmpty)
+          spec.destination.database else "graft"
+        val schema = transformed(source).schema
+        val stmts = graft.sinks.CassandraDdl.createTypeDdl(ks, table.target, schema) :+
+          graft.sinks.CassandraDdl.createTableDdl(ks, table.target, schema, pkCols)
+        Files.writeString(cqlPath, stmts.mkString(";\n") + ";\n")
+      }
+    }
 
     // A crash can leave chunk dirs written AFTER the last checkpoint save
     // (cadence saves at-most-per-chunk, and parallel dispatch can finish

@@ -1,0 +1,128 @@
+package graft.sinks
+
+import org.apache.spark.sql.types._
+
+/** S9: Cassandra UDT/UDF dependency migration — DDL emission
+  * (reference `cassandra.go:293-443`: collect the custom types a table's
+  * columns USE, emit `CREATE TYPE IF NOT EXISTS ks.name (f t, …)` per
+  * type and `CREATE OR REPLACE FUNCTION …` per used function).
+  *
+  * The engine's UDT analog is a nested `StructType`: every struct
+  * reachable from a table schema becomes a named UDT, and the table DDL
+  * references it as `frozen<name>`. Emission is DEPENDENCY-ORDERED
+  * (innermost structs first) — an improvement over the reference, which
+  * emits in catalog order and leans on IF-NOT-EXISTS retries when a
+  * parent lands before a child.
+  *
+  * Pure string generation over Catalyst metadata: no live Cassandra
+  * exists in the offline build (connectors are deployment-gated), so
+  * the contract is the emitted DDL itself, unit-tested; a deployment
+  * executes the statements through its session exactly like the
+  * reference executes them through gocql.
+  */
+object CassandraDdl {
+
+  /** CQL rendering of a Catalyst type. Struct fields become UDT
+    * references (`frozen<name>` — UDTs nested in other types must be
+    * frozen in CQL); collection types render as `list/map/set`. */
+  def cqlType(dt: DataType, udtName: StructType => String): String = dt match {
+    case ByteType => "tinyint"
+    case ShortType => "smallint"
+    case IntegerType => "int"
+    case LongType => "bigint"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case BooleanType => "boolean"
+    case StringType => "text"
+    case BinaryType => "blob"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case d: DecimalType => "decimal" // CQL decimal is arbitrary-precision
+    case ArrayType(e, _) => s"list<${cqlType(e, udtName)}>"
+    case MapType(k, v, _) => s"map<${cqlType(k, udtName)}, ${cqlType(v, udtName)}>"
+    case s: StructType => s"frozen<${udtName(s)}>"
+    case other => sys.error(s"no CQL mapping for Catalyst type $other")
+  }
+
+  /** Deterministic UDT name for a struct at a field path:
+    * `<table>_<path>_t` (the parquet schema carries no type names, so
+    * the path IS the identity — stable across runs). */
+  private def pathName(table: String, path: Seq[String]): String =
+    (table +: path).mkString("_").toLowerCase + "_t"
+
+  /** Every struct reachable from the schema with its UDT name, in
+    * DEPENDENCY order (children before the structs that embed them) —
+    * the order the CREATE TYPE statements must execute. */
+  private[sinks] def reachableStructs(table: String, schema: StructType)
+      : Seq[(String, StructType)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, StructType]
+    def walk(dt: DataType, path: Seq[String]): Unit = dt match {
+      case s: StructType =>
+        s.fields.foreach(f => walk(f.dataType, path :+ f.name)) // children first
+        val name = pathName(table, path)
+        if (!out.contains(name)) out(name) = s
+      case ArrayType(e, _) => walk(e, path)
+      case MapType(k, v, _) => { walk(k, path); walk(v, path) }
+      case _ => ()
+    }
+    // top level: the table's own row type is the TABLE, not a UDT — walk
+    // its fields only
+    schema.fields.foreach(f => walk(f.dataType, Seq(f.name)))
+    out.toSeq
+  }
+
+  /** Name lookup used while rendering: a struct resolves to the name it
+    * was registered under during the dependency walk. */
+  private def namer(structs: Seq[(String, StructType)]): StructType => String = {
+    val byStruct = structs.map { case (n, s) => (s, n) }.toMap
+    s => byStruct.getOrElse(s, sys.error(s"unregistered struct: $s"))
+  }
+
+  /** `CREATE TYPE IF NOT EXISTS` statements for every UDT the table
+    * uses, dependency-ordered (reference `cassandra.go:365-369`,
+    * field list per `buildTypeFields`, `cassandra.go:443-449`). */
+  def createTypeDdl(keyspace: String, table: String,
+                    schema: StructType): Seq[String] = {
+    val structs = reachableStructs(table, schema)
+    val name = namer(structs)
+    structs.map { case (n, s) =>
+      val fields = s.fields
+        .map(f => s"${f.name.toLowerCase} ${cqlType(f.dataType, name)}")
+        .mkString(", ")
+      s"CREATE TYPE IF NOT EXISTS $keyspace.$n ($fields)"
+    }
+  }
+
+  /** Table DDL referencing the emitted UDTs (the destination half of the
+    * schema copy, `cassandra.go:254-289`). */
+  def createTableDdl(keyspace: String, table: String, schema: StructType,
+                     pk: Seq[String]): String = {
+    require(pk.nonEmpty, s"table '$table' needs a primary key")
+    val structs = reachableStructs(table, schema)
+    val name = namer(structs)
+    // struct-typed columns reference their path-derived UDT
+    val cols = schema.fields.map { f =>
+      s"${f.name.toLowerCase} ${cqlType(f.dataType, name)}"
+    }.mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS $keyspace.$table " +
+      s"($cols, PRIMARY KEY (${pk.map(_.toLowerCase).mkString(", ")}))"
+  }
+
+  /** `CREATE OR REPLACE FUNCTION` (reference `cassandra.go:408-421`):
+    * same clause structure — argument list, RETURNS, LANGUAGE, the
+    * null-input variant, `$$body$$`. The engine's registered UDFs carry
+    * their body as the expression the deployment re-registers. */
+  def createFunctionDdl(keyspace: String, fn: String,
+                        args: Seq[(String, DataType)], returns: DataType,
+                        language: String, body: String,
+                        calledOnNull: Boolean): String = {
+    val nullClause =
+      if (calledOnNull) "CALLED ON NULL INPUT" else "RETURNS NULL ON NULL INPUT"
+    val argList = args
+      .map { case (n, t) => s"$n ${cqlType(t, _ => sys.error("UDT args unsupported"))}" }
+      .mkString(", ")
+    s"CREATE OR REPLACE FUNCTION $keyspace.$fn ($argList) " +
+      s"RETURNS ${cqlType(returns, _ => sys.error("UDT returns unsupported"))} " +
+      s"LANGUAGE $language $nullClause AS $$$$$body$$$$"
+  }
+}
