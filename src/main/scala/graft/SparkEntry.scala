@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{ColumnTransformation, EndpointSpec, MigrationSpec, TableMapping, TransferSpec}
 import graft.engine.{TableTransferJob, TransferControl, TransferRunner}
 import graft.functions.MySqlDateFormat
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sinks.Upsert
 import graft.sources.Tables
 import graft.streaming.StreamingIngest
@@ -394,6 +394,28 @@ object SparkEntry {
       val cents = Similarity.trainCentroids(emb, k = 16, iters = 2, scale = Some(6))
       Similarity.ivfTopK(emb, centroids = Some(cents))
     }),
+
+    // --- exact n-gram Jaccard near-dup pairs (the exact counterpart of
+    //     minhash-LSH): inverted shingle index, df-capped, no cartesian
+    "dedup_ngram_jaccard" -> ((s, d) => Curation.ngramJaccardPairs(T(s, d, "documents"))),
+
+    // --- benchmark-contamination check: corpus docs sharing >= 2 word
+    //     3-grams with a benchmark doc (broadcast bench side, one scan)
+    "text_contamination" -> ((s, d) => Curation.contamination(T(s, d, "documents"))),
+
+    // --- PII redaction with audit counts; deterministic synthetic PII
+    //     (email + long id derived from doc_id) so the redaction FIRES
+    "text_pii_redact" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com ref "),
+          (col("doc_id") * 1234567 + 10000000).cast("string")).as("text"))
+      Curation.piiRedact(docs)
+    }),
+
+    // --- sequence packing: contiguous fixed-budget token packs per
+    //     source (training context-window assembly)
+    "text_pack_sequences" -> ((s, d) => Curation.packSequences(T(s, d, "documents"))),
 
     // --- embedding-cosine near-dup (bucketed candidates + exact confirm)
     //     and the user-facing dedup result set (survivors of near-dedup)
@@ -790,6 +812,10 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    "text_contamination" -> contaminationOracleSql,
+    "text_pii_redact" -> piiRedactOracleSql,
+    "text_pack_sequences" -> packSequencesOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "ann_cosine_topk" ->
@@ -1089,6 +1115,65 @@ object SparkEntry {
        |SELECT qid, nn_id, cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
        |  FROM p) WHERE rn <= 3""".stripMargin
+
+  /** Distinct md5'd word-3-gram shingles per document (the inverted
+    * index key both curation ops join on). Mirrors
+    * `Curation.shingleSet(3)`: window i covers words i..i+2. */
+  private def shingleCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(w, i.i, i.i + 2), ' ')) AS sh
+      |  FROM w, unnest(range(1, greatest(len(w) - 1, 2))) AS i(i))""".stripMargin
+
+  private def ngramJaccardOracleSql: String =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+       |  WHERE c <= 256),
+       |idx AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, round(common / (sa + sb - common), 6) AS jaccard
+       |  FROM (SELECT c.*, s1.sz AS sa, s2.sz AS sb FROM common c
+       |    JOIN sizes s1 ON c.doc_a = s1.doc_id
+       |    JOIN sizes s2 ON c.doc_b = s2.doc_id))
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  private def contaminationOracleSql: String =
+    s"""WITH $shingleCte,
+       |b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 20),
+       |c AS (SELECT s.doc_id, b.bench_id, count(*) AS shared_ngrams
+       |  FROM sh s JOIN b ON s.sh = b.sh WHERE s.doc_id >= 20 GROUP BY 1, 2)
+       |SELECT doc_id, bench_id, shared_ngrams FROM c WHERE shared_ngrams >= 2""".stripMargin
+
+  private def piiRedactOracleSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{7,}"
+    s"""WITH d AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.com ref ' ||
+       |      (doc_id * 1234567 + 10000000) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '$num', '<NUM>', 'g') AS clean_text,
+       |  len(regexp_extract_all(text, '$email')) AS n_emails,
+       |  len(regexp_extract_all(
+       |    regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS n_longnums
+       |FROM d""".stripMargin
+  }
+
+  private def packSequencesOracleSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    len(string_split(text, ' '))::BIGINT AS tokens FROM documents),
+      |p AS (SELECT doc_id, source, tokens,
+      |    (sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |       ROWS UNBOUNDED PRECEDING) - tokens)::BIGINT AS pack_offset
+      |  FROM t)
+      |SELECT doc_id, source, tokens,
+      |  CAST(floor(pack_offset / 512) AS BIGINT) AS pack_id, pack_offset
+      |FROM p""".stripMargin
 
   private def simhashCte: String = {
     val bitSums = (0 until 64)

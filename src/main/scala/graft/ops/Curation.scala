@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the dedup/ANN families:
+  * exact n-gram Jaccard similarity, benchmark-contamination checks, PII
+  * redaction, and sequence packing. All formulas stay portable (array
+  * lambdas, md5 shingles, RE2-safe regexes, exact ratios rounded to
+  * 6 dp) so the DuckDB oracle reproduces them bit-for-bit.
+  *
+  * Scale shapes: the Jaccard and contamination ops are inverted-index
+  * joins on shingle hashes (equi-join, no cartesian) with a document-
+  * frequency cap on pathological shingles; redaction and packing are
+  * single-pass narrow transforms (packing shuffles once on its grouping
+  * key for the window).
+  */
+object Curation {
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Distinct word n-gram shingles, md5-keyed (fixed-width join key —
+    * the inverted index hashes shingles, never raw text). Documents are
+    * assumed ≥ n words (the corpus guarantees ≥ 10); shorter docs would
+    * contribute their partial window once. */
+  private def shingleSet(n: Int): Column = {
+    val w = words
+    val cnt = size(w) - (n - 1)
+    array_distinct(transform(
+      sequence(lit(0), greatest(cnt - 1, lit(0))),
+      i => md5(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs — the exact counterpart
+    * of MinHash-LSH (which estimates precisely this similarity):
+    * inverted index on shingle hash → shared-shingle count per candidate
+    * pair → `|A∩B| / (|A|+|B|-|A∩B|)` ≥ threshold.
+    *
+    * `dfCap` drops shingles appearing in more than that many documents
+    * (boilerplate n-grams): at corpus scale a ubiquitous shingle makes
+    * the index join quadratic in its document frequency, exactly the
+    * degenerate-bucket hazard the LSH path caps the same way. The drop
+    * is part of the operator contract (the oracle applies the same cap).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        dfCap: Int = 256): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.select(col("doc_id"), col("text"))
+      .repartition(parts)
+      .select(col("doc_id"), explode(shingleSet(n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("sh")
+    val indexed = sh.join(rare, "sh")
+    val common = indexed.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(indexed.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sa") + col("sb") - col("common")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Benchmark-contamination check: which corpus documents share ≥
+    * `minShared` word n-grams with a benchmark/eval document (the
+    * standard pre-training decontamination pass). The benchmark side is
+    * small by construction → broadcast; the corpus side is one scan +
+    * one aggregation. Benchmark here = `doc_id < benchMaxId` (a stand-in
+    * for an external eval set; the operator only cares that the two
+    * sides are DataFrames of (id, text)). */
+  def contamination(docs: DataFrame, benchMaxId: Long = 20, n: Int = 3,
+                    minShared: Long = 2): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val shingled = docs.select(col("doc_id"), col("text"))
+      .repartition(parts)
+      .select(col("doc_id"), explode(shingleSet(n)).as("sh"))
+    val bench = shingled.where(col("doc_id") < benchMaxId)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    shingled.where(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+      .select("doc_id", "bench_id", "shared_ngrams")
+  }
+
+  /** RE2-safe PII patterns (identical semantics in Java regex and
+    * DuckDB's RE2: character classes + bounded repetition only). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** PII redaction: emails → `<EMAIL>`, 7+-digit runs → `<NUM>`, with
+    * per-document redaction counts (the audit trail a curation pipeline
+    * keeps). One narrow pass, fully codegen'd. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val nEmails = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+    val deEmailed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val nNums = size(regexp_extract_all(deEmailed, lit(LongNumRe), lit(0)))
+    docs.select(col("doc_id"),
+      regexp_replace(deEmailed, LongNumRe, "<NUM>").as("clean_text"),
+      nEmails.cast("bigint").as("n_emails"),
+      nNums.cast("bigint").as("n_longnums"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs,
+    * filling contiguously in (source, doc_id) order — the deterministic
+    * contiguous-fill approximation of bin packing used to build training
+    * context windows. A document starts in the pack its cumulative
+    * offset falls into (`floor(offset / budget)`); packs are per-source
+    * so the window shuffles once on a key with source-count parallelism.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val tokens = size(words).cast("bigint")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"), tokens.as("tokens"))
+      .withColumn("pack_offset",
+        coalesce(sum(col("tokens")).over(w) - col("tokens"), lit(0L)))
+      .withColumn("pack_id", floor(col("pack_offset") / budget).cast("bigint"))
+      .select("doc_id", "source", "tokens", "pack_id", "pack_offset")
+  }
+}
