@@ -39,6 +39,14 @@ object JdbcUpsert {
       * Derby per-row MERGE path uses this to detect a statement that
       * silently affected nothing and retry it. */
     def applyCounted(sql: String, params: Seq[Any]): Long = { apply(sql, params); -1L }
+    /** Execute the same statement for many parameter rows, returning the
+      * per-row affected counts (-1 = unknown). Default is a loop; real
+      * JDBC executors override with `addBatch`/`executeBatch`, which
+      * collapses per-statement round-trip + lock overhead — the same
+      * reason the reference multi-rows its INSERT VALUES lists
+      * (`mysql.go:430-441`). */
+    def applyBatch(sql: String, rows: Seq[Seq[Any]]): Seq[Long] =
+      rows.map(applyCounted(sql, _))
     def close(): Unit = ()
   }
 
@@ -78,15 +86,46 @@ object JdbcUpsert {
       if (serializeStatements)
         ConnectionExecutor.embeddedWriteLock.synchronized(execute(sql, params))
       else execute(sql, params)
-    private def execute(sql: String, params: Seq[Any]): Long = {
-      val c = ensureConn()
-      val ps = stmts.getOrElseUpdate(sql, c.prepareStatement(sql))
+    /** One prepared statement, many parameter rows, one executeBatch —
+      * amortizes the per-statement overhead that dominates per-row MERGE
+      * (embedded URLs hold the process-wide lock for the whole batch,
+      * which also keeps the batch atomic w.r.t. competing writers). */
+    override def applyBatch(sql: String, rows: Seq[Seq[Any]]): Seq[Long] =
+      if (serializeStatements)
+        ConnectionExecutor.embeddedWriteLock.synchronized(executeBatch(sql, rows))
+      else executeBatch(sql, rows)
+    private def bind(ps: java.sql.PreparedStatement, params: Seq[Any]): Unit =
       params.zipWithIndex.foreach { case (p, i) =>
         if (p == null)
           ps.setNull(i + 1, ps.getParameterMetaData.getParameterType(i + 1))
         else ps.setObject(i + 1, p)
       }
+    private def execute(sql: String, params: Seq[Any]): Long = {
+      val c = ensureConn()
+      val ps = stmts.getOrElseUpdate(sql, c.prepareStatement(sql))
+      bind(ps, params)
       ps.executeUpdate().toLong
+    }
+    private def executeBatch(sql: String, rows: Seq[Seq[Any]]): Seq[Long] = {
+      val c = ensureConn()
+      val ps = stmts.getOrElseUpdate(sql, c.prepareStatement(sql))
+      // One transaction per batch: autocommit would sync the log after
+      // EVERY statement in the batch (the dominant cost on an embedded
+      // store); a failed batch rolls back atomically and the caller's
+      // retry replays it — idempotent MERGE makes the replay safe.
+      val auto = c.getAutoCommit
+      if (auto) c.setAutoCommit(false)
+      try {
+        rows.foreach { r => bind(ps, r); ps.addBatch() }
+        val counts = ps.executeBatch().map(_.toLong).toSeq
+        c.commit()
+        counts
+      } catch { case e: Throwable =>
+        try c.rollback() catch { case _: Exception => () }
+        throw e
+      } finally {
+        if (auto) try c.setAutoCommit(true) catch { case _: Exception => () }
+      }
     }
     override def close(): Unit = {
       stmts.values.foreach(s => try s.close() catch { case _: Exception => () })
@@ -211,14 +250,18 @@ object JdbcUpsert {
           // legitimately affects 0 rows — only a table WITH updatable
           // columns can treat 0 as a concurrency rollback (ADVICE r3).
           val hasUpdatable = cols.exists(!keys.contains(_))
-          batch.foreach { r =>
-            graft.engine.Retry(attempts = retries, delayMs = retryDelayMs, sleep = sleep) {
-              // a MERGE must touch exactly one row; 0 means the statement
-              // was rolled back under concurrency — retry it
-              val n = exec.applyCounted(sql, rowParams(Derby, cols, keys, r))
-              if (n == 0 && hasUpdatable)
-                sys.error(s"MERGE affected 0 rows in $table — retrying")
-            }
+          val rowsParams = batch.map(rowParams(Derby, cols, keys, _))
+          graft.engine.Retry(attempts = retries, delayMs = retryDelayMs, sleep = sleep) {
+            // one prepared statement, executeBatch per statement batch —
+            // per-row executeUpdate round-trips dominated the MERGE path.
+            // A MERGE must touch exactly one row; an explicit 0 means it
+            // was rolled back under concurrency — retry the whole batch
+            // (idempotent MERGE makes the replay a no-op for rows that
+            // landed). Drivers may report SUCCESS_NO_INFO (<0); only an
+            // explicit 0 is a rollback signal.
+            val counts = exec.applyBatch(sql, rowsParams)
+            if (hasUpdatable && counts.contains(0L))
+              sys.error(s"MERGE affected 0 rows in $table — retrying batch")
           }
         case _ =>
           val sql = upsertSql(dialect, table, cols, keys, batch.size)
