@@ -95,9 +95,12 @@ final class JdbcTransferJob(
   private case object CharKey extends KeyStyle {
     def literal(v: String): String = s"'${v.replace("'", "''")}'"
   }
-  /** Rank-probe bounds, typed temporal literal. */
-  private final case class TemporalKey(sqlPrefix: String) extends KeyStyle {
-    def literal(v: String): String = s"$sqlPrefix '$v'"
+  /** Rank-probe bounds, JDBC-escape temporal literal (`{ts '…'}` /
+    * `{d '…'}`): every JDBC driver translates the escape to its own
+    * literal syntax — Derby, for one, rejects the ANSI `TIMESTAMP '…'`
+    * form. */
+  private final case class TemporalKey(esc: String) extends KeyStyle {
+    def literal(v: String): String = s"{$esc '${v.replace("'", "''")}'}"
   }
 
   private def keyStyle(meta: JdbcCatalog.ColumnMeta): KeyStyle =
@@ -106,8 +109,8 @@ final class JdbcTransferJob(
         NumericKey(0)
       case "DECIMAL" | "NUMERIC" => NumericKey(math.max(0, meta.scale))
       case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" => NumericKey(6)
-      case "DATE" => TemporalKey("DATE")
-      case t if t.startsWith("TIMESTAMP") => TemporalKey("TIMESTAMP")
+      case "DATE" => TemporalKey("d")
+      case t if t.startsWith("TIMESTAMP") => TemporalKey("ts")
       case _ => CharKey
     }
 

@@ -390,6 +390,78 @@ class JdbcDerbySpec extends SparkTestBase {
     assert(JdbcTransfer.readBack(spark, url, "users_rl_new", mig2).count() == 400)
   }
 
+  test("DECIMAL PK gets an exact numeric chunk plan at the key's scale") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferOutcome}
+    JdbcCatalog.execute(url, "CREATE TABLE dkey (" +
+      "k DECIMAL(12,2) NOT NULL PRIMARY KEY, v DOUBLE)")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO dkey VALUES (?, ?)")
+      (1 to 200).foreach { i =>
+        ps.setBigDecimal(1, new java.math.BigDecimal(s"$i.25"))
+        ps.setDouble(2, i * 1.0); ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    val cpDir = s"$work/cp_dk"
+    val mig2 = MigrationSpec(batchSize = 50, checkpointRowThreshold = 50,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("dkey", targetName = Some("dkey_new"))
+    val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+    assert(out == TransferOutcome.Completed)
+    val cp = Checkpoint.load(cpDir, "jdbc", "dkey").get
+    // plan bounds carry the key's scale, final bound is the exact max
+    assert(cp.bounds.size == 4 && cp.bounds.last == "200.25",
+      s"expected 4 scale-2 bounds ending at the exact max, got ${cp.bounds}")
+    assert(cp.bounds.forall(_.contains(".")), s"scale lost: ${cp.bounds}")
+    val back = JdbcTransfer.readAll(spark, url, "dkey_new")
+    assert(back.count() == 200)
+    assert(back.agg(sum("v")).head.getDouble(0) == (1 to 200).map(_ * 1.0).sum)
+  }
+
+  test("TIMESTAMP PK gets rank-probe bounds with typed temporal literals") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferOutcome}
+    JdbcCatalog.execute(url, "CREATE TABLE tkey (" +
+      "k TIMESTAMP NOT NULL PRIMARY KEY, v DOUBLE)")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO tkey VALUES (?, ?)")
+      (1 to 120).foreach { i =>
+        ps.setTimestamp(1, java.sql.Timestamp.valueOf(
+          f"2024-01-${i / 60 + 1}%02d 00:${i % 60}%02d:00"))
+        ps.setDouble(2, i * 1.0); ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    val cpDir = s"$work/cp_tk"
+    val mig2 = MigrationSpec(batchSize = 30, checkpointRowThreshold = 30,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("tkey", targetName = Some("tkey_new"))
+    val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+    assert(out == TransferOutcome.Completed)
+    val cp = Checkpoint.load(cpDir, "jdbc", "tkey").get
+    assert(cp.bounds.size == 4 && cp.bounds.forall(_.startsWith("2024-01-")),
+      s"expected 4 timestamp rank bounds, got ${cp.bounds}")
+    val back = JdbcTransfer.readAll(spark, url, "tkey_new")
+    assert(back.count() == 120)
+    assert(back.agg(sum("v")).head.getDouble(0) == (1 to 120).map(_ * 1.0).sum)
+  }
+
+  test("streaming JDBC sink at writeParallelism > 1 and across a rerun (ADVICE r3)") {
+    import graft.streaming.StreamingIngest
+    // parallel writers against the embedded store are safe (process-wide
+    // lock) — this exercises the writeParallelism plumbing live
+    StreamingIngest.windowCountsToJdbc(spark, sf, url, "stream_par",
+      writeParallelism = 3)
+    val first = JdbcTransfer.readAll(spark, url, "stream_par")
+    val n = first.count()
+    assert(n > 0)
+    // rerun: probe-then-create must fall through to the idempotent MERGE
+    // instead of dying on table-already-exists
+    StreamingIngest.windowCountsToJdbc(spark, sf, url, "stream_par",
+      writeParallelism = 3)
+    val second = JdbcTransfer.readAll(spark, url, "stream_par")
+    assert(second.count() == n, "rerun must converge, not duplicate")
+  }
+
   test("transfer refuses a PK-less live table (reference mysql.go:216-218)") {
     JdbcCatalog.execute(url, "CREATE TABLE nopk (a INT, b INT)")
     val e = intercept[IllegalArgumentException] {
