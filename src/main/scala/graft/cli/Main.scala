@@ -52,7 +52,9 @@ object Main {
     val t0 = System.currentTimeMillis()
     val results =
       if (kind == "parquet") TransferRunner.run(spark, spec, control)
-      else TransferRunner.runJdbc(spark, spec, jdbcKinds(kind))
+      // live path shares the same cooperative cancel: SIGINT flushes the
+      // chunk checkpoint and the next run resumes from it
+      else TransferRunner.runJdbc(spark, spec, jdbcKinds(kind), control = control)
     TransferRunner.removeShutdownHook(hook)
     println(TransferRunner.summarize(results))
     println(f"total time: ${(System.currentTimeMillis() - t0) / 1000.0}%.1f s")

@@ -95,6 +95,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"nested pruning failed — scan reads more than meta.who.uid: $readSchema")
   }
 
+  test("contamination joins the corpus against a BROADCAST benchmark side") {
+    val plan = executedPlan("text_contamination")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast — corpus would shuffle:\n${plan.take(3000)}")
+  }
+
+  test("ngram jaccard candidates come from an equi-join on the shingle hash") {
+    val plan = executedPlan("dedup_ngram_jaccard")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"jaccard fell back to a nested-loop join:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "shared-shingle count not map-side partial")
+  }
+
   test("jdbc roundtrip reads back through a range-partitioned JDBCRelation scan") {
     val df = SparkEntry.queries("transfer_jdbc_roundtrip")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
