@@ -209,19 +209,21 @@ final class JdbcTransferJob(
       .getOrElse(sys.error(s"key column '$pkCol' not found in ${table.name}"))
     val style = keyStyle(meta)
 
-    // Plan from the checkpoint when one exists (resume = a file read, no
-    // re-probe); otherwise probe and persist before the first chunk.
-    val (bounds: Seq[String], total: Long) =
-      cp.filter(c => c.bounds.nonEmpty && c.totalRows >= 0) match {
-        case Some(c) => (c.bounds, c.totalRows)
-        case None =>
-          JdbcCatalog.withConnection(url) { c =>
-            style match {
-              case NumericKey(scale) => numericPlan(c, pkCol, scale)
-              case _ => rankPlan(c, pkCol)
-            }
+    // Plan from the checkpoint when one was stored (resume = a file
+    // read, no re-probe); otherwise probe and persist before the first
+    // chunk. A checkpoint WITHOUT a stored plan (crash between the cp
+    // write and the plan write) re-plans and re-persists.
+    val stored = cp.filter(c => c.bounds.nonEmpty && c.totalRows >= 0)
+    val (bounds: Seq[String], total: Long) = stored match {
+      case Some(c) => (c.bounds, c.totalRows)
+      case None =>
+        JdbcCatalog.withConnection(url) { c =>
+          style match {
+            case NumericKey(scale) => numericPlan(c, pkCol, scale)
+            case _ => rankPlan(c, pkCol)
           }
-      }
+        }
+    }
     val startChunk = cp.map(_.chunkIndex).getOrElse(-1) + 1
 
     def save(idx: Int, complete: Boolean): Unit =
@@ -234,7 +236,7 @@ final class JdbcTransferJob(
           bounds = bounds, totalRows = total))
 
     if (bounds.isEmpty) { save(-1, complete = true); return TransferOutcome.Completed }
-    if (cp.isEmpty) save(startChunk - 1, complete = false) // persist the plan
+    if (stored.isEmpty) save(startChunk - 1, complete = false) // persist the plan
     if (startChunk >= bounds.size) { save(bounds.size - 1, complete = true)
       return TransferOutcome.Completed }
 
