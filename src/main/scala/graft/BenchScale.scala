@@ -77,6 +77,52 @@ object BenchScale {
       results(name) = sec
     }
 
+    // Transfer-engine evidence at the same 10×: derive lineitem (key
+    // space offset per copy keeps l_orderkey chunkable), run the full
+    // chunked transfer, then the kill+resume cycle, at ~6M rows.
+    val liPath = s"$out/lineitem.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(liPath))) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val maxKey = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      val copies = spark.range(factor.toLong).toDF("copy")
+      // range-partition + sort by the key: chunked range scans depend on
+      // parquet min/max row-group pruning, which needs key-clustered
+      // storage (what any real keyed ingest produces) — a randomly
+      // shuffled layout would make every chunk scan every row group
+      li.crossJoin(copies)
+        .withColumn("l_orderkey", col("l_orderkey") + col("copy") * lit(maxKey))
+        .drop("copy")
+        .repartitionByRange(32, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(liPath)
+    }
+    {
+      import graft.core._
+      import graft.engine._
+      def spec(tag: String) = TransferSpec(
+        EndpointSpec("parquet", path = out,
+          tables = Seq(TableMapping("lineitem", targetName = Some(s"li_$tag")))),
+        EndpointSpec("parquet", path = s"$out/dest_$tag"),
+        MigrationSpec(batchSize = 100000, checkpointRowThreshold = 100000,
+          checkpointDir = s"$out/cp_$tag", rateLimit = 2000000000))
+      val plain = spec("plain")
+      graft.util.Fs.deleteRecursive(new java.io.File(s"$out/dest_plain"))
+      graft.engine.Checkpoint.deleteAll(s"$out/cp_plain")
+      results("transfer_lineitem_scaled") = time {
+        new TableTransferJob(spark, plain, plain.source.tables.head,
+          new TransferControl, _ => ()).run()
+      }
+      val killed = spec("killed")
+      graft.util.Fs.deleteRecursive(new java.io.File(s"$out/dest_killed"))
+      graft.engine.Checkpoint.deleteAll(s"$out/cp_killed")
+      results("transfer_kill_resume_scaled") = time {
+        new TableTransferJob(spark, killed, killed.source.tables.head,
+          TransferControl.cancelAfterChecks(30), _ => ()).run()
+        new TableTransferJob(spark, killed, killed.source.tables.head,
+          new TransferControl, _ => ()).run()
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -417,6 +417,11 @@ object SparkEntry {
     //     source (training context-window assembly)
     "text_pack_sequences" -> ((s, d) => Curation.packSequences(T(s, d, "documents"))),
 
+    // --- deterministic weighted mixture sampling + seeded shuffle key
+    //     (training-mixture assembly: per-source rates, no RNG)
+    "text_mix_sample" -> ((s, d) => Curation.mixSample(T(s, d, "documents"),
+      rates = Seq("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0))),
+
     // --- embedding-cosine near-dup (bucketed candidates + exact confirm)
     //     and the user-facing dedup result set (survivors of near-dedup)
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDup(T(s, d, "embeddings"))),
@@ -816,6 +821,12 @@ object SparkEntry {
     "text_contamination" -> contaminationOracleSql,
     "text_pii_redact" -> piiRedactOracleSql,
     "text_pack_sequences" -> packSequencesOracleSql,
+    "text_mix_sample" ->
+      """SELECT doc_id, source, md5('mix1:' || doc_id) AS shuffle_key
+        |FROM documents
+        |WHERE ('0x' || substr(md5('mix1' || doc_id), 1, 8))::BIGINT % 10000 <
+        |  (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+        |   WHEN 'src3' THEN 0.0 ELSE 1.0 END) * 10000""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "ann_cosine_topk" ->

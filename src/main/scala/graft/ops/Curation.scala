@@ -106,6 +106,28 @@ object Curation {
       nNums.cast("bigint").as("n_longnums"))
   }
 
+  /** Deterministic weighted mixture sampling + shuffle — training-set
+    * assembly: each source keeps `rate` of its documents, decided by a
+    * seeded md5 of the doc id (reproducible across engines, runs, and
+    * cluster layouts — no RNG, no per-partition state), and survivors
+    * carry a seeded shuffle key that orders the mixture independently
+    * of source order. One narrow pass; the sort, when a consumer wants
+    * it, is a normal range-partitioned ORDER BY on `shuffle_key`. */
+  def mixSample(docs: DataFrame, rates: Seq[(String, Double)],
+                defaultRate: Double = 1.0, seed: String = "mix1"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("bigint")
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((s, r), acc) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), (h % 10000).as("mix_hash"),
+        rate.as("rate"))
+      .where(col("mix_hash") < col("rate") * 10000)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs,
     * filling contiguously in (source, doc_id) order — the deterministic
     * contiguous-fill approximation of bin packing used to build training
