@@ -122,8 +122,16 @@ final class JdbcTransferJob(
     math.max(1, math.min(maxChunks,
       math.ceil(total.toDouble / chunkRows(total)).toInt))
 
-  /** Plan for a numeric key: one MIN/MAX/COUNT probe, even-split bounds
-    * in BigDecimal (floor at the key's scale), last bound the exact max. */
+  /** Plan for a numeric key: one MIN/MAX/COUNT probe, then ONE
+    * histogram aggregation over the key — equi-width grains 4× finer
+    * than the target chunk count — merged greedily into equal-ROW
+    * chunks. A naive even VALUE-split would put a key burst (90% of the
+    * rows in 1% of the range: timestamp bursts, snowflake-id epochs)
+    * into one chunk and starve the rest; the histogram costs one
+    * aggregate scan at plan time and keeps chunk membership balanced at
+    * any skew the grain can resolve. Bounds are BigDecimal (exact for
+    * 64-bit ids ≥ 2^53), floored to the key's scale; last bound is the
+    * exact max. */
   private def numericPlan(c: Connection, pkCol: String,
                           scale: Int): (Seq[String], Long) = {
     val st = c.createStatement()
@@ -136,19 +144,82 @@ final class JdbcTransferJob(
       } finally st.close()
     if (total == 0) return (Nil, 0L)
     val n = chunkCount(total)
-    val span = hi.subtract(lo)
+    if (n == 1 || hi.compareTo(lo) == 0)
+      return (Seq(hi.toPlainString), total)
+
+    val target = math.max(1L, total / n)
+    // leaf grains: equi-width histogram, recursively re-histogrammed
+    // inside any grain still holding >= 2 chunks' worth of rows (a key
+    // burst concentrated below one grain's resolution), bounded depth
+    val leaves = leafGrains(c, pkCol, lo, hi, "1=1", target, scale, depth = 3)
+    // greedy merge: cut a chunk at the grain edge where the running
+    // count reaches the equal-row target
     val bounds = Seq.newBuilder[java.math.BigDecimal]
     var prev = lo.subtract(java.math.BigDecimal.ONE)
-    for (i <- 1 until n) {
-      val b = lo.add(span.multiply(new java.math.BigDecimal(i))
-        .divide(new java.math.BigDecimal(n), scale, java.math.RoundingMode.FLOOR))
-      if (b.compareTo(prev) > 0 && b.compareTo(hi) < 0) {
-        bounds += b; prev = b
+    var acc = 0L
+    leaves.foreach { case (edgeHi, cnt) =>
+      acc += cnt
+      if (acc >= target) {
+        val edge = edgeHi.setScale(scale, java.math.RoundingMode.FLOOR)
+        if (edge.compareTo(prev) > 0 && edge.compareTo(hi) < 0) {
+          bounds += edge; prev = edge
+        }
+        acc = 0L
       }
     }
     bounds += hi // exact max closes the plan
     (bounds.result().map(_.toPlainString), total)
   }
+
+  private val histGrains = 64
+
+  /** One equi-width histogram of `[lo, hi]` restricted by `where`:
+    * (grainLo, grainHi, rows) per non-empty grain, ascending. Grain
+    * indices compute server-side as `FLOOR((pk - lo) / width)` — the
+    * subtraction stays exact in the key's type and the division lands
+    * in [0, grains], far below any floating-point precision edge. */
+  private def histogram(c: Connection, pkCol: String,
+                        lo: java.math.BigDecimal, hi: java.math.BigDecimal,
+                        where: String, scale: Int)
+      : Seq[(java.math.BigDecimal, java.math.BigDecimal, Long)] = {
+    val span = hi.subtract(lo)
+    val width = span.divide(new java.math.BigDecimal(histGrains),
+      scale + 6, java.math.RoundingMode.CEILING)
+      .max(new java.math.BigDecimal(java.math.BigInteger.ONE, scale + 6))
+    val expr = s"FLOOR(($pkCol - ${lo.toPlainString}) / ${width.toPlainString})"
+    val st = c.createStatement()
+    try {
+      // derived table so GROUP BY names a plain column — Derby (and
+      // other strict engines) reject expressions in GROUP BY
+      val rs = st.executeQuery(
+        s"SELECT g, COUNT(*) FROM (SELECT $expr AS g FROM ${table.name} " +
+          s"WHERE $where) h GROUP BY g")
+      val b = Seq.newBuilder[(Long, Long)]
+      while (rs.next()) b += ((rs.getBigDecimal(1).longValue(), rs.getLong(2)))
+      b.result().sortBy(_._1).map { case (g, cnt) =>
+        val gLo = lo.add(width.multiply(new java.math.BigDecimal(g))).max(lo)
+        val gHi = lo.add(width.multiply(new java.math.BigDecimal(g + 1))).min(hi)
+        (gLo, gHi, cnt)
+      }
+    } finally st.close()
+  }
+
+  /** Leaf grains of the adaptive histogram: `(upperEdge, rows)` in key
+    * order. A grain with >= 2×target rows and remaining depth is
+    * re-histogrammed in place (one extra aggregate over just that key
+    * range), multiplying effective resolution by `histGrains` per
+    * level. */
+  private def leafGrains(c: Connection, pkCol: String,
+                         lo: java.math.BigDecimal, hi: java.math.BigDecimal,
+                         where: String, target: Long, scale: Int, depth: Int)
+      : Seq[(java.math.BigDecimal, Long)] =
+    histogram(c, pkCol, lo, hi, where, scale).flatMap { case (gLo, gHi, cnt) =>
+      if (cnt >= 2 * target && depth > 0 && gHi.compareTo(gLo) > 0)
+        leafGrains(c, pkCol, gLo, gHi,
+          s"$pkCol >= ${gLo.toPlainString} AND $pkCol < ${gHi.toPlainString}",
+          target, scale, depth - 1)
+      else Seq((gHi, cnt))
+    }
 
   /** Plan for a character/temporal key: COUNT(*) then n-1 rank probes —
     * the key at 0-based offset `i·total/n - 1`, each an indexed

@@ -290,15 +290,24 @@ class JdbcDerbySpec extends SparkTestBase {
       s"expected prefix checkpoint at chunk 1, got $cp")
     assert(cp.bounds.size == 5 && cp.totalRows == 1000,
       s"plan must be persisted in the checkpoint, got $cp")
-    // resume with a COUNTING executor: exactly the 3 remaining chunks'
-    // rows (600) may be merged — a full 1000-row rewrite means the
-    // checkpoint was ignored
+    // resume with a COUNTING executor: exactly the rows ABOVE the
+    // checkpointed bound may be merged — a full 1000-row rewrite means
+    // the checkpoint was ignored
+    val tail = JdbcCatalog.withConnection(url) { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT COUNT(*) FROM users_kr WHERE id > ${cp.bounds(cp.chunkIndex)}")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    }
+    assert(tail > 0 && tail < 1000, s"kill landed at a useless point: tail=$tail")
     CountingExec.statements.set(0)
     val second = new JdbcTransferJob(spark, url, t, mig2, log = _ => (),
       executorFactory = CountingExec.factory(url)).run()
     assert(second == TransferOutcome.Completed)
-    assert(CountingExec.statements.get == 600,
-      s"resume must re-write only rows above the checkpoint, " +
+    assert(CountingExec.statements.get == tail,
+      s"resume must re-write only the $tail rows above the checkpoint, " +
         s"merged ${CountingExec.statements.get}")
     // resumed plan came from the checkpoint — same bounds, now complete
     val done = Checkpoint.load(cpDir, "jdbc", "users_kr").get
@@ -388,6 +397,51 @@ class JdbcDerbySpec extends SparkTestBase {
     assert(slept.get >= 3000,
       s"limiter was not consulted on the live path (slept ${slept.get} ms)")
     assert(JdbcTransfer.readBack(spark, url, "users_rl_new", mig2).count() == 400)
+  }
+
+  test("numeric chunk plan balances key skew via the adaptive histogram") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferOutcome}
+    // 900 keys packed into 0.1% of the range + 100 spread to 1M: an even
+    // VALUE-split would put 90% of the rows in the first chunk
+    JdbcCatalog.execute(url, "CREATE TABLE skew (" +
+      "k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO skew VALUES (?, ?)")
+      (1 to 900).foreach { i => ps.setLong(1, i.toLong); ps.setDouble(2, i); ps.addBatch() }
+      (1 to 100).foreach { i => ps.setLong(1, i * 10000L); ps.setDouble(2, i); ps.addBatch() }
+      ps.executeBatch()
+    }
+    val cpDir = s"$work/cp_skew"
+    val mig2 = MigrationSpec(batchSize = 200, checkpointRowThreshold = 200,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("skew", targetName = Some("skew_new"))
+    val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+    assert(out == TransferOutcome.Completed)
+    val cp = Checkpoint.load(cpDir, "jdbc", "skew").get
+    // 1000 rows / 200-row chunks → 5 bounds; the dense region must be
+    // CUT — at least 3 bounds land inside keys <= 1000 (an even split
+    // would put every bound far above it)
+    val dense = cp.bounds.count(_.toDouble <= 1000)
+    assert(cp.bounds.size >= 4 && dense >= 3,
+      s"histogram plan failed to split the dense region: ${cp.bounds}")
+    // per-chunk row balance: no chunk above 2x the ideal
+    val boundsL = cp.bounds.map(_.toDouble)
+    val counts = boundsL.zipWithIndex.map { case (b, i) =>
+      val lo = if (i == 0) Double.MinValue else boundsL(i - 1)
+      JdbcCatalog.withConnection(url) { c =>
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT COUNT(*) FROM skew WHERE k > $lo AND k <= $b")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      }
+    }
+    assert(counts.sum == 1000)
+    assert(counts.max <= 2 * (1000 / counts.size),
+      s"chunk rows unbalanced: $counts (bounds ${cp.bounds})")
+    val back = JdbcTransfer.readAll(spark, url, "skew_new")
+    assert(back.count() == 1000)
   }
 
   test("DECIMAL PK gets an exact numeric chunk plan at the key's scale") {
