@@ -417,6 +417,10 @@ object SparkEntry {
     //     source (training context-window assembly)
     "text_pack_sequences" -> ((s, d) => Curation.packSequences(T(s, d, "documents"))),
 
+    // --- Gopher-style repetition filters: duplicated-word fraction +
+    //     top-bigram fraction per document (boilerplate/spam flags)
+    "text_repetition" -> ((s, d) => Curation.repetitionStats(T(s, d, "documents"))),
+
     // --- deterministic weighted mixture sampling + seeded shuffle key
     //     (training-mixture assembly: per-source rates, no RNG)
     "text_mix_sample" -> ((s, d) => Curation.mixSample(T(s, d, "documents"),
@@ -821,6 +825,20 @@ object SparkEntry {
     "text_contamination" -> contaminationOracleSql,
     "text_pii_redact" -> piiRedactOracleSql,
     "text_pack_sequences" -> packSequencesOracleSql,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+        |    round(1.0 - len(list_distinct(w)) / len(w), 6) AS dup_word_frac
+        |  FROM w),
+        |bg AS (SELECT doc_id, (len(w) - 1)::BIGINT AS n_bigrams,
+        |    array_to_string(list_slice(w, i.i, i.i + 1), ' ') AS bg
+        |  FROM w, unnest(range(1, len(w))) AS i(i)),
+        |top AS (SELECT doc_id, round(max(c) / any_value(n_bigrams), 6) AS top_bigram_frac
+        |  FROM (SELECT doc_id, n_bigrams, bg, count(*) AS c
+        |        FROM bg GROUP BY 1, 2, 3)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, n_words, dup_word_frac, top_bigram_frac
+        |FROM base b JOIN top USING (doc_id)""".stripMargin,
     "text_mix_sample" ->
       """SELECT doc_id, source, md5('mix1:' || doc_id) AS shuffle_key
         |FROM documents

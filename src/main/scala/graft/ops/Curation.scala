@@ -106,6 +106,34 @@ object Curation {
       nNums.cast("bigint").as("n_longnums"))
   }
 
+  /** Repetition statistics — the Gopher/RefinedWeb-style intra-document
+    * repetition filters: fraction of duplicated words and the fraction
+    * of all bigrams taken by the single most frequent bigram (high
+    * values flag boilerplate/spam for removal before training). One
+    * explode + two hash aggregations, shuffled on (doc_id[, bigram]). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val w = docs.select(col("doc_id"), words.as("w")).repartition(parts)
+    val base = w.select(col("doc_id"),
+      size(col("w")).cast("bigint").as("n_words"),
+      round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+        size(col("w")).cast("double"), 6).as("dup_word_frac"))
+    val bigrams = w
+      .select(col("doc_id"), size(col("w")).as("n"),
+        explode(sequence(lit(0), size(col("w")) - 2)).as("i"), col("w"))
+      .select(col("doc_id"), (col("n") - 1).cast("bigint").as("n_bigrams"),
+        concat_ws(" ", element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2)).as("bg"))
+    val top = bigrams.groupBy("doc_id", "n_bigrams", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_bigrams").agg(max(col("c")).as("top"))
+      .select(col("doc_id"),
+        round(col("top").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("top_bigram_frac"))
+    base.join(top, "doc_id")
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
+  }
+
   /** Deterministic weighted mixture sampling + shuffle — training-set
     * assembly: each source keeps `rate` of its documents, decided by a
     * seeded md5 of the doc id (reproducible across engines, runs, and
