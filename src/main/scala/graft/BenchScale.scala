@@ -21,7 +21,9 @@ object BenchScale {
 
   private val family = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_clusters", "dedup_near_keep", "text_tfidf", "text_quality",
+    "dedup_clusters", "dedup_near_keep", "dedup_ngram_jaccard",
+    "text_tfidf", "text_quality", "text_contamination", "text_repetition",
+    "text_pii_redact", "text_pack_sequences", "text_mix_sample",
     "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
     "dedup_embedding_cosine")
 

@@ -87,7 +87,11 @@ object Similarity {
     // engines (the oracle mirrors the same rounding), at a precision far
     // below anything that moves a cluster. None = full double precision.
     def r(c: Column): Column = scale.map(s => round(c, s)).getOrElse(c)
+    // the collection is scanned by every round's assignment join AND by
+    // the convergence of the lazily-built lineage — cache it for the
+    // duration of training
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .persist()
     var cents = e.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("ce"))
     for (_ <- 1 to iters) {
@@ -110,7 +114,12 @@ object Similarity {
           Seq("cid"), "right_outer")
         .select(col("cid"), coalesce(col("ce"), col("prev")).as("ce"))
     }
-    cents
+    // materialize the trained quantizer (k rows): consumers broadcast it
+    // into several joins, and each would otherwise RE-RUN the whole
+    // iterative lineage; localCheckpoint truncates it to the k-row result
+    val out = cents.localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   /** Training objective: sum over vectors of squared distance to their
