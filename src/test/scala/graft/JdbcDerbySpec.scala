@@ -516,6 +516,33 @@ class JdbcDerbySpec extends SparkTestBase {
     assert(second.count() == n, "rerun must converge, not duplicate")
   }
 
+  test("live kill+resume invariant: any kill point converges to the uninterrupted result") {
+    import graft.engine.{JdbcTransferJob, TransferControl, TransferOutcome}
+    seedUsers("users_kp", 600)
+    val expect = JdbcTransfer.readBack(spark, url, "users_kp", mig)
+      .withColumn("bal", expr("bal * 3"))
+    // kill after 1..5 chunk checks (6-chunk plan at batch 100): every
+    // kill point must resume to the same destination
+    (1 to 5).foreach { kp =>
+      val cpDir = s"$work/cp_kp$kp"
+      val mig2 = MigrationSpec(batchSize = 100, checkpointRowThreshold = 100,
+        rateLimit = 1000000000, checkpointDir = cpDir)
+      val t = TableMapping("users_kp", targetName = Some(s"users_kp_$kp"),
+        columnTransformations = Seq(ColumnTransformation("bal", "bal * 3")))
+      new JdbcTransferJob(spark, url, t, mig2,
+        control = TransferControl.cancelAfterChecks(kp), log = _ => ()).run()
+      val resumed = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+      withClue(s"kill point $kp: ") {
+        assert(resumed == TransferOutcome.Completed ||
+          resumed == TransferOutcome.SkippedComplete)
+        val back = JdbcTransfer.readBack(spark, url, s"users_kp_$kp", mig)
+        assert(back.count() == 600)
+        assert(back.except(expect).isEmpty && expect.except(back).isEmpty,
+          "resumed destination diverged from the uninterrupted result")
+      }
+    }
+  }
+
   test("transfer refuses a PK-less live table (reference mysql.go:216-218)") {
     JdbcCatalog.execute(url, "CREATE TABLE nopk (a INT, b INT)")
     val e = intercept[IllegalArgumentException] {
