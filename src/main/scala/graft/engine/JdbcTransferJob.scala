@@ -221,10 +221,17 @@ final class JdbcTransferJob(
       else Seq((gHi, cnt))
     }
 
-  /** Plan for a character/temporal key: COUNT(*) then n-1 rank probes —
-    * the key at 0-based offset `i·total/n - 1`, each an indexed
-    * ORDER-BY-PK walk — plus the exact MAX as the final bound. */
-  private def rankPlan(c: Connection, pkCol: String): (Seq[String], Long) = {
+  /** Plan for a character/temporal key: COUNT(*), then a KEYSET walk of
+    * the chunk boundaries — each probe starts from the previous bound
+    * (`WHERE pk > prev ORDER BY pk OFFSET per-1 FETCH NEXT 1`), so it
+    * scans one chunk's worth of index entries and the whole plan costs
+    * one index pass in total. (Absolute OFFSETs from the table start
+    * would be O(total·chunks): OFFSET is a linear skip in most
+    * engines.) Bounds are exact stored keys — row-exact quantiles, so
+    * string plans are skew-proof by construction — closed by the exact
+    * MAX. */
+  private def rankPlan(c: Connection, pkCol: String,
+                       style: KeyStyle): (Seq[String], Long) = {
     val total = {
       val st = c.createStatement()
       try {
@@ -234,22 +241,33 @@ final class JdbcTransferJob(
     }
     if (total == 0) return (Nil, 0L)
     val n = chunkCount(total)
-    val offsets = (1 to n).map(i => i * total / n - 1)
-    val bounds = offsets.map { off =>
+    val per = math.max(1L, total / n)
+    val bounds = Seq.newBuilder[String]
+    var prev: Option[String] = None
+    for (_ <- 1 until n) {
+      val where = prev.fold("")(p => s"WHERE $pkCol > ${style.literal(p)} ")
       val sql = dialect match {
         case JdbcUpsert.MySql =>
-          s"SELECT $pkCol FROM ${table.name} ORDER BY $pkCol LIMIT $off, 1"
+          s"SELECT $pkCol FROM ${table.name} $where" +
+            s"ORDER BY $pkCol LIMIT ${per - 1}, 1"
         case _ =>
-          s"SELECT $pkCol FROM ${table.name} ORDER BY $pkCol " +
-            s"OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY"
+          s"SELECT $pkCol FROM ${table.name} $where" +
+            s"ORDER BY $pkCol OFFSET ${per - 1} ROWS FETCH NEXT 1 ROWS ONLY"
       }
       val st = c.createStatement()
       try {
         val rs = st.executeQuery(sql)
+        if (rs.next()) { val b = rs.getString(1); bounds += b; prev = Some(b) }
+      } finally st.close()
+    }
+    val maxKey = {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MAX($pkCol) FROM ${table.name}")
         rs.next(); rs.getString(1)
       } finally st.close()
     }
-    (bounds.distinct, total)
+    ((bounds.result() :+ maxKey).distinct, total)
   }
 
   // -- chunked transfer --------------------------------------------------
@@ -291,7 +309,7 @@ final class JdbcTransferJob(
         JdbcCatalog.withConnection(url) { c =>
           style match {
             case NumericKey(scale) => numericPlan(c, pkCol, scale)
-            case _ => rankPlan(c, pkCol)
+            case _ => rankPlan(c, pkCol, style)
           }
         }
     }
