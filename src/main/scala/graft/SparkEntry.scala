@@ -837,8 +837,9 @@ object SparkEntry {
         |  FROM (SELECT doc_id, n_bigrams, bg, count(*) AS c
         |        FROM bg GROUP BY 1, 2, 3)
         |  GROUP BY doc_id)
-        |SELECT b.doc_id, n_words, dup_word_frac, top_bigram_frac
-        |FROM base b JOIN top USING (doc_id)""".stripMargin,
+        |SELECT b.doc_id, n_words, dup_word_frac,
+        |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin,
     "text_mix_sample" ->
       """SELECT doc_id, source, md5('mix1:' || doc_id) AS shuffle_key
         |FROM documents

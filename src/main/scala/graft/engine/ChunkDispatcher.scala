@@ -21,6 +21,22 @@ import scala.concurrent.duration.Duration
   * The checkpoint is saved BEFORE the rate-limit sleep so a kill during
   * the sleep loses no completed chunk.
   */
+/** Chunk sizing shared by the parquet and live JDBC engines — ONE
+  * definition of the contract: at most [[maxChunks]] chunks per table
+  * (checkpoint cadence scales with table size instead of emitting
+  * millions of tiny jobs), floored at the configured batch size /
+  * checkpoint threshold. */
+private[engine] object ChunkSizing {
+  val maxChunks = 256
+  def chunkRows(total: Long, batchSize: Int, rowThreshold: Int): Long = {
+    val base = math.max(batchSize.toLong, rowThreshold.toLong)
+    math.max(base, math.ceil(total.toDouble / maxChunks).toLong)
+  }
+  def chunkCount(total: Long, batchSize: Int, rowThreshold: Int): Int =
+    math.max(1, math.min(maxChunks, math.ceil(
+      total.toDouble / chunkRows(total, batchSize, rowThreshold)).toInt))
+}
+
 private[engine] final class ChunkDispatcher[B](
     width: Int,
     save: (Int, B) => Unit,

@@ -25,14 +25,15 @@ import graft.sources.JdbcCatalog
   *
   * Chunk plans are TYPED by the introspected key (the reference getLong'd
   * bounds and died on VARCHAR keys — VERDICT r3 #2):
-  *  - numeric keys (integral, decimal, floating): one
-  *    `MIN/MAX/COUNT` probe, even-split range bounds computed in
-  *    BigDecimal (exact for 64-bit ids ≥ 2^53), the last bound the exact
-  *    max; wide chunks are sub-split into parallel range predicates so
-  *    the per-chunk read stays a parallel scan;
-  *  - character / timestamp / date keys: rank-probe bounds — the key at
-  *    row rank `i·total/n` via `ORDER BY pk OFFSET … FETCH NEXT 1 ROW`
-  *    (`LIMIT k,1` on MySQL), each an O(log) walk of the PK index. The
+  *  - numeric keys (integral, decimal, floating): one `MIN/MAX/COUNT`
+  *    probe plus an adaptive server-side histogram, merged into
+  *    equal-ROW bounds computed in BigDecimal (exact for 64-bit ids ≥
+  *    2^53, balanced under key skew), the last bound the exact max; wide
+  *    chunks are sub-split into parallel range predicates so the
+  *    per-chunk read stays a parallel scan;
+  *  - character / timestamp / date keys: a KEYSET walk of the chunk
+  *    boundaries (`WHERE pk > prev ORDER BY pk OFFSET per-1 FETCH NEXT
+  *    1`; `LIMIT` on MySQL) — one index pass for the whole plan. The
   *    bounds are exact stored keys, so per-chunk predicates
   *    `pk > lo AND pk <= hi` are disjoint and complete under the store's
   *    own collation; the driver never compares key values itself (resume
@@ -71,12 +72,14 @@ final class JdbcTransferJob(
     executorFactory: () => JdbcUpsert.Executor = null) {
 
   private val kind = "jdbc"
-  private val maxChunks = 256
+  private val maxChunks = ChunkSizing.maxChunks
   private val limiter: RateLimiter =
     sharedLimiter.getOrElse(new RateLimiter(mig.rateLimit.toLong))
   private val factory: () => JdbcUpsert.Executor =
     if (executorFactory != null) executorFactory
     else JdbcTransferJob.connectionFactory(url)
+
+  private val cpName: String = JdbcTransferJob.checkpointName(url, table)
 
   /** Rows written by the last `run()` (runner/CLI reporting). */
   @volatile private var written = 0L
@@ -114,13 +117,8 @@ final class JdbcTransferJob(
       case _ => CharKey
     }
 
-  private def chunkRows(total: Long): Long = {
-    val base = math.max(mig.batchSize.toLong, mig.checkpointRowThreshold.toLong)
-    math.max(base, math.ceil(total.toDouble / maxChunks).toLong)
-  }
   private def chunkCount(total: Long): Int =
-    math.max(1, math.min(maxChunks,
-      math.ceil(total.toDouble / chunkRows(total)).toInt))
+    ChunkSizing.chunkCount(total, mig.batchSize, mig.checkpointRowThreshold)
 
   /** Plan for a numeric key: one MIN/MAX/COUNT probe, then ONE
     * histogram aggregation over the key — equi-width grains 4× finer
@@ -275,7 +273,7 @@ final class JdbcTransferJob(
   def run(): TransferOutcome = {
     require(JdbcCatalog.tableExists(url, table.name),
       s"source table not found: ${table.name}") // S7, mysql.go:200-207
-    val cp = Checkpoint.load(mig.checkpointDir, kind, table.name)
+    val cp = Checkpoint.load(mig.checkpointDir, kind, cpName)
     if (cp.exists(_.complete)) {
       log(s"${table.name}: checkpoint complete, skipping (R6)")
       return TransferOutcome.SkippedComplete
@@ -316,7 +314,7 @@ final class JdbcTransferJob(
     val startChunk = cp.map(_.chunkIndex).getOrElse(-1) + 1
 
     def save(idx: Int, complete: Boolean): Unit =
-      Checkpoint.save(mig.checkpointDir, kind, table.name,
+      Checkpoint.save(mig.checkpointDir, kind, cpName,
         Checkpoint(
           if (idx >= 0 && bounds.nonEmpty)
             Map(pkCol -> bounds(math.min(idx, bounds.size - 1)))
@@ -414,10 +412,7 @@ final class JdbcTransferJob(
     val out = table.columnTransformations.foldLeft(chunk) { (d, ct) =>
       d.withColumn(ct.sourceColumn, expr(ct.expression))
     }
-    val wp =
-      if (writeParallelism > 0) writeParallelism
-      else if (JdbcUpsert.isEmbeddedUrl(url)) 1
-      else 0
+    val wp = JdbcUpsert.effectiveWriteParallelism(url, writeParallelism)
     val toWrite =
       if (wp > 0 && wp < out.rdd.getNumPartitions) out.coalesce(wp) else out
     Retry(attempts = 3, delayMs = 1000,
@@ -429,6 +424,19 @@ final class JdbcTransferJob(
 }
 
 object JdbcTransferJob {
+  /** Checkpoint identity for a live transfer: the table name alone
+    * would COLLIDE across runs against different databases or targets
+    * sharing a checkpoint dir — a complete marker from run A would
+    * silently skip run B, and an interrupted run A's persisted chunk
+    * plan would truncate run B's key space. Scoped to
+    * (source table, url, target). */
+  def checkpointName(url: String, table: graft.core.TableMapping): String = {
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$url ${table.target}".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"${table.name}_$id"
+  }
+
   /** Serializable default executor factory (a lambda from a static
     * method closes over only the URL string — safe to ship to
     * executors). */

@@ -103,7 +103,7 @@ final class TableTransferJob(
   private val kind = spec.source.kind
   private val srcFile = s"${spec.source.path}/${table.name}.parquet"
   private val destDir = s"${spec.destination.path}/${table.target}"
-  private val maxChunks = 256
+  private val maxChunks = ChunkSizing.maxChunks
 
   private def pkCols: Seq[String] =
     table.primaryKeyCols
@@ -181,10 +181,8 @@ final class TableTransferJob(
       d.withColumn(ct.sourceColumn, expr(ct.expression))
     }
 
-  private def chunkRows(total: Long): Long = {
-    val base = math.max(mig.batchSize.toLong, mig.checkpointRowThreshold.toLong)
-    math.max(base, math.ceil(total.toDouble / maxChunks).toLong)
-  }
+  private def chunkRows(total: Long): Long =
+    ChunkSizing.chunkRows(total, mig.batchSize, mig.checkpointRowThreshold)
 
   // -- PK value codec ----------------------------------------------------
 
@@ -438,11 +436,23 @@ final class TableTransferJob(
         else (destDir, ", recursiveFileLookup 'true'")
       // Drop-then-create (v1 session catalog has no REPLACE TABLE): a
       // stale registration from an earlier run would silently keep
-      // pointing at the OLD destination/layout (ADVICE r3). External
-      // table, so the drop never touches the transferred data. The path
-      // is escaped — a quote in it must not break the statement.
+      // pointing at the OLD destination/layout (ADVICE r3). Only an
+      // EXTERNAL table may be replaced — our own registrations are
+      // external, so the drop never touches data; a same-named MANAGED
+      // table or view belongs to someone else, and dropping a managed
+      // table would DELETE its warehouse files. The path is escaped —
+      // a quote in it must not break the statement.
+      if (spark.catalog.tableExists(table.target)) {
+        val isExternal = spark.sql(s"DESCRIBE TABLE EXTENDED `${table.target}`")
+          .where(col("col_name") === "Type")
+          .collect().headOption.exists(_.getString(1).toUpperCase.contains("EXTERNAL"))
+        require(isExternal,
+          s"refusing to replace '${table.target}': the existing catalog entry " +
+            "is not an external table registered by a transfer (dropping a " +
+            "managed table would delete its data)")
+        spark.sql(s"DROP TABLE `${table.target}`")
+      }
       val escaped = loc.replace("'", "''")
-      spark.sql(s"DROP TABLE IF EXISTS `${table.target}`")
       spark.sql(s"CREATE TABLE `${table.target}` USING parquet " +
         s"OPTIONS (path '$escaped'$opts)")
     }

@@ -49,7 +49,10 @@ object Curation {
     val sh = docs.select(col("doc_id"), col("text"))
       .repartition(parts)
       .select(col("doc_id"), explode(shingleSet(n)).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // set sizes straight off the array — no second explode+shuffle (the
+    // self-join's two sh branches share one exchange via reuse)
+    val sizes = docs.select(col("doc_id"),
+      size(shingleSet(n)).cast("bigint").as("sz"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("sh")
     val indexed = sh.join(rare, "sh")
@@ -118,7 +121,10 @@ object Curation {
       size(col("w")).cast("bigint").as("n_words"),
       round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
         size(col("w")).cast("double"), 6).as("dup_word_frac"))
-    val bigrams = w
+    // single-word docs have NO bigrams: filter before the explode
+    // (sequence(0, -1) would step backwards and index element 0), and
+    // left-join them back with a 0.0 fraction
+    val bigrams = w.where(size(col("w")) >= 2)
       .select(col("doc_id"), size(col("w")).as("n"),
         explode(sequence(lit(0), size(col("w")) - 2)).as("i"), col("w"))
       .select(col("doc_id"), (col("n") - 1).cast("bigint").as("n_bigrams"),
@@ -130,8 +136,9 @@ object Curation {
       .select(col("doc_id"),
         round(col("top").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("top_bigram_frac"))
-    base.join(top, "doc_id")
-      .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
+    base.join(top, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Deterministic weighted mixture sampling + shuffle — training-set

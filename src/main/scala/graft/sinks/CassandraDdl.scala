@@ -52,42 +52,49 @@ object CassandraDdl {
 
   /** Every struct reachable from the schema with its UDT name, in
     * DEPENDENCY order (children before the structs that embed them) —
-    * the order the CREATE TYPE statements must execute. */
+    * the order the CREATE TYPE statements must execute. Map keys and
+    * values get distinct path segments so two same-shaped structs at
+    * different positions never alias. */
   private[sinks] def reachableStructs(table: String, schema: StructType)
-      : Seq[(String, StructType)] = {
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, StructType]
+      : Seq[(String, Seq[String], StructType)] = {
+    val out =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Seq[String], StructType)]
     def walk(dt: DataType, path: Seq[String]): Unit = dt match {
       case s: StructType =>
         s.fields.foreach(f => walk(f.dataType, path :+ f.name)) // children first
         val name = pathName(table, path)
-        if (!out.contains(name)) out(name) = s
+        if (!out.contains(name)) out(name) = (path, s)
       case ArrayType(e, _) => walk(e, path)
-      case MapType(k, v, _) => { walk(k, path); walk(v, path) }
+      case MapType(k, v, _) => { walk(k, path :+ "key"); walk(v, path :+ "value") }
       case _ => ()
     }
     // top level: the table's own row type is the TABLE, not a UDT — walk
     // its fields only
     schema.fields.foreach(f => walk(f.dataType, Seq(f.name)))
-    out.toSeq
+    out.toSeq.map { case (n, (p, s)) => (n, p, s) }
   }
 
-  /** Name lookup used while rendering: a struct resolves to the name it
-    * was registered under during the dependency walk. */
-  private def namer(structs: Seq[(String, StructType)]): StructType => String = {
-    val byStruct = structs.map { case (n, s) => (s, n) }.toMap
-    s => byStruct.getOrElse(s, sys.error(s"unregistered struct: $s"))
-  }
+  /** Render a type at a PATH: a struct resolves to its path-derived UDT
+    * name — the name IS the position, so two structurally identical
+    * structs at different paths keep distinct, stable names (a
+    * value-keyed map would collapse them and orphan one CREATE TYPE). */
+  private def render(table: String, dt: DataType, path: Seq[String]): String =
+    dt match {
+      case s: StructType => s"frozen<${pathName(table, path)}>"
+      case ArrayType(e, _) => s"list<${render(table, e, path)}>"
+      case MapType(k, v, _) =>
+        s"map<${render(table, k, path :+ "key")}, ${render(table, v, path :+ "value")}>"
+      case other => cqlType(other, _ => sys.error("unreachable"))
+    }
 
   /** `CREATE TYPE IF NOT EXISTS` statements for every UDT the table
     * uses, dependency-ordered (reference `cassandra.go:365-369`,
     * field list per `buildTypeFields`, `cassandra.go:443-449`). */
   def createTypeDdl(keyspace: String, table: String,
                     schema: StructType): Seq[String] = {
-    val structs = reachableStructs(table, schema)
-    val name = namer(structs)
-    structs.map { case (n, s) =>
+    reachableStructs(table, schema).map { case (n, path, s) =>
       val fields = s.fields
-        .map(f => s"${f.name.toLowerCase} ${cqlType(f.dataType, name)}")
+        .map(f => s"${f.name.toLowerCase} ${render(table, f.dataType, path :+ f.name)}")
         .mkString(", ")
       s"CREATE TYPE IF NOT EXISTS $keyspace.$n ($fields)"
     }
@@ -98,11 +105,9 @@ object CassandraDdl {
   def createTableDdl(keyspace: String, table: String, schema: StructType,
                      pk: Seq[String]): String = {
     require(pk.nonEmpty, s"table '$table' needs a primary key")
-    val structs = reachableStructs(table, schema)
-    val name = namer(structs)
     // struct-typed columns reference their path-derived UDT
     val cols = schema.fields.map { f =>
-      s"${f.name.toLowerCase} ${cqlType(f.dataType, name)}"
+      s"${f.name.toLowerCase} ${render(table, f.dataType, Seq(f.name))}"
     }.mkString(", ")
     s"CREATE TABLE IF NOT EXISTS $keyspace.$table " +
       s"($cols, PRIMARY KEY (${pk.map(_.toLowerCase).mkString(", ")}))"

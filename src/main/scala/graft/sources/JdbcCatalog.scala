@@ -45,13 +45,32 @@ object JdbcCatalog {
     Seq(folded, table, table.toLowerCase, table.toUpperCase).distinct
   }
 
-  /** The table's stored-case name, if it exists (probes each candidate
-    * casing against `getTables`). */
+  /** `getTables`/`getColumns` treat the table name as a LIKE pattern:
+    * `_` (in almost every table name here) matches ANY character, so an
+    * unescaped probe for `stream_par` would ALSO match a `stream1par`
+    * sibling. Escape metacharacters with the driver's declared escape
+    * string when it has one — Derby declares none (and rejects
+    * backslash escapes in metadata patterns), so every caller ALSO
+    * post-filters result rows by exact TABLE_NAME. */
+  private def escapePattern(md: java.sql.DatabaseMetaData, name: String): String =
+    Option(md.getSearchStringEscape).filter(_.nonEmpty) match {
+      case Some(esc) =>
+        name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      case None => name
+    }
+
+  /** The table's stored-case name, if it exists: probe each candidate
+    * casing against `getTables`, accepting only an EXACT-name row (the
+    * pattern may over-match on wildcard-happy drivers). */
   private def storedName(c: Connection, table: String): Option[String] = {
     val md = c.getMetaData
     nameCandidates(md, table).find { cand =>
-      val rs = md.getTables(null, null, cand, null)
-      try rs.next() finally rs.close()
+      val rs = md.getTables(null, null, escapePattern(md, cand), null)
+      try {
+        var hit = false
+        while (!hit && rs.next()) hit = rs.getString("TABLE_NAME") == cand
+        hit
+      } finally rs.close()
     }
   }
 
@@ -64,10 +83,13 @@ object JdbcCatalog {
   def columns(url: String, table: String): Seq[ColumnMeta] =
     withConnection(url) { c =>
       val name = storedName(c, table).getOrElse(table)
-      val rs = c.getMetaData.getColumns(null, null, name, null)
+      val rs = c.getMetaData.getColumns(null, null,
+        escapePattern(c.getMetaData, name), null)
       val out = Seq.newBuilder[ColumnMeta]
       try {
-        while (rs.next()) out += ColumnMeta(
+        // exact-name filter: the pattern may over-match a sibling table
+        // whose name differs only at a `_` position
+        while (rs.next()) if (rs.getString("TABLE_NAME") == name) out += ColumnMeta(
           rs.getInt("ORDINAL_POSITION") - 1,
           rs.getString("COLUMN_NAME").toLowerCase,
           rs.getString("TYPE_NAME"),

@@ -147,10 +147,7 @@ object StreamingIngest {
       graft.sources.JdbcCatalog.execute(url, s"CREATE TABLE $table (" +
         "w_start TIMESTAMP NOT NULL, event_type VARCHAR(64) NOT NULL, " +
         "cnt BIGINT, PRIMARY KEY (w_start, event_type))")
-    val parallelism =
-      if (writeParallelism > 0) writeParallelism
-      else if (JdbcUpsert.isEmbeddedUrl(url)) 1
-      else 0 // keep the batch's own partitioning
+    val parallelism = JdbcUpsert.effectiveWriteParallelism(url, writeParallelism)
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_sjdbc_" +
       math.abs((dir + url).hashCode).toString
     graft.util.Fs.deleteRecursive(new java.io.File(work))

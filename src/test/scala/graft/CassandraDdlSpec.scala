@@ -62,10 +62,16 @@ class CassandraDdlSpec extends SparkTestBase {
       StructField("xs", ArrayType(inner)),
       StructField("m", MapType(StringType, inner))))
     val ddl = CassandraDdl.createTypeDdl("ks", "t", s)
-    // the same struct shape appears at two paths → two named UDTs (path
-    // IS the identity; the reference keys on type_name the same way)
+    // the same struct SHAPE appears at two paths → two named UDTs (path
+    // IS the identity — a value-keyed map would collapse them and leave
+    // one CREATE TYPE orphaned); map values get their own path segment
     assert(ddl.exists(_.contains("t_xs_t (v double)")))
-    assert(ddl.exists(_.contains("t_m_t (v double)")))
+    assert(ddl.exists(_.contains("t_m_value_t (v double)")))
+    // and the table DDL references each column's OWN type
+    val tddl = CassandraDdl.createTableDdl("ks", "t",
+      StructType(StructField("id", LongType) +: s.fields), Seq("id"))
+    assert(tddl.contains("xs list<frozen<t_xs_t>>"))
+    assert(tddl.contains("m map<text, frozen<t_m_value_t>>"))
   }
 
   test("CREATE FUNCTION mirrors the reference's clause structure") {

@@ -285,7 +285,7 @@ class JdbcDerbySpec extends SparkTestBase {
     val first = new JdbcTransferJob(spark, url, t, mig2,
       control = TransferControl.cancelAfterChecks(2), log = _ => ()).run()
     assert(first.isInstanceOf[TransferOutcome.Interrupted])
-    val cp = Checkpoint.load(cpDir, "jdbc", "users_kr").get
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
     assert(!cp.complete && cp.chunkIndex == 1,
       s"expected prefix checkpoint at chunk 1, got $cp")
     assert(cp.bounds.size == 5 && cp.totalRows == 1000,
@@ -310,7 +310,7 @@ class JdbcDerbySpec extends SparkTestBase {
       s"resume must re-write only the $tail rows above the checkpoint, " +
         s"merged ${CountingExec.statements.get}")
     // resumed plan came from the checkpoint — same bounds, now complete
-    val done = Checkpoint.load(cpDir, "jdbc", "users_kr").get
+    val done = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
     assert(done.complete && done.bounds == cp.bounds)
     // destination equals the transformed source
     val back = JdbcTransfer.readBack(spark, url, "users_kr_new", mig2)
@@ -342,7 +342,7 @@ class JdbcDerbySpec extends SparkTestBase {
     val first = new JdbcTransferJob(spark, url, t, mig2,
       control = TransferControl.cancelAfterChecks(1), log = _ => ()).run()
     assert(first.isInstanceOf[TransferOutcome.Interrupted])
-    val cp = Checkpoint.load(cpDir, "jdbc", "vkey").get
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
     // 100 rows / 25-row chunks → 4 bounds, each an EXACT stored key
     assert(cp.bounds == Seq("K0025", "K0050", "K0075", "K0100"),
       s"rank-probe bounds must be stored keys, got ${cp.bounds}")
@@ -417,7 +417,7 @@ class JdbcDerbySpec extends SparkTestBase {
     val t = TableMapping("skew", targetName = Some("skew_new"))
     val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
     assert(out == TransferOutcome.Completed)
-    val cp = Checkpoint.load(cpDir, "jdbc", "skew").get
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
     // 1000 rows / 200-row chunks → 5 bounds; the dense region must be
     // CUT — at least 3 bounds land inside keys <= 1000 (an even split
     // would put every bound far above it)
@@ -462,7 +462,7 @@ class JdbcDerbySpec extends SparkTestBase {
     val t = TableMapping("dkey", targetName = Some("dkey_new"))
     val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
     assert(out == TransferOutcome.Completed)
-    val cp = Checkpoint.load(cpDir, "jdbc", "dkey").get
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
     // plan bounds carry the key's scale, final bound is the exact max
     assert(cp.bounds.size == 4 && cp.bounds.last == "200.25",
       s"expected 4 scale-2 bounds ending at the exact max, got ${cp.bounds}")
@@ -491,7 +491,7 @@ class JdbcDerbySpec extends SparkTestBase {
     val t = TableMapping("tkey", targetName = Some("tkey_new"))
     val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
     assert(out == TransferOutcome.Completed)
-    val cp = Checkpoint.load(cpDir, "jdbc", "tkey").get
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
     assert(cp.bounds.size == 4 && cp.bounds.forall(_.startsWith("2024-01-")),
       s"expected 4 timestamp rank bounds, got ${cp.bounds}")
     val back = JdbcTransfer.readAll(spark, url, "tkey_new")
@@ -541,6 +541,19 @@ class JdbcDerbySpec extends SparkTestBase {
           "resumed destination diverged from the uninterrupted result")
       }
     }
+  }
+
+  test("metadata probes treat underscores as literals, not LIKE wildcards") {
+    // Derby's getTables/getColumns patterns wildcard `_` and declare NO
+    // escape string — an unfiltered probe for wca_b would match wcaxb
+    JdbcCatalog.execute(url, "CREATE TABLE WCAXB (x INT)")
+    assert(!JdbcCatalog.tableExists(url, "wca_b"),
+      "existence probe wildcard-matched a sibling table")
+    JdbcCatalog.execute(url, "CREATE TABLE WCA_B (y BIGINT NOT NULL PRIMARY KEY)")
+    assert(JdbcCatalog.tableExists(url, "wca_b"))
+    val cols = JdbcCatalog.columns(url, "wca_b")
+    assert(cols.map(_.name) == Seq("y"),
+      s"column inventory leaked from a wildcard-matched sibling: $cols")
   }
 
   test("transfer refuses a PK-less live table (reference mysql.go:216-218)") {
