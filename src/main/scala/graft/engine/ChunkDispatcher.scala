@@ -26,7 +26,7 @@ import scala.concurrent.duration.Duration
   * (checkpoint cadence scales with table size instead of emitting
   * millions of tiny jobs), floored at the configured batch size /
   * checkpoint threshold. */
-private[engine] object ChunkSizing {
+private[graft] object ChunkSizing {
   val maxChunks = 256
   def chunkRows(total: Long, batchSize: Int, rowThreshold: Int): Long = {
     val base = math.max(batchSize.toLong, rowThreshold.toLong)

@@ -162,6 +162,28 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(!graft.sources.Catalog.tableExists("/root/testdata/sf0.001", "nope"))
   }
 
+  test("chunk sizing: shared cap and floors (both engines)") {
+    import graft.engine.ChunkSizing
+    // floor: never below batch/threshold
+    assert(ChunkSizing.chunkRows(100, 1000, 500) == 1000)
+    assert(ChunkSizing.chunkCount(100, 1000, 500) == 1)
+    // cap: a huge table still plans at most 256 chunks
+    assert(ChunkSizing.chunkCount(1_000_000_000L, 1000, 1000) == 256)
+    assert(ChunkSizing.chunkRows(1_000_000_000L, 1000, 1000) ==
+      math.ceil(1_000_000_000L / 256.0).toLong)
+    // middle: exact division
+    assert(ChunkSizing.chunkCount(10_000, 1000, 1000) == 10)
+  }
+
+  test("write parallelism policy: embedded URLs serialize, servers keep partitioning") {
+    import graft.sinks.JdbcUpsert.effectiveWriteParallelism
+    assert(effectiveWriteParallelism("jdbc:derby:/tmp/x/db", 0) == 1)
+    assert(effectiveWriteParallelism("jdbc:derby://host:1527/db", 0) == 0)
+    assert(effectiveWriteParallelism("jdbc:postgresql://h/db", 0) == 0)
+    // an explicit request always wins
+    assert(effectiveWriteParallelism("jdbc:derby:/tmp/x/db", 3) == 3)
+  }
+
   test("CLI autodetect sniffs backend from path (R11)") {
     import graft.cli.Main.autodetect
     assert(autodetect("jdbc:mysql://h/db") == "mysql")
