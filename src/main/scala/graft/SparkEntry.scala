@@ -1153,7 +1153,7 @@ object SparkEntry {
     """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |    md5(array_to_string(list_slice(w, i.i, i.i + 2), ' ')) AS sh
-      |  FROM w, unnest(range(1, greatest(len(w) - 1, 2))) AS i(i))""".stripMargin
+      |  FROM w, unnest(range(1, len(w) - 1)) AS i(i))""".stripMargin
 
   private def ngramJaccardOracleSql: String =
     s"""WITH $shingleCte,

@@ -20,16 +20,29 @@ object Curation {
 
   private def words: Column = split(col("text"), " ")
 
-  /** Distinct word n-gram shingles, md5-keyed (fixed-width join key —
-    * the inverted index hashes shingles, never raw text). Documents are
-    * assumed ≥ n words (the corpus guarantees ≥ 10); shorter docs would
-    * contribute their partial window once. */
-  private def shingleSet(n: Int): Column = {
-    val w = words
+  /** Distinct word n-gram shingles over a MATERIALIZED words column,
+    * md5-keyed (fixed-width join key — the inverted index hashes
+    * shingles, never raw text). A document shorter than n words has NO
+    * n-grams → empty array (under Spark's ANSI default an unguarded
+    * element_at past the end would THROW, not return null). Callers
+    * must pass a words column materialized behind a repartition —
+    * referencing `split(text)` inline would let CollapseProject re-run
+    * the split once per window (the O(len²) pathology
+    * `Dedup.shingleSets` measured at 14×). */
+  private def shingleHashes(w: Column, n: Int): Column = {
     val cnt = size(w) - (n - 1)
-    array_distinct(transform(
-      sequence(lit(0), greatest(cnt - 1, lit(0))),
-      i => md5(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+    when(cnt > 0, array_distinct(transform(
+      sequence(lit(0), cnt - 1),
+      i => md5(concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, words) with the split materialized behind a shuffle
+    * boundary so downstream per-window lambdas reference the ARRAY, not
+    * the split expression. */
+  private def withWords(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col("doc_id"), words.as("w")).repartition(parts)
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs — the exact counterpart
@@ -45,14 +58,12 @@ object Curation {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         dfCap: Int = 256): DataFrame = {
-    val parts = docs.sparkSession.sparkContext.defaultParallelism
-    val sh = docs.select(col("doc_id"), col("text"))
-      .repartition(parts)
-      .select(col("doc_id"), explode(shingleSet(n)).as("sh"))
+    val ws = withWords(docs)
+    val sh = ws.select(col("doc_id"), explode(shingleHashes(col("w"), n)).as("sh"))
     // set sizes straight off the array — no second explode+shuffle (the
     // self-join's two sh branches share one exchange via reuse)
-    val sizes = docs.select(col("doc_id"),
-      size(shingleSet(n)).cast("bigint").as("sz"))
+    val sizes = ws.select(col("doc_id"),
+      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("sh")
     val indexed = sh.join(rare, "sh")
@@ -78,10 +89,8 @@ object Curation {
     * sides are DataFrames of (id, text)). */
   def contamination(docs: DataFrame, benchMaxId: Long = 20, n: Int = 3,
                     minShared: Long = 2): DataFrame = {
-    val parts = docs.sparkSession.sparkContext.defaultParallelism
-    val shingled = docs.select(col("doc_id"), col("text"))
-      .repartition(parts)
-      .select(col("doc_id"), explode(shingleSet(n)).as("sh"))
+    val shingled = withWords(docs)
+      .select(col("doc_id"), explode(shingleHashes(col("w"), n)).as("sh"))
     val bench = shingled.where(col("doc_id") < benchMaxId)
       .select(col("doc_id").as("bench_id"), col("sh"))
     shingled.where(col("doc_id") >= benchMaxId)
@@ -172,7 +181,11 @@ object Curation {
     */
   def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
     val tokens = size(words).cast("bigint")
+    // ROWS frame pinned explicitly: the default RANGE frame sums ALL
+    // peers of a duplicate (source, doc_id) at once, diverging from the
+    // oracle's row-at-a-time running sum
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), col("source"), tokens.as("tokens"))
       .withColumn("pack_offset",
         coalesce(sum(col("tokens")).over(w) - col("tokens"), lit(0L)))

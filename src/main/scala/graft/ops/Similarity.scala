@@ -92,6 +92,7 @@ object Similarity {
     // duration of training
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .persist()
+    try {
     var cents = e.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("ce"))
     for (_ <- 1 to iters) {
@@ -117,9 +118,10 @@ object Similarity {
     // materialize the trained quantizer (k rows): consumers broadcast it
     // into several joins, and each would otherwise RE-RUN the whole
     // iterative lineage; localCheckpoint truncates it to the k-row result
-    val out = cents.localCheckpoint(true)
-    e.unpersist()
-    out
+    cents.localCheckpoint(true)
+    // unpersist in finally: a failure mid-training must not leave the
+    // cached collection squatting on executor storage for the session
+    } finally e.unpersist()
   }
 
   /** Training objective: sum over vectors of squared distance to their

@@ -148,8 +148,14 @@ object StreamingIngest {
         "w_start TIMESTAMP NOT NULL, event_type VARCHAR(64) NOT NULL, " +
         "cnt BIGINT, PRIMARY KEY (w_start, event_type))")
     val parallelism = JdbcUpsert.effectiveWriteParallelism(url, writeParallelism)
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_sjdbc_" +
-      math.abs((dir + url).hashCode).toString
+    // work/checkpoint dir keyed on (source, url, TABLE) with a real
+    // digest: a table-less 32-bit hash let two streams to different
+    // tables (or colliding pairs) delete each other's ACTIVE streaming
+    // checkpoint mid-run
+    val workId = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir $url $table".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_sjdbc_$workId"
     graft.util.Fs.deleteRecursive(new java.io.File(work))
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema

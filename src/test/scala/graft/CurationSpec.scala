@@ -33,6 +33,22 @@ class CurationSpec extends SparkTestBase {
     assert(math.abs(j - expect) < 1e-6, s"jaccard $j != set-computed $expect")
   }
 
+  test("short documents don't crash the shingle ops (ANSI element_at)") {
+    import spark.implicits._
+    // under Spark's ANSI default an unguarded element_at past the array
+    // end THROWS — docs shorter than the n-gram must yield zero shingles
+    val in = Seq((1L, "one two"), (2L, "single"), (3L, ""),
+      (4L, "a b c d e f")).toDF("doc_id", "text")
+    val pairs = Curation.ngramJaccardPairs(in, threshold = 0.1).collect()
+    assert(pairs.forall(r => r.getLong(0) == 4L || r.getLong(1) == 4L) || pairs.isEmpty)
+    val cont = Curation.contamination(in, benchMaxId = 2, minShared = 1).collect()
+    assert(cont.forall(_.getLong(0) >= 2))
+    val rep = Curation.repetitionStats(in).collect()
+    assert(rep.length == 4)
+    assert(rep.find(_.getLong(0) == 2L).exists(_.getDouble(3) == 0.0),
+      "single-word doc must report top_bigram_frac 0.0")
+  }
+
   test("contamination reports only corpus-vs-bench with the claimed overlap") {
     val c = Curation.contamination(docs, benchMaxId = 20, minShared = 2).collect()
     assert(c.nonEmpty)
