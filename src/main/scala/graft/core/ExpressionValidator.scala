@@ -48,9 +48,13 @@ object ExpressionValidator {
     "timestamp", "boolean", "binary")
 
   /** The reference's literal keyword blacklist (`postgresql.go:780-799`),
-    * word-bounded — kept on top of the structural allowlist so parity is
-    * explicit (e.g. `EXECUTE p` parses as a harmless aliased attribute,
-    * but the reference would reject it; so do we). */
+    * word-bounded, EXTENDED with insert/update (a deliberate superset:
+    * the structural allowlist already makes DML unparseable, but the
+    * engine also refuses the words outright, accepting the false
+    * positive on literals like 'last update' for defense-in-depth) —
+    * kept on top of the structural allowlist so parity is explicit
+    * (e.g. `EXECUTE p` parses as a harmless aliased attribute, but the
+    * reference would reject it; so do we). */
   private val blacklist =
     ("""(?i)\b(delete|drop|truncate|alter|create|grant|revoke|execute|""" +
       """function|procedure|insert|update)\b""").r
@@ -58,7 +62,8 @@ object ExpressionValidator {
   /** @return Right(()) if valid, Left(reason) otherwise. */
   def validate(spark: SparkSession, exprStr: String): Either[String, Unit] = {
     blacklist.findFirstIn(exprStr).foreach { kw =>
-      return scala.util.Left(s"blacklisted keyword '$kw' (reference parity)")
+      return scala.util.Left(
+        s"blacklisted keyword '$kw' (engine blacklist, superset of the reference's)")
     }
     val parsed =
       try scala.util.Right(spark.sessionState.sqlParser.parseExpression(exprStr))

@@ -98,8 +98,16 @@ object TransferSpec {
     m.get(k).map(_.toString).getOrElse(dflt)
   private def optStr(m: Map[String, Any], k: String): Option[String] =
     m.get(k).map(_.toString).filter(_.nonEmpty)
+  /** Zero falls back to the default — Go-struct parity: the reference
+    * cannot distinguish an explicit 0 from an omitted field and its
+    * SetDefaults replaces zero values (`config.go:49-80`). Negative
+    * values are unambiguously invalid and refuse loudly. */
   private def int(m: Map[String, Any], k: String, dflt: Int): Int =
-    m.get(k).map(_.toString.toInt).filter(_ > 0).getOrElse(dflt)
+    m.get(k).map(_.toString.toInt) match {
+      case Some(v) if v < 0 => sys.error(s"migration.$k must not be negative: $v")
+      case Some(v) if v > 0 => v
+      case _ => dflt
+    }
 
   private def endpoint(m: Map[String, Any]): EndpointSpec =
     EndpointSpec(

@@ -43,7 +43,9 @@ object MySqlDateFormat {
       if (lit.nonEmpty) {
         val s = lit.toString
         if (s.exists(c => c.isLetter)) out.append("'").append(s.replace("'", "''")).append("'")
-        else out.append(s)
+        // a lone quote in an UNQUOTED literal still starts a quoted
+        // section in JDK patterns — double it here too
+        else out.append(s.replace("'", "''"))
         lit.clear()
       }
     }

@@ -18,21 +18,31 @@ object UdfRegistry {
 
   /** Register a whitelisted-by-construction String=>String UDF. Returns
     * the name so configs can reference it after adding the name to the
-    * transform allowlist via [[allowInTransforms]]. */
+    * transform allowlist via [[allowInTransforms]]. Re-registering a
+    * name THIS registry registered is allowed (parallel pipelines may
+    * share a helper UDF); only genuine builtins are protected. */
   def registerString(spark: SparkSession, name: String, f: String => String): String = {
     requireFreshName(spark, name)
     spark.udf.register(name, f)
+    recordRegistered(name)
     name
   }
 
   def registerLong(spark: SparkSession, name: String, f: Long => Long): String = {
     requireFreshName(spark, name)
     spark.udf.register(name, f)
+    recordRegistered(name)
     name
+  }
+
+  @volatile private var registered: Set[String] = Set.empty
+  private def recordRegistered(name: String): Unit = synchronized {
+    registered += name.toLowerCase
   }
 
   private def requireFreshName(spark: SparkSession, name: String): Unit = {
     require(name.matches("[a-zA-Z_][a-zA-Z0-9_]*"), s"invalid UDF name: $name")
+    if (registered(name.toLowerCase)) return // idempotent re-register of our own
     val builtin = spark.sessionState.functionRegistry
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase))
     require(!builtin || name.startsWith("graft_"),

@@ -57,13 +57,22 @@ object CassandraDdl {
     * different positions never alias. */
   private[sinks] def reachableStructs(table: String, schema: StructType)
       : Seq[(String, Seq[String], StructType)] = {
-    val out =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Seq[String], StructType)]
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], (String, StructType)]
+    val used = scala.collection.mutable.Set.empty[String]
     def walk(dt: DataType, path: Seq[String]): Unit = dt match {
       case s: StructType =>
         s.fields.foreach(f => walk(f.dataType, path :+ f.name)) // children first
-        val name = pathName(table, path)
-        if (!out.contains(name)) out(name) = (path, s)
+        if (!out.contains(path)) {
+          // distinct paths can join to the same '_'-separated name
+          // (["a","key"] vs ["a_key"]) — disambiguate with a counter so
+          // no CREATE TYPE is silently dropped
+          val base = pathName(table, path)
+          var name = base; var k = 2
+          while (used(name)) { name = base.stripSuffix("_t") + s"_$k" + "_t"; k += 1 }
+          used += name
+          out(path) = (name, s)
+        }
       case ArrayType(e, _) => walk(e, path)
       case MapType(k, v, _) => { walk(k, path :+ "key"); walk(v, path :+ "value") }
       case _ => ()
@@ -71,19 +80,21 @@ object CassandraDdl {
     // top level: the table's own row type is the TABLE, not a UDT — walk
     // its fields only
     schema.fields.foreach(f => walk(f.dataType, Seq(f.name)))
-    out.toSeq.map { case (n, (p, s)) => (n, p, s) }
+    out.toSeq.map { case (p, (n, s)) => (n, p, s) }
   }
 
-  /** Render a type at a PATH: a struct resolves to its path-derived UDT
-    * name — the name IS the position, so two structurally identical
-    * structs at different paths keep distinct, stable names (a
-    * value-keyed map would collapse them and orphan one CREATE TYPE). */
-  private def render(table: String, dt: DataType, path: Seq[String]): String =
+  /** Render a type at a PATH: a struct resolves to the UDT name the
+    * dependency walk assigned to that path — the name IS the position,
+    * so two structurally identical structs at different paths keep
+    * distinct, stable names (a value-keyed map would collapse them and
+    * orphan one CREATE TYPE). */
+  private def render(names: Map[Seq[String], String], dt: DataType,
+                     path: Seq[String]): String =
     dt match {
-      case s: StructType => s"frozen<${pathName(table, path)}>"
-      case ArrayType(e, _) => s"list<${render(table, e, path)}>"
+      case s: StructType => s"frozen<${names(path)}>"
+      case ArrayType(e, _) => s"list<${render(names, e, path)}>"
       case MapType(k, v, _) =>
-        s"map<${render(table, k, path :+ "key")}, ${render(table, v, path :+ "value")}>"
+        s"map<${render(names, k, path :+ "key")}, ${render(names, v, path :+ "value")}>"
       case other => cqlType(other, _ => sys.error("unreachable"))
     }
 
@@ -92,9 +103,11 @@ object CassandraDdl {
     * field list per `buildTypeFields`, `cassandra.go:443-449`). */
   def createTypeDdl(keyspace: String, table: String,
                     schema: StructType): Seq[String] = {
-    reachableStructs(table, schema).map { case (n, path, s) =>
+    val structs = reachableStructs(table, schema)
+    val names = structs.map { case (n, p, _) => (p, n) }.toMap
+    structs.map { case (n, path, s) =>
       val fields = s.fields
-        .map(f => s"${f.name.toLowerCase} ${render(table, f.dataType, path :+ f.name)}")
+        .map(f => s"${f.name.toLowerCase} ${render(names, f.dataType, path :+ f.name)}")
         .mkString(", ")
       s"CREATE TYPE IF NOT EXISTS $keyspace.$n ($fields)"
     }
@@ -105,9 +118,11 @@ object CassandraDdl {
   def createTableDdl(keyspace: String, table: String, schema: StructType,
                      pk: Seq[String]): String = {
     require(pk.nonEmpty, s"table '$table' needs a primary key")
+    val names = reachableStructs(table, schema)
+      .map { case (n, p, _) => (p, n) }.toMap
     // struct-typed columns reference their path-derived UDT
     val cols = schema.fields.map { f =>
-      s"${f.name.toLowerCase} ${render(table, f.dataType, Seq(f.name))}"
+      s"${f.name.toLowerCase} ${render(names, f.dataType, Seq(f.name))}"
     }.mkString(", ")
     s"CREATE TABLE IF NOT EXISTS $keyspace.$table " +
       s"($cols, PRIMARY KEY (${pk.map(_.toLowerCase).mkString(", ")}))"

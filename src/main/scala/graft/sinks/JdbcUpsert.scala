@@ -77,6 +77,7 @@ object JdbcUpsert {
     private def ensureConn(): java.sql.Connection = {
       if (conn == null || conn.isClosed) {
         stmts.clear() // prepared handles die with their connection
+        paramTypes.clear()
         conn = java.sql.DriverManager.getConnection(url)
       }
       conn
@@ -94,12 +95,26 @@ object JdbcUpsert {
       if (serializeStatements)
         ConnectionExecutor.embeddedWriteLock.synchronized(executeBatch(sql, rows))
       else executeBatch(sql, rows)
-    private def bind(ps: java.sql.PreparedStatement, params: Seq[Any]): Unit =
+    // Typed null binding, resolved ONCE per prepared statement: asking
+    // getParameterMetaData per null value costs pgjdbc a server
+    // round-trip each time, and MySQL Connector/J throws outright for
+    // client-prepared statements — those drivers fall back to untyped
+    // setObject(null), which they accept.
+    private val paramTypes =
+      scala.collection.mutable.Map.empty[java.sql.PreparedStatement, Array[Int]]
+    private def bind(ps: java.sql.PreparedStatement, params: Seq[Any]): Unit = {
+      lazy val types = paramTypes.getOrElseUpdate(ps,
+        try {
+          val md = ps.getParameterMetaData
+          Array.tabulate(md.getParameterCount)(i => md.getParameterType(i + 1))
+        } catch { case _: java.sql.SQLException => Array.empty[Int] })
       params.zipWithIndex.foreach { case (p, i) =>
-        if (p == null)
-          ps.setNull(i + 1, ps.getParameterMetaData.getParameterType(i + 1))
-        else ps.setObject(i + 1, p)
+        if (p == null) {
+          if (types.length > i) ps.setNull(i + 1, types(i))
+          else ps.setObject(i + 1, null)
+        } else ps.setObject(i + 1, p)
       }
+    }
     private def execute(sql: String, params: Seq[Any]): Long = {
       val c = ensureConn()
       val ps = stmts.getOrElseUpdate(sql, c.prepareStatement(sql))

@@ -35,6 +35,13 @@ object TtlColumns {
       .filter(t => !cols.contains(t.stripPrefix(Prefix)))
     require(orphans.isEmpty,
       s"TTL shadow column(s) without a data column: ${orphans.mkString(", ")}")
+    // type check up front: a string-typed shadow would otherwise die in
+    // expire()'s comparison with an ANSI cast error mid-job
+    val nonNumeric = df.columns.filter(_.startsWith(Prefix)).filterNot(t =>
+      df.schema(t).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    require(nonNumeric.isEmpty,
+      s"TTL shadow column(s) must be numeric (seconds remaining): " +
+        nonNumeric.map(t => s"$t: ${df.schema(t).dataType.simpleString}").mkString(", "))
   }
 
   /** Attach a TTL shadow to a column (engine-side producer API). */

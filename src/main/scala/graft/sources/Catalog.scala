@@ -26,7 +26,12 @@ object Catalog {
     Tables.primaryKeys.getOrElse(table,
       sys.error(s"no primary key metadata for table '$table'"))
 
-  /** Existence probe (S7 analog for the file catalog). */
-  def tableExists(dir: String, table: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$table.parquet"))
+  /** Existence probe (S7 analog for the file catalog) through the
+    * Hadoop filesystem of the PATH — a local java.nio probe would
+    * report every hdfs:///s3a:// table missing, which is exactly the
+    * storage the 100 TB posture targets. */
+  def tableExists(spark: SparkSession, dir: String, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 }

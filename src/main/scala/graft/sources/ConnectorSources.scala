@@ -21,9 +21,14 @@ object ConnectorSources {
     "connection.uri" -> connectionUri,
     "database" -> database,
     "collection" -> table.name,
-    // server-side cursor batch parity (mongodb.go:314-316)
-    "sampleSize" -> math.max(1000, mig.batchSize).toString,
-    "partitioner" -> "com.mongodb.spark.sql.connector.read.partitioner.PaginateBySizePartitioner")
+    // schema-inference sample (NOT read batching — the v10 connector's
+    // cursor batching is governed by the partitioner below; the
+    // reference's batch_size (mongodb.go:314-316) maps to the
+    // partitioner's page size, in rows)
+    "sampleSize" -> "1000",
+    "partitioner" -> "com.mongodb.spark.sql.connector.read.partitioner.PaginateIntoPartitionsPartitioner",
+    "partitioner.options.max.number.of.documents.per.partition" ->
+      math.max(1000, mig.batchSize).toString)
 
   /** `spark.read.format("org.apache.spark.sql.cassandra")` options (S4). */
   def cassandraOptions(keyspace: String, table: TableMapping,

@@ -59,13 +59,22 @@ object JdbcCatalog {
       case None => name
     }
 
+  /** Scope metadata lookups to the connection's CURRENT schema when the
+    * driver reports one: with a null schema, a same-named table in
+    * another schema (public.users vs audit.users) collides — the
+    * existence probe false-positives and the column inventory merges
+    * both tables' rows. Null when unreported → all schemas (unchanged
+    * legacy behavior). */
+  private def currentSchema(c: Connection): String =
+    try c.getSchema catch { case _: Throwable => null }
+
   /** The table's stored-case name, if it exists: probe each candidate
     * casing against `getTables`, accepting only an EXACT-name row (the
     * pattern may over-match on wildcard-happy drivers). */
   private def storedName(c: Connection, table: String): Option[String] = {
     val md = c.getMetaData
     nameCandidates(md, table).find { cand =>
-      val rs = md.getTables(null, null, escapePattern(md, cand), null)
+      val rs = md.getTables(null, currentSchema(c), escapePattern(md, cand), null)
       try {
         var hit = false
         while (!hit && rs.next()) hit = rs.getString("TABLE_NAME") == cand
@@ -83,7 +92,7 @@ object JdbcCatalog {
   def columns(url: String, table: String): Seq[ColumnMeta] =
     withConnection(url) { c =>
       val name = storedName(c, table).getOrElse(table)
-      val rs = c.getMetaData.getColumns(null, null,
+      val rs = c.getMetaData.getColumns(null, currentSchema(c),
         escapePattern(c.getMetaData, name), null)
       val out = Seq.newBuilder[ColumnMeta]
       try {
@@ -105,7 +114,7 @@ object JdbcCatalog {
   def primaryKey(url: String, table: String): Seq[String] =
     withConnection(url) { c =>
       val name = storedName(c, table).getOrElse(table)
-      val rs = c.getMetaData.getPrimaryKeys(null, null, name)
+      val rs = c.getMetaData.getPrimaryKeys(null, currentSchema(c), name)
       val out = Seq.newBuilder[(Short, String)]
       try {
         while (rs.next())

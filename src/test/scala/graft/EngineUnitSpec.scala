@@ -158,8 +158,9 @@ class EngineUnitSpec extends AnyFunSuite {
   test("catalog: PK discovery refuses unknown tables (S6)") {
     assert(graft.sources.Catalog.primaryKey("lineitem") == Seq("l_orderkey", "l_linenumber"))
     intercept[RuntimeException](graft.sources.Catalog.primaryKey("nope"))
-    assert(graft.sources.Catalog.tableExists("/root/testdata/sf0.001", "orders"))
-    assert(!graft.sources.Catalog.tableExists("/root/testdata/sf0.001", "nope"))
+    val sess = graft.Sessions.builder("cat-exists", 2).getOrCreate()
+    assert(graft.sources.Catalog.tableExists(sess, "/root/testdata/sf0.001", "orders"))
+    assert(!graft.sources.Catalog.tableExists(sess, "/root/testdata/sf0.001", "nope"))
   }
 
   test("chunk sizing: shared cap and floors (both engines)") {
