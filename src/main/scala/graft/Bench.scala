@@ -53,17 +53,24 @@ object Bench {
       results(name) = sec
     }
 
+    // One failure in a transfer section must not abort Bench before the
+    // JSON line prints — the driver would lose EVERY timing for the round
+    def guarded(name: String)(body: => Double): Unit =
+      results(name) = try body catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+
     // Transfer benchmark: the reference's core workload — full lineitem
     // read → transforms → write (BASELINE.md: ≤60 s incl. startup).
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    results("transfer_lineitem") = time {
+    guarded("transfer_lineitem")(time {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .withColumn("l_extendedprice",
           org.apache.spark.sql.functions.expr("l_extendedprice * 100"))
         .withColumn("l_returnflag",
           org.apache.spark.sql.functions.expr("UPPER(l_returnflag)"))
         .write.mode("overwrite").parquet(s"$tmp/lineitem")
-    }
+    })
 
     // Resume overhead (BASELINE.md: kill at ~50% + restart ≤ 1.2× an
     // uninterrupted run): transfer orders uninterrupted, then again with
@@ -81,14 +88,14 @@ object Bench {
       // sf0.1, where one scheduler hiccup swings the overhead RATIO by
       // ±0.2 — min over repeats measures the work, not the jitter
       def best2(mk: Int => Double): Double = math.min(mk(0), mk(1))
-      results("transfer_orders") = best2 { i =>
+      guarded("transfer_orders")(best2 { i =>
         val plain = spec(s"plain$i")
         time {
           new TableTransferJob(spark, plain, plain.source.tables.head,
             new TransferControl, _ => ()).run()
         }
-      }
-      results("transfer_orders_kill_resume") = best2 { i =>
+      })
+      guarded("transfer_orders_kill_resume")(best2 { i =>
         val killed = spec(s"killed$i")
         time {
           // orders at sf0.1 → ~8 chunks of 20k; cancel near the middle
@@ -97,13 +104,13 @@ object Bench {
           new TableTransferJob(spark, killed, killed.source.tables.head,
             new TransferControl, _ => ()).run()
         }
-      }
+      })
     }
 
     // Multi-table engine run: all 10 tables through the full transfer
     // pipeline (chunked scans, checkpoints, 4 parallel tables) —
     // BASELINE.md target ≤ 90 s wall.
-    results("transfer_all_tables") = time {
+    guarded("transfer_all_tables")(time {
       import graft.core._
       val spec = TransferSpec(
         EndpointSpec("parquet", path = sfDir,
@@ -114,7 +121,7 @@ object Bench {
       val res = graft.engine.TransferRunner.run(spark, spec, log = _ => ())
       require(res.forall(_.outcome.isSuccess),
         graft.engine.TransferRunner.summarize(res))
-    }
+    })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -50,15 +50,20 @@ object Main {
     val control = new TransferControl
     val hook = TransferRunner.installShutdownHook(control)
     val t0 = System.currentTimeMillis()
+    // deregister the hook and stop spark even when the run throws — a
+    // crash exit must not fire the hook's misleading interrupt message
     val results =
-      if (kind == "parquet") TransferRunner.run(spark, spec, control)
-      // live path shares the same cooperative cancel: SIGINT flushes the
-      // chunk checkpoint and the next run resumes from it
-      else TransferRunner.runJdbc(spark, spec, jdbcKinds(kind), control = control)
-    TransferRunner.removeShutdownHook(hook)
+      try {
+        if (kind == "parquet") TransferRunner.run(spark, spec, control)
+        // live path shares the same cooperative cancel: SIGINT flushes
+        // the chunk checkpoint and the next run resumes from it
+        else TransferRunner.runJdbc(spark, spec, jdbcKinds(kind), control = control)
+      } finally {
+        TransferRunner.removeShutdownHook(hook)
+        spark.stop()
+      }
     println(TransferRunner.summarize(results))
     println(f"total time: ${(System.currentTimeMillis() - t0) / 1000.0}%.1f s")
-    spark.stop()
     if (results.exists(_.outcome.isFailure)) sys.exit(1)
   }
 

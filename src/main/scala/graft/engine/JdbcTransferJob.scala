@@ -62,6 +62,11 @@ final class JdbcTransferJob(
     table: TableMapping,
     mig: MigrationSpec,
     dialect: JdbcUpsert.Dialect = JdbcUpsert.Derby,
+    /** Destination database URL; null = same database as the source
+      * (the reference's same-instance rename topology). Reads and the
+      * chunk plan run against `url`; the DDL mirror and every MERGE run
+      * against the destination. */
+    destinationUrl: String = null,
     /** Writer partitions per chunk: 0 = auto (1 for in-process embedded
       * URLs, the chunk's own partitioning otherwise). */
     writeParallelism: Int = 0,
@@ -75,11 +80,13 @@ final class JdbcTransferJob(
   private val maxChunks = ChunkSizing.maxChunks
   private val limiter: RateLimiter =
     sharedLimiter.getOrElse(new RateLimiter(mig.rateLimit.toLong))
+  private val destUrl: String = if (destinationUrl == null) url else destinationUrl
   private val factory: () => JdbcUpsert.Executor =
     if (executorFactory != null) executorFactory
-    else JdbcTransferJob.connectionFactory(url)
+    else JdbcTransferJob.connectionFactory(destUrl)
 
-  private val cpName: String = JdbcTransferJob.checkpointName(url, table)
+  private val cpName: String =
+    JdbcTransferJob.checkpointName(url, table, destUrl)
 
   /** Rows written by the last `run()` (runner/CLI reporting). */
   @volatile private var written = 0L
@@ -242,7 +249,8 @@ final class JdbcTransferJob(
     val per = math.max(1L, total / n)
     val bounds = Seq.newBuilder[String]
     var prev: Option[String] = None
-    for (_ <- 1 until n) {
+    var exhausted = false
+    for (_ <- 1 until n if !exhausted) {
       val where = prev.fold("")(p => s"WHERE $pkCol > ${style.literal(p)} ")
       val sql = dialect match {
         case JdbcUpsert.MySql =>
@@ -256,6 +264,9 @@ final class JdbcTransferJob(
       try {
         val rs = st.executeQuery(sql)
         if (rs.next()) { val b = rs.getString(1); bounds += b; prev = Some(b) }
+        // fewer than `per` keys remain — re-running the same probe
+        // would just re-scan the tail once per leftover iteration
+        else exhausted = true
       } finally st.close()
     }
     val maxKey = {
@@ -289,7 +300,7 @@ final class JdbcTransferJob(
         case Right(()) => ()
       }
     }
-    JdbcCatalog.mirrorTable(url, table.name, table.target) // S8
+    JdbcCatalog.mirrorTable(url, table.name, table.target, destUrl) // S8
 
     val pkCol = pk.head
     val meta = JdbcCatalog.columns(url, table.name).find(_.name == pkCol)
@@ -412,7 +423,7 @@ final class JdbcTransferJob(
     val out = table.columnTransformations.foldLeft(chunk) { (d, ct) =>
       d.withColumn(ct.sourceColumn, expr(ct.expression))
     }
-    val wp = JdbcUpsert.effectiveWriteParallelism(url, writeParallelism)
+    val wp = JdbcUpsert.effectiveWriteParallelism(destUrl, writeParallelism)
     val toWrite =
       if (wp > 0 && wp < out.rdd.getNumPartitions) out.coalesce(wp) else out
     Retry(attempts = 3, delayMs = 1000,
@@ -430,9 +441,11 @@ object JdbcTransferJob {
     * silently skip run B, and an interrupted run A's persisted chunk
     * plan would truncate run B's key space. Scoped to
     * (source table, url, target). */
-  def checkpointName(url: String, table: graft.core.TableMapping): String = {
+  def checkpointName(url: String, table: graft.core.TableMapping,
+                     destUrl: String = null): String = {
+    val dst = if (destUrl == null) url else destUrl
     val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$url ${table.target}".getBytes("UTF-8"))
+      .digest(s"$url $dst ${table.target}".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     s"${table.name}_$id"
   }

@@ -112,11 +112,17 @@ final class TableTransferJob(
         s"table '${table.name}' has no primary key configured — refusing " +
           "(reference rejects PK-less tables, mysql.go:216-218)"))
 
+  /** Checkpoint identity scoped to the DESTINATION: a table name alone
+    * would let a complete marker from an earlier spec (different
+    * destination path) silently skip this run (same collision fixed on
+    * the live path by JdbcTransferJob.checkpointName). */
+  private val cpName: String = TableTransferJob.checkpointName(spec, table)
+
   def run(): TransferOutcome = {
     // S7: existence check, loud failure like `mysql.go:200-207`
     require(Files.exists(Paths.get(srcFile)), s"source table not found: $srcFile")
 
-    val cp = Checkpoint.load(mig.checkpointDir, kind, table.name)
+    val cp = Checkpoint.load(mig.checkpointDir, kind, cpName)
     if (cp.exists(_.complete)) {
       log(s"${table.name}: checkpoint complete, skipping (R6)")
       return TransferOutcome.SkippedComplete
@@ -163,6 +169,17 @@ final class TableTransferJob(
     val pk = pkCols
     val firstPk = pk.head
     val numericPk = source.schema(firstPk).dataType.isInstanceOf[NumericType]
+    // a checkpoint written by the OTHER chunking mode (PK config or key
+    // type changed mid-resume) has incompatible chunk membership —
+    // trusting its chunkIndex would silently drop rows; refuse loudly
+    cp.foreach { c =>
+      if (numericPk) require(c.bucketCount <= 0,
+        s"checkpoint for '${table.name}' was written by the hash-bucket " +
+          "path but the key is now numeric — clear the checkpoint to restart")
+      else require(c.bounds.isEmpty,
+        s"checkpoint for '${table.name}' was written by the range path " +
+          "but the key is now non-numeric — clear the checkpoint to restart")
+    }
     if (numericPk) runRangeChunks(source, firstPk, cp)
     else runHashChunks(source, pk, cp)
   }
@@ -292,7 +309,7 @@ final class TableTransferJob(
     }
     val boundsStr = planBounds.map(codec.fmt)
     def save(lk: Option[Any], idx: Int, complete: Boolean): Unit =
-      Checkpoint.save(mig.checkpointDir, kind, table.name,
+      Checkpoint.save(mig.checkpointDir, kind, cpName,
         Checkpoint(lk.map(k => Map(pkCol -> codec.fmt(k))).getOrElse(Map.empty),
           System.currentTimeMillis(), complete, idx,
           bounds = boundsStr, totalRows = total))
@@ -408,29 +425,37 @@ final class TableTransferJob(
   private def saveCp(lastKey: Option[Map[String, String]], chunkIdx: Int,
                      complete: Boolean, bucketCount: Int = -1,
                      totalRows: Long = -1L): Unit =
-    Checkpoint.save(mig.checkpointDir, kind, table.name,
+    Checkpoint.save(mig.checkpointDir, kind, cpName,
       Checkpoint(lastKey.getOrElse(Map.empty), System.currentTimeMillis(),
         complete, chunkIdx, bucketCount, totalRows = totalRows))
 
   private def finish(lastChunk: Int, lastKey: Option[Map[String, String]],
                      bucketCount: Int = -1,
                      totalRows: Long = -1L): TransferOutcome = {
+    val hasChunks = Option(new java.io.File(destDir).listFiles())
+      .getOrElse(Array.empty).exists(f => f.isDirectory && f.getName.startsWith("chunk-"))
     // Publish step: when the spec asks for a partitioned target layout,
     // rewrite the chunk dirs into hive-style partitions once, at the end
     // (a one-time full pass — partition values can span chunks, so
-    // per-chunk dynamic overwrite would clobber earlier chunks).
-    if (table.partitionBy.nonEmpty) {
+    // per-chunk dynamic overwrite would clobber earlier chunks). An
+    // EMPTY table has no chunk dirs (and no schema to publish) — skip.
+    if (table.partitionBy.nonEmpty && hasChunks) {
       spark.read.option("recursiveFileLookup", "true").parquet(destDir)
         .write.mode("overwrite").partitionBy(table.partitionBy: _*)
         .parquet(s"$destDir-final")
     }
+    // a '-final' dir left by an EARLIER partitioned run would shadow the
+    // fresh chunk dirs in readTarget — drop it when this run does not
+    // publish one
+    if (table.partitionBy.isEmpty)
+      graft.util.Fs.deleteRecursive(new java.io.File(s"$destDir-final"))
     // S8, catalog half: the reference EXECUTES `CREATE TABLE IF NOT
     // EXISTS` at the destination (`mysql.go:254-274`); the session-
     // catalog analog makes the target queryable by name. External
     // table, so dropping it never deletes the transferred data.
     // Partitioned layouts point at the published dir (hive-style
     // partition discovery); chunked layouts need the recursive lookup.
-    if (table.registerTable) {
+    if (table.registerTable && hasChunks) {
       val (loc, opts) =
         if (table.partitionBy.nonEmpty) (s"$destDir-final", "")
         else (destDir, ", recursiveFileLookup 'true'")
@@ -464,6 +489,14 @@ final class TableTransferJob(
 }
 
 object TableTransferJob {
+  /** Destination-scoped checkpoint identity (see the field note). */
+  def checkpointName(spec: TransferSpec, table: TableMapping): String = {
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${spec.destination.path} ${table.target}".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"${table.name}_$id"
+  }
+
   /** Read a transferred table back: the partitioned publish layout when
     * present, else the chunk dirs. */
   def readTarget(spark: SparkSession, spec: TransferSpec, target: String): DataFrame = {

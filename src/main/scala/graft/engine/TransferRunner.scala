@@ -72,8 +72,13 @@ object TransferRunner {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
           control.jobStarted()
           try TableResult(t.name, Try {
+            // destination may be a DIFFERENT database (the template's
+            // normal topology); empty/same path = in-place rename
+            val destUrl = Option(spec.destination.path).filter(_.nonEmpty)
+              .filterNot(_ == spec.source.path).orNull
             val job = new JdbcTransferJob(spark, spec.source.path, t,
-              spec.migration, dialect, control = control, log = log,
+              spec.migration, dialect, destinationUrl = destUrl,
+              control = control, log = log,
               sharedLimiter = Some(limiter))
             val outcome = job.run()
             log(s"${t.name}: ${job.rowsWritten} rows upserted into ${t.target} ($outcome)")

@@ -132,18 +132,22 @@ object JdbcCatalog {
   /** S8 live: `CREATE TABLE IF NOT EXISTS` analog at the destination —
     * Derby has no IF NOT EXISTS, so probe-then-create (the reference
     * copies `SHOW CREATE TABLE` output with the same guard,
-    * `mysql.go:254-274`). The DDL is reconstructed from source column
-    * metadata including the primary key. */
-  def mirrorTable(url: String, source: String, target: String): Unit = {
-    if (tableExists(url, target)) return
-    val cols = columns(url, source)
+    * `mysql.go:254-274`). The DDL is reconstructed from SOURCE column
+    * metadata including the primary key and executed at the DESTINATION
+    * (which may be a different database — the reference's normal
+    * topology). */
+  def mirrorTable(srcUrl: String, source: String, target: String,
+                  destUrl: String = null): Unit = {
+    val dst = if (destUrl == null) srcUrl else destUrl
+    if (tableExists(dst, target)) return
+    val cols = columns(srcUrl, source)
     require(cols.nonEmpty, s"source table '$source' has no columns")
-    val pk = primaryKey(url, source)
+    val pk = primaryKey(srcUrl, source)
     val colDefs = cols.map { m =>
       val notNull = if (m.nullable) "" else " NOT NULL"
       s"${m.name} ${m.sqlType}$notNull"
     }
     val pkDef = if (pk.isEmpty) Nil else Seq(s"PRIMARY KEY (${pk.mkString(", ")})")
-    execute(url, s"CREATE TABLE $target (${(colDefs ++ pkDef).mkString(", ")})")
+    execute(dst, s"CREATE TABLE $target (${(colDefs ++ pkDef).mkString(", ")})")
   }
 }

@@ -543,6 +543,27 @@ class JdbcDerbySpec extends SparkTestBase {
     }
   }
 
+  test("cross-database transfer mirrors and MERGEs into the DESTINATION database") {
+    import graft.engine.{JdbcTransferJob, TransferOutcome}
+    seedUsers("xdb_src", 120)
+    val destWork = java.nio.file.Files.createTempDirectory("derbydst").toString
+    val destUrl = s"jdbc:derby:$destWork/db2;create=true"
+    val mig2 = MigrationSpec(batchSize = 500, rateLimit = 1000000000,
+      checkpointDir = s"$work/cp_xdb")
+    val t = TableMapping("xdb_src", targetName = Some("xdb_dst"),
+      columnTransformations = Seq(ColumnTransformation("bal", "bal + 1")))
+    val out = new JdbcTransferJob(spark, url, t, mig2,
+      destinationUrl = destUrl, log = _ => ()).run()
+    assert(out == TransferOutcome.Completed)
+    assert(!JdbcCatalog.tableExists(url, "xdb_dst"),
+      "destination table leaked into the SOURCE database")
+    assert(JdbcCatalog.tableExists(destUrl, "xdb_dst"))
+    val back = JdbcTransfer.readAll(spark, destUrl, "xdb_dst")
+    assert(back.count() == 120)
+    assert(back.agg(sum("bal")).head.getDouble(0) ==
+      (1 to 120).map(_ * 1.5 + 1).sum)
+  }
+
   test("metadata probes treat underscores as literals, not LIKE wildcards") {
     // Derby's getTables/getColumns patterns wildcard `_` and declare NO
     // escape string — an unfiltered probe for wca_b would match wcaxb

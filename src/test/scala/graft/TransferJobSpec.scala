@@ -62,7 +62,7 @@ class TransferJobSpec extends SparkTestBase {
     // artifacts: DDL sidecar (S8), completion marker, complete checkpoint
     assert(Files.exists(Paths.get(spec.destination.path, "customer_new", "_schema.ddl")))
     assert(Files.exists(Paths.get(spec.destination.path, "customer_new", "_GRAFT_COMPLETE")))
-    assert(Checkpoint.load(spec.migration.checkpointDir, "parquet", "customer")
+    assert(Checkpoint.load(spec.migration.checkpointDir, "parquet", TableTransferJob.checkpointName(spec, customerXform))
       .exists(_.complete))
     // multiple chunks actually happened (150 rows / 50 per chunk)
     val chunks = new java.io.File(s"${spec.destination.path}/customer_new")
@@ -106,7 +106,7 @@ class TransferJobSpec extends SparkTestBase {
     val r = new TableTransferJob(spark, spec, customerXform,
       KillAfter(2), _ => ()).run()
     assert(r.isInstanceOf[TransferOutcome.Interrupted])
-    val cp = Checkpoint.load(spec.migration.checkpointDir, "parquet", "customer").get
+    val cp = Checkpoint.load(spec.migration.checkpointDir, "parquet", TableTransferJob.checkpointName(spec, customerXform)).get
     val bound = cp.lastKey("c_custkey").toDouble
     val written = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"${spec.destination.path}/customer_new")
@@ -121,7 +121,7 @@ class TransferJobSpec extends SparkTestBase {
     val done = new TableTransferJob(spark, spec, customerXform,
       new TransferControl, _ => ()).run()
     assert(done == TransferOutcome.Completed)
-    val cpDone = Checkpoint.load(spec.migration.checkpointDir, "parquet", "customer").get
+    val cpDone = Checkpoint.load(spec.migration.checkpointDir, "parquet", TableTransferJob.checkpointName(spec, customerXform)).get
     val trueMax = graft.sources.Tables(spark, sf, "customer")
       .agg(max(col("c_custkey"))).head.getLong(0)
     assert(cpDone.lastKey("c_custkey").toDouble == trueMax.toDouble)
@@ -216,7 +216,7 @@ class TransferJobSpec extends SparkTestBase {
         checkpointDir = s"$work/cp", rateLimit = 100000000))
     // kill mid-run so a resume actually consults the checkpointed bound
     new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
-    val cp1 = Checkpoint.load(s"$work/cp", "parquet", "t")
+    val cp1 = Checkpoint.load(s"$work/cp", "parquet", TableTransferJob.checkpointName(spec, t))
     cp1.flatMap(_.lastKey.get("id")).foreach { k =>
       assert(k.toLong >= base && (k.toLong - base) < 100, s"rounded bound $k")
     }
@@ -226,7 +226,7 @@ class TransferJobSpec extends SparkTestBase {
     assert(dest.count() == 100, "double-rounded resume bound duplicated/lost rows")
     assert(dest.select(countDistinct(col("id"))).head.getLong(0) == 100)
     // final checkpoint records the exact max, not a rounded neighbour
-    val cp = Checkpoint.load(s"$work/cp", "parquet", "t").get
+    val cp = Checkpoint.load(s"$work/cp", "parquet", TableTransferJob.checkpointName(spec, t)).get
     assert(cp.lastKey("id") == (base + 99L).toString)
   }
 
@@ -244,7 +244,8 @@ class TransferJobSpec extends SparkTestBase {
     // first run with batch=5 → 8 buckets; kill early
     val first = new TableTransferJob(spark, spec(5), t, KillAfter(1), _ => ()).run()
     assert(first.isInstanceOf[TransferOutcome.Interrupted])
-    val cp = Checkpoint.load(s"$work/cp", "parquet", "items").get
+    val cp = Checkpoint.load(s"$work/cp", "parquet",
+      TableTransferJob.checkpointName(spec(5), t)).get
     assert(cp.bucketCount == 8, s"expected 8 buckets persisted, got ${cp.bucketCount}")
     // resume with a CHANGED batch size — must keep the original 8-bucket
     // mapping, else pmod(hash(pk), n) remaps and loses/duplicates rows
@@ -268,7 +269,8 @@ class TransferJobSpec extends SparkTestBase {
         checkpointDir = s"$work/cp", rateLimit = 100000000))
     val first = new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
     assert(first.isInstanceOf[TransferOutcome.Interrupted])
-    val cp = Checkpoint.load(s"$work/cp", "parquet", "items").get
+    val cp = Checkpoint.load(s"$work/cp", "parquet",
+      TableTransferJob.checkpointName(spec, t)).get
     assert(cp.totalRows == 40,
       s"hash checkpoint must persist the row total at plan time, got $cp")
     // record every job call-site during the resume: bucket writes only —
