@@ -31,6 +31,30 @@ object CountingExec {
   }
 }
 
+/** JVM-static flaky executor: fails every statement while `failures`
+  * is positive (decrementing per statement), then recovers — drives the
+  * chunk-level Retry on the live transfer path. */
+object FlakyExec {
+  val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+  def factory(url: String): () => JdbcUpsert.Executor = () => {
+    val real = new JdbcUpsert.ConnectionExecutor(url)
+    new JdbcUpsert.Executor {
+      def apply(sql: String, params: Seq[Any]): Unit = { applyCounted(sql, params); () }
+      override def applyCounted(sql: String, params: Seq[Any]): Long = {
+        if (failures.getAndDecrement() > 0)
+          throw new java.sql.SQLTransientException("injected write failure")
+        real.applyCounted(sql, params)
+      }
+      override def applyBatch(sql: String, rows: Seq[Seq[Any]]): Seq[Long] = {
+        if (failures.getAndDecrement() > 0)
+          throw new java.sql.SQLTransientException("injected batch failure")
+        real.applyBatch(sql, rows)
+      }
+      override def close(): Unit = real.close()
+    }
+  }
+}
+
 /** JVM-static concurrent key-value store with MERGE semantics — the
   * server-grade stand-in for the fully-parallel executor path. This
   * Spark distribution ships no derbynet.jar (only the Derby client
@@ -541,6 +565,28 @@ class JdbcDerbySpec extends SparkTestBase {
           "resumed destination diverged from the uninterrupted result")
       }
     }
+  }
+
+  test("live chunk writes retry through transient failures and converge") {
+    import graft.engine.{JdbcTransferJob, TransferOutcome}
+    seedUsers("users_fl", 300)
+    // first TWO write attempts fail (sink-level per-statement retry is
+    // bypassed by the thrown SQLTransientException reaching the
+    // chunk-level Retry) — the transfer must still complete exactly
+    FlakyExec.failures.set(2)
+    val mig2 = MigrationSpec(batchSize = 100, checkpointRowThreshold = 100,
+      rateLimit = 1000000000, checkpointDir = s"$work/cp_fl")
+    val t = TableMapping("users_fl", targetName = Some("users_fl_new"),
+      columnTransformations = Seq(ColumnTransformation("bal", "bal * 2")))
+    val out = new JdbcTransferJob(spark, url, t, mig2, log = _ => (),
+      executorFactory = FlakyExec.factory(url)).run()
+    assert(out == TransferOutcome.Completed)
+    val back = JdbcTransfer.readBack(spark, url, "users_fl_new", mig2)
+    assert(back.count() == 300)
+    val expect = JdbcTransfer.readBack(spark, url, "users_fl", mig2)
+      .withColumn("bal", expr("bal * 2"))
+    assert(back.except(expect).isEmpty && expect.except(back).isEmpty,
+      "post-retry destination diverged")
   }
 
   test("cross-database transfer mirrors and MERGEs into the DESTINATION database") {
