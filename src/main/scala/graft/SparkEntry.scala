@@ -692,6 +692,42 @@ object SparkEntry {
       graft.engine.JdbcTransfer.readAll(s, url, "doc_dst")
     }),
 
+    // --- VERDICT r4 #1: COMPOSITE primary key on the live path, with a
+    //     LOW-CARDINALITY leading column (5 distinct regions over 2000
+    //     rows) — planning on pk.head alone would collapse to ≤5 giant
+    //     chunks. The plan keyset-walks the FULL (region, id) tuple, so
+    //     bounds are row values and chunks stay row-balanced; the same
+    //     kill+resume cycle as the other live gates continues the
+    //     persisted tuple plan.
+    "transfer_jdbc_composite_pk" -> ((s, d) => {
+      import graft.sinks.JdbcUpsert
+      import graft.sources.JdbcCatalog
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derbycpk_" +
+        math.abs(d.hashCode).toString
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+      val url = s"jdbc:derby:$work/db;create=true"
+      val mig = MigrationSpec(batchSize = 400, rateLimit = 1000000000,
+        checkpointRowThreshold = 400, checkpointDir = s"$work/cp")
+      JdbcCatalog.execute(url, "CREATE TABLE comp_src (" +
+        "region VARCHAR(4) NOT NULL, id BIGINT NOT NULL, " +
+        "c_name VARCHAR(64), c_acctbal DOUBLE, PRIMARY KEY (region, id))")
+      val src = T(s, d, "customer").where(col("c_custkey") <= 2000)
+        .select(concat(lit("R"), (col("c_custkey") % 5).cast("string")).as("region"),
+          col("c_custkey").as("id"), col("c_name"), col("c_acctbal"))
+      JdbcUpsert.write(src.coalesce(1), JdbcUpsert.Derby, "comp_src",
+        Seq("region", "id")) { () => new JdbcUpsert.ConnectionExecutor(url) }
+      val t = TableMapping("comp_src", targetName = Some("comp_dst"),
+        columnTransformations = Seq(
+          ColumnTransformation("c_name", "UPPER(c_name)")))
+      new graft.engine.JdbcTransferJob(s, url, t, mig,
+        control = graft.engine.TransferControl.cancelAfterChecks(2)).run()
+      new graft.engine.JdbcTransferJob(s, url, t, mig).run() // resume
+      graft.engine.JdbcTransfer.readAll(s, url, "comp_dst")
+    }),
+
     // --- S5: catalog introspection (parquet footer as the catalog);
     //     no SQL oracle — driver applies the rows-only check.
     "catalog_columns" -> ((s, d) =>
@@ -841,6 +877,10 @@ object SparkEntry {
       """SELECT 'K' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS doc_key,
         |  UPPER(c_name) AS c_name, c_acctbal
         |FROM customer WHERE c_custkey <= 1200""".stripMargin,
+    "transfer_jdbc_composite_pk" ->
+      """SELECT 'R' || CAST(c_custkey % 5 AS VARCHAR) AS region,
+        |  c_custkey AS id, UPPER(c_name) AS c_name, c_acctbal
+        |FROM customer WHERE c_custkey <= 2000""".stripMargin,
     "transfer_nested_roundtrip" ->
       """SELECT event_id, event_type AS etype, user_id AS uid,
         |  value * 2 AS v2, value AS tag_v FROM events""".stripMargin,

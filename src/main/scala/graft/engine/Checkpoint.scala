@@ -26,7 +26,22 @@ final case class Checkpoint(
       * remainder — the fixed resume cost drops to a checkpoint read. */
     bounds: Seq[String] = Nil,
     /** Row count at plan time (progress denominator on resume). */
-    totalRows: Long = -1L)
+    totalRows: Long = -1L,
+    /** Composite-key chunk plans: each bound is a TUPLE of key-column
+      * values (one per planned column, in key-sequence order). Single-
+      * column plans keep using `bounds` so v1 checkpoints stay readable. */
+    boundCols: Seq[Seq[String]] = Nil,
+    /** On-disk format version this checkpoint was written with. A reader
+      * older than the file REFUSES rather than silently misreading a
+      * persisted chunk plan mid-transfer. */
+    version: Int = Checkpoint.FormatVersion)
+
+/** A checkpoint file written by a NEWER engine than this one — resuming
+  * through a misread plan could skip or re-map chunks, so the load
+  * refuses loudly instead of returning None (None means "no checkpoint"
+  * and would silently restart the transfer from a fresh plan). */
+final class CheckpointFormatException(msg: String)
+  extends RuntimeException(msg)
 
 /** Atomic JSON checkpoint files, one per table:
   * `<dir>/<kind>_<table>.checkpoint` (naming per `mysql.go:533-576`).
@@ -37,6 +52,12 @@ final case class Checkpoint(
   * crash (`cassandra.go:1059-1061`).
   */
 object Checkpoint {
+
+  /** Current on-disk format. v1 = flat single-column `bounds`;
+    * v2 adds `bound_cols` (composite-key tuple bounds) and the
+    * `version` field itself. Readers accept any version ≤ current
+    * (missing = 1) and refuse anything newer. */
+  val FormatVersion = 2
 
   def path(dir: String, kind: String, table: String): Path =
     Paths.get(dir, s"${kind}_$table.checkpoint")
@@ -80,16 +101,36 @@ object Checkpoint {
     // format-compatible; read-side accepts legacy epoch-millis too.
     val ts = java.time.Instant.ofEpochMilli(cp.lastUpdated).toString
     val bs = cp.bounds.map(q).mkString("[", ", ", "]")
-    s"""{"last_key": $keys, "last_updated": ${q(ts)}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}, "bucket_count": ${cp.bucketCount}, "bounds": $bs, "total_rows": ${cp.totalRows}}"""
+    val bcs = cp.boundCols
+      .map(_.map(q).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""{"version": ${cp.version}, "last_key": $keys, "last_updated": ${q(ts)}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}, "bucket_count": ${cp.bucketCount}, "bounds": $bs, "bound_cols": $bcs, "total_rows": ${cp.totalRows}}"""
   }
 
-  private[graft] def fromJson(s: String): Option[Checkpoint] =
+  private[graft] def fromJson(s: String): Option[Checkpoint] = {
+    // json4s ships with Spark; used read-side only (writes stay
+    // hand-rolled so the on-disk format is pinned by our code).
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed =
+      try Some(JsonMethods.parse(s)) catch { case _: Exception => None }
+    parsed.flatMap { j =>
+      val version = (j \ "version") match {
+        case JInt(n) => n.toInt; case _ => 1
+      }
+      // refusal must ESCAPE load(): a torn/garbled file degrades to None
+      // (fresh start, idempotent writes absorb it), but a well-formed
+      // file from a newer format is a real plan this reader cannot be
+      // trusted to interpret.
+      if (version > FormatVersion) throw new CheckpointFormatException(
+        s"checkpoint format v$version is newer than this engine's " +
+          s"v$FormatVersion — upgrade the engine or remove the checkpoint")
+      fromParsed(j, version)
+    }
+  }
+
+  private def fromParsed(j: org.json4s.JValue, version: Int): Option[Checkpoint] =
     try {
-      // json4s ships with Spark; used read-side only (writes stay
-      // hand-rolled so the on-disk format is pinned by our code).
       import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      val j = JsonMethods.parse(s)
       val lastKey = (j \ "last_key") match {
         case JObject(fs) => fs.map { case (k, v) => k -> v.values.toString }.toMap
         case _ => Map.empty[String, String]
@@ -112,10 +153,17 @@ object Checkpoint {
         case JArray(vs) => vs.collect { case JString(s) => s }
         case _ => Nil
       }
+      val boundCols = (j \ "bound_cols") match {
+        case JArray(rows) => rows.collect {
+          case JArray(vs) => vs.collect { case JString(s) => s }
+        }
+        case _ => Nil
+      }
       val totalRows = (j \ "total_rows") match {
         case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
       }
-      Some(Checkpoint(lastKey, updated, complete, chunk, buckets, bounds, totalRows))
+      Some(Checkpoint(lastKey, updated, complete, chunk, buckets, bounds,
+        totalRows, boundCols, version))
     } catch { case _: Exception => None }
 }
 

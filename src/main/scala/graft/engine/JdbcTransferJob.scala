@@ -31,13 +31,24 @@ import graft.sources.JdbcCatalog
   *    2^53, balanced under key skew), the last bound the exact max; wide
   *    chunks are sub-split into parallel range predicates so the
   *    per-chunk read stays a parallel scan;
-  *  - character / timestamp / date keys: a KEYSET walk of the chunk
-  *    boundaries (`WHERE pk > prev ORDER BY pk OFFSET per-1 FETCH NEXT
-  *    1`; `LIMIT` on MySQL) — one index pass for the whole plan. The
-  *    bounds are exact stored keys, so per-chunk predicates
-  *    `pk > lo AND pk <= hi` are disjoint and complete under the store's
-  *    own collation; the driver never compares key values itself (resume
-  *    is by chunk INDEX into the persisted plan).
+  *  - character / timestamp / date keys — and ANY composite key: a
+  *    KEYSET walk of the chunk boundaries (`WHERE pk > prev ORDER BY pk
+  *    OFFSET per-1 FETCH NEXT 1`; `LIMIT` on MySQL) — one index pass for
+  *    the whole plan. The bounds are exact stored keys, so per-chunk
+  *    predicates `pk > lo AND pk <= hi` are disjoint and complete under
+  *    the store's own collation; the driver never compares key values
+  *    itself (resume is by chunk INDEX into the persisted plan).
+  *
+  * Composite primary keys plan on the FULL key tuple (VERDICT r4 #1; the
+  * reference's Cassandra engine pages over all partition+clustering
+  * columns, `cassandra.go:500-527`, resume predicate over every key
+  * column `cassandra.go:1066-1142`): bounds are row values, comparisons
+  * are row-value syntax `(k1,k2) > (a,b)` where the source dialect
+  * supports it (MySQL/PostgreSQL) and the index-friendly expanded form
+  * `k1 > a OR (k1 = a AND k2 > b)` elsewhere (Derby has no row-value
+  * comparison). A low-cardinality leading column — `(region, id)` —
+  * therefore still yields a full-width plan: the walk ranks the whole
+  * tuple, not `pk.head`.
   *
   * Bounds are applied server-side on the RAW key, before column
   * transformations, exactly like the parquet engine and the reference's
@@ -61,6 +72,8 @@ final class JdbcTransferJob(
     url: String,
     table: TableMapping,
     mig: MigrationSpec,
+    /** SOURCE-side dialect: drives keyset-pagination SQL in the chunk
+      * planner and key literals in chunk predicates. */
     dialect: JdbcUpsert.Dialect = JdbcUpsert.Derby,
     /** Destination database URL; null = same database as the source
       * (the reference's same-instance rename topology). Reads and the
@@ -70,6 +83,12 @@ final class JdbcTransferJob(
     /** Writer partitions per chunk: 0 = auto (1 for in-process embedded
       * URLs, the chunk's own partitioning otherwise). */
     writeParallelism: Int = 0,
+    /** DESTINATION-side dialect (the MERGE/upsert statements). Null =
+      * derive from the destination URL, falling back to `dialect` — a
+      * mixed-engine topology (`destinationUrl` on a different engine)
+      * would otherwise run ONE dialect's SQL against both sides
+      * (ADVICE r4). */
+    destDialect: JdbcUpsert.Dialect = null,
     control: TransferControl = new TransferControl,
     log: String => Unit = s => System.err.println(s"[transfer] $s"),
     sharedLimiter: Option[RateLimiter] = None,
@@ -81,6 +100,12 @@ final class JdbcTransferJob(
   private val limiter: RateLimiter =
     sharedLimiter.getOrElse(new RateLimiter(mig.rateLimit.toLong))
   private val destUrl: String = if (destinationUrl == null) url else destinationUrl
+  /** Dialect for the destination MERGE: explicit > URL-derived > source
+    * dialect (same-database topologies keep the single-dialect behavior). */
+  private val sinkDialect: JdbcUpsert.Dialect =
+    if (destDialect != null) destDialect
+    else if (destinationUrl == null) dialect
+    else JdbcTransferJob.dialectFor(destUrl).getOrElse(dialect)
   private val factory: () => JdbcUpsert.Executor =
     if (executorFactory != null) executorFactory
     else JdbcTransferJob.connectionFactory(destUrl)
@@ -101,9 +126,15 @@ final class JdbcTransferJob(
   private final case class NumericKey(scale: Int) extends KeyStyle {
     def literal(v: String): String = v
   }
-  /** Rank-probe bounds, quoted literal. */
-  private case object CharKey extends KeyStyle {
-    def literal(v: String): String = s"'${v.replace("'", "''")}'"
+  /** Rank-probe bounds, quoted literal. MySQL's default string literals
+    * are backslash-escaping (unlike ANSI), so a key containing `\` must
+    * double it there or the probe/predicate literal is corrupted
+    * (ADVICE r4). */
+  private final case class CharKey(backslashEscape: Boolean) extends KeyStyle {
+    def literal(v: String): String = {
+      val b = if (backslashEscape) v.replace("\\", "\\\\") else v
+      s"'${b.replace("'", "''")}'"
+    }
   }
   /** Rank-probe bounds, JDBC-escape temporal literal (`{ts '…'}` /
     * `{d '…'}`): every JDBC driver translates the escape to its own
@@ -121,8 +152,44 @@ final class JdbcTransferJob(
       case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" => NumericKey(6)
       case "DATE" => TemporalKey("d")
       case t if t.startsWith("TIMESTAMP") => TemporalKey("ts")
-      case _ => CharKey
+      case _ => CharKey(dialect == JdbcUpsert.MySql)
     }
+
+  /** The ordered planning key: EVERY primary-key column with its
+    * introspected style. Bounds are row values over this tuple;
+    * comparison SQL comes in two shapes (see the class doc). */
+  private final case class PlanKey(cols: Seq[String], styles: Seq[KeyStyle]) {
+    def selectList: String = cols.mkString(", ")
+    def orderBy: String = cols.mkString(", ")
+    def orderByDesc: String = cols.map(c => s"$c DESC").mkString(", ")
+    private def lits(vals: Seq[String]): Seq[String] =
+      styles.zip(vals).map { case (s, v) => s.literal(v) }
+    private def rowValue: Boolean = dialect match {
+      case JdbcUpsert.MySql | JdbcUpsert.Postgres => true
+      case _ => false
+    }
+    /** `tuple > vals` (lexicographic, strict). */
+    def gt(vals: Seq[String]): String =
+      if (cols.size == 1) s"${cols.head} > ${lits(vals).head}"
+      else if (rowValue)
+        s"(${cols.mkString(", ")}) > (${lits(vals).mkString(", ")})"
+      else expanded(lits(vals), step = ">", last = ">")
+    /** `tuple <= vals` (lexicographic, inclusive). */
+    def le(vals: Seq[String]): String =
+      if (cols.size == 1) s"${cols.head} <= ${lits(vals).head}"
+      else if (rowValue)
+        s"(${cols.mkString(", ")}) <= (${lits(vals).mkString(", ")})"
+      else expanded(lits(vals), step = "<", last = "<=")
+    /** `k1 > a OR (k1 = a AND (k2 > b …))` — the universal form for
+      * engines without row-value comparisons. PK columns are NOT NULL,
+      * so plain `=` equality is total. */
+    private def expanded(ls: Seq[String], step: String, last: String): String = {
+      def level(i: Int): String =
+        if (i == cols.size - 1) s"${cols(i)} $last ${ls(i)}"
+        else s"(${cols(i)} $step ${ls(i)} OR (${cols(i)} = ${ls(i)} AND ${level(i + 1)}))"
+      level(0)
+    }
+  }
 
   private def chunkCount(total: Long): Int =
     ChunkSizing.chunkCount(total, mig.batchSize, mig.checkpointRowThreshold)
@@ -226,17 +293,17 @@ final class JdbcTransferJob(
       else Seq((gHi, cnt))
     }
 
-  /** Plan for a character/temporal key: COUNT(*), then a KEYSET walk of
-    * the chunk boundaries — each probe starts from the previous bound
-    * (`WHERE pk > prev ORDER BY pk OFFSET per-1 FETCH NEXT 1`), so it
-    * scans one chunk's worth of index entries and the whole plan costs
-    * one index pass in total. (Absolute OFFSETs from the table start
-    * would be O(total·chunks): OFFSET is a linear skip in most
-    * engines.) Bounds are exact stored keys — row-exact quantiles, so
-    * string plans are skew-proof by construction — closed by the exact
-    * MAX. */
-  private def rankPlan(c: Connection, pkCol: String,
-                       style: KeyStyle): (Seq[String], Long) = {
+  /** Plan for a character/temporal key — and for ANY composite key:
+    * COUNT(*), then a KEYSET walk of the chunk boundaries — each probe
+    * starts from the previous bound (`WHERE pk > prev ORDER BY pk
+    * OFFSET per-1 FETCH NEXT 1`), so it scans one chunk's worth of
+    * index entries and the whole plan costs one index pass in total.
+    * (Absolute OFFSETs from the table start would be O(total·chunks):
+    * OFFSET is a linear skip in most engines.) Bounds are exact stored
+    * key TUPLES — row-exact quantiles, so the plan is skew-proof by
+    * construction, composite keys with a low-cardinality leading column
+    * included — closed by the exact MAX tuple. */
+  private def rankPlan(c: Connection, key: PlanKey): (Seq[Seq[String]], Long) = {
     val total = {
       val st = c.createStatement()
       try {
@@ -247,33 +314,47 @@ final class JdbcTransferJob(
     if (total == 0) return (Nil, 0L)
     val n = chunkCount(total)
     val per = math.max(1L, total / n)
-    val bounds = Seq.newBuilder[String]
-    var prev: Option[String] = None
+    val width = key.cols.size
+    val bounds = Seq.newBuilder[Seq[String]]
+    var prev: Option[Seq[String]] = None
     var exhausted = false
     for (_ <- 1 until n if !exhausted) {
-      val where = prev.fold("")(p => s"WHERE $pkCol > ${style.literal(p)} ")
+      val where = prev.fold("")(p => s"WHERE ${key.gt(p)} ")
       val sql = dialect match {
         case JdbcUpsert.MySql =>
-          s"SELECT $pkCol FROM ${table.name} $where" +
-            s"ORDER BY $pkCol LIMIT ${per - 1}, 1"
+          s"SELECT ${key.selectList} FROM ${table.name} $where" +
+            s"ORDER BY ${key.orderBy} LIMIT ${per - 1}, 1"
         case _ =>
-          s"SELECT $pkCol FROM ${table.name} $where" +
-            s"ORDER BY $pkCol OFFSET ${per - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+          s"SELECT ${key.selectList} FROM ${table.name} $where" +
+            s"ORDER BY ${key.orderBy} OFFSET ${per - 1} ROWS FETCH NEXT 1 ROWS ONLY"
       }
       val st = c.createStatement()
       try {
         val rs = st.executeQuery(sql)
-        if (rs.next()) { val b = rs.getString(1); bounds += b; prev = Some(b) }
+        if (rs.next()) {
+          val b = (1 to width).map(rs.getString)
+          bounds += b; prev = Some(b)
+        }
         // fewer than `per` keys remain — re-running the same probe
         // would just re-scan the tail once per leftover iteration
         else exhausted = true
       } finally st.close()
     }
+    // exact MAX tuple closes the plan (MAX() per column would fabricate
+    // a tuple that exists in no row — order the whole key instead)
     val maxKey = {
+      val sql = dialect match {
+        case JdbcUpsert.MySql =>
+          s"SELECT ${key.selectList} FROM ${table.name} " +
+            s"ORDER BY ${key.orderByDesc} LIMIT 1"
+        case _ =>
+          s"SELECT ${key.selectList} FROM ${table.name} " +
+            s"ORDER BY ${key.orderByDesc} FETCH FIRST 1 ROWS ONLY"
+      }
       val st = c.createStatement()
       try {
-        val rs = st.executeQuery(s"SELECT MAX($pkCol) FROM ${table.name}")
-        rs.next(); rs.getString(1)
+        val rs = st.executeQuery(sql)
+        rs.next(); (1 to width).map(rs.getString)
       } finally st.close()
     }
     ((bounds.result() :+ maxKey).distinct, total)
@@ -302,23 +383,35 @@ final class JdbcTransferJob(
     }
     JdbcCatalog.mirrorTable(url, table.name, table.target, destUrl) // S8
 
-    val pkCol = pk.head
-    val meta = JdbcCatalog.columns(url, table.name).find(_.name == pkCol)
-      .getOrElse(sys.error(s"key column '$pkCol' not found in ${table.name}"))
-    val style = keyStyle(meta)
+    val metaByName = JdbcCatalog.columns(url, table.name)
+      .map(m => m.name -> m).toMap
+    val key = PlanKey(pk, pk.map { c =>
+      keyStyle(metaByName.getOrElse(c,
+        sys.error(s"key column '$c' not found in ${table.name}")))
+    })
 
     // Plan from the checkpoint when one was stored (resume = a file
     // read, no re-probe); otherwise probe and persist before the first
     // chunk. A checkpoint WITHOUT a stored plan (crash between the cp
     // write and the plan write) re-plans and re-persists.
-    val stored = cp.filter(c => c.bounds.nonEmpty && c.totalRows >= 0)
-    val (bounds: Seq[String], total: Long) = stored match {
-      case Some(c) => (c.bounds, c.totalRows)
+    val stored = cp.filter(c =>
+      (c.bounds.nonEmpty || c.boundCols.nonEmpty) && c.totalRows >= 0)
+    val (bounds: Seq[Seq[String]], total: Long) = stored match {
+      case Some(c) =>
+        val b = if (c.boundCols.nonEmpty) c.boundCols else c.bounds.map(Seq(_))
+        require(b.forall(_.size == pk.size),
+          s"checkpoint plan for ${table.name} was computed over " +
+            s"${b.head.size} key column(s) but the table now keys on " +
+            s"${pk.size} (${pk.mkString(", ")}) — refusing to resume a " +
+            "plan from a different key")
+        (b, c.totalRows)
       case None =>
         JdbcCatalog.withConnection(url) { c =>
-          style match {
-            case NumericKey(scale) => numericPlan(c, pkCol, scale)
-            case _ => rankPlan(c, pkCol, style)
+          key.styles match {
+            case Seq(NumericKey(scale)) =>
+              val (bs, t) = numericPlan(c, pk.head, scale)
+              (bs.map(Seq(_)), t)
+            case _ => rankPlan(c, key)
           }
         }
     }
@@ -328,10 +421,12 @@ final class JdbcTransferJob(
       Checkpoint.save(mig.checkpointDir, kind, cpName,
         Checkpoint(
           if (idx >= 0 && bounds.nonEmpty)
-            Map(pkCol -> bounds(math.min(idx, bounds.size - 1)))
+            pk.zip(bounds(math.min(idx, bounds.size - 1))).toMap
           else Map.empty,
           System.currentTimeMillis(), complete, idx,
-          bounds = bounds, totalRows = total))
+          bounds = if (pk.size == 1) bounds.map(_.head) else Nil,
+          boundCols = if (pk.size == 1) Nil else bounds,
+          totalRows = total))
 
     if (bounds.isEmpty) { save(-1, complete = true); return TransferOutcome.Completed }
     if (stored.isEmpty) save(startChunk - 1, complete = false) // persist the plan
@@ -354,8 +449,8 @@ final class JdbcTransferJob(
           log(s"${table.name}: interrupted, checkpoint at chunk ${i - 1}")
           return TransferOutcome.Interrupted(i - startChunk)
         }
-        val preds = chunkPredicates(pkCol, style, bounds, i)
-        disp.submit(i, ())(writeChunk(readChunk(preds), pk))
+        val preds = chunkPredicates(key, bounds, i)
+        disp.submit(i, ())(writeChunk(readChunk(preds), pk, preds.length))
       }
       disp.drainAll()
       log(stats.report())
@@ -366,14 +461,18 @@ final class JdbcTransferJob(
   }
 
   /** Server-side predicates for chunk `i`: the chunk range, sub-split
-    * into parallel sub-ranges for numeric keys wide enough to feed more
-    * than one read partition. */
-  private def chunkPredicates(pkCol: String, style: KeyStyle,
-                              bounds: Seq[String], i: Int): Array[String] = {
-    val hi = bounds(i)
-    val lo = if (i == 0) None else Some(bounds(i - 1))
-    style match {
-      case NumericKey(scale) =>
+    * into parallel sub-ranges for single numeric keys wide enough to
+    * feed more than one read partition; row-value (or expanded) tuple
+    * ranges for everything else. */
+  private def chunkPredicates(key: PlanKey,
+                              bounds: Seq[Seq[String]], i: Int): Array[String] = {
+    val hiT = bounds(i)
+    val loT = if (i == 0) None else Some(bounds(i - 1))
+    key.styles match {
+      case Seq(NumericKey(scale)) =>
+        val pkCol = key.cols.head
+        val hi = hiT.head
+        val lo = loT.map(_.head)
         val hiD = new java.math.BigDecimal(hi)
         val loD = lo.map(new java.math.BigDecimal(_))
         val span = loD.map(hiD.subtract).getOrElse(java.math.BigDecimal.ZERO)
@@ -399,9 +498,8 @@ final class JdbcTransferJob(
             s"$pkCol > ${sl.toPlainString} AND $pkCol <= ${s.toPlainString}"
           }.toArray
         }
-      case s =>
-        Array(lo.fold(s"$pkCol <= ${s.literal(hi)}")(l =>
-          s"$pkCol > ${s.literal(l)} AND $pkCol <= ${s.literal(hi)}"))
+      case _ =>
+        Array(loT.fold(key.le(hiT))(l => s"${key.gt(l)} AND ${key.le(hiT)}"))
     }
   }
 
@@ -418,17 +516,21 @@ final class JdbcTransferJob(
 
   /** Transform + MERGE one chunk; returns rows written. Chunk-level retry
     * on top of the sink's per-statement retry — the keyed MERGE makes a
-    * partial replay a no-op. */
-  private def writeChunk(chunk: DataFrame, pk: Seq[String]): Long = {
+    * partial replay a no-op. `chunkPartitions` is the predicate count of
+    * the chunk's read — the partition count is known STATICALLY, so the
+    * coalesce decision never materializes RDD lineage (`.rdd` here cost
+    * a second planning pass per chunk, VERDICT r4 #5). */
+  private def writeChunk(chunk: DataFrame, pk: Seq[String],
+                         chunkPartitions: Int): Long = {
     val out = table.columnTransformations.foldLeft(chunk) { (d, ct) =>
       d.withColumn(ct.sourceColumn, expr(ct.expression))
     }
     val wp = JdbcUpsert.effectiveWriteParallelism(destUrl, writeParallelism)
-    val toWrite =
-      if (wp > 0 && wp < out.rdd.getNumPartitions) out.coalesce(wp) else out
+    val target = JdbcTransferJob.coalesceTarget(wp, chunkPartitions)
+    val toWrite = if (target > 0) out.coalesce(target) else out
     Retry(attempts = 3, delayMs = 1000,
       onError = (i, e) => log(s"${table.name}: chunk attempt $i failed: ${e.getMessage}")) {
-      JdbcUpsert.write(toWrite, dialect, table.target, pk,
+      JdbcUpsert.write(toWrite, sinkDialect, table.target, pk,
         mig.batchSize)(factory)
     }
   }
@@ -455,4 +557,23 @@ object JdbcTransferJob {
     * executors). */
   def connectionFactory(url: String): () => JdbcUpsert.Executor =
     () => new JdbcUpsert.ConnectionExecutor(url)
+
+  /** Dialect implied by a JDBC URL's subprotocol, when recognizable. */
+  def dialectFor(url: String): Option[JdbcUpsert.Dialect] =
+    Option(url).map(_.toLowerCase).collect {
+      case u if u.startsWith("jdbc:mysql:") || u.startsWith("jdbc:mariadb:") =>
+        JdbcUpsert.MySql
+      case u if u.startsWith("jdbc:postgresql:") => JdbcUpsert.Postgres
+      case u if u.startsWith("jdbc:derby:") => JdbcUpsert.Derby
+    }
+
+  /** Writer-coalesce decision for one chunk: the target partition count,
+    * or 0 = keep the chunk's own partitioning. Pure — the chunk's
+    * partition count equals its predicate count statically, so no plan
+    * needs materializing to decide. */
+  private[graft] def coalesceTarget(writeParallelism: Int,
+                                    chunkPartitions: Int): Int =
+    if (writeParallelism > 0 && writeParallelism < chunkPartitions)
+      writeParallelism
+    else 0
 }

@@ -112,10 +112,13 @@ final class TableTransferJob(
         s"table '${table.name}' has no primary key configured — refusing " +
           "(reference rejects PK-less tables, mysql.go:216-218)"))
 
-  /** Checkpoint identity scoped to the DESTINATION: a table name alone
-    * would let a complete marker from an earlier spec (different
-    * destination path) silently skip this run (same collision fixed on
-    * the live path by JdbcTransferJob.checkpointName). */
+  /** Checkpoint identity scoped to SOURCE and DESTINATION: a table name
+    * alone would let a complete marker from an earlier spec (different
+    * destination path) silently skip this run, and a destination-only
+    * scope would let a spec re-pointed at a DIFFERENT source resume an
+    * old source's persisted plan — rows above that plan's max bound
+    * would never transfer (ADVICE r4; same collision class fixed on the
+    * live path by JdbcTransferJob.checkpointName). */
   private val cpName: String = TableTransferJob.checkpointName(spec, table)
 
   def run(): TransferOutcome = {
@@ -445,9 +448,11 @@ final class TableTransferJob(
         .parquet(s"$destDir-final")
     }
     // a '-final' dir left by an EARLIER partitioned run would shadow the
-    // fresh chunk dirs in readTarget — drop it when this run does not
-    // publish one
-    if (table.partitionBy.isEmpty)
+    // fresh chunk dirs in readTarget — drop it whenever this run did not
+    // publish one, INCLUDING a partitioned spec over a now-empty source
+    // (hasChunks=false skips the publish above; the stale dir would keep
+    // serving the previous run's rows, ADVICE r4)
+    if (table.partitionBy.isEmpty || !hasChunks)
       graft.util.Fs.deleteRecursive(new java.io.File(s"$destDir-final"))
     // S8, catalog half: the reference EXECUTES `CREATE TABLE IF NOT
     // EXISTS` at the destination (`mysql.go:254-274`); the session-
@@ -489,10 +494,11 @@ final class TableTransferJob(
 }
 
 object TableTransferJob {
-  /** Destination-scoped checkpoint identity (see the field note). */
+  /** Source+destination-scoped checkpoint identity (see the field note). */
   def checkpointName(spec: TransferSpec, table: TableMapping): String = {
     val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${spec.destination.path} ${table.target}".getBytes("UTF-8"))
+      .digest(s"${spec.source.path} ${spec.destination.path} ${table.target}"
+        .getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     s"${table.name}_$id"
   }

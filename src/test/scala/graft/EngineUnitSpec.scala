@@ -36,8 +36,9 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(json.contains("\"last_updated\": \"2024-08-11T"), json)
     assert(Checkpoint.fromJson(json).contains(cp))
     // r2-format checkpoints carried epoch millis — still readable
+    // (and a missing version field reads as format v1)
     val legacy = """{"last_key": {"id": "7"}, "last_updated": 1723400000000, "complete": false, "chunk_index": 2}"""
-    assert(Checkpoint.fromJson(legacy).contains(cp))
+    assert(Checkpoint.fromJson(legacy).contains(cp.copy(version = 1)))
   }
 
   test("corrupt checkpoint reads as None, not a crash") {
@@ -45,6 +46,50 @@ class EngineUnitSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       Checkpoint.path(dir, "parquet", "t"), "{not json")
     assert(Checkpoint.load(dir, "parquet", "t").isEmpty)
+  }
+
+  test("composite tuple bounds round-trip through checkpoint JSON (format v2)") {
+    val cp = Checkpoint(Map("region" -> "R2", "id" -> "400"), 1723400000000L,
+      complete = false, chunkIndex = 3,
+      boundCols = Seq(Seq("R0", "125"), Seq("R1", "50"), Seq("R4", "200")),
+      totalRows = 1000L)
+    val json = Checkpoint.toJson(cp)
+    assert(json.contains(s""""version": ${Checkpoint.FormatVersion}"""), json)
+    assert(Checkpoint.fromJson(json).contains(cp))
+  }
+
+  test("checkpoint from a NEWER format refuses loudly instead of misreading (VERDICT r4 #7)") {
+    val future = s"""{"version": ${Checkpoint.FormatVersion + 1}, "last_key": {"id": "7"}, "last_updated": 1, "complete": false, "chunk_index": 2, "bounds": ["10", "20"], "total_rows": 40}"""
+    val e = intercept[CheckpointFormatException](Checkpoint.fromJson(future))
+    assert(e.getMessage.contains(s"v${Checkpoint.FormatVersion + 1}"))
+    // the refusal must escape load() too — None would mean "no
+    // checkpoint" and silently restart the transfer on a fresh plan
+    val dir = java.nio.file.Files.createTempDirectory("cp").toString
+    java.nio.file.Files.writeString(Checkpoint.path(dir, "jdbc", "t"), future)
+    intercept[CheckpointFormatException](Checkpoint.load(dir, "jdbc", "t"))
+    // …while a GARBLED file (no trustworthy version claim) still
+    // degrades to None (fresh start; idempotent writes absorb it)
+    java.nio.file.Files.writeString(Checkpoint.path(dir, "jdbc", "t"), "{torn")
+    assert(Checkpoint.load(dir, "jdbc", "t").isEmpty)
+  }
+
+  test("writer-coalesce decision is static (no .rdd planning pass, VERDICT r4 #5)") {
+    import graft.engine.JdbcTransferJob.coalesceTarget
+    assert(coalesceTarget(0, 4) == 0, "auto parallelism keeps chunk partitioning")
+    assert(coalesceTarget(1, 4) == 1, "embedded URLs serialize to one writer")
+    assert(coalesceTarget(4, 4) == 0, "equal width needs no coalesce")
+    assert(coalesceTarget(8, 4) == 0, "coalesce can only narrow")
+    assert(coalesceTarget(2, 1) == 0, "single-partition chunk stays put")
+  }
+
+  test("JDBC URL subprotocol derives the destination dialect (ADVICE r4)") {
+    import graft.sinks.JdbcUpsert
+    assert(JdbcTransferJob.dialectFor("jdbc:mysql://h/db").contains(JdbcUpsert.MySql))
+    assert(JdbcTransferJob.dialectFor("jdbc:mariadb://h/db").contains(JdbcUpsert.MySql))
+    assert(JdbcTransferJob.dialectFor("jdbc:postgresql://h/db").contains(JdbcUpsert.Postgres))
+    assert(JdbcTransferJob.dialectFor("JDBC:DERBY:memory:x").contains(JdbcUpsert.Derby))
+    assert(JdbcTransferJob.dialectFor("jdbc:h2:mem:x").isEmpty)
+    assert(JdbcTransferJob.dialectFor(null).isEmpty)
   }
 
   // --- Cadence (R5) -----------------------------------------------------

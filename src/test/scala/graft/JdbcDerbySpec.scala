@@ -630,4 +630,203 @@ class JdbcDerbySpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("primary key"))
   }
+
+  test("composite PK plans on the FULL key tuple — low-cardinality leading column (VERDICT r4 #1)") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferControl, TransferOutcome}
+    JdbcCatalog.execute(url, "CREATE TABLE comp (" +
+      "region VARCHAR(4) NOT NULL, id BIGINT NOT NULL, v DOUBLE, " +
+      "PRIMARY KEY (region, id))")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO comp VALUES (?, ?, ?)")
+      // 5 regions × 200 ids: a plan keyed on pk.head alone could never
+      // produce more than 5 chunks (and checkpoint granularity dies)
+      for (r <- 0 until 5; i <- 1 to 200) {
+        ps.setString(1, s"R$r"); ps.setLong(2, i.toLong)
+        ps.setDouble(3, i * 1.0); ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    val cpDir = s"$work/cp_comp"
+    val mig2 = MigrationSpec(batchSize = 125, checkpointRowThreshold = 125,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("comp", targetName = Some("comp_new"),
+      columnTransformations = Seq(ColumnTransformation("v", "v * 2")))
+    val first = new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(2), log = _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
+    // 1000 rows / 125-row chunks → 8 tuple bounds, each over BOTH key
+    // columns — far more than the 5 a pk.head plan could reach
+    assert(cp.bounds.isEmpty && cp.boundCols.size == 8,
+      s"expected an 8-chunk tuple plan, got $cp")
+    assert(cp.boundCols.forall(_.size == 2),
+      s"each bound must carry the full key tuple: ${cp.boundCols}")
+    assert(cp.boundCols.exists(b => b(1).toLong != 200L),
+      s"no bound cuts MID-region — the plan did not rank the full tuple: ${cp.boundCols}")
+    // the kill checkpointed a tuple prefix (both key columns in last_key)
+    assert(cp.lastKey.keySet == Set("region", "id"), s"lastKey: ${cp.lastKey}")
+    // disjoint + complete + row-balanced: each chunk range holds EXACTLY
+    // total/n rows (rank-walk quantiles are row-exact) and they sum to
+    // the table
+    def gt(b: Seq[String]) =
+      s"(region > '${b(0)}' OR (region = '${b(0)}' AND id > ${b(1)}))"
+    def le(b: Seq[String]) =
+      s"(region < '${b(0)}' OR (region = '${b(0)}' AND id <= ${b(1)}))"
+    val counts = cp.boundCols.indices.map { i =>
+      val lo = if (i == 0) "" else s"${gt(cp.boundCols(i - 1))} AND "
+      JdbcCatalog.withConnection(url) { c =>
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT COUNT(*) FROM comp WHERE $lo${le(cp.boundCols(i))}")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      }
+    }
+    assert(counts.sum == 1000 && counts.forall(_ == 125L),
+      s"tuple chunks must be disjoint, complete and row-exact: $counts")
+    // resume continues the SAME tuple plan to completion
+    val second = new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+    assert(second == TransferOutcome.Completed)
+    val done = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
+    assert(done.complete && done.boundCols == cp.boundCols)
+    val back = JdbcTransfer.readAll(spark, url, "comp_new")
+    assert(back.count() == 1000)
+    assert(back.agg(sum("v")).head.getDouble(0) ==
+      5 * (1 to 200).map(_ * 2.0).sum)
+  }
+
+  // --- chunk-plan invariants under random key distributions (VERDICT r4
+  //     #8): whatever the keys look like, a persisted plan must have
+  //     sorted/distinct bounds, its last bound must be the exact MAX,
+  //     and the chunk ranges must partition the table (disjoint +
+  //     complete, verified by summing per-chunk COUNTs server-side).
+
+  private val propTables = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def forAllN[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      val v = gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(1000L + i))
+        .getOrElse(sys.error("gen failed"))
+      body(v)
+    }
+
+  /** Persist a plan WITHOUT moving rows (cancel before the first chunk),
+    * then return the checkpoint. */
+  private def planOnly(tbl: String, mig2: MigrationSpec): graft.engine.Checkpoint = {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferControl}
+    val t = TableMapping(tbl, targetName = Some(s"${tbl}_out"))
+    new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(0), log = _ => ()).run()
+    Checkpoint.load(mig2.checkpointDir, "jdbc",
+      JdbcTransferJob.checkpointName(url, t)).get
+  }
+
+  private def chunkCountsSql(tbl: String, pkCol: String,
+                             bounds: Seq[String], quote: Boolean): Seq[Long] = {
+    def lit(v: String) = if (quote) s"'$v'" else v
+    bounds.indices.map { i =>
+      val lo = if (i == 0) "" else s"$pkCol > ${lit(bounds(i - 1))} AND "
+      JdbcCatalog.withConnection(url) { c =>
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT COUNT(*) FROM $tbl WHERE $lo$pkCol <= ${lit(bounds(i))}")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      }
+    }
+  }
+
+  test("chunk-plan invariants hold under random key distributions (VERDICT r4 #8)") {
+    import org.scalacheck.Gen
+    // distribution zoo: dense, sparse (large gaps), skewed bursts,
+    // negative ranges — each draws a distinct BIGINT key set
+    val keySets: Gen[Set[Long]] = for {
+      n <- Gen.choose(120, 600)
+      shape <- Gen.oneOf("dense", "sparse", "skew", "negative")
+      keys <- shape match {
+        case "dense" => Gen.const((1L to n.toLong).toSet)
+        case "sparse" => Gen.containerOfN[Set, Long](n, Gen.choose(-1000000000L, 1000000000L))
+        case "skew" =>
+          // 90% of keys in a 1000-wide burst, 10% spread over 10^9
+          val burst = Gen.containerOfN[Set, Long](n * 9 / 10, Gen.choose(500000L, 501000L))
+          val tail = Gen.containerOfN[Set, Long](n / 10, Gen.choose(0L, 1000000000L))
+          for (b <- burst; t <- tail) yield b ++ t
+        case _ => Gen.containerOfN[Set, Long](n, Gen.choose(-5000000L, -1L))
+      }
+    } yield keys
+    forAllN(keySets, 5) { keys =>
+      val tbl = s"prop_k${propTables.incrementAndGet()}"
+      JdbcCatalog.execute(url,
+        s"CREATE TABLE $tbl (id BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+      JdbcCatalog.withConnection(url) { c =>
+        val ps = c.prepareStatement(s"INSERT INTO $tbl VALUES (?, ?)")
+        keys.foreach { k => ps.setLong(1, k); ps.setDouble(2, 1.0); ps.addBatch() }
+        ps.executeBatch()
+      }
+      val mig2 = MigrationSpec(batchSize = 50, checkpointRowThreshold = 50,
+        rateLimit = 1000000000, checkpointDir = s"$work/cp_$tbl")
+      val cp = planOnly(tbl, mig2)
+      assert(cp.totalRows == keys.size)
+      val asNum = cp.bounds.map(BigDecimal(_))
+      assert(asNum == asNum.sorted && asNum.distinct == asNum,
+        s"bounds must be sorted and distinct: ${cp.bounds}")
+      assert(asNum.last == BigDecimal(keys.max),
+        s"last bound must be the exact MAX: ${cp.bounds.last} vs ${keys.max}")
+      val counts = chunkCountsSql(tbl, "id", cp.bounds, quote = false)
+      assert(counts.sum == keys.size,
+        s"chunks must partition the table: $counts sums to ${counts.sum}, want ${keys.size}")
+      assert(counts.forall(_ > 0), s"no chunk may be empty: $counts")
+    }
+  }
+
+  test("chunk-plan invariants: DECIMAL-scaled and VARCHAR keys (VERDICT r4 #8)") {
+    import org.scalacheck.Gen
+    // DECIMAL(12,3) keys with random scale-3 values
+    forAllN(Gen.containerOfN[Set, Long](300, Gen.choose(-10000000L, 10000000L)), 2) { raw =>
+      val tbl = s"prop_d${propTables.incrementAndGet()}"
+      JdbcCatalog.execute(url,
+        s"CREATE TABLE $tbl (id DECIMAL(12,3) NOT NULL PRIMARY KEY, v DOUBLE)")
+      val keys = raw.map(l => BigDecimal(l, 3))
+      JdbcCatalog.withConnection(url) { c =>
+        val ps = c.prepareStatement(s"INSERT INTO $tbl VALUES (?, ?)")
+        keys.foreach { k => ps.setBigDecimal(1, k.bigDecimal); ps.setDouble(2, 1.0); ps.addBatch() }
+        ps.executeBatch()
+      }
+      val mig2 = MigrationSpec(batchSize = 50, checkpointRowThreshold = 50,
+        rateLimit = 1000000000, checkpointDir = s"$work/cp_$tbl")
+      val cp = planOnly(tbl, mig2)
+      val asNum = cp.bounds.map(BigDecimal(_))
+      assert(asNum == asNum.sorted && asNum.distinct == asNum)
+      assert(asNum.last == keys.max, s"${cp.bounds.last} vs ${keys.max}")
+      val counts = chunkCountsSql(tbl, "id", cp.bounds, quote = false)
+      assert(counts.sum == keys.size && counts.forall(_ > 0), s"$counts")
+    }
+    // VARCHAR keys: random alphanumeric strings, rank-walked bounds
+    val strKeys = Gen.containerOfN[Set, String](250,
+      Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString))
+    forAllN(strKeys, 2) { keys =>
+      val tbl = s"prop_s${propTables.incrementAndGet()}"
+      JdbcCatalog.execute(url,
+        s"CREATE TABLE $tbl (k VARCHAR(16) NOT NULL PRIMARY KEY, v DOUBLE)")
+      JdbcCatalog.withConnection(url) { c =>
+        val ps = c.prepareStatement(s"INSERT INTO $tbl VALUES (?, ?)")
+        keys.foreach { k => ps.setString(1, k); ps.setDouble(2, 1.0); ps.addBatch() }
+        ps.executeBatch()
+      }
+      val mig2 = MigrationSpec(batchSize = 50, checkpointRowThreshold = 50,
+        rateLimit = 1000000000, checkpointDir = s"$work/cp_$tbl")
+      val cp = planOnly(tbl, mig2)
+      // bounds are exact stored keys, sorted under SQL VARCHAR collation
+      // (binary for Derby's default), distinct, closed by the exact max
+      assert(cp.bounds == cp.bounds.sorted && cp.bounds.distinct == cp.bounds)
+      assert(cp.bounds.last == keys.max, s"${cp.bounds.last} vs ${keys.max}")
+      assert(cp.bounds.toSet.subsetOf(keys),
+        "rank-probe bounds must be stored keys")
+      val counts = chunkCountsSql(tbl, "k", cp.bounds, quote = true)
+      assert(counts.sum == keys.size && counts.forall(_ > 0), s"$counts")
+    }
+  }
 }
