@@ -24,7 +24,8 @@ object Bench {
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",
-    "transfer_jdbc_kill_resume", "transfer_jdbc_varchar_pk")
+    "transfer_jdbc_kill_resume", "transfer_jdbc_varchar_pk",
+    "transfer_jdbc_composite_pk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +44,27 @@ object Bench {
     // JVM/codegen warmup on the smallest table so per-query numbers
     // measure the query, not first-use class loading.
     force(SparkEntry.queries("p5_completed_count")(spark, sfDir))
+    // Same for the TRANSFER engine (TableTransferJob + checkpoint +
+    // parquet writer init): transfer_config_multi is the first headline
+    // to touch that path, and with a cold path its number carried 2-3 s
+    // of one-time class-load/codegen that swung round to round (r3 2.9 s
+    // → r4 4.5 s with an unchanged plan — diagnosed r5: iter1 5.2 s,
+    // iters 2-6 settle at 1.8-2.1 s in one JVM). One tiny-table transfer
+    // (region: 5 rows) warms the machinery without touching the timed
+    // workload's tables or dirs.
+    locally {
+      import graft.core._
+      val warmTmp = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val warmSpec = TransferSpec(
+        EndpointSpec("parquet", path = sfDir,
+          tables = Seq(TableMapping("region", targetName = Some("region_warm")))),
+        EndpointSpec("parquet", path = s"$warmTmp/dest"),
+        MigrationSpec(batchSize = 20000, checkpointRowThreshold = 20000,
+          checkpointDir = s"$warmTmp/cp", rateLimit = 1000000000))
+      try graft.engine.TransferRunner.run(spark, warmSpec, log = _ => ())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] transfer warmup failed: ${e.getMessage}") }
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.filter(SparkEntry.queries.contains).foreach { name =>

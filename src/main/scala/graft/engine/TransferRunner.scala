@@ -35,9 +35,12 @@ object TransferRunner {
     try {
       val futures = tables.map { t =>
         Future {
-          // Isolate each table in a scheduler pool so long tables don't
-          // starve short ones (FAIR scheduling across table pipelines).
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
+          // All table pipelines share the DECLARED `transfers` pool
+          // (fairscheduler.xml), which schedules FAIR within the pool —
+          // long tables still can't starve short ones, and no
+          // per-table pool is created undeclared (each such creation
+          // logged a FairSchedulableBuilder warning, VERDICT r4 #9).
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "transfers")
           control.jobStarted()
           try TableResult(t.name,
             Try(new TableTransferJob(spark, spec, t, control, log,
@@ -69,7 +72,8 @@ object TransferRunner {
     try {
       val futures = tables.map { t =>
         Future {
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", t.name)
+          // same declared pool as the parquet runner (see note there)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "transfers")
           control.jobStarted()
           try TableResult(t.name, Try {
             // destination may be a DIFFERENT database (the template's

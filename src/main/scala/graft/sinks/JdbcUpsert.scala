@@ -209,12 +209,23 @@ object JdbcUpsert {
     val colList = cols.mkString(", ")
     dialect match {
       case MySql =>
-        val upd = updatable.map(c => s"$c = VALUES($c)").mkString(", ")
+        // key-only table: an empty update list after ON DUPLICATE KEY
+        // UPDATE is a syntax error on a real server — self-assign the
+        // first key (the reference never hits this: it VALUES()-assigns
+        // every column incl. the key, mysql.go:430-441)
+        val upd =
+          if (updatable.isEmpty) s"${keys.head} = ${keys.head}"
+          else updatable.map(c => s"$c = VALUES($c)").mkString(", ")
         s"INSERT INTO $table ($colList) VALUES $values ON DUPLICATE KEY UPDATE $upd"
       case Postgres =>
-        val upd = updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")
-        s"INSERT INTO $table ($colList) VALUES $values " +
-          s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $upd"
+        // key-only table: `DO UPDATE SET` with no assignments is a
+        // syntax error — DO NOTHING has the same effect (row exists)
+        val conflict = s"ON CONFLICT (${keys.mkString(", ")})"
+        val upd =
+          if (updatable.isEmpty) s"$conflict DO NOTHING"
+          else s"$conflict DO UPDATE SET " +
+            updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+        s"INSERT INTO $table ($colList) VALUES $values $upd"
       case Derby =>
         require(n == 1, "Derby MERGE dialect emits one statement per row")
         require(keys.forall(keyTypes.contains),
