@@ -467,9 +467,18 @@ object SparkEntry {
     "json_extract" -> ((s, d) => Multimodal.jsonExtract(T(s, d, "events"))),
     // stub-decoder pipeline (no SQL oracle — rows-only check): binary →
     // per-partition batch decode → typed features
-    "multimodal_decode" -> ((s, d) =>
-      Multimodal.extractFeatures(T(s, d, "events"), "event_id", "props")
-        .toDF().select(col("id"), col("byteLen"), col("width"), col("height"))),
+    // --- REAL image decode (VERDICT r4 #4): per-row deterministic BMP
+    //     fixtures (closed-form pixels) are ENCODED, then DECODED by the
+    //     pure-JVM Bmp codec per partition; the oracle recomputes the
+    //     pixel statistics from the generating formula — any error in
+    //     row order, BGR layout, or padding breaks the hash.
+    "multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img")
+        .transform(df => Multimodal.imageStats(df, "id", "img").toDF())
+    }),
 
     // --- multimodal resize stage: fit stub-decoded dims inside 32px,
     //     integer-exact → oracle-gated (decode → feature → resize chain)
@@ -998,6 +1007,26 @@ object SparkEntry {
     "multimodal_binary" ->
       """SELECT event_id, octet_length(props::BLOB)::BIGINT AS blob_len,
         |  md5(props) AS blob_md5 FROM events""".stripMargin,
+    // recomputes the decoded pixel statistics in closed form from the
+    // fixture formula (Multimodal.syntheticBmp): the Spark side decodes
+    // REAL BMP bytes, the oracle never needs a codec
+    "multimodal_decode" ->
+      """WITH imgs AS (
+        |  SELECT event_id AS id, 4 + event_id % 5 AS w, 3 + event_id % 4 AS h
+        |  FROM events),
+        |px AS (
+        |  SELECT i.id, i.w, i.h,
+        |    (i.id + 7*xs.x + 13*ys.y) % 256 AS r,
+        |    (2*i.id + 3*xs.x + 5*ys.y) % 256 AS g,
+        |    (5*i.id + 11*xs.x + 17*ys.y) % 256 AS b
+        |  FROM imgs i, generate_series(0, 7) AS xs(x), generate_series(0, 5) AS ys(y)
+        |  WHERE xs.x < i.w AND ys.y < i.h)
+        |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+        |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
+        |FROM px GROUP BY id, w, h""".stripMargin,
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events""".stripMargin,

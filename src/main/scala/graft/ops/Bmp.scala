@@ -1,0 +1,112 @@
+package graft.ops
+
+/** Pure-JVM BMP (Windows bitmap) codec — 24bpp uncompressed `BI_RGB`,
+  * the format every tool emits by default. Replaces the multimodal
+  * stub decoder (VERDICT r4 #4) so `multimodal_decode` gates on REAL
+  * pixel decoding: file header, `BITMAPINFOHEADER`, bottom-up (and
+  * top-down, negative-height) row order, BGR byte order, 4-byte row
+  * padding. No AWT/ImageIO — works headless on executors and keeps the
+  * byte layout under this code's control.
+  *
+  * Layout (little-endian):
+  *  - BITMAPFILEHEADER, 14 bytes: "BM", file size u32, 4 reserved, data
+  *    offset u32;
+  *  - BITMAPINFOHEADER, 40 bytes: header size u32=40, width i32,
+  *    height i32 (>0 = bottom-up), planes u16=1, bpp u16=24,
+  *    compression u32=0 (BI_RGB), image size u32, resolutions,
+  *    palette counts;
+  *  - pixel array: rows padded to 4 bytes, each pixel B,G,R.
+  */
+object Bmp {
+
+  /** Decoded image: pixels packed `0xRRGGBB`, row-major, TOP-DOWN
+    * regardless of the file's row order. */
+  final case class Image(width: Int, height: Int, pixels: Array[Int])
+
+  private def rowSize(width: Int): Int = (3 * width + 3) & ~3
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def put16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def put32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+
+  /** Encode a 24bpp bottom-up BMP; `rgb(x, y)` is asked for each pixel
+    * in top-down coordinates and must return channel values in 0-255. */
+  def encode(width: Int, height: Int,
+             rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val stride = rowSize(width)
+    val dataSize = stride * height
+    val out = new Array[Byte](54 + dataSize) // padding bytes stay 0
+    out(0) = 'B'; out(1) = 'M'
+    put32(out, 2, out.length)
+    put32(out, 10, 54) // pixel data offset
+    put32(out, 14, 40) // BITMAPINFOHEADER
+    put32(out, 18, width)
+    put32(out, 22, height) // positive: bottom-up
+    put16(out, 26, 1) // planes
+    put16(out, 28, 24) // bpp
+    put32(out, 30, 0) // BI_RGB
+    put32(out, 34, dataSize)
+    var y = 0
+    while (y < height) {
+      // file row 0 is the BOTTOM image row
+      val base = 54 + (height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        out(base + 3 * x) = b.toByte
+        out(base + 3 * x + 1) = g.toByte
+        out(base + 3 * x + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a 24bpp uncompressed BMP (bottom-up or top-down). Loud
+    * failures on anything else — a media pipeline must never
+    * misinterpret bytes silently. */
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes != null && bytes.length >= 54, "truncated BMP header")
+    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP (no BM magic)")
+    val dataOffset = i32(bytes, 10)
+    val headerSize = i32(bytes, 14)
+    require(headerSize >= 40, s"unsupported DIB header size $headerSize")
+    val width = i32(bytes, 18)
+    val rawHeight = i32(bytes, 22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    require(u16(bytes, 28) == 24, s"unsupported bpp ${u16(bytes, 28)} (only 24)")
+    require(i32(bytes, 30) == 0, s"unsupported compression ${i32(bytes, 30)}")
+    val stride = rowSize(width)
+    require(bytes.length >= dataOffset + stride * height, "truncated pixel array")
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val fileRow = if (topDown) y else height - 1 - y
+      val base = dataOffset + fileRow * stride
+      var x = 0
+      while (x < width) {
+        val b = bytes(base + 3 * x) & 0xff
+        val g = bytes(base + 3 * x + 1) & 0xff
+        val r = bytes(base + 3 * x + 2) & 0xff
+        px(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, px)
+  }
+}

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media payloads ride through the engine as
   * opaque `binary` columns with typed metadata alongside (SURVEY §1.3:
   * Cassandra `blob` → `BinaryType`). Decode/feature-extract runs
-  * per-partition with a pluggable batch decoder; the real image/audio
-  * codecs are NOT in this container, so [[stubDecoder]] is a
-  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * binary casts, partition batching, typed output) is real and tested.
+  * per-partition with a pluggable batch decoder. IMAGE decode is REAL —
+  * the pure-JVM [[Bmp]] codec parses actual bitmap bytes
+  * ([[bmpImageStats]], oracle-gated on exact pixel statistics). The
+  * generic [[stubDecoder]] remains for formats whose codecs are not in
+  * this container (audio/video) — a clearly-marked deterministic fake
+  * with the Spark-side plumbing (schema, binary casts, partition
+  * batching, typed output) real and tested.
   */
 object Multimodal {
 
@@ -42,6 +45,60 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(decoder)
+  }
+
+  /** Per-image pixel statistics from a REAL decode ([[Bmp]]): channel
+    * sums plus global min/max — the quantities an oracle can recompute
+    * in closed form from a deterministic fixture. All `Long` so both
+    * sides compare as BIGINT. */
+  final case class ImageStats(id: Long, width: Long, height: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long,
+                              px_min: Long, px_max: Long)
+
+  /** REAL image decode (pure-JVM BMP codec, not the stub): batch shape
+    * identical to [[Decoder]] so swapping in a heavier codec changes
+    * nothing around it. */
+  val bmpImageStats: Iterator[(Long, Array[Byte])] => Iterator[ImageStats] =
+    it => it.map { case (id, bytes) =>
+      val img = Bmp.decode(bytes)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var mn = 255L; var mx = 0L
+      var i = 0
+      while (i < img.pixels.length) {
+        val p = img.pixels(i)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b
+        mn = math.min(mn, math.min(r, math.min(g, b)).toLong)
+        mx = math.max(mx, math.max(r, math.max(g, b)).toLong)
+        i += 1
+      }
+      ImageStats(id, img.width.toLong, img.height.toLong, sr, sg, sb, mn, mx)
+    }
+
+  /** (id, BMP payload) → per-image pixel statistics, decoded
+    * per-partition (same distributed shape as [[extractFeatures]]). */
+  def imageStats(df: DataFrame, idCol: String, binCol: String): Dataset[ImageStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(bmpImageStats)
+  }
+
+  /** Deterministic BMP fixture for row `id`: dimensions and every pixel
+    * are closed-form functions of (id, x, y), so the DuckDB oracle can
+    * recompute the decoded statistics WITHOUT a codec (the container
+    * ships none) — while the Spark side still round-trips real encoded
+    * bytes through [[Bmp.decode]]. Formula (all mod 256):
+    * r = id + 7x + 13y, g = 2id + 3x + 5y, b = 5id + 11x + 17y;
+    * width = 4 + id%5, height = 3 + id%4. */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 3 + (id % 4).toInt
+    Bmp.encode(w, h, (x, y) => (
+      ((id + 7L * x + 13L * y) % 256).toInt,
+      ((2L * id + 3L * x + 5L * y) % 256).toInt,
+      ((5L * id + 11L * x + 17L * y) % 256).toInt))
   }
 
   /** One sampled frame of a media payload. */

@@ -235,6 +235,92 @@ class OpsSpec extends SparkTestBase {
       "append output must equal the batch aggregation over closed windows")
   }
 
+  test("BMP codec: encode/decode round-trips every padding width, both row orders") {
+    import graft.ops.Bmp
+    // widths 1-8 cover every row-padding remainder (3w % 4 in 0..3)
+    for (w <- 1 to 8; h <- Seq(1, 3, 5)) {
+      val img = Bmp.decode(Bmp.encode(w, h,
+        (x, y) => ((x * 40 + y) % 256, (y * 50 + x) % 256, (x + y * 90) % 256)))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.pixels(y * w + x)
+        assert(((p >> 16) & 0xff) == (x * 40 + y) % 256, s"R at ($x,$y) ${w}x$h")
+        assert(((p >> 8) & 0xff) == (y * 50 + x) % 256, s"G at ($x,$y) ${w}x$h")
+        assert((p & 0xff) == (x + y * 90) % 256, s"B at ($x,$y) ${w}x$h")
+      }
+    }
+    // TOP-DOWN variant (negative height) — flip the height field of an
+    // encoded file and reverse its row order; decode must agree
+    val base = Bmp.encode(3, 2, (x, y) => (x, y, x + y))
+    val stride = 12 // 3px * 3B = 9, padded to 12
+    val flipped = base.clone()
+    val neg = -2
+    flipped(22) = neg.toByte; flipped(23) = (neg >> 8).toByte
+    flipped(24) = (neg >> 16).toByte; flipped(25) = (neg >> 24).toByte
+    for (r <- 0 until 2; i <- 0 until stride)
+      flipped(54 + r * stride + i) = base(54 + (1 - r) * stride + i)
+    val (td, bu) = (Bmp.decode(flipped), Bmp.decode(base))
+    assert(td.width == bu.width && td.height == bu.height)
+    assert(td.pixels.sameElements(bu.pixels),
+      "top-down decode must yield the same top-down pixel order")
+  }
+
+  test("BMP codec: golden bytes for a 2x2 image (format conformance, not just round-trip)") {
+    import graft.ops.Bmp
+    // pixels (r,g,b): (0,0)=(255,0,0) (1,0)=(0,255,0) (0,1)=(0,0,255) (1,1)=(9,8,7)
+    val bytes = Bmp.encode(2, 2, (x, y) => (x, y) match {
+      case (0, 0) => (255, 0, 0); case (1, 0) => (0, 255, 0)
+      case (0, 1) => (0, 0, 255); case _ => (9, 8, 7)
+    })
+    def hex(bs: Array[Byte]) = bs.map("%02x".format(_)).mkString
+    // hand-assembled reference bytes: 14B file header (size 70 = 0x46,
+    // offset 54 = 0x36), 40B info header (2x2, 1 plane, 24bpp, BI_RGB,
+    // pixel data 16B), pixel array of bottom-up rows padded to 8B
+    assert(bytes.length == 70)
+    assert(hex(bytes.take(14)) == "424d4600000000000000" + "36000000")
+    assert(hex(bytes.slice(14, 54)) ==
+      "280000000200000002000000010018000000000010000000000000000000000000000000" +
+      "00000000")
+    // bottom-up: file row 0 is image row 1 → BGR(0,0,255)=ff0000, BGR of
+    // (9,8,7)=070809, 2 pad bytes; file row 1 is image row 0 →
+    // BGR(255,0,0)=0000ff, BGR(0,255,0)=00ff00, 2 pad bytes
+    assert(hex(bytes.slice(54, 62)) == "ff00000708090000")
+    assert(hex(bytes.slice(62, 70)) == "0000ff00ff000000")
+  }
+
+  test("BMP codec refuses what it cannot decode, loudly") {
+    import graft.ops.Bmp
+    intercept[IllegalArgumentException](Bmp.decode(null))
+    intercept[IllegalArgumentException](Bmp.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Bmp.decode("XX".getBytes ++ new Array[Byte](60))) // wrong magic
+    val good = Bmp.encode(2, 2, (_, _) => (1, 2, 3))
+    val bpp8 = good.clone(); bpp8(28) = 8 // unsupported bit depth
+    intercept[IllegalArgumentException](Bmp.decode(bpp8))
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8 compression
+    intercept[IllegalArgumentException](Bmp.decode(rle))
+    intercept[IllegalArgumentException](Bmp.decode(good.dropRight(4))) // truncated pixels
+  }
+
+  test("multimodal image stats: distributed decode equals local decode (real codec)") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDS()
+    val df = ids.map(id => (id, Multimodal.syntheticBmp(id))).toDF("id", "img")
+    val stats = Multimodal.imageStats(df, "id", "img").collect()
+      .map(s => s.id -> s).toMap
+    assert(stats.size == 64)
+    // cross-check one row against a direct local computation
+    val img = graft.ops.Bmp.decode(Multimodal.syntheticBmp(7L))
+    assert(stats(7L).width == img.width && stats(7L).height == img.height)
+    val rs = img.pixels.map(p => (p >> 16) & 0xff)
+    assert(stats(7L).sum_r == rs.map(_.toLong).sum)
+    // and against the closed form the ORACLE uses
+    val w = 4 + 7 % 5; val h = 3 + 7 % 4
+    val expect = (for (x <- 0 until w; y <- 0 until h)
+      yield (7L + 7L * x + 13L * y) % 256).sum
+    assert(stats(7L).sum_r == expect)
+  }
+
   test("streaming session windows partition all events") {
     import org.apache.spark.sql.functions._
     val sess = StreamingIngest.sessionCounts(spark, sf)
