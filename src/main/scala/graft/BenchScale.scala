@@ -70,12 +70,19 @@ object BenchScale {
     // warmup (codegen/classloading) on the base size
     force(SparkEntry.queries("dedup_exact")(spark, base))
 
+    // Time BASE and SCALED in the same JVM so the ratio column in
+    // BENCH_SCALE.md measures data scaling, not classloading luck.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     family.filter(SparkEntry.queries.contains).foreach { name =>
+      val baseSec = try time(force(SparkEntry.queries(name)(spark, base)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-scale] $name (base) failed: ${e.getMessage}"); -1.0
+      }
       val sec = try time(force(SparkEntry.queries(name)(spark, out)))
       catch { case e: Throwable =>
         System.err.println(s"[bench-scale] $name failed: ${e.getMessage}"); -1.0
       }
+      results(s"${name}_base") = baseSec
       results(name) = sec
     }
 

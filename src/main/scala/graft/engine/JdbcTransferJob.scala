@@ -118,78 +118,14 @@ final class JdbcTransferJob(
   def rowsWritten: Long = written
 
   // -- typed key plan ----------------------------------------------------
+  // Key styles and the plan-SQL builders live in the companion
+  // (private[graft]) so JdbcChunkSqlGoldenSpec can pin the MySQL/PG
+  // statement text that cannot execute in this sandbox.
 
-  /** How the chunk planner treats the first PK column, from its
-    * introspected SQL type. */
-  private sealed trait KeyStyle { def literal(v: String): String }
-  /** Even-split numeric ranges; scale 0 for integral keys. */
-  private final case class NumericKey(scale: Int) extends KeyStyle {
-    def literal(v: String): String = v
-  }
-  /** Rank-probe bounds, quoted literal. MySQL's default string literals
-    * are backslash-escaping (unlike ANSI), so a key containing `\` must
-    * double it there or the probe/predicate literal is corrupted
-    * (ADVICE r4). */
-  private final case class CharKey(backslashEscape: Boolean) extends KeyStyle {
-    def literal(v: String): String = {
-      val b = if (backslashEscape) v.replace("\\", "\\\\") else v
-      s"'${b.replace("'", "''")}'"
-    }
-  }
-  /** Rank-probe bounds, JDBC-escape temporal literal (`{ts '…'}` /
-    * `{d '…'}`): every JDBC driver translates the escape to its own
-    * literal syntax — Derby, for one, rejects the ANSI `TIMESTAMP '…'`
-    * form. */
-  private final case class TemporalKey(esc: String) extends KeyStyle {
-    def literal(v: String): String = s"{$esc '${v.replace("'", "''")}'}"
-  }
+  import JdbcTransferJob.{KeyStyle, NumericKey, PlanKey}
 
   private def keyStyle(meta: JdbcCatalog.ColumnMeta): KeyStyle =
-    meta.typeName.toUpperCase match {
-      case "TINYINT" | "SMALLINT" | "INTEGER" | "INT" | "BIGINT" =>
-        NumericKey(0)
-      case "DECIMAL" | "NUMERIC" => NumericKey(math.max(0, meta.scale))
-      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" => NumericKey(6)
-      case "DATE" => TemporalKey("d")
-      case t if t.startsWith("TIMESTAMP") => TemporalKey("ts")
-      case _ => CharKey(dialect == JdbcUpsert.MySql)
-    }
-
-  /** The ordered planning key: EVERY primary-key column with its
-    * introspected style. Bounds are row values over this tuple;
-    * comparison SQL comes in two shapes (see the class doc). */
-  private final case class PlanKey(cols: Seq[String], styles: Seq[KeyStyle]) {
-    def selectList: String = cols.mkString(", ")
-    def orderBy: String = cols.mkString(", ")
-    def orderByDesc: String = cols.map(c => s"$c DESC").mkString(", ")
-    private def lits(vals: Seq[String]): Seq[String] =
-      styles.zip(vals).map { case (s, v) => s.literal(v) }
-    private def rowValue: Boolean = dialect match {
-      case JdbcUpsert.MySql | JdbcUpsert.Postgres => true
-      case _ => false
-    }
-    /** `tuple > vals` (lexicographic, strict). */
-    def gt(vals: Seq[String]): String =
-      if (cols.size == 1) s"${cols.head} > ${lits(vals).head}"
-      else if (rowValue)
-        s"(${cols.mkString(", ")}) > (${lits(vals).mkString(", ")})"
-      else expanded(lits(vals), step = ">", last = ">")
-    /** `tuple <= vals` (lexicographic, inclusive). */
-    def le(vals: Seq[String]): String =
-      if (cols.size == 1) s"${cols.head} <= ${lits(vals).head}"
-      else if (rowValue)
-        s"(${cols.mkString(", ")}) <= (${lits(vals).mkString(", ")})"
-      else expanded(lits(vals), step = "<", last = "<=")
-    /** `k1 > a OR (k1 = a AND (k2 > b …))` — the universal form for
-      * engines without row-value comparisons. PK columns are NOT NULL,
-      * so plain `=` equality is total. */
-    private def expanded(ls: Seq[String], step: String, last: String): String = {
-      def level(i: Int): String =
-        if (i == cols.size - 1) s"${cols(i)} $last ${ls(i)}"
-        else s"(${cols(i)} $step ${ls(i)} OR (${cols(i)} = ${ls(i)} AND ${level(i + 1)}))"
-      level(0)
-    }
-  }
+    JdbcTransferJob.keyStyle(meta, dialect)
 
   private def chunkCount(total: Long): Int =
     ChunkSizing.chunkCount(total, mig.batchSize, mig.checkpointRowThreshold)
@@ -319,18 +255,9 @@ final class JdbcTransferJob(
     var prev: Option[Seq[String]] = None
     var exhausted = false
     for (_ <- 1 until n if !exhausted) {
-      val where = prev.fold("")(p => s"WHERE ${key.gt(p)} ")
-      val sql = dialect match {
-        case JdbcUpsert.MySql =>
-          s"SELECT ${key.selectList} FROM ${table.name} $where" +
-            s"ORDER BY ${key.orderBy} LIMIT ${per - 1}, 1"
-        case _ =>
-          s"SELECT ${key.selectList} FROM ${table.name} $where" +
-            s"ORDER BY ${key.orderBy} OFFSET ${per - 1} ROWS FETCH NEXT 1 ROWS ONLY"
-      }
       val st = c.createStatement()
       try {
-        val rs = st.executeQuery(sql)
+        val rs = st.executeQuery(key.probeSql(table.name, prev, per))
         if (rs.next()) {
           val b = (1 to width).map(rs.getString)
           bounds += b; prev = Some(b)
@@ -343,17 +270,9 @@ final class JdbcTransferJob(
     // exact MAX tuple closes the plan (MAX() per column would fabricate
     // a tuple that exists in no row — order the whole key instead)
     val maxKey = {
-      val sql = dialect match {
-        case JdbcUpsert.MySql =>
-          s"SELECT ${key.selectList} FROM ${table.name} " +
-            s"ORDER BY ${key.orderByDesc} LIMIT 1"
-        case _ =>
-          s"SELECT ${key.selectList} FROM ${table.name} " +
-            s"ORDER BY ${key.orderByDesc} FETCH FIRST 1 ROWS ONLY"
-      }
       val st = c.createStatement()
       try {
-        val rs = st.executeQuery(sql)
+        val rs = st.executeQuery(key.maxSql(table.name))
         rs.next(); (1 to width).map(rs.getString)
       } finally st.close()
     }
@@ -388,7 +307,7 @@ final class JdbcTransferJob(
     val key = PlanKey(pk, pk.map { c =>
       keyStyle(metaByName.getOrElse(c,
         sys.error(s"key column '$c' not found in ${table.name}")))
-    })
+    }, dialect)
 
     // Plan from the checkpoint when one was stored (resume = a file
     // read, no re-probe); otherwise probe and persist before the first
@@ -537,6 +456,106 @@ final class JdbcTransferJob(
 }
 
 object JdbcTransferJob {
+
+  // -- key styles + plan SQL (static so goldens can pin the MySQL/PG
+  //    statement text, which cannot execute in this sandbox) -----------
+
+  /** How the chunk planner treats one PK column, from its introspected
+    * SQL type. */
+  private[graft] sealed trait KeyStyle { def literal(v: String): String }
+  /** Even-split numeric ranges; scale 0 for integral keys. */
+  private[graft] final case class NumericKey(scale: Int) extends KeyStyle {
+    def literal(v: String): String = v
+  }
+  /** Rank-probe bounds, quoted literal. MySQL's default string literals
+    * are backslash-escaping (unlike ANSI), so a key containing `\` must
+    * double it there or the probe/predicate literal is corrupted
+    * (ADVICE r4). */
+  private[graft] final case class CharKey(backslashEscape: Boolean) extends KeyStyle {
+    def literal(v: String): String = {
+      val b = if (backslashEscape) v.replace("\\", "\\\\") else v
+      s"'${b.replace("'", "''")}'"
+    }
+  }
+  /** Rank-probe bounds, JDBC-escape temporal literal (`{ts '…'}` /
+    * `{d '…'}`): every JDBC driver translates the escape to its own
+    * literal syntax — Derby, for one, rejects the ANSI `TIMESTAMP '…'`
+    * form. */
+  private[graft] final case class TemporalKey(esc: String) extends KeyStyle {
+    def literal(v: String): String = s"{$esc '${v.replace("'", "''")}'}"
+  }
+
+  private[graft] def keyStyle(meta: JdbcCatalog.ColumnMeta,
+                              dialect: JdbcUpsert.Dialect): KeyStyle =
+    meta.typeName.toUpperCase match {
+      case "TINYINT" | "SMALLINT" | "INTEGER" | "INT" | "BIGINT" =>
+        NumericKey(0)
+      case "DECIMAL" | "NUMERIC" => NumericKey(math.max(0, meta.scale))
+      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT" | "REAL" => NumericKey(6)
+      case "DATE" => TemporalKey("d")
+      case t if t.startsWith("TIMESTAMP") => TemporalKey("ts")
+      case _ => CharKey(dialect == JdbcUpsert.MySql)
+    }
+
+  /** The ordered planning key: EVERY primary-key column with its
+    * introspected style. Bounds are row values over this tuple;
+    * comparison SQL comes in two shapes — row-value `(k1,k2) > (a,b)`
+    * on dialects that support it (MySQL/PostgreSQL), the expanded
+    * `k1 > a OR (k1 = a AND k2 > b)` form elsewhere. */
+  private[graft] final case class PlanKey(cols: Seq[String],
+                                          styles: Seq[KeyStyle],
+                                          dialect: JdbcUpsert.Dialect) {
+    def selectList: String = cols.mkString(", ")
+    def orderBy: String = cols.mkString(", ")
+    def orderByDesc: String = cols.map(c => s"$c DESC").mkString(", ")
+    private def lits(vals: Seq[String]): Seq[String] =
+      styles.zip(vals).map { case (s, v) => s.literal(v) }
+    private def rowValue: Boolean = dialect match {
+      case JdbcUpsert.MySql | JdbcUpsert.Postgres => true
+      case _ => false
+    }
+    /** `tuple > vals` (lexicographic, strict). */
+    def gt(vals: Seq[String]): String =
+      if (cols.size == 1) s"${cols.head} > ${lits(vals).head}"
+      else if (rowValue)
+        s"(${cols.mkString(", ")}) > (${lits(vals).mkString(", ")})"
+      else expanded(lits(vals), step = ">", last = ">")
+    /** `tuple <= vals` (lexicographic, inclusive). */
+    def le(vals: Seq[String]): String =
+      if (cols.size == 1) s"${cols.head} <= ${lits(vals).head}"
+      else if (rowValue)
+        s"(${cols.mkString(", ")}) <= (${lits(vals).mkString(", ")})"
+      else expanded(lits(vals), step = "<", last = "<=")
+    /** `k1 > a OR (k1 = a AND (k2 > b …))` — the universal form for
+      * engines without row-value comparisons. PK columns are NOT NULL,
+      * so plain `=` equality is total. */
+    private def expanded(ls: Seq[String], step: String, last: String): String = {
+      def level(i: Int): String =
+        if (i == cols.size - 1) s"${cols(i)} $last ${ls(i)}"
+        else s"(${cols(i)} $step ${ls(i)} OR (${cols(i)} = ${ls(i)} AND ${level(i + 1)}))"
+      level(0)
+    }
+    /** Keyset boundary probe: the key at rank `per` past `prev`, via
+      * the PK index (`mysql.go:599-631`'s pagination, rank-ified). */
+    def probeSql(table: String, prev: Option[Seq[String]], per: Long): String = {
+      val where = prev.fold("")(p => s"WHERE ${gt(p)} ")
+      dialect match {
+        case JdbcUpsert.MySql =>
+          s"SELECT $selectList FROM $table ${where}ORDER BY $orderBy LIMIT ${per - 1}, 1"
+        case _ =>
+          s"SELECT $selectList FROM $table ${where}ORDER BY $orderBy " +
+            s"OFFSET ${per - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+      }
+    }
+    /** Exact MAX tuple (whole-key descending order, first row). */
+    def maxSql(table: String): String = dialect match {
+      case JdbcUpsert.MySql =>
+        s"SELECT $selectList FROM $table ORDER BY $orderByDesc LIMIT 1"
+      case _ =>
+        s"SELECT $selectList FROM $table ORDER BY $orderByDesc FETCH FIRST 1 ROWS ONLY"
+    }
+  }
+
   /** Checkpoint identity for a live transfer: the table name alone
     * would COLLIDE across runs against different databases or targets
     * sharing a checkpoint dir — a complete marker from run A would
