@@ -480,6 +480,17 @@ object SparkEntry {
         .transform(df => Multimodal.imageStats(df, "id", "img").toDF())
     }),
 
+    // --- REAL audio decode: same move for WAV (RIFF chunk walk, PCM16,
+    //     interleaved channels) — per-clip sample statistics the oracle
+    //     recomputes from the fixture formula.
+    "multimodal_audio" -> ((s, d) => {
+      import s.implicits._
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("id", "clip")
+        .transform(df => Multimodal.audioStats(df, "id", "clip").toDF())
+    }),
+
     // --- multimodal resize stage: fit stub-decoded dims inside 32px,
     //     integer-exact → oracle-gated (decode → feature → resize chain)
     "multimodal_resize" -> ((s, d) =>
@@ -1027,6 +1038,21 @@ object SparkEntry {
         |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
         |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
         |FROM px GROUP BY id, w, h""".stripMargin,
+    // same closed-form move for the WAV fixtures (Multimodal.syntheticWav)
+    "multimodal_audio" ->
+      """WITH clips AS (
+        |  SELECT event_id AS id, 1 + event_id % 2 AS ch,
+        |    8000 + (event_id % 3) * 4000 AS sr, 32 + event_id % 33 AS nf
+        |  FROM events),
+        |s AS (
+        |  SELECT c.id, c.ch, c.sr, c.nf,
+        |    ((31*c.id + 17*f.f + 29*cc.c) % 65536) - 32768 AS v
+        |  FROM clips c, generate_series(0, 64) AS f(f), generate_series(0, 1) AS cc(c)
+        |  WHERE f.f < c.nf AND cc.c < c.ch)
+        |SELECT id, CAST(ch AS BIGINT) AS channels, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(sum(v) AS BIGINT) AS sum_s,
+        |  CAST(min(v) AS BIGINT) AS s_min, CAST(max(v) AS BIGINT) AS s_max
+        |FROM s GROUP BY id, ch, sr, nf""".stripMargin,
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events""".stripMargin,

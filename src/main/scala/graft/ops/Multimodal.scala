@@ -101,6 +101,52 @@ object Multimodal {
       ((5L * id + 11L * x + 17L * y) % 256).toInt))
   }
 
+  /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample
+    * sum plus min/max across all channels — closed-form recomputable
+    * by the oracle, like [[ImageStats]]. */
+  final case class AudioStats(id: Long, channels: Long, sample_rate: Long,
+                              n_frames: Long, sum_s: Long,
+                              s_min: Long, s_max: Long)
+
+  /** REAL audio decode (pure-JVM RIFF/PCM WAV codec): same batch shape
+    * as [[Decoder]]. */
+  val wavAudioStats: Iterator[(Long, Array[Byte])] => Iterator[AudioStats] =
+    it => it.map { case (id, bytes) =>
+      val clip = Wav.decode(bytes)
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var i = 0
+      while (i < clip.samples.length) {
+        val v = clip.samples(i).toLong
+        sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+        i += 1
+      }
+      if (clip.samples.isEmpty) { mn = 0L; mx = 0L }
+      AudioStats(id, clip.channels.toLong, clip.sampleRate.toLong,
+        clip.frames.toLong, sum, mn, mx)
+    }
+
+  /** (id, WAV payload) → per-clip statistics, decoded per partition. */
+  def audioStats(df: DataFrame, idCol: String, binCol: String): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(wavAudioStats)
+  }
+
+  /** Deterministic WAV fixture for row `id` — closed-form samples so
+    * the oracle recomputes the decoded statistics without a codec
+    * (sibling of [[syntheticBmp]]): channels = 1 + id%2, sample rate =
+    * 8000 + (id%3)·4000, frames = 32 + id%33,
+    * sample(f, c) = (31·id + 17·f + 29·c) mod 65536 − 32768. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val ch = 1 + (id % 2).toInt
+    val sr = 8000 + (id % 3).toInt * 4000
+    val nf = 32 + (id % 33).toInt
+    Wav.encode(ch, sr, nf, (f, c) =>
+      (((31L * id + 17L * f + 29L * c) % 65536) - 32768).toShort)
+  }
+
   /** One sampled frame of a media payload. */
   final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)
 

@@ -1,0 +1,112 @@
+package graft.ops
+
+/** Pure-JVM WAV (RIFF/PCM) codec — 16-bit signed little-endian PCM,
+  * the baseline every audio tool reads and writes. Extends the
+  * multimodal family's REAL-decode coverage from images ([[Bmp]]) to
+  * audio: RIFF chunk walking (unknown chunks skipped by their declared
+  * size), `fmt ` validation, interleaved multi-channel samples. Loud
+  * refusal of compressed or non-16-bit payloads — an audio pipeline
+  * must never misinterpret bytes silently.
+  *
+  * Layout (little-endian): "RIFF" + riffSize + "WAVE", then chunks of
+  * (4-byte id, u32 size, payload, pad byte if size is odd):
+  *  - "fmt ": audioFormat u16 (1 = PCM), channels u16, sampleRate u32,
+  *    byteRate u32, blockAlign u16, bitsPerSample u16;
+  *  - "data": interleaved frames (ch0, ch1, …), each sample i16.
+  */
+object Wav {
+
+  /** Decoded clip: `samples(frame * channels + channel)`, exactly as
+    * interleaved in the file. */
+  final case class Clip(channels: Int, sampleRate: Int, samples: Array[Short]) {
+    def frames: Int = if (channels == 0) 0 else samples.length / channels
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  private def put16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def put32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def putTag(b: Array[Byte], off: Int, t: String): Unit =
+    t.getBytes("US-ASCII").copyToArray(b, off)
+
+  /** Encode interleaved 16-bit PCM frames. `sample(frame, channel)` is
+    * asked in interleave order. */
+  def encode(channels: Int, sampleRate: Int, frames: Int,
+             sample: (Int, Int) => Short): Array[Byte] = {
+    require(channels > 0 && frames >= 0 && sampleRate > 0,
+      s"bad clip shape: $channels ch, $frames frames, $sampleRate Hz")
+    val dataSize = frames * channels * 2
+    val out = new Array[Byte](44 + dataSize)
+    putTag(out, 0, "RIFF"); put32(out, 4, 36 + dataSize); putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); put32(out, 16, 16)
+    put16(out, 20, 1) // PCM
+    put16(out, 22, channels)
+    put32(out, 24, sampleRate)
+    put32(out, 28, sampleRate * channels * 2) // byte rate
+    put16(out, 32, channels * 2) // block align
+    put16(out, 34, 16) // bits per sample
+    putTag(out, 36, "data"); put32(out, 40, dataSize)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        put16(out, 44 + (f * channels + c) * 2, sample(f, c) & 0xffff)
+        c += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Decode a RIFF/WAVE container holding 16-bit PCM. Chunks other
+    * than `fmt `/`data` (LIST, cue, bext, …) are skipped by size. */
+  def decode(bytes: Array[Byte]): Clip = {
+    require(bytes != null && bytes.length >= 44, "truncated WAV header")
+    require(tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a WAV (no RIFF/WAVE magic)")
+    var off = 12
+    var channels = -1; var sampleRate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val size = i32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"chunk '$id' overruns the file")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          val fmt = u16(bytes, off + 8)
+          require(fmt == 1, s"unsupported audio format $fmt (only PCM)")
+          channels = u16(bytes, off + 10)
+          sampleRate = i32(bytes, off + 12)
+          val bits = u16(bytes, off + 22)
+          require(bits == 16, s"unsupported bits/sample $bits (only 16)")
+        case "data" =>
+          require(channels > 0, "data chunk before fmt chunk")
+          require(size % 2 == 0, s"odd PCM16 data size $size")
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = u16(bytes, off + 8 + 2 * i).toShort
+            i += 1
+          }
+        case _ => () // skip unknown chunk
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(samples != null, "no data chunk")
+    Clip(channels, sampleRate, samples)
+  }
+}

@@ -302,6 +302,73 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Bmp.decode(good.dropRight(4))) // truncated pixels
   }
 
+  test("WAV codec: PCM16 round-trip, mono and stereo, odd frame counts") {
+    import graft.ops.Wav
+    for (ch <- 1 to 2; nf <- Seq(0, 1, 7, 33)) {
+      val clip = Wav.decode(Wav.encode(ch, 16000, nf,
+        (f, c) => (f * 1000 + c * 3 - 5000).toShort))
+      assert(clip.channels == ch && clip.sampleRate == 16000 && clip.frames == nf)
+      for (f <- 0 until nf; c <- 0 until ch)
+        assert(clip.samples(f * ch + c) == (f * 1000 + c * 3 - 5000).toShort,
+          s"sample ($f,$c) of ${ch}ch/$nf")
+    }
+  }
+
+  test("WAV codec: golden header bytes + unknown chunks skipped by size") {
+    import graft.ops.Wav
+    val bytes = Wav.encode(1, 8000, 2, (f, _) => (f + 1).toShort)
+    def hex(bs: Array[Byte]) = bs.map("%02x".format(_)).mkString
+    // RIFF size 36+4=40=0x28; fmt: PCM(1), 1ch, 8000Hz=0x1f40,
+    // byteRate 16000=0x3e80, align 2, 16 bits; data size 4
+    assert(hex(bytes.take(12)) == "524946462800000057415645")
+    assert(hex(bytes.slice(12, 36)) ==
+      "666d74201000000001000100401f0000803e000002001000")
+    assert(hex(bytes.slice(36, 48)) == "64617461040000000100" + "0200")
+    // splice an unknown LIST chunk (odd size → word-aligned pad)
+    // between fmt and data; decode must skip it and still read samples
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'x', 'y', 'z', 0 /* pad */)
+    val spliced = bytes.take(36) ++ list ++ bytes.drop(36)
+    put32LE(spliced, 4, spliced.length - 8)
+    val clip = Wav.decode(spliced)
+    assert(clip.frames == 2 && clip.samples.toSeq == Seq[Short](1, 2))
+  }
+
+  private def put32LE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+
+  test("WAV codec refuses what it cannot decode, loudly") {
+    import graft.ops.Wav
+    intercept[IllegalArgumentException](Wav.decode(null))
+    intercept[IllegalArgumentException](
+      Wav.decode("RIFFxxxxWAVX".getBytes ++ new Array[Byte](40)))
+    val good = Wav.encode(1, 8000, 2, (f, _) => f.toShort)
+    val ulaw = good.clone(); ulaw(20) = 7 // audio format != PCM
+    intercept[IllegalArgumentException](Wav.decode(ulaw))
+    val bits8 = good.clone(); bits8(34) = 8 // unsupported sample width
+    intercept[IllegalArgumentException](Wav.decode(bits8))
+    intercept[IllegalArgumentException](Wav.decode(good.dropRight(2))) // truncated data
+  }
+
+  test("multimodal audio stats: distributed decode equals the closed form") {
+    import spark.implicits._
+    val ids = (0L until 48L).toDS()
+    val df = ids.map(id => (id, Multimodal.syntheticWav(id))).toDF("id", "clip")
+    val stats = Multimodal.audioStats(df, "id", "clip").collect()
+      .map(s => s.id -> s).toMap
+    assert(stats.size == 48)
+    val id = 11L
+    val ch = 1 + (id % 2).toInt; val nf = 32 + (id % 33).toInt
+    assert(stats(id).channels == ch && stats(id).n_frames == nf &&
+      stats(id).sample_rate == 8000 + (id % 3) * 4000)
+    val vals = for (f <- 0 until nf; c <- 0 until ch)
+      yield ((31L * id + 17L * f + 29L * c) % 65536) - 32768
+    assert(stats(id).sum_s == vals.sum)
+    assert(stats(id).s_min == vals.min && stats(id).s_max == vals.max)
+  }
+
   test("multimodal image stats: distributed decode equals local decode (real codec)") {
     import spark.implicits._
     val ids = (0L until 64L).toDS()
