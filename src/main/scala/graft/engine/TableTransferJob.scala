@@ -172,19 +172,45 @@ final class TableTransferJob(
     val pk = pkCols
     val firstPk = pk.head
     val numericPk = source.schema(firstPk).dataType.isInstanceOf[NumericType]
-    // a checkpoint written by the OTHER chunking mode (PK config or key
-    // type changed mid-resume) has incompatible chunk membership —
-    // trusting its chunkIndex would silently drop rows; refuse loudly
-    cp.foreach { c =>
-      if (numericPk) require(c.bucketCount <= 0,
-        s"checkpoint for '${table.name}' was written by the hash-bucket " +
-          "path but the key is now numeric — clear the checkpoint to restart")
-      else require(c.bounds.isEmpty,
-        s"checkpoint for '${table.name}' was written by the range path " +
-          "but the key is now non-numeric — clear the checkpoint to restart")
+    // Chunking mode. Fresh runs: numeric single-column keys take the
+    // range path (quantile bounds + parquet min/max pruning); composite
+    // keys take it only when the LEADING column's cardinality can
+    // actually resolve the target chunk count — quantile bounds over a
+    // 5-value column dedup to ≤5 giant chunks (the same degeneracy the
+    // live path fixed with full-tuple plans; here hash buckets over the
+    // FULL key are the cardinality-independent alternative). Resumes:
+    // the checkpoint's persisted mode fields decide — chunk membership
+    // must never shift mid-transfer; a mode that contradicts the
+    // current key type refuses loudly.
+    val useRange = cp match {
+      case Some(c) if c.bucketCount > 0 =>
+        require(!numericPk || pk.size > 1 || !rangeResolvable(source, firstPk),
+          s"checkpoint for '${table.name}' was written by the hash-bucket " +
+            "path but the key now takes the range path — clear the " +
+            "checkpoint to restart")
+        false
+      case Some(c) if c.bounds.nonEmpty =>
+        require(numericPk,
+          s"checkpoint for '${table.name}' was written by the range path " +
+            "but the key is now non-numeric — clear the checkpoint to restart")
+        true
+      case _ =>
+        numericPk && (pk.size == 1 || rangeResolvable(source, firstPk))
     }
-    if (numericPk) runRangeChunks(source, firstPk, cp)
+    if (useRange) runRangeChunks(source, firstPk, cp)
     else runHashChunks(source, pk, cp)
+  }
+
+  /** Can quantile bounds over `pkCol` alone resolve a useful chunk
+    * count? One aggregate probe (composite numeric-leading keys only):
+    * the approximate distinct count must comfortably exceed the chunk
+    * target, else the range plan degenerates and hash buckets win. */
+  private def rangeResolvable(source: DataFrame, pkCol: String): Boolean = {
+    val probe = source.agg(count(lit(1)).as("n"),
+      approx_count_distinct(col(pkCol)).as("d")).head()
+    val target = math.max(1, math.min(maxChunks,
+      math.ceil(probe.getLong(0).toDouble / chunkRows(probe.getLong(0))).toInt))
+    probe.getLong(1) >= 4L * target
   }
 
   private def cleanupChunksAbove(idx: Int): Unit = {

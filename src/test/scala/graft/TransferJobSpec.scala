@@ -350,4 +350,41 @@ class TransferJobSpec extends SparkTestBase {
     assert(out.head.outcome.isFailure)
     assert(out.head.outcome.failed.get.getMessage.contains("allowlist"))
   }
+
+  test("composite key with a LOW-CARDINALITY numeric leading column routes to hash buckets") {
+    // l_linenumber has ≤7 distinct values: quantile bounds over it would
+    // dedup to ≤7 giant chunks (the degeneracy the live path fixed with
+    // full-tuple plans) — the parquet engine must pick the
+    // cardinality-independent hash-bucket mode instead, and the
+    // kill/resume cycle must follow the persisted mode.
+    val t = TableMapping("lineitem", targetName = Some("li_lowcard"),
+      primaryKey = Some("l_linenumber,l_orderkey"))
+    val (spec, _) = freshSpec(Seq(t), batch = 500)
+    new TableTransferJob(spark, spec, t, KillAfter(2), _ => ()).run()
+    val cp = Checkpoint.load(spec.migration.checkpointDir, "parquet",
+      TableTransferJob.checkpointName(spec, t)).get
+    assert(cp.bucketCount > 1 && cp.bounds.isEmpty,
+      s"expected the hash-bucket mode with >1 chunk, got $cp")
+    val out = new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+    assert(out == TransferOutcome.Completed)
+    val dest = TableTransferJob.readTarget(spark, spec, "li_lowcard")
+    val src = graft.sources.Tables(spark, sf, "lineitem")
+    assert(dest.count() == src.count())
+    assert(dest.except(src).isEmpty && src.except(dest).isEmpty)
+  }
+
+  test("composite key with a high-cardinality leading column keeps the range path") {
+    // lineitem's real key order (l_orderkey leading) resolves the chunk
+    // target fine — the probe must NOT push it onto the hash path (range
+    // chunks keep parquet min/max row-group pruning).
+    val t = TableMapping("lineitem", targetName = Some("li_range"))
+    val (spec, _) = freshSpec(Seq(t), batch = 500)
+    new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
+    val cp = Checkpoint.load(spec.migration.checkpointDir, "parquet",
+      TableTransferJob.checkpointName(spec, t)).get
+    assert(cp.bounds.nonEmpty && cp.bucketCount <= 0,
+      s"expected the range mode, got $cp")
+    assert(new TableTransferJob(spark, spec, t, new TransferControl, _ => ()).run()
+      == TransferOutcome.Completed)
+  }
 }
