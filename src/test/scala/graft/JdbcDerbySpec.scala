@@ -696,6 +696,44 @@ class JdbcDerbySpec extends SparkTestBase {
       5 * (1 to 200).map(_ * 2.0).sum)
   }
 
+  test("composite key mixing VARCHAR and TIMESTAMP columns transfers with kill/resume") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferControl, TransferOutcome}
+    // temporal literals ride INSIDE tuple comparisons here ({ts '…'}
+    // JDBC escapes within the expanded OR form) — a quoting or
+    // precedence slip would corrupt chunk predicates silently
+    JdbcCatalog.execute(url, "CREATE TABLE mixed (" +
+      "region VARCHAR(4) NOT NULL, created TIMESTAMP NOT NULL, v DOUBLE, " +
+      "PRIMARY KEY (region, created))")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO mixed VALUES (?, ?, ?)")
+      for (r <- 0 until 3; i <- 0 until 120) {
+        ps.setString(1, s"R$r")
+        ps.setTimestamp(2, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(i * 7L)))
+        ps.setDouble(3, i * 1.0); ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    val cpDir = s"$work/cp_mixed"
+    val mig2 = MigrationSpec(batchSize = 60, checkpointRowThreshold = 60,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("mixed", targetName = Some("mixed_new"),
+      columnTransformations = Seq(ColumnTransformation("v", "v + 1")))
+    val first = new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(2), log = _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
+    // 360 rows / 60-row chunks → 6 tuple bounds; timestamps mid-region
+    assert(cp.boundCols.size == 6 && cp.boundCols.forall(_.size == 2), s"$cp")
+    assert(cp.boundCols.exists(b => b(0) == "R0") &&
+      cp.boundCols.exists(b => b(0) == "R2"), s"bounds: ${cp.boundCols}")
+    assert(new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+      == TransferOutcome.Completed)
+    val back = JdbcTransfer.readAll(spark, url, "mixed_new")
+    assert(back.count() == 360)
+    assert(back.agg(sum("v")).head.getDouble(0) == 3 * (0 until 120).map(_ + 1.0).sum)
+  }
+
   // --- chunk-plan invariants under random key distributions (VERDICT r4
   //     #8): whatever the keys look like, a persisted plan must have
   //     sorted/distinct bounds, its last bound must be the exact MAX,
@@ -803,6 +841,49 @@ class JdbcDerbySpec extends SparkTestBase {
       assert(asNum.last == keys.max, s"${cp.bounds.last} vs ${keys.max}")
       val counts = chunkCountsSql(tbl, "id", cp.bounds, quote = false)
       assert(counts.sum == keys.size && counts.forall(_ > 0), s"$counts")
+    }
+    // COMPOSITE keys: low-cardinality leading column × random numeric
+    // second — bounds must be full tuples, ranges must partition
+    val compKeys: Gen[Set[(Int, Long)]] = for {
+      lead <- Gen.choose(2, 6)
+      n <- Gen.choose(150, 400)
+      ks <- Gen.containerOfN[Set, (Int, Long)](n,
+        Gen.zip(Gen.choose(0, lead - 1), Gen.choose(0L, 100000L)))
+    } yield ks
+    forAllN(compKeys, 2) { keys =>
+      val tbl = s"prop_c${propTables.incrementAndGet()}"
+      JdbcCatalog.execute(url, s"CREATE TABLE $tbl (cat INT NOT NULL, " +
+        "id BIGINT NOT NULL, v DOUBLE, PRIMARY KEY (cat, id))")
+      JdbcCatalog.withConnection(url) { c =>
+        val ps = c.prepareStatement(s"INSERT INTO $tbl VALUES (?, ?, ?)")
+        keys.foreach { case (cat, id) =>
+          ps.setInt(1, cat); ps.setLong(2, id); ps.setDouble(3, 1.0); ps.addBatch()
+        }
+        ps.executeBatch()
+      }
+      val mig2 = MigrationSpec(batchSize = 40, checkpointRowThreshold = 40,
+        rateLimit = 1000000000, checkpointDir = s"$work/cp_$tbl")
+      val cp = planOnly(tbl, mig2)
+      val bs = cp.boundCols
+      assert(bs.nonEmpty && bs.forall(_.size == 2), s"tuple plan expected: $cp")
+      val asT = bs.map(b => (b(0).toInt, b(1).toLong))
+      assert(asT == asT.sorted && asT.distinct == asT,
+        s"tuple bounds must be sorted and distinct: $bs")
+      assert(asT.last == keys.max, s"last bound must be MAX tuple: ${asT.last} vs ${keys.max}")
+      def gt(b: Seq[String]) = s"(cat > ${b(0)} OR (cat = ${b(0)} AND id > ${b(1)}))"
+      def le(b: Seq[String]) = s"(cat < ${b(0)} OR (cat = ${b(0)} AND id <= ${b(1)}))"
+      val counts = bs.indices.map { i =>
+        val lo = if (i == 0) "" else s"${gt(bs(i - 1))} AND "
+        JdbcCatalog.withConnection(url) { c =>
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery(s"SELECT COUNT(*) FROM $tbl WHERE $lo${le(bs(i))}")
+            rs.next(); rs.getLong(1)
+          } finally st.close()
+        }
+      }
+      assert(counts.sum == keys.size && counts.forall(_ > 0),
+        s"tuple chunks must partition the table: $counts")
     }
     // VARCHAR keys: random alphanumeric strings, rank-walked bounds
     val strKeys = Gen.containerOfN[Set, String](250,
