@@ -24,6 +24,8 @@ object BenchScale {
     "dedup_clusters", "dedup_near_keep", "dedup_ngram_jaccard",
     "text_tfidf", "text_quality", "text_contamination", "text_repetition",
     "text_pii_redact", "text_pack_sequences", "text_mix_sample",
+    "dedup_paragraph", "dedup_cross_source", "text_quality_classifier",
+    "text_shard_assign",
     "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
     "dedup_embedding_cosine")
 

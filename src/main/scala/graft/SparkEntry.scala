@@ -289,6 +289,57 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // --- explicit GROUPING SETS (the general form behind cube/rollup) —
+    //     exercised through the SQL surface; the decimal-sum-then-double
+    //     convention keeps both engines' totals bit-identical
+    "agg_grouping_sets" -> ((s, d) => {
+      T(s, d, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // --- pivot (long → wide): per-priority counts by order status. The
+    //     pivot VALUES are declared, so the plan is one hash aggregation
+    //     — no distinct-scan to discover columns, the 100 TB shape
+    "agg_pivot" -> ((s, d) =>
+      T(s, d, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))),
+
+    // --- quantile-bucket assignment: ntile/percent_rank/cume_dist over
+    //     a unique total order (c_acctbal, c_custkey) — every rank
+    //     deterministic, both engines agree exactly
+    "window_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      T(s, d, "customer").select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("bigint").as("tile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    }),
+
+    // --- correlated EXISTS / NOT EXISTS subqueries — Catalyst
+    //     decorrelates to a semi + anti join (free in Spark, absent in
+    //     the reference); the declared SQL is what a reference user
+    //     migrating real queries would write
+    "join_exists_subquery" -> ((s, d) => {
+      T(s, d, "customer").createOrReplaceTempView("sq_customer")
+      T(s, d, "orders").createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM sq_customer c
+          |WHERE EXISTS (SELECT 1 FROM sq_orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM sq_orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F')""".stripMargin)
+    }),
+
     // --- R1/R4-R6/P2/P6: the config-driven transfer engine end-to-end —
     //     two tables with validated transforms, chunked writes, completion
     //     markers; result = transformed orders read back from the target.
@@ -434,6 +485,23 @@ object SparkEntry {
     // --- transitive near-dup clusters (connected components over the
     //     LSH pair graph, min-label propagation to fixpoint)
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(T(s, d, "documents"))),
+
+    // --- paragraph-level (chunk) dedup: per-document fraction of
+    //     10-word chunks that occur elsewhere in the corpus (the
+    //     repeated-span removal pass, vs whole-document near-dup)
+    "dedup_paragraph" -> ((s, d) => Curation.paragraphDedup(T(s, d, "documents"))),
+
+    // --- cross-source duplicate resolution: prefer the copy from the
+    //     highest-priority source within each content-key group
+    "dedup_cross_source" -> ((s, d) => Curation.crossSourceDedup(T(s, d, "documents"))),
+
+    // --- hashed-feature linear quality classifier (fastText-shaped
+    //     scoring pass; fixed deterministic weights, integer-exact sum)
+    "text_quality_classifier" -> ((s, d) => Curation.qualityClassifier(T(s, d, "documents"))),
+
+    // --- balanced shard assignment: size-ranked round-robin into 8
+    //     training shards across 16 parallel rank groups
+    "text_shard_assign" -> ((s, d) => Curation.shardAssign(T(s, d, "documents"))),
 
     // --- text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(T(s, d, "documents"))),
@@ -942,6 +1010,51 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('mix1' || doc_id), 1, 8))::BIGINT % 10000 <
         |  (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
         |   WHEN 'src3' THEN 0.0 ELSE 1.0 END) * 10000""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 1),
+        |chunks AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(w, i.i*10 + 1, i.i*10 + 10), ' ')) AS ch
+        |  FROM w, unnest(range(0,
+        |    CAST(floor((len(w) - 1) / 10) AS BIGINT) + 1)) AS i(i)),
+        |f AS (SELECT ch, count(*) AS cf FROM chunks GROUP BY ch),
+        |per AS (SELECT doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |  FROM chunks JOIN f USING (ch) GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        |  round(n_dup_chunks::DOUBLE / n_chunks::DOUBLE, 6) AS dup_chunk_frac
+        |FROM per""".stripMargin,
+    "dedup_cross_source" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS content_key,
+        |    coalesce(try_cast(regexp_extract(source, '^src([0-9]+)$', 1) AS BIGINT),
+        |             9223372036854775807) AS pri
+        |  FROM documents),
+        |g AS (SELECT *,
+        |    row_number() OVER (PARTITION BY content_key ORDER BY pri, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY content_key) AS n_copies
+        |  FROM k)
+        |SELECT doc_id, source, content_key, n_copies FROM g WHERE rn = 1""".stripMargin,
+    "text_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id, t.tok AS tok
+        |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+        |iw AS (SELECT doc_id,
+        |    (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 * 2654435761) % 2048
+        |      - 1024 AS iw
+        |  FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(iw) AS DOUBLE) / (count(*)::DOUBLE * 1024), 6) AS score,
+        |  CASE WHEN CAST(sum(iw) AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
+        |FROM iw GROUP BY doc_id""".stripMargin,
+    "text_shard_assign" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    doc_id % 16 AS part
+        |  FROM documents),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY part ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM t)
+        |SELECT doc_id, n_tokens, ((rn - 1) * 16 + part) % 8 AS shard FROM r""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "ann_cosine_topk" ->
@@ -1015,6 +1128,31 @@ object SparkEntry {
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS tile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "join_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')""".stripMargin,
     "multimodal_binary" ->
       """SELECT event_id, octet_length(props::BLOB)::BIGINT AS blob_len,
         |  md5(props) AS blob_md5 FROM events""".stripMargin,

@@ -172,6 +172,121 @@ object Curation {
           .as("shuffle_key"))
   }
 
+  /** Paragraph-level (chunk) deduplication statistics — the C4/
+    * RefinedWeb-style pass that removes REPEATED SPANS across a corpus
+    * rather than whole near-duplicate documents: each document is cut
+    * into fixed `chunkWords`-word chunks, chunks are keyed corpus-wide
+    * by md5, and every document reports how much of it is made of
+    * chunks that occur elsewhere (a chunk instance counts as duplicated
+    * when its corpus-wide frequency is > 1, its own occurrence
+    * included).
+    *
+    * Scale shape: one explode over chunk indices, one hash aggregation
+    * on the chunk key, one equi-join back — shuffles keyed on the md5
+    * chunk hash (uniform by construction), never on raw text; no
+    * cartesian, no driver-side state. */
+  def paragraphDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    val ws = withWords(docs).where(size(col("w")) >= 1)
+    val chunks = ws
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / lit(chunkWords)).cast("int"))).as("i"),
+        col("w"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("i") * chunkWords + 1, lit(chunkWords)))).as("ch"))
+    val freq = chunks.groupBy("ch").agg(count(lit(1)).as("cf"))
+    chunks.join(freq, "ch")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
+  }
+
+  /** Cross-source duplicate resolution with source priority — the
+    * "prefer the curated copy" rule (keep the Wikipedia copy, drop the
+    * CommonCrawl one): documents are grouped by a content key (md5 of
+    * the first `prefixWords` words — the cheap first-pass key; the
+    * near-dup families refine it), and within each group the copy from
+    * the highest-priority source wins, doc_id as the total tie-break.
+    * Priority = the numeric suffix of `source` (src0 outranks src7);
+    * unrecognized sources sort last.
+    *
+    * Scale shape: one narrow pass to key, one window over the content
+    * key (shuffle on md5 — uniform), survivors only. */
+  def crossSourceDedup(docs: DataFrame, prefixWords: Int = 10): DataFrame = {
+    val key = md5(concat_ws(" ", slice(words, 1, prefixWords)))
+    // regexp_extract yields "" on no match, which ANSI cast would throw
+    // on — route it to NULL first, then the sort-last fallback
+    val m = regexp_extract(col("source"), "^src([0-9]+)$", 1)
+    val pri = coalesce(
+      when(m =!= "", m).cast("long"), lit(Long.MaxValue))
+    val keyed = docs.select(col("doc_id"), col("source"),
+      key.as("content_key"), pri.as("pri"))
+    val w = Window.partitionBy(col("content_key"))
+      .orderBy(col("pri"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1))
+        .over(Window.partitionBy(col("content_key"))))
+      .where(col("rn") === 1)
+      .select("doc_id", "source", "content_key", "n_copies")
+  }
+
+  /** Deterministic hashed-feature linear quality classifier — the
+    * fastText-shaped scoring pass a curation pipeline runs over every
+    * document (here with a FIXED pseudo-random weight vector so the
+    * score is a pure function of the text and both engines reproduce it
+    * bit-for-bit; swapping in trained weights changes the lookup table,
+    * not the dataflow). Token → feature bucket via md5 (mod `buckets`);
+    * bucket → integer weight in [-half, half) via a Knuth
+    * multiplicative hash; document score = mean token weight, scaled to
+    * [-1, 1]. The weight sum stays in INTEGER arithmetic until the
+    * final division, so summation order cannot move the result.
+    *
+    * Scale shape: explode + one hash aggregation on doc_id; fully
+    * codegen'd expressions, no UDF, no vocabulary on the driver. */
+  def qualityClassifier(docs: DataFrame, buckets: Int = 1024,
+                        half: Int = 1024): DataFrame = {
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("bigint") % buckets
+    val iw = (bucket * 2654435761L) % (2L * half) - half
+    docs.select(col("doc_id"), explode(words).as("tok"))
+      .select(col("doc_id"), iw.as("iw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("iw")).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sw").cast("double") /
+          (col("n_tokens").cast("double") * half), 6).as("score"),
+        when(col("sw") > 0, 1).otherwise(0).as("keep"))
+  }
+
+  /** Balanced shard assignment — split a corpus into `shards` training
+    * shards with near-equal token budgets: documents are ranked by size
+    * (descending, doc_id tie-break) WITHIN `parts` independent rank
+    * groups (group = doc_id mod parts), and ranks deal round-robin
+    * across shards — the parallel form of longest-processing-time
+    * round-robin. A single global rank would balance marginally better
+    * but serializes the sort through one partition; `parts` windows
+    * keep the shuffle parallel at any corpus size, and each group's
+    * round-robin stays size-balanced.
+    *
+    * Scale shape: one narrow pass + `parts` parallel windows (shuffle
+    * keyed on doc_id mod parts — uniform); output is one row per
+    * document. */
+  def shardAssign(docs: DataFrame, shards: Int = 8, parts: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs.select(col("doc_id"), size(words).cast("bigint").as("n_tokens"),
+        pmod(col("doc_id"), lit(parts)).as("part"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        pmod((col("rn") - 1) * parts + col("part"), lit(shards))
+          .cast("bigint").as("shard"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs,
     * filling contiguously in (source, doc_id) order — the deterministic
     * contiguous-fill approximation of bin packing used to build training

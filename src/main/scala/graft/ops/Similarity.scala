@@ -6,22 +6,17 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings(vec_id, embedding FLOAT[], label)`.
   *
-  * Cosine is computed with an explicit sequential fold
-  * (`zip_with` + `aggregate`) and rounded to 6 dp so the DuckDB oracle's
-  * list arithmetic lands on the same values; ranking orders by the
-  * ROUNDED similarity with `vec_id` as tie-break, making top-k
-  * deterministic across engines.
+  * Cosine / squared-L2 are native codegen'd Catalyst expressions
+  * ([[graft.functions.VecMath]]) that accumulate left-to-right — the
+  * same sequential fold the DuckDB oracle's list arithmetic performs —
+  * and similarities are rounded to 6 dp so both engines land on the
+  * same values; ranking orders by the ROUNDED similarity with `vec_id`
+  * as tie-break, making top-k deterministic across engines.
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
   private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(graft.functions.VecMath.cosine(a, b), 6)
 
   /** Brute-force cosine top-k: the exact baseline. The (small) query set
     * is broadcast against the full collection — at 100 TB this is the
@@ -69,7 +64,7 @@ object Similarity {
   /** Squared L2 distance (training metric — Lloyd's monotonicity holds
     * for squared-Euclidean, unlike cosine). */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecMath.sqDist(a, b)
 
   /** Lloyd's k-means for the IVF coarse quantizer, as DataFrame ops:
     * deterministic init (vectors with `vec_id < k`), then `iters`

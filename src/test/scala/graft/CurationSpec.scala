@@ -99,4 +99,67 @@ class CurationSpec extends SparkTestBase {
       .collect().foreach(r => assert(r.getLong(2) == r.getLong(1) + 1,
         "pack ids must be dense per source"))
   }
+
+  test("paragraph dedup: fractions consistent and chunk math matches a direct recount") {
+    val out = Curation.paragraphDedup(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dup >= 0 && dup <= n)
+      assert(math.abs(frac - BigDecimal(dup.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // recount chunks for one document directly from its text
+    val probe = out.head.getLong(0)
+    val text = docs.where(col("doc_id") === probe).select("text")
+      .collect()(0).getString(0)
+    val expect = (text.split(" ").length - 1) / 10 + 1
+    assert(out.find(_.getLong(0) == probe).get.getLong(1) == expect.toLong)
+  }
+
+  test("cross-source dedup: one keeper per content key with the best priority") {
+    val keep = Curation.crossSourceDedup(docs)
+    val keyed = keep.collect()
+    assert(keyed.map(_.getString(2)).distinct.length == keyed.length,
+      "exactly one keeper per content key")
+    assert(keyed.map(_.getLong(3)).sum == docs.count(),
+      "group sizes must partition the corpus")
+    assert(keyed.exists(_.getLong(3) > 1), "corpus has prefix-dup groups")
+    // a keeper's source priority must be <= every group member's
+    val w = split(col("text"), " ")
+    val all = docs.select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(w, 1, 10))).as("ck")).collect()
+      .groupBy(_.getString(2))
+    def pri(s: String): Long = "^src([0-9]+)$".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(Long.MaxValue)
+    keyed.foreach { k =>
+      val members = all(k.getString(2))
+      assert(members.map(m => pri(m.getString(1))).min == pri(k.getString(1)),
+        s"keeper for ${k.getString(2)} is not from the best source")
+    }
+  }
+
+  test("quality classifier: bounded score, keep flag consistent, deterministic") {
+    val a = Curation.qualityClassifier(docs).collect()
+    a.foreach { r =>
+      val (score, keepFlag) = (r.getDouble(2), r.getInt(3))
+      assert(score >= -1.0 && score <= 1.0, s"score out of range: $score")
+      assert((keepFlag == 1) == (score > 0.0) || score == 0.0,
+        s"keep flag inconsistent: $score vs $keepFlag")
+    }
+    val b = Curation.qualityClassifier(docs).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "classifier must be a pure function of the text")
+  }
+
+  test("shard assignment covers every doc and balances token budgets") {
+    val out = Curation.shardAssign(docs)
+    assert(out.count() == docs.count())
+    val totals = out.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals.keySet == (0L until 8L).toSet, "all 8 shards populated")
+    val (mx, mn) = (totals.values.max.toDouble, totals.values.min.toDouble)
+    // size-ranked round-robin across 16 groups lands well under 20% skew
+    assert(mx / mn < 1.2, s"shard token skew too high: $totals")
+  }
 }

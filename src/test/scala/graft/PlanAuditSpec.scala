@@ -76,6 +76,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ANN cosine is the native codegen'd kernel, not a HOF lambda chain") {
+    val plan = executedPlan("ann_cosine_topk")
+    assert(plan.contains("graft_cosine"),
+      s"native cosine expression missing from the plan:\n${plan.take(3000)}")
+    // the kernel call must land in generated code (HOFs are CodegenFallback)
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val df = emb.select(graft.functions.VecMath.cosine(col("emb"), col("emb")).as("c"))
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("graft.functions.VecMath.cosineBoxed"),
+      s"cosine not in generated code:\n${codegen.take(2000)}")
+  }
+
   test("nested-field projection prunes the parquet read schema (struct pruning)") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("nestprune").toString
