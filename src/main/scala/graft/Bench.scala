@@ -17,8 +17,10 @@ object Bench {
     "o1_sort_limit", "agg_rollup",
     // LLM-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "dedup_clusters", "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk",
-    "ann_ivf_trained_topk", "text_quality",
+    "dedup_clusters", "dedup_paragraph", "dedup_cross_source",
+    "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk",
+    "ann_ivf_trained_topk", "text_quality", "text_quality_classifier",
+    "text_shard_assign", "join_bucketed_colocated",
     "streaming_window_counts", "streaming_window_append",
     "streaming_session_counts",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,

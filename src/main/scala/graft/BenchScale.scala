@@ -27,7 +27,10 @@ object BenchScale {
     "dedup_paragraph", "dedup_cross_source", "text_quality_classifier",
     "text_shard_assign",
     "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
-    "dedup_embedding_cosine")
+    "dedup_embedding_cosine",
+    // streaming: watermark-bounded state over 10× events (10× keyed
+    // state for the stateful ops — user ids are offset per copy)
+    "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,6 +64,23 @@ object BenchScale {
         .write.mode("overwrite").parquet(embPath)
       System.err.println(s"[bench-scale] derived ${factor}x data at $out " +
         s"(${nDocs * factor} docs, ${nVec * factor} vectors)")
+    }
+    val evPath = s"$out/events.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(evPath))) {
+      // event ids and USER ids offset per copy: the stateful streaming
+      // ops then carry 10× keyed state, not just 10× updates to the
+      // same keys (ts is nanos-as-long here; kept verbatim, so window
+      // density grows 10× while the window count stays fixed)
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      val maxEv = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      val maxUser = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+      val copies = spark.range(factor.toLong).toDF("copy")
+      ev.crossJoin(copies)
+        .withColumn("event_id", col("event_id") + col("copy") * lit(maxEv))
+        .withColumn("user_id", col("user_id") + col("copy") * lit(maxUser))
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite").parquet(evPath)
     }
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{CosineSim, Fnv, Fnv1a32, SqDist}
+
+/** `SparkSessionExtensions` entry point — makes the engine's native
+  * Catalyst expressions first-class SQL functions, so the `expr()`-based
+  * transform pipeline (P2) and any `spark.sql` user can call them by
+  * name:
+  *
+  * {{{
+  * spark.sql("SELECT graft_cosine(a, b) FROM pairs")
+  * spark.sql("SELECT graft_fnv1a32(text) FROM docs")      // default seed
+  * spark.sql("SELECT graft_fnv1a32(text, 99) FROM docs")  // explicit seed
+  * }}}
+  *
+  * Wired via the standard config, no code change at the call site:
+  * `spark.sql.extensions=graft.GraftExtensions` (set by
+  * [[Sessions.builder]] for every engine session). This is the
+  * documented extension tier below a custom Rule/Strategy (SURVEY §7.3:
+  * none required) — injection only ADDS functions, no Spark behavior
+  * changes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fnv1a32"),
+      new ExpressionInfo(classOf[Fnv1a32].getName, "graft_fnv1a32"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => Fnv1a32(s, Fnv.Basis1)
+        case Seq(s, Literal(seed: Long, LongType)) => Fnv1a32(s, seed)
+        case Seq(s, Literal(seed: Int, IntegerType)) => Fnv1a32(s, seed.toLong)
+        case _ => throw new IllegalArgumentException(
+          "graft_fnv1a32(str[, literal seed]) — seed must be an integer literal")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_cosine(array<double>, array<double>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SqDist(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_sqdist(array<double>, array<double>)")
+      }))
+  }
+}

@@ -18,6 +18,8 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // native graft expressions as SQL functions (graft_cosine, …)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // parallel table pipelines (TransferRunner) interleave fairly
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")

@@ -243,6 +243,31 @@ object SparkEntry {
         .select(col("event_id"), col("bucket_id"))
     }),
 
+    // --- bucketed CO-LOCATED join: both sides land bucketed on the join
+    //     key (the one-time layout shuffle any real keyed ingest pays),
+    //     then the join AND the keyed aggregation run with ZERO exchanges
+    //     — the 100 TB join shape (PlanAuditSpec asserts no Exchange;
+    //     the merge hint keeps the small side from broadcasting so the
+    //     co-location is actually exercised).
+    "join_bucketed_colocated" -> ((s, d) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_" +
+        math.abs(d.hashCode).toString
+      graft.util.Fs.deleteRecursive(new java.io.File(wh))
+      s.sql("DROP TABLE IF EXISTS bkt_orders")
+      s.sql("DROP TABLE IF EXISTS bkt_customer")
+      T(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders").mode("overwrite").saveAsTable("bkt_orders")
+      T(s, d, "customer").select("c_custkey", "c_acctbal")
+        .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer").mode("overwrite").saveAsTable("bkt_customer")
+      s.table("bkt_orders").hint("merge")
+        .join(s.table("bkt_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // --- extensions: AS-OF join via carried-forward window state — for
     //     each click, the user's most recent purchase value at-or-before
     //     it (one shuffle on user_id; no join at all — the scalable as-of)
@@ -1146,6 +1171,11 @@ object SparkEntry {
         |  round(cume_dist() OVER w, 6) AS cd
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
     "join_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -91,6 +91,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"cosine not in generated code:\n${codegen.take(2000)}")
   }
 
+  test("bucketed co-located join runs with ZERO exchanges (join + keyed agg)") {
+    val plan = executedPlan("join_bucketed_colocated")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n${plan.take(4000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a non-broadcast join over the bucketed layout:\n${plan.take(2000)}")
+  }
+
+  test("native expressions are SQL-callable via GraftExtensions injection") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+      .createOrReplaceTempView("ext_emb")
+    val r = spark.sql(
+      """SELECT round(graft_cosine(e, e), 6) AS c, graft_sqdist(e, e) AS d
+        |FROM ext_emb LIMIT 5""".stripMargin).collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+      assert(row.getDouble(1) == 0.0)
+    }
+    val h = spark.sql("SELECT graft_fnv1a32('abc') AS h1, graft_fnv1a32('abc', 99) AS h2")
+      .collect()(0)
+    assert(h.getLong(0) == graft.functions.Fnv.hash32("abc", graft.functions.Fnv.Basis1))
+    assert(h.getLong(1) == graft.functions.Fnv.hash32("abc", 99L))
+  }
+
   test("nested-field projection prunes the parquet read schema (struct pruning)") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("nestprune").toString
