@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.{CosineSim, Fnv, Fnv1a32, SqDist}
@@ -33,10 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Fnv1a32].getName, "graft_fnv1a32"),
       (args: Seq[Expression]) => args match {
         case Seq(s) => Fnv1a32(s, Fnv.Basis1)
-        case Seq(s, Literal(seed: Long, LongType)) => Fnv1a32(s, seed)
-        case Seq(s, Literal(seed: Int, IntegerType)) => Fnv1a32(s, seed.toLong)
+        // any foldable integral expression works as a seed: the parser
+        // hands `-1` over as UnaryMinus(Literal) and `2+1` as Add(..)
+        // BEFORE constant folding runs, so matching bare Literals only
+        // would reject visually-literal seeds
+        case Seq(s, e) if e.foldable &&
+            (e.dataType == LongType || e.dataType == IntegerType) =>
+          Fnv1a32(s, e.eval() match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_fnv1a32 seed evaluated to $other — integer required")
+          })
         case _ => throw new IllegalArgumentException(
-          "graft_fnv1a32(str[, literal seed]) — seed must be an integer literal")
+          "graft_fnv1a32(str[, constant integer seed])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

@@ -1079,7 +1079,7 @@ object SparkEntry {
         |r AS (SELECT *, row_number()
         |    OVER (PARTITION BY part ORDER BY n_tokens DESC, doc_id) AS rn
         |  FROM t)
-        |SELECT doc_id, n_tokens, ((rn - 1) * 16 + part) % 8 AS shard FROM r""".stripMargin,
+        |SELECT doc_id, n_tokens, (rn - 1 + part) % 8 AS shard FROM r""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "ann_cosine_topk" ->

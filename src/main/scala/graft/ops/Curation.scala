@@ -195,8 +195,11 @@ object Curation {
       .select(col("doc_id"),
         md5(concat_ws(" ",
           slice(col("w"), col("i") * chunkWords + 1, lit(chunkWords)))).as("ch"))
-    val freq = chunks.groupBy("ch").agg(count(lit(1)).as("cf"))
-    chunks.join(freq, "ch")
+    // corpus frequency via a window over the chunk key: ONE pass over
+    // the chunking lineage and one shuffle on ch (a groupBy + join back
+    // would re-execute the whole explode+md5 subtree for each side)
+    chunks
+      .withColumn("cf", count(lit(1)).over(Window.partitionBy(col("ch"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("cf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
@@ -279,11 +282,16 @@ object Curation {
   def shardAssign(docs: DataFrame, shards: Int = 8, parts: Int = 16): DataFrame = {
     val w = Window.partitionBy(col("part"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
+    // shard = (rank + part) mod shards: within a group, consecutive
+    // size-ranks land on consecutive shards (the round-robin dealing);
+    // the +part staggers group starting points. NOT (rn-1)*parts + part:
+    // when shards divides parts the rank term cancels and the dealing
+    // degenerates to doc_id mod shards, ignoring size entirely.
     docs.select(col("doc_id"), size(words).cast("bigint").as("n_tokens"),
         pmod(col("doc_id"), lit(parts)).as("part"))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("n_tokens"),
-        pmod((col("rn") - 1) * parts + col("part"), lit(shards))
+        pmod(col("rn") - 1 + col("part"), lit(shards))
           .cast("bigint").as("shard"))
   }
 

@@ -113,7 +113,8 @@ class CurationSpec extends SparkTestBase {
     val probe = out.head.getLong(0)
     val text = docs.where(col("doc_id") === probe).select("text")
       .collect()(0).getString(0)
-    val expect = (text.split(" ").length - 1) / 10 + 1
+    // split(_, -1) keeps trailing empty tokens, matching Spark's split
+    val expect = (text.split(" ", -1).length - 1) / 10 + 1
     assert(out.find(_.getLong(0) == probe).get.getLong(1) == expect.toLong)
   }
 
@@ -150,6 +151,25 @@ class CurationSpec extends SparkTestBase {
     val b = Curation.qualityClassifier(docs).collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
       "classifier must be a pure function of the text")
+  }
+
+  test("shard dealing is rank-driven, not id-driven (degenerate-formula guard)") {
+    import spark.implicits._
+    // four docs in the SAME rank group (ids ≡ 0 mod 16) with distinct
+    // sizes: real round-robin dealing spreads them over four shards;
+    // the degenerate doc_id%shards formula would pile all four on one
+    val in = Seq(
+      (0L, Seq.fill(40)("w").mkString(" ")),
+      (16L, Seq.fill(30)("w").mkString(" ")),
+      (32L, Seq.fill(20)("w").mkString(" ")),
+      (48L, Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "text")
+    val shards = Curation.shardAssign(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shards.values.toSet.size == 4,
+      s"docs in one rank group must deal across shards: $shards")
+    // largest doc (rank 1) lands on shard (1-1+0)%8 = 0, then in size order
+    assert(shards(0L) == 0L && shards(16L) == 1L &&
+      shards(32L) == 2L && shards(48L) == 3L)
   }
 
   test("shard assignment covers every doc and balances token budgets") {

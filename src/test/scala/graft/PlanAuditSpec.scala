@@ -111,10 +111,16 @@ class PlanAuditSpec extends SparkTestBase {
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
       assert(row.getDouble(1) == 0.0)
     }
-    val h = spark.sql("SELECT graft_fnv1a32('abc') AS h1, graft_fnv1a32('abc', 99) AS h2")
+    // -1 reaches the builder as UnaryMinus(Literal) and 2+1 as Add —
+    // foldable-constant seeds must resolve, not just bare literals
+    val h = spark.sql(
+      """SELECT graft_fnv1a32('abc') AS h1, graft_fnv1a32('abc', 99) AS h2,
+        |  graft_fnv1a32('abc', -1) AS h3, graft_fnv1a32('abc', 2+1) AS h4""".stripMargin)
       .collect()(0)
     assert(h.getLong(0) == graft.functions.Fnv.hash32("abc", graft.functions.Fnv.Basis1))
     assert(h.getLong(1) == graft.functions.Fnv.hash32("abc", 99L))
+    assert(h.getLong(2) == graft.functions.Fnv.hash32("abc", -1L))
+    assert(h.getLong(3) == graft.functions.Fnv.hash32("abc", 3L))
   }
 
   test("nested-field projection prunes the parquet read schema (struct pruning)") {
