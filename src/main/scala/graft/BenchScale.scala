@@ -96,6 +96,12 @@ object BenchScale {
     // BENCH_SCALE.md measures data scaling, not classloading luck.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     family.filter(SparkEntry.queries.contains).foreach { name =>
+      // per-QUERY warmup: the first execution of a plan shape carries its
+      // Catalyst/codegen compile cost; timing it as "base" would deflate
+      // the scaled/base ratio (the scaled run reuses the generated
+      // classes). One untimed base run first, then time the second.
+      try force(SparkEntry.queries(name)(spark, base))
+      catch { case _: Throwable => () }
       val baseSec = try time(force(SparkEntry.queries(name)(spark, base)))
       catch { case e: Throwable =>
         System.err.println(s"[bench-scale] $name (base) failed: ${e.getMessage}"); -1.0

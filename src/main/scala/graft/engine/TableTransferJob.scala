@@ -184,7 +184,15 @@ final class TableTransferJob(
     // current key type refuses loudly.
     val useRange = cp match {
       case Some(c) if c.bucketCount > 0 =>
-        require(!numericPk || pk.size > 1 || !rangeResolvable(source, firstPk),
+        // A hash checkpoint is legal for any non-numeric key and for any
+        // COMPOSITE numeric-leading key (the cardinality probe is
+        // approximate and data can drift, so the persisted mode wins).
+        // A single-column numeric key NEVER writes one — this state can
+        // only mean the key changed since the checkpoint, and resuming
+        // would remap bucket membership and silently lose rows. Probing
+        // rangeResolvable here would excuse exactly that corruption when
+        // the new key happens to be low-cardinality.
+        require(!numericPk || pk.size > 1,
           s"checkpoint for '${table.name}' was written by the hash-bucket " +
             "path but the key now takes the range path — clear the " +
             "checkpoint to restart")

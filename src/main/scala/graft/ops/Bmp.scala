@@ -23,21 +23,12 @@ object Bmp {
     * regardless of the file's row order. */
   final case class Image(width: Int, height: Int, pixels: Array[Int])
 
+  import LittleEndian.{i32, put16, put32, u16}
+
   private def rowSize(width: Int): Int = (3 * width + 3) & ~3
-
-  private def u16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-  private def i32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def put16(b: Array[Byte], off: Int, v: Int): Unit = {
-    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
-  }
-  private def put32(b: Array[Byte], off: Int, v: Int): Unit = {
-    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
-    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
-  }
+  /** Stride in LONG arithmetic — `3 * width + 3` overflows Int for
+    * widths a hostile header can declare. */
+  private def rowSizeL(width: Int): Long = (3L * width + 3) & ~3L
 
   /** Encode a 24bpp bottom-up BMP; `rgb(x, y)` is asked for each pixel
     * in top-down coordinates and must return channel values in 0-255. */
@@ -90,8 +81,17 @@ object Bmp {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
     require(u16(bytes, 28) == 24, s"unsupported bpp ${u16(bytes, 28)} (only 24)")
     require(i32(bytes, 30) == 0, s"unsupported compression ${i32(bytes, 30)}")
+    // bounds math in LONG: a hostile header's dataOffset (negative i32)
+    // or stride*height (Int overflow for huge declared dimensions) must
+    // hit THIS loud require, not a NegativeArraySize/ArrayIndexOOB crash
+    // deep in the pixel loop
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel-data offset $dataOffset")
+    require(bytes.length >= dataOffset + rowSizeL(width) * height,
+      "truncated pixel array")
+    // the long-checked bound caps 3*w*h at bytes.length, so w*h and the
+    // Int stride below are safely inside Int range
     val stride = rowSize(width)
-    require(bytes.length >= dataOffset + stride * height, "truncated pixel array")
     val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media payloads ride through the engine as
   * opaque `binary` columns with typed metadata alongside (SURVEY §1.3:
   * Cassandra `blob` → `BinaryType`). Decode/feature-extract runs
-  * per-partition with a pluggable batch decoder. IMAGE decode is REAL —
-  * the pure-JVM [[Bmp]] codec parses actual bitmap bytes
-  * ([[bmpImageStats]], oracle-gated on exact pixel statistics). The
-  * generic [[stubDecoder]] remains for formats whose codecs are not in
-  * this container (audio/video) — a clearly-marked deterministic fake
-  * with the Spark-side plumbing (schema, binary casts, partition
-  * batching, typed output) real and tested.
+  * per-partition with a pluggable batch decoder. IMAGE and AUDIO decode
+  * are REAL — the pure-JVM [[Bmp]] and [[Wav]] codecs parse actual
+  * bitmap/PCM bytes ([[bmpImageStats]], [[wavAudioStats]], both
+  * oracle-gated on exact pixel/sample statistics). The generic
+  * [[stubDecoder]] remains only for formats whose codecs are not in
+  * this container (video) — a clearly-marked deterministic fake with
+  * the Spark-side plumbing (schema, binary casts, partition batching,
+  * typed output) real and tested.
   */
 object Multimodal {
 

@@ -22,21 +22,10 @@ object Wav {
     def frames: Int = if (channels == 0) 0 else samples.length / channels
   }
 
-  private def u16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-  private def i32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  import LittleEndian.{i32, put16, put32, u16}
+
   private def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
-
-  private def put16(b: Array[Byte], off: Int, v: Int): Unit = {
-    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
-  }
-  private def put32(b: Array[Byte], off: Int, v: Int): Unit = {
-    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
-    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
-  }
   private def putTag(b: Array[Byte], off: Int, t: String): Unit =
     t.getBytes("US-ASCII").copyToArray(b, off)
 
@@ -81,7 +70,10 @@ object Wav {
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
       val size = i32(bytes, off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // LONG arithmetic: a hostile size near Int.MaxValue would wrap
+      // `off + 8 + size` negative and sail past an Int comparison,
+      // then OOM on the sample-array allocation instead of failing here
+      require(size >= 0 && off + 8L + size <= bytes.length,
         s"chunk '$id' overruns the file")
       id match {
         case "fmt " =>

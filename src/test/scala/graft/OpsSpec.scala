@@ -302,6 +302,56 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Bmp.decode(good.dropRight(4))) // truncated pixels
   }
 
+  test("codec round-trip property: random dims/samples survive encode→decode exactly") {
+    import graft.ops.{Bmp, Wav}
+    import org.scalacheck.Gen
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    for (i <- 0 until 20) {
+      val (w, h) = sample(Gen.zip(Gen.choose(1, 40), Gen.choose(1, 40)), 7000L + i)
+      val rgb = (x: Int, y: Int) => ((x * 31 + y * 7 + i) % 256,
+        (x * 13 + y * 17) % 256, (x + y * 3 + i * 5) % 256)
+      val img = Bmp.decode(Bmp.encode(w, h, rgb))
+      assert(img.width == w && img.height == h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val (r, g, b) = rgb(x, y)
+        assert(img.pixels(y * w + x) == ((r << 16) | (g << 8) | b),
+          s"pixel ($x,$y) of ${w}x$h seed $i")
+      }
+      val (ch, nf) = sample(Gen.zip(Gen.choose(1, 3), Gen.choose(0, 50)), 8000L + i)
+      val pcm = (f: Int, c: Int) => ((f * 977 + c * 131 + i * 7919) % 65536 - 32768).toShort
+      val clip = Wav.decode(Wav.encode(ch, 44100, nf, pcm))
+      assert(clip.channels == ch && clip.frames == nf)
+      for (f <- 0 until nf; c <- 0 until ch)
+        assert(clip.samples(f * ch + c) == pcm(f, c))
+    }
+  }
+
+  test("BMP/WAV codecs fail loudly on hostile headers (no Int-overflow crashes)") {
+    import graft.ops.{Bmp, Wav}
+    def put32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    val good = Bmp.encode(2, 2, (_, _) => (1, 2, 3))
+    // huge declared dimensions: stride*height and width*height overflow
+    // Int — must hit the bounds require, not NegativeArraySizeException
+    val huge = good.clone(); put32(huge, 18, 50000); put32(huge, 22, 50000)
+    val e1 = intercept[IllegalArgumentException](Bmp.decode(huge))
+    assert(e1.getMessage.contains("truncated pixel array"), e1.getMessage)
+    // negative pixel-data offset: must hit the offset require, not AIOOBE
+    val negOff = good.clone(); put32(negOff, 10, -100)
+    val e2 = intercept[IllegalArgumentException](Bmp.decode(negOff))
+    assert(e2.getMessage.contains("pixel-data offset"), e2.getMessage)
+    // WAV chunk size near Int.MaxValue: off+8+size wraps negative in Int
+    // — must hit the overrun require, not a ~2 GB allocation
+    val wav = Wav.encode(1, 8000, 2, (f, _) => f.toShort)
+    val bomb = wav.clone(); put32(bomb, 40, 0x7ffffff4)
+    val e3 = intercept[IllegalArgumentException](Wav.decode(bomb))
+    assert(e3.getMessage.contains("overruns the file"), e3.getMessage)
+  }
+
   test("WAV codec: PCM16 round-trip, mono and stereo, odd frame counts") {
     import graft.ops.Wav
     for (ch <- 1 to 2; nf <- Seq(0, 1, 7, 33)) {

@@ -373,6 +373,26 @@ class TransferJobSpec extends SparkTestBase {
     assert(dest.except(src).isEmpty && src.except(dest).isEmpty)
   }
 
+  test("a hash checkpoint under a now-single-numeric key refuses to resume") {
+    // A single-column numeric key NEVER writes a hash checkpoint, so
+    // finding one can only mean the key changed since the interrupted
+    // run; resuming would remap bucket membership and silently lose
+    // rows. Low cardinality of the new key is NOT an excuse (the guard
+    // must not consult the probe): l_linenumber alone is exactly the
+    // low-card case a probe would wave through.
+    val t = TableMapping("lineitem", targetName = Some("li_keyswap"),
+      primaryKey = Some("l_linenumber,l_orderkey"))
+    val (spec, _) = freshSpec(Seq(t), batch = 500)
+    new TableTransferJob(spark, spec, t, KillAfter(2), _ => ()).run()
+    assert(Checkpoint.load(spec.migration.checkpointDir, "parquet",
+      TableTransferJob.checkpointName(spec, t)).get.bucketCount > 1)
+    val swapped = t.copy(primaryKey = Some("l_linenumber"))
+    val e = intercept[IllegalArgumentException] {
+      new TableTransferJob(spark, spec, swapped, new TransferControl, _ => ()).run()
+    }
+    assert(e.getMessage.contains("hash-bucket path"), e.getMessage)
+  }
+
   test("composite key with a high-cardinality leading column keeps the range path") {
     // lineitem's real key order (l_orderkey leading) resolves the chunk
     // target fine — the probe must NOT push it onto the hash path (range
