@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{ColumnTransformation, EndpointSpec, MigrationSpec, TableMapping, TransferSpec}
+import graft.core.{ColumnTransformation, EndpointSpec, ExpressionValidator, MigrationSpec, TableMapping, TransferSpec}
 import graft.engine.{TableTransferJob, TransferControl, TransferRunner}
 import graft.functions.MySqlDateFormat
 import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -110,6 +110,15 @@ object SparkEntry {
     "p2_mysql_dateformat" -> ((s, d) =>
       T(s, d, "orders").select(col("o_orderkey"),
         date_format(col("o_orderdate"), MySqlDateFormat.translate("%Y-%m-%d %H:%i")).as("od_mysql"))),
+    // a NATIVE graft expression reached through the config-transform
+    // surface: the string goes through the P6 validator, expr() resolves
+    // it via the GraftExtensions-injected function, codegen runs the
+    // Fnv kernel, and the oracle recomputes the same hash in SQL
+    "p2_transform_fnv" -> ((s, d) => {
+      val e = "graft_fnv1a32(text)"
+      ExpressionValidator.validate(s, e).left.foreach(r => sys.error(r))
+      T(s, d, "documents").select(col("doc_id"), expr(e).as("text_fnv"))
+    }),
 
     // --- P3: keyset predicate count, mysql.go:617-627
     "p3_keyset_count" -> ((s, d) =>
@@ -879,6 +888,9 @@ object SparkEntry {
       "SELECT o_orderkey, CONCAT('Status: ', o_orderstatus) AS status_label FROM orders",
     "p2_mysql_dateformat" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M') AS od_mysql FROM orders",
+    "p2_transform_fnv" ->
+      (s"SELECT doc_id, ${graft.functions.Fnv.duckdbSql("text", graft.functions.Fnv.Basis1)}" +
+        " AS text_fnv FROM documents"),
     "p3_keyset_count" ->
       "SELECT count(*) AS cnt FROM orders WHERE o_orderkey > 500",
     "p4_token_predicate" ->

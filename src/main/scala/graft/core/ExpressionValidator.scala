@@ -43,6 +43,9 @@ object ExpressionValidator {
     "coalesce", "nvl", "nvl2", "ifnull", "nullif", "if",
     // hashing (deterministic, used by dedup/fingerprint configs)
     "md5", "sha1", "sha2", "hash", "xxhash64", "crc32",
+    // graft native expressions (registered in every engine session by
+    // GraftExtensions; deterministic row-local scalars)
+    "graft_fnv1a32", "graft_cosine", "graft_sqdist",
     // casts are also reachable as functions
     "cast", "string", "int", "bigint", "double", "decimal", "date",
     "timestamp", "boolean", "binary")

@@ -28,6 +28,20 @@ class ExpressionValidatorSpec extends SparkTestBase {
     ok("md5(name)")
   }
 
+  test("graft native functions pass validation AND execute as transforms") {
+    ok("graft_fnv1a32(text)")
+    ok("graft_cosine(a, b)")
+    no("graft.fnv(text)") // qualified names stay rejected
+    // end-to-end: validated string → expr() → GraftExtensions-resolved
+    // native expression → correct value
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Seq(("abc", 1L)).toDF("text", "id")
+      .withColumn("h", expr("graft_fnv1a32(text)"))
+      .collect()(0).getLong(2)
+    assert(out == graft.functions.Fnv.hash32("abc", graft.functions.Fnv.Basis1))
+  }
+
   test("rejects every reference blacklist keyword class") {
     // these don't even parse as scalar expressions
     no("DROP TABLE users")
