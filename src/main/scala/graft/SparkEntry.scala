@@ -386,6 +386,29 @@ object SparkEntry {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     }),
 
+    // --- partition_by destination: chunked transfer → one-time hive-
+    //     layout publish → partition-discovery read-back. At 100 TB the
+    //     published layout is what downstream partition pruning keys on.
+    "transfer_partitioned" -> ((s, d) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        math.abs(d.hashCode).toString
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      val spec = TransferSpec(
+        EndpointSpec("parquet", path = d, tables = Seq(
+          TableMapping("orders", targetName = Some("orders_part"),
+            partitionBy = Seq("o_orderstatus"),
+            columnTransformations = Seq(
+              ColumnTransformation("o_totalprice", "o_totalprice * 100"))))),
+        EndpointSpec("parquet", path = s"$work/dest"),
+        MigrationSpec(batchSize = 5000, checkpointRowThreshold = 5000,
+          checkpointDir = s"$work/cp", rateLimit = 1000000000))
+      val res = TransferRunner.run(s, spec, log = _ => ())
+      require(res.forall(_.outcome.isSuccess),
+        s"partitioned transfer failed: ${TransferRunner.summarize(res)}")
+      TableTransferJob.readTarget(s, spec, "orders_part")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     // --- R4/R5/R8: kill mid-run (checkpoint flush), resume from the
     //     resume file — resumed destination must equal an uninterrupted
     //     run (the reference's headline 断点续传 feature, mysql.go:533-576).
@@ -986,6 +1009,9 @@ object SparkEntry {
     "transfer_config_multi" ->
       """SELECT o_orderkey, CONCAT('Status: ', o_orderstatus) AS o_orderstatus,
         |  o_totalprice * 100 AS o_totalprice FROM orders""".stripMargin,
+    "transfer_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice * 100 AS o_totalprice
+        |FROM orders""".stripMargin,
     "transfer_resume" ->
       """SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
         |FROM customer""".stripMargin,
