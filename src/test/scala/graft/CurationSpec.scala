@@ -153,6 +153,67 @@ class CurationSpec extends SparkTestBase {
       "classifier must be a pure function of the text")
   }
 
+  test("property: new curation ops match brute-force recomputation on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val doc = Gen.choose(1, 35).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (round <- 0 until 3) {
+      val n = 40
+      val rows = (0 until n).map { i =>
+        (i.toLong, sample(doc, round * 1000L + i), s"src${i % 5}")
+      }
+      val docs = rows.toDF("doc_id", "text", "source")
+
+      // paragraphDedup vs brute force (10-word chunks, corpus-wide counts)
+      val chunksOf = rows.map { case (id, text, _) =>
+        id -> text.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+      }.toMap
+      val freq = chunksOf.values.flatten
+        .groupBy(identity).map { case (c, l) => c -> l.size }
+      val para = Curation.paragraphDedup(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      chunksOf.foreach { case (id, cs) =>
+        val expDup = cs.count(c => freq(c) > 1).toLong
+        assert(para(id) == ((cs.size.toLong, expDup)),
+          s"doc $id: ${para(id)} != (${cs.size}, $expDup) [round $round]")
+      }
+
+      // crossSourceDedup vs brute force (prefix-10 key, src-number priority)
+      val key = rows.map { case (id, text, src) =>
+        (id, text.split(" ", -1).take(10).mkString(" "), src.drop(3).toLong)
+      }
+      val expKeep = key.groupBy(_._2).values.map(g => g.minBy(r => (r._3, r._1))._1).toSet
+      val gotKeep = Curation.crossSourceDedup(docs).collect().map(_.getLong(0)).toSet
+      assert(gotKeep == expKeep, s"round $round: $gotKeep != $expKeep")
+
+      // shardAssign: total coverage, one assignment per doc, shard ∈ [0,8)
+      val shards = Curation.shardAssign(docs).collect()
+      assert(shards.length == n && shards.map(_.getLong(0)).distinct.length == n)
+      assert(shards.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
+
+      // qualityClassifier vs brute force (md5-bucket weights, integer sum)
+      def bucket(tok: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 1024
+      }
+      val expScore = rows.map { case (id, text, _) =>
+        val toks = text.split(" ", -1)
+        val sw = toks.map(t => (bucket(t) * 2654435761L) % 2048 - 1024).sum
+        id -> BigDecimal(sw.toDouble / (toks.length.toDouble * 1024))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      Curation.qualityClassifier(docs).collect().foreach { r =>
+        assert(math.abs(r.getDouble(2) - expScore(r.getLong(0))) < 1e-9,
+          s"doc ${r.getLong(0)} score ${r.getDouble(2)} != ${expScore(r.getLong(0))}")
+      }
+    }
+  }
+
   test("shard dealing is rank-driven, not id-driven (degenerate-formula guard)") {
     import spark.implicits._
     // four docs in the SAME rank group (ids ≡ 0 mod 16) with distinct

@@ -91,6 +91,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"cosine not in generated code:\n${codegen.take(2000)}")
   }
 
+  test("EXISTS/NOT EXISTS subqueries decorrelate to semi + anti joins") {
+    val plan = executedPlan("join_exists_subquery")
+    assert(plan.contains("LeftSemi"), s"EXISTS did not become a semi join:\n${plan.take(2000)}")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n${plan.take(2000)}")
+    assert(!plan.toLowerCase.contains("subquery"),
+      "correlated subquery survived into the physical plan")
+  }
+
   test("bucketed co-located join runs with ZERO exchanges (join + keyed agg)") {
     val plan = executedPlan("join_bucketed_colocated")
     assert(!plan.contains("Exchange"),
