@@ -31,6 +31,12 @@ final case class Checkpoint(
       * values (one per planned column, in key-sequence order). Single-
       * column plans keep using `bounds` so v1 checkpoints stay readable. */
     boundCols: Seq[Seq[String]] = Nil,
+    /** The key columns (in key-sequence order) the persisted plan was
+      * computed OVER. Chunk membership — range bounds and hash buckets
+      * alike — is a function of the key, so resuming a plan under a
+      * different key silently remaps chunks and loses rows; readers
+      * refuse on mismatch. Empty in pre-v3 files (legacy guards apply). */
+    keyCols: Seq[String] = Nil,
     /** On-disk format version this checkpoint was written with. A reader
       * older than the file REFUSES rather than silently misreading a
       * persisted chunk plan mid-transfer. */
@@ -55,9 +61,10 @@ object Checkpoint {
 
   /** Current on-disk format. v1 = flat single-column `bounds`;
     * v2 adds `bound_cols` (composite-key tuple bounds) and the
-    * `version` field itself. Readers accept any version ≤ current
-    * (missing = 1) and refuse anything newer. */
-  val FormatVersion = 2
+    * `version` field itself; v3 adds `key_cols` (the plan's key
+    * identity). Readers accept any version ≤ current (missing = 1) and
+    * refuse anything newer. */
+  val FormatVersion = 3
 
   def path(dir: String, kind: String, table: String): Path =
     Paths.get(dir, s"${kind}_$table.checkpoint")
@@ -103,7 +110,8 @@ object Checkpoint {
     val bs = cp.bounds.map(q).mkString("[", ", ", "]")
     val bcs = cp.boundCols
       .map(_.map(q).mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    s"""{"version": ${cp.version}, "last_key": $keys, "last_updated": ${q(ts)}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}, "bucket_count": ${cp.bucketCount}, "bounds": $bs, "bound_cols": $bcs, "total_rows": ${cp.totalRows}}"""
+    val kcs = cp.keyCols.map(q).mkString("[", ", ", "]")
+    s"""{"version": ${cp.version}, "last_key": $keys, "last_updated": ${q(ts)}, "complete": ${cp.complete}, "chunk_index": ${cp.chunkIndex}, "bucket_count": ${cp.bucketCount}, "bounds": $bs, "bound_cols": $bcs, "key_cols": $kcs, "total_rows": ${cp.totalRows}}"""
   }
 
   private[graft] def fromJson(s: String): Option[Checkpoint] = {
@@ -159,11 +167,15 @@ object Checkpoint {
         }
         case _ => Nil
       }
+      val keyCols = (j \ "key_cols") match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }
       val totalRows = (j \ "total_rows") match {
         case JInt(n) => n.toLong; case JLong(n) => n; case _ => -1L
       }
       Some(Checkpoint(lastKey, updated, complete, chunk, buckets, bounds,
-        totalRows, boundCols, version))
+        totalRows, boundCols, keyCols, version))
     } catch { case _: Exception => None }
 }
 

@@ -45,6 +45,20 @@ object JdbcTransfer {
         case Right(()) => ()
       }
     }
+    // This one-shot path range-partitions on a NUMERIC leading key
+    // (getLong bounds probe). Refuse a non-numeric key UP FRONT with a
+    // typed message — before the DDL mirror touches the destination —
+    // instead of dying in the probe with a driver conversion error
+    // halfway through. Non-numeric/composite keys take the chunked
+    // [[JdbcTransferJob]] path, which plans them properly.
+    val leadMeta = JdbcCatalog.columns(url, table.name)
+      .find(_.name.equalsIgnoreCase(pk.head))
+      .getOrElse(sys.error(s"key column '${pk.head}' not found in ${table.name}"))
+    require(JdbcTransferJob.keyStyle(leadMeta, dialect)
+        .isInstanceOf[JdbcTransferJob.NumericKey],
+      s"table '${table.name}' keys on non-numeric '${pk.head}' " +
+        s"(${leadMeta.typeName}) — this one-shot path range-partitions " +
+        "on a numeric key; use the chunked JdbcTransferJob path instead")
     JdbcCatalog.mirrorTable(url, table.name, table.target) // S8
 
     // Bounds probe (A3 analog) in SQL so only two scalars cross the wire
@@ -63,10 +77,13 @@ object JdbcTransfer {
     val out = table.columnTransformations.foldLeft(source) { (d, ct) =>
       d.withColumn(ct.sourceColumn, expr(ct.expression))
     }
-    val toWrite =
-      if (writeParallelism > 0 && writeParallelism < out.rdd.getNumPartitions)
-        out.coalesce(writeParallelism)
-      else out
+    // the read's partition count is a pure function of the reader
+    // options — no `.rdd` materialization (a second planning pass per
+    // table) just to decide the coalesce
+    val parts = JdbcSource.numPartitions(mig, (lo, hi),
+      spark.sparkContext.defaultParallelism)
+    val target = JdbcTransferJob.coalesceTarget(writeParallelism, parts)
+    val toWrite = if (target > 0) out.coalesce(target) else out
     JdbcUpsert.write(toWrite, dialect, table.target, pk, mig.batchSize)(
       () => new JdbcUpsert.ConnectionExecutor(url))
     n

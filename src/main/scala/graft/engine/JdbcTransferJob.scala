@@ -318,6 +318,26 @@ final class JdbcTransferJob(
     val (bounds: Seq[Seq[String]], total: Long) = stored match {
       case Some(c) =>
         val b = if (c.boundCols.nonEmpty) c.boundCols else c.bounds.map(Seq(_))
+        // Key IDENTITY first (v3 stores it; legacy files expose the old
+        // key's column names through the lastKey map): a same-width swap
+        // — pk (id) → (score) — passes the width check below but builds
+        // chunk predicates from the old key's bounds and skips every
+        // already-"completed" chunk of the new key space.
+        // v3 keyCols are ordered (key-sequence order matters to the
+        // plan); the legacy lastKey map only supports a set compare.
+        if (c.keyCols.nonEmpty)
+          require(c.keyCols.map(_.toLowerCase) == pk.map(_.toLowerCase),
+            s"checkpoint plan for ${table.name} was computed over key " +
+              s"(${c.keyCols.mkString(", ")}) but the table now keys on " +
+              s"(${pk.mkString(", ")}) — refusing to resume a plan from " +
+              "a different key")
+        else if (c.lastKey.nonEmpty)
+          require(c.lastKey.keys.map(_.toLowerCase).toSet ==
+              pk.map(_.toLowerCase).toSet,
+            s"checkpoint plan for ${table.name} stores a resume cursor " +
+              s"for key (${c.lastKey.keys.mkString(", ")}) but the table " +
+              s"now keys on (${pk.mkString(", ")}) — refusing to resume " +
+              "a plan from a different key")
         require(b.forall(_.size == pk.size),
           s"checkpoint plan for ${table.name} was computed over " +
             s"${b.head.size} key column(s) but the table now keys on " +
@@ -345,7 +365,7 @@ final class JdbcTransferJob(
           System.currentTimeMillis(), complete, idx,
           bounds = if (pk.size == 1) bounds.map(_.head) else Nil,
           boundCols = if (pk.size == 1) Nil else bounds,
-          totalRows = total))
+          totalRows = total, keyCols = pk))
 
     if (bounds.isEmpty) { save(-1, complete = true); return TransferOutcome.Completed }
     if (stored.isEmpty) save(startChunk - 1, complete = false) // persist the plan

@@ -171,6 +171,17 @@ final class TableTransferJob(
 
     val pk = pkCols
     val firstPk = pk.head
+    // Chunk membership (range bounds AND hash buckets) is a function of
+    // the key: resuming a plan computed over a different key remaps
+    // chunks and silently loses or duplicates rows. v3 checkpoints carry
+    // the plan's key identity — refuse any mismatch outright (the
+    // mode-specific guards below then only have to police legacy files).
+    cp.filter(_.keyCols.nonEmpty).foreach { c =>
+      require(c.keyCols.map(_.toLowerCase) == pk.map(_.toLowerCase),
+        s"checkpoint for '${table.name}' was planned over key " +
+          s"(${c.keyCols.mkString(", ")}) but the spec now keys on " +
+          s"(${pk.mkString(", ")}) — clear the checkpoint to restart")
+    }
     val numericPk = source.schema(firstPk).dataType.isInstanceOf[NumericType]
     // Chunking mode. Fresh runs: numeric single-column keys take the
     // range path (quantile bounds + parquet min/max pruning); composite
@@ -303,6 +314,17 @@ final class TableTransferJob(
   private def runRangeChunks(source: DataFrame, pkCol: String,
                              cp: Option[Checkpoint]): TransferOutcome = {
     val codec = keyCodec(source.schema(pkCol).dataType)
+    // Legacy (pre-v3) files carry no key_cols; their lastKey map is keyed
+    // by the column the plan was computed over, so a cursor stored under
+    // a DIFFERENT name is a key swap — restarting the plan would rewrite
+    // every bound into fresh chunk dirs while the old prefix dirs
+    // survive, duplicating rows on read-back. Refuse instead.
+    cp.filter(c => c.keyCols.isEmpty && c.lastKey.nonEmpty).foreach { c =>
+      require(c.lastKey.contains(pkCol),
+        s"checkpoint for '${table.name}' stores a resume cursor for key " +
+          s"(${c.lastKey.keys.mkString(", ")}) but the spec now keys on " +
+          s"'$pkCol' — clear the checkpoint to restart")
+    }
     val lastKey = cp.flatMap(_.lastKey.get(pkCol)).map(codec.parse)
     val startChunk = cp.map(_.chunkIndex).getOrElse(-1) + 1
     val stored = cp.filter(c => c.bounds.nonEmpty && c.totalRows >= 0)
@@ -349,7 +371,7 @@ final class TableTransferJob(
       Checkpoint.save(mig.checkpointDir, kind, cpName,
         Checkpoint(lk.map(k => Map(pkCol -> codec.fmt(k))).getOrElse(Map.empty),
           System.currentTimeMillis(), complete, idx,
-          bounds = boundsStr, totalRows = total))
+          bounds = boundsStr, totalRows = total, keyCols = pkCols))
     // persist the plan up front so any resume continues it
     if (stored.isEmpty) save(lastKey, startChunk - 1, complete = false)
 
@@ -464,7 +486,8 @@ final class TableTransferJob(
                      totalRows: Long = -1L): Unit =
     Checkpoint.save(mig.checkpointDir, kind, cpName,
       Checkpoint(lastKey.getOrElse(Map.empty), System.currentTimeMillis(),
-        complete, chunkIdx, bucketCount, totalRows = totalRows))
+        complete, chunkIdx, bucketCount, totalRows = totalRows,
+        keyCols = pkCols))
 
   private def finish(lastChunk: Int, lastKey: Option[Map[String, String]],
                      bucketCount: Int = -1,
@@ -504,20 +527,24 @@ final class TableTransferJob(
       // EXTERNAL table may be replaced — our own registrations are
       // external, so the drop never touches data; a same-named MANAGED
       // table or view belongs to someone else, and dropping a managed
-      // table would DELETE its warehouse files. The path is escaped —
-      // a quote in it must not break the statement.
+      // table would DELETE its warehouse files. BOTH interpolants are
+      // escaped: a quote in the path and a backtick in the target name
+      // must not break out of their quoting (an unescaped backtick
+      // terminates the identifier early — parse error at best,
+      // statement injection at worst).
+      val ident = s"`${TableTransferJob.escapeIdent(table.target)}`"
       if (spark.catalog.tableExists(table.target)) {
-        val isExternal = spark.sql(s"DESCRIBE TABLE EXTENDED `${table.target}`")
+        val isExternal = spark.sql(s"DESCRIBE TABLE EXTENDED $ident")
           .where(col("col_name") === "Type")
           .collect().headOption.exists(_.getString(1).toUpperCase.contains("EXTERNAL"))
         require(isExternal,
           s"refusing to replace '${table.target}': the existing catalog entry " +
             "is not an external table registered by a transfer (dropping a " +
             "managed table would delete its data)")
-        spark.sql(s"DROP TABLE `${table.target}`")
+        spark.sql(s"DROP TABLE $ident")
       }
       val escaped = loc.replace("'", "''")
-      spark.sql(s"CREATE TABLE `${table.target}` USING parquet " +
+      spark.sql(s"CREATE TABLE $ident USING parquet " +
         s"OPTIONS (path '$escaped'$opts)")
     }
     saveCp(lastKey, lastChunk, complete = true, bucketCount = bucketCount,
@@ -528,6 +555,11 @@ final class TableTransferJob(
 }
 
 object TableTransferJob {
+  /** Escape a Spark SQL backtick-quoted identifier: backticks double
+    * (the identifier analog of `''` in string literals). */
+  private[graft] def escapeIdent(name: String): String =
+    name.replace("`", "``")
+
   /** Source+destination-scoped checkpoint identity (see the field note). */
   def checkpointName(spec: TransferSpec, table: TableMapping): String = {
     val id = java.security.MessageDigest.getInstance("MD5")

@@ -23,6 +23,15 @@ object JdbcSource {
     *               from a `SELECT min(pk), max(pk)` probe (A3) or carried
     *               in the spec; required for range partitioning.
     */
+  /** Partition count of a range-partitioned read: one partition per
+    * ~batch_size keys, capped by `parallelism`. Pure — callers deciding
+    * a writer coalesce use this instead of materializing `.rdd` just to
+    * read the count back off the plan. */
+  def numPartitions(mig: MigrationSpec, bounds: (Long, Long),
+                    parallelism: Int): Int =
+    math.max(1, math.min(parallelism,
+      ((bounds._2 - bounds._1) / math.max(1, mig.batchSize)) + 1).toInt)
+
   def readerOptions(url: String, table: TableMapping, mig: MigrationSpec,
                     pk: String, bounds: (Long, Long),
                     parallelism: Int): Map[String, String] = Map(
@@ -31,9 +40,7 @@ object JdbcSource {
     "partitionColumn" -> pk,
     "lowerBound" -> bounds._1.toString,
     "upperBound" -> bounds._2.toString,
-    // one partition per ~chunk of batch_size rows, capped by parallelism
-    "numPartitions" -> math.max(1, math.min(parallelism,
-      ((bounds._2 - bounds._1) / math.max(1, mig.batchSize)) + 1).toInt).toString,
+    "numPartitions" -> numPartitions(mig, bounds, parallelism).toString,
     // per-round-trip row count, the reference's batch_size (config.go:50)
     "fetchsize" -> mig.batchSize.toString,
     // connect/read timeout parity (config.go:59)

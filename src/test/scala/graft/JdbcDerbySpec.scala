@@ -297,6 +297,38 @@ class JdbcDerbySpec extends SparkTestBase {
       "Derby contents must equal the closed-window batch aggregation")
   }
 
+  test("live resume refuses a plan computed over a DIFFERENT key of the same width") {
+    import graft.engine.{JdbcTransferJob, TransferControl, TransferOutcome}
+    seedUsers("users_swap", 600)
+    val cpDir = s"$work/cp_swap"
+    val mig2 = MigrationSpec(batchSize = 100, checkpointRowThreshold = 100,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("users_swap", targetName = Some("users_swap_new"))
+    val first = new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(2), log = _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    // same tuple width (1), different column: the old width-only check
+    // would resume id-domain bounds as bal predicates and skip rows
+    val swapped = t.copy(primaryKey = Some("bal"))
+    val e = intercept[IllegalArgumentException] {
+      new JdbcTransferJob(spark, url, swapped, mig2, log = _ => ()).run()
+    }
+    assert(e.getMessage.contains("computed over key"), e.getMessage)
+  }
+
+  test("one-shot JdbcTransfer refuses a non-numeric leading key BEFORE touching the destination") {
+    JdbcCatalog.execute(url,
+      "CREATE TABLE vkey_oneshot (name VARCHAR(32) NOT NULL PRIMARY KEY, v DOUBLE)")
+    JdbcCatalog.execute(url, "INSERT INTO vkey_oneshot VALUES ('a', 1.0)")
+    val e = intercept[Exception] {
+      JdbcTransfer.transfer(spark, url,
+        TableMapping("vkey_oneshot", targetName = Some("vkey_oneshot_new")), mig)
+    }
+    assert(e.getMessage.contains("non-numeric"), e.getMessage)
+    assert(!JdbcCatalog.tableExists(url, "vkey_oneshot_new"),
+      "refusal must fire before the DDL mirror creates the destination")
+  }
+
   test("chunked live transfer: kill, checkpoint, resume re-writes only the tail (R4/R8 live)") {
     import graft.engine.{Checkpoint, JdbcTransferJob, TransferControl, TransferOutcome}
     seedUsers("users_kr", 1000)

@@ -373,6 +373,51 @@ class TransferJobSpec extends SparkTestBase {
     assert(dest.except(src).isEmpty && src.except(dest).isEmpty)
   }
 
+  test("an interrupted run refuses to resume under a DIFFERENT key (both modes)") {
+    // Chunk membership is a function of the key; resuming another key's
+    // plan remaps chunks (lost or duplicated rows). v3 checkpoints carry
+    // the key identity, so BOTH modes refuse any swap outright.
+    // Range mode: numeric → numeric with the same width.
+    val tr = TableMapping("lineitem", targetName = Some("li_swap_range"))
+    val (specR, _) = freshSpec(Seq(tr), batch = 500)
+    new TableTransferJob(spark, specR, tr, KillAfter(1), _ => ()).run()
+    val swapR = tr.copy(primaryKey = Some("l_partkey"))
+    val eR = intercept[IllegalArgumentException] {
+      new TableTransferJob(spark, specR, swapR, new TransferControl, _ => ()).run()
+    }
+    assert(eR.getMessage.contains("planned over key"), eR.getMessage)
+    // Hash mode: string → string.
+    val th = TableMapping("customer", targetName = Some("c_swap_hash"),
+      primaryKey = Some("c_name"))
+    val (specH, _) = freshSpec(Seq(th), batch = 20)
+    new TableTransferJob(spark, specH, th, KillAfter(1), _ => ()).run()
+    val swapH = th.copy(primaryKey = Some("c_mktsegment"))
+    val eH = intercept[IllegalArgumentException] {
+      new TableTransferJob(spark, specH, swapH, new TransferControl, _ => ()).run()
+    }
+    assert(eH.getMessage.contains("planned over key"), eH.getMessage)
+  }
+
+  test("a legacy (pre-v3) range checkpoint under a renamed key refuses via the cursor name") {
+    // v2 files carry no key_cols, but the range path's resume cursor is
+    // stored under the OLD key column's name — a miss is a key swap, and
+    // silently restarting the plan would duplicate the completed prefix.
+    val t = TableMapping("orders", targetName = Some("o_legacy_swap"))
+    val (spec, _) = freshSpec(Seq(t), batch = 500)
+    new TableTransferJob(spark, spec, t, KillAfter(1), _ => ()).run()
+    // rewrite the checkpoint as a v2 file (strip key_cols, keep cursor)
+    val name = TableTransferJob.checkpointName(spec, t)
+    val cp = Checkpoint.load(spec.migration.checkpointDir, "parquet", name).get
+    assert(cp.lastKey.contains("o_orderkey"))
+    Checkpoint.save(spec.migration.checkpointDir, "parquet", name,
+      cp.copy(keyCols = Nil, version = 2))
+    val swapped = t.copy(primaryKey = Some("o_custkey"))
+    val e = intercept[IllegalArgumentException] {
+      new TableTransferJob(spark, spec, swapped, new TransferControl, _ => ()).run()
+    }
+    assert(e.getMessage.contains("resume cursor"), e.getMessage)
+  }
+
   test("a hash checkpoint under a now-single-numeric key refuses to resume") {
     // A single-column numeric key NEVER writes a hash checkpoint, so
     // finding one can only mean the key changed since the interrupted
@@ -390,7 +435,10 @@ class TransferJobSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       new TableTransferJob(spark, spec, swapped, new TransferControl, _ => ()).run()
     }
-    assert(e.getMessage.contains("hash-bucket path"), e.getMessage)
+    // the v3 key-identity guard fires first (it subsumes the
+    // mode-specific hash-bucket guard, which still polices legacy files)
+    assert(e.getMessage.contains("planned over key") ||
+      e.getMessage.contains("hash-bucket path"), e.getMessage)
   }
 
   test("composite key with a high-cardinality leading column keeps the range path") {
