@@ -22,6 +22,40 @@ import org.apache.spark.sql.types._
   */
 object CassandraDdl {
 
+  /** CQL reserved words that would make an unquoted identifier invalid
+    * (the common collision set; quoting is the general escape hatch). */
+  private val CqlReserved = Set(
+    "add", "allow", "alter", "and", "apply", "asc", "authorize", "batch",
+    "begin", "by", "columnfamily", "create", "delete", "desc", "describe",
+    "drop", "entries", "execute", "from", "full", "grant", "if", "in",
+    "index", "infinity", "insert", "into", "is", "keyspace", "limit",
+    "materialized", "modify", "nan", "norecursive", "not", "null", "of",
+    "on", "or", "order", "primary", "rename", "replace", "revoke",
+    "schema", "select", "set", "table", "to", "token", "truncate",
+    "unlogged", "update", "use", "using", "view", "where", "with")
+
+  /** A column/field identifier, lowercased like the reference's CQL and
+    * QUOTED whenever the plain form would be invalid (reserved word,
+    * non-[a-z0-9_] characters, leading digit) — an unquoted reserved
+    * word or special character would make the emitted DDL fail at
+    * deployment time, where no test has ever executed it. */
+  private[sinks] def quoteId(name: String): String = {
+    val lower = name.toLowerCase
+    if (lower.matches("[a-z][a-z0-9_]*") && !CqlReserved(lower)) lower
+    else "\"" + lower.replace("\"", "\"\"") + "\""
+  }
+
+  /** Two source names may collapse to one CQL identifier (CQL folds
+    * unquoted identifiers to lower case): refuse instead of emitting a
+    * duplicate column list Cassandra would reject. */
+  private def requireDistinct(what: String, names: Seq[String]): Unit = {
+    val dups = names.map(_.toLowerCase).groupBy(identity)
+      .collect { case (n, occ) if occ.size > 1 => n }
+    require(dups.isEmpty,
+      s"$what: names collapse to duplicate CQL identifiers after " +
+        s"lower-casing: ${dups.mkString(", ")}")
+  }
+
   /** CQL rendering of a Catalyst type. Struct fields become UDT
     * references (`frozen<name>` — UDTs nested in other types must be
     * frozen in CQL); collection types render as `list/map/set`. */
@@ -106,8 +140,9 @@ object CassandraDdl {
     val structs = reachableStructs(table, schema)
     val names = structs.map { case (n, p, _) => (p, n) }.toMap
     structs.map { case (n, path, s) =>
+      requireDistinct(s"UDT $n", s.fields.map(_.name).toSeq)
       val fields = s.fields
-        .map(f => s"${f.name.toLowerCase} ${render(names, f.dataType, path :+ f.name)}")
+        .map(f => s"${quoteId(f.name)} ${render(names, f.dataType, path :+ f.name)}")
         .mkString(", ")
       s"CREATE TYPE IF NOT EXISTS $keyspace.$n ($fields)"
     }
@@ -121,11 +156,12 @@ object CassandraDdl {
     val names = reachableStructs(table, schema)
       .map { case (n, p, _) => (p, n) }.toMap
     // struct-typed columns reference their path-derived UDT
+    requireDistinct(s"table $table", schema.fields.map(_.name).toSeq)
     val cols = schema.fields.map { f =>
-      s"${f.name.toLowerCase} ${render(names, f.dataType, Seq(f.name))}"
+      s"${quoteId(f.name)} ${render(names, f.dataType, Seq(f.name))}"
     }.mkString(", ")
     s"CREATE TABLE IF NOT EXISTS $keyspace.$table " +
-      s"($cols, PRIMARY KEY (${pk.map(_.toLowerCase).mkString(", ")}))"
+      s"($cols, PRIMARY KEY (${pk.map(quoteId).mkString(", ")}))"
   }
 
   /** `CREATE OR REPLACE FUNCTION` (reference `cassandra.go:408-421`):

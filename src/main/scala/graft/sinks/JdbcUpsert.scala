@@ -189,6 +189,7 @@ object JdbcUpsert {
     case BooleanType => "BOOLEAN"
     case StringType => "VARCHAR(32672)"
     case TimestampType => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP"
     case DateType => "DATE"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case BinaryType => "BLOB"
@@ -324,7 +325,13 @@ object JdbcUpsert {
             keys: Seq[String], batchSize: Int = 1000)
            (executorFactory: () => Executor): Long = {
     val cols = df.columns.toSeq
-    val keyTypes = keys.map(k => k -> derbySqlType(df.schema(k).dataType)).toMap
+    // Derby-only: the MERGE source row needs typed CASTs. Deriving this
+    // eagerly for every dialect made MySQL/PG writes die on any key type
+    // outside the Derby map even though their SQL never uses it.
+    val keyTypes =
+      if (dialect == Derby)
+        keys.map(k => k -> derbySqlType(df.schema(k).dataType)).toMap
+      else Map.empty[String, String]
     val written = df.sparkSession.sparkContext.longAccumulator
     df.foreachPartition { (rows: Iterator[Row]) =>
       val exec = executorFactory()

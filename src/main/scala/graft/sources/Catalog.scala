@@ -10,10 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
-  /** Column inventory of a table: (ordinal, name, type, nullable). */
+  /** Column inventory of a table: (ordinal, name, type, nullable).
+    * Reports the schema of the QUERY SURFACE ([[Tables]]), not the raw
+    * footer — the two differ exactly where the accessor adapts storage
+    * (events.ts: stored nanos-as-long, exposed as timestamp); a catalog
+    * that disagrees with the table it describes would mislead any
+    * type-driven consumer (DDL emission, cast planning). */
   def columns(spark: SparkSession, dir: String, table: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    val schema = Tables(spark, dir, table).schema
     schema.fields.zipWithIndex.map { case (f, i) =>
       (i.toLong, f.name, f.dataType.simpleString, f.nullable)
     }.toSeq.toDF("ordinal", "col_name", "data_type", "nullable")

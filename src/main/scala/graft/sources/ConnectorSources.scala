@@ -27,8 +27,11 @@ object ConnectorSources {
     // partitioner's page size, in rows)
     "sampleSize" -> "1000",
     "partitioner" -> "com.mongodb.spark.sql.connector.read.partitioner.PaginateIntoPartitionsPartitioner",
+    // honor the CONFIGURED page size: flooring it at 1000 silently
+    // overrode small batch_size values — exactly the wide-document
+    // workloads where the reference deliberately pages small
     "partitioner.options.max.number.of.documents.per.partition" ->
-      math.max(1000, mig.batchSize).toString)
+      math.max(1, mig.batchSize).toString)
 
   /** `spark.read.format("org.apache.spark.sql.cassandra")` options (S4). */
   def cassandraOptions(keyspace: String, table: TableMapping,

@@ -17,21 +17,26 @@ import graft.core.{MigrationSpec, TableMapping}
   */
 object JdbcSource {
 
+  /** Partition count of a range-partitioned read: one partition per
+    * ~batch_size keys, capped by `parallelism`. Pure — callers deciding
+    * a writer coalesce use this instead of materializing `.rdd` just to
+    * read the count back off the plan. Span arithmetic in BigInt: a
+    * signed key space actually spanning the Long range would overflow
+    * `hi - lo` negative and silently collapse the scan to ONE serial
+    * partition. */
+  def numPartitions(mig: MigrationSpec, bounds: (Long, Long),
+                    parallelism: Int): Int = {
+    val span = BigInt(bounds._2) - BigInt(bounds._1)
+    val ideal = span / BigInt(math.max(1, mig.batchSize)) + 1
+    math.max(1, (ideal min BigInt(math.max(1, parallelism))).toInt)
+  }
+
   /** Reader options for a partitioned scan of one table.
     *
     * @param bounds (min, max) of the numeric partition column — obtained
     *               from a `SELECT min(pk), max(pk)` probe (A3) or carried
     *               in the spec; required for range partitioning.
     */
-  /** Partition count of a range-partitioned read: one partition per
-    * ~batch_size keys, capped by `parallelism`. Pure — callers deciding
-    * a writer coalesce use this instead of materializing `.rdd` just to
-    * read the count back off the plan. */
-  def numPartitions(mig: MigrationSpec, bounds: (Long, Long),
-                    parallelism: Int): Int =
-    math.max(1, math.min(parallelism,
-      ((bounds._2 - bounds._1) / math.max(1, mig.batchSize)) + 1).toInt)
-
   def readerOptions(url: String, table: TableMapping, mig: MigrationSpec,
                     pk: String, bounds: (Long, Long),
                     parallelism: Int): Map[String, String] = Map(

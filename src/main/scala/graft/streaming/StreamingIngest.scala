@@ -16,25 +16,61 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingIngest {
 
-  /** Watermarked 1-hour tumbling-window counts per event type. Output
-    * mode is `complete` so bounded runs emit every window (with `append`,
-    * windows inside the final watermark delay would be withheld). */
-  def windowCounts(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // nanos→long via session conf
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+  /** The shared events source: schema probe (nanos→long via session
+    * conf), file stream, micros timestamp. ONE definition — the ts
+    * conversion previously lived in seven copies, and fixes were
+    * already drifting between them (the work-dir hashing divergence
+    * found in review). No watermark here: consumers that rename `ts`
+    * before watermarking (the stream-stream join) would otherwise trip
+    * "Redefining watermark is disallowed". */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+  }
 
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+  /** [[eventsRaw]] + the standard 1-hour watermark on `ts` (every
+    * single-stream consumer). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    eventsRaw(spark, dir).withWatermark("ts", "1 hour")
+
+  /** Run a bounded stream into a uniquely-named memory sink and return
+    * the sink table. Gate-harness shape only: the memory sink collects
+    * on the driver, which is fine for a bounded correctness run and
+    * wrong for production (the durable twins write parquet/JDBC). */
+  private def runToMemory(stream: DataFrame, prefix: String,
+                          mode: String): DataFrame = {
+    val spark = stream.sparkSession
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Work dir unique to (purpose, identity strings): a real digest, not
+    * a 32-bit `hashCode` — colliding identities would wipe each other's
+    * ACTIVE streaming checkpoint mid-run (found once on the JDBC sink,
+    * then AGAIN on the append sink in review; now one definition). */
+  private def workDir(purpose: String, identity: String): String = {
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(identity.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_${purpose}_$id"
+    graft.util.Fs.deleteRecursive(new java.io.File(work))
+    work
+  }
+
+  private def windowCountsAgg(stream: DataFrame): DataFrame = stream
+    .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+    .agg(count(lit(1)).as("cnt"))
+    .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** Watermarked 1-hour tumbling-window counts per event type. Output
+    * mode is `complete` so bounded runs emit every window (with `append`,
+    * windows inside the final watermark delay would be withheld). */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(windowCountsAgg(eventsStream(spark, dir)), "graft_stream_", "complete")
 
   /** The PRODUCT-SURFACE variant of [[windowCounts]] (VERDICT r2 #3):
     * append mode to a DURABLE parquet sink with a streaming checkpoint.
@@ -51,19 +87,9 @@ object StreamingIngest {
     * run that is exactly the batch aggregation restricted to closed
     * windows, which is what the oracle checks. */
   def windowCountsAppend(spark: SparkSession, dir: String): DataFrame = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_append_" +
-      math.abs(dir.hashCode).toString
-    graft.util.Fs.deleteRecursive(new java.io.File(work))
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
-
-    val q = stream.writeStream.format("parquet")
+    val work = workDir("stream_append", dir)
+    val q = windowCountsAgg(eventsStream(spark, dir)).writeStream
+      .format("parquet")
       .option("path", s"$work/out")
       .option("checkpointLocation", s"$work/checkpoint")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -74,15 +100,16 @@ object StreamingIngest {
   /** Custom stateful aggregation via `mapGroupsWithState` (the
     * KeyValueGroupedDataset path for state machines the built-in windows
     * can't express): running per-user event counts held in explicit
-    * state. A bounded AvailableNow run processes the source as one
-    * micro-batch, so each user emits exactly one update — equal to the
-    * batch `GROUP BY user_id` count, which the oracle checks. */
+    * state. Counts are cumulative, so the final value per user is the
+    * MAX over every emitted update — equal to the batch
+    * `GROUP BY user_id` count whether the bounded run lands in one
+    * micro-batch or several. NULL user ids are excluded up front (the
+    * typed `.as[Long]` would throw on them). */
   def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val updates = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+    val updates = eventsStream(spark, dir)
+      .where(col("user_id").isNotNull)
       .select(col("user_id").cast("long")).as[Long]
       .groupByKey(identity)
       .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
@@ -92,36 +119,46 @@ object StreamingIngest {
           (user, total)
       }
       .toDF("user_id", "cnt")
-
-    val name = "graft_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = updates.writeStream.format("memory").queryName(name)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(updates, "graft_state_", "update")
+      .groupBy("user_id").agg(max(col("cnt")).as("cnt"))
   }
 
-  /** Streaming DEDUPLICATION: `dropDuplicates` on a key set with a
-    * watermark bounding the dedup state (the streaming member of the
-    * dedup family — exact dedup for a live ingest pipeline). The
-    * emitted KEY SET equals the batch `SELECT DISTINCT`, which is what
-    * the oracle checks; only the keys are returned because "which
-    * duplicate arrived first" is an arrival-order artifact, not a
-    * property of the data. */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
+  /** Streaming DEDUPLICATION, gate variant: `dropDuplicates` on the key
+    * set. The emitted KEY SET equals the batch `SELECT DISTINCT`, which
+    * is what the oracle checks; only the keys are returned because
+    * "which duplicate arrived first" is an arrival-order artifact, not
+    * a property of the data.
+    *
+    * State honesty: because the event-time column is NOT part of the
+    * key set, Spark keeps one state entry per distinct key FOREVER —
+    * the watermark does not evict it. That is the price of the exact
+    * global-distinct contract, acceptable for a bounded gate run and
+    * for key spaces that fit state. A LIVE pipeline should use
+    * [[streamingDedupLive]], whose within-watermark contract bounds
+    * state by the horizon. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      eventsStream(spark, dir)
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      "graft_dedup_", "append")
 
-    val name = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  /** Streaming dedup, LIVE variant: `dropDuplicatesWithinWatermark` —
+    * duplicates are suppressed when they arrive within the watermark
+    * horizon of the kept row, and state IS evicted as the watermark
+    * advances, so state size is bounded by the horizon regardless of
+    * how long the stream runs or how many distinct keys exist. The
+    * trade: re-occurrences farther apart than the horizon re-emit (an
+    * order-dependent result — no deterministic batch-SQL oracle, so
+    * this variant is test-gated on set bounds rather than hash-gated:
+    * its output is a superset of the distinct key set and a subset of
+    * the raw key stream). */
+  def streamingDedupLive(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      eventsStream(spark, dir)
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      "graft_dedupw_", "append")
 
   /** Streaming INTO a live database: watermark-closed windows upserted
     * per micro-batch into a JDBC store via `foreachBatch` + the MERGE
@@ -148,25 +185,10 @@ object StreamingIngest {
         "w_start TIMESTAMP NOT NULL, event_type VARCHAR(64) NOT NULL, " +
         "cnt BIGINT, PRIMARY KEY (w_start, event_type))")
     val parallelism = JdbcUpsert.effectiveWriteParallelism(url, writeParallelism)
-    // work/checkpoint dir keyed on (source, url, TABLE) with a real
-    // digest: a table-less 32-bit hash let two streams to different
-    // tables (or colliding pairs) delete each other's ACTIVE streaming
-    // checkpoint mid-run
-    val workId = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir $url $table".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_sjdbc_$workId"
-    graft.util.Fs.deleteRecursive(new java.io.File(work))
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
-
-    val q = stream.writeStream
+    // identity includes the TABLE: two streams to different tables must
+    // never share (and wipe) one checkpoint
+    val work = workDir("sjdbc", s"$dir $url $table")
+    val q = windowCountsAgg(eventsStream(spark, dir)).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val toWrite = if (parallelism > 0) batch.coalesce(parallelism) else batch
         JdbcUpsert.write(toWrite, dialect, table,
@@ -186,14 +208,12 @@ object StreamingIngest {
     * soon as both rows exist, so a bounded run emits exactly the batch
     * interval-join, which the oracle recomputes. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    def src = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val clicks = src.where(col("event_type") === "click")
+    val clicks = eventsRaw(spark, dir)
+      .where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = src.where(col("event_type") === "purchase")
+    val purchases = eventsRaw(spark, dir)
+      .where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
@@ -202,32 +222,18 @@ object StreamingIngest {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("click_id"), col("purchase_id"), col("user_id"))
-
-    val name = "graft_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(joined, "graft_ssj_", "append")
   }
 
   /** Sessionized per-user event counts with a 30-minute gap — the
     * `session_window` stateful-aggregation shape (extension surface;
     * exercised by tests against a batch recomputation). */
-  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("session_window.start").as("s_start"),
-        col("session_window.end").as("s_end"), col("user_id"), col("cnt"))
-
-    val name = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      eventsStream(spark, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"), col("cnt")),
+      "graft_sess_", "complete")
 }

@@ -86,6 +86,32 @@ class CassandraDdlSpec extends SparkTestBase {
     assert(g.contains("CALLED ON NULL INPUT"))
   }
 
+  test("reserved words and special characters are quoted; case collisions refuse") {
+    import org.apache.spark.sql.types._
+    // 'token' and 'order' are CQL-reserved — unquoted they fail at the
+    // deployment that finally executes this DDL
+    val s = StructType(Seq(
+      StructField("id", LongType), StructField("token", StringType),
+      StructField("order", IntegerType), StructField("weird name", StringType)))
+    val ddl = CassandraDdl.createTableDdl("ks", "t", s, Seq("id"))
+    assert(ddl.contains("\"token\" text"), ddl)
+    assert(ddl.contains("\"order\" int"), ddl)
+    assert(ddl.contains("\"weird name\" text"), ddl)
+    assert(ddl.contains("id bigint"), ddl) // plain names stay unquoted
+    // a reserved-word PRIMARY KEY column is quoted too
+    val pkDdl = CassandraDdl.createTableDdl("ks", "t2",
+      StructType(Seq(StructField("token", StringType))), Seq("token"))
+    assert(pkDdl.contains("PRIMARY KEY (\"token\")"), pkDdl)
+    // CQL folds unquoted identifiers to lower case: two fields differing
+    // only in case would collapse into a duplicate column list
+    val clash = StructType(Seq(
+      StructField("userId", LongType), StructField("userid", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      CassandraDdl.createTableDdl("ks", "t3", clash, Seq("userId"))
+    }
+    assert(e.getMessage.contains("duplicate CQL identifiers"), e.getMessage)
+  }
+
   test("transfer to a cassandra destination writes the _cassandra.ddl sidecar") {
     val work = java.nio.file.Files.createTempDirectory("cassddl").toString
     spark.range(2).selectExpr("id",

@@ -438,6 +438,23 @@ class OpsSpec extends SparkTestBase {
     assert(stats(7L).sum_r == expect)
   }
 
+  test("live streaming dedup (within-watermark) is bounded by the exact key sets") {
+    import org.apache.spark.sql.functions._
+    // the live variant's output is arrival-order dependent (re-occurrence
+    // past the horizon re-emits), so no hash oracle — but it is bracketed:
+    // every distinct key appears at least once, nothing outside the key
+    // stream appears, and it never exceeds the raw event count
+    val live = StreamingIngest.streamingDedupLive(spark, sf)
+    val distinctKeys = events.select("user_id", "event_type").distinct()
+    assert(live.count() >= distinctKeys.count())
+    assert(live.count() <= events.count())
+    assert(live.select("user_id", "event_type").distinct()
+      .except(distinctKeys).isEmpty,
+      "live dedup emitted a key absent from the source")
+    assert(distinctKeys.except(live.select("user_id", "event_type")).isEmpty,
+      "live dedup lost a distinct key entirely")
+  }
+
   test("streaming session windows partition all events") {
     import org.apache.spark.sql.functions._
     val sess = StreamingIngest.sessionCounts(spark, sf)

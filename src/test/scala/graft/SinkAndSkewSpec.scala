@@ -17,12 +17,34 @@ object SinkProbe {
       recorded.add((sql.take(30), params.size)); ()
     }
   }
+  /** Never-failing variant (statement counter only). */
+  val statements = new java.util.concurrent.atomic.AtomicLong(0)
+  val countingFactory: () => JdbcUpsert.Executor = () => new JdbcUpsert.Executor {
+    def apply(sql: String, params: Seq[Any]): Unit = { statements.incrementAndGet(); () }
+  }
 }
 
 /** JDBC upsert sink (dialect SQL + batched executor path, driven with a
   * recording executor — no database offline), salting equivalence, and
   * the partitioned publish layout. */
 class SinkAndSkewSpec extends SparkTestBase {
+
+  test("MySQL/PG writes don't require a Derby type mapping for their keys") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    // keyTypes (Derby CAST targets) were derived eagerly for EVERY
+    // dialect — a TIMESTAMP_NTZ key crashed MySQL/PG writes on a
+    // spurious "no Derby mapping" even though their SQL never casts
+    val df = spark.range(3)
+      .select(expr("timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)").as("ts_key"),
+        col("id").cast("double").as("v"))
+    assert(df.schema("ts_key").dataType == TimestampNTZType)
+    SinkProbe.statements.set(0)
+    JdbcUpsert.write(df, JdbcUpsert.MySql, "t_ntz", Seq("ts_key"))(
+      SinkProbe.countingFactory)
+    assert(SinkProbe.statements.get > 0)
+    // and the Derby path itself now maps NTZ instead of refusing
+    assert(JdbcUpsert.derbySqlType(TimestampNTZType) == "TIMESTAMP")
+  }
 
   test("upsert SQL: MySQL and PostgreSQL dialects (K1/K2)") {
     val my = JdbcUpsert.upsertSql(JdbcUpsert.MySql, "t", Seq("id", "a", "b"), Seq("id"), 2)
