@@ -35,7 +35,12 @@ object Main {
     val kind = opts.get("type")
       .orElse(Option(spec0.source.kind).filter(_.nonEmpty))
       .getOrElse(autodetect(spec0.source.path))
-    val spec = spec0.copy(source = spec0.source.copy(kind = kind))
+    // destination sniffs too: a dest jdbc: URL with no declared type must
+    // not be treated as a parquet directory
+    val destKind = Option(spec0.destination.kind).filter(_.nonEmpty)
+      .getOrElse(autodetect(spec0.destination.path))
+    val spec = spec0.copy(source = spec0.source.copy(kind = kind),
+      destination = spec0.destination.copy(kind = destKind))
     val jdbcKinds = Map(
       "jdbc" -> graft.sinks.JdbcUpsert.Derby,
       "derby" -> graft.sinks.JdbcUpsert.Derby,

@@ -72,7 +72,12 @@ object ExpressionValidator {
       try scala.util.Right(spark.sessionState.sqlParser.parseExpression(exprStr))
       catch {
         case e: Exception =>
-          scala.util.Left(s"not a parseable scalar expression: ${e.getMessage.linesIterator.next()}")
+          // a null/empty message must still yield Left, not an NPE from
+          // the message formatting itself
+          val msg = Option(e.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(e.getClass.getSimpleName)
+          scala.util.Left(s"not a parseable scalar expression: $msg")
       }
     parsed.flatMap { root =>
       var bad: Option[String] = None

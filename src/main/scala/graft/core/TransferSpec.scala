@@ -111,7 +111,10 @@ object TransferSpec {
 
   private def endpoint(m: Map[String, Any]): EndpointSpec =
     EndpointSpec(
-      kind = str(m, "type", "parquet"),
+      // absent `type` stays EMPTY so the CLI can autodetect from the
+      // path (R11, main.go:342-363) — defaulting to "parquet" here made
+      // the sniffing unreachable and ran JDBC URLs as parquet dirs
+      kind = str(m, "type", ""),
       path = str(m, "path"),
       hosts = asList(m.getOrElse("hosts", null)).map(_.toString),
       database = str(m, "database"),

@@ -57,7 +57,13 @@ object MySqlDateFormat {
         if (spec == '%') { lit.append('%'); i += 2 }
         else mapping.get(spec) match {
           case Some(jdk) => flushLit(); out.append(jdk); i += 2
-          case None      => lit.append(c); i += 1
+          // an unmapped specifier silently became literal "%U" text in
+          // every output row — silent data corruption; refuse loudly
+          // like the sibling codecs (the JDK pattern language has no
+          // equivalent for some MySQL week/day specifiers)
+          case None => sys.error(
+            s"unsupported MySQL DATE_FORMAT specifier '%$spec' in " +
+              s"'$mysqlPattern' — no JDK pattern equivalent is wired")
         }
       } else { lit.append(c); i += 1 }
     }

@@ -40,8 +40,19 @@ object UdfRegistry {
     registered += name.toLowerCase
   }
 
+  /** Names of the engine's OWN native expressions (injected by
+    * GraftExtensions and admitted by the P6 allowlist). A user UDF must
+    * never take one of these names: the register would silently replace
+    * the codegen'd expression, changing the meaning of every config
+    * transform that calls it — the exact hazard the builtin-shadow
+    * guard exists to prevent. */
+  private val NativeNames = Set("graft_fnv1a32", "graft_cosine", "graft_sqdist")
+
   private def requireFreshName(spark: SparkSession, name: String): Unit = {
     require(name.matches("[a-zA-Z_][a-zA-Z0-9_]*"), s"invalid UDF name: $name")
+    require(!NativeNames(name.toLowerCase),
+      s"UDF '$name' would shadow the engine's native expression of the " +
+        "same name — pick a different name")
     if (registered(name.toLowerCase)) return // idempotent re-register of our own
     val builtin = spark.sessionState.functionRegistry
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase))

@@ -35,6 +35,8 @@ object Bmp {
   def encode(width: Int, height: Int,
              rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(rowSizeL(width) * height <= Int.MaxValue - 54,
+      s"image ${width}x$height exceeds the single-array BMP encoder")
     val stride = rowSize(width)
     val dataSize = stride * height
     val out = new Array[Byte](54 + dataSize) // padding bytes stay 0
@@ -87,7 +89,10 @@ object Bmp {
     // deep in the pixel loop
     require(dataOffset >= 54 && dataOffset <= bytes.length,
       s"bad pixel-data offset $dataOffset")
-    require(bytes.length >= dataOffset + rowSizeL(width) * height,
+    // BigInt: stride(width) * height itself can exceed Long for hostile
+    // 2^31-scale dimensions — the check must not be the thing that wraps
+    require(BigInt(bytes.length) >=
+        BigInt(dataOffset) + BigInt(rowSizeL(width)) * height,
       "truncated pixel array")
     // the long-checked bound caps 3*w*h at bytes.length, so w*h and the
     // Int stride below are safely inside Int range

@@ -159,15 +159,20 @@ object Multimodal {
     * a real implementation seeks keyframes via the container codec
     * (absent in this environment); the chunk/sample/digest plumbing and
     * the exploded one-row-per-frame output shape are the real thing. */
-  def stubFrameDecoder(frameSize: Int, every: Int): FrameDecoder = it =>
+  def stubFrameDecoder(frameSize: Int, every: Int): FrameDecoder = it => {
+    // ONE digest per partition, reset per frame — the batch-decoder
+    // shape exists precisely so per-frame setup (here a JCA provider
+    // lookup) amortizes across the partition
+    val md = java.security.MessageDigest.getInstance("MD5")
     it.flatMap { case (id, bytes) =>
       val bs = if (bytes == null) Array.empty[Byte] else bytes
       bs.grouped(frameSize).zipWithIndex.collect {
         case (chunk, i) if i % every == 0 =>
-          val md = java.security.MessageDigest.getInstance("MD5").digest(chunk)
-          Frame(id, i, chunk.length, md.map("%02x".format(_)).mkString)
+          md.reset()
+          Frame(id, i, chunk.length, md.digest(chunk).map("%02x".format(_)).mkString)
       }
     }
+  }
 
   /** Frame-sampling plumbing (video payloads): binary column →
     * per-partition batch decode → one typed row per SAMPLED frame.

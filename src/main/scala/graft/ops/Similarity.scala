@@ -41,7 +41,15 @@ object Similarity {
     * reproduce it with plain SQL). */
   private[ops] def signBucket(emb: Column, bits: Int): Column =
     (0 until bits)
-      .map(i => when(element_at(emb, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      // size guard first: under Spark's ANSI default an element_at past
+      // the array end THROWS; a short vector's missing dimensions count
+      // as bit 0 (matching the oracle, where an out-of-range list index
+      // is NULL and NULL > 0 is false)
+      // nested when, not `&&`: CaseWhen guarantees the guarded branch is
+      // only evaluated when the size check holds (And may evaluate both)
+      .map(i => when(size(emb) > i,
+        when(element_at(emb, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+        .otherwise(lit(0)))
       .reduce(_ + _)
 
   /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding

@@ -35,6 +35,8 @@ object Wav {
              sample: (Int, Int) => Short): Array[Byte] = {
     require(channels > 0 && frames >= 0 && sampleRate > 0,
       s"bad clip shape: $channels ch, $frames frames, $sampleRate Hz")
+    require(2L * frames * channels <= Int.MaxValue - 44,
+      s"clip of $frames×$channels frames exceeds the single-array encoder")
     val dataSize = frames * channels * 2
     val out = new Array[Byte](44 + dataSize)
     putTag(out, 0, "RIFF"); put32(out, 4, 36 + dataSize); putTag(out, 8, "WAVE")
@@ -82,6 +84,11 @@ object Wav {
           require(fmt == 1, s"unsupported audio format $fmt (only PCM)")
           channels = u16(bytes, off + 10)
           sampleRate = i32(bytes, off + 12)
+          // loud refusal extends to the fmt fields themselves: a corrupt
+          // chunk must not propagate channels=0 or a negative rate into
+          // downstream stats
+          require(channels > 0, s"bad channel count $channels")
+          require(sampleRate > 0, s"bad sample rate $sampleRate")
           val bits = u16(bytes, off + 22)
           require(bits == 16, s"unsupported bits/sample $bits (only 16)")
         case "data" =>

@@ -215,6 +215,24 @@ class EngineUnitSpec extends AnyFunSuite {
     assert(spec.migration.progressIntervalSec == 10)
   }
 
+  test("absent endpoint type stays EMPTY so CLI autodetect can fire (R11)") {
+    // defaulting to "parquet" in the loader made the CLI's path sniffing
+    // unreachable — a jdbc: URL with no declared type ran as a parquet dir
+    val spec = TransferSpec.fromYaml(
+      """source:
+        |  path: "jdbc:mysql://db:3306/app"
+        |  tables:
+        |    - name: "users"
+        |destination:
+        |  path: "/data/out"
+        |migration:
+        |  batch_size: 1000
+        |""".stripMargin)
+    assert(spec.source.kind == "", "loader must not pre-claim a backend")
+    assert(graft.cli.Main.autodetect(spec.source.path) == "mysql")
+    assert(graft.cli.Main.autodetect(spec.destination.path) == "parquet")
+  }
+
   test("template generates loadable YAML") {
     val spec = TransferSpec.fromYaml(TransferSpec.template("parquet"))
     assert(spec.source.tables.nonEmpty)

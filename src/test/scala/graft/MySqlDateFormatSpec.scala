@@ -25,6 +25,12 @@ class MySqlDateFormatSpec extends AnyFunSuite {
     val out = f.format(java.time.LocalDateTime.of(2024, 1, 2, 13, 4, 5))
     assert(out == "100% at 13")
   }
+  test("unmapped specifiers refuse loudly instead of emitting literal %X text") {
+    val e = intercept[RuntimeException](MySqlDateFormat.translate("%Y-%U"))
+    assert(e.getMessage.contains("%U"), e.getMessage)
+    intercept[RuntimeException](MySqlDateFormat.translate("%w"))
+  }
+
   test("12-hour clock") {
     assert(MySqlDateFormat.translate("%h:%i %p") == "hh:mm a")
   }

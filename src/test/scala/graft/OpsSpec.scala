@@ -204,6 +204,13 @@ class OpsSpec extends SparkTestBase {
       UdfRegistry.registerString(spark, "upper", identity))
     intercept[IllegalArgumentException](
       UdfRegistry.registerString(spark, "bad name!", identity))
+    // the graft_ prefix is NOT a license to replace the engine's own
+    // native expressions — that would silently change every validated
+    // transform that calls them
+    intercept[IllegalArgumentException](
+      UdfRegistry.registerString(spark, "graft_fnv1a32", identity))
+    intercept[IllegalArgumentException](
+      UdfRegistry.registerLong(spark, "GRAFT_COSINE", identity))
     val n = "graft_test_rev_" + System.nanoTime()
     UdfRegistry.registerString(spark, n, s => if (s == null) null else s.reverse)
     // not usable in transforms until opted in
