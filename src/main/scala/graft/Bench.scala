@@ -69,6 +69,10 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a typo'd/renamed headline must be VISIBLE, not silently dropped
+    // from the round's metrics
+    headline.filterNot(SparkEntry.queries.contains).foreach(n =>
+      System.err.println(s"[bench] WARNING: headline '$n' is not a declared query"))
     headline.filter(SparkEntry.queries.contains).foreach { name =>
       val sec = try time(force(SparkEntry.queries(name)(spark, sfDir)))
       catch { case e: Throwable =>

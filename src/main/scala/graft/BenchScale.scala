@@ -35,18 +35,33 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scaled_x$factor"
+    // cache identity = (base dir, factor): keyed on the factor alone, a
+    // run after changing SPARK_GRAFT_SF_DIR would silently reuse the
+    // OTHER base's derived data and publish ratios comparing different
+    // datasets
+    val baseId = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scaled_x${factor}_$baseId"
     val spark = Sessions.builder("graft-bench-scale", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docsPath = s"$out/documents.parquet"
     val embPath = s"$out/embeddings.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
-      val docs = spark.read.parquet(s"$base/documents.parquet")
-      val nDocs = docs.count()
+    val evPath = s"$out/events.parquet"
+    // completion MARKER, not per-file existence: a run killed mid-write
+    // leaves a partial parquet dir that bare existence checks would
+    // accept forever after
+    val okMarker = java.nio.file.Paths.get(out, "_DERIVED_OK")
+    if (!java.nio.file.Files.exists(okMarker)) {
+      graft.util.Fs.deleteRecursive(new java.io.File(out))
       val copies = spark.range(factor.toLong).toDF("copy")
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      // offsets from MAX+1, not row count: sparse ids would let copy 0's
+      // high ids collide with copy 1's range
+      val docBase = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val nDocs = docs.count()
       docs.crossJoin(copies)
-        .withColumn("doc_id", col("doc_id") + col("copy") * lit(nDocs))
+        .withColumn("doc_id", col("doc_id") + col("copy") * lit(docBase))
         .withColumn("text", when(col("copy") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" zz"), col("copy"))))
         .withColumn("n_chars", length(col("text")))
@@ -54,19 +69,15 @@ object BenchScale {
         .repartition(32)
         .write.mode("overwrite").parquet(docsPath)
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val vecBase = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
       val nVec = emb.count()
       emb.crossJoin(copies)
-        .withColumn("vec_id", col("vec_id") + col("copy") * lit(nVec))
+        .withColumn("vec_id", col("vec_id") + col("copy") * lit(vecBase))
         .withColumn("embedding", transform(col("embedding"),
           x => x + col("copy").cast("float") * lit(0.0017f)))
         .drop("copy")
         .repartition(32)
         .write.mode("overwrite").parquet(embPath)
-      System.err.println(s"[bench-scale] derived ${factor}x data at $out " +
-        s"(${nDocs * factor} docs, ${nVec * factor} vectors)")
-    }
-    val evPath = s"$out/events.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(evPath))) {
       // event ids and USER ids offset per copy: the stateful streaming
       // ops then carry 10× keyed state, not just 10× updates to the
       // same keys (ts is nanos-as-long here; kept verbatim, so window
@@ -74,13 +85,29 @@ object BenchScale {
       val ev = spark.read.parquet(s"$base/events.parquet")
       val maxEv = ev.agg(max(col("event_id"))).head.getLong(0) + 1
       val maxUser = ev.agg(max(col("user_id"))).head.getLong(0) + 1
-      val copies = spark.range(factor.toLong).toDF("copy")
       ev.crossJoin(copies)
         .withColumn("event_id", col("event_id") + col("copy") * lit(maxEv))
         .withColumn("user_id", col("user_id") + col("copy") * lit(maxUser))
         .drop("copy")
         .repartition(32)
         .write.mode("overwrite").parquet(evPath)
+      // lineitem for the transfer-engine evidence: key space offset per
+      // copy keeps l_orderkey chunkable; range-partition + sort by the
+      // key because chunked range scans depend on parquet min/max
+      // row-group pruning, which needs key-clustered storage (what any
+      // real keyed ingest produces) — a randomly shuffled layout would
+      // make every chunk scan every row group
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val maxKey = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      li.crossJoin(copies)
+        .withColumn("l_orderkey", col("l_orderkey") + col("copy") * lit(maxKey))
+        .drop("copy")
+        .repartitionByRange(32, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      java.nio.file.Files.writeString(okMarker, "")
+      System.err.println(s"[bench-scale] derived ${factor}x data at $out " +
+        s"(${nDocs * factor} docs, ${nVec * factor} vectors)")
     }
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -114,28 +141,17 @@ object BenchScale {
       results(name) = sec
     }
 
-    // Transfer-engine evidence at the same 10×: derive lineitem (key
-    // space offset per copy keeps l_orderkey chunkable), run the full
-    // chunked transfer, then the kill+resume cycle, at ~6M rows.
-    val liPath = s"$out/lineitem.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(liPath))) {
-      val li = spark.read.parquet(s"$base/lineitem.parquet")
-      val maxKey = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
-      val copies = spark.range(factor.toLong).toDF("copy")
-      // range-partition + sort by the key: chunked range scans depend on
-      // parquet min/max row-group pruning, which needs key-clustered
-      // storage (what any real keyed ingest produces) — a randomly
-      // shuffled layout would make every chunk scan every row group
-      li.crossJoin(copies)
-        .withColumn("l_orderkey", col("l_orderkey") + col("copy") * lit(maxKey))
-        .drop("copy")
-        .repartitionByRange(32, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .write.mode("overwrite").parquet(liPath)
-    }
+    // Transfer-engine evidence at the same 10× (~6M rows): full chunked
+    // transfer, then the kill+resume cycle. GUARDED like the family
+    // loop — one transfer exception must not abort main before the JSON
+    // line prints (the driver would lose every timing of the round).
     {
       import graft.core._
       import graft.engine._
+      def guarded(name: String)(body: => Double): Unit =
+        results(name) = try body catch { case e: Throwable =>
+          System.err.println(s"[bench-scale] $name failed: ${e.getMessage}"); -1.0
+        }
       def spec(tag: String) = TransferSpec(
         EndpointSpec("parquet", path = out,
           tables = Seq(TableMapping("lineitem", targetName = Some(s"li_$tag")))),
@@ -145,19 +161,19 @@ object BenchScale {
       val plain = spec("plain")
       graft.util.Fs.deleteRecursive(new java.io.File(s"$out/dest_plain"))
       graft.engine.Checkpoint.deleteAll(s"$out/cp_plain")
-      results("transfer_lineitem_scaled") = time {
+      guarded("transfer_lineitem_scaled")(time {
         new TableTransferJob(spark, plain, plain.source.tables.head,
           new TransferControl, _ => ()).run()
-      }
+      })
       val killed = spec("killed")
       graft.util.Fs.deleteRecursive(new java.io.File(s"$out/dest_killed"))
       graft.engine.Checkpoint.deleteAll(s"$out/cp_killed")
-      results("transfer_kill_resume_scaled") = time {
+      guarded("transfer_kill_resume_scaled")(time {
         new TableTransferJob(spark, killed, killed.source.tables.head,
           TransferControl.cancelAfterChecks(30), _ => ()).run()
         new TableTransferJob(spark, killed, killed.source.tables.head,
           new TransferControl, _ => ()).run()
-      }
+      })
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -12,9 +12,14 @@ object Explain {
     val spark = Sessions.builder("graft-explain", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
+    // Execute THROUGH this QueryExecution: a noop write would build a
+    // separate QueryExecution for the write command, leaving df's own
+    // AdaptiveSparkPlanExec unexecuted (isFinalPlan=false — the initial
+    // plan, not the promised final one).
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ())
     println(s"=== $name @ $sfDir (final plan after AQE) ===")
-    println(df.queryExecution.executedPlan.toString)
+    println(qe.executedPlan.toString)
     spark.stop()
   }
 }

@@ -36,7 +36,11 @@ object SparkEntry {
     * back (reference: `internal/migration/mysql/mysql.go:186-380`). */
   def entry(spark: SparkSession): DataFrame = {
     val (spec, _) = transferSpec(spark, "/root/testdata/sf0.001")
-    TransferRunner.run(spark, spec, log = _ => ())
+    val results = TransferRunner.run(spark, spec, log = _ => ())
+    // fail loudly, never serve a partial/stale target (same contract as
+    // transfer_config_multi)
+    require(results.forall(_.outcome.isSuccess),
+      s"entry transfer failed: ${TransferRunner.summarize(results)}")
     TableTransferJob.readTarget(spark, spec, "orders_new")
   }
 
@@ -693,11 +697,12 @@ object SparkEntry {
     // --- §2.8: registered scalar UDF callable from transform expressions
     //     (after explicit opt-in to the P6 allowlist)
     "udf_transform" -> ((s, d) => {
-      if (!graft.functions.UdfRegistry.allowedExtras("graft_slug")) {
-        graft.functions.UdfRegistry.registerString(s, "graft_slug",
-          v => if (v == null) null else v.toLowerCase.replace("#", "-"))
-        graft.functions.UdfRegistry.allowInTransforms("graft_slug")
-      }
+      // unconditional: registerString is session-aware idempotent (a
+      // global allowedExtras guard left a SECOND session in the same
+      // JVM without the function registered)
+      graft.functions.UdfRegistry.registerString(s, "graft_slug",
+        v => if (v == null) null else v.toLowerCase.replace("#", "-"))
+      graft.functions.UdfRegistry.allowInTransforms("graft_slug")
       T(s, d, "customer").select(col("c_custkey"),
         expr("graft_slug(c_name)").as("c_slug"))
     }),

@@ -6,8 +6,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val spark = Sessions.builder("graft-verify",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt).getOrCreate()
+    val spark = Sessions.builder("graft-verify", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

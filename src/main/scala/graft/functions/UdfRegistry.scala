@@ -53,10 +53,13 @@ object UdfRegistry {
     require(!NativeNames(name.toLowerCase),
       s"UDF '$name' would shadow the engine's native expression of the " +
         "same name — pick a different name")
-    if (registered(name.toLowerCase)) return // idempotent re-register of our own
-    val builtin = spark.sessionState.functionRegistry
+    val present = spark.sessionState.functionRegistry
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase))
-    require(!builtin || name.startsWith("graft_"),
+    // Idempotent re-register of our own name — but only when THIS
+    // session already has it: `registered` is JVM-global, and skipping
+    // on a fresh session would leave the function unregistered there.
+    if (registered(name.toLowerCase) && present) return
+    require(!present || registered(name.toLowerCase) || name.startsWith("graft_"),
       s"UDF '$name' would shadow a builtin — use a 'graft_' prefix")
   }
 

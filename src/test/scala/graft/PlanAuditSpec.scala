@@ -11,8 +11,12 @@ class PlanAuditSpec extends SparkTestBase {
 
   private def executedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    // run df's OWN QueryExecution (a noop write executes a separate one,
+    // leaving this AdaptiveSparkPlanExec at its initial plan) so the
+    // assertions read the FINAL adaptive plan
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ())
+    qe.executedPlan.toString
   }
 
   test("keyset scan pushes its predicate into the parquet scan (S1)") {
