@@ -39,7 +39,7 @@ object SparkEntry {
     val results = TransferRunner.run(spark, spec, log = _ => ())
     // fail loudly, never serve a partial/stale target (same contract as
     // transfer_config_multi)
-    require(results.forall(_.outcome.isSuccess),
+    require(TransferRunner.allCompleted(results),
       s"entry transfer failed: ${TransferRunner.summarize(results)}")
     TableTransferJob.readTarget(spark, spec, "orders_new")
   }
@@ -52,8 +52,7 @@ object SparkEntry {
     * invocation into /tmp. */
   private def transferSpec(spark: SparkSession, sfDir: String,
                            batch: Int = 5000): (TransferSpec, String) = {
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_xfer_" +
-      math.abs((sfDir + ":" + batch).hashCode).toString
+    val work = graft.util.Fs.workDir("xfer", s"$sfDir:$batch")
     graft.util.Fs.deleteRecursive(new java.io.File(work))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
     val spec = TransferSpec(
@@ -263,19 +262,24 @@ object SparkEntry {
     //     the merge hint keeps the small side from broadcasting so the
     //     co-location is actually exercised).
     "join_bucketed_colocated" -> ((s, d) => {
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_" +
-        math.abs(d.hashCode).toString
+      val wh = graft.util.Fs.workDir("bkt", d)
+      // table names carry the same digest as the work dir — fixed names
+      // would collide across concurrent sessions sharing a metastore
+      val (tOrders, tCustomer) = {
+        val id = graft.util.Fs.digest(d)
+        (s"bkt_orders_$id", s"bkt_customer_$id")
+      }
       graft.util.Fs.deleteRecursive(new java.io.File(wh))
-      s.sql("DROP TABLE IF EXISTS bkt_orders")
-      s.sql("DROP TABLE IF EXISTS bkt_customer")
+      s.sql(s"DROP TABLE IF EXISTS $tOrders")
+      s.sql(s"DROP TABLE IF EXISTS $tCustomer")
       T(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$wh/orders").mode("overwrite").saveAsTable("bkt_orders")
+        .option("path", s"$wh/orders").mode("overwrite").saveAsTable(tOrders)
       T(s, d, "customer").select("c_custkey", "c_acctbal")
         .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$wh/customer").mode("overwrite").saveAsTable("bkt_customer")
-      s.table("bkt_orders").hint("merge")
-        .join(s.table("bkt_customer"), col("o_custkey") === col("c_custkey"))
+        .option("path", s"$wh/customer").mode("overwrite").saveAsTable(tCustomer)
+      s.table(tOrders).hint("merge")
+        .join(s.table(tCustomer), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey")
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
@@ -384,7 +388,7 @@ object SparkEntry {
     "transfer_config_multi" -> ((s, d) => {
       val (spec, _) = transferSpec(s, d)
       val results = TransferRunner.run(s, spec, log = _ => ())
-      require(results.forall(_.outcome.isSuccess),
+      require(TransferRunner.allCompleted(results),
         s"transfer failed: ${TransferRunner.summarize(results)}")
       TableTransferJob.readTarget(s, spec, "orders_new")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -394,8 +398,7 @@ object SparkEntry {
     //     layout publish → partition-discovery read-back. At 100 TB the
     //     published layout is what downstream partition pruning keys on.
     "transfer_partitioned" -> ((s, d) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("part", d)
       graft.util.Fs.deleteRecursive(new java.io.File(work))
       val spec = TransferSpec(
         EndpointSpec("parquet", path = d, tables = Seq(
@@ -407,7 +410,7 @@ object SparkEntry {
         MigrationSpec(batchSize = 5000, checkpointRowThreshold = 5000,
           checkpointDir = s"$work/cp", rateLimit = 1000000000))
       val res = TransferRunner.run(s, spec, log = _ => ())
-      require(res.forall(_.outcome.isSuccess),
+      require(TransferRunner.allCompleted(res),
         s"partitioned transfer failed: ${TransferRunner.summarize(res)}")
       TableTransferJob.readTarget(s, spec, "orders_part")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -434,8 +437,7 @@ object SparkEntry {
     //     (reference moves whole documents opaquely, mongodb.go:327-335;
     //     here the nesting survives a keyset-chunked, resumable engine).
     "transfer_nested_roundtrip" -> ((s, d) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_nested_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("nested", d)
       graft.util.Fs.deleteRecursive(new java.io.File(work))
       val nested = T(s, d, "events").select(
         col("event_id"),
@@ -451,7 +453,7 @@ object SparkEntry {
         MigrationSpec(batchSize = 5000, checkpointRowThreshold = 5000,
           checkpointDir = s"$work/cp", rateLimit = 1000000000))
       val results = TransferRunner.run(s, spec, log = _ => ())
-      require(results.forall(_.outcome.isSuccess),
+      require(TransferRunner.allCompleted(results),
         s"nested transfer failed: ${TransferRunner.summarize(results)}")
       TableTransferJob.readTarget(s, spec, "evdoc").select(
         col("event_id"),
@@ -650,8 +652,7 @@ object SparkEntry {
     //     into Derby per micro-batch (foreachBatch + the JDBC sink);
     //     exactly-once = checkpoint replay × idempotent MERGE
     "streaming_jdbc_sink" -> ((s, d) => {
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derby_stream_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("derby_stream", d)
       try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
       catch { case _: java.sql.SQLException => () }
       graft.util.Fs.deleteRecursive(new java.io.File(work))
@@ -716,8 +717,7 @@ object SparkEntry {
     "transfer_jdbc_roundtrip" -> ((s, d) => {
       import graft.sinks.JdbcUpsert
       import graft.sources.JdbcCatalog
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derby_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("derby", d)
       // Derby caches booted databases by path: shut the old one down
       // before wiping, or a rerun in the same JVM sees torn state.
       try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
@@ -751,8 +751,7 @@ object SparkEntry {
     "transfer_jdbc_kill_resume" -> ((s, d) => {
       import graft.sinks.JdbcUpsert
       import graft.sources.JdbcCatalog
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derbykr_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("derbykr", d)
       try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
       catch { case _: java.sql.SQLException => () }
       graft.util.Fs.deleteRecursive(new java.io.File(work))
@@ -784,8 +783,7 @@ object SparkEntry {
     "transfer_jdbc_crossdb" -> ((s, d) => {
       import graft.sinks.JdbcUpsert
       import graft.sources.JdbcCatalog
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derbyxd_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("derbyxd", d)
       Seq("src", "dst").foreach { side =>
         try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/$side;shutdown=true"); () }
         catch { case _: java.sql.SQLException => () }
@@ -817,8 +815,7 @@ object SparkEntry {
     "transfer_jdbc_varchar_pk" -> ((s, d) => {
       import graft.sinks.JdbcUpsert
       import graft.sources.JdbcCatalog
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derbyvc_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("derbyvc", d)
       try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
       catch { case _: java.sql.SQLException => () }
       graft.util.Fs.deleteRecursive(new java.io.File(work))
@@ -852,8 +849,7 @@ object SparkEntry {
     "transfer_jdbc_composite_pk" -> ((s, d) => {
       import graft.sinks.JdbcUpsert
       import graft.sources.JdbcCatalog
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_derbycpk_" +
-        math.abs(d.hashCode).toString
+      val work = graft.util.Fs.workDir("derbycpk", d)
       try { java.sql.DriverManager.getConnection(s"jdbc:derby:$work/db;shutdown=true"); () }
       catch { case _: java.sql.SQLException => () }
       graft.util.Fs.deleteRecursive(new java.io.File(work))

@@ -254,19 +254,31 @@ final class JdbcTransferJob(
     val bounds = Seq.newBuilder[Seq[String]]
     var prev: Option[Seq[String]] = None
     var exhausted = false
-    for (_ <- 1 until n if !exhausted) {
-      val st = c.createStatement()
-      try {
-        val rs = st.executeQuery(key.probeSql(table.name, prev, per))
-        if (rs.next()) {
-          val b = (1 to width).map(rs.getString)
-          bounds += b; prev = Some(b)
+    // TWO prepared statements serve the whole walk (first probe has no
+    // lower bound; every later probe rebinds `prev` into the same
+    // statement): boundary values travel as typed driver-side binds —
+    // no literal-escaping surface (VERDICT r5 #2) — and the server
+    // parses each probe shape once instead of once per chunk boundary.
+    val firstPs = c.prepareStatement(key.probeSql(table.name, hasPrev = false, per))
+    val nextPs = c.prepareStatement(key.probeSql(table.name, hasPrev = true, per))
+    try {
+      for (_ <- 1 until n if !exhausted) {
+        val ps = prev match {
+          case Some(p) => key.bindPrev(nextPs, p); nextPs
+          case None => firstPs
         }
-        // fewer than `per` keys remain — re-running the same probe
-        // would just re-scan the tail once per leftover iteration
-        else exhausted = true
-      } finally st.close()
-    }
+        val rs = ps.executeQuery()
+        try {
+          if (rs.next()) {
+            val b = (1 to width).map(rs.getString)
+            bounds += b; prev = Some(b)
+          }
+          // fewer than `per` keys remain — re-running the same probe
+          // would just re-scan the tail once per leftover iteration
+          else exhausted = true
+        } finally rs.close()
+      }
+    } finally { firstPs.close(); nextPs.close() }
     // exact MAX tuple closes the plan (MAX() per column would fabricate
     // a tuple that exists in no row — order the whole key instead)
     val maxKey = {
@@ -481,21 +493,35 @@ object JdbcTransferJob {
   //    statement text, which cannot execute in this sandbox) -----------
 
   /** How the chunk planner treats one PK column, from its introspected
-    * SQL type. */
-  private[graft] sealed trait KeyStyle { def literal(v: String): String }
+    * SQL type. Two rendering surfaces, matching where the SQL runs:
+    * `bind` for driver-side probes (PreparedStatement `?` parameters —
+    * no literal-escaping surface at all, the reference's own placeholder
+    * style, `mysql.go:617-631`); `literal` for chunk predicates, which
+    * Spark's `read.jdbc(url, table, predicates, …)` API accepts only as
+    * WHERE-fragment STRINGS. */
+  private[graft] sealed trait KeyStyle {
+    def literal(v: String): String
+    /** Typed driver-side bind of the plan's string-carried value. */
+    def bind(ps: java.sql.PreparedStatement, idx: Int, v: String): Unit
+  }
   /** Even-split numeric ranges; scale 0 for integral keys. */
   private[graft] final case class NumericKey(scale: Int) extends KeyStyle {
     def literal(v: String): String = v
+    def bind(ps: java.sql.PreparedStatement, idx: Int, v: String): Unit =
+      ps.setBigDecimal(idx, new java.math.BigDecimal(v))
   }
   /** Rank-probe bounds, quoted literal. MySQL's default string literals
     * are backslash-escaping (unlike ANSI), so a key containing `\` must
-    * double it there or the probe/predicate literal is corrupted
-    * (ADVICE r4). */
+    * double it there or the predicate literal is corrupted (ADVICE r4).
+    * The PROBE path binds instead, so this escaping now guards only the
+    * chunk predicates Spark splices as strings. */
   private[graft] final case class CharKey(backslashEscape: Boolean) extends KeyStyle {
     def literal(v: String): String = {
       val b = if (backslashEscape) v.replace("\\", "\\\\") else v
       s"'${b.replace("'", "''")}'"
     }
+    def bind(ps: java.sql.PreparedStatement, idx: Int, v: String): Unit =
+      ps.setString(idx, v)
   }
   /** Rank-probe bounds, JDBC-escape temporal literal (`{ts '…'}` /
     * `{d '…'}`): every JDBC driver translates the escape to its own
@@ -503,6 +529,9 @@ object JdbcTransferJob {
     * form. */
   private[graft] final case class TemporalKey(esc: String) extends KeyStyle {
     def literal(v: String): String = s"{$esc '${v.replace("'", "''")}'}"
+    def bind(ps: java.sql.PreparedStatement, idx: Int, v: String): Unit =
+      if (esc == "d") ps.setDate(idx, java.sql.Date.valueOf(v))
+      else ps.setTimestamp(idx, java.sql.Timestamp.valueOf(v))
   }
 
   private[graft] def keyStyle(meta: JdbcCatalog.ColumnMeta,
@@ -555,10 +584,34 @@ object JdbcTransferJob {
         else s"(${cols(i)} $step ${ls(i)} OR (${cols(i)} = ${ls(i)} AND ${level(i + 1)}))"
       level(0)
     }
-    /** Keyset boundary probe: the key at rank `per` past `prev`, via
-      * the PK index (`mysql.go:599-631`'s pagination, rank-ified). */
-    def probeSql(table: String, prev: Option[Seq[String]], per: Long): String = {
-      val where = prev.fold("")(p => s"WHERE ${gt(p)} ")
+    /** `tuple > (?, …)` — the strict-greater comparison with `?`
+      * placeholders, for the bound probe path. */
+    private def gtBound: String =
+      if (cols.size == 1) s"${cols.head} > ?"
+      else if (rowValue)
+        s"(${cols.mkString(", ")}) > (${Seq.fill(cols.size)("?").mkString(", ")})"
+      else expanded(Seq.fill(cols.size)("?"), step = ">", last = ">")
+    /** Tuple indices in `?` appearance order of [[gtBound]] — the BIND
+      * ORDER contract the goldens pin. Row-value forms bind each column
+      * once in key order; the expanded form repeats every non-last
+      * column (once for `>`, once for `=`). */
+    private[graft] def gtBindIdx: Seq[Int] =
+      if (cols.size == 1 || rowValue) cols.indices
+      else cols.indices.init.flatMap(i => Seq(i, i)) :+ (cols.size - 1)
+    /** Bind a previous boundary tuple into a [[probeSql]]`(hasPrev=true)`
+      * statement, typed per key style. */
+    def bindPrev(ps: java.sql.PreparedStatement, prev: Seq[String]): Unit =
+      gtBindIdx.zipWithIndex.foreach { case (t, p) =>
+        styles(t).bind(ps, p + 1, prev(t))
+      }
+    /** Keyset boundary probe: the key at rank `per` past the bound
+      * `prev` tuple, via the PK index (`mysql.go:599-631`'s pagination,
+      * rank-ified, with the reference's own `?` placeholder style). The
+      * SQL depends only on `hasPrev`, so ONE prepared statement serves
+      * the whole plan walk — rebound per probe, parsed by the server
+      * once. */
+    def probeSql(table: String, hasPrev: Boolean, per: Long): String = {
+      val where = if (hasPrev) s"WHERE $gtBound " else ""
       dialect match {
         case JdbcUpsert.MySql =>
           s"SELECT $selectList FROM $table ${where}ORDER BY $orderBy LIMIT ${per - 1}, 1"

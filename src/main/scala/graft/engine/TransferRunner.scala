@@ -126,6 +126,15 @@ object TransferRunner {
     try Runtime.getRuntime.removeShutdownHook(hook)
     catch { case _: IllegalStateException => () /* already shutting down */ }
 
+  /** True only when EVERY table finished the whole transfer —
+    * `Success(Interrupted)` is a clean cancel, not a completion, and a
+    * caller about to serve the target must not treat it as one. */
+  def allCompleted(results: Seq[TableResult]): Boolean =
+    results.forall(_.outcome.toOption.exists {
+      case TransferOutcome.Completed | TransferOutcome.SkippedComplete => true
+      case _ => false
+    })
+
   /** One-line summary per table (driver/ops visibility). */
   def summarize(results: Seq[TableResult]): String =
     results.map {

@@ -35,7 +35,9 @@ object Bmp {
   def encode(width: Int, height: Int,
              rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-    require(rowSizeL(width) * height <= Int.MaxValue - 54,
+    // BigInt like the decode path: rowSizeL * height can overflow even
+    // Long for dimensions near 2^31, wrapping negative past the guard
+    require(BigInt(rowSizeL(width)) * height <= Int.MaxValue - 54,
       s"image ${width}x$height exceeds the single-array BMP encoder")
     val stride = rowSize(width)
     val dataSize = stride * height

@@ -220,12 +220,16 @@ object Curation {
     * Scale shape: one narrow pass to key, one window over the content
     * key (shuffle on md5 — uniform), survivors only. */
   def crossSourceDedup(docs: DataFrame, prefixWords: Int = 10): DataFrame = {
-    val key = md5(concat_ws(" ", slice(words, 1, prefixWords)))
-    // regexp_extract yields "" on no match, which ANSI cast would throw
-    // on — route it to NULL first, then the sort-last fallback
+    // NULL text must key as NULL (DuckDB's array_to_string(NULL) → NULL
+    // → md5(NULL) → NULL), not as md5('') — Spark's concat_ws swallows a
+    // null array, which would group null-text docs with empty-text ones
+    val key = when(col("text").isNotNull,
+      md5(concat_ws(" ", slice(words, 1, prefixWords))))
+    // try_cast, exactly like the oracle: "" (no match) and out-of-range
+    // digit runs (src99999999999999999999) both fall to the sort-last
+    // sentinel instead of throwing under ANSI
     val m = regexp_extract(col("source"), "^src([0-9]+)$", 1)
-    val pri = coalesce(
-      when(m =!= "", m).cast("long"), lit(Long.MaxValue))
+    val pri = coalesce(m.try_cast("bigint"), lit(Long.MaxValue))
     val keyed = docs.select(col("doc_id"), col("source"),
       key.as("content_key"), pri.as("pri"))
     val w = Window.partitionBy(col("content_key"))

@@ -190,8 +190,21 @@ object Dedup {
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
       if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
+    // Opt-in per-iteration timers (-Dgraft.dedup.timers=1): bench-drift
+    // attribution needs to see WHERE a wall-clock delta lands (edge
+    // build? a specific propagation round? the final checkpoint) without
+    // paying a stderr line per round in normal runs.
+    val timers = sys.props.get("graft.dedup.timers").contains("1")
+    def timed[A](tag: String)(body: => A): A =
+      if (!timers) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[dedup-timer] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     try {
-      var prevSum = labelSum(labels)
+      var prevSum = timed("labelSum(init)")(labelSum(labels))
       var it = 0
       var converged = false
       while (it < maxIters && !converged) {
@@ -200,7 +213,7 @@ object Dedup {
         val next = labels.union(prop)
           .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
           .persist()
-        val nextSum = labelSum(next)
+        val nextSum = timed(s"iter $it")(labelSum(next))
         labels.unpersist()
         labels = next
         converged = nextSum == prevSum
@@ -217,7 +230,7 @@ object Dedup {
       // hand back an UNPERSISTED result: the fixpoint was already forced
       // by the convergence probes, and a leaked cache entry per call
       // would squat on executor storage for the rest of the session
-      val out = labels.localCheckpoint(true)
+      val out = timed("localCheckpoint")(labels.localCheckpoint(true))
       labels.unpersist()
       out
     } finally edges.unpersist()

@@ -53,10 +53,7 @@ object StreamingIngest {
     * ACTIVE streaming checkpoint mid-run (found once on the JDBC sink,
     * then AGAIN on the append sink in review; now one definition). */
   private def workDir(purpose: String, identity: String): String = {
-    val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(identity.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_${purpose}_$id"
+    val work = graft.util.Fs.workDir(purpose, identity)
     graft.util.Fs.deleteRecursive(new java.io.File(work))
     work
   }

@@ -23,29 +23,41 @@ class JdbcChunkSqlGoldenSpec extends AnyFunSuite {
     Seq("region", "id"),
     Seq(CharKey(backslashEscape = d == MySql), NumericKey(0)), d)
 
-  test("golden: keyset probe SQL — ANSI OFFSET/FETCH vs MySQL LIMIT") {
-    assert(single.probeSql("users", None, 250) ==
+  test("golden: keyset probe SQL — ANSI OFFSET/FETCH vs MySQL LIMIT, ? binds") {
+    assert(single.probeSql("users", hasPrev = false, 250) ==
       "SELECT id FROM users ORDER BY id " +
         "OFFSET 249 ROWS FETCH NEXT 1 ROWS ONLY")
-    assert(single.copy(dialect = MySql).probeSql("users", Some(Seq("42")), 250) ==
-      "SELECT id FROM users WHERE id > 42 ORDER BY id LIMIT 249, 1")
-    assert(single.copy(dialect = Postgres).probeSql("users", Some(Seq("42")), 250) ==
-      "SELECT id FROM users WHERE id > 42 ORDER BY id " +
+    assert(single.copy(dialect = MySql).probeSql("users", hasPrev = true, 250) ==
+      "SELECT id FROM users WHERE id > ? ORDER BY id LIMIT 249, 1")
+    assert(single.copy(dialect = Postgres).probeSql("users", hasPrev = true, 250) ==
+      "SELECT id FROM users WHERE id > ? ORDER BY id " +
         "OFFSET 249 ROWS FETCH NEXT 1 ROWS ONLY")
   }
 
   test("golden: composite probe walks the FULL tuple with row-value comparison on MySQL/PG") {
-    assert(comp(MySql).probeSql("t", Some(Seq("R1", "500")), 125) ==
-      "SELECT region, id FROM t WHERE (region, id) > ('R1', 500) " +
+    assert(comp(MySql).probeSql("t", hasPrev = true, 125) ==
+      "SELECT region, id FROM t WHERE (region, id) > (?, ?) " +
         "ORDER BY region, id LIMIT 124, 1")
-    assert(comp(Postgres).probeSql("t", Some(Seq("R1", "500")), 125) ==
-      "SELECT region, id FROM t WHERE (region, id) > ('R1', 500) " +
+    assert(comp(Postgres).probeSql("t", hasPrev = true, 125) ==
+      "SELECT region, id FROM t WHERE (region, id) > (?, ?) " +
         "ORDER BY region, id OFFSET 124 ROWS FETCH NEXT 1 ROWS ONLY")
     // Derby has no row-value comparisons → index-friendly expanded form
-    assert(comp(Derby).probeSql("t", Some(Seq("R1", "500")), 125) ==
+    assert(comp(Derby).probeSql("t", hasPrev = true, 125) ==
       "SELECT region, id FROM t " +
-        "WHERE (region > 'R1' OR (region = 'R1' AND id > 500)) " +
+        "WHERE (region > ? OR (region = ? AND id > ?)) " +
         "ORDER BY region, id OFFSET 124 ROWS FETCH NEXT 1 ROWS ONLY")
+  }
+
+  test("golden: probe BIND ORDER — row-value binds each column once; expanded repeats non-last columns") {
+    // (region, id) > (?, ?): params 1, 2 = region, id
+    assert(comp(MySql).gtBindIdx == Seq(0, 1))
+    assert(comp(Postgres).gtBindIdx == Seq(0, 1))
+    // (region > ? OR (region = ? AND id > ?)): params 1, 2 = region; 3 = id
+    assert(comp(Derby).gtBindIdx == Seq(0, 0, 1))
+    val k3 = PlanKey(Seq("a", "b", "c"),
+      Seq(NumericKey(0), NumericKey(0), NumericKey(0)), Derby)
+    assert(k3.gtBindIdx == Seq(0, 0, 1, 1, 2))
+    assert(single.gtBindIdx == Seq(0))
   }
 
   test("golden: MAX tuple orders the whole key descending (never per-column MAX)") {
