@@ -942,4 +942,122 @@ class JdbcDerbySpec extends SparkTestBase {
       assert(counts.sum == keys.size && counts.forall(_ > 0), s"$counts")
     }
   }
+
+  test("hostile VARCHAR keys (quotes, backslashes, unicode) survive probes and predicates") {
+    import graft.engine.{JdbcTransferJob, TransferControl, TransferOutcome}
+    // every key carries a hostile prefix, so rank-probe BOUNDS land on
+    // hostile values (bound via PreparedStatement — VERDICT r5 #2) and
+    // the literal chunk predicates Spark splices must escape them
+    val prefixes = Seq("O'Brien", """back\slash""", "d''ouble", "pct%und_",
+      "日本語キー", "émoji", "a b  c", "\"quoted\"")
+    val keys = (0 until 320).map(i => f"${prefixes(i % prefixes.size)}~$i%04d")
+    JdbcCatalog.execute(url,
+      "CREATE TABLE hostile_src (k VARCHAR(32) NOT NULL PRIMARY KEY, v DOUBLE)")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO hostile_src VALUES (?, ?)")
+      keys.foreach { k => ps.setString(1, k); ps.setDouble(2, 1.5); ps.addBatch() }
+      ps.executeBatch()
+    }
+    val cpDir = s"$work/cp_hostile"
+    val mig2 = MigrationSpec(batchSize = 40, checkpointRowThreshold = 40,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("hostile_src", targetName = Some("hostile_dst"))
+    // kill + resume so hostile bounds also round-trip the checkpoint JSON
+    val first = new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(2), log = _ => ()).run()
+    assert(first.isInstanceOf[TransferOutcome.Interrupted])
+    assert(new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run()
+      == TransferOutcome.Completed)
+    val back = JdbcTransfer.readAll(spark, url, "hostile_dst")
+    assert(back.count() == keys.size)
+    assert(back.select("k").collect().map(_.getString(0)).toSet == keys.toSet)
+  }
+
+  test("expanded tuple predicate == Spark struct comparison (property, widths 2-4)") {
+    import graft.engine.JdbcTransferJob.{CharKey, NumericKey, PlanKey}
+    import graft.sinks.JdbcUpsert.Derby
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import org.scalacheck.Gen
+    // The expanded form `k1 > a OR (k1 = a AND …)` is hand-rolled
+    // lexicographic logic; this drives it against Spark's own struct
+    // ordering on random tuples and bounds (VERDICT r5 Next #8).
+    // Narrow leading domains force ties at every level.
+    val tupleGen: Gen[(Int, String, Long)] = Gen.zip(
+      Gen.choose(0, 3), Gen.listOfN(2, Gen.alphaNumChar).map(_.mkString),
+      Gen.choose(0L, 50L))
+    for (width <- 2 to 4) {
+      val tbl = s"prop_x$width"
+      val colsAll = Seq("c0", "c1", "c2")
+      val ddlAll = Seq("c0 INT NOT NULL", "c1 VARCHAR(8) NOT NULL", "c2 BIGINT NOT NULL")
+      val stylesAll = Seq(NumericKey(0), CharKey(backslashEscape = false), NumericKey(0))
+      // width 4 repeats the narrow INT at the end to keep ties everywhere
+      val cols = if (width == 4) colsAll :+ "c3" else colsAll.take(width)
+      val ddl = if (width == 4) ddlAll :+ "c3 INT NOT NULL" else ddlAll.take(width)
+      val styles = if (width == 4) stylesAll :+ NumericKey(0) else stylesAll.take(width)
+      def toRow(t: (Int, String, Long)): Seq[String] = {
+        val full = Seq(t._1.toString, t._2, t._3.toString, (t._1 % 2).toString)
+        if (width == 4) full else full.take(width)
+      }
+      forAllN(Gen.containerOfN[Set, (Int, String, Long)](200, tupleGen), 2) { raw =>
+        val rows = raw.map(toRow).toSeq.distinct
+        JdbcCatalog.execute(url, s"CREATE TABLE $tbl (${ddl.mkString(", ")}, " +
+          s"PRIMARY KEY (${cols.mkString(", ")}))")
+        try {
+          JdbcCatalog.withConnection(url) { c =>
+            val ps = c.prepareStatement(
+              s"INSERT INTO $tbl VALUES (${cols.map(_ => "?").mkString(", ")})")
+            rows.foreach { r =>
+              cols.indices.foreach { i =>
+                if (styles(i).isInstanceOf[CharKey]) ps.setString(i + 1, r(i))
+                else ps.setLong(i + 1, r(i).toLong)
+              }
+              ps.addBatch()
+            }
+            ps.executeBatch()
+          }
+          val key = PlanKey(cols, styles, Derby)
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.map(r =>
+              org.apache.spark.sql.Row.fromSeq(r)), 2),
+            org.apache.spark.sql.types.StructType(cols.map(c =>
+              org.apache.spark.sql.types.StructField(c,
+                org.apache.spark.sql.types.StringType))))
+          // string-typed struct comparison matches Derby only if every
+          // component compares as its own type — so compare on TYPED
+          // columns (cast numerics back to long)
+          def typed(c: String, i: Int) =
+            if (styles(i).isInstanceOf[CharKey]) col(c) else col(c).cast("long")
+          val tupleCol = struct(cols.zipWithIndex.map { case (c, i) =>
+            typed(c, i).as(c) }: _*)
+          def boundCol(b: Seq[String]) = struct(cols.zipWithIndex.map { case (c, i) =>
+            (if (styles(i).isInstanceOf[CharKey]) lit(b(i))
+             else lit(b(i).toLong)).as(c) }: _*)
+          def derbySelect(where: String): Set[Seq[String]] =
+            JdbcCatalog.withConnection(url) { c =>
+              val st = c.createStatement()
+              try {
+                val rs = st.executeQuery(
+                  s"SELECT ${cols.mkString(", ")} FROM $tbl WHERE $where")
+                val b = Set.newBuilder[Seq[String]]
+                while (rs.next()) b += cols.indices.map(i => rs.getString(i + 1))
+                b.result()
+              } finally st.close()
+            }
+          def sparkSelect(pred: org.apache.spark.sql.Column): Set[Seq[String]] =
+            df.where(pred).collect()
+              .map(r => cols.indices.map(r.getString)).toSet
+          // bounds: 3 stored tuples + 2 arbitrary (possibly absent) ones
+          val bounds = rows.take(3) ++
+            Seq(Seq("1", "zz", "25", "0").take(width).padTo(width, "1"),
+              Seq("2", "A0", "0", "1").take(width).padTo(width, "0"))
+          bounds.foreach { b =>
+            assert(derbySelect(key.gt(b)) == sparkSelect(tupleCol > boundCol(b)),
+              s"gt mismatch at width $width, bound $b")
+            assert(derbySelect(key.le(b)) == sparkSelect(tupleCol <= boundCol(b)),
+              s"le mismatch at width $width, bound $b")
+          }
+        } finally JdbcCatalog.execute(url, s"DROP TABLE $tbl")
+      }
+    }
+  }
 }
