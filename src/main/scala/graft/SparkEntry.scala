@@ -1501,13 +1501,17 @@ object SparkEntry {
        |idx AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b, round(common / (sa + sb - common), 6) AS jaccard
+       |  GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, common,
+       |    round(common / (sa + sb - common), 6) AS jaccard
        |  FROM (SELECT c.*, s1.sz AS sa, s2.sz AS sb FROM common c
        |    JOIN sizes s1 ON c.doc_a = s1.doc_id
        |    JOIN sizes s2 ON c.doc_b = s2.doc_id))
-       |WHERE jaccard >= 0.5""".stripMargin
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, jaccard, row_number() OVER (
+       |      PARTITION BY doc_a ORDER BY common DESC, doc_b) AS rnk
+       |    FROM j WHERE jaccard >= 0.5)
+       |WHERE rnk <= 64""".stripMargin
 
   private def contaminationOracleSql: String =
     s"""WITH $shingleCte,

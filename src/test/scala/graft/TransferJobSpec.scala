@@ -77,6 +77,42 @@ class TransferJobSpec extends SparkTestBase {
     assert(again.head.outcome.get == TransferOutcome.SkippedComplete)
   }
 
+  test("prune-completed GCs checkpoints (+ chunk dirs under a published layout); rerun re-transfers cleanly") {
+    // chunked layout: only the checkpoint may go (chunk dirs ARE the data)
+    val (spec, _) = freshSpec(Seq(customerXform))
+    TransferRunner.run(spark, spec, log = _ => ())
+    assert(TableTransferJob.pruneCompleted(spec, customerXform))
+    assert(Checkpoint.load(spec.migration.checkpointDir, "parquet",
+      TableTransferJob.checkpointName(spec, customerXform)).isEmpty)
+    val dest = TableTransferJob.readTarget(spark, spec, "customer_new")
+    assert(dest.count() == expectedCustomer.count(), "data must survive the prune")
+    // rerun after prune: NOT skipped (checkpoint gone) — a full clean re-transfer
+    val again = TransferRunner.run(spark, spec, log = _ => ())
+    assert(again.head.outcome.get == TransferOutcome.Completed)
+    assert(TableTransferJob.readTarget(spark, spec, "customer_new")
+      .except(expectedCustomer).isEmpty)
+
+    // partitioned publish layout: intermediate chunk dirs go too
+    val part = TableMapping("orders", targetName = Some("orders_part"),
+      partitionBy = Seq("o_orderstatus"))
+    val (spec2, _) = freshSpec(Seq(part))
+    TransferRunner.run(spark, spec2, log = _ => ())
+    val destDir = new java.io.File(s"${spec2.destination.path}/orders_part")
+    assert(destDir.listFiles().exists(_.getName.startsWith("chunk-")))
+    assert(TableTransferJob.pruneCompleted(spec2, part))
+    assert(!destDir.listFiles().exists(_.getName.startsWith("chunk-")),
+      "published layout: chunk intermediates must be pruned")
+    val src = graft.sources.Tables(spark, sf, "orders")
+    assert(TableTransferJob.readTarget(spark, spec2, "orders_part").count() == src.count())
+    // an INTERRUPTED run refuses the prune (checkpoint is its resume point)
+    val (spec3, _) = freshSpec(Seq(customerXform))
+    new TableTransferJob(spark, spec3, customerXform, KillAfter(1), _ => ()).run()
+    assert(!TableTransferJob.pruneCompleted(spec3, customerXform))
+    assert(Checkpoint.load(spec3.migration.checkpointDir, "parquet",
+      TableTransferJob.checkpointName(spec3, customerXform)).nonEmpty,
+      "interrupted checkpoint must survive")
+  }
+
   test("kill+resume invariant: resumed destination == uninterrupted (SURVEY §5.2.4)") {
     forAllN(Gen.choose(1, 4), 4) { k =>
       val (spec, _) = freshSpec(Seq(customerXform))
