@@ -56,24 +56,39 @@ object Multimodal {
                               sum_r: Long, sum_g: Long, sum_b: Long,
                               px_min: Long, px_max: Long)
 
+  /** Channel sums + global min/max over a packed `0xRRGGBB` raster —
+    * shared by every image codec's stats path. */
+  private def pixelStats(id: Long, width: Int, height: Int,
+                         pixels: Array[Int]): ImageStats = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255L; var mx = 0L
+    var i = 0
+    while (i < pixels.length) {
+      val p = pixels(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += r; sg += g; sb += b
+      mn = math.min(mn, math.min(r, math.min(g, b)).toLong)
+      mx = math.max(mx, math.max(r, math.max(g, b)).toLong)
+      i += 1
+    }
+    ImageStats(id, width.toLong, height.toLong, sr, sg, sb, mn, mx)
+  }
+
   /** REAL image decode (pure-JVM BMP codec, not the stub): batch shape
     * identical to [[Decoder]] so swapping in a heavier codec changes
     * nothing around it. */
   val bmpImageStats: Iterator[(Long, Array[Byte])] => Iterator[ImageStats] =
     it => it.map { case (id, bytes) =>
       val img = Bmp.decode(bytes)
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var mn = 255L; var mx = 0L
-      var i = 0
-      while (i < img.pixels.length) {
-        val p = img.pixels(i)
-        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-        sr += r; sg += g; sb += b
-        mn = math.min(mn, math.min(r, math.min(g, b)).toLong)
-        mx = math.max(mx, math.max(r, math.max(g, b)).toLong)
-        i += 1
-      }
-      ImageStats(id, img.width.toLong, img.height.toLong, sr, sg, sb, mn, mx)
+      pixelStats(id, img.width, img.height, img.pixels)
+    }
+
+  /** REAL compressed-image decode (pure-JVM PNG codec, VERDICT r5 #5):
+    * zlib-inflated, per-row-filtered scanlines — same batch shape. */
+  val pngImageStats: Iterator[(Long, Array[Byte])] => Iterator[ImageStats] =
+    it => it.map { case (id, bytes) =>
+      val img = Png.decode(bytes)
+      pixelStats(id, img.width, img.height, img.pixels)
     }
 
   /** (id, BMP payload) → per-image pixel statistics, decoded
@@ -100,6 +115,33 @@ object Multimodal {
       ((id + 7L * x + 13L * y) % 256).toInt,
       ((2L * id + 3L * x + 5L * y) % 256).toInt,
       ((5L * id + 11L * x + 17L * y) % 256).toInt))
+  }
+
+  /** (id, PNG payload) → per-image pixel statistics, decoded
+    * per-partition (same distributed shape as [[imageStats]]). */
+  def pngStats(df: DataFrame, idCol: String, binCol: String): Dataset[ImageStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(pngImageStats)
+  }
+
+  /** Deterministic PNG fixture for row `id` — closed-form pixels like
+    * [[syntheticBmp]], so the oracle recomputes the decoded statistics
+    * without a codec. The row FILTER TYPE rotates through all five PNG
+    * filters (`(id + y) mod 5`), so decoding the fixture corpus
+    * exercises None/Sub/Up/Average/Paeth — not just the trivial path.
+    * Formula (mod 256): r = 3id + 5x + 11y, g = 7id + 2x + 3y,
+    * b = id + 13x + 9y; width = 4 + id%6, height = 2 + id%5. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 4 + (id % 6).toInt
+    val h = 2 + (id % 5).toInt
+    Png.encode(w, h, (x, y) => (
+      ((3L * id + 5L * x + 11L * y) % 256).toInt,
+      ((7L * id + 2L * x + 3L * y) % 256).toInt,
+      ((id + 13L * x + 9L * y) % 256).toInt),
+      filterFor = y => ((id + y) % 5).toInt)
   }
 
   /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample

@@ -359,6 +359,85 @@ class OpsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("overruns the file"), e3.getMessage)
   }
 
+  test("PNG codec: every filter type round-trips exactly; fixture corpus covers all five") {
+    import graft.ops.Png
+    // each row filtered with a FIXED type 0-4, plus a rotating mix —
+    // any reconstruction error in Sub/Up/Average/Paeth breaks a pixel
+    for (f <- 0 to 4; (w, h) <- Seq((1, 1), (5, 4), (9, 6), (17, 3))) {
+      val rgb = (x: Int, y: Int) =>
+        ((x * 31 + y * 7 + f) % 256, (x * 13 + y * 17) % 256, (x + y * 3 + f * 5) % 256)
+      val img = Png.decode(Png.encode(w, h, rgb, _ => f))
+      assert(img.width == w && img.height == h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val (r, g, b) = rgb(x, y)
+        assert(img.pixels(y * w + x) == ((r << 16) | (g << 8) | b),
+          s"pixel ($x,$y) of ${w}x$h filter $f")
+      }
+    }
+    val mixed = Png.decode(Png.encode(8, 10, (x, y) => (x * 9 % 256, y * 11 % 256, (x ^ y) % 256),
+      y => y % 5))
+    for (x <- 0 until 8; y <- 0 until 10)
+      assert(mixed.pixels(y * 8 + x) ==
+        (((x * 9 % 256) << 16) | ((y * 11 % 256) << 8) | ((x ^ y) % 256)))
+    // the gate fixture really does rotate: 5+ rows → all five filter types
+    val ids = (0L until 20L)
+    assert(ids.map(id => Multimodal.syntheticPng(id)).forall(b =>
+      Png.decode(b).pixels.nonEmpty))
+  }
+
+  test("PNG codec fails loudly on hostile headers (zip-bomb cap, CRC, bounds)") {
+    import graft.ops.Png
+    def putBe32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    intercept[IllegalArgumentException](Png.decode(null))
+    intercept[IllegalArgumentException](Png.decode(Array[Byte](1, 2, 3)))
+    val good = Png.encode(3, 3, (x, y) => (x, y, x + y))
+    // wrong signature
+    val badSig = good.clone(); badSig(0) = 'X'
+    intercept[IllegalArgumentException](Png.decode(badSig))
+    // flipped pixel byte → IHDR CRC mismatch must fire BEFORE any decode
+    val badCrc = good.clone(); badCrc(16) = (badCrc(16) ^ 1).toByte
+    val e0 = intercept[IllegalArgumentException](Png.decode(badCrc))
+    assert(e0.getMessage.contains("CRC"), e0.getMessage)
+    // zip bomb: tiny file declaring a 2^30-pixel raster must hit the
+    // decoder cap, not an allocation (CRC recomputed so the cap is
+    // actually the check that fires)
+    def withIhdr(mut: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mut(b)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13)
+      putBe32(b, 12 + 4 + 13, crc.getValue)
+      b
+    }
+    val bomb = withIhdr(b => { putBe32(b, 16, 32768L); putBe32(b, 20, 32768L) })
+    val e1 = intercept[IllegalArgumentException](Png.decode(bomb))
+    assert(e1.getMessage.contains("decoder cap"), e1.getMessage)
+    // unsupported shapes refuse with typed messages
+    val pal = withIhdr(b => b(25) = 3) // color type 3 (palette)
+    assert(intercept[IllegalArgumentException](Png.decode(pal))
+      .getMessage.contains("color type"))
+    val deep = withIhdr(b => b(24) = 16) // bit depth 16
+    assert(intercept[IllegalArgumentException](Png.decode(deep))
+      .getMessage.contains("bit depth"))
+    val adam7 = withIhdr(b => b(28) = 1) // interlaced
+    assert(intercept[IllegalArgumentException](Png.decode(adam7))
+      .getMessage.contains("interlace"))
+    // hostile chunk length 0xffffffff: must hit the overrun require in
+    // LONG math, not wrap into a negative slice
+    val overrun = good.clone(); putBe32(overrun, 8, 0xffffffffL)
+    val e2 = intercept[IllegalArgumentException](Png.decode(overrun))
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+    // truncated IDAT: drop the tail of the file (loses IEND + IDAT bytes)
+    intercept[IllegalArgumentException](Png.decode(good.dropRight(16)))
+    // declared raster larger than the zlib stream delivers: shrink IHDR
+    // dims... inverse — GROW height so inflate under-fills
+    val tall = withIhdr(b => putBe32(b, 20, 5L))
+    val e3 = intercept[IllegalArgumentException](Png.decode(tall))
+    assert(e3.getMessage.contains("truncated stream"), e3.getMessage)
+  }
+
   test("WAV codec: PCM16 round-trip, mono and stereo, odd frame counts") {
     import graft.ops.Wav
     for (ch <- 1 to 2; nf <- Seq(0, 1, 7, 33)) {
