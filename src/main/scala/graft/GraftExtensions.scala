@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{CosineSim, Fnv, Fnv1a32, SqDist}
+import graft.functions.{CosineSim, Dot, Fnv, Fnv1a32, SqDist}
 
 /** `SparkSessionExtensions` entry point — makes the engine's native
   * Catalyst expressions first-class SQL functions, so the `expr()`-based
@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => SqDist(a, b)
         case _ => throw new IllegalArgumentException(
           "graft_sqdist(array<double>, array<double>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[Dot].getName, "graft_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => Dot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_dot(array<double>, array<double>)")
       }))
   }
 }

@@ -496,6 +496,12 @@ object SparkEntry {
     // --- similarity search: exact brute-force baseline + LSH-bucketed ANN
     //     + IVF (coarse-quantizer cells, nProbe scan) — the index path
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(T(s, d, "embeddings"))),
+
+    // --- Johnson-Lindenstrauss random projection (deterministic ±1 md5
+    //     matrix, native graft_dot kernels): the dimensionality-reduction
+    //     pass before indexing at scale; one row per (vec_id, dim)
+    "embedding_project" -> ((s, d) =>
+      Similarity.randomProjection(T(s, d, "embeddings"))),
     "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(T(s, d, "embeddings"))),
 
@@ -1146,6 +1152,17 @@ object SparkEntry {
         |SELECT qid, nn_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
         |  FROM p) WHERE rn <= 5""".stripMargin,
+    // the ±1 sign matrix replays the engine's md5 formula; the sum runs
+    // in array order and scales by MULTIPLYING the reciprocal (dividing
+    // by sqrt(8) instead would differ in ulps from the engine)
+    "embedding_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |           WHERE len(embedding) <= 64)
+        |SELECT vec_id, CAST(j.j AS INT) AS dim,
+        |  round(list_sum(list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0
+        |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)), 6) AS v
+        |FROM e, generate_series(0, 7) AS j(j)""".stripMargin,
     "ann_bucket_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |    CAST(list_sum(list_transform(range(0, 8),

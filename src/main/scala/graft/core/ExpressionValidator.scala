@@ -45,7 +45,7 @@ object ExpressionValidator {
     "md5", "sha1", "sha2", "hash", "xxhash64", "crc32",
     // graft native expressions (registered in every engine session by
     // GraftExtensions; deterministic row-local scalars)
-    "graft_fnv1a32", "graft_cosine", "graft_sqdist",
+    "graft_fnv1a32", "graft_cosine", "graft_sqdist", "graft_dot",
     // casts are also reachable as functions
     "cast", "string", "int", "bigint", "double", "decimal", "date",
     "timestamp", "boolean", "binary")

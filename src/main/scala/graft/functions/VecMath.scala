@@ -45,6 +45,20 @@ object VecMath {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Dot-product kernel (projection / scoring passes). */
+  def dotBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** Squared L2 distance kernel (k-means training metric). */
   def sqDistBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -67,6 +81,10 @@ object VecMath {
   /** Column API: squared Euclidean distance over two `array<double>`. */
   def sqDist(a: Column, b: Column): Column =
     GraftShim.column(SqDist(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Column API: dot product over two `array<double>`. */
+  def dot(a: Column, b: Column): Column =
+    GraftShim.column(Dot(GraftShim.expression(a), GraftShim.expression(b)))
 }
 
 private[functions] trait VecBinary extends BinaryExpression {
@@ -109,5 +127,14 @@ case class SqDist(left: Expression, right: Expression) extends VecBinary {
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecMath.sqDistBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDist =
+    copy(left = l, right = r)
+}
+
+case class Dot(left: Expression, right: Expression) extends VecBinary {
+  override def prettyName: String = "graft_dot"
+  override protected def kernel: String = "graft.functions.VecMath.dotBoxed"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Dot =
     copy(left = l, right = r)
 }

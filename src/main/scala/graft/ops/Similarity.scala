@@ -69,6 +69,45 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Deterministic ±1 sign for projection cell (j, i): +1 iff the first
+    * hex digit of md5("rp:j:i") is even — a formula both the Scala
+    * driver (here) and the DuckDB oracle replay byte-identically. */
+  private[graft] def rpSign(j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson-Lindenstrauss random projection: reduce `array<float>`
+    * embeddings to `k` dimensions with a FIXED ±1 sign matrix (Achlioptas
+    * construction, scaled 1/√k) — the dimensionality-reduction pass a
+    * pipeline runs before indexing/clustering at 100 TB (distances are
+    * preserved within (1±ε), so the ANN family above runs on vectors a
+    * fraction of the size). The matrix is derived from md5, not an RNG,
+    * so the projection is a pure function of the input and the oracle
+    * recomputes it exactly.
+    *
+    * Scale shape: one narrow codegen'd map over the collection — k native
+    * [[graft.functions.VecMath.dot]] kernels per row against broadcast
+    * literal sign vectors; no shuffle, no UDF, no driver data. Output is
+    * one row per (vec_id, dim) so the gate hash covers every component. */
+  def randomProjection(emb: DataFrame, k: Int = 8, maxDim: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val invSqrtK = 1.0 / math.sqrt(k.toDouble)
+    val comps = (0 until k).map { j =>
+      val signs = typedLit((0 until maxDim).map(i => rpSign(j, i)))
+      // slice the fixed sign row to the vector's own length: graft_dot
+      // requires equal lengths (and NULLs on mismatch, which would leak
+      // into the gate as missing rows)
+      val dot = graft.functions.VecMath.dot(col("emb"),
+        slice(signs, lit(1), size(col("emb"))))
+      struct(lit(j).as("dim"), round(dot * invSqrtK, 6).as("v"))
+    }
+    e.where(size(col("emb")) <= maxDim)
+      .select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.dim").as("dim"), col("c.v").as("v"))
+  }
+
   /** Squared L2 distance (training metric — Lloyd's monotonicity holds
     * for squared-Euclidean, unlike cosine). */
   private def sqDist(a: Column, b: Column): Column =

@@ -359,6 +359,27 @@ class OpsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("overruns the file"), e3.getMessage)
   }
 
+  test("random projection: matches direct computation, preserves scale, no shuffle") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.randomProjection(emb, k = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.size == vecs.size * 8)
+    // direct recomputation of a handful of components (same formula)
+    for (id <- vecs.keys.take(5); j <- 0 until 8) {
+      val v = vecs(id)
+      val dot = v.indices.foldLeft(0.0)((acc, i) =>
+        acc + v(i).toDouble * Similarity.rpSign(j, i))
+      val want = BigDecimal(dot * (1.0 / math.sqrt(8.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out((id, j)) - want) < 1e-9, s"component ($id, $j)")
+    }
+    // narrow plan: a projection must not shuffle the collection
+    val plan = Similarity.randomProjection(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection plan shuffles:\n$plan")
+  }
+
   test("PNG codec: every filter type round-trips exactly; fixture corpus covers all five") {
     import graft.ops.Png
     // each row filtered with a FIXED type 0-4, plus a rotating mix —
