@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{ColumnTransformation, EndpointSpec, ExpressionValidator, MigrationSpec, TableMapping, TransferSpec}
 import graft.engine.{TableTransferJob, TransferControl, TransferRunner}
 import graft.functions.MySqlDateFormat
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.sinks.Upsert
 import graft.sources.Tables
 import graft.streaming.StreamingIngest
@@ -502,6 +502,12 @@ object SparkEntry {
     //     pass before indexing at scale; one row per (vec_id, dim)
     "embedding_project" -> ((s, d) =>
       Similarity.randomProjection(T(s, d, "embeddings"))),
+
+    // --- Z-order (Morton) clustering key: write-time layout so parquet
+    //     min/max stats prune files on EITHER dimension at 100 TB
+    "layout_zorder" -> ((s, d) =>
+      Layout.withZValue(T(s, d, "orders").select("o_orderkey", "o_custkey"),
+        "o_orderkey", "o_custkey")),
     "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(T(s, d, "embeddings"))),
 
@@ -580,6 +586,10 @@ object SparkEntry {
 
     // --- TF-IDF top-terms per document (two-shuffle exact design)
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdf(T(s, d, "documents"))),
+
+    // --- BPE tokenizer-training statistics: corpus-wide adjacent
+    //     character-pair frequencies over the deduplicated vocabulary
+    "text_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(T(s, d, "documents"))),
 
     // --- ArrayType column ops over embeddings (Cassandra list<> analog)
     "array_stats" -> ((s, d) => {
@@ -1163,6 +1173,21 @@ object SparkEntry {
         |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0
         |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)), 6) AS v
         |FROM e, generate_series(0, 7) AS j(j)""".stripMargin,
+    // morton interleave replayed with DuckDB's own bit operators; the
+    // quantization is pure BIGINT arithmetic on both sides
+    "layout_zorder" ->
+      """WITH s AS (SELECT CAST(min(o_orderkey) AS BIGINT) xlo,
+        |                  CAST(max(o_orderkey) AS BIGINT) xhi,
+        |                  CAST(min(o_custkey) AS BIGINT) ylo,
+        |                  CAST(max(o_custkey) AS BIGINT) yhi FROM orders),
+        |q AS (SELECT o_orderkey, o_custkey,
+        |       (CAST(o_orderkey AS BIGINT) - xlo) * 65536 // (xhi - xlo + 1) AS xq,
+        |       (CAST(o_custkey AS BIGINT) - ylo) * 65536 // (yhi - ylo + 1) AS yq
+        |      FROM orders, s)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((xq >> i) & 1) << (2*i)) + (((yq >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
+        |FROM q""".stripMargin,
     "ann_bucket_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |    CAST(list_sum(list_transform(range(0, 8),
@@ -1201,6 +1226,20 @@ object SparkEntry {
          |  ELSE NULL END AS rolling_min_hash,
          |  length(text)::BIGINT AS n_chars_actual
          |FROM base""".stripMargin,
+    // pair counts are weighted by word-occurrence count (classic BPE);
+    // the vocabulary is built first so repeated words are counted once
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS wc FROM (
+        |    SELECT t.u AS word FROM documents, unnest(string_split(text, ' ')) AS t(u))
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wc FROM (
+        |    SELECT word, wc, unnest(range(1, length(word))) AS i FROM w)),
+        |a AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count FROM p GROUP BY pair)
+        |SELECT pair, pair_count FROM (
+        |  SELECT pair, pair_count, row_number() OVER (ORDER BY pair_count DESC, pair) AS rn
+        |  FROM a) WHERE rn <= 50""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, t.u AS term
         |    FROM documents, unnest(string_split(text, ' ')) AS t(u)),

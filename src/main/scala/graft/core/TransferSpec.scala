@@ -25,7 +25,13 @@ final case class TableMapping(
       * after the transfer (S8's real DDL-at-destination semantics,
       * `mysql.go:254-274`) — the target becomes queryable by name via
       * `spark.table`/SQL, alongside the `_schema.ddl` sidecar. */
-    registerTable: Boolean = false) {
+    registerTable: Boolean = false,
+    /** Live-destination schema evolution: when the SOURCE gains columns
+      * the destination lacks, ALTER the destination to add them
+      * (nullable) before transferring, instead of failing the MERGE.
+      * Opt-in — a deliberately narrower destination stays untouched by
+      * default. Dest-only columns are never dropped or retyped. */
+    evolveSchema: Boolean = false) {
   def target: String = targetName.getOrElse(name)
   def primaryKeyCols: Option[Seq[String]] =
     primaryKey.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -129,7 +135,8 @@ object TransferSpec {
         .map(asMap).map(c =>
           ColumnTransformation(str(c, "source_column"), str(c, "expression"))),
       partitionBy = asList(m.getOrElse("partition_by", null)).map(_.toString),
-      registerTable = m.get("register_table").exists(_.toString.toBoolean))
+      registerTable = m.get("register_table").exists(_.toString.toBoolean),
+      evolveSchema = m.get("evolve_schema").exists(_.toString.toBoolean))
 
   private def migration(m: Map[String, Any]): MigrationSpec = {
     val d = MigrationSpec()
@@ -161,6 +168,7 @@ object TransferSpec {
        |          expression: "price * 100"
        |    - name: "orders"
        |      register_table: true    # CREATE TABLE IF NOT EXISTS in the session catalog
+       |      evolve_schema: true     # ALTER destination when the source gains columns
        |      column_transformations:
        |        - source_column: "status"
        |          expression: "CONCAT('Status: ', status)"

@@ -319,7 +319,12 @@ final class JdbcTransferJob(
         case Right(()) => ()
       }
     }
-    JdbcCatalog.mirrorTable(url, table.name, table.target, destUrl) // S8
+    if (table.evolveSchema) { // S8 + additive evolution (opt-in)
+      val added = JdbcCatalog.evolveTable(url, table.name, table.target, destUrl)
+      if (added.nonEmpty)
+        log(s"${table.name}: schema evolution added column(s) " +
+          s"${added.mkString(", ")} at ${table.target}")
+    } else JdbcCatalog.mirrorTable(url, table.name, table.target, destUrl) // S8
 
     val metaByName = JdbcCatalog.columns(url, table.name)
       .map(m => m.name -> m).toMap

@@ -90,6 +90,33 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf")
   }
 
+  /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
+    * training: frequencies of adjacent character pairs, weighted by word
+    * occurrence count, over the whole corpus. The top entry is the first
+    * merge a BPE trainer would perform; re-running after applying merges
+    * is the full training loop (driver-side loop over this operator).
+    *
+    * Scale shape: explode → hash agg on word (map-side combine collapses
+    * the corpus to its VOCABULARY before any pair work) → narrow pair
+    * expansion → hash agg on pair. The final row_number window is global
+    * but runs over the aggregated pair set, which is charset²-bounded,
+    * not corpus-bounded — safe at 100 TB. */
+  def bpePairs(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = docs.select(explode(words).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val pairs = wf.select(col("wc"),
+      explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+    val agg = pairs.groupBy("pair")
+      .agg(sum("wc").cast("bigint").as("pair_count"))
+    val w = Window.orderBy(col("pair_count").desc, col("pair"))
+    agg.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select("pair", "pair_count")
+  }
+
   /** Content fingerprints: md5 of the normalized text (exact matching)
     * plus a bottom-1 rolling-hash sketch — the minimum Carter-Wegman
     * hash over the document's 3-gram shingles, which survives local

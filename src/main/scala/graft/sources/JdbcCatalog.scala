@@ -150,4 +150,28 @@ object JdbcCatalog {
     val pkDef = if (pk.isEmpty) Nil else Seq(s"PRIMARY KEY (${pk.mkString(", ")})")
     execute(dst, s"CREATE TABLE $target (${(colDefs ++ pkDef).mkString(", ")})")
   }
+
+  /** Schema EVOLUTION at the destination (no reference analog — its
+    * mirror is create-once, `mysql.go:254-274`, and a later source
+    * column crashes the INSERT): add source columns the destination
+    * lacks, so a re-transfer after the source gained a column keeps
+    * working. Added columns are NULLABLE regardless of the source's
+    * constraint — the destination already holds rows with no value for
+    * them; the subsequent keyed MERGE backfills every transferred row.
+    * Destination-only columns are never dropped or retyped (evolution
+    * is strictly additive). Returns the added column names. */
+  def evolveTable(srcUrl: String, source: String, target: String,
+                  destUrl: String = null): Seq[String] = {
+    val dst = if (destUrl == null) srcUrl else destUrl
+    if (!tableExists(dst, target)) {
+      mirrorTable(srcUrl, source, target, destUrl)
+      return Nil
+    }
+    val have = columns(dst, target).map(_.name).toSet
+    val missing = columns(srcUrl, source).filterNot(m => have.contains(m.name))
+    missing.foreach { m =>
+      execute(dst, s"ALTER TABLE $target ADD COLUMN ${m.name} ${m.sqlType}")
+    }
+    missing.map(_.name)
+  }
 }

@@ -359,6 +359,68 @@ class OpsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("overruns the file"), e3.getMessage)
   }
 
+  test("z-order layout: pinned morton values; z-ordered files bound BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // identity quantization on [0,7] at 3 bits — pinned interleave values
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (7L, 7L)).toDF("x", "y")
+    val z = Layout.withZValueStatic(pts, "x", "y", (0L, 7L), (0L, 7L), bits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((0L, 0L)) == 0 && z((1L, 0L)) == 1 && z((0L, 1L)) == 2 &&
+      z((5L, 3L)) == 27 && z((7L, 7L)) == 63, z.toString)
+
+    // layout benefit: 8 z-ordered files each cover a small bounding BOX,
+    // so per-file min/max prunes on EITHER column; a single-column sort
+    // leaves the other column's per-file span at ~the full range
+    val o = docs.sparkSession.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZOrdered(o, s"$dir/z", "o_orderkey", "o_custkey", numFiles = 8)
+    o.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.parquet(s"$dir/naive")
+    def avgSpan(path: String, c: String): Double = {
+      val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 4, s"expected several files under $path")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min(col(c)).cast("long"),
+            org.apache.spark.sql.functions.max(col(c)).cast("long")).head
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    val custNaive = avgSpan(s"$dir/naive", "o_custkey")
+    val custZ = avgSpan(s"$dir/z", "o_custkey")
+    val okeyGlobal = {
+      val r = o.agg(org.apache.spark.sql.functions.min(col("o_orderkey")).cast("long"),
+        org.apache.spark.sql.functions.max(col("o_orderkey")).cast("long")).head
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    val okeyZ = avgSpan(s"$dir/z", "o_orderkey")
+    assert(custZ < 0.7 * custNaive,
+      s"z-order custkey span $custZ not smaller than single-sort $custNaive")
+    assert(okeyZ < 0.7 * okeyGlobal,
+      s"z-order orderkey span $okeyZ ~ global $okeyGlobal: no locality")
+  }
+
+  test("BPE pair stats: hand-computed counts on a tiny corpus, deterministic top-k") {
+    import spark.implicits._
+    // vocab: "abab"×3 docs, "ab" in one, "ba" in one; single chars dropped
+    val tiny = Seq((1L, "abab ab c"), (2L, "abab ba"), (3L, "abab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairs(tiny, topK = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // vocabulary counts: abab→3, ab→1, ba→1 (distinct words, weighted)
+    // pairs from abab (wc 3): ab, ba, ab → ab 6, ba 3
+    // pairs from ab (wc 1): ab → +1 ; from ba (wc 1): ba → +1
+    assert(got.toSeq == Seq("ab" -> 7L, "ba" -> 4L), got.mkString(","))
+    // on the real corpus: output bounded by topK, ordered (count desc, pair)
+    val real = TextAnalysis.bpePairs(docs).collect()
+    assert(real.length == 50)
+    val counts = real.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, "not count-descending")
+  }
+
   test("random projection: matches direct computation, preserves scale, no shuffle") {
     import org.apache.spark.sql.functions.col
     val out = Similarity.randomProjection(emb, k = 8).collect()
