@@ -591,6 +591,11 @@ object SparkEntry {
     //     character-pair frequencies over the deduplicated vocabulary
     "text_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(T(s, d, "documents"))),
 
+    // --- unigram LM scoring (perplexity proxy for quality filtering);
+    //     per-token log-probs rounded then DECIMAL-summed for exactness
+    "text_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(T(s, d, "documents"))),
+
     // --- ArrayType column ops over embeddings (Cassandra list<> analog)
     "array_stats" -> ((s, d) => {
       val e = T(s, d, "embeddings")
@@ -1226,6 +1231,18 @@ object SparkEntry {
          |  ELSE NULL END AS rolling_min_hash,
          |  length(text)::BIGINT AS n_chars_actual
          |FROM base""".stripMargin,
+    // per-token log-prob rounded to 6 dp first (pure scalar), then summed
+    // as DECIMAL — order-independent, so both engines aggregate exactly
+    "text_unigram_logprob" ->
+      """WITH terms AS (SELECT doc_id, t.u AS term
+        |    FROM documents, unnest(string_split(text,' ')) AS t(u)),
+        |n AS (SELECT count(*)::DOUBLE AS total FROM terms),
+        |uni AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+        |lp AS (SELECT doc_id, CAST(round(ln(cnt::DOUBLE / total), 6) AS DECIMAL(18,6)) AS lp
+        |       FROM terms JOIN uni USING (term) CROSS JOIN n)
+        |SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob,
+        |       count(*)::BIGINT AS n_tokens
+        |FROM lp GROUP BY doc_id""".stripMargin,
     // pair counts are weighted by word-occurrence count (classic BPE);
     // the vocabulary is built first so repeated words are counted once
     "text_bpe_pairs" ->

@@ -90,6 +90,31 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf")
   }
 
+  /** Unigram language-model scoring — the cheap perplexity proxy used
+    * for corpus quality filtering and importance resampling: train
+    * corpus-wide unigram probabilities (one aggregation), score each
+    * document as its mean token log-probability. Documents far below the
+    * corpus mean are gibberish/boilerplate candidates; far above are
+    * repetitive-token candidates.
+    *
+    * Determinism: each token's log-prob is rounded to 6 dp FIRST (a pure
+    * per-row scalar) and summed as DECIMAL — exact and order-independent,
+    * so the distributed aggregation cannot drift in ulps from the oracle.
+    * Shape: explode → unigram hash agg → shuffle join on term → doc hash
+    * agg; the tfIdf family's plan, no driver vocabulary. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(words).as("term"))
+    val uni = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.count().toDouble // corpus token count: one scalar
+    terms.join(uni, "term")
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / total), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(round(sum("lp").cast("double") / count(lit(1)), 6).as("logprob"),
+        count(lit(1)).cast("bigint").as("n_tokens"))
+  }
+
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
     * training: frequencies of adjacent character pairs, weighted by word
     * occurrence count, over the whole corpus. The top entry is the first

@@ -403,6 +403,21 @@ class OpsSpec extends SparkTestBase {
       s"z-order orderkey span $okeyZ ~ global $okeyGlobal: no locality")
   }
 
+  test("unigram logprob: hand-computed scores, exact decimal aggregation") {
+    import spark.implicits._
+    // total 4 tokens: a×3, b×1 → ln(3/4) = -0.287682, ln(1/4) = -1.386294
+    val tiny = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // doc1: (2×-0.287682 + -1.386294)/3 = -0.653886 (exact decimal sum)
+    assert(got(1L) == ((-0.653886, 3L)), got(1L).toString)
+    assert(got(2L) == ((-0.287682, 1L)), got(2L).toString)
+    // real corpus: one score per doc, all finite negatives
+    val real = TextAnalysis.unigramLogProb(docs).collect()
+    assert(real.length == docs.count())
+    assert(real.forall(r => r.getDouble(1) < 0 && !r.getDouble(1).isNaN))
+  }
+
   test("BPE pair stats: hand-computed counts on a tiny corpus, deterministic top-k") {
     import spark.implicits._
     // vocab: "abab"×3 docs, "ab" in one, "ba" in one; single chars dropped
