@@ -31,7 +31,13 @@ final case class TableMapping(
       * (nullable) before transferring, instead of failing the MERGE.
       * Opt-in — a deliberately narrower destination stays untouched by
       * default. Dest-only columns are never dropped or retyped. */
-    evolveSchema: Boolean = false) {
+    evolveSchema: Boolean = false,
+    /** Incremental append-only sync: re-running a COMPLETED transfer
+      * plans and transfers only the rows whose key tuple sorts ABOVE the
+      * last synced key, instead of skipping (R6's default). Assumes the
+      * source is append-only above that bound — in-place updates below
+      * it are not re-read (that is CDC, a different contract). */
+    incremental: Boolean = false) {
   def target: String = targetName.getOrElse(name)
   def primaryKeyCols: Option[Seq[String]] =
     primaryKey.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -136,7 +142,8 @@ object TransferSpec {
           ColumnTransformation(str(c, "source_column"), str(c, "expression"))),
       partitionBy = asList(m.getOrElse("partition_by", null)).map(_.toString),
       registerTable = m.get("register_table").exists(_.toString.toBoolean),
-      evolveSchema = m.get("evolve_schema").exists(_.toString.toBoolean))
+      evolveSchema = m.get("evolve_schema").exists(_.toString.toBoolean),
+      incremental = m.get("incremental").exists(_.toString.toBoolean))
 
   private def migration(m: Map[String, Any]): MigrationSpec = {
     val d = MigrationSpec()
@@ -169,6 +176,7 @@ object TransferSpec {
        |    - name: "orders"
        |      register_table: true    # CREATE TABLE IF NOT EXISTS in the session catalog
        |      evolve_schema: true     # ALTER destination when the source gains columns
+       |      incremental: true       # append-only delta sync on re-run (vs skip)
        |      column_transformations:
        |        - source_column: "status"
        |          expression: "CONCAT('Status: ', status)"

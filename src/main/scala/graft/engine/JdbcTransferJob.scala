@@ -61,6 +61,16 @@ import graft.sources.JdbcCatalog
   * resume; the keyed MERGE makes that a no-op (idempotence is the
   * correctness story, the checkpoint is the cost story).
   *
+  * INCREMENTAL sync (`TableMapping.incremental`, no reference analog —
+  * its completed tables always skip): a re-run against a COMPLETE
+  * checkpoint plans only the key-tuple tail above the plan's last bound
+  * (the exact max at completion), compacts the old plan to a done
+  * sentinel chunk, and appends delta chunks — so repeated runs cost one
+  * COUNT + a delta-sized keyset walk, the checkpoint stays bounded at
+  * sentinel + ≤256 bounds, and a kill mid-delta resumes like any other
+  * interrupted run. Append-only contract: updates BELOW the last synced
+  * key are not re-read (that would be CDC, a different mechanism).
+  *
   * 100 TB posture: no driver-side data, chunk count capped at 256 so the
   * checkpoint cadence scales with table size; per-chunk reads are indexed
   * range scans the store can serve concurrently; writes are per-partition
@@ -250,19 +260,28 @@ final class JdbcTransferJob(
     if (total == 0) return (Nil, 0L)
     val n = chunkCount(total)
     val per = math.max(1L, total / n)
+    val bounds = walkBounds(c, key, start = None, probes = n - 1, per = per)
+    ((bounds :+ maxKey(c, key)).distinct, total)
+  }
+
+  /** Keyset-walk `probes` chunk boundaries, starting strictly above
+    * `start` (None = from the table's first key). TWO prepared
+    * statements serve the whole walk (first probe has no lower bound;
+    * every later probe rebinds `prev` into the same statement):
+    * boundary values travel as typed driver-side binds — no
+    * literal-escaping surface (VERDICT r5 #2) — and the server parses
+    * each probe shape once instead of once per chunk boundary. */
+  private def walkBounds(c: Connection, key: PlanKey,
+                         start: Option[Seq[String]], probes: Int,
+                         per: Long): Seq[Seq[String]] = {
     val width = key.cols.size
     val bounds = Seq.newBuilder[Seq[String]]
-    var prev: Option[Seq[String]] = None
+    var prev: Option[Seq[String]] = start
     var exhausted = false
-    // TWO prepared statements serve the whole walk (first probe has no
-    // lower bound; every later probe rebinds `prev` into the same
-    // statement): boundary values travel as typed driver-side binds —
-    // no literal-escaping surface (VERDICT r5 #2) — and the server
-    // parses each probe shape once instead of once per chunk boundary.
     val firstPs = c.prepareStatement(key.probeSql(table.name, hasPrev = false, per))
     val nextPs = c.prepareStatement(key.probeSql(table.name, hasPrev = true, per))
     try {
-      for (_ <- 1 until n if !exhausted) {
+      for (_ <- 0 until probes if !exhausted) {
         val ps = prev match {
           case Some(p) => key.bindPrev(nextPs, p); nextPs
           case None => firstPs
@@ -279,16 +298,41 @@ final class JdbcTransferJob(
         } finally rs.close()
       }
     } finally { firstPs.close(); nextPs.close() }
-    // exact MAX tuple closes the plan (MAX() per column would fabricate
-    // a tuple that exists in no row — order the whole key instead)
-    val maxKey = {
-      val st = c.createStatement()
+    bounds.result()
+  }
+
+  /** Exact MAX tuple closes a plan (MAX() per column would fabricate a
+    * tuple that exists in no row — order the whole key instead). */
+  private def maxKey(c: Connection, key: PlanKey): Seq[String] = {
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(key.maxSql(table.name))
+      rs.next(); (1 to key.cols.size).map(rs.getString)
+    } finally st.close()
+  }
+
+  /** Plan the APPEND DELTA strictly above `last` (incremental sync):
+    * one bind-parameter COUNT of the tail, a keyset walk of its chunk
+    * boundaries starting FROM `last`, closed by the exact max — which
+    * equals the delta's max because the delta IS the tail of the key
+    * order. Works for every key style (numeric keys keyset-walk fine;
+    * a delta is typically small enough that the histogram's balance
+    * advantage doesn't matter). */
+  private def deltaPlan(c: Connection, key: PlanKey,
+                        last: Seq[String]): (Seq[Seq[String]], Long) = {
+    val total = {
+      val ps = c.prepareStatement(key.countAboveSql(table.name))
       try {
-        val rs = st.executeQuery(key.maxSql(table.name))
-        rs.next(); (1 to width).map(rs.getString)
-      } finally st.close()
+        key.bindPrev(ps, last)
+        val rs = ps.executeQuery()
+        try { rs.next(); rs.getLong(1) } finally rs.close()
+      } finally ps.close()
     }
-    ((bounds.result() :+ maxKey).distinct, total)
+    if (total == 0) return (Nil, 0L)
+    val n = chunkCount(total)
+    val per = math.max(1L, total / n)
+    val bounds = walkBounds(c, key, start = Some(last), probes = n - 1, per = per)
+    ((bounds :+ maxKey(c, key)).distinct, total)
   }
 
   // -- chunked transfer --------------------------------------------------
@@ -303,11 +347,20 @@ final class JdbcTransferJob(
   def run(): TransferOutcome = {
     require(JdbcCatalog.tableExists(url, table.name),
       s"source table not found: ${table.name}") // S7, mysql.go:200-207
-    val cp = if (stateless) None else Checkpoint.load(mig.checkpointDir, kind, cpName)
-    if (cp.exists(_.complete)) {
+    require(!(table.incremental && stateless),
+      s"${table.name}: incremental sync requires a checkpoint dir — the " +
+        "last synced key lives in the completed checkpoint")
+    val cp0 = if (stateless) None else Checkpoint.load(mig.checkpointDir, kind, cpName)
+    // A complete checkpoint skips (R6) — unless the mapping opted into
+    // incremental sync, where "complete" is the BASE the delta extends.
+    val incBase = if (table.incremental) cp0.filter(_.complete) else None
+    if (cp0.exists(_.complete) && incBase.isEmpty) {
       log(s"${table.name}: checkpoint complete, skipping (R6)")
       return TransferOutcome.SkippedComplete
     }
+    // Resume state only from an IN-FLIGHT run; an incremental base is
+    // consumed by the delta-extension branch below instead.
+    val cp = if (incBase.isDefined) None else cp0
 
     val pk = table.primaryKeyCols.getOrElse(JdbcCatalog.primaryKey(url, table.name))
     require(pk.nonEmpty,
@@ -333,52 +386,81 @@ final class JdbcTransferJob(
         sys.error(s"key column '$c' not found in ${table.name}")))
     }, dialect)
 
+    // Stored-plan bounds with the key-identity gates. Key IDENTITY
+    // first (v3 stores it; legacy files expose the old key's column
+    // names through the lastKey map): a same-width swap — pk (id) →
+    // (score) — passes the width check below but builds chunk
+    // predicates from the old key's bounds and skips every
+    // already-"completed" chunk of the new key space. v3 keyCols are
+    // ordered (key-sequence order matters to the plan); the legacy
+    // lastKey map only supports a set compare.
+    def planBounds(c: Checkpoint): Seq[Seq[String]] = {
+      val b = if (c.boundCols.nonEmpty) c.boundCols else c.bounds.map(Seq(_))
+      if (c.keyCols.nonEmpty)
+        require(c.keyCols.map(_.toLowerCase) == pk.map(_.toLowerCase),
+          s"checkpoint plan for ${table.name} was computed over key " +
+            s"(${c.keyCols.mkString(", ")}) but the table now keys on " +
+            s"(${pk.mkString(", ")}) — refusing to resume a plan from " +
+            "a different key")
+      else if (c.lastKey.nonEmpty)
+        require(c.lastKey.keys.map(_.toLowerCase).toSet ==
+            pk.map(_.toLowerCase).toSet,
+          s"checkpoint plan for ${table.name} stores a resume cursor " +
+            s"for key (${c.lastKey.keys.mkString(", ")}) but the table " +
+            s"now keys on (${pk.mkString(", ")}) — refusing to resume " +
+            "a plan from a different key")
+      require(b.forall(_.size == pk.size),
+        s"checkpoint plan for ${table.name} was computed over " +
+          s"${b.head.size} key column(s) but the table now keys on " +
+          s"${pk.size} (${pk.mkString(", ")}) — refusing to resume a " +
+          "plan from a different key")
+      b
+    }
+    def probePlan(): (Seq[Seq[String]], Long) =
+      JdbcCatalog.withConnection(url) { c =>
+        key.styles match {
+          case Seq(NumericKey(scale)) =>
+            val (bs, t) = numericPlan(c, pk.head, scale)
+            (bs.map(Seq(_)), t)
+          case _ => rankPlan(c, key)
+        }
+      }
+
     // Plan from the checkpoint when one was stored (resume = a file
     // read, no re-probe); otherwise probe and persist before the first
     // chunk. A checkpoint WITHOUT a stored plan (crash between the cp
     // write and the plan write) re-plans and re-persists.
     val stored = cp.filter(c =>
       (c.bounds.nonEmpty || c.boundCols.nonEmpty) && c.totalRows >= 0)
-    val (bounds: Seq[Seq[String]], total: Long) = stored match {
-      case Some(c) =>
-        val b = if (c.boundCols.nonEmpty) c.boundCols else c.bounds.map(Seq(_))
-        // Key IDENTITY first (v3 stores it; legacy files expose the old
-        // key's column names through the lastKey map): a same-width swap
-        // — pk (id) → (score) — passes the width check below but builds
-        // chunk predicates from the old key's bounds and skips every
-        // already-"completed" chunk of the new key space.
-        // v3 keyCols are ordered (key-sequence order matters to the
-        // plan); the legacy lastKey map only supports a set compare.
-        if (c.keyCols.nonEmpty)
-          require(c.keyCols.map(_.toLowerCase) == pk.map(_.toLowerCase),
-            s"checkpoint plan for ${table.name} was computed over key " +
-              s"(${c.keyCols.mkString(", ")}) but the table now keys on " +
-              s"(${pk.mkString(", ")}) — refusing to resume a plan from " +
-              "a different key")
-        else if (c.lastKey.nonEmpty)
-          require(c.lastKey.keys.map(_.toLowerCase).toSet ==
-              pk.map(_.toLowerCase).toSet,
-            s"checkpoint plan for ${table.name} stores a resume cursor " +
-              s"for key (${c.lastKey.keys.mkString(", ")}) but the table " +
-              s"now keys on (${pk.mkString(", ")}) — refusing to resume " +
-              "a plan from a different key")
-        require(b.forall(_.size == pk.size),
-          s"checkpoint plan for ${table.name} was computed over " +
-            s"${b.head.size} key column(s) but the table now keys on " +
-            s"${pk.size} (${pk.mkString(", ")}) — refusing to resume a " +
-            "plan from a different key")
-        (b, c.totalRows)
-      case None =>
-        JdbcCatalog.withConnection(url) { c =>
-          key.styles match {
-            case Seq(NumericKey(scale)) =>
-              val (bs, t) = numericPlan(c, pk.head, scale)
-              (bs.map(Seq(_)), t)
-            case _ => rankPlan(c, key)
-          }
+    var extended = false // incremental delta appended to a complete base
+    val (bounds: Seq[Seq[String]], total: Long) = incBase match {
+      case Some(base) if base.bounds.nonEmpty || base.boundCols.nonEmpty =>
+        // Extend the COMPLETE plan: compact it to its last bound — the
+        // exact max key at completion — as an already-done SENTINEL
+        // chunk 0, then append the delta plan above it. Every later
+        // stage (chunk predicates, checkpoint save, resume of a delta
+        // interrupted mid-run) then works unchanged: chunk 1's lower
+        // bound is the sentinel, i.e. the last synced key.
+        val last = planBounds(base).last
+        val (delta, dTot) =
+          JdbcCatalog.withConnection(url)(conn => deltaPlan(conn, key, last))
+        if (delta.isEmpty) {
+          log(s"${table.name}: incremental — no rows above the last synced key")
+          return TransferOutcome.Completed
         }
+        log(s"${table.name}: incremental — $dTot new rows above the last synced key")
+        extended = true
+        (last +: delta, base.totalRows + dTot)
+      case Some(_) =>
+        // completed EMPTY source gained its first rows: a fresh full plan
+        probePlan()
+      case None => stored match {
+        case Some(c) => (planBounds(c), c.totalRows)
+        case None => probePlan()
+      }
     }
-    val startChunk = cp.map(_.chunkIndex).getOrElse(-1) + 1
+    val startChunk =
+      if (extended) 1 else cp.map(_.chunkIndex).getOrElse(-1) + 1
 
     def save(idx: Int, complete: Boolean): Unit =
       if (!stateless) Checkpoint.save(mig.checkpointDir, kind, cpName,
@@ -624,6 +706,10 @@ object JdbcTransferJob {
       gtBindIdx.zipWithIndex.foreach { case (t, p) =>
         styles(t).bind(ps, p + 1, prev(t))
       }
+    /** Row count strictly above a key tuple (`?` placeholders — bind
+      * with [[bindPrev]]): the incremental-sync delta size. */
+    def countAboveSql(table: String): String =
+      s"SELECT COUNT(*) FROM $table WHERE $gtBound"
     /** Keyset boundary probe: the key at rank `per` past the bound
       * `prev` tuple, via the PK index (`mysql.go:599-631`'s pagination,
       * rank-ified, with the reference's own `?` placeholder style). The

@@ -748,6 +748,107 @@ class JdbcDerbySpec extends SparkTestBase {
     assert(JdbcCatalog.columns(url, "users_evo_new").map(_.name).contains("dest_only"))
   }
 
+  test("incremental sync: completed transfer re-run appends ONLY the delta; no-op when no new rows") {
+    import graft.engine.{Checkpoint, JdbcTransferJob, TransferOutcome}
+    seedUsers("users_inc", 600)
+    val cpDir = s"$work/cp_inc"
+    val mig2 = MigrationSpec(batchSize = 100, checkpointRowThreshold = 100,
+      rateLimit = 1000000000, checkpointDir = cpDir)
+    val t = TableMapping("users_inc", targetName = Some("users_inc_new"),
+      incremental = true)
+    val j1 = new JdbcTransferJob(spark, url, t, mig2, log = _ => ())
+    assert(j1.run() == TransferOutcome.Completed && j1.rowsWritten == 600)
+    // no new rows: Completed with ZERO merges, checkpoint untouched
+    CountingExec.statements.set(0)
+    assert(new JdbcTransferJob(spark, url, t, mig2, log = _ => (),
+      executorFactory = CountingExec.factory(url)).run() == TransferOutcome.Completed)
+    assert(CountingExec.statements.get == 0,
+      s"no-op delta merged ${CountingExec.statements.get} rows")
+    // append 250 rows; the incremental run merges ONLY those
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO users_inc VALUES (?, ?, ?)")
+      (601 to 850).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"user#$i"); ps.setDouble(3, i * 1.5)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    CountingExec.statements.set(0)
+    val j3 = new JdbcTransferJob(spark, url, t, mig2, log = _ => (),
+      executorFactory = CountingExec.factory(url))
+    assert(j3.run() == TransferOutcome.Completed)
+    assert(CountingExec.statements.get == 250,
+      s"delta run must merge exactly the 250 new rows, merged ${CountingExec.statements.get}")
+    assert(j3.rowsWritten == 250)
+    val back = JdbcTransfer.readBack(spark, url, "users_inc_new", mig2)
+    assert(back.count() == 850)
+    val src = JdbcTransfer.readBack(spark, url, "users_inc", mig2)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    // checkpoint stays COMPACT: sentinel + delta bounds, complete, and
+    // its last bound is the new max (the next delta's base)
+    val cp = Checkpoint.load(cpDir, "jdbc", JdbcTransferJob.checkpointName(url, t)).get
+    assert(cp.complete && cp.bounds.last == "850", cp.toString)
+    assert(cp.bounds.size <= 1 + 250 / 100 + 1, s"checkpoint not compacted: ${cp.bounds.size} bounds")
+    // a NON-incremental mapping still skips the complete checkpoint (R6)
+    assert(new JdbcTransferJob(spark, url, t.copy(incremental = false), mig2,
+      log = _ => ()).run() == TransferOutcome.SkippedComplete)
+  }
+
+  test("incremental sync: kill mid-delta resumes the delta; varchar keys walk the tail") {
+    import graft.engine.{JdbcTransferJob, TransferControl, TransferOutcome}
+    // numeric: kill inside the delta, resume converges
+    seedUsers("users_inck", 500)
+    val mig2 = MigrationSpec(batchSize = 50, checkpointRowThreshold = 50,
+      rateLimit = 1000000000, checkpointDir = s"$work/cp_inck")
+    val t = TableMapping("users_inck", targetName = Some("users_inck_new"),
+      incremental = true)
+    assert(new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO users_inck VALUES (?, ?, ?)")
+      (501 to 800).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"user#$i"); ps.setDouble(3, i * 1.5)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+    val killed = new JdbcTransferJob(spark, url, t, mig2,
+      control = TransferControl.cancelAfterChecks(2), log = _ => ()).run()
+    assert(killed.isInstanceOf[TransferOutcome.Interrupted], killed.toString)
+    assert(new JdbcTransferJob(spark, url, t, mig2, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    assert(JdbcTransfer.readBack(spark, url, "users_inck_new", mig2).count() == 800)
+    // varchar PK: zero-padded keys append ABOVE the old max in key order
+    JdbcCatalog.execute(url,
+      "CREATE TABLE vinc (name VARCHAR(16) NOT NULL PRIMARY KEY, v DOUBLE)")
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO vinc VALUES (?, ?)")
+      (1 to 300).foreach { i => ps.setString(1, f"k$i%04d"); ps.setDouble(2, i); ps.addBatch() }
+      ps.executeBatch()
+    }
+    val tv = TableMapping("vinc", targetName = Some("vinc_new"), incremental = true)
+    val mv = mig2.copy(checkpointDir = s"$work/cp_vinc")
+    assert(new JdbcTransferJob(spark, url, tv, mv, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    JdbcCatalog.withConnection(url) { c =>
+      val ps = c.prepareStatement("INSERT INTO vinc VALUES (?, ?)")
+      (301 to 400).foreach { i => ps.setString(1, f"k$i%04d"); ps.setDouble(2, i); ps.addBatch() }
+      ps.executeBatch()
+    }
+    CountingExec.statements.set(0)
+    val jv = new JdbcTransferJob(spark, url, tv, mv, log = _ => (),
+      executorFactory = CountingExec.factory(url))
+    assert(jv.run() == TransferOutcome.Completed)
+    assert(CountingExec.statements.get == 100,
+      s"varchar delta must merge exactly 100 rows, merged ${CountingExec.statements.get}")
+    assert(JdbcTransfer.readAll(spark, url, "vinc_new").count() == 400)
+    // stateless incremental refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      new JdbcTransferJob(spark, url, tv, mv.copy(checkpointDir = ""), log = _ => ()).run()
+    }
+    assert(e.getMessage.contains("incremental"))
+  }
+
   test("composite PK plans on the FULL key tuple — low-cardinality leading column (VERDICT r4 #1)") {
     import graft.engine.{Checkpoint, JdbcTransferJob, TransferControl, TransferOutcome}
     JdbcCatalog.execute(url, "CREATE TABLE comp (" +
