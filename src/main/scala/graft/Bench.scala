@@ -22,8 +22,8 @@ object Bench {
     "ann_ivf_trained_topk", "text_quality", "text_quality_classifier",
     "text_shard_assign", "join_bucketed_colocated",
     // round-6 additions: tokenizer stats, LM scoring, projection, layout
-    "text_bpe_pairs", "text_unigram_logprob", "embedding_project",
-    "layout_zorder",
+    "text_bpe_pairs", "text_unigram_logprob", "text_bigram_logprob",
+    "embedding_project", "layout_zorder",
     "streaming_window_counts", "streaming_window_append",
     "streaming_session_counts",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,

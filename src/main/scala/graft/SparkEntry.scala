@@ -596,6 +596,11 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(T(s, d, "documents"))),
 
+    // --- bigram LM scoring, add-1 smoothed: order-sensitive perplexity
+    //     proxy; narrow bigram expansion, vocabulary-bounded aggs
+    "text_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(T(s, d, "documents"))),
+
     // --- ArrayType column ops over embeddings (Cassandra list<> analog)
     "array_stats" -> ((s, d) => {
       val e = T(s, d, "embeddings")
@@ -1242,6 +1247,19 @@ object SparkEntry {
         |       FROM terms JOIN uni USING (term) CROSS JOIN n)
         |SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob,
         |       count(*)::BIGINT AS n_tokens
+        |FROM lp GROUP BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |b0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d),
+        |big AS (SELECT doc_id, w[CAST(i AS INT)] AS prev, w[CAST(i AS INT)+1] AS term FROM b0),
+        |ctx AS (SELECT prev, count(*) AS cctx FROM big GROUP BY prev),
+        |pair AS (SELECT prev, term, count(*) AS cpair FROM big GROUP BY prev, term),
+        |v AS (SELECT count(DISTINCT t.u)::DOUBLE AS vocab
+        |      FROM documents, unnest(string_split(text,' ')) AS t(u)),
+        |lp AS (SELECT doc_id, CAST(round(ln((cpair + 1)::DOUBLE / (cctx + vocab)), 6) AS DECIMAL(18,6)) AS lp
+        |       FROM big JOIN pair USING (prev, term) JOIN ctx USING (prev) CROSS JOIN v)
+        |SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob,
+        |       count(*)::BIGINT AS n_bigrams
         |FROM lp GROUP BY doc_id""".stripMargin,
     // pair counts are weighted by word-occurrence count (classic BPE);
     // the vocabulary is built first so repeated words are counted once

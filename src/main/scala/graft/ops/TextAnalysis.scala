@@ -115,6 +115,37 @@ object TextAnalysis {
         count(lit(1)).cast("bigint").as("n_tokens"))
   }
 
+  /** Bigram language-model scoring with add-1 smoothing — the step up
+    * from [[unigramLogProb]] as a perplexity proxy: score each document
+    * as its mean bigram conditional log-probability
+    * `ln((c(prev,term)+1) / (c(prev)+V))`. Sensitive to scrambled word
+    * order and template boilerplate in a way no unigram model can be.
+    * Documents with fewer than two tokens have no bigrams and drop out.
+    *
+    * Shape: bigrams expand NARROWLY from each document's own token
+    * array (no window/lag shuffle needed for sequence pairs), then two
+    * hash aggregations and two shuffle joins on the context/pair keys —
+    * all corpus-vocabulary-bounded. Same decimal-sum determinism as
+    * [[unigramLogProb]]. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val w = words
+    val pairsArr = when(size(w) >= 2, transform(sequence(lit(0), size(w) - 2),
+      i => struct(element_at(w, i + 1).as("prev"), element_at(w, i + 2).as("term"))))
+    val big = docs.select(col("doc_id"), explode(pairsArr).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.term").as("term"))
+    val ctx = big.groupBy("prev").agg(count(lit(1)).as("cctx"))
+    val pair = big.groupBy("prev", "term").agg(count(lit(1)).as("cpair"))
+    val vocab = docs.select(explode(words).as("term"))
+      .distinct().count().toDouble // |V| for add-1: one scalar
+    big.join(pair, Seq("prev", "term")).join(ctx, Seq("prev"))
+      .select(col("doc_id"),
+        round(log((col("cpair") + 1).cast("double") / (col("cctx") + vocab)), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(round(sum("lp").cast("double") / count(lit(1)), 6).as("logprob"),
+        count(lit(1)).cast("bigint").as("n_bigrams"))
+  }
+
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
     * training: frequencies of adjacent character pairs, weighted by word
     * occurrence count, over the whole corpus. The top entry is the first

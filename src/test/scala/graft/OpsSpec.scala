@@ -418,6 +418,25 @@ class OpsSpec extends SparkTestBase {
     assert(real.forall(r => r.getDouble(1) < 0 && !r.getDouble(1).isNaN))
   }
 
+  test("bigram logprob: hand-computed add-1 scores; docs without bigrams drop out") {
+    import spark.implicits._
+    // vocab {a,b,x} (V=3); bigrams d1: (a,b),(b,a); d2: (b,a); d3: none
+    val tiny = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.size == 2 && !got.contains(3L), got.toString)
+    // lp(a,b) = ln((1+1)/(1+3)) = -0.693147 ; lp(b,a) = ln((2+1)/(2+3)) = -0.510826
+    def round6(v: Double): Double = // Spark Round semantics on doubles
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = round6((BigDecimal("-0.693147") + BigDecimal("-0.510826")).toDouble / 2)
+    assert(got(1L) == ((d1, 2L)), s"${got(1L)} vs expected ($d1, 2)")
+    assert(got(2L) == ((-0.510826, 1L)), got(2L).toString)
+    // real corpus: finite negatives, fewer-or-equal rows than docs
+    val real = TextAnalysis.bigramLogProb(docs).collect()
+    assert(real.nonEmpty && real.length <= docs.count())
+    assert(real.forall(r => r.getDouble(1) < 0 && !r.getDouble(1).isNaN))
+  }
+
   test("BPE pair stats: hand-computed counts on a tiny corpus, deterministic top-k") {
     import spark.implicits._
     // vocab: "abab"×3 docs, "ab" in one, "ba" in one; single chars dropped
