@@ -168,6 +168,36 @@ class PlanAuditSpec extends SparkTestBase {
       "shared-shingle count not map-side partial")
   }
 
+  test("z-order stats join is a broadcast; interleave stays out of any shuffle") {
+    val plan = executedPlan("layout_zorder")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"min/max stats frame not broadcast:\n${plan.take(3000)}")
+    // one shuffle-free main side: the only Exchange allowed is the
+    // broadcast of the single-row stats frame
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"z-value computation shuffles the collection:\n${plan.take(3000)}")
+  }
+
+  test("BPE pair stats: vocab and pair aggs are partial+final; top-k is TakeOrdered") {
+    val plan = executedPlan("text_bpe_pairs")
+    assert(plan.contains("partial_count"), "vocabulary agg not map-side partial")
+    assert(plan.contains("partial_sum"), "pair agg not map-side partial")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"deterministic top-k did not compile to TakeOrdered:\n${plan.take(3000)}")
+  }
+
+  test("LM scorers: dot kernel SQL-callable; bigram expansion is narrow (no window exchange)") {
+    // graft_dot joins the injected-function family
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    // bigram expansion must come from the doc's own array — a window/lag
+    // formulation would add a per-doc sort exchange before any agg
+    val plan = executedPlan("text_bigram_logprob")
+    assert(!plan.contains("Window"),
+      s"bigram expansion uses a window (extra sort/shuffle):\n${plan.take(3000)}")
+  }
+
   test("jdbc roundtrip reads back through a range-partitioned JDBCRelation scan") {
     val df = SparkEntry.queries("transfer_jdbc_roundtrip")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
