@@ -81,7 +81,14 @@ object Bench {
     // Disclosed methodology change: r6+ numbers are warmed; expect small
     // across-the-board drops vs r5 for codegen-heavy entries.
     locally {
-      val warmDir = "/root/testdata/sf0.001"
+      // smallest sibling scale factor when present; else warm on the
+      // measured dir itself (slower warmup, but never a silent no-op
+      // that reverts the disclosed warmed-numbers methodology)
+      val warmDir = {
+        val sibling = new java.io.File(
+          new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (sibling.isDirectory) sibling.toString else sfDir
+      }
       val t0 = System.nanoTime()
       headline.filter(SparkEntry.queries.contains).foreach { name =>
         try force(SparkEntry.queries(name)(spark, warmDir))

@@ -265,13 +265,21 @@ object SparkEntry {
       val wh = graft.util.Fs.workDir("bkt", d)
       // table names carry the same digest as the work dir — fixed names
       // would collide across concurrent sessions sharing a metastore
-      val (tOrders, tCustomer) = {
-        val id = graft.util.Fs.digest(d)
-        (s"bkt_orders_$id", s"bkt_customer_$id")
-      }
+      val id = graft.util.Fs.digest(d)
+      val (tOrders, tCustomer) = (s"bkt_orders_$id", s"bkt_customer_$id")
       graft.util.Fs.deleteRecursive(new java.io.File(wh))
       s.sql(s"DROP TABLE IF EXISTS $tOrders")
       s.sql(s"DROP TABLE IF EXISTS $tCustomer")
+      // GC stale digests: runs against OTHER data dirs registered their
+      // own bkt_* pair; without this, a long-lived metastore accumulates
+      // two tables per data dir forever. (Sessions concurrently running
+      // this query against DIFFERENT dirs in ONE metastore would GC each
+      // other — same-dir concurrency, the common case, is unaffected.)
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => (n.startsWith("bkt_orders_") || n.startsWith("bkt_customer_")) &&
+          !n.endsWith(id))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
       T(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$wh/orders").mode("overwrite").saveAsTable(tOrders)
@@ -1177,7 +1185,7 @@ object SparkEntry {
     // by sqrt(8) instead would differ in ulps from the engine)
     "embedding_project" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-        |           WHERE len(embedding) <= 64)
+        |           WHERE len(embedding) BETWEEN 1 AND 64)
         |SELECT vec_id, CAST(j.j AS INT) AS dim,
         |  round(list_sum(list_transform(range(1, len(emb)+1),
         |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0

@@ -82,8 +82,9 @@ object Main {
           graft.engine.TableTransferJob.pruneCompleted(spec, t,
             s => println(s"[prune] $s")))
       else spec.source.tables.foreach { t =>
-        val destUrl = Option(spec.destination.path).filter(_.nonEmpty)
-          .filterNot(_ == spec.source.path).getOrElse(spec.source.path)
+        // SAME derivation as the runner (checkpointName treats null as
+        // same-database) — a drifted copy here would prune nothing
+        val destUrl = TransferRunner.jdbcDestUrl(spec)
         graft.engine.Checkpoint.delete(spec.migration.checkpointDir, "jdbc",
           graft.engine.JdbcTransferJob.checkpointName(spec.source.path, t, destUrl))
         println(s"[prune] ${t.name}: pruned checkpoint (live destination holds the data)")

@@ -495,7 +495,12 @@ final class JdbcTransferJob(
           return TransferOutcome.Interrupted(i - startChunk)
         }
         val preds = chunkPredicates(key, bounds, i)
-        disp.submit(i, ())(writeChunk(readChunk(preds), pk, preds.length))
+        // actual chunk concurrency of THIS run: a 1-chunk plan (small
+        // table, incremental delta, resumed tail) must not split its
+        // pace budget across phantom parallel chunks
+        val conc = math.min(math.max(1, mig.chunkParallelism),
+          bounds.size - startChunk)
+        disp.submit(i, ())(writeChunk(readChunk(preds), pk, preds.length, conc))
       }
       disp.drainAll()
       log(stats.report())
@@ -566,7 +571,7 @@ final class JdbcTransferJob(
     * coalesce decision never materializes RDD lineage (`.rdd` here cost
     * a second planning pass per chunk, VERDICT r4 #5). */
   private def writeChunk(chunk: DataFrame, pk: Seq[String],
-                         chunkPartitions: Int): Long = {
+                         chunkPartitions: Int, chunkConcurrency: Int): Long = {
     val out = table.columnTransformations.foldLeft(chunk) { (d, ct) =>
       d.withColumn(ct.sourceColumn, expr(ct.expression))
     }
@@ -578,8 +583,10 @@ final class JdbcTransferJob(
     // batch — the reference's per-batch throttle (`migration.go:232-268`)
     // reproduced executor-side. Driver-side chunk-level acquire stays
     // the global enforcement; this bounds the burst INSIDE a chunk.
+    // `chunkConcurrency` is the run's REAL concurrent-chunk count, not
+    // the configured maximum — a 1-chunk run keeps its whole budget.
     val writers = math.max(1, if (target > 0) target else chunkPartitions) *
-      math.max(1, mig.chunkParallelism)
+      math.max(1, chunkConcurrency)
     val pace = math.max(1L, mig.rateLimit.toLong / writers)
     Retry(attempts = 3, delayMs = 1000,
       onError = (i, e) => log(s"${table.name}: chunk attempt $i failed: ${e.getMessage}")) {

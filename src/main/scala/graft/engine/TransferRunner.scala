@@ -21,6 +21,16 @@ object TransferRunner {
 
   final case class TableResult(table: String, outcome: Try[TransferOutcome])
 
+  /** Effective destination URL of a live-JDBC spec: a DIFFERENT
+    * database when declared, null (= same database, in-place rename
+    * topology) when empty or equal to the source. ONE derivation —
+    * checkpoint identity is md5(source, dest, target), so every caller
+    * (the runner and the CLI's `--prune-completed`) must resolve the
+    * destination identically or prune silently misses the checkpoint. */
+  def jdbcDestUrl(spec: TransferSpec): String =
+    Option(spec.destination.path).filter(_.nonEmpty)
+      .filterNot(_ == spec.source.path).orNull
+
   def run(spark: SparkSession, spec: TransferSpec,
           control: TransferControl = new TransferControl,
           log: String => Unit = s => System.err.println(s"[transfer] $s"))
@@ -76,10 +86,7 @@ object TransferRunner {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", "transfers")
           control.jobStarted()
           try TableResult(t.name, Try {
-            // destination may be a DIFFERENT database (the template's
-            // normal topology); empty/same path = in-place rename
-            val destUrl = Option(spec.destination.path).filter(_.nonEmpty)
-              .filterNot(_ == spec.source.path).orNull
+            val destUrl = TransferRunner.jdbcDestUrl(spec)
             val job = new JdbcTransferJob(spark, spec.source.path, t,
               spec.migration, dialect, destinationUrl = destUrl,
               control = control, log = log,

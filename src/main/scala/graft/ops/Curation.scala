@@ -85,12 +85,14 @@ object Curation {
     val dfs = idx.groupBy("s").agg(count(lit(1)).as("df"))
     val rareIdx = idx.join(dfs.where(col("df") <= dfCap).select("s"), "s")
     // narrow pair stream — (doc_a, doc_b) only; sizes rejoin AFTER the
-    // aggregation via broadcast (one row per doc, tiny next to the pair
-    // set), so the threshold check is map-side over the aggregated pairs
+    // aggregation (one row per doc — small next to the pair set, but
+    // corpus-sized, so the join strategy is left to AQE: it broadcasts
+    // at test scale and degrades to a shuffle join on a corpus too big
+    // to broadcast, instead of hitting the 8 GB broadcast hard limit)
     val a = rareIdx.select(col("doc_id").as("doc_a"), col("s"))
     val b = rareIdx.select(col("doc_id").as("doc_b"), col("s"))
-    val sizes = broadcast(ws.select(col("doc_id"),
-      size(shingleHashes(col("w"), n)).cast("bigint").as("sz")))
+    val sizes = ws.select(col("doc_id"),
+      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"))
     val common = a.join(b, "s")
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -53,16 +53,25 @@ object Layout {
 
   /** Static-range variant: quantize against CALLER-SUPPLIED bounds (no
     * stats pass) — the shape for incremental appends, where per-batch
-    * min/max would shift the curve between batches. */
+    * min/max would shift the curve between batches. Values OUTSIDE the
+    * declared range clamp to the curve's edge cells: an appended row
+    * beyond the original bounds sorts to the end of the curve (correct
+    * locality) instead of interleaving garbage bits — unclamped, an
+    * overflowing quantile would spill past `bits` (silently dropped)
+    * and a negative one would arithmetic-shift sign bits into every
+    * lane. */
   def withZValueStatic(df: DataFrame, xCol: String, yCol: String,
                        xRange: (Long, Long), yRange: (Long, Long),
-                       bits: Int = 16): DataFrame =
+                       bits: Int = 16): DataFrame = {
+    val cap = (1L << bits) - 1
+    def clamped(q: String): String = s"GREATEST(0L, LEAST(${cap}L, $q))"
     df.withColumn("zq_x",
-        expr(quantizeSql(xCol, s"${xRange._1}", s"${xRange._2}", bits)))
+        expr(clamped(quantizeSql(xCol, s"${xRange._1}", s"${xRange._2}", bits))))
       .withColumn("zq_y",
-        expr(quantizeSql(yCol, s"${yRange._1}", s"${yRange._2}", bits)))
+        expr(clamped(quantizeSql(yCol, s"${yRange._1}", s"${yRange._2}", bits))))
       .withColumn("zval", expr(interleaveSql("zq_x", "zq_y", bits)))
       .drop("zq_x", "zq_y")
+  }
 
   /** Z-ordered parquet write: range-partition on the z-value into
     * `numFiles` files and sort within each — every output file covers a

@@ -103,7 +103,10 @@ object Similarity {
         slice(signs, lit(1), size(col("emb"))))
       struct(lit(j).as("dim"), round(dot * invSqrtK, 6).as("v"))
     }
-    e.where(size(col("emb")) <= maxDim)
+    // lower bound 1: an EMPTY vector would project to 0.0 here but NULL
+    // in the oracle (list_sum over an empty list) — exclude it on both
+    // sides; a projection of nothing is meaningless anyway
+    e.where(size(col("emb")).between(1, maxDim))
       .select(col("vec_id"), explode(array(comps: _*)).as("c"))
       .select(col("vec_id"), col("c.dim").as("dim"), col("c.v").as("v"))
   }

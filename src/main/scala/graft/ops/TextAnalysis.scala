@@ -105,10 +105,13 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(words).as("term"))
     val uni = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = terms.count().toDouble // corpus token count: one scalar
-    terms.join(uni, "term")
+    // corpus token count as a broadcast single-row frame — LAZY, so
+    // building the plan costs no eager pass and the count fuses into
+    // the one job that executes the query
+    val n = terms.agg(count(lit(1)).cast("double").as("corpus_total"))
+    terms.join(uni, "term").crossJoin(broadcast(n))
       .select(col("doc_id"),
-        round(log(col("cnt").cast("double") / total), 6)
+        round(log(col("cnt").cast("double") / col("corpus_total")), 6)
           .cast("decimal(18,6)").as("lp"))
       .groupBy("doc_id")
       .agg(round(sum("lp").cast("double") / count(lit(1)), 6).as("logprob"),
@@ -135,11 +138,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.term").as("term"))
     val ctx = big.groupBy("prev").agg(count(lit(1)).as("cctx"))
     val pair = big.groupBy("prev", "term").agg(count(lit(1)).as("cpair"))
-    val vocab = docs.select(explode(words).as("term"))
-      .distinct().count().toDouble // |V| for add-1: one scalar
+    // |V| for add-1 as a LAZY broadcast single-row frame (same shape as
+    // unigramLogProb's total — no eager pass at plan-construction time)
+    val v = docs.select(explode(words).as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("corpus_vocab"))
     big.join(pair, Seq("prev", "term")).join(ctx, Seq("prev"))
+      .crossJoin(broadcast(v))
       .select(col("doc_id"),
-        round(log((col("cpair") + 1).cast("double") / (col("cctx") + vocab)), 6)
+        round(log((col("cpair") + 1).cast("double") /
+          (col("cctx") + col("corpus_vocab"))), 6)
           .cast("decimal(18,6)").as("lp"))
       .groupBy("doc_id")
       .agg(round(sum("lp").cast("double") / count(lit(1)), 6).as("logprob"),

@@ -369,6 +369,15 @@ class OpsSpec extends SparkTestBase {
     assert(z((0L, 0L)) == 0 && z((1L, 0L)) == 1 && z((0L, 1L)) == 2 &&
       z((5L, 3L)) == 27 && z((7L, 7L)) == 63, z.toString)
 
+    // static-range clamp: appended rows OUTSIDE the declared range land
+    // on the curve's edge cells (same z as the boundary), never
+    // interleave overflow/sign bits
+    val oob = Seq((1500L, 3L), (7L, 3L), (-9L, 0L), (0L, 0L)).toDF("x", "y")
+    val zo = Layout.withZValueStatic(oob, "x", "y", (0L, 7L), (0L, 7L), bits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zo((1500L, 3L)) == zo((7L, 3L)), "overflow row must clamp to the hi edge")
+    assert(zo((-9L, 0L)) == zo((0L, 0L)), "underflow row must clamp to the lo edge")
+
     // layout benefit: 8 z-ordered files each cover a small bounding BOX,
     // so per-file min/max prunes on EITHER column; a single-column sort
     // leaves the other column's per-file span at ~the full range
