@@ -28,6 +28,9 @@ object BenchScale {
     "text_shard_assign",
     "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
     "dedup_embedding_cosine",
+    // round 6: tokenizer/LM statistics, projection, layout
+    "text_bpe_pairs", "text_unigram_logprob", "text_bigram_logprob",
+    "embedding_project", "layout_zorder",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts")
@@ -41,7 +44,11 @@ object BenchScale {
     // datasets
     val baseId = java.security.MessageDigest.getInstance("MD5")
       .digest(base.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scaled_x${factor}_$baseId"
+    // v2: derivation now also writes orders.parquet — the version tag
+    // keeps a pre-orders cached dir (valid marker, missing table) from
+    // being reused
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_scaled_v2_x${factor}_$baseId"
     val spark = Sessions.builder("graft-bench-scale", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -105,6 +112,17 @@ object BenchScale {
         .repartitionByRange(32, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // orders for the z-order layout evidence: 10× orders over the SAME
+      // customer key space (the realistic shape — order volume grows,
+      // the customer base doesn't), so the second curve dimension keeps
+      // its density while the first stretches
+      val od = spark.read.parquet(s"$base/orders.parquet")
+      val maxOk = od.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      od.crossJoin(copies)
+        .withColumn("o_orderkey", col("o_orderkey") + col("copy") * lit(maxOk))
+        .drop("copy")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
       java.nio.file.Files.writeString(okMarker, "")
       System.err.println(s"[bench-scale] derived ${factor}x data at $out " +
         s"(${nDocs * factor} docs, ${nVec * factor} vectors)")

@@ -134,23 +134,33 @@ object TextAnalysis {
     val w = words
     val pairsArr = when(size(w) >= 2, transform(sequence(lit(0), size(w) - 2),
       i => struct(element_at(w, i + 1).as("prev"), element_at(w, i + 2).as("term"))))
-    val big = docs.select(col("doc_id"), explode(pairsArr).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.term").as("term"))
-    val ctx = big.groupBy("prev").agg(count(lit(1)).as("cctx"))
-    val pair = big.groupBy("prev", "term").agg(count(lit(1)).as("cpair"))
+    // ONE explode, aggregated straight to (doc, pair, occurrences); the
+    // global pair and context counts DERIVE from it (Σ occ) instead of
+    // re-exploding the corpus per statistic, and the scoring joins carry
+    // the per-doc-distinct pair frame, not the raw instance stream —
+    // measured 2× the whole operator's wall at sf0.1
+    val docPair = docs.select(col("doc_id"), explode(pairsArr).as("b"))
+      .groupBy(col("doc_id"), col("b.prev").as("prev"), col("b.term").as("term"))
+      .agg(count(lit(1)).as("occ"))
+    val pair = docPair.groupBy("prev", "term").agg(sum("occ").as("cpair"))
+    val ctx = pair.groupBy("prev").agg(sum("cpair").as("cctx"))
     // |V| for add-1 as a LAZY broadcast single-row frame (same shape as
     // unigramLogProb's total — no eager pass at plan-construction time)
     val v = docs.select(explode(words).as("term"))
       .agg(countDistinct(col("term")).cast("double").as("corpus_vocab"))
-    big.join(pair, Seq("prev", "term")).join(ctx, Seq("prev"))
+    // instance mean = Σ occ·lp / Σ occ — value-identical to averaging
+    // per instance (every instance of a pair shares its rounded lp), so
+    // the oracle's per-instance formulation matches bit-for-bit
+    docPair.join(pair, Seq("prev", "term")).join(ctx, Seq("prev"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("occ"),
         round(log((col("cpair") + 1).cast("double") /
           (col("cctx") + col("corpus_vocab"))), 6)
           .cast("decimal(18,6)").as("lp"))
       .groupBy("doc_id")
-      .agg(round(sum("lp").cast("double") / count(lit(1)), 6).as("logprob"),
-        count(lit(1)).cast("bigint").as("n_bigrams"))
+      .agg(round(sum(col("lp") * col("occ")).cast("double") /
+          sum("occ"), 6).as("logprob"),
+        sum("occ").cast("bigint").as("n_bigrams"))
   }
 
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
