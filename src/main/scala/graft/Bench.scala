@@ -30,7 +30,7 @@ object Bench {
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",
     "transfer_jdbc_kill_resume", "transfer_jdbc_varchar_pk",
-    "transfer_jdbc_composite_pk")
+    "transfer_jdbc_composite_pk", "transfer_jdbc_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
