@@ -516,6 +516,19 @@ object SparkEntry {
     "layout_zorder" -> ((s, d) =>
       Layout.withZValue(T(s, d, "orders").select("o_orderkey", "o_custkey"),
         "o_orderkey", "o_custkey")),
+
+    // --- small-files compaction: fragment documents into 64 tiny files,
+    //     compact key-clustered, read back — content must be IDENTICAL
+    //     to the source table (the gate proves lossless maintenance)
+    "files_compact" -> ((s, d) => {
+      val work = graft.util.Fs.workDir("compact", d)
+      graft.util.Fs.deleteRecursive(new java.io.File(work))
+      T(s, d, "documents").repartition(64)
+        .write.mode("overwrite").parquet(s"$work/frag")
+      Layout.compact(s, s"$work/frag", s"$work/compacted",
+        targetBytes = 8L << 20, sortCol = "doc_id")
+      s.read.parquet(s"$work/compacted")
+    }),
     "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(T(s, d, "embeddings"))),
 
@@ -1230,6 +1243,8 @@ object SparkEntry {
         |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0
         |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)), 6) AS v
         |FROM e, generate_series(0, 7) AS j(j)""".stripMargin,
+    // lossless maintenance: compaction must not change content
+    "files_compact" -> "SELECT * FROM documents",
     // morton interleave replayed with DuckDB's own bit operators; the
     // quantization is pure BIGINT arithmetic on both sides
     "layout_zorder" ->

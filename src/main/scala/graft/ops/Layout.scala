@@ -73,6 +73,35 @@ object Layout {
       .drop("zq_x", "zq_y")
   }
 
+  /** Small-files compaction: rewrite a fragmented parquet table into
+    * ceil(totalBytes / targetBytes) files — the steady-state maintenance
+    * op for any incrementally-appended table (each append lands small
+    * files; a million of them turn every downstream scan's planning and
+    * open() overhead into the bottleneck). With `sortCol` the rewrite
+    * range-partitions and sorts, PRESERVING key clustering so parquet
+    * min/max pruning keeps working after compaction — compacting with a
+    * plain repartition would destroy the layout the scans depend on.
+    *
+    * Driver work is metadata only (one FileSystem content summary); the
+    * data moves through a single shuffle, same as any repartition.
+    * Returns the target file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 128L << 20,
+              sortCol: String = null): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCol != null)
+        df.repartitionByRange(n, col(sortCol)).sortWithinPartitions(sortCol)
+      else df.repartition(n)
+    out.write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Z-ordered parquet write: range-partition on the z-value into
     * `numFiles` files and sort within each — every output file covers a
     * compact z-range, hence a small bounding box in BOTH dimensions, and

@@ -412,6 +412,37 @@ class OpsSpec extends SparkTestBase {
       s"z-order orderkey span $okeyZ ~ global $okeyGlobal: no locality")
   }
 
+  test("compaction: fewer files, identical content, clustering preserved") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val docs2 = docs
+    docs2.repartition(48).write.parquet(s"$dir/frag")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/frag").length == 48)
+    Layout.compact(spark, s"$dir/frag", s"$dir/out",
+      targetBytes = 1L << 20, sortCol = "doc_id")
+    val out = files(s"$dir/out")
+    assert(out.length < 48, s"compaction produced ${out.length} files")
+    // lossless
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == docs2.count())
+    assert(back.except(docs2).isEmpty && docs2.except(back).isEmpty)
+    // clustering: per-file doc_id ranges must be pairwise DISJOINT, so
+    // min/max pruning still works after compaction
+    val ranges = out.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+          org.apache.spark.sql.functions.max(col("doc_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping file ranges after sorted compaction: $hi >= $lo")
+      case _ => ()
+    }
+  }
+
   test("unigram logprob: hand-computed scores, exact decimal aggregation") {
     import spark.implicits._
     // total 4 tokens: a×3, b×1 → ln(3/4) = -0.287682, ln(1/4) = -1.386294
