@@ -125,8 +125,12 @@ final class TableTransferJob(
     // S7: existence check, loud failure like `mysql.go:200-207`
     require(Files.exists(Paths.get(srcFile)), s"source table not found: $srcFile")
 
-    val cp = Checkpoint.load(mig.checkpointDir, kind, cpName)
-    if (cp.exists(_.complete)) {
+    val cp0 = Checkpoint.load(mig.checkpointDir, kind, cpName)
+    // A complete checkpoint skips (R6) — unless the mapping opted into
+    // incremental sync (same contract as the live JDBC path): the
+    // complete checkpoint becomes the BASE the delta extends.
+    val incBase = if (table.incremental) cp0.filter(_.complete) else None
+    if (cp0.exists(_.complete) && incBase.isEmpty) {
       log(s"${table.name}: checkpoint complete, skipping (R6)")
       return TransferOutcome.SkippedComplete
     }
@@ -162,15 +166,41 @@ final class TableTransferJob(
       }
     }
 
+    val pk = pkCols
+    val firstPk = pk.head
+    val srcNumericPk = source.schema(firstPk).dataType.isInstanceOf[NumericType]
+
+    // Incremental extension: the range path's resume cursor (`lastKey`,
+    // the exact key max at completion) already makes the planner chunk
+    // only `pk > cursor` — so extending a COMPLETE range checkpoint is
+    // exactly "strip the complete flag": the delta plans above the old
+    // max and its chunk dirs append after the published prefix. The
+    // cursor orders on a SINGLE numeric key; hash-bucketed and
+    // composite-range bases have no usable key order, so they degrade
+    // to a full idempotent re-transfer (chunk dirs wiped and rewritten)
+    // with a log line instead of silently missing rows. Append-only
+    // contract: rows inserted at or below the old max are not re-read.
+    val cp: Option[Checkpoint] = incBase match {
+      case Some(base) if base.bucketCount <= 0 && srcNumericPk && pk.size == 1 =>
+        log(s"${table.name}: incremental — extending above the last synced key")
+        Some(base.copy(complete = false))
+      case Some(_) =>
+        log(s"${table.name}: incremental over a " +
+          s"${if (srcNumericPk) "composite-key" else "hash-bucketed"} plan " +
+          "degrades to a full idempotent re-transfer (the parquet range " +
+          "cursor orders on a single numeric key)")
+        None
+      case None => cp0
+    }
+
     // A crash can leave chunk dirs written AFTER the last checkpoint save
     // (cadence saves at-most-per-chunk, and parallel dispatch can finish
     // chunks above the prefix): on resume those ranges are re-chunked
     // with fresh bounds, so stale dirs above the checkpoint would
-    // duplicate rows. Drop them first — checkpoint is truth.
+    // duplicate rows. Drop them first — checkpoint is truth. (For an
+    // incremental DEGRADE, cp is None, so this wipes every chunk dir and
+    // the rewrite starts clean.)
     cleanupChunksAbove(cp.map(_.chunkIndex).getOrElse(-1))
-
-    val pk = pkCols
-    val firstPk = pk.head
     // Chunk membership (range bounds AND hash buckets) is a function of
     // the key: resuming a plan computed over a different key remaps
     // chunks and silently loses or duplicates rows. v3 checkpoints carry
@@ -182,7 +212,7 @@ final class TableTransferJob(
           s"(${c.keyCols.mkString(", ")}) but the spec now keys on " +
           s"(${pk.mkString(", ")}) — clear the checkpoint to restart")
     }
-    val numericPk = source.schema(firstPk).dataType.isInstanceOf[NumericType]
+    val numericPk = srcNumericPk
     // Chunking mode. Fresh runs: numeric single-column keys take the
     // range path (quantile bounds + parquet min/max pruning); composite
     // keys take it only when the LEADING column's cardinality can

@@ -77,6 +77,80 @@ class TransferJobSpec extends SparkTestBase {
     assert(again.head.outcome.get == TransferOutcome.SkippedComplete)
   }
 
+  test("parquet incremental: completed transfer extends with ONLY the appended key tail") {
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("pinc").toString
+    val src0 = graft.sources.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src0.where(col("o_orderkey") < 800).write.parquet(s"$work/src/orders_inc.parquet")
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(
+        TableMapping("orders_inc", targetName = Some("orders_inc_new"),
+          primaryKey = Some("o_orderkey"), incremental = true))),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = 100, checkpointRowThreshold = 100,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    val t = spec.source.tables.head
+    assert(new TableTransferJob(spark, spec, t, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    val destDir = s"$work/dest/orders_inc_new"
+    def chunkDirs = new java.io.File(destDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk-"))
+      .map(_.getName).toSet
+    val before = chunkDirs
+    // no new rows: the extension is a no-op that ends complete again
+    assert(new TableTransferJob(spark, spec, t, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    assert(chunkDirs == before, "no-op delta must not touch chunk dirs")
+    // source appends a key tail; the delta lands in NEW chunk dirs only
+    src0.where(col("o_orderkey") >= 800).write.mode("append")
+      .parquet(s"$work/src/orders_inc.parquet")
+    assert(new TableTransferJob(spark, spec, t, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    val after = chunkDirs
+    assert(before.subsetOf(after) && after.size > before.size,
+      s"delta must append chunk dirs: $before -> $after")
+    val deltaRows = (after -- before).toSeq
+      .map(n => spark.read.parquet(s"$destDir/$n").count()).sum
+    assert(deltaRows == src0.where(col("o_orderkey") >= 800).count(),
+      s"delta chunk dirs hold $deltaRows rows")
+    val dest = TableTransferJob.readTarget(spark, spec, "orders_inc_new")
+    assert(dest.count() == src0.count())
+    assert(dest.except(src0).isEmpty && src0.except(dest).isEmpty)
+    // R6 preserved: a non-incremental mapping still skips
+    assert(new TableTransferJob(spark, spec, t.copy(incremental = false),
+      log = _ => ()).run() == TransferOutcome.SkippedComplete)
+  }
+
+  test("parquet incremental over a hash-bucketed key degrades to a correct full re-transfer") {
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("pinch").toString
+    val src0 = graft.sources.Tables(spark, sf, "customer")
+      .select(concat(lit("K"), col("c_custkey")).as("ckey"), col("c_acctbal"))
+    val firstHalf = src0.where(pmod(crc32(col("ckey")), lit(2)) === 0)
+    firstHalf.write.parquet(s"$work/src/cust_inc.parquet")
+    val spec = TransferSpec(
+      EndpointSpec("parquet", path = s"$work/src", tables = Seq(
+        TableMapping("cust_inc", targetName = Some("cust_inc_new"),
+          primaryKey = Some("ckey"), incremental = true))),
+      EndpointSpec("parquet", path = s"$work/dest"),
+      MigrationSpec(batchSize = 100, checkpointRowThreshold = 100,
+        checkpointDir = s"$work/cp", rateLimit = 100000000))
+    val t = spec.source.tables.head
+    assert(new TableTransferJob(spark, spec, t, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    // new rows arrive ANYWHERE in the key space (varchar keys have no
+    // range cursor) — the incremental re-run degrades to a full
+    // idempotent re-transfer and must still be exactly right
+    src0.where(pmod(crc32(col("ckey")), lit(2)) === 1).write.mode("append")
+      .parquet(s"$work/src/cust_inc.parquet")
+    assert(new TableTransferJob(spark, spec, t, log = _ => ()).run() ==
+      TransferOutcome.Completed)
+    val dest = TableTransferJob.readTarget(spark, spec, "cust_inc_new")
+    assert(dest.count() == src0.count())
+    assert(dest.except(src0).isEmpty && src0.except(dest).isEmpty)
+  }
+
   test("prune-completed GCs checkpoints (+ chunk dirs under a published layout); rerun re-transfers cleanly") {
     // chunked layout: only the checkpoint may go (chunk dirs ARE the data)
     val (spec, _) = freshSpec(Seq(customerXform))
