@@ -511,6 +511,11 @@ object SparkEntry {
     "embedding_project" -> ((s, d) =>
       Similarity.randomProjection(T(s, d, "embeddings"))),
 
+    // --- int8 scalar quantization: per-vector affine codes + (offset,
+    //     scale) — 4× memory for ANN; gate hashes the FULL code array
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.quantize(T(s, d, "embeddings"))),
+
     // --- Z-order (Morton) clustering key: write-time layout so parquet
     //     min/max stats prune files on EITHER dimension at 100 TB
     "layout_zorder" -> ((s, d) =>
@@ -1243,6 +1248,21 @@ object SparkEntry {
         |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0
         |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)), 6) AS v
         |FROM e, generate_series(0, 7) AS j(j)""".stripMargin,
+    // codes replayed in closed form; md5 over the comma-joined array
+    // makes every component load-bearing in the hash
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |           WHERE len(embedding) >= 1),
+        |s AS (SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi FROM e),
+        |q AS (SELECT vec_id, lo, hi,
+        |  list_transform(emb, x -> CAST(round(
+        |    CASE WHEN hi > lo THEN (x - lo) * 255.0 / (hi - lo) ELSE 0.0 END, 0) AS INT)) AS codes
+        |  FROM s)
+        |SELECT vec_id, round(lo, 6) AS offset6,
+        |  round(CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END, 6) AS scale6,
+        |  md5(array_to_string(codes, ',')) AS codes_md5,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum
+        |FROM q""".stripMargin,
     // lossless maintenance: compaction must not change content
     "files_compact" -> "SELECT * FROM documents",
     // morton interleave replayed with DuckDB's own bit operators; the

