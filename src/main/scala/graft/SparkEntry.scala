@@ -511,6 +511,10 @@ object SparkEntry {
     "embedding_project" -> ((s, d) =>
       Similarity.randomProjection(T(s, d, "embeddings"))),
 
+    // --- corpus report card: per-source curation metrics + rollup total
+    //     (integer-exact aggregates — partitioning-proof)
+    "corpus_report" -> ((s, d) => Curation.corpusReport(T(s, d, "documents"))),
+
     // --- int8 scalar quantization: per-vector affine codes + (offset,
     //     scale) — 4× memory for ANN; gate hashes the FULL code array
     "embedding_quantize" -> ((s, d) =>
@@ -1248,6 +1252,18 @@ object SparkEntry {
         |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0
         |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)), 6) AS v
         |FROM e, generate_series(0, 7) AS j(j)""".stripMargin,
+    "corpus_report" ->
+      """WITH h AS (SELECT source, md5(text) AS h, len(string_split(text,' '))::BIGINT AS toks
+        |           FROM documents),
+        |c AS (SELECT h, count(*) AS c FROM h GROUP BY h)
+        |SELECT coalesce(source, '__all__') AS src,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT h.h) AS BIGINT) AS n_distinct_texts,
+        |  round(CAST(sum(toks) AS DOUBLE) / count(*), 2) AS avg_tokens
+        |FROM h JOIN c USING (h)
+        |GROUP BY ROLLUP(source)""".stripMargin,
     // codes replayed in closed form; md5 over the comma-joined array
     // makes every component load-bearing in the hash
     "embedding_quantize" ->

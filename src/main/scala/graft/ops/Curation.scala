@@ -341,6 +341,29 @@ object Curation {
     * offset falls into (`floor(offset / budget)`); packs are per-source
     * so the window shuffles once on a key with source-count parallelism.
     */
+  /** Corpus report card: per-source curation metrics plus a ROLLUP
+    * corpus-total row (`source = '__all__'`) — the one-glance health
+    * check a pipeline runs between stages (doc counts, exact-dup share,
+    * token volume, distinct-text count, mean length). Every aggregate
+    * is an integer count/sum (the mean divides two exact integers and
+    * rounds once), so the distributed result is partitioning-proof.
+    * Shape: narrow per-doc metrics → ONE window over the content hash
+    * (the copy count, no self-join) → rollup hash aggregation. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("source"), md5(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("bigint").as("toks"))
+    h.withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .rollup("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum("toks").as("n_tokens"),
+        countDistinct("h").as("n_distinct_texts"),
+        round(sum("toks").cast("double") / count(lit(1)), 2).as("avg_tokens"))
+      .select(coalesce(col("source"), lit("__all__")).as("src"),
+        col("n_docs"), col("n_dup_docs"), col("n_tokens"),
+        col("n_distinct_texts"), col("avg_tokens"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
     val tokens = size(words).cast("bigint")
     // ROWS frame pinned explicitly: the default RANGE frame sums ALL
