@@ -515,6 +515,11 @@ object SparkEntry {
     //     (integer-exact aggregates — partitioning-proof)
     "corpus_report" -> ((s, d) => Curation.corpusReport(T(s, d, "documents"))),
 
+    // --- sliding-window chunking (window 32, stride 24): the context-
+    //     window prep for training/retrieval corpora; narrow expansion
+    "text_chunk_windows" -> ((s, d) =>
+      Curation.chunkWindows(T(s, d, "documents"))),
+
     // --- int8 scalar quantization: per-vector affine codes + (offset,
     //     scale) — 4× memory for ANN; gate hashes the FULL code array
     "embedding_quantize" -> ((s, d) =>
@@ -1252,6 +1257,16 @@ object SparkEntry {
         |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0
         |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)), 6) AS v
         |FROM e, generate_series(0, 7) AS j(j)""".stripMargin,
+    // 1-based inclusive slices on both sides; exact integer chunk count
+    "text_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |k AS (SELECT doc_id, w, CASE WHEN len(w) > 32
+        |        THEN (len(w) - 32 + 23) // 24 + 1 ELSE 1 END AS nch FROM d),
+        |c AS (SELECT doc_id, w, unnest(range(0, nch)) AS i FROM k)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(w[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ') AS chunk_text,
+        |  CAST(len(w[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)]) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
     "corpus_report" ->
       """WITH h AS (SELECT source, md5(text) AS h, len(string_split(text,' '))::BIGINT AS toks
         |           FROM documents),

@@ -341,6 +341,35 @@ object Curation {
     * offset falls into (`floor(offset / budget)`); packs are per-source
     * so the window shuffles once on a key with source-count parallelism.
     */
+  /** Sliding-window document chunking — the context-window prep step
+    * for training and retrieval corpora: split each document's token
+    * stream into windows of `window` tokens advancing by `stride`
+    * (overlap = window − stride preserves cross-boundary context). A
+    * document shorter than one window yields one (partial) chunk; the
+    * final window may be partial. Chunk count is exact integer
+    * arithmetic (`(n − window + stride − 1) div stride + 1`), so chunk
+    * boundaries are deterministic on both engines.
+    *
+    * Shape: one narrow codegen'd expansion per document (no shuffle —
+    * windows come straight off the doc's own token array), output rows
+    * ≈ corpus tokens / stride. */
+  def chunkWindows(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val w = split(col("text"), " ")
+    val n = size(w)
+    val nChunks = when(n > window,
+      floor(((n - window + stride - 1).cast("double")) / stride).cast("int") + 1)
+      .otherwise(lit(1))
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("int").as("idx"),
+        slice(w, i * stride + 1, lit(window)).as("toks")))
+    docs.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        concat_ws(" ", col("c.toks")).as("chunk_text"),
+        size(col("c.toks")).cast("bigint").as("n_chunk_tokens"))
+  }
+
   /** Corpus report card: per-source curation metrics plus a ROLLUP
     * corpus-total row (`source = '__all__'`) — the one-glance health
     * check a pipeline runs between stages (doc counts, exact-dup share,

@@ -495,6 +495,24 @@ class OpsSpec extends SparkTestBase {
     assert(counts == counts.sorted.reverse, "not count-descending")
   }
 
+  test("chunk windows: overlap, partial tail, short-doc single chunk, full coverage") {
+    import spark.implicits._
+    // 9 tokens, window 4, stride 3 → starts 0,3,6: sizes 4,4,3
+    val toks = (1 to 9).map(i => s"t$i")
+    val tiny = Seq((1L, toks.mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val got = Curation.chunkWindows(tiny, window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got((1L, 0)) == (("t1 t2 t3 t4", 4L)), got.toString)
+    assert(got((1L, 1)) == (("t4 t5 t6 t7", 4L))) // overlap of 1 token
+    assert(got((1L, 2)) == (("t7 t8 t9", 3L))) // partial tail
+    assert(got((2L, 0)) == (("a b", 2L))) // short doc: one partial chunk
+    assert(got.size == 4)
+    // coverage: every source token appears in at least one chunk
+    val covered = got.keys.filter(_._1 == 1L).toSeq.sorted
+      .flatMap(k => got(k)._1.split(" ")).toSet
+    assert(covered == toks.toSet)
+  }
+
   test("corpus report: per-source metrics, rollup total, dup share counted") {
     import spark.implicits._
     val tiny = Seq((1L, "a b", "s1"), (2L, "a b", "s1"), (3L, "c", "s2"))
