@@ -21,9 +21,11 @@ object Bench {
     "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk",
     "ann_ivf_trained_topk", "text_quality", "text_quality_classifier",
     "text_shard_assign", "join_bucketed_colocated",
-    // round-6 additions: tokenizer stats, LM scoring, projection, layout
+    // round-6 additions: tokenizer stats, LM scoring, projection, layout,
+    // quantization, chunking, report card, compaction
     "text_bpe_pairs", "text_unigram_logprob", "text_bigram_logprob",
-    "embedding_project", "layout_zorder",
+    "embedding_project", "layout_zorder", "embedding_quantize",
+    "text_chunk_windows", "corpus_report", "files_compact",
     "streaming_window_counts", "streaming_window_append",
     "streaming_session_counts",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,

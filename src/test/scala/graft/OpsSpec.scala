@@ -513,6 +513,65 @@ class OpsSpec extends SparkTestBase {
     assert(covered == toks.toSet)
   }
 
+  test("chunk windows property: every token covered exactly per the stride algebra") {
+    import spark.implicits._
+    // random (n, window, stride): concatenated chunks with the overlap
+    // removed must reconstruct the document exactly
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(1, 120)
+      w <- org.scalacheck.Gen.choose(1, 40)
+      s <- org.scalacheck.Gen.choose(1, 40).map(math.min(_, w))
+    } yield (n, w, s)
+    (0 until 25).foreach { i =>
+      val (n, w, s) = gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(7L + i)).getOrElse(fail("gen exhausted"))
+      val toks = (1 to n).map(j => s"t$j")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Curation.chunkWindows(df, window = w, stride = s).collect()
+        .sortBy(_.getInt(1)).map(_.getString(2).split(" ").toSeq)
+      withClue(s"n=$n window=$w stride=$s: ") {
+        // stride-prefix of each chunk (+ the whole last one) reconstructs
+        val rebuilt = (chunks.init.flatMap(_.take(s)) ++ chunks.last).toSeq
+        assert(rebuilt == toks, s"chunks=${chunks.toSeq}")
+        // every chunk but the last is full when enough tokens remain
+        chunks.init.foreach(c => assert(c.size == w))
+      }
+    }
+  }
+
+  test("z-order interleave is a bijection on the quantized grid") {
+    import spark.implicits._
+    // all 64 cells of the 3-bit grid map to 64 DISTINCT z values 0..63
+    val grid = for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)
+    val z = Layout.withZValueStatic(grid.toDF("x", "y"), "x", "y",
+      (0L, 7L), (0L, 7L), bits = 3).collect().map(_.getLong(2))
+    assert(z.toSet == (0L to 63L).toSet, "interleave not bijective on the grid")
+  }
+
+  test("quantization property: dequantized values within scale/2 of the input") {
+    import org.apache.spark.sql.functions.col
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // recompute codes driver-side from the operator's published contract
+    Similarity.quantize(emb).collect().take(200).foreach { r =>
+      val (id, off, scale) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val xs = e(id)
+      val lo = xs.min; val hi = xs.max
+      val s = if (hi > lo) (hi - lo) / 255.0 else 1.0
+      xs.foreach { x =>
+        val code = math.round(if (hi > lo) (x - lo) * 255.0 / (hi - lo) else 0.0)
+        val dequant = lo + code * s
+        assert(math.abs(dequant - x) <= s / 2 + 1e-9,
+          s"vec $id: |$dequant - $x| > ${s / 2}")
+      }
+      // published (offset, scale) are the rounded true values
+      assert(math.abs(off - BigDecimal(lo).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(scale - BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("corpus report: per-source metrics, rollup total, dup share counted") {
     import spark.implicits._
     val tiny = Seq((1L, "a b", "s1"), (2L, "a b", "s1"), (3L, "c", "s2"))
