@@ -1271,7 +1271,8 @@ object SparkEntry {
       """WITH h AS (SELECT source, md5(text) AS h, len(string_split(text,' '))::BIGINT AS toks
         |           FROM documents),
         |c AS (SELECT h, count(*) AS c FROM h GROUP BY h)
-        |SELECT coalesce(source, '__all__') AS src,
+        |SELECT CASE WHEN GROUPING(source) = 1 THEN '__all__'
+        |            ELSE coalesce(source, '__null__') END AS src,
         |  count(*) AS n_docs,
         |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
         |  CAST(sum(toks) AS BIGINT) AS n_tokens,

@@ -180,15 +180,24 @@ final class TableTransferJob(
     // to a full idempotent re-transfer (chunk dirs wiped and rewritten)
     // with a log line instead of silently missing rows. Append-only
     // contract: rows inserted at or below the old max are not re-read.
+    var extendedBase = false
     val cp: Option[Checkpoint] = incBase match {
       case Some(base) if base.bucketCount <= 0 && srcNumericPk && pk.size == 1 =>
         log(s"${table.name}: incremental — extending above the last synced key")
+        extendedBase = true
         Some(base.copy(complete = false))
-      case Some(_) =>
+      case Some(base) =>
         log(s"${table.name}: incremental over a " +
-          s"${if (srcNumericPk) "composite-key" else "hash-bucketed"} plan " +
+          s"${if (base.bucketCount > 0) "hash-bucketed" else "composite-key"} plan " +
           "degrades to a full idempotent re-transfer (the parquet range " +
           "cursor orders on a single numeric key)")
+        // The old COMPLETE state must not survive the wipe below: a
+        // crash between cleanupChunksAbove(-1) and the re-transfer's
+        // first checkpoint save would otherwise leave destroyed chunk
+        // dirs shielded by complete+marker — R6 would skip the rerun
+        // and pruneCompleted would trust it.
+        Checkpoint.delete(mig.checkpointDir, kind, cpName)
+        Files.deleteIfExists(Paths.get(destDir, "_GRAFT_COMPLETE"))
         None
       case None => cp0
     }
@@ -246,7 +255,7 @@ final class TableTransferJob(
       case _ =>
         numericPk && (pk.size == 1 || rangeResolvable(source, firstPk))
     }
-    if (useRange) runRangeChunks(source, firstPk, cp)
+    if (useRange) runRangeChunks(source, firstPk, cp, extendedBase)
     else runHashChunks(source, pk, cp)
   }
 
@@ -342,7 +351,8 @@ final class TableTransferJob(
     * re-quantile, so resume overhead is a checkpoint read (mirrors the
     * hash path's persisted bucket count). */
   private def runRangeChunks(source: DataFrame, pkCol: String,
-                             cp: Option[Checkpoint]): TransferOutcome = {
+                             cp: Option[Checkpoint],
+                             extendedBase: Boolean = false): TransferOutcome = {
     val codec = keyCodec(source.schema(pkCol).dataType)
     // Legacy (pre-v3) files carry no key_cols; their lastKey map is keyed
     // by the column the plan was computed over, so a cursor stored under
@@ -380,8 +390,18 @@ final class TableTransferJob(
         require(probe.getLong(2) == 0,
           s"table '${table.name}' has ${probe.getLong(2)} NULL values in key " +
             s"'$pkCol' — refusing (rows would be lost by range chunking)")
-        if (n0 == 0)
+        if (n0 == 0) {
+          // Incremental no-op: the on-disk state (complete checkpoint,
+          // marker, publish layout, registration) is already exactly
+          // right — running finish() would rewrite a partitioned
+          // -final layout and drop/recreate the registered table on
+          // every scheduled re-run that found nothing new.
+          if (extendedBase) {
+            log(s"${table.name}: incremental — no rows above the last synced key")
+            return TransferOutcome.Completed
+          }
           return finish(startChunk, lastKey.map(k => Map(pkCol -> codec.fmt(k))))
+        }
         val trueMax = codec.fromRow(probe.get(1))
         val n = math.max(1, math.min(maxChunks,
           math.ceil(n0.toDouble / chunkRows(n0)).toInt))

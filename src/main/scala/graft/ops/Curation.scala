@@ -356,14 +356,19 @@ object Curation {
   def chunkWindows(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       "need 0 < stride <= window")
-    val w = split(col("text"), " ")
-    val n = size(w)
-    val nChunks = when(n > window,
-      floor(((n - window + stride - 1).cast("double")) / stride).cast("int") + 1)
-      .otherwise(lit(1))
-    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
-      struct(i.cast("int").as("idx"),
-        slice(w, i * stride + 1, lit(window)).as("toks")))
+    // the token array is bound as a LAMBDA VARIABLE (transform over a
+    // one-element array): inline, the per-chunk slice would re-evaluate
+    // split(text) once per window — the O(len²) pathology withWords
+    // exists to prevent, avoided here without its shuffle
+    val chunks = element_at(transform(array(split(col("text"), " ")), w => {
+      val n = size(w)
+      val nChunks = when(n > window,
+        floor(((n - window + stride - 1).cast("double")) / stride).cast("int") + 1)
+        .otherwise(lit(1))
+      transform(sequence(lit(0), nChunks - 1), i =>
+        struct(i.cast("int").as("idx"),
+          slice(w, i * stride + 1, lit(window)).as("toks")))
+    }), 1)
     docs.select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.idx").as("chunk_idx"),
         concat_ws(" ", col("c.toks")).as("chunk_text"),
@@ -387,8 +392,13 @@ object Curation {
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
         sum("toks").as("n_tokens"),
         countDistinct("h").as("n_distinct_texts"),
-        round(sum("toks").cast("double") / count(lit(1)), 2).as("avg_tokens"))
-      .select(coalesce(col("source"), lit("__all__")).as("src"),
+        round(sum("toks").cast("double") / count(lit(1)), 2).as("avg_tokens"),
+        grouping(col("source")).as("g"))
+      // grouping() distinguishes the grand-total row from a NULL source
+      // GROUP (coalesce alone would conflate them into two '__all__'
+      // rows with different counts)
+      .select(when(col("g") === 1, lit("__all__"))
+          .otherwise(coalesce(col("source"), lit("__null__"))).as("src"),
         col("n_docs"), col("n_dup_docs"), col("n_tokens"),
         col("n_distinct_texts"), col("avg_tokens"))
   }

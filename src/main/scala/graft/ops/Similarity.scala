@@ -81,20 +81,31 @@ object Similarity {
   def quantize(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .where(size(col("emb")) >= 1)
-      .withColumn("lo", array_min(col("emb")))
-      .withColumn("hi", array_max(col("emb")))
-    val span = col("hi") > col("lo")
-    val codes = transform(col("emb"), x =>
-      round(when(span, (x - col("lo")) * 255.0 / (col("hi") - col("lo")))
-        .otherwise(0.0), 0).cast("int"))
-    e.withColumn("codes", codes)
-      .select(col("vec_id"),
-        round(col("lo"), 6).as("offset6"),
-        round(when(span, (col("hi") - col("lo")) / 255.0).otherwise(1.0), 6)
-          .as("scale6"),
-        md5(concat_ws(",", col("codes").cast("array<string>"))).as("codes_md5"),
-        aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long"))
-          .as("code_sum"))
+    // (lo, hi) and then the codes array are bound as LAMBDA VARIABLES
+    // (transform over a one-element array): referenced inline instead,
+    // CollapseProject would splice array_min/max into the per-element
+    // lambda — O(d²) per vector — and re-run the code transform once
+    // per output column. The explode of the one-element result is the
+    // materialization point (Generate is not a collapsible Project).
+    val q = transform(
+      array(struct(array_min(col("emb")).as("lo"), array_max(col("emb")).as("hi"))),
+      s => {
+        val lo = s.getField("lo"); val hi = s.getField("hi")
+        val span = hi > lo
+        val codes = transform(col("emb"), x =>
+          round(when(span, (x - lo) * 255.0 / (hi - lo)).otherwise(0.0), 0)
+            .cast("int"))
+        element_at(transform(array(codes), cs =>
+          struct(round(lo, 6).as("offset6"),
+            round(when(span, (hi - lo) / 255.0).otherwise(1.0), 6).as("scale6"),
+            md5(concat_ws(",", cs.cast("array<string>"))).as("codes_md5"),
+            aggregate(cs, lit(0L), (a, x) => a + x.cast("long")).as("code_sum"))),
+          1)
+      })
+    e.select(col("vec_id"), explode(q).as("q"))
+      .select(col("vec_id"), col("q.offset6").as("offset6"),
+        col("q.scale6").as("scale6"), col("q.codes_md5").as("codes_md5"),
+        col("q.code_sum").as("code_sum"))
   }
 
   /** Deterministic ±1 sign for projection cell (j, i): +1 iff the first

@@ -574,14 +574,17 @@ class OpsSpec extends SparkTestBase {
 
   test("corpus report: per-source metrics, rollup total, dup share counted") {
     import spark.implicits._
-    val tiny = Seq((1L, "a b", "s1"), (2L, "a b", "s1"), (3L, "c", "s2"))
+    val tiny = Seq((1L, "a b", "s1"), (2L, "a b", "s1"), (3L, "c", "s2"),
+      (4L, "d", null.asInstanceOf[String]))
       .toDF("doc_id", "text", "source")
     val got = Curation.corpusReport(tiny).collect().map(r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5)))).toMap
     assert(got("s1") == ((2L, 2L, 4L, 1L, 2.0)), got("s1").toString)
     assert(got("s2") == ((1L, 0L, 1L, 1L, 1.0)), got("s2").toString)
-    assert(got("__all__") == ((3L, 2L, 5L, 2L, 1.67)), got("__all__").toString)
+    // a NULL source group stays DISTINCT from the rollup grand total
+    assert(got("__null__") == ((1L, 0L, 1L, 1L, 1.0)), got.toString)
+    assert(got("__all__") == ((4L, 2L, 6L, 3L, 1.5)), got("__all__").toString)
     // real corpus: rollup row present, totals consistent with per-source
     val real = Curation.corpusReport(docs).collect().map(r =>
       r.getString(0) -> r.getLong(1)).toMap

@@ -149,6 +149,20 @@ class TransferJobSpec extends SparkTestBase {
     val dest = TableTransferJob.readTarget(spark, spec, "cust_inc_new")
     assert(dest.count() == src0.count())
     assert(dest.except(src0).isEmpty && src0.except(dest).isEmpty)
+    // crash-safety of the degrade: the old COMPLETE state is cleared
+    // BEFORE the wipe, so an interrupted degrade must NOT be shielded
+    // by a stale complete marker — the next plain run must transfer,
+    // not skip (R6 would otherwise serve a destroyed destination)
+    val killed = new TableTransferJob(spark, spec, t, KillAfter(1),
+      log = _ => ()).run()
+    assert(killed.isInstanceOf[TransferOutcome.Interrupted], killed.toString)
+    val after = new TableTransferJob(spark, spec,
+      t.copy(incremental = false), log = _ => ()).run()
+    assert(after == TransferOutcome.Completed,
+      s"interrupted degrade must resume, not skip: $after")
+    val dest2 = TableTransferJob.readTarget(spark, spec, "cust_inc_new")
+    assert(dest2.count() == src0.count())
+    assert(dest2.except(src0).isEmpty && src0.except(dest2).isEmpty)
   }
 
   test("prune-completed GCs checkpoints (+ chunk dirs under a published layout); rerun re-transfers cleanly") {
