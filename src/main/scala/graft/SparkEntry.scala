@@ -560,6 +560,10 @@ object SparkEntry {
     //     minhash-LSH): inverted shingle index, df-capped, no cartesian
     "dedup_ngram_jaccard" -> ((s, d) => Curation.ngramJaccardPairs(T(s, d, "documents"))),
 
+    // --- asymmetric containment pairs: short doc embedded in a longer
+    //     one (Jaccard-invisible); directed contained→container output
+    "dedup_containment" -> ((s, d) => Curation.ngramContainmentPairs(T(s, d, "documents"))),
+
     // --- benchmark-contamination check: corpus docs sharing >= 2 word
     //     3-grams with a benchmark doc (broadcast bench side, one scan)
     "text_contamination" -> ((s, d) => Curation.contamination(T(s, d, "documents"))),
@@ -1164,6 +1168,7 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    "dedup_containment" -> ngramContainmentOracleSql,
     "text_contamination" -> contaminationOracleSql,
     "text_pii_redact" -> piiRedactOracleSql,
     "text_pack_sequences" -> packSequencesOracleSql,
@@ -1750,6 +1755,28 @@ object SparkEntry {
        |  SELECT doc_a, doc_b, jaccard, row_number() OVER (
        |      PARTITION BY doc_a ORDER BY common DESC, doc_b) AS rnk
        |    FROM j WHERE jaccard >= 0.5)
+       |WHERE rnk <= 64""".stripMargin
+
+  private def ngramContainmentOracleSql: String =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+       |  WHERE c <= 256),
+       |idx AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |d AS (SELECT
+       |    CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS contained_id,
+       |    CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS container_id,
+       |    common, round(common / least(sa, sb), 6) AS containment
+       |  FROM (SELECT c.*, s1.sz AS sa, s2.sz AS sb FROM common c
+       |    JOIN sizes s1 ON c.doc_a = s1.doc_id
+       |    JOIN sizes s2 ON c.doc_b = s2.doc_id))
+       |SELECT contained_id, container_id, containment FROM (
+       |  SELECT contained_id, container_id, containment, row_number() OVER (
+       |      PARTITION BY contained_id ORDER BY common DESC, container_id) AS rnk
+       |    FROM d WHERE containment >= 0.8)
        |WHERE rnk <= 64""".stripMargin
 
   private def contaminationOracleSql: String =

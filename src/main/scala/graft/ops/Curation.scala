@@ -75,30 +75,7 @@ object Curation {
     * this same similarity with a linear-ish plan. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         dfCap: Int = 256, candCap: Int = 64): DataFrame = {
-    val ws = withWords(docs)
-    // (doc_id, full-set size, one row per shingle) — one explode
-    val idx = ws.select(col("doc_id"),
-      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"),
-      explode(shingleHashes(col("w"), n)).as("s"))
-    // df cap: ubiquitous (boilerplate) shingles leave the universe —
-    // part of the operator + oracle contract, as before
-    val dfs = idx.groupBy("s").agg(count(lit(1)).as("df"))
-    val rareIdx = idx.join(dfs.where(col("df") <= dfCap).select("s"), "s")
-    // narrow pair stream — (doc_a, doc_b) only; sizes rejoin AFTER the
-    // aggregation (one row per doc — small next to the pair set, but
-    // corpus-sized, so the join strategy is left to AQE: it broadcasts
-    // at test scale and degrades to a shuffle join on a corpus too big
-    // to broadcast, instead of hitting the 8 GB broadcast hard limit)
-    val a = rareIdx.select(col("doc_id").as("doc_a"), col("s"))
-    val b = rareIdx.select(col("doc_id").as("doc_b"), col("s"))
-    val sizes = ws.select(col("doc_id"),
-      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"))
-    val common = a.join(b, "s")
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+    val common = sharedShinglePairs(docs, n, dfCap)
     // per-doc result cap — only threshold-passing pairs reach this
     // window, so the sort is over the (small) result set
     val wCand = Window.partitionBy(col("doc_a"))
@@ -113,6 +90,73 @@ object Curation {
         sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
       .where(col("rnk") <= candCap)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Shared pair-candidate pipeline for the exact n-gram family:
+    * inverted index on md5 shingle hashes, df-capped, equi-joined
+    * against itself → one row per unordered candidate pair
+    * `(doc_a < doc_b, common, sa, sb)` where `common` counts shared
+    * NON-CAPPED shingles and `sa`/`sb` are the FULL distinct-shingle
+    * set sizes. The narrow pair stream carries only (doc_a, doc_b);
+    * sizes rejoin AFTER the aggregation (one row per doc — small next
+    * to the pair set, but corpus-sized, so the join strategy is left
+    * to AQE: it broadcasts at test scale and degrades to a shuffle
+    * join on a corpus too big to broadcast, instead of hitting the
+    * 8 GB broadcast hard limit). */
+  private def sharedShinglePairs(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
+    val ws = withWords(docs)
+    // (doc_id, one row per shingle) — one explode
+    val idx = ws.select(col("doc_id"),
+      explode(shingleHashes(col("w"), n)).as("s"))
+    // df cap: ubiquitous (boilerplate) shingles leave the universe —
+    // part of the operator + oracle contract, as before
+    val dfs = idx.groupBy("s").agg(count(lit(1)).as("df"))
+    val rareIdx = idx.join(dfs.where(col("df") <= dfCap).select("s"), "s")
+    val a = rareIdx.select(col("doc_id").as("doc_a"), col("s"))
+    val b = rareIdx.select(col("doc_id").as("doc_b"), col("s"))
+    val sizes = ws.select(col("doc_id"),
+      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"))
+    a.join(b, "s")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+  }
+
+  /** Asymmetric containment near-duplicate pairs — catches the case
+    * symmetric Jaccard structurally misses: a short document embedded
+    * verbatim inside a much longer one (quote farms, aggregator pages,
+    * doc-plus-boilerplate wrappers). For such a pair Jaccard ≈
+    * |A|/|B| → 0 as the container grows, while containment
+    * `|A∩B| / min(|A|,|B|)` stays ≈ 1.
+    *
+    * Output is DIRECTED: `contained_id` is the smaller shingle set
+    * (ties → the lower doc_id, since doc_a < doc_b), `container_id`
+    * the larger. Same df cap (capped shingles leave the universe, so
+    * containment is computed over the rare-shingle subuniverse — same
+    * contract as [[ngramJaccardPairs]], oracle applies the identical
+    * cap) and the same per-contained-doc result cap with an observable
+    * drop counter. */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                            dfCap: Int = 256, candCap: Int = 64): DataFrame = {
+    val directed = sharedShinglePairs(docs, n, dfCap)
+      .withColumn("contained_id",
+        when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("container_id",
+        when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")))
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("sa"), col("sb")).cast("double"), 6))
+      .where(col("containment") >= threshold)
+    val wCand = Window.partitionBy(col("contained_id"))
+      .orderBy(col("common").desc, col("container_id"))
+    directed
+      .withColumn("rnk", row_number().over(wCand))
+      .observe("ngram_containment_cands_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
+      .where(col("rnk") <= candCap)
+      .select("contained_id", "container_id", "containment")
   }
 
   /** Benchmark-contamination check: which corpus documents share ≥

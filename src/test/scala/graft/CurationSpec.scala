@@ -67,6 +67,54 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("containment catches embedded docs that Jaccard misses, directed small→large") {
+    import spark.implicits._
+    val big = (0 until 120).map(i => s"w$i").mkString(" ")
+    val embedded = (40 until 60).map(i => s"w$i").mkString(" ")   // verbatim slice
+    val noise = (0 until 30).map(i => s"x$i").mkString(" ")
+    val in = Seq((1L, big), (2L, embedded), (3L, noise)).toDF("doc_id", "text")
+    // symmetric Jaccard at the standard threshold sees nothing: the
+    // shared set is ~18 shingles against a union of ~118
+    assert(Curation.ngramJaccardPairs(in, threshold = 0.5).collect().isEmpty)
+    val got = Curation.ngramContainmentPairs(in, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, 1L, 1.0)),
+      s"embedded doc must surface as contained_id=2 container_id=1: ${got.toSeq}")
+  }
+
+  test("property: containment matches brute-force min-set formula on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(3, 12).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    for (i <- 0 until 3; t <- Seq(0.5, 0.8)) {
+      val texts = sample(Gen.listOfN(25, doc), 7700L + i)
+      val in = texts.zipWithIndex.map { case (s, id) => (id.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = Curation.ngramContainmentPairs(in, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = texts.zipWithIndex.map { case (s, id) =>
+        id.toLong -> s.split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size.toDouble
+        cont = BigDecimal(c / math.min(sa.size, sb.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cont >= t
+        // directed: smaller set is the contained side; ties → lower id
+        (cid, kid) = if (sa.size <= sb.size) (a, b) else (b, a)
+      } yield (cid, kid, cont)).toSet
+      assert(got == want, s"threshold $t corpus $i: got ${got.size}, want ${want.size}; " +
+        s"missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("short documents don't crash the shingle ops (ANSI element_at)") {
     import spark.implicits._
     // under Spark's ANSI default an unguarded element_at past the array
