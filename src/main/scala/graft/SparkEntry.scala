@@ -556,6 +556,10 @@ object SparkEntry {
       Similarity.ivfTopK(emb, centroids = Some(cents))
     }),
 
+    // --- SemDeDup-style semantic dedup: trained k-means cells as the
+    //     candidate generator, min-id keeper per cosine-dup group
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(T(s, d, "embeddings"))),
+
     // --- exact n-gram Jaccard near-dup pairs (the exact counterpart of
     //     minhash-LSH): inverted shingle index, df-capped, no cartesian
     "dedup_ngram_jaccard" -> ((s, d) => Curation.ngramJaccardPairs(T(s, d, "documents"))),
@@ -563,6 +567,11 @@ object SparkEntry {
     // --- asymmetric containment pairs: short doc embedded in a longer
     //     one (Jaccard-invisible); directed contained→container output
     "dedup_containment" -> ((s, d) => Curation.ngramContainmentPairs(T(s, d, "documents"))),
+
+    // --- content-defined chunk dedup: fnv-triggered boundaries instead
+    //     of fixed windows — robust to insertions that shift every
+    //     fixed window (paragraphDedup's structural blind spot)
+    "dedup_cdc_chunks" -> ((s, d) => Curation.cdcChunkDedup(T(s, d, "documents"))),
 
     // --- benchmark-contamination check: corpus docs sharing >= 2 word
     //     3-grams with a benchmark doc (broadcast bench side, one scan)
@@ -1207,6 +1216,7 @@ object SparkEntry {
         |SELECT doc_id, n_chunks, n_dup_chunks,
         |  round(n_dup_chunks::DOUBLE / n_chunks::DOUBLE, 6) AS dup_chunk_frac
         |FROM per""".stripMargin,
+    "dedup_cdc_chunks" -> cdcChunkOracleSql,
     "dedup_cross_source" ->
       """WITH k AS (SELECT doc_id, source,
         |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS content_key,
@@ -1333,6 +1343,7 @@ object SparkEntry {
         |  FROM p) WHERE rn <= 3""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
+    "dedup_semantic" -> semanticDedupOracleSql,
     "text_langid" -> langIdOracleSql,
     "text_quality" -> qualityOracleSql,
     "text_tokens" ->
@@ -1705,6 +1716,28 @@ object SparkEntry {
        |$c AS (SELECT $prev.cid, coalesce($m.ce, $prev.ce) AS ce
        |  FROM $prev LEFT JOIN $m USING (cid))""".stripMargin
 
+  /** SemDeDup oracle: two Lloyd's rounds, L2 assignment to the trained
+    * cells (rounded distance, cid tie-break — the training rule), then
+    * min lower-id cosine-duplicate within each cell. */
+  private def semanticDedupOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
+       |${lloydCte("c0", "a1", "m1", "c1")},
+       |${lloydCte("c1", "a2", "m2", "c2")},
+       |assign AS (SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c2.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqSql("e.emb", "c2.ce")}, c2.cid) AS rn
+       |    FROM e, c2) WHERE rn = 1),
+       |d AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+       |  FROM assign a JOIN assign b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.25
+       |  GROUP BY a.vec_id)
+       |SELECT a.vec_id, a.cell,
+       |  CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep, d.dup_of
+       |FROM assign a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin
+
   /** Trained-IVF oracle: the ivf pipeline with centroids from two
     * deterministic Lloyd's rounds instead of the vec_id<16 stand-ins. */
   private def ivfTrainedOracleSql: String =
@@ -1727,6 +1760,33 @@ object SparkEntry {
        |SELECT qid, nn_id, cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
        |  FROM p) WHERE rn <= 3""".stripMargin
+
+  /** CDC chunk-dedup oracle: same fnv-triggered boundary rule (chunk id
+    * = count of trigger words strictly before this position), chunks
+    * md5-keyed, corpus-wide frequency, per-doc duplication stats.
+    * Constants match `Curation.cdcChunkDedup` (boundaryMod 8, Basis1). */
+  private def cdcChunkOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, i.i AS pos, w[i.i] AS word
+       |  FROM w, unnest(range(1, len(w) + 1)) AS i(i)),
+       |trig AS (SELECT doc_id, pos, word,
+       |    CASE WHEN ${graft.functions.Fnv.duckdbSql("word", graft.functions.Fnv.Basis1)} % 8 = 0
+       |      THEN 1 ELSE 0 END AS t
+       |  FROM tok),
+       |ch0 AS (SELECT doc_id, pos, word,
+       |    coalesce(sum(t) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM trig),
+       |chunks AS (SELECT doc_id, chunk,
+       |    md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+       |  FROM ch0 GROUP BY doc_id, chunk),
+       |f AS (SELECT ch, count(*) AS cf FROM chunks GROUP BY ch),
+       |per AS (SELECT doc_id, count(*) AS n_chunks,
+       |    CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |  FROM chunks JOIN f USING (ch) GROUP BY doc_id)
+       |SELECT doc_id, n_chunks, n_dup_chunks,
+       |  round(n_dup_chunks::DOUBLE / n_chunks::DOUBLE, 6) AS dup_chunk_frac
+       |FROM per""".stripMargin
 
   /** Distinct md5'd word-3-gram shingles per document (the inverted
     * index key both curation ops join on). Mirrors

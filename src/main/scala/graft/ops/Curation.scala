@@ -287,6 +287,48 @@ object Curation {
           col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
   }
 
+  /** Content-defined chunk deduplication — the SHIFT-ROBUST sibling of
+    * [[paragraphDedup]] (the LBFS/rsync boundary trick applied to
+    * corpus dedup): chunk boundaries fall after "trigger" words
+    * (`fnv1a32(word) % boundaryMod == 0`) instead of at fixed
+    * word-count multiples. Inserting one word near the top of a
+    * document shifts EVERY fixed window after it (paragraphDedup sees
+    * ~0% duplication against the original), but leaves all
+    * content-defined chunks after the next trigger identical — the
+    * repeated spans still key-match corpus-wide. Expected chunk length
+    * is `boundaryMod` words (trigger density 1/boundaryMod).
+    *
+    * Same output contract and scale shape as paragraphDedup: one
+    * explode to tokens, one window cumsum per doc for chunk ids, one
+    * window on the md5 chunk key for corpus frequency — shuffles keyed
+    * on doc_id then md5, no cartesian, no driver state. */
+  def cdcChunkDedup(docs: DataFrame, boundaryMod: Int = 8): DataFrame = {
+    import graft.functions.Fnv
+    val ws = withWords(docs).where(size(col("w")) >= 1)
+    val tok = ws.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .withColumn("trig",
+        when(Fnv.fnv32(col("word"), Fnv.Basis1) % boundaryMod === 0, 1L)
+          .otherwise(0L))
+    // chunk id = number of triggers BEFORE this word (boundary cuts
+    // after the trigger word, so the trigger closes its own chunk)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("chunk", coalesce(sum(col("trig")).over(wCum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")))).as("ch"))
+    chunks
+      .withColumn("cf", count(lit(1)).over(Window.partitionBy(col("ch"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
+  }
+
   /** Cross-source duplicate resolution with source priority — the
     * "prefer the curated copy" rule (keep the Wikipedia copy, drop the
     * CommonCrawl one): documents are grouped by a content key (md5 of

@@ -208,6 +208,51 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then mark
+    * near-duplicates ONLY within each cluster — the learned partition
+    * plays the candidate-generation role that random hyperplanes play
+    * in [[embeddingNearDup]], but adapts to the data distribution, so
+    * semantically-close duplicates land in the same cell by
+    * construction rather than by hash luck.
+    *
+    * One row per vector: `(vec_id, cell, keep, dup_of)`. A vector is a
+    * duplicate iff some LOWER-id member of its cell has rounded cosine
+    * ≥ `threshold`; `dup_of` is the smallest such id (deterministic
+    * keeper choice, same min-id convention as the dedup family), NULL
+    * for keepers.
+    *
+    * Scale shape: training is [[trainCentroids]] (sample-friendly);
+    * assignment is one scan against broadcast centroids; the pair
+    * stage is an equi-join on the cell id (no cartesian), Σ cell²
+    * bounded by raising `k` — SemDeDup's own scale lever (the paper
+    * runs 50k clusters over web-scale corpora; cost per cell falls
+    * quadratically as k grows). */
+  def semanticDedup(emb: DataFrame, k: Int = 16, iters: Int = 2,
+                    threshold: Double = 0.25): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = trainCentroids(emb, k, iters, scale = Some(6))
+    // nearest trained centroid in L2 — the same rounded-distance /
+    // cid-tie-break rule the training assignment uses, so the oracle
+    // replays it bit-for-bit
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cid"),
+        round(sqDist(col("emb"), col("ce")), 6).as("d"))
+      .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vid_b"),
+      col("emb").as("emb_b"))
+    val dupOf = assigned.join(b, "cell")
+      .where(col("vid_b") < col("vec_id") &&
+        cosine(col("emb"), col("emb_b")) >= threshold)
+      .groupBy("vec_id").agg(min(col("vid_b")).as("dup_of"))
+    assigned.join(dupOf, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("keep"),
+        col("dup_of"))
+  }
+
   /** Training objective: sum over vectors of squared distance to their
     * nearest centroid (for tests/monitoring). */
   def kmeansObjective(emb: DataFrame, cents: DataFrame): Double = {

@@ -200,6 +200,64 @@ class CurationSpec extends SparkTestBase {
     assert(out.find(_.getLong(0) == probe).get.getLong(1) == expect.toLong)
   }
 
+  test("CDC chunk dedup survives the insertion that blinds fixed-window chunking") {
+    import spark.implicits._
+    val base = (0 until 200).map(i => s"a$i")
+    // guard the fixture: the boundary rule must actually fire often
+    // enough that the two documents share many content-defined chunks
+    val triggers = base.count(w => graft.functions.Fnv.hash32(w, graft.functions.Fnv.Basis1) % 8 == 0)
+    assert(triggers >= 10, s"fixture vocabulary only has $triggers triggers")
+    val shifted = "inserted" +: base                    // one word prepended
+    val in = Seq((1L, base.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val para = Curation.paragraphDedup(in).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cdc = Curation.cdcChunkDedup(in).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // fixed windows: every 10-word chunk shifted by one → near-zero overlap
+    assert(para(1L) < 0.2, s"fixed windows unexpectedly aligned: ${para(1L)}")
+    // content-defined: everything after the first trigger re-aligns
+    assert(cdc(1L) > 0.7 && cdc(2L) > 0.7,
+      s"CDC chunks must re-align after the insertion: $cdc")
+  }
+
+  test("property: CDC chunks match a direct sequential recomputation") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val doc = Gen.choose(1, 40).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    for (round <- 0 until 3) {
+      val texts = sample(Gen.listOfN(30, doc), 9900L + round)
+      val in = texts.zipWithIndex.map { case (s, id) => (id.toLong, s) }
+        .toDF("doc_id", "text")
+      // direct recomputation: walk each doc, cut after trigger words
+      def chunksOf(text: String): Seq[String] = {
+        val out = Seq.newBuilder[String]
+        var cur = Vector.empty[String]
+        text.split(" ", -1).foreach { w =>
+          cur :+= w
+          if (graft.functions.Fnv.hash32(w, graft.functions.Fnv.Basis1) % 8 == 0) {
+            out += cur.mkString(" "); cur = Vector.empty
+          }
+        }
+        if (cur.nonEmpty) out += cur.mkString(" ")
+        out.result()
+      }
+      val all = texts.zipWithIndex.map { case (s, id) => id.toLong -> chunksOf(s) }
+      val freq = all.flatMap(_._2).groupBy(identity).map { case (c, l) => c -> l.size }
+      val got = Curation.cdcChunkDedup(in).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      all.foreach { case (id, cs) =>
+        val expDup = cs.count(c => freq(c) > 1).toLong
+        assert(got(id) == ((cs.size.toLong, expDup)),
+          s"doc $id round $round: ${got(id)} != (${cs.size}, $expDup)")
+      }
+    }
+  }
+
   test("cross-source dedup: one keeper per content key with the best priority") {
     val keep = Curation.crossSourceDedup(docs)
     val keyed = keep.collect()

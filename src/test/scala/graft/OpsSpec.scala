@@ -169,6 +169,46 @@ class OpsSpec extends SparkTestBase {
     trained.unpersist()
   }
 
+  test("semantic dedup: partition of the corpus, min-id keepers, cell-local dups") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.semanticDedup(emb, threshold = 0.25).cache()
+    try {
+      // one row per vector; keep flag is exactly dup_of-is-null
+      assert(out.count() == emb.count())
+      assert(out.where((col("keep") === 1) =!= col("dup_of").isNull).count() == 0)
+      val rows = out.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      assert(rows.values.exists(_._2 == 0), "corpus has cosine-dups at 0.25")
+      // brute-force confirm against direct per-cell cosine: dup_of must be
+      // the SMALLEST lower-id same-cell member at rounded cos >= t, and
+      // keepers must have none
+      val vecs = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val byCell = rows.toSeq.groupBy(_._2._1)
+      byCell.foreach { case (_, members) =>
+        val ids = members.map(_._1).sorted
+        members.foreach { case (id, (_, keepFlag, dupOf)) =>
+          val lowerDups = ids.filter(o => o < id && cos(vecs(o), vecs(id)) >= 0.25)
+          if (keepFlag == 1) assert(lowerDups.isEmpty,
+            s"vec $id kept but has cell dups $lowerDups")
+          else assert(dupOf == lowerDups.min,
+            s"vec $id dup_of $dupOf != min lower dup ${lowerDups.min}")
+        }
+      }
+      // candidate generation must be the cell equi-join, never a cartesian
+      val plan = planOf(Similarity.semanticDedup(emb, threshold = 0.25))
+      assert(!plan.contains("CartesianProduct"),
+        "semantic dedup must pair within cells via equi-join")
+    } finally out.unpersist()
+  }
+
   test("multimodal stub decode: plumbing preserves ids, deterministic features") {
     val f = Multimodal.extractFeatures(events, "event_id", "props").cache()
     assert(f.count() == events.count())
