@@ -18,6 +18,8 @@ object Bench {
     // LLM-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_clusters", "dedup_paragraph", "dedup_cross_source",
+    "dedup_containment", "dedup_semantic", "dedup_cdc_chunks",
+    "dedup_incremental", "text_temperature_mix", "corpus_diff",
     "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk",
     "ann_ivf_trained_topk", "text_quality", "text_quality_classifier",
     "text_shard_assign", "join_bucketed_colocated",

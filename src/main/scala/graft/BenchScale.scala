@@ -31,6 +31,8 @@ object BenchScale {
     // round 6: tokenizer/LM statistics, projection, layout
     "text_bpe_pairs", "text_unigram_logprob", "text_bigram_logprob",
     "embedding_project", "layout_zorder",
+    "dedup_containment", "dedup_semantic", "dedup_cdc_chunks",
+    "dedup_incremental", "text_temperature_mix", "corpus_diff",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts")

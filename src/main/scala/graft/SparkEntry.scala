@@ -573,6 +573,31 @@ object SparkEntry {
     //     fixed window (paragraphDedup's structural blind spot)
     "dedup_cdc_chunks" -> ((s, d) => Curation.cdcChunkDedup(T(s, d, "documents"))),
 
+    // --- incremental batch-vs-corpus near-dup screening (steady-state
+    //     ingest: daily delta vs standing index, never all-pairs);
+    //     corpus = even ids, batch = odd ids for the gate
+    "dedup_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.incrementalNearDups(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
+
+    // --- size-aware temperature sampling: keep prob derived from
+    //     source size (p = min(1, c/sqrt(n))), seeded md5 keep decision
+    "text_temperature_mix" -> ((s, d) => Curation.temperatureMix(T(s, d, "documents"))),
+
+    // --- corpus snapshot diff: added/removed/changed/unchanged by
+    //     content hash between two derived snapshots of the corpus
+    "corpus_diff" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      Curation.corpusDiff(oldSnap, newSnap)
+    }),
+
     // --- benchmark-contamination check: corpus docs sharing >= 2 word
     //     3-grams with a benchmark doc (broadcast bench side, one scan)
     "text_contamination" -> ((s, d) => Curation.contamination(T(s, d, "documents"))),
@@ -1176,6 +1201,7 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_incremental" -> incrementalOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
     "text_contamination" -> contaminationOracleSql,
@@ -1202,6 +1228,27 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('mix1' || doc_id), 1, 8))::BIGINT % 10000 <
         |  (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
         |   WHEN 'src3' THEN 0.0 ELSE 1.0 END) * 10000""".stripMargin,
+    "text_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_source FROM documents
+        |           GROUP BY source)
+        |SELECT doc_id, source, n_source,
+        |  round(least(1.0, 10.0 / sqrt(n_source)), 6) AS p_keep
+        |FROM documents JOIN c USING (source)
+        |WHERE ('0x' || substr(md5('temp1' || doc_id), 1, 8))::BIGINT % 10000 <
+        |  least(1.0, 10.0 / sqrt(n_source)) * 10000""".stripMargin,
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents
+        |           WHERE doc_id % 5 != 4),
+        |n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |        THEN md5(text || ' [rev2]') ELSE md5(text) END AS new_hash
+        |      FROM documents WHERE doc_id % 5 != 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |           WHERE len(string_split(text, ' ')) >= 1),
@@ -1631,7 +1678,10 @@ object SparkEntry {
   // as 4×16-bit bands; hamming <= 6).
   // ---------------------------------------------------------------------
 
-  private def minhashOracleSql: String = {
+  /** Shared minhash CTE prefix (shingles → FNV pair → 12 signatures →
+    * 4 band keys) used by the all-pairs LSH oracle and the incremental
+    * batch-vs-corpus oracle. */
+  private def minhashCtePrefix: String = {
     val p = graft.ops.Dedup.MinhashP
     val sigs = (0 until 12)
       .map(j => s"    min((h1 + $j * h2) % $p) AS g$j")
@@ -1640,7 +1690,7 @@ object SparkEntry {
       val gs = (0 until 3).map(i => s"g${b * 3 + i}::VARCHAR").mkString(" || '|' || ")
       s"md5($gs || '|$b')"
     }.mkString(",\n    ")
-    s"""WITH sh0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""sh0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |    range(0, greatest(len(w) - 2, 0)),
        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s FROM sh0),
@@ -1653,7 +1703,11 @@ object SparkEntry {
        |$sigs
        |  FROM hashed GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest([
-       |    $bandKeys]) AS bk FROM sig),
+       |    $bandKeys]) AS bk FROM sig)""".stripMargin
+  }
+
+  private def minhashOracleSql: String =
+    s"""WITH $minhashCtePrefix,
        |buckets AS (SELECT bk, list_sort(list(DISTINCT doc_id))[1:256] AS ids
        |  FROM bands GROUP BY bk HAVING count(DISTINCT doc_id) > 1),
        |cand AS (SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
@@ -1664,7 +1718,23 @@ object SparkEntry {
        |          len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 6) AS jaccard
        |  FROM cand JOIN shf x ON doc_a = x.doc_id JOIN shf y ON doc_b = y.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM conf WHERE jaccard >= 0.5""".stripMargin
-  }
+
+  /** Incremental (batch-vs-corpus) oracle: same band keys; corpus =
+    * even doc_ids (capped buckets, sorted ids), batch = odd doc_ids;
+    * only straddling pairs confirm. */
+  private def incrementalOracleSql: String =
+    s"""WITH $minhashCtePrefix,
+       |cb AS (SELECT bk, list_sort(list(DISTINCT doc_id))[1:256] AS ids
+       |  FROM bands WHERE doc_id % 2 = 0 GROUP BY bk),
+       |bb AS (SELECT doc_id AS batch_id, bk FROM bands WHERE doc_id % 2 = 1),
+       |cand AS (SELECT DISTINCT batch_id, x.cid AS corpus_id
+       |  FROM bb JOIN cb USING (bk), unnest(ids) AS x(cid)),
+       |conf AS (SELECT batch_id, corpus_id,
+       |    round(len(list_intersect(y.s, x.s))::DOUBLE /
+       |          len(list_distinct(list_concat(y.s, x.s)))::DOUBLE, 6) AS jaccard
+       |  FROM cand JOIN shf y ON batch_id = y.doc_id
+       |    JOIN shf x ON corpus_id = x.doc_id)
+       |SELECT batch_id, corpus_id, jaccard FROM conf WHERE jaccard >= 0.5""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"round(list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2])) / " +

@@ -251,6 +251,58 @@ object Curation {
           .as("shuffle_key"))
   }
 
+  /** Size-aware temperature sampling — the Gopher/LLaMA-style mixing
+    * rule where a source's keep probability is DERIVED from its size
+    * instead of hand-set per source ([[mixSample]]'s contract): tiny
+    * curated sources are kept whole, giant crawls are downsampled as
+    * `p_s = min(1, c / √n_s)` (inverse-sqrt ≡ temperature α = 0.5 up
+    * to the fixed constant `c`). The per-doc keep decision reuses the
+    * seeded md5 fraction of mixSample, so sampling is deterministic
+    * and reproducible on any partitioning.
+    *
+    * Cross-engine exactness: `√`, `/`, and `×` are each single
+    * correctly-rounded IEEE-754 ops on both engines — no sum over
+    * sources whose ordering could drift (the normalizing denominator
+    * of textbook temperature sampling is deliberately folded into
+    * `c`).
+    *
+    * Scale shape: one tiny per-source count aggregate (map-side
+    * combine), broadcast back over the corpus (AQE picks broadcast —
+    * sources are few by construction), one narrow filter. */
+  def temperatureMix(docs: DataFrame, c: Double = 10.0,
+                     seed: String = "temp1"): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val h = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("bigint") % 10000
+    docs.join(counts, "source")
+      .withColumn("p_keep", least(lit(1.0), lit(c) / sqrt(col("n_source"))))
+      .where(h < col("p_keep") * 10000)
+      .select(col("doc_id"), col("source"), col("n_source"),
+        round(col("p_keep"), 6).as("p_keep"))
+  }
+
+  /** Corpus snapshot diff — what changed between two crawls/ingests:
+    * every doc_id in either snapshot is labeled `added` / `removed` /
+    * `changed` / `unchanged` by content hash. The ops report a corpus
+    * refresh needs before re-running the expensive dedup/curation
+    * passes (only `added`+`changed` docs need re-screening — feeds
+    * [[graft.ops.Dedup.incrementalNearDups]]).
+    *
+    * Scale shape: each side collapses to (doc_id, md5) narrowly, then
+    * ONE full-outer shuffle join on doc_id; no text moves through the
+    * shuffle. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select("doc_id", "status", "old_hash", "new_hash")
+  }
+
   /** Paragraph-level (chunk) deduplication statistics — the C4/
     * RefinedWeb-style pass that removes REPEATED SPANS across a corpus
     * rather than whole near-duplicate documents: each document is cut

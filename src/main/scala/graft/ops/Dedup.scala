@@ -66,19 +66,23 @@ object Dedup {
     * partial min-agg, one shuffle on doc_id → band explode → shuffle
     * equi-join on band key. No cartesian anywhere.
     */
-  def minhashLsh(docs: DataFrame, numHashes: Int = 12, bands: Int = 4,
-                 shingleLen: Int = 3, threshold: Double = 0.5,
-                 bucketCap: Int = 256): DataFrame = {
+  /** The LSH index rows `(doc_id, bk)` — one band key per (doc, band).
+    * Factored out so [[minhashLsh]] (all-pairs within one corpus) and
+    * [[incrementalNearDups]] (new batch vs existing corpus) share one
+    * signature pipeline; a production flow persists this frame as the
+    * corpus index and re-reads it per batch.
+    *
+    * Signature side: explode a cheap INTEGER sequence and build each
+    * shingle string once per output row. Building the shingle ARRAY
+    * and exploding it re-evaluates the whole array construction in the
+    * Filter and again inside Generate (CollapseProject inlining) —
+    * measured 14× slower at sf0.1. Duplicate shingles are kept: the
+    * min-aggregation over a multiset equals the min over its set, so
+    * signatures are unchanged and the oracle stays as-is. */
+  private[graft] def bandedKeys(docs: DataFrame, numHashes: Int, bands: Int,
+                                shingleLen: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-
-    // Signature side: explode a cheap INTEGER sequence and build each
-    // shingle string once per output row. Building the shingle ARRAY
-    // and exploding it re-evaluates the whole array construction in the
-    // Filter and again inside Generate (CollapseProject inlining) —
-    // measured 14× slower at sf0.1. Duplicate shingles are kept: the
-    // min-aggregation over a multiset equals the min over its set, so
-    // signatures are unchanged and the oracle stays as-is.
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val cnt = size(col("w")) - (shingleLen - 1)
     val shingled = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -94,12 +98,17 @@ object Dedup {
       min(pmod(col("h1") + lit(j.toLong) * col("h2"), lit(MinhashP))).as(s"g$j")
     }
     val sig = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws("|",
         (0 until r).map(i => col(s"g${b * r + i}").cast("string")) :+ lit(b.toString): _*))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  def minhashLsh(docs: DataFrame, numHashes: Int = 12, bands: Int = 4,
+                 shingleLen: Int = 3, threshold: Double = 0.5,
+                 bucketCap: Int = 256): DataFrame = {
+    val banded = bandedKeys(docs, numHashes, bands, shingleLen)
 
     // Candidate pairs via group-by-band + in-bucket pair expansion: the
     // same candidate set as a band-key self-join, but the (md5+agg-heavy)
@@ -141,6 +150,58 @@ object Dedup {
           size(array_union(col("sha"), col("shb"))).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Incremental near-dup screening of a NEW batch against an EXISTING
+    * corpus — the steady-state production shape at 100 TB: the daily
+    * delta is checked against the standing corpus index instead of
+    * re-running all-pairs dedup over corpus+delta (which re-pays the
+    * full-corpus signature and pair cost every day for an unchanged
+    * prefix). Only batch↔corpus pairs are produced; batch-internal and
+    * corpus-internal duplicates are deliberately out of scope (the
+    * former is a [[minhashLsh]] pass over the small batch, the latter
+    * was settled when the corpus was admitted).
+    *
+    * Shape: the corpus side of the band join is bucketed and CAPPED
+    * exactly like the LSH path (sorted ids, smallest `bucketCap` kept,
+    * drop count observable) — a boilerplate band key shared by the
+    * whole corpus must not fan every batch doc out against millions of
+    * ids. Candidates equi-join on the band key; exact Jaccard over the
+    * two sides' shingle sets confirms. The corpus band index
+    * (`bandedKeys`) is the persistable artifact: write it once, read
+    * it per batch — batch cost is then proportional to the BATCH, not
+    * the corpus. */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          numHashes: Int = 12, bands: Int = 4,
+                          shingleLen: Int = 3, threshold: Double = 0.5,
+                          bucketCap: Int = 256): DataFrame = {
+    val cBuckets = bandedKeys(corpus, numHashes, bands, shingleLen)
+      .groupBy("bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
+      .select(col("bk"), slice(col("all_ids"), 1, bucketCap).as("ids"),
+        greatest(size(col("all_ids")) - bucketCap, lit(0)).as("dropped"))
+      .observe("incr_lsh_buckets_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(col("dropped")).as("ids_over_cap"))
+    val cand = bandedKeys(batch, numHashes, bands, shingleLen)
+      .join(cBuckets, "bk")
+      .select(col("doc_id").as("batch_id"), explode(col("ids")).as("corpus_id"))
+      .distinct()
+    // confirm only the docs that appear in candidates (semi-join down
+    // before the shingle-set build, same as the LSH confirm stage)
+    val shB = shingleSets(batch.join(
+        cand.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), shingleLen)
+      .select(col("doc_id").as("batch_id"), col("sh").as("shb"))
+    val shC = shingleSets(corpus.join(
+        cand.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), shingleLen)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
+    cand.join(shB, "batch_id").join(shC, "corpus_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("shb"), col("shc"))).cast("double") /
+          size(array_union(col("shb"), col("shc"))).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
   }
 
   /** The dedup RESULT: documents surviving near-dedup. Greedy keep rule:

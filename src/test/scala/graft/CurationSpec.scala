@@ -258,6 +258,47 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("temperature mix keeps small sources whole and downsamples big ones at 1/sqrt(n)") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => (i.toLong, s"doc $i", "tiny")) ++
+      (100 until 500).map(i => (i.toLong, s"doc $i", "big"))
+    val in = rows.toDF("doc_id", "text", "source")
+    val out = Curation.temperatureMix(in).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = out.groupBy(_._2)
+    // n=50 <= c² → p=1: the whole tiny source survives
+    assert(bySrc("tiny").length == 50, s"tiny source must be kept whole")
+    assert(bySrc("tiny").forall(_._4 == 1.0))
+    // n=400 → p = 10/20 = 0.5 exactly; the md5 fraction keeps ~half
+    assert(bySrc("big").forall(_._4 == 0.5))
+    val kept = bySrc("big").length
+    assert(kept > 140 && kept < 260, s"big source kept $kept of 400 at p=0.5")
+    // brute-force the seeded keep rule doc by doc (exact reproducibility)
+    val expect = rows.filter { case (id, _, src) =>
+      val p = math.min(1.0, 10.0 / math.sqrt(if (src == "tiny") 50 else 400))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"temp1$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      (h % 10000) < p * 10000
+    }.map(_._1).toSet
+    assert(out.map(_._1).toSet == expect, "keep set must match the seeded md5 rule")
+  }
+
+  test("corpus diff labels added/removed/changed/unchanged by content hash") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // hash columns carry the evidence: null exactly on the missing side
+    val rows = Curation.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(rows(1L) == ((false, true)) && rows(4L) == ((true, false)))
+    assert(rows(2L) == ((false, false)) && rows(3L) == ((false, false)))
+  }
+
   test("cross-source dedup: one keeper per content key with the best priority") {
     val keep = Curation.crossSourceDedup(docs)
     val keyed = keep.collect()

@@ -120,6 +120,29 @@ class OpsSpec extends SparkTestBase {
     labels.unpersist()
   }
 
+  test("incremental dedup == all-pairs LSH restricted to the batch-vs-corpus straddle") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalNearDups(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc.nonEmpty, "planted near-dups straddle the parity split")
+    // every pair is directed batch(odd) -> corpus(even)
+    inc.foreach { case (b, c, _) => assert(b % 2 == 1 && c % 2 == 0, s"($b,$c)") }
+    // with non-binding caps the incremental result must be EXACTLY the
+    // all-pairs LSH pairs that straddle the split (same bands, same
+    // confirm) — no pair lost by going incremental
+    val straddle = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }.toSet
+    assert(inc == straddle,
+      s"missing ${straddle -- inc}, extra ${inc -- straddle}")
+    val plan = planOf(Dedup.incrementalNearDups(corpus, batch))
+    assert(!plan.contains("CartesianProduct"),
+      "incremental candidates must equi-join on the band key")
+  }
+
   test("exact dedup covers every document exactly once") {
     import org.apache.spark.sql.functions._
     val d = Dedup.exact(docs)
