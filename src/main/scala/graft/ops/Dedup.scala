@@ -105,6 +105,53 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
   }
 
+  /** Aggregation-free band rows for STREAMING inputs: the same 12
+    * minhashes and 4 band keys as [[bandedKeys]], but each signature is
+    * an `array_min` over the row's own shingle multiset instead of a
+    * `groupBy(doc_id)` min — a streaming frame can band its rows in
+    * append mode (a streaming aggregation could not feed a join).
+    * Returns one row per (doc, band): `(doc_id, sh, bk)` where `sh` is
+    * the DISTINCT shingle set carried for the exact-Jaccard confirm.
+    *
+    * The two repartitions are CollapseProject firewalls, same hazard
+    * the batch pipeline guards: the hash-pair array referenced by the
+    * signature lambda, and the signature array referenced by 4 band
+    * keys, would otherwise inline and re-evaluate multiplicatively. */
+  private[graft] def narrowBandRows(docs: DataFrame, numHashes: Int = 12,
+                                    bands: Int = 4,
+                                    shingleLen: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val cnt = size(col("w")) - (shingleLen - 1)
+    val hp = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(cnt > 0)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(0), cnt - 1),
+          i => concat_ws(" ",
+            (0 until shingleLen).map(j => element_at(col("w"), i + j + 1)): _*)))
+        .as("sh"))
+      .repartition(parts)
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => struct(
+          graft.functions.Fnv.fnv32(s, graft.functions.Fnv.Basis1).as("h1"),
+          graft.functions.Fnv.fnv32(s, graft.functions.Fnv.Basis2).as("h2")))
+          .as("hp"))
+    val sigs = hp.select(col("doc_id"), col("sh"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => array_min(transform(col("hp"),
+          h => pmod(h.getField("h1") + j.cast("long") * h.getField("h2"),
+            lit(MinhashP))))).as("g"))
+      .repartition(parts)
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until r).map(i => element_at(col("g"), b * r + i + 1).cast("string"))
+          :+ lit(b.toString): _*))
+    }
+    sigs.select(col("doc_id"), col("sh"),
+      explode(array(bandKeys: _*)).as("bk"))
+  }
+
   def minhashLsh(docs: DataFrame, numHashes: Int = 12, bands: Int = 4,
                  shingleLen: Int = 3, threshold: Double = 0.5,
                  bucketCap: Int = 256): DataFrame = {
@@ -171,17 +218,32 @@ object Dedup {
     * (`bandedKeys`) is the persistable artifact: write it once, read
     * it per batch — batch cost is then proportional to the BATCH, not
     * the corpus. */
-  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
-                          numHashes: Int = 12, bands: Int = 4,
-                          shingleLen: Int = 3, threshold: Double = 0.5,
-                          bucketCap: Int = 256): DataFrame = {
-    val cBuckets = bandedKeys(corpus, numHashes, bands, shingleLen)
+  /** The capped corpus-side band buckets of [[incrementalNearDups]]
+    * (sorted ids, smallest `bucketCap` kept). `observed = false` for
+    * use as the STATIC side of a streaming query, where a batch-side
+    * `observe` is not reportable. */
+  private[graft] def cappedBuckets(corpus: DataFrame, numHashes: Int,
+                                   bands: Int, shingleLen: Int,
+                                   bucketCap: Int,
+                                   observed: Boolean): DataFrame = {
+    val b = bandedKeys(corpus, numHashes, bands, shingleLen)
       .groupBy("bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
       .select(col("bk"), slice(col("all_ids"), 1, bucketCap).as("ids"),
         greatest(size(col("all_ids")) - bucketCap, lit(0)).as("dropped"))
-      .observe("incr_lsh_buckets_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+    if (observed)
+      b.observe("incr_lsh_buckets_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
         sum(col("dropped")).as("ids_over_cap"))
+    else b
+  }
+
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          numHashes: Int = 12, bands: Int = 4,
+                          shingleLen: Int = 3, threshold: Double = 0.5,
+                          bucketCap: Int = 256): DataFrame = {
+    val cBuckets = cappedBuckets(corpus, numHashes, bands, shingleLen,
+      bucketCap, observed = true)
     val cand = bandedKeys(batch, numHashes, bands, shingleLen)
       .join(cBuckets, "bk")
       .select(col("doc_id").as("batch_id"), explode(col("ids")).as("corpus_id"))

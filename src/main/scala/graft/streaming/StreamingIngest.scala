@@ -157,6 +157,51 @@ object StreamingIngest {
         .select(col("user_id"), col("event_type")),
       "graft_dedupw_", "append")
 
+  /** Stream-STATIC incremental dedup — the streaming twin of
+    * [[graft.ops.Dedup.incrementalNearDups]]: incoming documents are
+    * screened against the standing corpus index in micro-batches
+    * (near-real-time admission control for the training corpus). The
+    * static side is the batch operator's own capped band buckets plus
+    * the corpus shingle sets; the stream side bands its rows with the
+    * aggregation-free signature ([[graft.ops.Dedup.narrowBandRows]] —
+    * a streaming groupBy could not feed a join in append mode), then
+    * candidates flow through two stream-static equi-joins and the
+    * exact-Jaccard confirm, all append-safe.
+    *
+    * A pair confirms once per shared band; keyed streaming dedup
+    * collapses the duplicates (state = one entry per EMITTED pair —
+    * bounded by the result size; the oracle-gated bounded-run shape.
+    * A long-running deployment would window the stream and age pair
+    * state with `dropDuplicatesWithinWatermark`, the same trade
+    * [[streamingDedupLive]] documents). Result equals the batch
+    * operator row-for-row — asserted in the spec and hash-gated
+    * against the SAME DuckDB oracle as `dedup_incremental`. */
+  def incrementalDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 2 === 0)
+    val cBuckets = Dedup.cappedBuckets(corpus, numHashes = 12, bands = 4,
+      shingleLen = 3, bucketCap = 256, observed = false)
+    val cSh = Dedup.shingleSets(corpus, 3)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
+    val batch = spark.readStream.schema(docsSchema)
+      .parquet(s"$dir/documents.*")
+      .where(col("doc_id") % 2 === 1)
+    val confirmed = Dedup.narrowBandRows(batch)
+      .join(cBuckets, "bk")
+      .select(col("doc_id").as("batch_id"), col("sh").as("shb"),
+        explode(col("ids")).as("corpus_id"))
+      .join(cSh, "corpus_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("shb"), col("shc"))).cast("double") /
+          size(array_union(col("shb"), col("shc"))).cast("double"), 6))
+      .where(col("jaccard") >= 0.5)
+      .dropDuplicates("batch_id", "corpus_id")
+      .select("batch_id", "corpus_id", "jaccard")
+    runToMemory(confirmed, "graft_incr_", "append")
+  }
+
   /** Streaming INTO a live database: watermark-closed windows upserted
     * per micro-batch into a JDBC store via `foreachBatch` + the MERGE
     * sink — the streaming half of the transfer product. Exactly-once
