@@ -20,6 +20,7 @@ object Bench {
     "dedup_clusters", "dedup_paragraph", "dedup_cross_source",
     "dedup_containment", "dedup_semantic", "dedup_cdc_chunks",
     "dedup_incremental", "text_temperature_mix", "corpus_diff",
+    "curation_pipeline",
     "ann_cosine_topk", "ann_bucket_topk", "ann_ivf_topk",
     "ann_ivf_trained_topk", "text_quality", "text_quality_classifier",
     "text_shard_assign", "join_bucketed_colocated",
@@ -29,7 +30,7 @@ object Bench {
     "embedding_project", "layout_zorder", "embedding_quantize",
     "text_chunk_windows", "corpus_report", "files_compact",
     "streaming_window_counts", "streaming_window_append",
-    "streaming_session_counts",
+    "streaming_session_counts", "streaming_incremental_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -33,9 +33,11 @@ object BenchScale {
     "embedding_project", "layout_zorder",
     "dedup_containment", "dedup_semantic", "dedup_cdc_chunks",
     "dedup_incremental", "text_temperature_mix", "corpus_diff",
+    "curation_pipeline",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
-    "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts")
+    "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",
+    "streaming_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -587,6 +587,10 @@ object SparkEntry {
     //     source size (p = min(1, c/sqrt(n))), seeded md5 keep decision
     "text_temperature_mix" -> ((s, d) => Curation.temperatureMix(T(s, d, "documents"))),
 
+    // --- end-to-end admission decision: length/repetition/quality/
+    //     near-dup signals composed into keep + sorted reason codes
+    "curation_pipeline" -> ((s, d) => Curation.curationPipeline(T(s, d, "documents"))),
+
     // --- corpus snapshot diff: added/removed/changed/unchanged by
     //     content hash between two derived snapshots of the corpus
     "corpus_diff" -> ((s, d) => {
@@ -760,6 +764,12 @@ object SparkEntry {
     // --- streaming dedup: dropDuplicates state bounded by the watermark;
     //     emitted key set == batch DISTINCT
     "streaming_dedup" -> ((s, d) => StreamingIngest.streamingDedup(s, d)),
+
+    // --- stream-static incremental dedup: incoming docs screened
+    //     against the standing corpus band index per micro-batch;
+    //     same oracle as the batch dedup_incremental (stream == batch)
+    "streaming_incremental_dedup" ->
+      ((s, d) => StreamingIngest.incrementalDedupStream(s, d)),
 
     // --- streaming INTO a live database: closed windows MERGE-upserted
     //     into Derby per micro-batch (foreachBatch + the JDBC sink);
@@ -1202,32 +1212,20 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_incremental" -> incrementalOracleSql,
+    "streaming_incremental_dedup" -> incrementalOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
     "text_contamination" -> contaminationOracleSql,
     "text_pii_redact" -> piiRedactOracleSql,
     "text_pack_sequences" -> packSequencesOracleSql,
-    "text_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
-        |    round(1.0 - len(list_distinct(w)) / len(w), 6) AS dup_word_frac
-        |  FROM w),
-        |bg AS (SELECT doc_id, (len(w) - 1)::BIGINT AS n_bigrams,
-        |    array_to_string(list_slice(w, i.i, i.i + 1), ' ') AS bg
-        |  FROM w, unnest(range(1, len(w))) AS i(i)),
-        |top AS (SELECT doc_id, round(max(c) / any_value(n_bigrams), 6) AS top_bigram_frac
-        |  FROM (SELECT doc_id, n_bigrams, bg, count(*) AS c
-        |        FROM bg GROUP BY 1, 2, 3)
-        |  GROUP BY doc_id)
-        |SELECT b.doc_id, n_words, dup_word_frac,
-        |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
-        |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin,
+    "text_repetition" -> repetitionOracleSql,
     "text_mix_sample" ->
       """SELECT doc_id, source, md5('mix1:' || doc_id) AS shuffle_key
         |FROM documents
         |WHERE ('0x' || substr(md5('mix1' || doc_id), 1, 8))::BIGINT % 10000 <
         |  (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
         |   WHEN 'src3' THEN 0.0 ELSE 1.0 END) * 10000""".stripMargin,
+    "curation_pipeline" -> curationPipelineOracleSql,
     "text_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_source FROM documents
         |           GROUP BY source)
@@ -1275,17 +1273,7 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY content_key) AS n_copies
         |  FROM k)
         |SELECT doc_id, source, content_key, n_copies FROM g WHERE rn = 1""".stripMargin,
-    "text_quality_classifier" ->
-      """WITH toks AS (SELECT doc_id, t.tok AS tok
-        |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
-        |iw AS (SELECT doc_id,
-        |    (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 * 2654435761) % 2048
-        |      - 1024 AS iw
-        |  FROM toks)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(iw) AS DOUBLE) / (count(*)::DOUBLE * 1024), 6) AS score,
-        |  CASE WHEN CAST(sum(iw) AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
-        |FROM iw GROUP BY doc_id""".stripMargin,
+    "text_quality_classifier" -> classifierOracleSql,
     "text_shard_assign" ->
       """WITH t AS (SELECT doc_id,
         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -1677,6 +1665,56 @@ object SparkEntry {
   // 3-gram shingles, threshold 0.5, LSH bucket cap 256; 64-bit simhash
   // as 4×16-bit bands; hamming <= 6).
   // ---------------------------------------------------------------------
+
+  private def repetitionOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+      |    round(1.0 - len(list_distinct(w)) / len(w), 6) AS dup_word_frac
+      |  FROM w),
+      |bg AS (SELECT doc_id, (len(w) - 1)::BIGINT AS n_bigrams,
+      |    array_to_string(list_slice(w, i.i, i.i + 1), ' ') AS bg
+      |  FROM w, unnest(range(1, len(w))) AS i(i)),
+      |top AS (SELECT doc_id, round(max(c) / any_value(n_bigrams), 6) AS top_bigram_frac
+      |  FROM (SELECT doc_id, n_bigrams, bg, count(*) AS c
+      |        FROM bg GROUP BY 1, 2, 3)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, n_words, dup_word_frac,
+      |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin
+
+  private def classifierOracleSql: String =
+    """WITH toks AS (SELECT doc_id, t.tok AS tok
+      |    FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+      |iw AS (SELECT doc_id,
+      |    (('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 * 2654435761) % 2048
+      |      - 1024 AS iw
+      |  FROM toks)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(sum(iw) AS DOUBLE) / (count(*)::DOUBLE * 1024), 6) AS score,
+      |  CASE WHEN CAST(sum(iw) AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
+      |FROM iw GROUP BY doc_id""".stripMargin
+
+  /** End-to-end admission oracle: the repetition, classifier, and LSH
+    * oracles as CTE subqueries, composed into one reason list per doc
+    * (constants match `Curation.curationPipeline`). */
+  private def curationPipelineOracleSql: String =
+    s"""WITH rep AS ($repetitionOracleSql),
+       |q AS ($classifierOracleSql),
+       |nd AS (SELECT DISTINCT doc_b AS doc_id FROM ($minhashOracleSql)),
+       |j AS (SELECT rep.doc_id, n_words, dup_word_frac, top_bigram_frac,
+       |        q.score, CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ndup
+       |      FROM rep JOIN q ON rep.doc_id = q.doc_id
+       |      LEFT JOIN nd ON rep.doc_id = nd.doc_id),
+       |r AS (SELECT doc_id, coalesce(array_to_string(list_sort(
+       |    CASE WHEN n_words < 15 OR n_words > 90 THEN ['length'] ELSE []::VARCHAR[] END ||
+       |    CASE WHEN top_bigram_frac > 0.1 OR dup_word_frac > 0.68
+       |      THEN ['repetition'] ELSE []::VARCHAR[] END ||
+       |    CASE WHEN score < -0.25 THEN ['quality'] ELSE []::VARCHAR[] END ||
+       |    CASE WHEN ndup = 1 THEN ['near_dup'] ELSE []::VARCHAR[] END), ','), '')
+       |    AS reasons
+       |  FROM j)
+       |SELECT doc_id, CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep, reasons
+       |FROM r""".stripMargin
 
   /** Shared minhash CTE prefix (shingles → FNV pair → 12 signatures →
     * 4 band keys) used by the all-pairs LSH oracle and the incremental

@@ -443,6 +443,47 @@ object Curation {
         when(col("sw") > 0, 1).otherwise(0).as("keep"))
   }
 
+  /** End-to-end corpus admission — the signals composed into ONE
+    * keep/drop decision per document with machine-readable reason
+    * codes, the driver a real curation run ends with: length bounds
+    * ([[repetitionStats]]' word count), repetition
+    * (top-bigram / duplicate-word fractions), learned quality
+    * ([[qualityClassifier]] score), and near-duplication (the greedy
+    * drop side of [[graft.ops.Dedup.minhashLsh]] pairs). A document
+    * survives iff NO reason fires; `reasons` is the sorted
+    * comma-joined code list (`""` for keepers) so downstream audits
+    * can group drops by cause.
+    *
+    * Scale shape: each signal is its own gated operator's pipeline
+    * (no new shuffle classes); the composition is three equi-joins on
+    * doc_id. Thresholds are calibration knobs, not contracts — the
+    * defaults fire meaningfully on the synthetic corpus and the
+    * oracle pins whatever is configured. */
+  def curationPipeline(docs: DataFrame,
+                       minWords: Int = 15, maxWords: Int = 90,
+                       maxTopBigram: Double = 0.1, maxDupWord: Double = 0.68,
+                       minScore: Double = -0.25): DataFrame = {
+    val none = array().cast("array<string>")
+    val rep = repetitionStats(docs)
+    val q = qualityClassifier(docs).select(col("doc_id"), col("score"))
+    val nd = Dedup.minhashLsh(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("ndup", lit(1))
+    rep.join(q, "doc_id")
+      .join(nd, Seq("doc_id"), "left_outer")
+      .withColumn("reasons", concat_ws(",", array_sort(flatten(array(
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          array(lit("length"))).otherwise(none),
+        when(col("top_bigram_frac") > maxTopBigram ||
+            col("dup_word_frac") > maxDupWord,
+          array(lit("repetition"))).otherwise(none),
+        when(col("score") < minScore, array(lit("quality"))).otherwise(none),
+        when(col("ndup") === 1, array(lit("near_dup"))).otherwise(none))))))
+      .select(col("doc_id"),
+        when(col("reasons") === "", 1).otherwise(0).as("keep"),
+        col("reasons"))
+  }
+
   /** Balanced shard assignment — split a corpus into `shards` training
     * shards with near-equal token budgets: documents are ranked by size
     * (descending, doc_id tie-break) WITHIN `parts` independent rank

@@ -299,6 +299,33 @@ class CurationSpec extends SparkTestBase {
     assert(rows(2L) == ((false, false)) && rows(3L) == ((false, false)))
   }
 
+  test("curation pipeline composes its component signals faithfully") {
+    import graft.ops.Dedup
+    val out = Curation.curationPipeline(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out.size == docs.count())
+    val rep = Curation.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val score = Curation.qualityClassifier(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nd = Dedup.minhashLsh(docs).collect().map(_.getLong(1)).toSet
+    out.foreach { case (id, (keep, reasons)) =>
+      val (n, dwf, tbf) = rep(id)
+      val expect = Seq(
+        if (n < 15 || n > 90) Some("length") else None,
+        if (tbf > 0.1 || dwf > 0.68) Some("repetition") else None,
+        if (score(id) < -0.25) Some("quality") else None,
+        if (nd(id)) Some("near_dup") else None).flatten.sorted.mkString(",")
+      assert(reasons == expect, s"doc $id: '$reasons' != '$expect'")
+      assert((keep == 1) == reasons.isEmpty, s"doc $id keep=$keep reasons='$reasons'")
+    }
+    // the fixture corpus must exercise every reason code AND keep docs
+    val fired = out.values.flatMap(_._2.split(",")).filter(_.nonEmpty).toSet
+    assert(fired == Set("length", "repetition", "quality", "near_dup"),
+      s"codes fired: $fired")
+    assert(out.values.exists(_._1 == 1), "some documents must survive")
+  }
+
   test("cross-source dedup: one keeper per content key with the best priority") {
     val keep = Curation.crossSourceDedup(docs)
     val keyed = keep.collect()

@@ -291,6 +291,19 @@ class OpsSpec extends SparkTestBase {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("streaming incremental dedup == the batch operator, row for row") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamingIngest.incrementalDedupStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.incrementalNearDups(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream.nonEmpty, "planted near-dups straddle the split")
+    assert(stream == batch,
+      s"missing ${batch -- stream}, extra ${stream -- batch}")
+  }
+
   test("append-mode streaming emits exactly the watermark-closed windows, durably") {
     import org.apache.spark.sql.functions._
     val appended = StreamingIngest.windowCountsAppend(spark, sf)
