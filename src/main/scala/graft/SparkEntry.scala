@@ -728,6 +728,19 @@ object SparkEntry {
         .transform(df => Multimodal.pngStats(df, "id", "img").toDF())
     }),
 
+    // --- REAL LZW decode: GIF fixtures (variable-width code stream,
+    //     256-entry palette) through the pure-JVM Gif codec — the
+    //     second compressed format, on a different algorithm family
+    //     than PNG's DEFLATE; oracle composes the index and palette
+    //     formulas in closed form.
+    "multimodal_gif" -> ((s, d) => {
+      import s.implicits._
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticGif(id))))
+        .toDF("id", "img")
+        .transform(df => Multimodal.gifStats(df, "id", "img").toDF())
+    }),
+
     // --- REAL audio decode: same move for WAV (RIFF chunk walk, PCM16,
     //     interleaved channels) — per-clip sample statistics the oracle
     //     recomputes from the fixture formula.
@@ -1527,6 +1540,26 @@ object SparkEntry {
         |    (3*i.id + 5*xs.x + 11*ys.y) % 256 AS r,
         |    (7*i.id + 2*xs.x + 3*ys.y) % 256 AS g,
         |    (i.id + 13*xs.x + 9*ys.y) % 256 AS b
+        |  FROM imgs i, generate_series(0, 8) AS xs(x), generate_series(0, 5) AS ys(y)
+        |  WHERE xs.x < i.w AND ys.y < i.h)
+        |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+        |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
+        |FROM px GROUP BY id, w, h""".stripMargin,
+    // GIF fixtures (Multimodal.syntheticGif): the Spark side walks real
+    // LZW sub-blocks; the oracle composes the palette-index and palette
+    // channel formulas
+    "multimodal_gif" ->
+      """WITH imgs AS (
+        |  SELECT event_id AS id, 4 + event_id % 6 AS w, 2 + event_id % 5 AS h
+        |  FROM events),
+        |px AS (
+        |  SELECT i.id, i.w, i.h,
+        |    (3*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 7) % 256 AS r,
+        |    (5*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 11) % 256 AS g,
+        |    (7*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 13) % 256 AS b
         |  FROM imgs i, generate_series(0, 8) AS xs(x), generate_series(0, 5) AS ys(y)
         |  WHERE xs.x < i.w AND ys.y < i.h)
         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,

@@ -144,6 +144,43 @@ object Multimodal {
       filterFor = y => ((id + y) % 5).toInt)
   }
 
+  /** REAL LZW-compressed decode (pure-JVM GIF codec): variable-width
+    * code stream + palette lookup — same batch shape. */
+  val gifImageStats: Iterator[(Long, Array[Byte])] => Iterator[ImageStats] =
+    it => it.map { case (id, bytes) =>
+      val img = Gif.decode(bytes)
+      val packed = new Array[Int](img.pixels.length)
+      var i = 0
+      while (i < packed.length) { packed(i) = img.palette(img.pixels(i)); i += 1 }
+      pixelStats(id, img.width, img.height, packed)
+    }
+
+  /** (id, GIF payload) → per-image pixel statistics, decoded
+    * per-partition (same distributed shape as [[imageStats]]). */
+  def gifStats(df: DataFrame, idCol: String, binCol: String): Dataset[ImageStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(gifImageStats)
+  }
+
+  /** Deterministic GIF fixture for row `id` — closed-form pixels like
+    * [[syntheticPng]], but through a 256-entry PALETTE: the pixel's
+    * palette index and the palette's channel values are both
+    * closed-form, so the oracle composes the two formulas without a
+    * codec. idx = (5id + 7x + 3y) mod 256; palette[i] =
+    * ((3i+7)%256, (5i+11)%256, (7i+13)%256);
+    * width = 4 + id%6, height = 2 + id%5. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val w = 4 + (id % 6).toInt
+    val h = 2 + (id % 5).toInt
+    val palette = Array.tabulate(256)(i =>
+      (((3 * i + 7) % 256) << 16) | (((5 * i + 11) % 256) << 8) | ((7 * i + 13) % 256))
+    Gif.encode(w, h, palette,
+      (x, y) => ((5L * id + 7L * x + 3L * y) % 256).toInt)
+  }
+
   /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample
     * sum plus min/max across all channels — closed-form recomputable
     * by the oracle, like [[ImageStats]]. */

@@ -733,6 +733,88 @@ class OpsSpec extends SparkTestBase {
       Png.decode(b).pixels.nonEmpty))
   }
 
+  test("GIF codec: golden LZW bytes pin the width-change boundary and bit packing") {
+    import graft.ops.Gif
+    // 3x1 image, indices [1,1,2], 4-entry palette: hand-assembled per
+    // the spec — clear(4)@3, 1@3, 1@3, 2@3 (the decoder widens only
+    // AFTER this code: next hits 2^3 one add behind the encoder's
+    // dictionary), eoi(5)@4. LSB-first packing → payload 0x4C 0x54.
+    val palette = Array(0x000000, 0xFF0000, 0x00FF00, 0x0000FF)
+    val px = Array(1, 1, 2)
+    val bytes = Gif.encode(3, 1, palette, (x, _) => px(x))
+    // locate the data sub-block: header 13 + palette 12 + descriptor 10
+    // + mcs 1 = byte 36
+    assert(bytes(35) == 2, "LZW minimum code size must be 2")
+    assert((bytes(36) & 0xFF) == 0x02 && (bytes(37) & 0xFF) == 0x4C &&
+      (bytes(38) & 0xFF) == 0x54 && bytes(39) == 0,
+      s"golden LZW payload mismatch: ${bytes.slice(36, 40).map(b => f"${b & 0xFF}%02x").mkString(" ")}")
+    val img = Gif.decode(bytes)
+    assert(img.width == 3 && img.height == 1)
+    assert(img.pixels.toSeq == Seq(1, 1, 2))
+    assert(img.palette.take(4).toSeq == palette.toSeq)
+  }
+
+  test("GIF codec round-trip property: dims, palettes, runs, and width growth") {
+    import graft.ops.Gif
+    val rnd = new scala.util.Random(424242)
+    // palette sizes straddle power-of-two padding; 2-entry exercises
+    // the spec floor mcs=2; 256-entry exercises 9->12-bit growth
+    for (palLen <- Seq(2, 3, 4, 16, 256); trial <- 0 until 3) {
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(40)
+      val palette = Array.tabulate(palLen)(i => rnd.nextInt(1 << 24))
+      val px = Array.fill(w * h)(rnd.nextInt(palLen))
+      val img = Gif.decode(Gif.encode(w, h, palette, (x, y) => px(y * w + x)))
+      assert(img.width == w && img.height == h, s"dims $palLen/$trial")
+      assert(img.pixels.toSeq == px.toSeq, s"pixels $palLen/$trial")
+      assert(img.palette.take(palLen).toSeq == palette.toSeq)
+    }
+    // KwKwK chain: a constant raster is the densest self-referential case
+    val flat = Gif.decode(Gif.encode(37, 3, Array(0x111111, 0x222222), (_, _) => 1))
+    assert(flat.pixels.forall(_ == 1) && flat.pixels.length == 111)
+    // large low-palette image: dictionary passes several width bumps;
+    // 128x96 repetitive-ish content also crosses sub-block boundaries
+    val big = Array.tabulate(128 * 96)(i => (i / 7) % 4)
+    val bigImg = Gif.decode(Gif.encode(128, 96, Array.tabulate(4)(i => i * 0x3F3F3F),
+      (x, y) => big(y * 128 + x)))
+    assert(bigImg.pixels.toSeq == big.toSeq)
+  }
+
+  test("GIF codec refuses what it cannot decode, loudly") {
+    import graft.ops.Gif
+    def refuses(bytes: Array[Byte], hint: String): Unit =
+      intercept[IllegalArgumentException] { Gif.decode(bytes) }.getMessage match {
+        case m => assert(m.contains("GIF decode"), s"$hint: $m")
+      }
+    val good = Gif.encode(4, 3, Array(0x000000, 0xFFFFFF), (x, y) => (x + y) % 2)
+    refuses(good.take(10), "truncated header")
+    refuses("NOTAGIF89a123".getBytes("US-ASCII"), "bad signature")
+    // clear the global-color-table flag
+    val noPal = good.clone(); noPal(10) = (noPal(10) & 0x7F).toByte
+    refuses(noPal, "missing global table")
+    // set the interlace flag in the image descriptor (header 13 + pal 6
+    // + descriptor byte 9)
+    val inter = good.clone(); inter(13 + 6 + 9) = (inter(13 + 6 + 9) | 0x40).toByte
+    refuses(inter, "interlaced")
+    // declared raster beyond the cap: patch logical + image dims to 65535²
+    val bomb = good.clone()
+    bomb(6) = -1; bomb(7) = -1; bomb(8) = -1; bomb(9) = -1
+    bomb(13 + 6 + 5) = -1; bomb(13 + 6 + 6) = -1
+    bomb(13 + 6 + 7) = -1; bomb(13 + 6 + 8) = -1
+    refuses(bomb, "zip bomb")
+    // hand-built stream with a code beyond the dictionary frontier:
+    // clear(4)@3, 1@3, 7@3 — 7 > next(6) must refuse, not read garbage
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](4, 0, 1, 0, (0x80 | 1).toByte, 0, 0)) // 4x1, 4-color
+    out.write(new Array[Byte](12)) // palette: 4 black entries
+    out.write(0x2C); out.write(Array[Byte](0, 0, 0, 0, 4, 0, 1, 0, 0))
+    out.write(2) // mcs
+    out.write(Array[Byte](2, 0xCC.toByte, 0x01, 0)) // codes 4,1,7
+    out.write(0x3B)
+    refuses(out.toByteArray, "frontier")
+  }
+
   test("PNG codec fails loudly on hostile headers (zip-bomb cap, CRC, bounds)") {
     import graft.ops.Png
     def putBe32(b: Array[Byte], off: Int, v: Long): Unit = {
