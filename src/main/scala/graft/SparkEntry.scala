@@ -591,6 +591,10 @@ object SparkEntry {
     //     near-dup signals composed into keep + sorted reason codes
     "curation_pipeline" -> ((s, d) => Curation.curationPipeline(T(s, d, "documents"))),
 
+    // --- per-source length-quantile trim: cume_dist window per source,
+    //     outliers outside (0.05, 0.95] dropped
+    "text_length_trim" -> ((s, d) => Curation.lengthTrim(T(s, d, "documents"))),
+
     // --- corpus snapshot diff: added/removed/changed/unchanged by
     //     content hash between two derived snapshots of the corpus
     "corpus_diff" -> ((s, d) => {
@@ -750,6 +754,16 @@ object SparkEntry {
         .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
         .toDF("id", "clip")
         .transform(df => Multimodal.audioStats(df, "id", "clip").toDF())
+    }),
+
+    // --- decode → framed features: per-window exact integer energy
+    //     (16-frame windows, all channels) — the VAD/loudness shape
+    "multimodal_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("id", "clip")
+        .transform(df => Multimodal.audioEnergyWindows(df, "id", "clip").toDF())
     }),
 
     // --- multimodal resize stage: fit stub-decoded dims inside 32px,
@@ -1568,6 +1582,30 @@ object SparkEntry {
         |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
         |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
         |FROM px GROUP BY id, w, h""".stripMargin,
+    // framed-energy twin of multimodal_audio: same fixture formula,
+    // 16-frame windows, exact integer sum of squares
+    "multimodal_audio_energy" ->
+      """WITH clips AS (
+        |  SELECT event_id AS id, 1 + event_id % 2 AS ch,
+        |    32 + event_id % 33 AS nf
+        |  FROM events),
+        |s AS (
+        |  SELECT c.id, f.f // 16 AS win,
+        |    ((31*c.id + 17*f.f + 29*cc.c) % 65536) - 32768 AS v
+        |  FROM clips c, generate_series(0, 64) AS f(f), generate_series(0, 1) AS cc(c)
+        |  WHERE f.f < c.nf AND cc.c < c.ch)
+        |SELECT id, CAST(win AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY id, win""".stripMargin,
+    "text_length_trim" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    cume_dist() OVER (PARTITION BY source ORDER BY n_tokens) AS pct
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, round(pct, 6) AS pct
+        |FROM c WHERE pct > 0.05 AND pct <= 0.95""".stripMargin,
     // same closed-form move for the WAV fixtures (Multimodal.syntheticWav)
     "multimodal_audio" ->
       """WITH clips AS (

@@ -251,6 +251,31 @@ object Curation {
           .as("shuffle_key"))
   }
 
+  /** Per-source length-quantile trim — outlier removal where the
+    * cutoffs ADAPT to each source's own length distribution instead of
+    * one corpus-wide bound (a crawl's p95 is a curated source's p50):
+    * documents outside `(lo, hi]` of their source's token-count
+    * cumulative distribution are dropped. `cume_dist` is the
+    * SQL-standard (rows ≤ value)/n — deterministic under ties in both
+    * engines, and the division is exact small-integer IEEE math, so no
+    * cross-engine drift at the cut boundary.
+    *
+    * Scale shape: one narrow pass + one window per source (shuffle
+    * keyed on source). A corpus dominated by ONE giant source makes
+    * that window's sort the bottleneck — at that scale pre-aggregate
+    * the length histogram (tokens are small ints) and join the cutoffs
+    * back instead; the windowed form is the exact-oracle variant. */
+  def lengthTrim(docs: DataFrame, lo: Double = 0.05,
+                 hi: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    docs.select(col("doc_id"), col("source"),
+        size(words).cast("bigint").as("n_tokens"))
+      .withColumn("pct", cume_dist().over(w))
+      .where(col("pct") > lo && col("pct") <= hi)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("pct"), 6).as("pct"))
+  }
+
   /** Size-aware temperature sampling — the Gopher/LLaMA-style mixing
     * rule where a source's keep probability is DERIVED from its size
     * instead of hand-set per source ([[mixSample]]'s contract): tiny

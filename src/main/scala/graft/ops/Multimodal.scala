@@ -227,6 +227,36 @@ object Multimodal {
       (((31L * id + 17L * f + 29L * c) % 65536) - 32768).toShort)
   }
 
+  /** One fixed window of decoded audio: `energy` is the exact integer
+    * sum of squared samples across all channels in the window — the
+    * standard framed-feature shape (VAD, loudness normalization, clip
+    * detection) with a closed-form oracle. */
+  final case class AudioWindow(id: Long, win: Long, n_samples: Long,
+                               energy: Long)
+
+  /** REAL decode → framed features: each clip splits into
+    * `windowFrames`-frame windows (tail partial); per window the exact
+    * integer energy Σ v² over all channels. The per-clip fold stays on
+    * the executor — only (id, win, stats) rows leave the decoder. */
+  def audioEnergyWindows(df: DataFrame, idCol: String, binCol: String,
+                         windowFrames: Int = 16): Dataset[AudioWindow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val clip = Wav.decode(bytes)
+        val ch = clip.channels
+        val perWin = windowFrames * ch
+        clip.samples.grouped(perWin).zipWithIndex.map { case (w, i) =>
+          var e = 0L
+          var j = 0
+          while (j < w.length) { val v = w(j).toLong; e += v * v; j += 1 }
+          AudioWindow(id, i.toLong, w.length.toLong, e)
+        }
+      })
+  }
+
   /** One sampled frame of a media payload. */
   final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)
 

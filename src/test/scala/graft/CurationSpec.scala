@@ -299,6 +299,31 @@ class CurationSpec extends SparkTestBase {
     assert(rows(2L) == ((false, false)) && rows(3L) == ((false, false)))
   }
 
+  test("length trim drops exactly the per-source quantile tails") {
+    import spark.implicits._
+    val kept = Curation.lengthTrim(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+    val all = docs.selectExpr("doc_id", "source",
+        "cast(size(split(text, ' ')) as bigint) AS n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = all.groupBy(_._2)
+    // brute-force cume_dist: (rows <= value)/n per source
+    val expect = all.filter { case (_, src, n) =>
+      val g = bySrc(src)
+      val cd = g.count(_._3 <= n).toDouble / g.length
+      cd > 0.05 && cd <= 0.95
+    }.map(_._1).toSet
+    assert(kept.map(_._1).toSet == expect)
+    assert(kept.nonEmpty && kept.length < all.length,
+      "trim must drop a real tail and keep a real middle")
+    kept.foreach { case (id, (src, n, pct)) =>
+      val g = bySrc(src)
+      val cd = g.count(_._3 <= n).toDouble / g.length
+      assert(math.abs(pct - BigDecimal(cd).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"doc $id pct")
+    }
+  }
+
   test("curation pipeline composes its component signals faithfully") {
     import graft.ops.Dedup
     val out = Curation.curationPipeline(docs).collect()

@@ -232,6 +232,27 @@ class OpsSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("audio energy windows: exact partition of samples, brute-force energies") {
+    import spark.implicits._
+    import graft.ops.Wav
+    val in = Seq(3L, 4L, 7L).map(id => (id, Multimodal.syntheticWav(id)))
+      .toDF("id", "clip")
+    val got = Multimodal.audioEnergyWindows(in, "id", "clip").collect()
+      .map(w => (w.id, w.win) -> ((w.n_samples, w.energy))).toMap
+    Seq(3L, 4L, 7L).foreach { id =>
+      val clip = Wav.decode(Multimodal.syntheticWav(id))
+      val perWin = 16 * clip.channels
+      val wins = clip.samples.grouped(perWin).toSeq
+      // windows partition the samples; tail partial
+      assert(got.keys.count(_._1 == id) == wins.length)
+      wins.zipWithIndex.foreach { case (w, i) =>
+        val e = w.map(v => v.toLong * v).sum
+        assert(got((id, i.toLong)) == ((w.length.toLong, e)),
+          s"clip $id window $i")
+      }
+    }
+  }
+
   test("multimodal stub decode: plumbing preserves ids, deterministic features") {
     val f = Multimodal.extractFeatures(events, "event_id", "props").cache()
     assert(f.count() == events.count())
