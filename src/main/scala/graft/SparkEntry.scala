@@ -1978,10 +1978,10 @@ object SparkEntry {
 
   private def ngramJaccardOracleSql: String =
     s"""WITH $shingleCte,
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
        |  WHERE c <= 256),
        |idx AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
@@ -1998,10 +1998,10 @@ object SparkEntry {
 
   private def ngramContainmentOracleSql: String =
     s"""WITH $shingleCte,
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
        |  WHERE c <= 256),
        |idx AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),

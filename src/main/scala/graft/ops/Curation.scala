@@ -95,14 +95,20 @@ object Curation {
   /** Shared pair-candidate pipeline for the exact n-gram family:
     * inverted index on md5 shingle hashes, df-capped, equi-joined
     * against itself → one row per unordered candidate pair
-    * `(doc_a < doc_b, common, sa, sb)` where `common` counts shared
-    * NON-CAPPED shingles and `sa`/`sb` are the FULL distinct-shingle
-    * set sizes. The narrow pair stream carries only (doc_a, doc_b);
-    * sizes rejoin AFTER the aggregation (one row per doc — small next
-    * to the pair set, but corpus-sized, so the join strategy is left
-    * to AQE: it broadcasts at test scale and degrades to a shuffle
-    * join on a corpus too big to broadcast, instead of hitting the
-    * 8 GB broadcast hard limit). */
+    * `(doc_a < doc_b, common, sa, sb)`. The df cap removes
+    * ubiquitous (boilerplate) shingles from the universe ENTIRELY:
+    * `common` counts shared rare shingles and `sa`/`sb` are the
+    * rare-subuniverse set sizes — numerator and denominator agree, so
+    * a short doc embedded in boilerplate-heavy context still scores
+    * its full containment over the shingles that remain (counting
+    * capped shingles in the denominator but not the numerator would
+    * bias every similarity downward, silently past thresholds). The
+    * narrow pair stream carries only (doc_a, doc_b); sizes rejoin
+    * AFTER the aggregation (one row per doc — small next to the pair
+    * set, but corpus-sized, so the join strategy is left to AQE: it
+    * broadcasts at test scale and degrades to a shuffle join on a
+    * corpus too big to broadcast, instead of hitting the 8 GB
+    * broadcast hard limit). */
   private def sharedShinglePairs(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
     val ws = withWords(docs)
     // (doc_id, one row per shingle) — one explode
@@ -114,8 +120,8 @@ object Curation {
     val rareIdx = idx.join(dfs.where(col("df") <= dfCap).select("s"), "s")
     val a = rareIdx.select(col("doc_id").as("doc_a"), col("s"))
     val b = rareIdx.select(col("doc_id").as("doc_b"), col("s"))
-    val sizes = ws.select(col("doc_id"),
-      size(shingleHashes(col("w"), n)).cast("bigint").as("sz"))
+    // sizes over the SAME rare universe the intersection counts
+    val sizes = rareIdx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     a.join(b, "s")
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents(doc_id, text, ...)` — the
@@ -52,20 +52,6 @@ object Dedup {
     * for any j, portable to plain SQL. */
   private[graft] val MinhashP = 1000000007L
 
-  /** MinHash + banded LSH near-dup pairs with an exact n-gram Jaccard
-    * confirmation on the candidates.
-    *
-    * shingle → k minhashes (Carter-Wegman over the shingle md5, min over
-    * ints) → b bands of r rows; docs sharing a band key become
-    * candidates (equi-join on the band key = the bucket-join; with
-    * k=12, b=4, r=3 a 0.9-Jaccard pair is missed with probability
-    * (1-0.9³)⁴ ≈ 5e-3, a 0.98 pair with ≈ 1.3e-5) → exact Jaccard on
-    * candidate pairs only, threshold filter kills LSH false positives.
-    *
-    * Shape at scale: explode shingles → per-shingle hash ONCE → map-side
-    * partial min-agg, one shuffle on doc_id → band explode → shuffle
-    * equi-join on band key. No cartesian anywhere.
-    */
   /** The LSH index rows `(doc_id, bk)` — one band key per (doc, band).
     * Factored out so [[minhashLsh]] (all-pairs within one corpus) and
     * [[incrementalNearDups]] (new batch vs existing corpus) share one
@@ -113,10 +99,18 @@ object Dedup {
     * Returns one row per (doc, band): `(doc_id, sh, bk)` where `sh` is
     * the DISTINCT shingle set carried for the exact-Jaccard confirm.
     *
-    * The two repartitions are CollapseProject firewalls, same hazard
-    * the batch pipeline guards: the hash-pair array referenced by the
-    * signature lambda, and the signature array referenced by 4 band
-    * keys, would otherwise inline and re-evaluate multiplicatively. */
+    * CollapseProject discipline (the batch pipeline's measured 14×
+    * hazard, here with three expensive stages): the first repartition
+    * materializes `w` so the shingle lambda references an attribute;
+    * the hash-pair array is bound as a LAMBDA VARIABLE around the
+    * 12-signature transform (`transform(array(hp), hp -> …)` — a
+    * lambda argument evaluates once however often the body references
+    * it), which keeps hp→signatures single-evaluation without a
+    * second shuffle; the second repartition materializes the
+    * signature array before the 4 band keys reference it 12 times.
+    * The one remaining duplication is bounded: `sh` appears as an
+    * output column and inside the hash-pair expression (2× the
+    * shingle build, not 12×/4× multiplicative). */
   private[graft] def narrowBandRows(docs: DataFrame, numHashes: Int = 12,
                                     bands: Int = 4,
                                     shingleLen: Int = 3): DataFrame = {
@@ -124,24 +118,25 @@ object Dedup {
     val r = numHashes / bands
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val cnt = size(col("w")) - (shingleLen - 1)
-    val hp = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(cnt > 0)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), cnt - 1),
-          i => concat_ws(" ",
-            (0 until shingleLen).map(j => element_at(col("w"), i + j + 1)): _*)))
-        .as("sh"))
+    val shExpr = array_distinct(
+      transform(sequence(lit(0), cnt - 1),
+        i => concat_ws(" ",
+          (0 until shingleLen).map(j => element_at(col("w"), i + j + 1)): _*)))
+    def hpExpr(sh: Column): Column = transform(sh, s => struct(
+      graft.functions.Fnv.fnv32(s, graft.functions.Fnv.Basis1).as("h1"),
+      graft.functions.Fnv.fnv32(s, graft.functions.Fnv.Basis2).as("h2")))
+    // g = the 12 signatures, with the hash-pair array lambda-bound so
+    // it evaluates once per row, not once per signature
+    def sigsExpr(sh: Column): Column = element_at(
+      transform(array(hpExpr(sh)), hp =>
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          j => array_min(transform(hp,
+            h => pmod(h.getField("h1") + j.cast("long") * h.getField("h2"),
+              lit(MinhashP)))))), 1)
+    val sigs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .repartition(parts)
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => struct(
-          graft.functions.Fnv.fnv32(s, graft.functions.Fnv.Basis1).as("h1"),
-          graft.functions.Fnv.fnv32(s, graft.functions.Fnv.Basis2).as("h2")))
-          .as("hp"))
-    val sigs = hp.select(col("doc_id"), col("sh"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        j => array_min(transform(col("hp"),
-          h => pmod(h.getField("h1") + j.cast("long") * h.getField("h2"),
-            lit(MinhashP))))).as("g"))
+      .where(cnt > 0)
+      .select(col("doc_id"), shExpr.as("sh"), sigsExpr(shExpr).as("g"))
       .repartition(parts)
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws("|",
@@ -152,6 +147,20 @@ object Dedup {
       explode(array(bandKeys: _*)).as("bk"))
   }
 
+  /** MinHash + banded LSH near-dup pairs with an exact n-gram Jaccard
+    * confirmation on the candidates.
+    *
+    * shingle → k minhashes (Carter-Wegman over the shingle md5, min over
+    * ints) → b bands of r rows; docs sharing a band key become
+    * candidates (equi-join on the band key = the bucket-join; with
+    * k=12, b=4, r=3 a 0.9-Jaccard pair is missed with probability
+    * (1-0.9³)⁴ ≈ 5e-3, a 0.98 pair with ≈ 1.3e-5) → exact Jaccard on
+    * candidate pairs only, threshold filter kills LSH false positives.
+    *
+    * Shape at scale: explode shingles → per-shingle hash ONCE → map-side
+    * partial min-agg, one shuffle on doc_id → band explode → shuffle
+    * equi-join on band key. No cartesian anywhere.
+    */
   def minhashLsh(docs: DataFrame, numHashes: Int = 12, bands: Int = 4,
                  shingleLen: Int = 3, threshold: Double = 0.5,
                  bucketCap: Int = 256): DataFrame = {
@@ -199,25 +208,6 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Incremental near-dup screening of a NEW batch against an EXISTING
-    * corpus — the steady-state production shape at 100 TB: the daily
-    * delta is checked against the standing corpus index instead of
-    * re-running all-pairs dedup over corpus+delta (which re-pays the
-    * full-corpus signature and pair cost every day for an unchanged
-    * prefix). Only batch↔corpus pairs are produced; batch-internal and
-    * corpus-internal duplicates are deliberately out of scope (the
-    * former is a [[minhashLsh]] pass over the small batch, the latter
-    * was settled when the corpus was admitted).
-    *
-    * Shape: the corpus side of the band join is bucketed and CAPPED
-    * exactly like the LSH path (sorted ids, smallest `bucketCap` kept,
-    * drop count observable) — a boilerplate band key shared by the
-    * whole corpus must not fan every batch doc out against millions of
-    * ids. Candidates equi-join on the band key; exact Jaccard over the
-    * two sides' shingle sets confirms. The corpus band index
-    * (`bandedKeys`) is the persistable artifact: write it once, read
-    * it per batch — batch cost is then proportional to the BATCH, not
-    * the corpus. */
   /** The capped corpus-side band buckets of [[incrementalNearDups]]
     * (sorted ids, smallest `bucketCap` kept). `observed = false` for
     * use as the STATIC side of a streaming query, where a batch-side
@@ -238,6 +228,25 @@ object Dedup {
     else b
   }
 
+  /** Incremental near-dup screening of a NEW batch against an EXISTING
+    * corpus — the steady-state production shape at 100 TB: the daily
+    * delta is checked against the standing corpus index instead of
+    * re-running all-pairs dedup over corpus+delta (which re-pays the
+    * full-corpus signature and pair cost every day for an unchanged
+    * prefix). Only batch↔corpus pairs are produced; batch-internal and
+    * corpus-internal duplicates are deliberately out of scope (the
+    * former is a [[minhashLsh]] pass over the small batch, the latter
+    * was settled when the corpus was admitted).
+    *
+    * Shape: the corpus side of the band join is bucketed and CAPPED
+    * exactly like the LSH path (sorted ids, smallest `bucketCap` kept,
+    * drop count observable) — a boilerplate band key shared by the
+    * whole corpus must not fan every batch doc out against millions of
+    * ids. Candidates equi-join on the band key; exact Jaccard over the
+    * two sides' shingle sets confirms. The corpus band index
+    * ([[bandedKeys]]) is the persistable artifact: write it once, read
+    * it per batch — batch cost is then proportional to the BATCH, not
+    * the corpus. */
   def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
                           numHashes: Int = 12, bands: Int = 4,
                           shingleLen: Int = 3, threshold: Double = 0.5,
