@@ -745,6 +745,16 @@ object SparkEntry {
         .transform(df => Multimodal.gifStats(df, "id", "img").toDF())
     }),
 
+    // --- frame sampling over a REAL multi-frame container: animated
+    //     GIF fixtures, every 2nd frame kept (video keyframe shape)
+    "multimodal_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticGifAnim(id))))
+        .toDF("id", "img")
+        .transform(df => Multimodal.gifFrameSample(df, "id", "img").toDF())
+    }),
+
     // --- REAL audio decode: same move for WAV (RIFF chunk walk, PCM16,
     //     interleaved channels) — per-clip sample statistics the oracle
     //     recomputes from the fixture formula.
@@ -1582,6 +1592,25 @@ object SparkEntry {
         |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
         |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
         |FROM px GROUP BY id, w, h""".stripMargin,
+    // animated-GIF frame sampling: frame count, per-frame index formula,
+    // and palette all closed-form (Multimodal.syntheticGifAnim)
+    "multimodal_gif_frames" ->
+      """WITH imgs AS (
+        |  SELECT event_id AS id, 3 + event_id % 5 AS w, 2 + event_id % 4 AS h,
+        |    2 + event_id % 4 AS nf
+        |  FROM events),
+        |px AS (
+        |  SELECT i.id, fs.f,
+        |    (3*((5*i.id + 7*xs.x + 3*ys.y + 11*fs.f) % 256) + 7) % 256 AS r,
+        |    (5*((5*i.id + 7*xs.x + 3*ys.y + 11*fs.f) % 256) + 11) % 256 AS g,
+        |    (7*((5*i.id + 7*xs.x + 3*ys.y + 11*fs.f) % 256) + 13) % 256 AS b
+        |  FROM imgs i, generate_series(0, 7) AS xs(x),
+        |    generate_series(0, 5) AS ys(y), generate_series(0, 5) AS fs(f)
+        |  WHERE xs.x < i.w AND ys.y < i.h AND fs.f < i.nf AND fs.f % 2 = 0)
+        |SELECT id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY id, f""".stripMargin,
     // framed-energy twin of multimodal_audio: same fixture formula,
     // 16-frame windows, exact integer sum of squares
     "multimodal_audio_energy" ->

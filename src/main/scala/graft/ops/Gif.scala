@@ -49,13 +49,22 @@ object Gif {
     * `0xRRGGBB` entries (padded up to the next power of two ≥ 2);
     * `idx(x, y)` returns the palette index of each pixel. */
   def encode(width: Int, height: Int, palette: Array[Int],
-             idx: (Int, Int) => Int): Array[Byte] = {
+             idx: (Int, Int) => Int): Array[Byte] =
+    encodeAnimated(width, height, palette, 1, (_, x, y) => idx(x, y))
+
+  /** Encode an ANIMATED GIF89a: `frames` full-size frames, each behind
+    * a Graphic Control Extension; `idx(frame, x, y)` returns the
+    * palette index. Frame 1 of 1 degrades to the plain single-image
+    * layout minus the control extension. */
+  def encodeAnimated(width: Int, height: Int, palette: Array[Int],
+                     frames: Int, idx: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF,
       s"bad dimensions ${width}x$height")
+    require(frames >= 1 && frames <= 1024, s"bad frame count $frames")
     require(palette.nonEmpty && palette.length <= 256,
       s"palette must have 1..256 entries, got ${palette.length}")
-    require(1L * width * height <= MaxPixels,
-      s"image ${width}x$height exceeds the encoder raster cap")
+    require(1L * width * height * frames <= MaxPixels,
+      s"${frames}x${width}x$height exceeds the encoder raster cap")
     // palette size must be a power of two >= 2 on the wire
     var bits = 1
     while ((1 << bits) < palette.length) bits += 1
@@ -73,17 +82,31 @@ object Gif {
       val c = if (i < palette.length) palette(i) else 0
       out.write((c >> 16) & 0xFF); out.write((c >> 8) & 0xFF); out.write(c & 0xFF)
     }
-    out.write(0x2C) // image descriptor
-    u16(0); u16(0); u16(width); u16(height)
-    out.write(0) // no local table, not interlaced
-    out.write(mcs)
+    for (f <- 0 until frames) {
+      if (frames > 1) { // graphic control extension: 10 cs delay
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(0); out.write(10); out.write(0); out.write(0); out.write(0)
+      }
+      out.write(0x2C) // image descriptor
+      u16(0); u16(0); u16(width); u16(height)
+      out.write(0) // no local table, not interlaced
+      out.write(mcs)
+      writeLzw(out, mcs, palSize, width, height, (x, y) => idx(f, x, y))
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
 
-    // LZW compress. The encoder's own dictionary (`dict`/`encNext`)
-    // runs one add AHEAD of the decoder's; code WIDTH must follow the
-    // decoder's bookkeeping (`decNext`), which increments once per
-    // emitted data code after the first — widening on the encoder's
-    // schedule would emit exactly one code per 2^size boundary at the
-    // wrong width.
+  /** One frame's LZW code stream + data sub-blocks + terminator.
+    *
+    * The encoder's own dictionary (`dict`/`encNext`) runs one add
+    * AHEAD of the decoder's; code WIDTH must follow the decoder's
+    * bookkeeping (`decNext`), which increments once per emitted data
+    * code after the first — widening on the encoder's schedule would
+    * emit exactly one code per 2^size boundary at the wrong width. */
+  private def writeLzw(out: java.io.ByteArrayOutputStream, mcs: Int,
+                       palSize: Int, width: Int, height: Int,
+                       idx: (Int, Int) => Int): Unit = {
     val bw = new BitWriter
     val clear = 1 << mcs
     val eoi = clear + 1
@@ -142,13 +165,22 @@ object Gif {
       out.write(n); out.write(data, off, n); off += n
     }
     out.write(0) // block terminator
-    out.write(0x3B) // trailer
-    out.toByteArray
   }
 
   // ----------------------------------------------------------------- decode
 
-  def decode(bytes: Array[Byte], maxPixels: Int = MaxPixels): Image = {
+  /** Decode the FIRST frame (the common single-image case). */
+  def decode(bytes: Array[Byte], maxPixels: Int = MaxPixels): Image =
+    decodeFrames(bytes, maxPixels).head
+
+  /** Decode EVERY frame of a (possibly animated) GIF: extensions are
+    * skipped, each image descriptor's raster is LZW-decoded
+    * independently. Frames must be full-canvas at (0,0) — partial-
+    * region frame composition (disposal semantics) is refused loudly,
+    * not silently mis-rendered. `maxPixels` caps the TOTAL decoded
+    * raster across frames. */
+  def decodeFrames(bytes: Array[Byte],
+                   maxPixels: Int = MaxPixels): Seq[Image] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"GIF decode: $msg")
     def u8(i: Int): Int = {
@@ -169,38 +201,59 @@ object Gif {
       palette(i) = (u8(pos) << 16) | (u8(pos + 1) << 8) | u8(pos + 2)
       pos += 3
     }
-    // walk blocks: skip extensions, find the first image descriptor
-    while (u8(pos) == 0x21) {
-      pos += 2 // introducer + label
-      var n = u8(pos)
-      while (n != 0) { pos += 1 + n; n = u8(pos) }
-      pos += 1
+    val frames = Seq.newBuilder[Image]
+    var totalPixels = 0L
+    var trailer = false
+    while (!trailer) {
+      u8(pos) match {
+        case 0x21 => // extension: skip by sub-block lengths
+          pos += 2 // introducer + label
+          var n = u8(pos)
+          while (n != 0) { pos += 1 + n; n = u8(pos) }
+          pos += 1
+        case 0x3B => trailer = true
+        case 0x2C =>
+          if (u16(pos + 1) != 0 || u16(pos + 3) != 0)
+            fail("partial-region frames not supported")
+          val width = u16(pos + 5)
+          val height = u16(pos + 7)
+          if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$height")
+          totalPixels += 1L * width * height
+          if (totalPixels > maxPixels)
+            fail(s"total raster exceeds the $maxPixels-pixel cap")
+          val iPacked = u8(pos + 9)
+          if ((iPacked & 0x80) != 0) fail("local color tables not supported")
+          if ((iPacked & 0x40) != 0) fail("interlaced images not supported")
+          pos += 10
+          val mcs = u8(pos)
+          if (mcs < 2 || mcs > 11) fail(s"bad LZW minimum code size $mcs")
+          pos += 1
+          // concatenate this frame's data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var n = u8(pos)
+          while (n != 0) {
+            if (pos + 1 + n > bytes.length) fail("truncated data sub-block")
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+            n = u8(pos)
+          }
+          pos += 1 // past the 0 terminator
+          frames += decodeRaster(data.toByteArray, mcs, width, height,
+            palSize, palette, fail)
+        case b => fail(f"unexpected block 0x$b%02x")
+      }
     }
-    if (u8(pos) != 0x2C) fail(f"expected image descriptor, got 0x${u8(pos)}%02x")
-    val width = u16(pos + 5)
-    val height = u16(pos + 7)
-    if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$height")
-    if (1L * width * height > maxPixels)
-      fail(s"raster ${width}x$height exceeds the $maxPixels-pixel cap")
-    val iPacked = u8(pos + 9)
-    if ((iPacked & 0x80) != 0) fail("local color tables not supported")
-    if ((iPacked & 0x40) != 0) fail("interlaced images not supported")
-    pos += 10
-    val mcs = u8(pos)
-    if (mcs < 2 || mcs > 11) fail(s"bad LZW minimum code size $mcs")
-    pos += 1
-    // concatenate data sub-blocks
-    val data = new java.io.ByteArrayOutputStream()
-    var n = u8(pos)
-    while (n != 0) {
-      if (pos + 1 + n > bytes.length) fail("truncated data sub-block")
-      data.write(bytes, pos + 1, n)
-      pos += 1 + n
-      n = u8(pos)
-    }
+    val out = frames.result()
+    if (out.isEmpty) fail("no image descriptor")
+    out
+  }
 
-    // LZW decompress: dictionary as (prefix code, appended index);
-    // roots are single palette indices
+  /** LZW-decompress one frame's concatenated sub-block data:
+    * dictionary as (prefix code, appended index); roots are single
+    * palette indices. */
+  private def decodeRaster(data: Array[Byte], mcs: Int, width: Int,
+                           height: Int, palSize: Int, palette: Array[Int],
+                           fail: String => Nothing): Image = {
     val clear = 1 << mcs
     val eoi = clear + 1
     val pixels = new Array[Int](width * height)
@@ -209,7 +262,7 @@ object Gif {
     val suffix = new Array[Int](4096)
     var next = clear + 2
     var codeSize = mcs + 1
-    val br = new BitReader(data.toByteArray)
+    val br = new BitReader(data)
     def firstOf(code: Int): Int = {
       var c = code
       while (c >= clear + 2) c = prefix(c)

@@ -181,6 +181,51 @@ object Multimodal {
       (x, y) => ((5L * id + 7L * x + 3L * y) % 256).toInt)
   }
 
+  /** One sampled frame of an ANIMATED GIF: per-frame channel sums over
+    * the palette-mapped raster. */
+  final case class GifFrame(id: Long, frame_idx: Long, sum_r: Long,
+                            sum_g: Long, sum_b: Long)
+
+  /** Frame sampling over a REAL multi-frame container: decode every
+    * frame of an animated GIF, keep every `stride`-th (the video
+    * keyframe-sampling shape), emit per-frame channel sums. The whole
+    * decode+sample runs inside one `mapPartitions` pass. */
+  def gifFrameSample(df: DataFrame, idCol: String, binCol: String,
+                     stride: Int = 2): Dataset[GifFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Gif.decodeFrames(bytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (img, f) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < img.pixels.length) {
+              val p = img.palette(img.pixels(i))
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
+            }
+            GifFrame(id, f.toLong, sr, sg, sb)
+          }
+      })
+  }
+
+  /** Deterministic ANIMATED GIF fixture: 2-5 full-canvas frames, the
+    * [[syntheticGif]] palette, per-frame pixel index
+    * `(5id + 7x + 3y + 11f) mod 256` — frame count, index, and palette
+    * all closed-form for the oracle. */
+  def syntheticGifAnim(id: Long): Array[Byte] = {
+    val w = 3 + (id % 5).toInt
+    val h = 2 + (id % 4).toInt
+    val nf = 2 + (id % 4).toInt
+    val palette = Array.tabulate(256)(i =>
+      (((3 * i + 7) % 256) << 16) | (((5 * i + 11) % 256) << 8) | ((7 * i + 13) % 256))
+    Gif.encodeAnimated(w, h, palette, nf,
+      (f, x, y) => ((5L * id + 7L * x + 3L * y + 11L * f) % 256).toInt)
+  }
+
   /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample
     * sum plus min/max across all channels — closed-form recomputable
     * by the oracle, like [[ImageStats]]. */

@@ -801,6 +801,35 @@ class OpsSpec extends SparkTestBase {
     assert(bigImg.pixels.toSeq == big.toSeq)
   }
 
+  test("animated GIF: every frame round-trips; sampler keeps the stride frames") {
+    import spark.implicits._
+    import graft.ops.Gif
+    val rnd = new scala.util.Random(777)
+    val (w, h, nf) = (9, 5, 5)
+    val palette = Array.tabulate(16)(i => rnd.nextInt(1 << 24))
+    val px = Array.fill(nf, w * h)(rnd.nextInt(16))
+    val bytes = Gif.encodeAnimated(w, h, palette, nf, (f, x, y) => px(f)(y * w + x))
+    val frames = Gif.decodeFrames(bytes)
+    assert(frames.length == nf)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq == px(f).toSeq, s"frame $f")
+    }
+    // decode() = first frame (single-frame files unchanged by the refactor)
+    assert(Gif.decode(bytes).pixels.toSeq == px(0).toSeq)
+    // sampler: stride 2 keeps frames 0, 2, 4 with brute-force sums
+    val in = Seq((1L, bytes)).toDF("id", "img")
+    val got = Multimodal.gifFrameSample(in, "id", "img").collect()
+      .map(g => g.frame_idx -> ((g.sum_r, g.sum_g, g.sum_b))).toMap
+    assert(got.keySet == Set(0L, 2L, 4L))
+    got.foreach { case (f, (sr, sg, sb)) =>
+      val rgb = px(f.toInt).map(palette)
+      assert(sr == rgb.map(p => ((p >> 16) & 0xff).toLong).sum)
+      assert(sg == rgb.map(p => ((p >> 8) & 0xff).toLong).sum)
+      assert(sb == rgb.map(p => (p & 0xff).toLong).sum)
+    }
+  }
+
   test("GIF codec refuses what it cannot decode, loudly") {
     import graft.ops.Gif
     def refuses(bytes: Array[Byte], hint: String): Unit =
