@@ -50,11 +50,13 @@ object Curation {
     * inverted index on shingle hash → shared-shingle count per candidate
     * pair → `|A∩B| / (|A|+|B|-|A∩B|)` ≥ threshold.
     *
-    * `dfCap` drops shingles appearing in more than that many documents
-    * (boilerplate n-grams): at corpus scale a ubiquitous shingle makes
-    * the index join quadratic in its document frequency, exactly the
-    * degenerate-bucket hazard the LSH path caps the same way. The drop
-    * is part of the operator contract (the oracle applies the same cap).
+    * `dfCap` removes shingles appearing in more than that many
+    * documents from BOTH the intersection and the set sizes (the
+    * rare-subuniverse contract, see [[sharedShinglePairs]]): at corpus
+    * scale a ubiquitous shingle makes the index join quadratic in its
+    * document frequency, exactly the degenerate-bucket hazard the LSH
+    * path caps the same way. The drop is part of the operator contract
+    * (the oracle applies the same cap to both).
     *
     * `candCap` bounds RESULT pairs per document (VERDICT r5 #3): an
     * m-doc duplicate cluster passes all m(m-1)/2 pairs, so output grows
@@ -63,16 +65,15 @@ object Curation {
     * total tie-break); the drop count rides the write as an observable
     * metric (same pattern as the LSH bucket cap).
     *
-    * Shape: set sizes ride ON the inverted-index rows, so the threshold
-    * (`j ≥ t ⟺ common·(1+t) ≥ t·(sa+sb)`) applies INSIDE the
-    * candidate aggregation — sub-threshold pairs (the overwhelming
-    * majority: most candidates share exactly one shingle) die in the
-    * agg instead of flowing into two corpus-wide size joins. The pair
-    * stream itself is Σ df² over shingles — the inherent cost of an
-    * EXACT all-pairs operator; on a k-fold near-duplicated corpus it
-    * grows ~k² (measured honestly in BENCH_SCALE.md). Corpora at that
-    * scale should run [[graft.ops.Dedup.minhashLsh]], which estimates
-    * this same similarity with a linear-ish plan. */
+    * Shape: the candidate pipeline is [[sharedShinglePairs]] — a
+    * narrow (doc_a, doc_b) pair stream through the aggregation, sizes
+    * rejoined after it with the join strategy left to AQE, threshold
+    * and result cap applied last. The pair stream itself is Σ df²
+    * over shingles — the inherent cost of an EXACT all-pairs operator;
+    * on a k-fold near-duplicated corpus it grows ~k² (measured
+    * honestly in BENCH_SCALE.md). Corpora at that scale should run
+    * [[graft.ops.Dedup.minhashLsh]], which estimates this same
+    * similarity with a linear-ish plan. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         dfCap: Int = 256, candCap: Int = 64): DataFrame = {
     val common = sharedShinglePairs(docs, n, dfCap)

@@ -102,15 +102,12 @@ object Dedup {
     * CollapseProject discipline (the batch pipeline's measured 14×
     * hazard, here with three expensive stages): the first repartition
     * materializes `w` so the shingle lambda references an attribute;
-    * the hash-pair array is bound as a LAMBDA VARIABLE around the
-    * 12-signature transform (`transform(array(hp), hp -> …)` — a
-    * lambda argument evaluates once however often the body references
-    * it), which keeps hp→signatures single-evaluation without a
-    * second shuffle; the second repartition materializes the
-    * signature array before the 4 band keys reference it 12 times.
-    * The one remaining duplication is bounded: `sh` appears as an
-    * output column and inside the hash-pair expression (2× the
-    * shingle build, not 12×/4× multiplicative). */
+    * the shingle set and the hash-pair array are each bound as LAMBDA
+    * VARIABLES (`transform(array(expr), v -> …)` — a lambda argument
+    * evaluates once however often the body references it), so
+    * shingles→hash-pairs→signatures is single-evaluation end to end
+    * without extra shuffles; the second repartition materializes the
+    * (sh, g) struct before the 4 band keys reference `g` 12 times. */
   private[graft] def narrowBandRows(docs: DataFrame, numHashes: Int = 12,
                                     bands: Int = 4,
                                     shingleLen: Int = 3): DataFrame = {
@@ -136,8 +133,11 @@ object Dedup {
     val sigs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .repartition(parts)
       .where(cnt > 0)
-      .select(col("doc_id"), shExpr.as("sh"), sigsExpr(shExpr).as("g"))
+      .select(col("doc_id"), element_at(
+        transform(array(shExpr), sh =>
+          struct(sh.as("sh"), sigsExpr(sh).as("g"))), 1).as("t"))
       .repartition(parts)
+      .select(col("doc_id"), col("t.sh").as("sh"), col("t.g").as("g"))
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws("|",
         (0 until r).map(i => element_at(col("g"), b * r + i + 1).cast("string"))

@@ -169,18 +169,37 @@ object Gif {
 
   // ----------------------------------------------------------------- decode
 
-  /** Decode the FIRST frame (the common single-image case). */
+  /** Decode the FIRST frame (the common single-image case): later
+    * frames are neither decoded nor validated — a file whose first
+    * frame is intact yields its image even if trailing frames are
+    * truncated or use unsupported features, exactly like the
+    * pre-animation decoder. */
   def decode(bytes: Array[Byte], maxPixels: Int = MaxPixels): Image =
-    decodeFrames(bytes, maxPixels).head
+    walkFrames(bytes, maxPixels, keep = _ == 0, limit = 1).head._2
 
-  /** Decode EVERY frame of a (possibly animated) GIF: extensions are
-    * skipped, each image descriptor's raster is LZW-decoded
-    * independently. Frames must be full-canvas at (0,0) — partial-
-    * region frame composition (disposal semantics) is refused loudly,
-    * not silently mis-rendered. `maxPixels` caps the TOTAL decoded
-    * raster across frames. */
+  /** Decode EVERY frame of a (possibly animated) GIF. */
   def decodeFrames(bytes: Array[Byte],
-                   maxPixels: Int = MaxPixels): Seq[Image] = {
+                   maxPixels: Int = MaxPixels): Seq[Image] =
+    walkFrames(bytes, maxPixels, keep = _ => true, limit = Int.MaxValue)
+      .map(_._2)
+
+  /** Decode only the frames whose INDEX passes `keep` — skipped frames
+    * are walked by sub-block length (no LZW work), the frame-sampling
+    * fast path. Returns (frameIdx, image) pairs. */
+  def decodeFramesBy(bytes: Array[Byte], keep: Int => Boolean,
+                     maxPixels: Int = MaxPixels): Seq[(Int, Image)] =
+    walkFrames(bytes, maxPixels, keep, limit = Int.MaxValue)
+
+  /** The block walker: extensions skipped, each image descriptor's
+    * raster LZW-decoded independently iff its index passes `keep`;
+    * stops early once `limit` kept frames are decoded. Kept frames
+    * must be full-canvas at (0,0) — partial-region frame composition
+    * (disposal semantics) is refused loudly, not silently
+    * mis-rendered. `maxPixels` caps the total DECODED raster (skipped
+    * frames allocate nothing). */
+  private def walkFrames(bytes: Array[Byte], maxPixels: Int,
+                         keep: Int => Boolean,
+                         limit: Int): Seq[(Int, Image)] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"GIF decode: $msg")
     def u8(i: Int): Int = {
@@ -201,50 +220,64 @@ object Gif {
       palette(i) = (u8(pos) << 16) | (u8(pos + 1) << 8) | u8(pos + 2)
       pos += 3
     }
-    val frames = Seq.newBuilder[Image]
+    val frames = Seq.newBuilder[(Int, Image)]
+    var frameIdx = 0
+    var kept = 0
     var totalPixels = 0L
-    var trailer = false
-    while (!trailer) {
+    var done = false
+    while (!done) {
       u8(pos) match {
         case 0x21 => // extension: skip by sub-block lengths
           pos += 2 // introducer + label
           var n = u8(pos)
           while (n != 0) { pos += 1 + n; n = u8(pos) }
           pos += 1
-        case 0x3B => trailer = true
+        case 0x3B => done = true
         case 0x2C =>
-          if (u16(pos + 1) != 0 || u16(pos + 3) != 0)
+          val wanted = keep(frameIdx)
+          if (wanted && (u16(pos + 1) != 0 || u16(pos + 3) != 0))
             fail("partial-region frames not supported")
           val width = u16(pos + 5)
           val height = u16(pos + 7)
-          if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$height")
-          totalPixels += 1L * width * height
-          if (totalPixels > maxPixels)
-            fail(s"total raster exceeds the $maxPixels-pixel cap")
           val iPacked = u8(pos + 9)
-          if ((iPacked & 0x80) != 0) fail("local color tables not supported")
-          if ((iPacked & 0x40) != 0) fail("interlaced images not supported")
+          if (wanted) {
+            if (width <= 0 || height <= 0)
+              fail(s"bad dimensions ${width}x$height")
+            totalPixels += 1L * width * height
+            if (totalPixels > maxPixels)
+              fail(s"total decoded raster exceeds the $maxPixels-pixel cap")
+            if ((iPacked & 0x80) != 0) fail("local color tables not supported")
+            if ((iPacked & 0x40) != 0) fail("interlaced images not supported")
+          }
           pos += 10
           val mcs = u8(pos)
-          if (mcs < 2 || mcs > 11) fail(s"bad LZW minimum code size $mcs")
+          if (wanted && (mcs < 2 || mcs > 11))
+            fail(s"bad LZW minimum code size $mcs")
           pos += 1
-          // concatenate this frame's data sub-blocks
-          val data = new java.io.ByteArrayOutputStream()
+          // concatenate this frame's data sub-blocks (skipped frames
+          // only hop the lengths — no LZW work, no allocation)
+          val data = if (wanted) new java.io.ByteArrayOutputStream() else null
           var n = u8(pos)
           while (n != 0) {
             if (pos + 1 + n > bytes.length) fail("truncated data sub-block")
-            data.write(bytes, pos + 1, n)
+            if (wanted) data.write(bytes, pos + 1, n)
             pos += 1 + n
             n = u8(pos)
           }
           pos += 1 // past the 0 terminator
-          frames += decodeRaster(data.toByteArray, mcs, width, height,
-            palSize, palette, fail)
+          if (wanted) {
+            frames += frameIdx -> decodeRaster(data.toByteArray, mcs, width,
+              height, palSize, palette, fail)
+            kept += 1
+            if (kept >= limit) done = true
+          }
+          frameIdx += 1
         case b => fail(f"unexpected block 0x$b%02x")
       }
     }
     val out = frames.result()
-    if (out.isEmpty) fail("no image descriptor")
+    if (out.isEmpty) fail(
+      if (frameIdx == 0) "no image descriptor" else "no frame passed the keep filter")
     out
   }
 

@@ -192,14 +192,15 @@ object Multimodal {
     * decode+sample runs inside one `mapPartitions` pass. */
   def gifFrameSample(df: DataFrame, idCol: String, binCol: String,
                      stride: Int = 2): Dataset[GifFrame] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        Gif.decodeFrames(bytes).zipWithIndex
-          .filter(_._2 % stride == 0)
-          .map { case (img, f) =>
+        // skipped frames are length-hopped, never LZW-decoded
+        Gif.decodeFramesBy(bytes, keep = _ % stride == 0)
+          .map { case (f, img) =>
             var sr = 0L; var sg = 0L; var sb = 0L
             var i = 0
             while (i < img.pixels.length) {

@@ -863,6 +863,12 @@ class OpsSpec extends SparkTestBase {
     out.write(Array[Byte](2, 0xCC.toByte, 0x01, 0)) // codes 4,1,7
     out.write(0x3B)
     refuses(out.toByteArray, "frontier")
+    // first-frame leniency: decode() must not validate past the first
+    // frame — junk after it fails decodeFrames but not decode
+    val junkTail = good.dropRight(1) ++ Array[Byte](0x55, 0x3B)
+    assert(Gif.decode(junkTail).pixels.length == 12,
+      "decode() stops after frame 0 and never sees the junk block")
+    intercept[IllegalArgumentException] { Gif.decodeFrames(junkTail) }
   }
 
   test("PNG codec fails loudly on hostile headers (zip-bomb cap, CRC, bounds)") {
