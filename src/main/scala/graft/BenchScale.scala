@@ -33,7 +33,7 @@ object BenchScale {
     "embedding_project", "layout_zorder",
     "dedup_containment", "dedup_semantic", "dedup_cdc_chunks",
     "dedup_incremental", "text_temperature_mix", "corpus_diff",
-    "curation_pipeline",
+    "curation_pipeline", "text_length_trim",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

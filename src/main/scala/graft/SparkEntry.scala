@@ -573,6 +573,13 @@ object SparkEntry {
     //     fixed window (paragraphDedup's structural blind spot)
     "dedup_cdc_chunks" -> ((s, d) => Curation.cdcChunkDedup(T(s, d, "documents"))),
 
+    // --- the persistable LSH band index itself (what a production
+    //     flow writes once and reads per batch) — oracle-verified so
+    //     the INDEX is trustworthy, not just queries over it
+    "dedup_lsh_index" -> ((s, d) =>
+      Dedup.bandedKeys(T(s, d, "documents"), numHashes = 12, bands = 4,
+        shingleLen = 3)),
+
     // --- incremental batch-vs-corpus near-dup screening (steady-state
     //     ingest: daily delta vs standing index, never all-pairs);
     //     corpus = even ids, batch = odd ids for the gate
@@ -1250,6 +1257,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_incremental" -> incrementalOracleSql,
     "streaming_incremental_dedup" -> incrementalOracleSql,
+    "dedup_lsh_index" ->
+      s"""WITH $minhashCtePrefix
+         |SELECT doc_id, bk FROM bands""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
     "text_contamination" -> contaminationOracleSql,
