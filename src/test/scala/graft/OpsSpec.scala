@@ -830,6 +830,28 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cross-codec consistency: BMP, PNG, and GIF decode the same raster identically") {
+    import graft.ops.{Bmp, Gif, Png}
+    val (w, h) = (11, 7)
+    // a raster with < 256 distinct colors so the palette codec can
+    // express it exactly; rgb returns packed 0xRRGGBB
+    def rgb(x: Int, y: Int): Int = {
+      val v = (x * 5 + y * 11) % 64
+      (((v * 3) % 256) << 16) | (((v * 7 + 9) % 256) << 8) | ((v * 11 + 4) % 256)
+    }
+    def ch(p: Int): (Int, Int, Int) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    val want = for (y <- 0 until h; x <- 0 until w) yield rgb(x, y)
+
+    val bmp = Bmp.decode(Bmp.encode(w, h, (x, y) => ch(rgb(x, y))))
+    assert(bmp.pixels.toSeq == want, "BMP")
+    val png = Png.decode(Png.encode(w, h, (x, y) => ch(rgb(x, y))))
+    assert(png.pixels.toSeq == want, "PNG")
+    val palette = want.distinct.toArray
+    val lut = palette.zipWithIndex.toMap
+    val gif = Gif.decode(Gif.encode(w, h, palette, (x, y) => lut(rgb(x, y))))
+    assert(gif.pixels.map(gif.palette).toSeq == want, "GIF")
+  }
+
   test("GIF codec refuses what it cannot decode, loudly") {
     import graft.ops.Gif
     def refuses(bytes: Array[Byte], hint: String): Unit =
