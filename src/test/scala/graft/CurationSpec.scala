@@ -299,6 +299,26 @@ class CurationSpec extends SparkTestBase {
     assert(rows(2L) == ((false, false)) && rows(3L) == ((false, false)))
   }
 
+  test("integer-exact operators are invariant to input partitioning") {
+    import graft.ops.{Dedup, TextAnalysis}
+    // the claim these ops make ("deterministic on any partitioning")
+    // driven directly: 1 input partition vs 17 must give identical rows
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("quality_classifier", Curation.qualityClassifier(_)),
+      ("shard_assign", Curation.shardAssign(_)),
+      ("cdc_chunks", Curation.cdcChunkDedup(_)),
+      ("cross_source", Curation.crossSourceDedup(_)),
+      ("temperature_mix", Curation.temperatureMix(_)),
+      ("length_trim", Curation.lengthTrim(_)),
+      ("exact_dedup", Dedup.exact(_)),
+      ("fingerprint", TextAnalysis.fingerprint(_)))
+    ops.foreach { case (name, op) =>
+      val one = op(docs.repartition(1)).collect().map(_.toString).sorted
+      val many = op(docs.repartition(17)).collect().map(_.toString).sorted
+      assert(one.sameElements(many), s"$name varies with partitioning")
+    }
+  }
+
   test("length trim drops exactly the per-source quantile tails") {
     import spark.implicits._
     val kept = Curation.lengthTrim(docs).collect()

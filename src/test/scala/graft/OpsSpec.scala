@@ -830,6 +830,42 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("codec fuzz: random and bit-flipped inputs fail loudly or decode, never escape") {
+    import graft.ops.{Bmp, Gif, Png, Wav}
+    val rnd = new scala.util.Random(31337)
+    // decode must either succeed or throw the codec's own
+    // IllegalArgumentException — an ArrayIndexOutOfBounds, NegativeArraySize,
+    // or NPE on hostile bytes is a crash bug, not a refusal
+    def probe(name: String, dec: Array[Byte] => Any)(bytes: Array[Byte]): Unit =
+      try { dec(bytes); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"$name escaped with ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    val codecs: Seq[(String, Array[Byte] => Any, Array[Byte])] = Seq(
+      ("bmp", Bmp.decode(_), Multimodal.syntheticBmp(7L)),
+      ("png", Png.decode(_), Multimodal.syntheticPng(7L)),
+      ("gif", b => Gif.decodeFrames(b), Multimodal.syntheticGifAnim(7L)),
+      ("wav", Wav.decode(_), Multimodal.syntheticWav(7L)))
+    codecs.foreach { case (name, dec, valid) =>
+      val p = probe(name, dec) _
+      // pure noise, several sizes
+      for (len <- Seq(0, 1, 12, 13, 64, 400)) {
+        val junk = new Array[Byte](len); rnd.nextBytes(junk); p(junk)
+      }
+      // valid prefix truncated at every tenth byte
+      (0 until valid.length by math.max(1, valid.length / 10))
+        .foreach(i => p(valid.take(i)))
+      // single-byte mutations of a VALID file — header fields, palette,
+      // LZW/deflate payload, lengths all get hit across 300 trials
+      for (_ <- 0 until 300) {
+        val m = valid.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        p(m)
+      }
+    }
+  }
+
   test("cross-codec consistency: BMP, PNG, and GIF decode the same raster identically") {
     import graft.ops.{Bmp, Gif, Png}
     val (w, h) = (11, 7)
