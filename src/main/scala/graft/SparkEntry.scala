@@ -649,6 +649,10 @@ object SparkEntry {
     //     LSH pair graph, min-label propagation to fixpoint)
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(T(s, d, "documents"))),
 
+    // --- cluster-size histogram: the dedup pass's corpus-health report
+    "dedup_cluster_stats" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(T(s, d, "documents"))),
+
     // --- paragraph-level (chunk) dedup: per-document fraction of
     //     10-word chunks that occur elsewhere in the corpus (the
     //     repeated-span removal pass, vs whole-document near-dup)
@@ -1755,19 +1759,27 @@ object SparkEntry {
     // transitive closure over the pair graph via recursive CTE; cluster =
     // min reachable id (self for singletons) — equals Spark's min-label
     // propagation fixpoint
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
-         |  ${minhashOracleSql.replace("\n", "\n  ")})),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
-         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
-         |GROUP BY d.doc_id""".stripMargin
+    "dedup_clusters" -> clustersOracleSql,
+    // histogram of the closure's cluster sizes (corpus-health report)
+    "dedup_cluster_stats" ->
+      s"""WITH c AS (${clustersOracleSql.replace("\n", "\n  ")})
+         |SELECT cnt AS cluster_size, count(*) AS n_clusters
+         |FROM (SELECT cluster, count(*) AS cnt FROM c GROUP BY cluster)
+         |GROUP BY cnt""".stripMargin
   )
+
+  private def clustersOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
+       |  ${minhashOracleSql.replace("\n", "\n  ")})),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+       |FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+       |GROUP BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Generated oracle SQL for the hash-pipeline ops (constants must match

@@ -304,6 +304,18 @@ object Dedup {
     propagateMinLabels(docs.select("doc_id"),
       minhashLsh(docs, threshold = threshold).select("doc_a", "doc_b"), maxIters)
 
+  /** Cluster-size histogram over [[nearDupClusters]] — the corpus-
+    * health report a dedup pass ends with: how much of the corpus sits
+    * in duplicate clusters, and how large they run (a fat tail means
+    * boilerplate or mirror domains; mass at size 1 means the corpus is
+    * already clean). Two hash aggregations over the cluster labels;
+    * output is at most |distinct sizes| rows. */
+  def clusterSizeHistogram(docs: DataFrame,
+                           threshold: Double = 0.5): DataFrame =
+    nearDupClusters(docs, threshold)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** The propagation core, separated so tests can drive exact edge sets:
     * min-label propagation over an undirected pair graph to fixpoint. */
   private[graft] def propagateMinLabels(ids: DataFrame, pairs: DataFrame,
