@@ -143,6 +143,15 @@ class OpsSpec extends SparkTestBase {
       "incremental candidates must equi-join on the band key")
   }
 
+  test("cluster-size histogram partitions the corpus") {
+    val hist = Dedup.clusterSizeHistogram(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.map { case (size, n) => size * n }.sum == docs.count(),
+      s"sizes x counts must cover every document: $hist")
+    assert(hist.exists { case (size, _) => size > 1 },
+      "corpus has planted near-dup clusters")
+  }
+
   test("exact dedup covers every document exactly once") {
     import org.apache.spark.sql.functions._
     val d = Dedup.exact(docs)
