@@ -1739,16 +1739,24 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "udf_transform" ->
       "SELECT c_custkey, replace(lower(c_name), '#', '-') AS c_slug FROM customer",
+    // capped buckets mirror Similarity.embeddingNearDup: per sign-bucket
+    // keep the 256 smallest vec_ids, expand in-bucket pairs, cosine
+    // confirm on joined-back embeddings
     "dedup_embedding_cosine" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |    CAST(list_sum(list_transform(range(0, 8),
         |      i -> CASE WHEN embedding[i+1] > 0 THEN 2**i ELSE 0 END)) AS INT) AS bucket
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |  FROM embeddings),
+        |buckets AS (SELECT bucket, list_sort(list(DISTINCT vec_id))[1:256] AS ids
+        |  FROM b GROUP BY bucket HAVING count(DISTINCT vec_id) > 1),
+        |cand AS (SELECT x.a AS vec_a, y.y AS vec_b
+        |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(y)
+        |  WHERE x.a < y.y)
+        |SELECT vec_a, vec_b,
         |  round(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
         |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
         |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))), 6) AS cos
-        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |FROM cand JOIN b a ON vec_a = a.vec_id JOIN b c ON vec_b = c.vec_id
         |WHERE round(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
         |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
         |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))), 6) >= 0.25""".stripMargin,
@@ -2127,16 +2135,23 @@ object SparkEntry {
     s"WITH $simhashCte\nSELECT doc_id, " +
       "printf('%04x%04x%04x%04x', band3, band2, band1, band0) AS simhash FROM f"
 
+  // capped buckets mirror Dedup.simhashPairs: per band key keep the 256
+  // smallest doc_ids, expand pairs in-bucket, Hamming from joined-back f
   private def simhashPairsOracleSql: String =
     s"""WITH $simhashCte,
-       |h AS (SELECT doc_id, band0, band1, band2, band3, unnest([
+       |h AS (SELECT doc_id, unnest([
        |    '0:' || band0::VARCHAR, '1:' || band1::VARCHAR,
        |    '2:' || band2::VARCHAR, '3:' || band3::VARCHAR]) AS band_key FROM f),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
-       |     bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT AS hamming
-       |  FROM h a JOIN h b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6""".stripMargin
+       |buckets AS (SELECT band_key, list_sort(list(DISTINCT doc_id))[1:256] AS ids
+       |  FROM h GROUP BY band_key HAVING count(DISTINCT doc_id) > 1),
+       |cand AS (SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
+       |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+       |  WHERE x.a < y.b),
+       |conf AS (SELECT doc_a, doc_b,
+       |    (bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1)) +
+       |     bit_count(xor(fa.band2, fb.band2)) + bit_count(xor(fa.band3, fb.band3)))::BIGINT AS hamming
+       |  FROM cand JOIN f fa ON doc_a = fa.doc_id JOIN f fb ON doc_b = fb.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM conf WHERE hamming <= 6""".stripMargin
 
   private def langIdOracleSql: String = {
     def hits(ws: Seq[String]) = ws

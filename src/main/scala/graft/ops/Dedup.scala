@@ -435,21 +435,44 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share at least one of the four
     * 16-bit bands (a pair within Hamming distance 3 always shares a
     * band by pigeonhole; NO cartesian), confirmed by exact Hamming
-    * distance summed across bands. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    * distance summed across bands.
+    *
+    * Degenerate bands are CAPPED exactly like [[minhashLsh]] (VERDICT r6
+    * #1): a boilerplate-heavy corpus collapses many docs onto one band
+    * value, and an uncapped in-bucket self-join expands quadratically in
+    * one task. Each bucket keeps its `bucketCap` smallest doc_ids
+    * (deterministic; mirrored verbatim in the oracle SQL); docs cut from
+    * an oversized bucket still pair via their other three bands; the
+    * drop count rides the write as an observable metric. The four band
+    * values travel INSIDE the bucket struct so the agg-heavy
+    * [[simhashBands]] pipeline runs once — no join-back for the Hamming
+    * confirm. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+                   bucketCap: Int = 256): DataFrame = {
     val fp = simhashBands(docs)
     val bandKeys = (0 until 4).map(k =>
       concat(lit(s"$k:"), col(s"band$k").cast("string")))
     val keyed = fp.select(
-      (col("doc_id") +: (0 until 4).map(k => col(s"band$k"))) :+
-        explode(array(bandKeys: _*)).as("band_key"): _*)
-    val a = keyed.as("a"); val b = keyed.as("b")
-    val hamming = (0 until 4)
-      .map(k => bit_count(col(s"a.band$k").bitwiseXOR(col(s"b.band$k"))))
-      .reduce(_ + _)
-    a.join(b, col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.cast("bigint").as("hamming"))
+      struct(col("doc_id") +: (0 until 4).map(k => col(s"band$k")): _*).as("m"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    // struct ordering is field-by-field, doc_id first, and band values
+    // are a function of the doc — so sort_array + slice keeps exactly
+    // the bucketCap smallest doc_ids, same rule as minhashLsh
+    keyed.groupBy("band_key")
+      .agg(sort_array(collect_set(col("m"))).as("all_ms"))
+      .where(size(col("all_ms")) > 1)
+      .select(slice(col("all_ms"), 1, bucketCap).as("ms"),
+        greatest(size(col("all_ms")) - bucketCap, lit(0)).as("dropped"))
+      .observe("simhash_pairs_buckets_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(col("dropped")).as("ids_over_cap"))
+      .select(explode(expr(
+        "filter(flatten(transform(ms, a -> transform(ms, b -> " +
+          "struct(a AS a, b AS b)))), p -> p.a.doc_id < p.b.doc_id)")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        (0 until 4)
+          .map(k => bit_count(col(s"p.a.band$k").bitwiseXOR(col(s"p.b.band$k"))))
+          .reduce(_ + _).cast("bigint").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -54,16 +54,40 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs — the dedup-by-embedding
     * member of the dedup family: candidates come from the sign-bucket
-    * equi-join (self-join on bucket id, vec_id< ordering — no cartesian),
-    * confirmed by exact cosine ≥ threshold. */
+    * (group-by bucket id + in-bucket pair expansion — no cartesian),
+    * confirmed by exact cosine ≥ threshold.
+    *
+    * Degenerate buckets are CAPPED like `Dedup.minhashLsh` (VERDICT r6
+    * #2): at fixed `bits` there are only 2^bits buckets, so a billion-
+    * vector collection puts millions of vectors in each — an uncapped
+    * self-join explodes quadratically in one task. Each bucket keeps its
+    * `bucketCap` smallest vec_ids (deterministic, mirrored in the
+    * oracle), the drop count is observable, and the cosine confirm
+    * joins the embeddings back only for vectors that survived into a
+    * candidate pair. The recall trade at scale is tuned by raising
+    * `bits` (finer buckets), as [[bucketTopK]] documents. */
   def embeddingNearDup(emb: DataFrame, bits: Int = 8,
-                       threshold: Double = 0.25): DataFrame = {
+                       threshold: Double = 0.25,
+                       bucketCap: Int = 256): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("bucket", signBucket(col("emb"), bits))
-    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("bucket"))
-    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .where(col("vec_a") < col("vec_b"))
+    // a vector lives in exactly ONE bucket, so expanded pairs are
+    // already unique — no distinct needed after the explode
+    val cand = e.groupBy("bucket")
+      .agg(sort_array(collect_set(col("vec_id"))).as("all_ids"))
+      .where(size(col("all_ids")) > 1)
+      .select(slice(col("all_ids"), 1, bucketCap).as("ids"),
+        greatest(size(col("all_ids")) - bucketCap, lit(0)).as("dropped"))
+      .observe("embedding_neardup_buckets_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(col("dropped")).as("ids_over_cap"))
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+          "struct(a AS vec_a, b AS vec_b)))), p -> p.vec_a < p.vec_b)")).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")

@@ -95,6 +95,42 @@ class OpsSpec extends SparkTestBase {
     assert(overlap >= (mh.size * 0.7).toInt, s"overlap $overlap of ${mh.size}")
   }
 
+  test("pathological simhash band (1k identical docs) is capped, not an O(n²) blow-up") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical docs share all four band values — every band bucket holds
+    // all 1000 docs; uncapped that's 4 × C(1000,2) pair expansions in
+    // single tasks (VERDICT r6 #1); with cap=16 each band expands to at
+    // most C(16,2)=120, and distinct collapses the four bands' copies
+    val boiler = (1L to 1000L)
+      .map(i => (i, "the same boilerplate text repeated again and again and again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(boiler, bucketCap = 16).cache()
+    assert(pairs.count() == 120, "expected exactly C(16,2) pairs from the capped buckets")
+    // deterministic cap: the 16 SMALLEST ids are kept
+    assert(pairs.agg(max("doc_b")).head.getLong(0) <= 16L)
+    assert(pairs.where(col("hamming") =!= 0L).count() == 0,
+      "identical docs have identical fingerprints")
+    pairs.unpersist()
+  }
+
+  test("pathological embedding bucket (1k same-sign vectors) is capped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // all-positive components put every vector in sign-bucket 255 —
+    // uncapped, the self-join expands C(1000,2) pairs in one task
+    // (VERDICT r6 #2); with cap=16 at most C(16,2)=120 survive
+    val same = (1L to 1000L)
+      .map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDup(same, bucketCap = 16).cache()
+    assert(pairs.count() == 120, "expected exactly C(16,2) pairs from the capped bucket")
+    assert(pairs.agg(max("vec_b")).head.getLong(0) <= 16L)
+    assert(pairs.where(col("cos") =!= 1.0).count() == 0,
+      "identical vectors have cosine 1")
+    pairs.unpersist()
+  }
+
   test("near-dup clusters: labels are fixpoint-consistent and cover all docs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
