@@ -34,6 +34,10 @@ object BenchScale {
     "dedup_containment", "dedup_semantic", "dedup_cdc_chunks",
     "dedup_incremental", "text_temperature_mix", "corpus_diff",
     "curation_pipeline", "text_length_trim",
+    // round 7: the band-screened exact-pair confirms — THE claim under
+    // test is that these stay ≤~3× at 10× where the exhaustive ops ran
+    // 13.9×/7.0× (output-bound)
+    "dedup_jaccard_screened", "dedup_containment_screened",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

@@ -568,6 +568,14 @@ object SparkEntry {
     //     one (Jaccard-invisible); directed contained→container output
     "dedup_containment" -> ((s, d) => Curation.ngramContainmentPairs(T(s, d, "documents"))),
 
+    // --- band-SCREENED exact-pair confirms: the bounded 100 TB variant
+    //     of the two exhaustive ops above — capped LSH buckets generate
+    //     candidates, the exact df-capped confirm runs only on those
+    "dedup_jaccard_screened" -> ((s, d) =>
+      Curation.screenedJaccardPairs(T(s, d, "documents"))),
+    "dedup_containment_screened" -> ((s, d) =>
+      Curation.screenedContainmentPairs(T(s, d, "documents"))),
+
     // --- content-defined chunk dedup: fnv-triggered boundaries instead
     //     of fixed windows — robust to insertions that shift every
     //     fixed window (paragraphDedup's structural blind spot)
@@ -1266,6 +1274,8 @@ object SparkEntry {
          |SELECT doc_id, bk FROM bands""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
+    "dedup_jaccard_screened" -> screenedJaccardOracleSql,
+    "dedup_containment_screened" -> screenedContainmentOracleSql,
     "text_contamination" -> contaminationOracleSql,
     "text_pii_redact" -> piiRedactOracleSql,
     "text_pack_sequences" -> packSequencesOracleSql,
@@ -2071,6 +2081,59 @@ object SparkEntry {
        |  FROM (SELECT c.*, s1.sz AS sa, s2.sz AS sb FROM common c
        |    JOIN sizes s1 ON c.doc_a = s1.doc_id
        |    JOIN sizes s2 ON c.doc_b = s2.doc_id))
+       |SELECT contained_id, container_id, containment FROM (
+       |  SELECT contained_id, container_id, containment, row_number() OVER (
+       |      PARTITION BY contained_id ORDER BY common DESC, container_id) AS rnk
+       |    FROM d WHERE containment >= 0.8)
+       |WHERE rnk <= 64""".stripMargin
+
+  /** Shared CTE chain for the band-screened exact-pair oracles: MinHash
+    * band keys ([[minhashCtePrefix]]) → capped buckets (256 smallest
+    * ids) → candidate pairs → df-capped md5-shingle sets built only for
+    * candidate docs → shared-shingle counts per candidate pair. CTE
+    * names are disjoint from the minhash prefix's (w2/shx vs w/sh). */
+  private def screenedCommonCte: String =
+    s"""$minhashCtePrefix,
+       |buckets AS (SELECT bk, list_sort(list(DISTINCT doc_id))[1:256] AS ids
+       |  FROM bands GROUP BY bk HAVING count(DISTINCT doc_id) > 1),
+       |cand AS (SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
+       |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+       |  WHERE x.a < y.b),
+       |w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |shx AS (SELECT DISTINCT doc_id,
+       |    md5(array_to_string(list_slice(w, i.i, i.i + 2), ' ')) AS sh
+       |  FROM w2, unnest(range(1, len(w) - 1)) AS i(i)),
+       |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM shx GROUP BY sh)
+       |  WHERE c <= 256),
+       |idx AS (SELECT doc_id, shx.sh FROM shx JOIN rare USING (sh)),
+       |cids AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand)),
+       |sets AS (SELECT doc_id, list(sh) AS shl FROM idx JOIN cids USING (doc_id)
+       |  GROUP BY doc_id),
+       |common AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(a.shl, b.shl))::BIGINT AS common,
+       |    len(a.shl)::BIGINT AS sa, len(b.shl)::BIGINT AS sb
+       |  FROM cand JOIN sets a ON doc_a = a.doc_id
+       |    JOIN sets b ON doc_b = b.doc_id
+       |  WHERE len(list_intersect(a.shl, b.shl)) >= 1)""".stripMargin
+
+  private def screenedJaccardOracleSql: String =
+    s"""WITH $screenedCommonCte,
+       |j AS (SELECT doc_a, doc_b, common,
+       |    round(common / (sa + sb - common), 6) AS jaccard FROM common)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, jaccard, row_number() OVER (
+       |      PARTITION BY doc_a ORDER BY common DESC, doc_b) AS rnk
+       |    FROM j WHERE jaccard >= 0.5)
+       |WHERE rnk <= 64""".stripMargin
+
+  private def screenedContainmentOracleSql: String =
+    s"""WITH $screenedCommonCte,
+       |d AS (SELECT
+       |    CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS contained_id,
+       |    CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS container_id,
+       |    common, round(common / least(sa, sb), 6) AS containment
+       |  FROM common)
        |SELECT contained_id, container_id, containment FROM (
        |  SELECT contained_id, container_id, containment, row_number() OVER (
        |      PARTITION BY contained_id ORDER BY common DESC, container_id) AS rnk

@@ -164,33 +164,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 12, bands: Int = 4,
                  shingleLen: Int = 3, threshold: Double = 0.5,
                  bucketCap: Int = 256): DataFrame = {
-    val banded = bandedKeys(docs, numHashes, bands, shingleLen)
-
-    // Candidate pairs via group-by-band + in-bucket pair expansion: the
-    // same candidate set as a band-key self-join, but the (md5+agg-heavy)
-    // signature pipeline runs ONCE instead of once per join side.
-    //
-    // Degenerate bands (boilerplate-heavy corpora collapse thousands of
-    // docs onto one band key) are CAPPED: each bucket keeps its
-    // `bucketCap` smallest doc_ids, so a pathological bucket expands to
-    // at most cap² pairs in one task instead of an unbounded O(n²)
-    // blow-up (VERDICT r2 #1). Deterministic (sorted ids, smallest kept)
-    // and mirrored verbatim in the oracle SQL. Docs cut from an
-    // oversized bucket still pair via their other `bands-1` band keys;
-    // truly identical docs are exact-dedup's job, not LSH's. The drop
-    // count rides the write as an observable metric.
-    val cand = banded.groupBy("bk")
-      .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
-      .where(size(col("all_ids")) > 1)
-      .select(slice(col("all_ids"), 1, bucketCap).as("ids"),
-        greatest(size(col("all_ids")) - bucketCap, lit(0)).as("dropped"))
-      .observe("minhash_lsh_buckets_" + java.util.UUID.randomUUID().toString.replace("-", ""),
-        sum(col("dropped")).as("ids_over_cap"))
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
-          "struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    val cand = lshCandidatePairs(docs, numHashes, bands, shingleLen,
+      bucketCap, "minhash_lsh_buckets")
 
     // Exact-Jaccard confirm needs DISTINCT shingle sets — but only for
     // docs that actually appear in a candidate pair (a small fraction of
@@ -207,6 +182,39 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Capped-bucket LSH candidate pairs `(doc_a < doc_b)` — the SCREEN
+    * stage shared by [[minhashLsh]] and the band-screened exact-pair
+    * confirms in [[Curation]].
+    *
+    * Candidate pairs via group-by-band + in-bucket pair expansion: the
+    * same candidate set as a band-key self-join, but the (md5+agg-heavy)
+    * signature pipeline runs ONCE instead of once per join side.
+    *
+    * Degenerate bands (boilerplate-heavy corpora collapse thousands of
+    * docs onto one band key) are CAPPED: each bucket keeps its
+    * `bucketCap` smallest doc_ids, so a pathological bucket expands to
+    * at most cap² pairs in one task instead of an unbounded O(n²)
+    * blow-up (VERDICT r2 #1). Deterministic (sorted ids, smallest kept)
+    * and mirrored verbatim in the oracle SQL. Docs cut from an
+    * oversized bucket still pair via their other `bands-1` band keys;
+    * truly identical docs are exact-dedup's job, not LSH's. The drop
+    * count rides the write as an observable metric. */
+  private[ops] def lshCandidatePairs(docs: DataFrame, numHashes: Int,
+                                     bands: Int, shingleLen: Int,
+                                     bucketCap: Int, tag: String): DataFrame =
+    bandedKeys(docs, numHashes, bands, shingleLen).groupBy("bk")
+      .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
+      .where(size(col("all_ids")) > 1)
+      .select(slice(col("all_ids"), 1, bucketCap).as("ids"),
+        greatest(size(col("all_ids")) - bucketCap, lit(0)).as("dropped"))
+      .observe(tag + "_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(col("dropped")).as("ids_over_cap"))
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+          "struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 
   /** The capped corpus-side band buckets of [[incrementalNearDups]]
     * (sorted ids, smallest `bucketCap` kept). `observed = false` for

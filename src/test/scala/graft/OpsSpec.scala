@@ -179,6 +179,30 @@ class OpsSpec extends SparkTestBase {
       "incremental candidates must equi-join on the band key")
   }
 
+  test("band-screened exact pairs = exhaustive pairs restricted to LSH candidates") {
+    import org.apache.spark.sql.functions._
+    // with non-binding caps the screened result must be a SUBSET of the
+    // exhaustive op (same df-capped confirm, fewer candidates), and on
+    // the fixture's ~0.99-jaccard planted pairs the LSH screen misses
+    // with p≈1e-5 — so coverage should be essentially total
+    val exJ = Curation.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scJ = Curation.screenedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scJ.nonEmpty, "screen found no pairs")
+    assert(scJ.subsetOf(exJ), s"screened pairs not in exhaustive: ${scJ -- exJ}")
+    assert(scJ.size >= (exJ.size * 0.9).toInt,
+      s"screen recall too low: ${scJ.size} of ${exJ.size}")
+    val exC = Curation.ngramContainmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scC = Curation.screenedContainmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scC.subsetOf(exC), s"screened containment not in exhaustive: ${scC -- exC}")
+    val plan = planOf(Curation.screenedJaccardPairs(docs))
+    assert(!plan.contains("CartesianProduct"),
+      "screened confirm must stay equi-join shaped")
+  }
+
   test("cluster-size histogram partitions the corpus") {
     val hist = Dedup.clusterSizeHistogram(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
