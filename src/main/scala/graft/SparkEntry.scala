@@ -556,6 +556,11 @@ object SparkEntry {
       Similarity.ivfTopK(emb, centroids = Some(cents))
     }),
 
+    // --- IVF-PQ (VERDICT r6 #3): product-quantized codes + asymmetric-
+    //     distance scoring — the 100 TB ANN memory format; codebooks are
+    //     four per-subspace trained quantizers, oracle replays them
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(T(s, d, "embeddings"))),
+
     // --- SemDeDup-style semantic dedup: trained k-means cells as the
     //     candidate generator, min-id keeper per cosine-dup group
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(T(s, d, "embeddings"))),
@@ -1439,6 +1444,7 @@ object SparkEntry {
         |  FROM p) WHERE rn <= 3""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
+    "ann_ivfpq_topk" -> ivfPqOracleSql,
     "dedup_semantic" -> semanticDedupOracleSql,
     "text_langid" -> langIdOracleSql,
     "text_quality" -> qualityOracleSql,
@@ -1950,13 +1956,16 @@ object SparkEntry {
 
   /** One Lloyd's round in DuckDB: assign to nearest centroid (rounded
     * distance, cid tie-break), elementwise rounded means per cell, empty
-    * cells keep their previous centroid. */
-  private def lloydCte(prev: String, a: String, m: String, c: String): String =
+    * cells keep their previous centroid. `src` is the (vec_id, emb)
+    * collection CTE — "e" for the full vectors, a slice CTE for the
+    * per-subspace PQ codebooks. */
+  private def lloydCte(prev: String, a: String, m: String, c: String,
+                       src: String = "e"): String =
     s"""$a AS (SELECT emb, cell FROM (
-       |    SELECT e.emb, $prev.cid AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${sqSql("e.emb", s"$prev.ce")}, $prev.cid) AS rn
-       |    FROM e, $prev) WHERE rn = 1),
+       |    SELECT $src.emb, $prev.cid AS cell,
+       |      row_number() OVER (PARTITION BY $src.vec_id
+       |        ORDER BY ${sqSql(s"$src.emb", s"$prev.ce")}, $prev.cid) AS rn
+       |    FROM $src, $prev) WHERE rn = 1),
        |$m AS (SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM (
        |    SELECT cell, pos, round(avg(v), 6) AS m FROM (
        |      SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM $a)
@@ -2008,6 +2017,59 @@ object SparkEntry {
        |SELECT qid, nn_id, cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
        |  FROM p) WHERE rn <= 3""".stripMargin
+
+  /** IVF-PQ oracle: replays Similarity.ivfPqTopK's whole deterministic
+    * pipeline — coarse L2 assignment/probe on the vec_id<16 centroids,
+    * FOUR per-subspace Lloyd's trainings (2 rounds each, 6-dp rounding,
+    * vec_id<8 init over the subvector slices), nearest-code encoding,
+    * and the query-side ADC distance table summed per candidate. */
+  private def ivfPqOracleSql: String = {
+    val m = 4; val subDim = 16; val ksub = 8
+    val subspaces = (0 until m).map { j =>
+      val lo = j * subDim + 1; val hi = j * subDim + subDim
+      s"""e$j AS (SELECT vec_id, list_slice(emb, $lo, $hi) AS emb FROM e),
+         |p${j}0 AS (SELECT vec_id AS cid, emb AS ce FROM e$j WHERE vec_id < $ksub),
+         |${lloydCte(s"p${j}0", s"pa$j", s"pm$j", s"p${j}1", src = s"e$j")},
+         |${lloydCte(s"p${j}1", s"pb$j", s"pn$j", s"p${j}2", src = s"e$j")}""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until m)
+      .map(j => s"SELECT $j AS j, cid, ce FROM p${j}2").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |           WHERE len(embedding) = ${m * subDim}),
+       |cc AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
+       |assign AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cc.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqSql("e.emb", "cc.ce")}, cc.cid) AS rn
+       |    FROM e, cc) WHERE rn = 1),
+       |$subspaces,
+       |cb AS ($cbUnion),
+       |sub AS (SELECT vec_id, j.j AS j,
+       |    list_slice(emb, j.j*$subDim + 1, j.j*$subDim + $subDim) AS se
+       |  FROM e, generate_series(0, ${m - 1}) AS j(j)),
+       |codes AS (SELECT vec_id, j, code FROM (
+       |    SELECT s.vec_id, s.j, cb.cid AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY ${sqSql("s.se", "cb.ce")}, cb.cid) AS rn
+       |    FROM sub s JOIN cb ON s.j = cb.j) WHERE rn = 1),
+       |probe AS (SELECT qid, cell FROM (
+       |    SELECT e.vec_id AS qid, cc.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqSql("e.emb", "cc.ce")}, cc.cid) AS rn
+       |    FROM e, cc WHERE e.vec_id < 10) WHERE rn <= 2),
+       |dt AS (SELECT s.vec_id AS qid, s.j, cb.cid AS code,
+       |    ${sqSql("s.se", "cb.ce")} AS dsub
+       |  FROM sub s JOIN cb ON s.j = cb.j WHERE s.vec_id < 10),
+       |cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (cell)
+       |  WHERE p.qid != a.vec_id),
+       |adc AS (SELECT c.qid, c.vec_id AS nn_id, round(sum(dt.dsub), 6) AS adc
+       |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
+       |    JOIN dt ON dt.qid = c.qid AND dt.j = k.j AND dt.code = k.code
+       |  GROUP BY 1, 2)
+       |SELECT qid, nn_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
+       |  FROM adc) WHERE rn <= 3""".stripMargin
+  }
 
   /** CDC chunk-dedup oracle: same fnv-triggered boundary rule (chunk id
     * = count of trigger words strictly before this position), chunks

@@ -338,6 +338,99 @@ object Similarity {
       .select("qid", "nn_id", "cos")
   }
 
+  /** IVF-PQ ANN top-k (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search") — the standard 100 TB ANN memory format:
+    * the collection is coarse-partitioned into IVF cells, and within
+    * cells each vector is stored as `m` small CODES (nearest centroid
+    * of each subvector in a per-subspace codebook trained with
+    * [[trainCentroids]]) instead of `d` floats — a d·4-byte vector
+    * becomes m bytes (64-dim float → 4 codes here, a 64× compression;
+    * production uses m=8..64 over 768-dim). Queries score candidates
+    * with ASYMMETRIC distance (ADC): the query precomputes a
+    * (m × ksub) table of exact subvector distances to every codebook
+    * entry, and a candidate's approximate distance is the sum of its
+    * codes' m table lookups — no decompression, no full-vector reads.
+    *
+    * Everything is deterministic so the DuckDB oracle replays it
+    * bit-for-bit: coarse centroids are the `vec_id < nCells` vectors,
+    * all assignments use 6-dp-rounded squared L2 with centroid-id
+    * tie-break (the [[trainCentroids]] rule), codebooks are trained
+    * with `scale = Some(6)`, and the ADC sum is re-rounded to 6 dp.
+    * Output ranks ascending by ADC distance with `nn_id` tie-break.
+    *
+    * Scale shape: codebooks are m·ksub rows (broadcast); encoding is
+    * one scan + one window; the probe is an equi-join on the cell id;
+    * the ADC join hits the (qid, j, code) table — never a full-vector
+    * read past the query set. Memory per indexed vector is m codes +
+    * one cell id: the 4-byte-per-dim scan [[ivfTopK]] pays is gone. */
+  def ivfPqTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 3,
+                nCells: Int = 16, nProbe: Int = 2,
+                m: Int = 4, subDim: Int = 16, ksub: Int = 8,
+                subIters: Int = 2): DataFrame = {
+    def d6(a: Column, b: Column): Column = round(sqDist(a, b), 6)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(size(col("emb")) === m * subDim)
+    val cents = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("emb").as("ce"))
+
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), d6(col("emb"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+
+    // per-subspace codebooks: m independent Lloyd's trainings over the
+    // subvector slices, tagged and unioned into one broadcastable frame
+    val codebook = (0 until m).map { j =>
+      trainCentroids(
+        e.select(col("vec_id"),
+          slice(col("emb"), j * subDim + 1, subDim).as("embedding")),
+        ksub, subIters, scale = Some(6))
+        .select(lit(j).as("j"), col("cid"), col("ce"))
+    }.reduce(_ unionByName _)
+
+    val sub = e.select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("emb"), j * subDim + 1, subDim).as("se"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.se").as("se"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d"), col("cid"))
+    val codes = sub.join(broadcast(codebook), "j")
+      .select(col("vec_id"), col("j"), col("cid"), d6(col("se"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(wCode)).where(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("cid").as("code"))
+
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+    val probes = q.join(broadcast(cents))
+      .select(col("qid"), col("cid"), d6(col("qe"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+
+    // the query-side ADC distance table: exact subvector distance to
+    // every codebook entry — (queries × m × ksub) rows, tiny
+    val qsub = q.select(col("qid"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("qe"), j * subDim + 1, subDim).as("se"))): _*)).as("s"))
+      .select(col("qid"), col("s.j").as("j"), col("s.se").as("se"))
+    val dtable = qsub.join(broadcast(codebook), "j")
+      .select(col("qid"), col("j"), col("cid").as("code"),
+        d6(col("se"), col("ce")).as("dsub"))
+
+    val cand = probes.join(assigned, "cell")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nn_id"))
+    cand.join(codes, "vec_id")
+      .join(dtable, Seq("qid", "j", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("dsub")), 6).as("adc"))
+      .select(col("qid"), col("vec_id").as("nn_id"), col("adc"))
+      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
+      .select("qid", "nn_id", "adc")
+  }
+
   /** Bucketed ANN top-k — the scale path: queries join ONLY their own
     * LSH bucket (equi-join on the bucket id → shuffle-on-bucket, no
     * cross join anywhere in the plan), then exact cosine + window top-k

@@ -247,6 +247,27 @@ class OpsSpec extends SparkTestBase {
       "IVF must probe via equi-join on the cell id, never a cartesian")
   }
 
+  test("IVF-PQ: ADC ranking recalls same-cell exact-L2 neighbors, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pq = Similarity.ivfPqTopK(emb, maxQueryId = 10, k = 3).cache()
+    val perQ = pq.groupBy("qid").count().collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) <= 3))
+    // ADC distances are nonnegative and finite
+    assert(pq.where(col("adc") < 0 || col("adc").isNull).count() == 0)
+    // the PQ approximation should still recall a meaningful share of the
+    // exact top-k (same probe budget as ivfTopK; codes quantize the rest)
+    val bf = Similarity.bruteForceTopK(emb, maxQueryId = 10, k = 3)
+      .select("qid", "nn_id").as[(Long, Long)].collect().toSet
+    val got = pq.select("qid", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall >= 0.2, f"IVF-PQ recall $recall%.2f vs brute force too low")
+    val plan = planOf(Similarity.ivfPqTopK(emb))
+    assert(!plan.contains("CartesianProduct"),
+      "PQ scoring must stay equi-join + table-lookup shaped")
+    pq.unpersist()
+  }
+
   test("k-means quantizer: Lloyd's objective non-increasing; trained IVF still answers") {
     val init = Similarity.trainCentroids(emb, k = 8, iters = 0)
     val trained = Similarity.trainCentroids(emb, k = 8, iters = 2).cache()
