@@ -561,6 +561,19 @@ object SparkEntry {
     //     four per-subspace trained quantizers, oracle replays them
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(T(s, d, "embeddings"))),
 
+    // --- SAMPLE-trained IVF (VERDICT r6 #8): the documented 100 TB
+    //     recipe as code — Lloyd's runs on the vec_id%4==0 quarter of
+    //     the collection (seeded by its first 16 members), the full
+    //     collection only pays assignment; probe/scan unchanged
+    "ann_ivf_sampled_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = T(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(
+        emb.where(col("vec_id") % 4 === 0), k = 16, iters = 2,
+        scale = Some(6), initMaxId = Some(64))
+      Similarity.ivfTopK(emb, centroids = Some(cents))
+    }),
+
     // --- SemDeDup-style semantic dedup: trained k-means cells as the
     //     candidate generator, min-id keeper per cosine-dup group
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(T(s, d, "embeddings"))),
@@ -1445,6 +1458,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
+    "ann_ivf_sampled_topk" -> ivfSampledOracleSql,
     "dedup_semantic" -> semanticDedupOracleSql,
     "text_langid" -> langIdOracleSql,
     "text_quality" -> qualityOracleSql,
@@ -2002,6 +2016,31 @@ object SparkEntry {
        |c0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
        |${lloydCte("c0", "a1", "m1", "c1")},
        |${lloydCte("c1", "a2", "m2", "c2")},
+       |assign AS (SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c2.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c2.ce")} DESC, c2.cid) AS rn
+       |    FROM e, c2) WHERE rn = 1),
+       |probe AS (SELECT qid, qe, cell FROM (
+       |    SELECT e.vec_id AS qid, e.emb AS qe, c2.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c2.ce")} DESC, c2.cid) AS rn
+       |    FROM e, c2 WHERE e.vec_id < 10) WHERE rn <= 2),
+       |p AS (SELECT qid, a.vec_id AS nn_id, ${cosSql("qe", "a.emb")} AS cos
+       |  FROM probe JOIN assign a USING (cell) WHERE qid != a.vec_id)
+       |SELECT qid, nn_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+       |  FROM p) WHERE rn <= 3""".stripMargin
+
+  /** Sample-trained IVF oracle: the trained-IVF pipeline with Lloyd's
+    * running over the vec_id%4==0 SAMPLE (seeded by its first 16
+    * members, vec_id<64), assignment/probe over the full collection. */
+  private def ivfSampledOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |es AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+       |c0 AS (SELECT vec_id AS cid, emb AS ce FROM es WHERE vec_id < 64),
+       |${lloydCte("c0", "a1", "m1", "c1", src = "es")},
+       |${lloydCte("c1", "a2", "m2", "c2", src = "es")},
        |assign AS (SELECT vec_id, emb, cell FROM (
        |    SELECT e.vec_id, e.emb, c2.cid AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id

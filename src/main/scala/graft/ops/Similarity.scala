@@ -189,7 +189,8 @@ object Similarity {
     * asserted in tests. At 100 TB: train on a sample; the cost per
     * round is one scan + one (cell, dim)-sized shuffle. */
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2,
-                     scale: Option[Int] = None): DataFrame = {
+                     scale: Option[Int] = None,
+                     initMaxId: Option[Long] = None): DataFrame = {
     // `scale`: round assignment distances and per-dimension means to this
     // many decimals — pins the trained quantizer bit-for-bit across
     // engines (the oracle mirrors the same rounding), at a precision far
@@ -201,7 +202,10 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .persist()
     try {
-    var cents = e.where(col("vec_id") < k)
+    // `initMaxId`: id bound for the deterministic seed set — defaults to
+    // k (the first k vectors). A SAMPLED collection (vec_id % s == 0)
+    // passes k·s so its first k members still seed the quantizer.
+    var cents = e.where(col("vec_id") < initMaxId.getOrElse(k.toLong))
       .select(col("vec_id").as("cid"), col("emb").as("ce"))
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))

@@ -280,6 +280,18 @@ class OpsSpec extends SparkTestBase {
     val perQ = res.groupBy("qid").count().collect()
     assert(perQ.length == 5 && perQ.forall(_.getLong(1) <= 3))
     trained.unpersist()
+    // sample-trained variant: a quarter of the collection still seeds a
+    // FULL-width quantizer (initMaxId lifts the id bound to k·s) and the
+    // resulting index answers every query
+    import org.apache.spark.sql.functions.col
+    val sampled = Similarity.trainCentroids(
+      emb.where(col("vec_id") % 4 === 0), k = 16, iters = 2,
+      scale = Some(6), initMaxId = Some(64))
+    assert(sampled.count() == 16, "sampled quantizer must stay k-wide")
+    val sres = Similarity.ivfTopK(emb, maxQueryId = 5, k = 3,
+      centroids = Some(sampled))
+    val sPerQ = sres.groupBy("qid").count().collect()
+    assert(sPerQ.length == 5 && sPerQ.forall(_.getLong(1) <= 3))
   }
 
   test("semantic dedup: partition of the corpus, min-id keepers, cell-local dups") {
