@@ -38,7 +38,7 @@ object BenchScale {
     // test is that these stay ≤~3× at 10× where the exhaustive ops ran
     // 13.9×/7.0× (output-bound)
     "dedup_jaccard_screened", "dedup_containment_screened",
-    "ann_ivfpq_topk", "ann_ivf_sampled_topk",
+    "ann_ivfpq_topk", "ann_ivf_sampled_topk", "dedup_index_lifecycle",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

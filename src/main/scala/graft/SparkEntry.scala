@@ -616,6 +616,26 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 1))
     }),
 
+    // --- the full index LIFECYCLE (VERDICT r6 #4): screen the odd-id
+    //     batch against the even-id corpus index, admit non-dups,
+    //     APPEND their band keys, then COMPACT a takedown set
+    //     (doc_id%10==0) out — output is the maintained index itself,
+    //     which the oracle rebuilds from scratch over the final doc set
+    "dedup_index_lifecycle" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+      val index = Dedup.bandedKeys(corpus, numHashes = 12, bands = 4,
+        shingleLen = 3)
+      val dups = Dedup.incrementalNearDupsWithIndex(index, corpus, batch)
+      val admitted = batch.join(
+        dups.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val appended = Dedup.indexAppend(index, admitted)
+      Dedup.indexCompact(appended,
+        docs.where(col("doc_id") % 10 === 0).select("doc_id"))
+    }),
+
     // --- size-aware temperature sampling: keep prob derived from
     //     source size (p = min(1, c/sqrt(n))), seeded md5 keep decision
     "text_temperature_mix" -> ((s, d) => Curation.temperatureMix(T(s, d, "documents"))),
@@ -1286,6 +1306,7 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_incremental" -> incrementalOracleSql,
+    "dedup_index_lifecycle" -> indexLifecycleOracleSql,
     "streaming_incremental_dedup" -> incrementalOracleSql,
     "dedup_lsh_index" ->
       s"""WITH $minhashCtePrefix
@@ -1917,12 +1938,13 @@ object SparkEntry {
        |  FROM cand JOIN shf x ON doc_a = x.doc_id JOIN shf y ON doc_b = y.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM conf WHERE jaccard >= 0.5""".stripMargin
 
-  /** Incremental (batch-vs-corpus) oracle: same band keys; corpus =
-    * even doc_ids (capped buckets, sorted ids), batch = odd doc_ids;
-    * only straddling pairs confirm. */
-  private def incrementalOracleSql: String =
-    s"""WITH $minhashCtePrefix,
-       |cb AS (SELECT bk, list_sort(list(DISTINCT doc_id))[1:256] AS ids
+  /** The incremental screen's CTE chain (corpus = even doc_ids with
+    * capped buckets, batch = odd; straddling pairs confirmed by exact
+    * Jaccard) — shared by the dedup_incremental oracle and the index-
+    * lifecycle oracle, which needs the confirmed pairs to derive
+    * admissions. Expects [[minhashCtePrefix]] CTEs in scope. */
+  private def incrementalCtes: String =
+    s"""cb AS (SELECT bk, list_sort(list(DISTINCT doc_id))[1:256] AS ids
        |  FROM bands WHERE doc_id % 2 = 0 GROUP BY bk),
        |bb AS (SELECT doc_id AS batch_id, bk FROM bands WHERE doc_id % 2 = 1),
        |cand AS (SELECT DISTINCT batch_id, x.cid AS corpus_id
@@ -1931,8 +1953,31 @@ object SparkEntry {
        |    round(len(list_intersect(y.s, x.s))::DOUBLE /
        |          len(list_distinct(list_concat(y.s, x.s)))::DOUBLE, 6) AS jaccard
        |  FROM cand JOIN shf y ON batch_id = y.doc_id
-       |    JOIN shf x ON corpus_id = x.doc_id)
+       |    JOIN shf x ON corpus_id = x.doc_id)""".stripMargin
+
+  /** Incremental (batch-vs-corpus) oracle: same band keys; corpus =
+    * even doc_ids (capped buckets, sorted ids), batch = odd doc_ids;
+    * only straddling pairs confirm. */
+  private def incrementalOracleSql: String =
+    s"""WITH $minhashCtePrefix,
+       |$incrementalCtes
        |SELECT batch_id, corpus_id, jaccard FROM conf WHERE jaccard >= 0.5""".stripMargin
+
+  /** Index-lifecycle oracle: a from-scratch rebuild over the FINAL doc
+    * set — even-id corpus plus admitted (non-duplicate) odd-id batch
+    * docs, minus the doc_id%10==0 takedown set. Equality with the
+    * engine's screen→admit→append→compact path is the lifecycle
+    * contract (band keys are a pure per-doc function). */
+  private def indexLifecycleOracleSql: String =
+    s"""WITH $minhashCtePrefix,
+       |$incrementalCtes,
+       |scr AS (SELECT DISTINCT batch_id FROM conf WHERE jaccard >= 0.5),
+       |fin AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+       |        UNION ALL
+       |        SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+       |          AND doc_id NOT IN (SELECT batch_id FROM scr))
+       |SELECT b.doc_id, b.bk FROM bands b JOIN fin USING (doc_id)
+       |WHERE b.doc_id % 10 != 0""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"round(list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2])) / " +

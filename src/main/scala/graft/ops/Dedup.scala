@@ -223,8 +223,17 @@ object Dedup {
   private[graft] def cappedBuckets(corpus: DataFrame, numHashes: Int,
                                    bands: Int, shingleLen: Int,
                                    bucketCap: Int,
-                                   observed: Boolean): DataFrame = {
-    val b = bandedKeys(corpus, numHashes, bands, shingleLen)
+                                   observed: Boolean): DataFrame =
+    cappedBucketsFromIndex(bandedKeys(corpus, numHashes, bands, shingleLen),
+      bucketCap, observed)
+
+  /** [[cappedBuckets]] over an ALREADY-MATERIALIZED index frame
+    * `(doc_id, bk)` — the production read path: the standing corpus
+    * index is loaded from storage instead of re-deriving every corpus
+    * signature per batch. */
+  private[graft] def cappedBucketsFromIndex(index: DataFrame, bucketCap: Int,
+                                            observed: Boolean): DataFrame = {
+    val b = index
       .groupBy("bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
       .select(col("bk"), slice(col("all_ids"), 1, bucketCap).as("ids"),
@@ -258,9 +267,25 @@ object Dedup {
   def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
                           numHashes: Int = 12, bands: Int = 4,
                           shingleLen: Int = 3, threshold: Double = 0.5,
-                          bucketCap: Int = 256): DataFrame = {
-    val cBuckets = cappedBuckets(corpus, numHashes, bands, shingleLen,
-      bucketCap, observed = true)
+                          bucketCap: Int = 256): DataFrame =
+    incrementalNearDupsWithIndex(
+      bandedKeys(corpus, numHashes, bands, shingleLen), corpus, batch,
+      numHashes, bands, shingleLen, threshold, bucketCap)
+
+  /** [[incrementalNearDups]] screening against a PERSISTED index frame
+    * `(doc_id, bk)` instead of re-deriving the corpus signatures — the
+    * true steady-state read path (the index is written once by
+    * [[bandedKeys]], maintained by [[indexAppend]]/[[indexCompact]],
+    * and re-read per batch). `corpus` is still needed for the exact-
+    * Jaccard confirm's shingle sets, but only candidate docs are read
+    * from it (semi-join down first). */
+  def incrementalNearDupsWithIndex(index: DataFrame, corpus: DataFrame,
+                                   batch: DataFrame,
+                                   numHashes: Int = 12, bands: Int = 4,
+                                   shingleLen: Int = 3,
+                                   threshold: Double = 0.5,
+                                   bucketCap: Int = 256): DataFrame = {
+    val cBuckets = cappedBucketsFromIndex(index, bucketCap, observed = true)
     val cand = bandedKeys(batch, numHashes, bands, shingleLen)
       .join(cBuckets, "bk")
       .select(col("doc_id").as("batch_id"), explode(col("ids")).as("corpus_id"))
@@ -282,6 +307,26 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
   }
+
+  /** Index MAINTENANCE, append side (VERDICT r6 #4): after a batch is
+    * screened and its non-duplicate docs admitted, their band keys must
+    * join the standing index so tomorrow's screen sees today's
+    * admissions. Band keys are a pure per-doc function of the text, so
+    * appending freshly-derived keys is EXACTLY what a from-scratch
+    * rebuild over corpus∪admitted would produce — the lifecycle gate
+    * proves that equality. Cost: signatures for the BATCH only, plus
+    * an append write. */
+  def indexAppend(index: DataFrame, admitted: DataFrame,
+                  numHashes: Int = 12, bands: Int = 4,
+                  shingleLen: Int = 3): DataFrame =
+    index.unionByName(bandedKeys(admitted, numHashes, bands, shingleLen))
+
+  /** Index MAINTENANCE, compact side: removes dropped docs' rows (a
+    * retention pass, a takedown, a dedup decision reversed) so screens
+    * stop matching against ghosts. One anti-join on doc_id; at scale
+    * this runs as a periodic rewrite of the index files. */
+  def indexCompact(index: DataFrame, removedIds: DataFrame): DataFrame =
+    index.join(removedIds.select("doc_id"), Seq("doc_id"), "left_anti")
 
   /** The dedup RESULT: documents surviving near-dedup. Greedy keep rule:
     * a doc is dropped iff it appears as the larger id of a confirmed

@@ -203,6 +203,46 @@ class OpsSpec extends SparkTestBase {
       "screened confirm must stay equi-join shaped")
   }
 
+  test("LSH index lifecycle: append equals rebuild; re-screen sees admissions; compact forgets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val index = Dedup.bandedKeys(corpus, 12, 4, 3)
+    // index-read screen path == recompute-the-corpus screen path
+    val viaIndex = Dedup.incrementalNearDupsWithIndex(index, corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.incrementalNearDups(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct, "index-read screen must equal direct screen")
+    // append admitted docs: the maintained index == a from-scratch rebuild
+    val admitted = batch.join(
+      viaIndex.map(_._1).toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti")
+    val appended = Dedup.indexAppend(index, admitted)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rebuilt = Dedup.bandedKeys(corpus.unionByName(admitted), 12, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(appended == rebuilt, "append must equal from-scratch rebuild")
+    // re-screen: a copy of an admitted doc (new id) is now caught by the
+    // maintained index, pointing at the admitted doc
+    val admittedOne = admitted.orderBy("doc_id").limit(1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).head
+    val copyDf = Seq((999901L, admittedOne._2)).toDF("doc_id", "text")
+    val appendedIdx = appended.toSeq.toDF("doc_id", "bk")
+    val newCorpus = corpus.unionByName(admitted)
+    val rescreen = Dedup.incrementalNearDupsWithIndex(appendedIdx, newCorpus, copyDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rescreen.contains((999901L, admittedOne._1)),
+      s"re-screen must catch the admitted doc's copy: $rescreen")
+    // compact the admitted doc out: its copy screens clean against it
+    val compacted = Dedup.indexCompact(appendedIdx,
+      Seq(admittedOne._1).toDF("doc_id"))
+    val after = Dedup.incrementalNearDupsWithIndex(compacted, newCorpus, copyDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!after.contains((999901L, admittedOne._1)),
+      "compacted doc must no longer match")
+  }
+
   test("cluster-size histogram partitions the corpus") {
     val hist = Dedup.clusterSizeHistogram(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
