@@ -972,6 +972,104 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("JPEG codec: fixture decode is bit-exact; restart markers; color conversion") {
+    import graft.ops.Jpeg
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 17L, 100L)) {
+      val img = Jpeg.decode(Multimodal.syntheticJpeg(id))
+      val wb = 1 + (id % 3).toInt; val hb = 1 + (id % 2).toInt
+      assert(img.width == 8 * wb && img.height == 8 * hb, s"dims for id=$id")
+      for (by <- 0 until hb; bx <- 0 until wb) {
+        val yy = ((3L * id + 5L * bx + 11L * by) % 256).toInt
+        val cb = ((7L * id + 2L * bx + 3L * by) % 256).toInt - 128
+        val cr = ((id + 13L * bx + 9L * by) % 256).toInt - 128
+        def cl(v: Long) = math.max(0L, math.min(255L, v)).toInt
+        val want = (cl(yy + ((91881L * cr + 32768) >> 16)) << 16) |
+          (cl(yy + ((-22554L * cb - 46802L * cr + 32768) >> 16)) << 8) |
+          cl(yy + ((116130L * cb + 32768) >> 16))
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val got = img.pixels((8 * by + y) * img.width + 8 * bx + x)
+          assert(got == want,
+            f"id=$id block($bx,$by) pixel($x,$y): got $got%06x want $want%06x")
+        }
+      }
+    }
+  }
+
+  test("JPEG codec: AC coefficients + grayscale through a hand-built stream") {
+    import graft.ops.Jpeg
+    // hand-authored baseline JPEG: 8x8 grayscale, unit quant, DC diff 0,
+    // ONE AC coefficient (zigzag 2 = vertical frequency 1) of value 500 —
+    // exercises the AC run-length path and a non-trivial IDCT the
+    // DC-only fixtures never reach; expectation computed from the
+    // textbook IDCT formula, independent of the codec's separable code
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+      ++ (0 to 11))
+    seg(0xc4, Array(0x10, 0, 2) ++ Array.fill(14)(0) ++ Array(0x00, 0x19))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    // bits: DC cat0 '00' | AC 0x19 '01' (run 1, size 9) | +500 in 9 bits
+    // ('111110100') | EOB '00' | 1-pad
+    out.write(Integer.parseInt("00011111", 2))
+    out.write(Integer.parseInt("10100001", 2))
+    out.write(0xff); out.write(0xd9)
+    val img = Jpeg.decode(out.toByteArray)
+    assert(img.width == 8 && img.height == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val f = 0.25 * (1.0 / math.sqrt(2.0)) * 1.0 * 500.0 *
+        math.cos((2 * x + 1) * 0 * math.Pi / 16.0) *
+        math.cos((2 * y + 1) * 1 * math.Pi / 16.0)
+      val g = math.max(0L, math.min(255L, math.round(f) + 128)).toInt
+      val want = (g << 16) | (g << 8) | g
+      assert(img.pixels(y * 8 + x) == want,
+        f"pixel($x,$y): got ${img.pixels(y * 8 + x)}%06x want $want%06x")
+    }
+  }
+
+  test("JPEG codec fails loudly on hostile headers (zip bomb, progressive, sampling)") {
+    import graft.ops.Jpeg
+    intercept[IllegalArgumentException](Jpeg.decode(null))
+    intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
+    val good = Multimodal.syntheticJpeg(3L) // odd id → no restart markers
+    // truncation at the entropy stream and inside headers
+    intercept[IllegalArgumentException](Jpeg.decode(good.dropRight(8)))
+    intercept[IllegalArgumentException](Jpeg.decode(good.take(6)))
+    // locate SOF0 to patch header fields (FF C0 len8 len prec H H W W ...)
+    val sof = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      (good(i + 1) & 0xff) == 0xc0).get
+    // zip bomb: declare a 32768x32768 raster in a tiny file
+    val bomb = good.clone()
+    bomb(sof + 5) = 0x80.toByte; bomb(sof + 6) = 0
+    bomb(sof + 7) = 0x80.toByte; bomb(sof + 8) = 0
+    val e1 = intercept[IllegalArgumentException](Jpeg.decode(bomb))
+    assert(e1.getMessage.contains("decoder cap"), e1.getMessage)
+    // progressive must refuse by name
+    val prog = good.clone(); prog(sof + 1) = 0xc2.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e2.getMessage.contains("progressive"), e2.getMessage)
+    // arithmetic coding must refuse by name
+    val arith = good.clone(); arith(sof + 1) = 0xc8.toByte
+    val e3 = intercept[IllegalArgumentException](Jpeg.decode(arith))
+    assert(e3.getMessage.contains("arithmetic"), e3.getMessage)
+    // 2x2-subsampled component must refuse (supported subset is 4:4:4)
+    val sub = good.clone(); sub(sof + 11) = 0x22.toByte
+    val e4 = intercept[IllegalArgumentException](Jpeg.decode(sub))
+    assert(e4.getMessage.contains("sampling"), e4.getMessage)
+    // hostile segment length past EOF
+    val overrun = good.clone()
+    overrun(sof + 2) = 0xff.toByte; overrun(sof + 3) = 0xff.toByte
+    val e5 = intercept[IllegalArgumentException](Jpeg.decode(overrun))
+    assert(e5.getMessage.contains("overruns"), e5.getMessage)
+  }
+
   test("codec fuzz: random and bit-flipped inputs fail loudly or decode, never escape") {
     import graft.ops.{Bmp, Gif, Png, Wav}
     val rnd = new scala.util.Random(31337)
@@ -988,6 +1086,7 @@ class OpsSpec extends SparkTestBase {
       ("bmp", Bmp.decode(_), Multimodal.syntheticBmp(7L)),
       ("png", Png.decode(_), Multimodal.syntheticPng(7L)),
       ("gif", b => Gif.decodeFrames(b), Multimodal.syntheticGifAnim(7L)),
+      ("jpeg", graft.ops.Jpeg.decode(_), Multimodal.syntheticJpeg(8L)),
       ("wav", Wav.decode(_), Multimodal.syntheticWav(7L)))
     codecs.foreach { case (name, dec, valid) =>
       val p = probe(name, dec) _
