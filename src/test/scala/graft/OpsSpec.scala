@@ -1070,6 +1070,34 @@ class OpsSpec extends SparkTestBase {
     assert(e5.getMessage.contains("overruns"), e5.getMessage)
   }
 
+  test("streaming rate limit: micro-batch sizing + per-batch charges against the global budget") {
+    import org.apache.spark.sql.functions._
+    // multi-file backlog so maxFilesPerTrigger actually splits it
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rated").toString
+    events.repartition(4).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val total = events.count()
+    // frozen clock: each acquire's sleep is exactly the ideal-time
+    // formula — deterministic pacing contract, no wall-clock flake
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val limiter = new graft.engine.RateLimiter(1000L,
+      now = () => 0L, sleep = ms => sleeps += ms)
+    val stats = StreamingIngest.ratedIngest(spark, tmp, rowsPerSec = 1000L,
+      maxFilesPerTrigger = 1, limiter = Some(limiter)).cache()
+    val rows = stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == total, "every event admitted exactly once")
+    assert(rows.length >= 4, s"maxFilesPerTrigger=1 must split the backlog, got ${rows.length} batches")
+    assert(rows.forall(_._2 > 0), "no empty micro-batches in a bounded run")
+    // at 1000 rows/s with time frozen, the charge for cumulative admitted
+    // rows is slept in full: the final sleep equals total rows in ms, and
+    // per-batch sleeps are the cumulative-admitted prefix sums
+    assert(sleeps.nonEmpty && sleeps.max == total,
+      s"final charge must cover the whole backlog: ${sleeps.toSeq} vs $total")
+    val cumulative = rows.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_._3).toSeq == cumulative.toSeq,
+      s"per-batch sleeps must be the prefix sums: ${rows.map(_._3).toSeq} vs $cumulative")
+    stats.unpersist()
+  }
+
   test("codec fuzz: random and bit-flipped inputs fail loudly or decode, never escape") {
     import graft.ops.{Bmp, Gif, Png, Wav}
     val rnd = new scala.util.Random(31337)
