@@ -270,16 +270,20 @@ object SparkEntry {
       graft.util.Fs.deleteRecursive(new java.io.File(wh))
       s.sql(s"DROP TABLE IF EXISTS $tOrders")
       s.sql(s"DROP TABLE IF EXISTS $tCustomer")
-      // GC stale digests: runs against OTHER data dirs registered their
-      // own bkt_* pair; without this, a long-lived metastore accumulates
-      // two tables per data dir forever. (Sessions concurrently running
-      // this query against DIFFERENT dirs in ONE metastore would GC each
-      // other — same-dir concurrency, the common case, is unaffected.)
-      s.catalog.listTables().collect()
-        .map(_.name)
-        .filter(n => (n.startsWith("bkt_orders_") || n.startsWith("bkt_customer_")) &&
-          !n.endsWith(id))
-        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      // GC stale digests — OPT-IN (-Dgraft.bkt.gc=1, ADVICE r6): runs
+      // against OTHER data dirs registered their own bkt_* pair, and a
+      // long-lived metastore accumulates two tables per data dir
+      // forever; but two concurrent sessions sharing one metastore
+      // against DIFFERENT dirs would drop each other's LIVE bucketed
+      // tables mid-query if the GC ran unconditionally. Default off:
+      // correctness for concurrent sessions beats tidiness; an operator
+      // who owns the metastore opts in from a maintenance window.
+      if (sys.props.get("graft.bkt.gc").contains("1"))
+        s.catalog.listTables().collect()
+          .map(_.name)
+          .filter(n => (n.startsWith("bkt_orders_") || n.startsWith("bkt_customer_")) &&
+            !n.endsWith(id))
+          .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
       T(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$wh/orders").mode("overwrite").saveAsTable(tOrders)

@@ -82,13 +82,27 @@ object Main {
           graft.engine.TableTransferJob.pruneCompleted(spec, t,
             s => println(s"[prune] $s")))
       else spec.source.tables.foreach { t =>
-        // SAME derivation as the runner (checkpointName treats null as
-        // same-database) — a drifted copy here would prune nothing
-        val destUrl = TransferRunner.jdbcDestUrl(spec)
-        graft.engine.Checkpoint.delete(spec.migration.checkpointDir, "jdbc",
-          graft.engine.JdbcTransferJob.checkpointName(spec.source.path, t, destUrl))
-        println(s"[prune] ${t.name}: pruned checkpoint (live destination holds the data)")
+        // an incremental table's COMPLETED checkpoint is its delta-sync
+        // base (the last synced key) — pruning it silently downgrades
+        // every later scheduled run to a full re-transfer (ADVICE r6)
+        if (t.incremental)
+          println(s"[prune] ${t.name}: kept checkpoint " +
+            "(incremental=true — it is the delta-sync base)")
+        else {
+          // SAME derivation as the runner (checkpointName treats null as
+          // same-database) — a drifted copy here would prune nothing
+          val destUrl = TransferRunner.jdbcDestUrl(spec)
+          graft.engine.Checkpoint.delete(spec.migration.checkpointDir, "jdbc",
+            graft.engine.JdbcTransferJob.checkpointName(spec.source.path, t, destUrl))
+          println(s"[prune] ${t.name}: pruned checkpoint (live destination holds the data)")
+        }
       }
+      // streaming scratch (durable-sink checkpoints + out dirs) is part
+      // of the product's disk footprint too; the session is stopped by
+      // now, so no query can be holding one (VERDICT r6 #7)
+      graft.streaming.StreamingIngest.pruneWorkDirs(
+        log = s => println(s"[prune] $s"))
+      ()
     }
   }
 

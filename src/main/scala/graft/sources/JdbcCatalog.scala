@@ -167,8 +167,13 @@ object JdbcCatalog {
       mirrorTable(srcUrl, source, target, destUrl)
       return Nil
     }
-    val have = columns(dst, target).map(_.name).toSet
-    val missing = columns(srcUrl, source).filterNot(m => have.contains(m.name))
+    // case-INSENSITIVE compare (ADVICE r6): drivers report identifier
+    // case differently across dialects (MySQL lowercase, Derby/Postgres
+    // uppercase) — a case-sensitive set would classify every existing
+    // column as missing and die on a duplicate-column ALTER
+    val have = columns(dst, target).map(_.name)
+    val missing = columns(srcUrl, source)
+      .filterNot(m => have.exists(_.equalsIgnoreCase(m.name)))
     missing.foreach { m =>
       execute(dst, s"ALTER TABLE $target ADD COLUMN ${m.name} ${m.sqlType}")
     }

@@ -1098,6 +1098,31 @@ class OpsSpec extends SparkTestBase {
     stats.unpersist()
   }
 
+  test("streaming work-dir prune: terminated dirs GC'd, rerun after prune is clean") {
+    import graft.streaming.StreamingIngest
+    // a terminated durable-sink run leaves its work dir behind
+    val r1 = StreamingIngest.windowCountsAppend(spark, sf).collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    assert(r1.nonEmpty)
+    val dir = new java.io.File(graft.util.Fs.workDir("stream_append", sf))
+    assert(dir.isDirectory, "terminated run leaves its work dir")
+    val pruned = StreamingIngest.pruneWorkDirs(log = _ => ())
+    assert(pruned >= 1, "prune must collect the terminated dir")
+    assert(!dir.exists(), "work dir gone after prune")
+    // active-checkpoint exclusion: a dir named in activeCheckpoints survives
+    val keep = new java.io.File(graft.util.Fs.workDir("sjdbc", "keep-me"))
+    keep.mkdirs()
+    try {
+      StreamingIngest.pruneWorkDirs(
+        activeCheckpoints = Seq(s"${keep.getAbsolutePath}/checkpoint"))
+      assert(keep.isDirectory, "active checkpoint dirs must survive the prune")
+    } finally graft.util.Fs.deleteRecursive(keep)
+    // rerun after prune: a fresh bounded run produces the same result
+    val r2 = StreamingIngest.windowCountsAppend(spark, sf).collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    assert(r2 == r1, "rerun after prune must reproduce the result")
+  }
+
   test("codec fuzz: random and bit-flipped inputs fail loudly or decode, never escape") {
     import graft.ops.{Bmp, Gif, Png, Wav}
     val rnd = new scala.util.Random(31337)
