@@ -146,10 +146,17 @@ object BenchScale {
     // warmup (codegen/classloading) on the base size
     force(SparkEntry.queries("dedup_exact")(spark, base))
 
+    // SPARK_GRAFT_ONLY=a,b,c re-measures a subset (drift attribution /
+    // A-B runs) without paying the full ~8-minute sweep; the published
+    // BENCH_SCALE.md table always comes from an unfiltered run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(family)(s => family.filter(s))
+
     // Time BASE and SCALED in the same JVM so the ratio column in
     // BENCH_SCALE.md measures data scaling, not classloading luck.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    family.filter(SparkEntry.queries.contains).foreach { name =>
+    selected.filter(SparkEntry.queries.contains).foreach { name =>
       // per-QUERY warmup: the first execution of a plan shape carries its
       // Catalyst/codegen compile cost; timing it as "base" would deflate
       // the scaled/base ratio (the scaled run reuses the generated
@@ -172,7 +179,7 @@ object BenchScale {
     // transfer, then the kill+resume cycle. GUARDED like the family
     // loop — one transfer exception must not abort main before the JSON
     // line prints (the driver would lose every timing of the round).
-    {
+    if (only.forall(s => s("transfer_lineitem_scaled"))) {
       import graft.core._
       import graft.engine._
       def guarded(name: String)(body: => Double): Unit =

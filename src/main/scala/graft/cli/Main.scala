@@ -3,13 +3,14 @@ package graft.cli
 import java.nio.file.{Files, Paths}
 
 import graft.Sessions
-import graft.core.TransferSpec
+import graft.core.{I18n, TransferSpec}
 import graft.engine.{TransferControl, TransferRunner}
 
 /** CLI entry point mirroring the reference's flag surface
   * (`main.go:215-224`): `--config`, `--type`, `--generate-template`,
-  * `--template-output`, `--version`. i18n (R9) is out of scope per
-  * SURVEY — messages are English-only.
+  * `--template-output`, `--version`, `--language`. R9: messages go
+  * through [[I18n.tr]]; language precedence is flag > config
+  * `migration.language` > env detection (`main.go:244-258`).
   *
   * Backend autodetect (R11): the reference sniffs ports
   * (`main.go:342-363`); here the analog is scheme/extension sniffing on
@@ -20,18 +21,23 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    if (opts.contains("version")) { println(s"graft transfer engine v$Version"); return }
+    opts.get("language").foreach(I18n.setLanguage(_))
+    if (opts.contains("version")) {
+      println(I18n.tr("graft 传输引擎 v%s", "graft transfer engine v%s", Version)); return
+    }
 
     if (opts.contains("generate-template")) {
       val kind = opts.getOrElse("type", "parquet")
       val out = opts.getOrElse("template-output", "config.yaml")
       Files.writeString(Paths.get(out), TransferSpec.template(kind))
-      println(s"template written to $out")
+      println(I18n.tr("配置模板已生成: %s", "Config template generated: %s", out))
       return
     }
 
     val cfgPath = opts.getOrElse("config", "config.yaml")
     val spec0 = TransferSpec.fromYamlFile(cfgPath)
+    // the flag wins over the config (reference main.go:244-258)
+    if (!opts.contains("language")) I18n.setLanguage(spec0.migration.language)
     val kind = opts.get("type")
       .orElse(Option(spec0.source.kind).filter(_.nonEmpty))
       .getOrElse(autodetect(spec0.source.path))
@@ -68,7 +74,8 @@ object Main {
         spark.stop()
       }
     println(TransferRunner.summarize(results))
-    println(f"total time: ${(System.currentTimeMillis() - t0) / 1000.0}%.1f s")
+    println(I18n.tr("总耗时: %.1f 秒", "total time: %.1f s",
+      (System.currentTimeMillis() - t0) / 1000.0))
     if (results.exists(_.outcome.isFailure)) sys.exit(1)
 
     // --prune-completed: GC resume/intermediate artifacts of tables that
@@ -86,15 +93,20 @@ object Main {
         // base (the last synced key) — pruning it silently downgrades
         // every later scheduled run to a full re-transfer (ADVICE r6)
         if (t.incremental)
-          println(s"[prune] ${t.name}: kept checkpoint " +
-            "(incremental=true — it is the delta-sync base)")
+          println(I18n.tr(
+            "[prune] %s: 保留检查点 (incremental=true — 它是增量同步的基准)",
+            "[prune] %s: kept checkpoint (incremental=true — it is the delta-sync base)",
+            t.name))
         else {
           // SAME derivation as the runner (checkpointName treats null as
           // same-database) — a drifted copy here would prune nothing
           val destUrl = TransferRunner.jdbcDestUrl(spec)
           graft.engine.Checkpoint.delete(spec.migration.checkpointDir, "jdbc",
             graft.engine.JdbcTransferJob.checkpointName(spec.source.path, t, destUrl))
-          println(s"[prune] ${t.name}: pruned checkpoint (live destination holds the data)")
+          println(I18n.tr(
+            "[prune] %s: 已清理检查点 (数据已在目标库中)",
+            "[prune] %s: pruned checkpoint (live destination holds the data)",
+            t.name))
         }
       }
       // streaming scratch (durable-sink checkpoints + out dirs) is part
@@ -124,7 +136,7 @@ object Main {
       a match {
         case "generate-template" | "version" | "prune-completed" =>
           m(a) = "true"; i += 1
-        case "config" | "type" | "template-output" =>
+        case "config" | "type" | "template-output" | "language" =>
           require(i + 1 < args.length, s"--$a requires a value")
           m(a) = args(i + 1); i += 2
         case other => sys.error(s"unknown flag: --$other")

@@ -72,7 +72,10 @@ final case class MigrationSpec(
       * loop is strictly serial per table, `mysql.go:302-368`; chunks here
       * are disjoint + idempotent, so pipelining them is safe and hides
       * per-chunk job-submit + checkpoint latency). */
-    chunkParallelism: Int = 4)
+    chunkParallelism: Int = 4,
+    /** R9: interface language, `zh`/`en`/`""` (= detect from env) —
+      * reference config `language:` (`main.go:94,256-258`). */
+    language: String = "")
 
 final case class TransferSpec(
     source: EndpointSpec,
@@ -156,7 +159,8 @@ object TransferSpec {
       progressIntervalSec = int(m, "progress_interval", d.progressIntervalSec),
       checkpointRowThreshold = int(m, "checkpoint_row_threshold", d.checkpointRowThreshold),
       checkpointIntervalSec = int(m, "checkpoint_interval", d.checkpointIntervalSec),
-      chunkParallelism = int(m, "chunk_parallelism", d.chunkParallelism))
+      chunkParallelism = int(m, "chunk_parallelism", d.chunkParallelism),
+      language = str(m, "language", d.language))
   }
 
   /** `--generate-template` output (reference `main.go:60-213`). */
@@ -195,5 +199,6 @@ object TransferSpec {
        |  checkpoint_row_threshold: 1000
        |  checkpoint_interval: 1
        |  chunk_parallelism: 4    # chunk writes in flight per table
+       |  language: "en"          # interface language (zh: 中文, en: English)
        |""".stripMargin
 }

@@ -26,13 +26,17 @@ final class ProgressStats(val table: String, val totalRows: Long,
   def elapsedMs: Long = now() - startedAt
 
   /** Windowed instantaneous rate (rows/s since the previous report);
-    * returns the formatted report line and advances the window. */
+    * returns the formatted report line and advances the window. R9: the
+    * line is bilingual like the reference's (`migration.go:115-118`). */
   def report(): String = synchronized {
     val t = now(); val p = processed.get()
     val dt = math.max(1L, t - lastReportAt)
     val rate = (p - lastReportRows) * 1000.0 / dt
     lastReportAt = t; lastReportRows = p
-    f"[$table] $p%d/$totalRows%d rows ($percent%.1f%%), $rate%.0f rows/s, remaining $remaining%d, elapsed ${elapsedMs / 1000.0}%.1f s"
+    graft.core.I18n.tr(
+      "[%s] 进度: %d/%d 行 (%.1f%%), 速率: %.0f 行/秒, 剩余: %d 行, 已用时间: %.1f 秒",
+      "[%s] %d/%d rows (%.1f%%), %.0f rows/s, remaining %d, elapsed %.1f s",
+      table, p, totalRows, percent, rate, remaining, elapsedMs / 1000.0)
   }
 
   /** Rate over the whole run (for the final summary). */
