@@ -394,6 +394,25 @@ object SparkEntry {
           |                    AND o2.o_orderstatus = 'F')""".stripMargin)
     }),
 
+    // --- as-of join (ops/AsOf.scala): purchases enriched with each
+    //     user's latest at-or-before click. Union + window carry-forward
+    //     — ONE shuffle on the key, no range explosion; DuckDB's native
+    //     ASOF JOIN is the oracle.
+    "join_asof" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      // right side unique per (key, instant): max event_id wins —
+      // duplicate right rows at one ts have no deterministic as-of
+      // winner in any engine (mirrored in the oracle)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts_us")
+        .withColumn("gap_us", col("ts_us") - col("asof_ts_us"))
+    }),
+
     // --- R1/R4-R6/P2/P6: the config-driven transfer engine end-to-end —
     //     two tables with validated transforms, chunked writes, completion
     //     markers; result = transformed orders read back from the target.
@@ -732,6 +751,12 @@ object SparkEntry {
     // --- BPE tokenizer-training statistics: corpus-wide adjacent
     //     character-pair frequencies over the deduplicated vocabulary
     "text_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(T(s, d, "documents"))),
+    // the real iterative merge LEARNER (8 rounds of weighted pair argmax
+    // + greedy fold-merge over the vocabulary), and the encode pass that
+    // tokenizes the corpus with the learned table — oracle replays the
+    // identical algorithm as a generated CTE chain (list_reduce fold)
+    "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(T(s, d, "documents"))),
+    "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(T(s, d, "documents"))),
 
     // --- unigram LM scoring (perplexity proxy for quality filtering);
     //     per-token log-probs rounded then DECIMAL-summed for exactness
@@ -1559,6 +1584,8 @@ object SparkEntry {
         |SELECT pair, pair_count FROM (
         |  SELECT pair, pair_count, row_number() OVER (ORDER BY pair_count DESC, pair) AS rn
         |  FROM a) WHERE rn <= 50""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracleSql(8),
+    "text_bpe_encode" -> bpeEncodeOracleSql(8),
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, t.u AS term
         |    FROM documents, unnest(string_split(text, ' ')) AS t(u)),
@@ -1611,6 +1638,16 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F')""".stripMargin,
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+        |       r.ts_us AS asof_ts_us, r.click_id AS asof_click_id,
+        |       l.ts_us - r.ts_us AS gap_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
     "multimodal_binary" ->
       """SELECT event_id, octet_length(props::BLOB)::BIGINT AS blob_len,
         |  md5(props) AS blob_md5 FROM events""".stripMargin,
@@ -2391,6 +2428,57 @@ object SparkEntry {
 
   // capped buckets mirror Dedup.simhashPairs: per band key keep the 256
   // smallest doc_ids, expand pairs in-bucket, Hamming from joined-back f
+  /** The BPE training CTE chain: w0 = word-frequency vocabulary, s0 =
+    * char-delimited sequences, then per round i: p_i (weighted adjacent
+    * pair counts via list_zip), m_i (argmax: freq DESC, lexicographic),
+    * s_{i+1} (greedy fold-merge via list_reduce — the same left-to-right
+    * non-overlapping scan the Spark `aggregate` fold runs; a merged
+    * token ends with lhs+rhs, which the `'|'||lhs` boundary check
+    * rejects, so no chain-merging within a round on either engine). */
+  private def bpeCtes(n: Int): String = {
+    val head = Seq(
+      """w0 AS (
+        |  SELECT word, count(*)::BIGINT AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 1 AND NOT contains(word, '|') GROUP BY 1)""",
+      """s0 AS (SELECT word, wc,
+        |  array_to_string(string_split(word, ''), '|') AS seq FROM w0)""")
+    val rounds = (0 until n).flatMap { i =>
+      Seq(
+        s"""p$i AS (
+           |  SELECT z[1] AS lhs, z[2] AS rhs, sum(wc)::BIGINT AS freq FROM (
+           |    SELECT wc, unnest(list_zip(l, l[2:])) AS z FROM (
+           |      SELECT wc, string_split(seq, '|') AS l FROM s$i))
+           |  WHERE z[2] IS NOT NULL GROUP BY 1, 2)""",
+        s"""m$i AS (SELECT lhs, rhs, freq FROM p$i
+           |  ORDER BY freq DESC, lhs, rhs LIMIT 1)""",
+        s"""s${i + 1} AS (
+           |  SELECT word, wc, CASE WHEN len(string_split(seq, '|')) = 1 THEN seq
+           |    ELSE list_reduce(string_split(seq, '|'), (acc, x) ->
+           |      CASE WHEN (acc = m.lhs OR ends_with(acc, '|' || m.lhs)) AND x = m.rhs
+           |           THEN acc[1:len(acc)-len(m.lhs)] || m.lhs || m.rhs
+           |           ELSE acc || '|' || x END) END AS seq
+           |  FROM s$i CROSS JOIN m$i m)""")
+    }
+    (head ++ rounds).mkString(",\n")
+  }
+
+  private def bpeTrainOracleSql(n: Int): String = {
+    val union = (0 until n)
+      .map(i => s"SELECT ${i + 1}::BIGINT AS rank, lhs, rhs, freq FROM m$i")
+      .mkString(" UNION ALL ")
+    (s"WITH ${bpeCtes(n)}\nSELECT * FROM ($union)").stripMargin
+  }
+
+  private def bpeEncodeOracleSql(n: Int): String =
+    (s"""WITH ${bpeCtes(n)},
+        |tw AS (SELECT word, len(string_split(seq, '|'))::BIGINT AS ntok FROM s$n),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT doc_id, sum(ntok)::BIGINT AS n_tokens
+        |FROM dw JOIN tw USING (word)
+        |WHERE length(word) >= 1 AND NOT contains(word, '|')
+        |GROUP BY doc_id""").stripMargin
+
   private def simhashPairsOracleSql: String =
     s"""WITH $simhashCte,
        |h AS (SELECT doc_id, unnest([

@@ -190,6 +190,108 @@ object TextAnalysis {
       .select("pair", "pair_count")
   }
 
+  /** One greedy left-to-right BPE merge pass over a `|`-delimited token
+    * sequence: every non-overlapping adjacent (lhs, rhs) occurrence
+    * becomes the concatenated symbol, scanning left to right (a merged
+    * token is never re-paired within the same pass — `acc` ends with
+    * `lhs+rhs`, which the boundary check rejects since `rhs` is
+    * non-empty). Expressed as a fold so BOTH engines run the identical
+    * algorithm: `aggregate` here, `list_reduce` in the DuckDB oracle. */
+  private def applyMerge(seq: Column, lhs: String, rhs: String): Column = {
+    val toks = split(seq, "\\|")
+    when(size(toks) === 1, seq).otherwise(
+      aggregate(
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        element_at(toks, 1),
+        (acc, x) =>
+          when((acc === lit(lhs) || acc.endsWith("|" + lhs)) && x === lit(rhs),
+            concat(acc.substr(lit(1), length(acc) - lit(lhs.length)),
+              lit(lhs + rhs)))
+            .otherwise(concat(acc, lit("|"), x))))
+  }
+
+  /** Distributed BPE TRAINING (the real iterative merge learner —
+    * [[bpePairs]] is the one-shot pair census, this learns a merge
+    * TABLE): the corpus first collapses to its word-frequency vocabulary
+    * (the classic BPE formulation — and the scale lever: every merge
+    * round then works on vocabulary-sized data, which saturates while
+    * the corpus grows), then each round counts adjacent symbol pairs
+    * weighted by word frequency, picks the argmax (freq desc, then
+    * lexicographic — deterministic across engines), and rewrites every
+    * sequence with [[applyMerge]].
+    *
+    * Driver state per round is ONE scalar row (the argmax pair — same
+    * budget as dedup_clusters' convergence probes); sequences stay
+    * distributed, persisted per round so round t+1 reads t's
+    * materialization instead of recomputing a t-deep fold chain.
+    * Tokens may not contain `'|'` (the sequence delimiter); words
+    * containing it are excluded — mirrored in the oracle. */
+  private[graft] def bpeTrainState(docs: DataFrame, numMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    var vocab = docs.select(explode(words).as("word"))
+      .where(length(col("word")) >= 1 && !col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).cast("bigint").as("wc"))
+      .select(col("word"), col("wc"),
+        array_join(split(col("word"), ""), "|").as("seq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var exhausted = false
+    for (_ <- 0 until numMerges if !exhausted) {
+      val toks = split(col("seq"), "\\|")
+      val n = size(toks)
+      val best = vocab
+        .select(col("wc"), explode(zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("z"))
+        .groupBy(col("z.lhs").as("lhs"), col("z.rhs").as("rhs"))
+        .agg(sum(col("wc")).cast("bigint").as("freq"))
+        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word is one token
+      else {
+        val l = best(0).getString(0); val r = best(0).getString(1); val f = best(0).getLong(2)
+        merges += ((l, r, f))
+        val next = vocab.withColumn("seq", applyMerge(col("seq"), l, r)).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** The learned merge table: (rank, lhs, rhs, freq) in learning order. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val (merges, vocab) = bpeTrainState(docs, numMerges)
+    vocab.unpersist()
+    val s = docs.sparkSession
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, f), i) => (i + 1L, l, r, f) }
+      .toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** BPE ENCODE with the merges learned from the corpus itself: per-doc
+    * token counts under the trained tokenizer. Encoding happens at the
+    * VOCABULARY level (one fold per distinct word, not per occurrence)
+    * and fans back to documents through a broadcast-sized word→count
+    * join — the 100 TB shape: corpus tokens cost one explode + one join,
+    * never a per-occurrence merge loop. */
+  def bpeEncode(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val (_, vocab) = bpeTrainState(docs, numMerges)
+    // vocabulary-sized: checkpoint it off the training caches (same
+    // no-leaked-persist discipline as dedup_clusters) before handing
+    // back a lazy plan
+    val perWord = vocab.select(col("word"),
+      size(split(col("seq"), "\\|")).cast("bigint").as("ntok"))
+      .localCheckpoint(true)
+    vocab.unpersist()
+    docs.select(col("doc_id"), explode(words).as("word"))
+      .where(length(col("word")) >= 1 && !col("word").contains("|"))
+      .join(perWord, "word")
+      .groupBy("doc_id").agg(sum(col("ntok")).cast("bigint").as("n_tokens"))
+  }
+
   /** Content fingerprints: md5 of the normalized text (exact matching)
     * plus a bottom-1 rolling-hash sketch — the minimum Carter-Wegman
     * hash over the document's 3-gram shingles, which survives local

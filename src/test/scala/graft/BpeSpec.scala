@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+/** BPE trainer/encoder — greedy-merge fold semantics (the part that is
+  * easy to get wrong: non-overlapping left-to-right scan, no
+  * chain-merging within a round), determinism of the argmax, and the
+  * vocabulary-level encode. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.builder("bpe-spec", 4).getOrCreate()
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("run of identical chars merges greedily left-to-right: aaaa -> [aa][aa]") {
+    // corpus of one word 'aaaa': round 1 learns (a,a) with freq 3
+    // (three adjacencies), and the fold must produce aa|aa — NOT aa|a|a
+    // (missed second occurrence) and NOT aaa|a (chain-merging)
+    val (merges, vocab) = TextAnalysis.bpeTrainState(docs("aaaa"), 1)
+    assert(merges == Seq(("a", "a", 3L)))
+    val seqs = vocab.select("seq").as[String].collect()
+    vocab.unpersist()
+    assert(seqs.toSeq == Seq("aa|aa"))
+  }
+
+  test("odd run keeps its tail: aaa -> [aa][a]; 5-run -> [aa][aa][a]") {
+    val (_, vocab) = TextAnalysis.bpeTrainState(docs("aaa aaaaa"), 1)
+    val seqs = vocab.select("word", "seq").as[(String, String)].collect().toMap
+    vocab.unpersist()
+    assert(seqs("aaa") == "aa|a")
+    assert(seqs("aaaaa") == "aa|aa|a")
+  }
+
+  test("multi-round learning composes merges (ab then ab+c)") {
+    // 'abc' x3, 'ab' x2: round 1 argmax is (a,b) freq 5; round 2 the
+    // pair (ab, c) freq 3 — a learned symbol participating in a merge
+    val d = docs("abc abc abc ab ab")
+    val merges = TextAnalysis.bpeTrain(d, 2)
+      .select("rank", "lhs", "rhs", "freq").as[(Long, String, String, Long)]
+      .collect().sortBy(_._1)
+    assert(merges(0) == ((1L, "a", "b", 5L)))
+    assert(merges(1) == ((2L, "ab", "c", 3L)))
+  }
+
+  test("argmax tie-break is lexicographic (freq desc, lhs, rhs)") {
+    // 'xy' and 'ab' both freq 1 → (a,b) wins by lhs
+    val merges = TextAnalysis.bpeTrain(docs("xy ab"), 1)
+      .select("lhs", "rhs").as[(String, String)].collect()
+    assert(merges.toSeq == Seq(("a", "b")))
+  }
+
+  test("encode counts tokens per doc under the learned table") {
+    // one merge (a,a): 'aaaa'→2 tokens, 'aaa'→2 ('aa','a'), 'b'→1
+    val d = docs("aaaa aaa", "b aaaa")
+    val out = TextAnalysis.bpeEncode(d, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 4L) // aaaa(2) + aaa(2)
+    assert(out(1L) == 3L) // b(1) + aaaa(2)
+  }
+
+  test("training exhausts gracefully when every word is a single symbol") {
+    val merges = TextAnalysis.bpeTrain(docs("a b c"), 5).collect()
+    assert(merges.isEmpty)
+  }
+}
