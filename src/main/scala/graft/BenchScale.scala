@@ -39,6 +39,10 @@ object BenchScale {
     // 13.9×/7.0× (output-bound)
     "dedup_jaccard_screened", "dedup_containment_screened",
     "ann_ivfpq_topk", "ann_ivf_sampled_topk", "dedup_index_lifecycle",
+    // round 7b: as-of enrichment over 10× events; BPE trainer whose
+    // vocabulary-collapse is THE scale claim (rounds work on the
+    // saturating vocab, not the corpus)
+    "join_asof", "text_bpe_train", "text_bpe_encode",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",
