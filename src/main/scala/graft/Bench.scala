@@ -35,6 +35,7 @@ object Bench {
     "dedup_jaccard_screened", "dedup_containment_screened",
     "ann_ivfpq_topk", "ann_ivf_sampled_topk", "dedup_index_lifecycle",
     "multimodal_jpeg", "join_asof", "text_bpe_train", "text_bpe_encode",
+    "streaming_asof",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -413,6 +413,11 @@ object SparkEntry {
         .withColumn("gap_us", col("ts_us") - col("asof_ts_us"))
     }),
 
+    // --- the STREAM-STREAM twin of join_asof: flatMapGroupsWithState
+    //     carrying one (ts, click_id) pair per user — O(keys) state.
+    //     Same sweep algorithm ⇒ same result ⇒ same ASOF oracle.
+    "streaming_asof" -> ((s, d) => StreamingIngest.streamingAsOf(s, d)),
+
     // --- R1/R4-R6/P2/P6: the config-driven transfer engine end-to-end —
     //     two tables with validated transforms, chunked writes, completion
     //     markers; result = transformed orders read back from the target.
@@ -1638,16 +1643,9 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F')""".stripMargin,
-    "join_asof" ->
-      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
-        |           FROM events WHERE event_type = 'purchase'),
-        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
-        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT l.event_id, l.user_id, l.ts_us, l.value,
-        |       r.ts_us AS asof_ts_us, r.click_id AS asof_click_id,
-        |       l.ts_us - r.ts_us AS gap_us
-        |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
+    "join_asof" -> asofOracleSql,
+    // the streaming twin runs the same sweep ⇒ the same oracle
+    "streaming_asof" -> asofOracleSql,
     "multimodal_binary" ->
       """SELECT event_id, octet_length(props::BLOB)::BIGINT AS blob_len,
         |  md5(props) AS blob_md5 FROM events""".stripMargin,
@@ -2428,6 +2426,20 @@ object SparkEntry {
 
   // capped buckets mirror Dedup.simhashPairs: per band key keep the 256
   // smallest doc_ids, expand pairs in-bucket, Hamming from joined-back f
+  /** Shared by `join_asof` (batch union+window) and `streaming_asof`
+    * (flatMapGroupsWithState sweep): both run the same algorithm, so
+    * DuckDB's native ASOF JOIN checks both. */
+  private def asofOracleSql: String =
+    """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+      |       r.ts_us AS asof_ts_us, r.click_id AS asof_click_id,
+      |       l.ts_us - r.ts_us AS gap_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin
+
   /** The BPE training CTE chain: w0 = word-frequency vocabulary, s0 =
     * char-delimited sequences, then per round i: p_i (weighted adjacent
     * pair counts via list_zip), m_i (argmax: freq DESC, lexicographic),

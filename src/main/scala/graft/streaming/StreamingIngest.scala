@@ -341,6 +341,52 @@ object StreamingIngest {
     runToMemory(joined, "graft_ssj_", "append")
   }
 
+  /** Streaming AS-OF enrichment — the stream-stream twin of
+    * `ops/AsOf.asofJoin` (gate `join_asof`): every purchase is emitted
+    * with the same user's latest at-or-before click, via
+    * `flatMapGroupsWithState` running the identical sweep the batch
+    * union+window form encodes: per user, events sorted by
+    * (ts, side(click first), event_id) with the last click carried —
+    * so the INCLUSIVE bound, the max-event_id tie-break at an instant,
+    * and LEFT semantics all fall out of the same algorithm, and the
+    * gate reuses the batch query's DuckDB ASOF oracle verbatim.
+    *
+    * State per user is ONE (ts, click_id) pair — O(keys), not O(rows),
+    * unlike the interval join's watermark-bounded row buffers. The
+    * per-batch `toSeq.sortBy` buffers one user's single-batch slice
+    * (same bound as every mapGroups op). Cross-batch honesty: the carry
+    * is exact when micro-batch boundaries respect event-time order per
+    * user (a replayed file source; a kafka topic partitioned by user);
+    * out-of-order arrivals WITHIN the watermark enrich later lefts
+    * correctly but cannot retract an already-emitted left row — the
+    * append-mode contract every streaming enrichment shares. */
+  def streamingAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ev = eventsStream(spark, dir)
+      .where(col("event_type").isin("purchase", "click") && col("user_id").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_type"), col("event_id").cast("long"), col("value"))
+      .as[(Long, Long, String, Long, Option[Double])]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), AsOfRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+          val evs = it.toSeq.sortBy(e => (e._2, if (e._3 == "click") 0 else 1, e._4))
+          var last = state.getOption
+          val res = Seq.newBuilder[AsOfRow]
+          evs.foreach { e =>
+            if (e._3 == "click") last = Some((e._2, e._4))
+            else res += AsOfRow(e._4, user, e._2, e._5,
+              last.map(_._1), last.map(_._2), last.map(e._2 - _._1))
+          }
+          last.foreach(state.update)
+          res.result().iterator
+        }
+    runToMemory(out.toDF(), "graft_asof_", "append")
+      .select("event_id", "user_id", "ts_us", "value",
+        "asof_ts_us", "asof_click_id", "gap_us")
+  }
+
   /** Sessionized per-user event counts with a 30-minute gap — the
     * `session_window` stateful-aggregation shape (extension surface;
     * exercised by tests against a batch recomputation). */
@@ -353,3 +399,9 @@ object StreamingIngest {
           col("session_window.end").as("s_end"), col("user_id"), col("cnt")),
       "graft_sess_", "complete")
 }
+
+/** Output row of [[StreamingIngest.streamingAsOf]] — the `join_asof`
+  * gate's schema (Options encode the LEFT-join nulls). */
+final case class AsOfRow(event_id: Long, user_id: Long, ts_us: Long,
+                         value: Option[Double], asof_ts_us: Option[Long],
+                         asof_click_id: Option[Long], gap_us: Option[Long])

@@ -53,6 +53,14 @@ class AsOfSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(plan).size <= 2)
   }
 
+  test("streaming twin emits exactly the batch as-of rows (sf0.001)") {
+    val batch = SparkEntry.queries("join_asof")(spark, "/root/testdata/sf0.001")
+    val stream = SparkEntry.queries("streaming_asof")(spark, "/root/testdata/sf0.001")
+    assert(stream.columns.sorted.sameElements(batch.columns.sorted))
+    assert(stream.exceptAll(batch.select(stream.columns.map(col): _*)).isEmpty)
+    assert(batch.select(stream.columns.map(col): _*).exceptAll(stream).isEmpty)
+  }
+
   test("matches the declared-gate oracle shape on real events (sf0.001)") {
     val df = SparkEntry.queries("join_asof")(spark, "/root/testdata/sf0.001")
     val n = df.count()
