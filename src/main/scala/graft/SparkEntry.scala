@@ -836,6 +836,18 @@ object SparkEntry {
         .transform(df => Multimodal.jpegStats(df, "id", "img").toDF())
     }),
 
+    // --- REAL container parse: ISO-BMFF (MP4) fixtures through the
+    //     pure-JVM Mp4 codec — box-tree walk, stts/stsz/stsc/stco/stss
+    //     sample tables, mdat payload extraction, keyframe sampling;
+    //     the oracle recomputes sample layout + byte sums in closed form.
+    "multimodal_mp4" -> ((s, d) => {
+      import s.implicits._
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+        .toDF("id", "vid")
+        .transform(df => Multimodal.mp4Stats(df, "id", "vid").toDF())
+    }),
+
     // --- REAL LZW decode: GIF fixtures (variable-width code stream,
     //     256-entry palette) through the pure-JVM Gif codec — the
     //     second compressed format, on a different algorithm family
@@ -1689,6 +1701,31 @@ object SparkEntry {
         |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
         |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
         |FROM px GROUP BY id, w, h""".stripMargin,
+    // MP4 fixtures (Multimodal.syntheticMp4): the Spark side walks the
+    // real box tree and extracts samples via the stsc/stco/stsz tables;
+    // the oracle recomputes frame layout + byte sums from the formulas
+    "multimodal_mp4" ->
+      """WITH imgs AS (
+        |  SELECT event_id AS id, 2 + event_id % 5 AS nf FROM events),
+        |fr AS (
+        |  SELECT id, nf, fs.f, 10 + ((id + 3*fs.f) % 7) AS len
+        |  FROM imgs, generate_series(0, 6) AS fs(f) WHERE fs.f < nf),
+        |px AS (
+        |  SELECT id, f, (5*id + 7*f + 11*js.j) % 256 AS v
+        |  FROM fr, generate_series(0, 16) AS js(j) WHERE js.j < len),
+        |pxa AS (SELECT id, sum(v) AS all_b,
+        |    sum(CASE WHEN f % 2 = 0 THEN v ELSE 0 END) AS key_b
+        |  FROM px GROUP BY id),
+        |fra AS (SELECT id, max(nf) AS nf,
+        |    count(CASE WHEN f % 2 = 0 THEN 1 END) AS nkey, max(len) AS max_len
+        |  FROM fr GROUP BY id)
+        |SELECT f.id, CAST(f.nf AS BIGINT) AS n_samples,
+        |  CAST(f.nf * 40 AS BIGINT) AS duration_ticks,
+        |  CAST(f.nkey AS BIGINT) AS n_key,
+        |  CAST(p.all_b AS BIGINT) AS all_bytes,
+        |  CAST(p.key_b AS BIGINT) AS key_bytes,
+        |  CAST(f.max_len AS BIGINT) AS max_sample
+        |FROM fra f JOIN pxa p USING (id)""".stripMargin,
     // JPEG fixtures (Multimodal.syntheticJpeg): the Spark side runs the
     // full baseline decode (Huffman, dequant, IDCT, fixed-point color);
     // the oracle composes the per-block YCbCr formula with the same

@@ -265,6 +265,48 @@ object Multimodal {
       (f, x, y) => ((5L * id + 7L * x + 3L * y + 11L * f) % 256).toInt)
   }
 
+  /** Per-video container statistics from a REAL ISO-BMFF parse
+    * ([[Mp4]]): sample count, duration ticks, keyframe count, exact
+    * byte sums of all samples and of the keyframe subset (extracted
+    * from `mdat` via the stsc/stco/stsz addressing), and the largest
+    * sample — closed-form recomputable by the oracle. */
+  final case class Mp4Stats(id: Long, n_samples: Long, duration_ticks: Long,
+                            n_key: Long, all_bytes: Long, key_bytes: Long,
+                            max_sample: Long)
+
+  /** Deterministic MP4 fixture for row `id`: `nf = 2 + id%5` samples,
+    * sample `f` is `10 + ((id + 3f) mod 7)` bytes with byte `j` =
+    * `(5id + 7f + 11j) mod 256`; timescale 1000, 40-tick deltas,
+    * every 2nd sample a keyframe — every quantity closed-form. */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val nf = 2 + (id % 5).toInt
+    val frames = (0 until nf).map { f =>
+      val len = 10 + ((id + 3 * f) % 7).toInt
+      Array.tabulate(len)(j => ((5 * id + 7 * f + 11 * j) % 256).toByte)
+    }
+    Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = 2)
+  }
+
+  /** REAL container parse + sample extraction over a binary column —
+    * the video-sampling batch shape: per-row CPU work in
+    * `mapPartitions`, no shuffle, caps before allocation. */
+  def mp4Stats(df: DataFrame, idCol: String, binCol: String): Dataset[Mp4Stats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Mp4.parse(bytes)
+        def byteSum(s: Mp4.Sample): Long =
+          m.sampleBytes(bytes, s).foldLeft(0L)((a, b) => a + (b & 0xFF))
+        val keys = m.samples.filter(_.keyframe)
+        Mp4Stats(id, m.samples.length.toLong, m.duration,
+          keys.length.toLong,
+          m.samples.map(byteSum).sum, keys.map(byteSum).sum,
+          m.samples.map(_.size.toLong).max)
+      })
+  }
+
   /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample
     * sum plus min/max across all channels — closed-form recomputable
     * by the oracle, like [[ImageStats]]. */

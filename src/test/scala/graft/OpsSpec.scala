@@ -1070,6 +1070,80 @@ class OpsSpec extends SparkTestBase {
     assert(e5.getMessage.contains("overruns"), e5.getMessage)
   }
 
+  test("MP4 codec: box tree, sample tables, keyframes, payload round-trip") {
+    import graft.ops.Mp4
+    val frames = Seq(Array.tabulate(12)(j => (j * 3).toByte),
+      Array.tabulate(5)(j => (200 + j).toByte),
+      Array.tabulate(9)(j => (j * j % 251).toByte))
+    val bytes = Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = 2)
+    val m = Mp4.parse(bytes)
+    assert(m.timescale == 1000 && m.duration == 120)
+    assert(m.samples.length == 3)
+    assert(m.samples.map(_.size) == Vector(12, 5, 9))
+    assert(m.samples.map(_.dts) == Vector(0L, 40L, 80L))
+    assert(m.samples.map(_.keyframe) == Vector(true, false, true))
+    // payload bytes extracted via stsc/stco/stsz == what was written
+    m.samples.zip(frames).foreach { case (s, f) =>
+      assert(m.sampleBytes(bytes, s).toSeq == f.toSeq)
+    }
+  }
+
+  test("MP4 codec fails loudly on hostile tables (caps, addressing, truncation)") {
+    import graft.ops.Mp4
+    val good = Mp4.encode(Seq(Array.tabulate(8)(_.toByte), Array.tabulate(8)(_.toByte)))
+    // truncations at several depths
+    intercept[IllegalArgumentException](Mp4.parse(good.take(4)))
+    intercept[IllegalArgumentException](Mp4.parse(good.dropRight(10)))
+    intercept[IllegalArgumentException](Mp4.parse(Array[Byte](0, 0, 0, 3, 'f', 't')))
+    def patch(marker: String, rel: Int, v: Array[Byte]): Array[Byte] = {
+      val i = good.indices.find(i => i + 4 <= good.length - 4 &&
+        new String(good, i, 4, "US-ASCII") == marker).get
+      val b = good.clone(); v.zipWithIndex.foreach { case (x, k) => b(i + rel + k) = x }
+      b
+    }
+    // stsz sample-count bomb: declares 2^24 samples in a tiny file
+    val bomb = patch("stsz", 12, Array(0x01, 0, 0, 0).map(_.toByte))
+    val e1 = intercept[IllegalArgumentException](Mp4.parse(bomb))
+    assert(e1.getMessage.contains("cap"), e1.getMessage)
+    // stco offset pointing outside mdat
+    val oob = patch("stco", 12, Array(0x7f, 0x7f, 0x7f, 0x7f).map(_.toByte))
+    val e2 = intercept[IllegalArgumentException](Mp4.parse(oob))
+    assert(e2.getMessage.contains("outside mdat"), e2.getMessage)
+    // stts expansion bomb: one run declaring 2^31 samples
+    val tbomb = patch("stts", 8, Array(0x7f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+    intercept[IllegalArgumentException](Mp4.parse(tbomb))
+    // mutation fuzz: every single-byte corruption either parses to a
+    // structurally-valid movie or fails with the typed error — never an
+    // ArrayIndexOutOfBounds/NegativeArraySize crash
+    (0 until good.length).foreach { i =>
+      val b = good.clone(); b(i) = (b(i) ^ 0x5A).toByte
+      try { val mv = Mp4.parse(b); assert(mv.samples.length >= 0) }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("mp4Stats over a binary column matches hand-computed fixture stats") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 4L, 7L, 123L)
+    val df = ids.toDS()
+      .map(i => (i, Multimodal.syntheticMp4(i))).toDF("id", "vid")
+    val out = Multimodal.mp4Stats(df, "id", "vid").collect()
+      .map(s => s.id -> s).toMap
+    ids.foreach { id =>
+      val nf = 2 + (id % 5).toInt
+      val lens = (0 until nf).map(f => 10 + ((id + 3 * f) % 7).toInt)
+      val all = (0 until nf).flatMap(f =>
+        (0 until lens(f)).map(j => (5 * id + 7 * f + 11 * j) % 256)).sum
+      val key = (0 until nf).filter(_ % 2 == 0).flatMap(f =>
+        (0 until lens(f)).map(j => (5 * id + 7 * f + 11 * j) % 256)).sum
+      val s = out(id)
+      assert(s.n_samples == nf && s.duration_ticks == nf * 40L)
+      assert(s.n_key == (nf + 1) / 2)
+      assert(s.all_bytes == all && s.key_bytes == key)
+      assert(s.max_sample == lens.max)
+    }
+  }
+
   test("streaming rate limit: micro-batch sizing + per-batch charges against the global budget") {
     import org.apache.spark.sql.functions._
     // multi-file backlog so maxFilesPerTrigger actually splits it
