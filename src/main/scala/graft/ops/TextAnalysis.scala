@@ -197,7 +197,7 @@ object TextAnalysis {
     * `lhs+rhs`, which the boundary check rejects since `rhs` is
     * non-empty). Expressed as a fold so BOTH engines run the identical
     * algorithm: `aggregate` here, `list_reduce` in the DuckDB oracle. */
-  private def applyMerge(seq: Column, lhs: String, rhs: String): Column = {
+  private[graft] def applyMerge(seq: Column, lhs: String, rhs: String): Column = {
     val toks = split(seq, "\\|")
     when(size(toks) === 1, seq).otherwise(
       aggregate(

@@ -61,6 +61,31 @@ class AsOfSpec extends AnyFunSuite {
     assert(batch.select(stream.columns.map(col): _*).exceptAll(stream).isEmpty)
   }
 
+  test("property: random streams match the brute-force as-of reference") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 5) {
+      val keys = 1 + rnd.nextInt(4)
+      val lefts = (0 until 40).map(i =>
+        (i.toLong, rnd.nextInt(keys).toLong, rnd.nextInt(50).toLong))
+      val rights = (0 until 30).map(i =>
+        (1000L + i, rnd.nextInt(keys).toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
+      // unique per (k, t): keep max id (the gate's contract)
+      val rightsU = rights.groupBy(r => (r._2, r._3)).values
+        .map(_.maxBy(_._1)).toSeq
+      val l = lefts.toDF("id", "k", "t")
+      val r = rightsU.toDF("rid", "k", "t", "v")
+        .select(col("k"), col("t"), col("rid"), col("v"))
+      val got = AsOf.asofJoin(l, r, Seq("k"), "t")
+        .select("id", "asof_rid").as[(Long, Option[Long])]
+        .collect().toMap
+      lefts.foreach { case (id, k, t) =>
+        val want = rightsU.filter(x => x._2 == k && x._3 <= t)
+          .sortBy(x => (x._3, x._1)).lastOption.map(_._1)
+        assert(got(id) == want, s"round $round left $id key $k ts $t")
+      }
+    }
+  }
+
   test("matches the declared-gate oracle shape on real events (sf0.001)") {
     val df = SparkEntry.queries("join_asof")(spark, "/root/testdata/sf0.001")
     val n = df.count()

@@ -62,6 +62,37 @@ class BpeSpec extends AnyFunSuite {
     assert(out(1L) == 3L) // b(1) + aaaa(2)
   }
 
+  test("property: fold-merge equals an independent greedy reference on random words") {
+    // reference implementation: classic index-walk greedy merge —
+    // structurally unrelated to the SQL-fold under test
+    def refMerge(toks: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab"
+    val wordSeqs = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(2)).toString))
+    // one round on each of the 4 possible pairs over a 2-letter alphabet
+    val seqs = wordSeqs.map(_.mkString("|")).distinct
+    val df = seqs.toDF("seq")
+    for (a <- Seq("a", "b"); b <- Seq("a", "b")) {
+      val got = df.select(col("seq"),
+        TextAnalysis.applyMerge(col("seq"), a, b).as("m"))
+        .as[(String, String)].collect().toMap
+      seqs.foreach { s0 =>
+        val want = refMerge(s0.split("\\|").toList, a, b).mkString("|")
+        assert(got(s0) == want, s"seq '$s0' pair ($a,$b): got ${got(s0)} want $want")
+      }
+    }
+  }
+
   test("training exhausts gracefully when every word is a single symbol") {
     val merges = TextAnalysis.bpeTrain(docs("a b c"), 5).collect()
     assert(merges.isEmpty)
