@@ -33,7 +33,8 @@ object Bench {
     "streaming_session_counts", "streaming_incremental_dedup",
     // round-7 additions: band-screened exact-pair confirms, IVF-PQ
     "dedup_jaccard_screened", "dedup_containment_screened",
-    "ann_ivfpq_topk", "ann_ivf_sampled_topk", "dedup_index_lifecycle",
+    "ann_ivfpq_topk", "ann_ivfpq_rerank", "ann_ivf_sampled_topk",
+    "dedup_index_lifecycle",
     "multimodal_jpeg", "multimodal_mp4", "join_asof",
     "text_bpe_train", "text_bpe_encode", "streaming_asof",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,

@@ -38,7 +38,8 @@ object BenchScale {
     // test is that these stay ≤~3× at 10× where the exhaustive ops ran
     // 13.9×/7.0× (output-bound)
     "dedup_jaccard_screened", "dedup_containment_screened",
-    "ann_ivfpq_topk", "ann_ivf_sampled_topk", "dedup_index_lifecycle",
+    "ann_ivfpq_topk", "ann_ivfpq_rerank", "ann_ivf_sampled_topk",
+    "dedup_index_lifecycle",
     // round 7b: as-of enrichment over 10× events; BPE trainer whose
     // vocabulary-collapse is THE scale claim (rounds work on the
     // saturating vocab, not the corpus)

@@ -588,6 +588,9 @@ object SparkEntry {
     //     distance scoring — the 100 TB ANN memory format; codebooks are
     //     four per-subspace trained quantizers, oracle replays them
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(T(s, d, "embeddings"))),
+    // two-stage retrieval: ADC screen (3k candidates from codes) →
+    // exact re-rank reading full vectors ONLY for the candidates
+    "ann_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerankTopK(T(s, d, "embeddings"))),
 
     // --- SAMPLE-trained IVF (VERDICT r6 #8): the documented 100 TB
     //     recipe as code — Lloyd's runs on the vec_id%4==0 quarter of
@@ -1538,6 +1541,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
+    "ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "ann_ivf_sampled_topk" -> ivfSampledOracleSql,
     "dedup_semantic" -> semanticDedupOracleSql,
     "text_langid" -> langIdOracleSql,
@@ -2224,7 +2228,29 @@ object SparkEntry {
     * FOUR per-subspace Lloyd's trainings (2 rounds each, 6-dp rounding,
     * vec_id<8 init over the subvector slices), nearest-code encoding,
     * and the query-side ADC distance table summed per candidate. */
-  private def ivfPqOracleSql: String = {
+  private def ivfPqOracleSql: String =
+    s"""WITH $ivfPqCtes
+       |SELECT qid, nn_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
+       |  FROM adc) WHERE rn <= 3""".stripMargin
+
+  /** Two-stage retrieval oracle: the ADC screen keeps k·rerank = 9
+    * candidates, the exact squared-L2 re-rank keeps the final 3 —
+    * mirrors `Similarity.ivfPqRerankTopK`. */
+  private def ivfPqRerankOracleSql: String =
+    s"""WITH $ivfPqCtes,
+       |screen AS (SELECT qid, nn_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
+       |  FROM adc) WHERE rn <= 9),
+       |rr AS (SELECT s.qid, s.nn_id,
+       |    round(${sqSql("qe.emb", "ne.emb")}, 6) AS dist
+       |  FROM screen s JOIN e qe ON qe.vec_id = s.qid
+       |    JOIN e ne ON ne.vec_id = s.nn_id)
+       |SELECT qid, nn_id, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rn
+       |  FROM rr) WHERE rn <= 3""".stripMargin
+
+  private def ivfPqCtes: String = {
     val m = 4; val subDim = 16; val ksub = 8
     val subspaces = (0 until m).map { j =>
       val lo = j * subDim + 1; val hi = j * subDim + subDim
@@ -2235,7 +2261,7 @@ object SparkEntry {
     }.mkString(",\n")
     val cbUnion = (0 until m)
       .map(j => s"SELECT $j AS j, cid, ce FROM p${j}2").mkString(" UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |           WHERE len(embedding) = ${m * subDim}),
        |cc AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
        |assign AS (SELECT vec_id, cell FROM (
@@ -2266,10 +2292,7 @@ object SparkEntry {
        |adc AS (SELECT c.qid, c.vec_id AS nn_id, round(sum(dt.dsub), 6) AS adc
        |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
        |    JOIN dt ON dt.qid = c.qid AND dt.j = k.j AND dt.code = k.code
-       |  GROUP BY 1, 2)
-       |SELECT qid, nn_id, adc FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
-       |  FROM adc) WHERE rn <= 3""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** CDC chunk-dedup oracle: same fnv-triggered boundary rule (chunk id

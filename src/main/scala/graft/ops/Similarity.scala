@@ -435,6 +435,35 @@ object Similarity {
       .select("qid", "nn_id", "adc")
   }
 
+  /** Two-stage retrieval — the standard production ANN architecture:
+    * [[ivfPqTopK]]'s ADC screen keeps `k·rerank` candidates from the
+    * compressed codes, then ONLY those candidates' full vectors are
+    * read back for an exact squared-L2 re-rank to the final k. At
+    * 100 TB this is the memory contract that makes ANN affordable: the
+    * index scan touches 4-byte codes; full-precision vectors are
+    * fetched for ~k·rerank·queries rows total (a semi-join-sized read,
+    * never a collection scan). Recall lost to quantization comes back
+    * for any true neighbor the screen retains. */
+  def ivfPqRerankTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 3,
+                      rerank: Int = 3, nCells: Int = 16, nProbe: Int = 2,
+                      m: Int = 4, subDim: Int = 16, ksub: Int = 8,
+                      subIters: Int = 2): DataFrame = {
+    val screened = ivfPqTopK(emb, maxQueryId, k * rerank, nCells, nProbe,
+      m, subDim, ksub, subIters)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .where(size(col("emb")) === m * subDim)
+    val q = e.where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nn_id"))
+    screened
+      .join(e.select(col("vec_id").as("nn_id"), col("emb").as("ne")), "nn_id")
+      .join(q, "qid")
+      .select(col("qid"), col("nn_id"),
+        round(sqDist(col("qe"), col("ne")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
+      .select("qid", "nn_id", "dist")
+  }
+
   /** Bucketed ANN top-k — the scale path: queries join ONLY their own
     * LSH bucket (equi-join on the bucket id → shuffle-on-bucket, no
     * cross join anywhere in the plan), then exact cosine + window top-k
