@@ -35,7 +35,7 @@ object Bench {
     "dedup_jaccard_screened", "dedup_containment_screened",
     "ann_ivfpq_topk", "ann_ivfpq_rerank", "ann_ivf_sampled_topk",
     "dedup_index_lifecycle",
-    "multimodal_jpeg", "multimodal_mp4", "join_asof",
+    "multimodal_jpeg", "multimodal_mp4", "join_asof", "join_asof_bucketed",
     "text_bpe_train", "text_bpe_encode", "streaming_asof",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)

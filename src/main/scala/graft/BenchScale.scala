@@ -43,7 +43,7 @@ object BenchScale {
     // round 7b: as-of enrichment over 10× events; BPE trainer whose
     // vocabulary-collapse is THE scale claim (rounds work on the
     // saturating vocab, not the corpus)
-    "join_asof", "text_bpe_train", "text_bpe_encode",
+    "join_asof", "join_asof_bucketed", "text_bpe_train", "text_bpe_encode",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

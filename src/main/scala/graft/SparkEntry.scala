@@ -418,6 +418,22 @@ object SparkEntry {
     //     Same sweep algorithm ⇒ same result ⇒ same ASOF oracle.
     "streaming_asof" -> ((s, d) => StreamingIngest.streamingAsOf(s, d)),
 
+    // --- monster-key mitigation AS CODE: partition on (user, day)
+    //     with bucket seeds restoring the carry — result-equal to
+    //     join_asof (same oracle), spread over buckets
+    "join_asof_bucketed" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.ops.AsOf.asofJoinBucketed(purchases, clicks, Seq("user_id"),
+          "ts_us", bucketWidth = 86400L * 1000000L) // one-day buckets in µs
+        .withColumn("gap_us", col("ts_us") - col("asof_ts_us"))
+    }),
+
     // --- R1/R4-R6/P2/P6: the config-driven transfer engine end-to-end —
     //     two tables with validated transforms, chunked writes, completion
     //     markers; result = transformed orders read back from the target.
@@ -1660,8 +1676,10 @@ object SparkEntry {
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F')""".stripMargin,
     "join_asof" -> asofOracleSql,
-    // the streaming twin runs the same sweep ⇒ the same oracle
+    // the streaming twin runs the same sweep ⇒ the same oracle; the
+    // bucketed variant is result-equal by construction ⇒ same again
     "streaming_asof" -> asofOracleSql,
+    "join_asof_bucketed" -> asofOracleSql,
     "multimodal_binary" ->
       """SELECT event_id, octet_length(props::BLOB)::BIGINT AS blob_len,
         |  md5(props) AS blob_md5 FROM events""".stripMargin,

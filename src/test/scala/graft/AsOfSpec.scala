@@ -61,6 +61,35 @@ class AsOfSpec extends AnyFunSuite {
     assert(batch.select(stream.columns.map(col): _*).exceptAll(stream).isEmpty)
   }
 
+  test("bucketed variant is result-equal to the plain as-of (incl. empty buckets)") {
+    // widths chosen so buckets split mid-timeline, isolate single
+    // events, and leave left-only/empty buckets in between
+    for (width <- Seq(1L, 7L, 25L, 1000L)) {
+      val b = AsOf.asofJoinBucketed(left, right, Seq("k"), "t", width)
+      val p = AsOf.asofJoin(left, right, Seq("k"), "t")
+      assert(b.exceptAll(p).isEmpty && p.exceptAll(b).isEmpty,
+        s"bucketed(width=$width) diverged from plain")
+    }
+  }
+
+  test("bucketed property: random streams, random widths, equal to plain") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 0 until 3) {
+      val keys = 1 + rnd.nextInt(3)
+      val l = (0 until 50).map(i =>
+        (i.toLong, rnd.nextInt(keys).toLong, rnd.nextInt(200).toLong)).toDF("id", "k", "t")
+      val r = (0 until 40).map(i =>
+        (1000L + i, rnd.nextInt(keys).toLong, rnd.nextInt(200).toLong, rnd.nextDouble()))
+        .groupBy(x => (x._2, x._3)).values.map(_.maxBy(_._1)).toSeq
+        .toDF("rid", "k", "t", "v").select(col("k"), col("t"), col("rid"), col("v"))
+      val width = 1L + rnd.nextInt(60)
+      val b = AsOf.asofJoinBucketed(l, r, Seq("k"), "t", width)
+      val p = AsOf.asofJoin(l, r, Seq("k"), "t")
+      assert(b.exceptAll(p).isEmpty && p.exceptAll(b).isEmpty,
+        s"round $round width $width diverged")
+    }
+  }
+
   test("property: random streams match the brute-force as-of reference") {
     val rnd = new scala.util.Random(42)
     for (round <- 0 until 5) {
