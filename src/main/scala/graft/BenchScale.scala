@@ -52,12 +52,18 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
-    // cache identity = (base dir, factor): keyed on the factor alone, a
-    // run after changing SPARK_GRAFT_SF_DIR would silently reuse the
-    // OTHER base's derived data and publish ratios comparing different
-    // datasets
+    // cache identity = (base dir, base-data fingerprint, factor): the
+    // path alone is not enough — the driver regenerates the testdata in
+    // place between rounds (events.ts changed parquet type in r7), and a
+    // path-keyed cache would silently keep deriving from the OLD data.
+    // Size+mtime of each base file is a cheap content proxy.
+    val fingerprint = graft.sources.Tables.all.map { t =>
+      val f = new java.io.File(s"$base/$t.parquet")
+      s"$t:${f.length}:${f.lastModified}"
+    }.mkString(";")
     val baseId = java.security.MessageDigest.getInstance("MD5")
-      .digest(base.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      .digest(s"$base|$fingerprint".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     // v2: derivation now also writes orders.parquet — the version tag
     // keeps a pre-orders cached dir (valid marker, missing table) from
     // being reused
@@ -101,7 +107,8 @@ object BenchScale {
         .write.mode("overwrite").parquet(embPath)
       // event ids and USER ids offset per copy: the stateful streaming
       // ops then carry 10× keyed state, not just 10× updates to the
-      // same keys (ts is nanos-as-long here; kept verbatim, so window
+      // same keys (ts kept verbatim in its on-disk type — Tables
+      // .normalizeTs adapts at read time — so window
       // density grows 10× while the window count stays fixed)
       val ev = spark.read.parquet(s"$base/events.parquet")
       val maxEv = ev.agg(max(col("event_id"))).head.getLong(0) + 1

@@ -13,17 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read natively; with spark.sql.legacy.parquet.nanosAsLong=true
-      // (set once at session build — graft.Sessions) it arrives as a
-      // long, converted here to a microsecond TimestampType (the fixture
-      // carries no sub-µs data).
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "build the session via graft.Sessions (needs nanosAsLong for events.ts)")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize `events.ts` to a microsecond TimestampType regardless of
+    * how the fixture generation wrote it. Two generations exist:
+    * TIMESTAMP(NANOS) — which Spark 4 only reads as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
+    * graft.Sessions), converted here — and plain TIMESTAMP(MICROS),
+    * which arrives as TIMESTAMP_NTZ (or TimestampType) and only needs a
+    * cast so every downstream watermark/window/oracle sees one type.
+    * Works on batch AND streaming frames (schema-only dispatch). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -25,8 +25,8 @@ object StreamingIngest {
     * "Redefining watermark is disallowed". */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events.*"))
   }
 
   /** [[eventsRaw]] + the standard 1-hour watermark on `ts` (every
