@@ -44,6 +44,10 @@ object BenchScale {
     // vocabulary-collapse is THE scale claim (rounds work on the
     // saturating vocab, not the corpus)
     "join_asof", "join_asof_bucketed", "text_bpe_train", "text_bpe_encode",
+    // round 7c: mergeable sketches — fixed register/cell tables are THE
+    // constant-size-at-scale claim; wall should track the scan, state
+    // stays 4096 registers / 4×1024 cells at any corpus size
+    "agg_hll_distinct", "text_cms_heavy_hitters",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

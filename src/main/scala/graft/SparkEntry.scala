@@ -975,10 +975,36 @@ object SparkEntry {
 
     // --- HLL cardinality sketch (approx_count_distinct). Estimates are
     //     engine-specific → no SQL oracle; rows-only check + a spec
-    //     asserting ≤5% error vs exact.
+    //     asserting ≤5% error vs exact. The hash-gated twin is
+    //     agg_hll_distinct below (own md5-register HLL, fully replayed).
     "agg_approx_distinct" -> ((s, d) =>
       T(s, d, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // --- deterministic HLL: the register table is the persistable
+    //     per-shard sketch artifact (merged by max at serving time) —
+    //     gated like the LSH band index so the STORED object is
+    //     oracle-verified (ops/Sketch.scala)
+    "agg_hll_registers" -> ((s, d) =>
+      graft.ops.Sketch.hllRegisters(T(s, d, "lineitem"),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")),
+        col("l_returnflag"))),
+
+    // --- per-shard + merged-ALL cardinality estimates from those
+    //     registers; integer-exact register sums keep every number
+    //     bit-replayable in DuckDB (no float-sum order dependence)
+    "agg_hll_distinct" -> ((s, d) =>
+      graft.ops.Sketch.hllDistinct(T(s, d, "lineitem"),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")),
+        col("l_returnflag"))),
+
+    // --- Count-Min heavy hitters: top-50 exact-count tokens with their
+    //     CMS point estimates — proves the 4×1024 additive sketch on
+    //     real text, overestimate bound visible in the gate output
+    "text_cms_heavy_hitters" -> ((s, d) =>
+      graft.ops.Sketch.cmsTopK(T(s, d, "documents"))),
 
     // --- K4: per-cell TTL shadow columns — synthesize TTLs on events,
     //     materialize expiry at a cutoff (the TTL-less-destination
@@ -1389,6 +1415,9 @@ object SparkEntry {
     "dedup_lsh_index" ->
       s"""WITH $minhashCtePrefix
          |SELECT doc_id, bk FROM bands""".stripMargin,
+    "agg_hll_registers" -> hllRegistersOracleSql,
+    "agg_hll_distinct" -> hllDistinctOracleSql,
+    "text_cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
     "dedup_jaccard_screened" -> screenedJaccardOracleSql,
@@ -2613,4 +2642,69 @@ object SparkEntry {
        |  6) AS quality
        |FROM documents""".stripMargin
   }
+
+  // shared CTEs for the deterministic-HLL oracles (ops/Sketch.scala):
+  // value = l_orderkey:l_linenumber, shard = l_returnflag; bucket = first
+  // 12 md5 bits, rank = 61 - len(bin(next 60 bits)) — bin() drops leading
+  // zeros in both engines, so no clz/log2 is needed
+  private def hllRegistersCte: String =
+    """v AS (SELECT l_returnflag AS shard,
+      |  md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) AS h
+      |  FROM lineitem),
+      |br AS (SELECT shard,
+      |  ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+      |  CASE WHEN ('0x' || substr(h, 4, 15))::BIGINT = 0 THEN 61
+      |       ELSE 61 - length(bin(('0x' || substr(h, 4, 15))::BIGINT)) END AS rank
+      |  FROM v),
+      |regs AS (SELECT shard, bucket, max(rank) AS max_rank
+      |  FROM br GROUP BY shard, bucket)""".stripMargin
+
+  private def hllRegistersOracleSql: String =
+    s"""WITH $hllRegistersCte
+       |SELECT shard, bucket, max_rank FROM regs""".stripMargin
+
+  // register sums are integer-exact (1 << (61-rank), summed as DECIMAL —
+  // order-independent); widths stay ≤ DECIMAL(26,0) because DuckDB cannot
+  // even add two (38,0) operands. The only float steps are the final
+  // division and round(_, 2), both IEEE-deterministic across engines.
+  private def hllDistinctOracleSql: String =
+    s"""WITH $hllRegistersCte,
+       |allregs AS (
+       |  SELECT shard, bucket, max_rank FROM regs
+       |  UNION ALL
+       |  SELECT 'ALL' AS shard, bucket, max(max_rank) AS max_rank
+       |  FROM regs GROUP BY bucket),
+       |est AS (SELECT shard, count(*) AS buckets_hit,
+       |  (sum(((1::BIGINT) << (61 - max_rank))::DECIMAL(25,0)))::DECIMAL(25,0) AS s_hit
+       |  FROM allregs GROUP BY shard),
+       |est2 AS (SELECT shard, buckets_hit,
+       |  (s_hit + ((4096 - buckets_hit)::DECIMAL(10,0)
+       |            * (1::BIGINT << 61)::DECIMAL(20,0))::DECIMAL(25,0)
+       |  )::DECIMAL(25,0) AS s_prime
+       |  FROM est)
+       |SELECT shard, buckets_hit, s_prime,
+       |  round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+       |        * (1::BIGINT << 61)::DOUBLE / s_prime::DOUBLE, 2) AS est_raw
+       |FROM est2""".stripMargin
+
+  private def cmsHeavyHittersOracleSql: String =
+    """WITH toks AS (
+      |  SELECT tok FROM documents,
+      |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(tok)
+      |  WHERE tok != ''),
+      |cms AS (
+      |  SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 8))::BIGINT
+      |           % 1024 AS cell, count(*) AS cnt
+      |  FROM toks, range(4) AS r(j) GROUP BY j, cell),
+      |topk AS (
+      |  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+      |  ORDER BY exact_cnt DESC, tok LIMIT 50),
+      |probes AS (
+      |  SELECT k.tok, k.exact_cnt, r.j,
+      |    ('0x' || substr(md5(r.j::VARCHAR || ':' || k.tok), 1, 8))::BIGINT
+      |      % 1024 AS cell
+      |  FROM topk k, range(4) AS r(j))
+      |SELECT p.tok AS token, p.exact_cnt, min(c.cnt) AS cms_est
+      |FROM probes p JOIN cms c ON c.j = p.j AND c.cell = p.cell
+      |GROUP BY p.tok, p.exact_cnt""".stripMargin
 }

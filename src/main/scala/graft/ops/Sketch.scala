@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Mergeable streaming sketches — the 100 TB cardinality / frequency
+  * primitives (Flajolet et al.'s HyperLogLog; Cormode & Muthukrishnan's
+  * Count-Min). At cluster scale these are the only sane shapes for
+  * "how many distinct X" and "which tokens are hot" over a corpus that
+  * never fits anywhere: each executor folds its partition into a
+  * fixed-size register/cell table, tables merge associatively (max for
+  * HLL, + for CMS), and the merged table answers the query — one
+  * narrow shuffle of a few KB per partition regardless of input size.
+  *
+  * Spark's own `approx_count_distinct` is the same HLL idea but its
+  * register hashing is engine-internal, so its estimate can only get a
+  * rows-only gate. Everything here is built from md5 + integer bit
+  * tricks that DuckDB reproduces bit-for-bit, which buys the stronger
+  * contract: the REGISTERS and the estimate itself hash-match an
+  * independent replay (the reference's row-count verification —
+  * `dbtransfer` `migration.go` count checks — taken to sketch land).
+  *
+  * Determinism rules (why the formulas look the way they do):
+  *   - register terms are `1 << (61 - rank)` BIGINTs summed as
+  *     DECIMAL — integer-exact, order-independent; a double `pow(2,-r)`
+  *     sum would depend on partition iteration order, and a
+  *     double→decimal cast rounds differently across engines (measured:
+  *     Spark 1.15292150460684698e18 vs DuckDB ...976 for 2^60)
+  *   - the only floating-point steps are one exact-rounded division at
+  *     the very end plus `round(_, 2)` — IEEE-deterministic on both
+  *     engines; no `ln`/`exp` anywhere in the gated path (libm results
+  *     are not sworn identical across engines; the bias-corrected
+  *     estimator that needs `ln` lives in [[hllCorrected]] and is
+  *     unit-tested, not oracle-hashed)
+  */
+object Sketch {
+
+  // ---------------------------------------------------------------- HLL
+
+  /** p=12 → m=4096 registers ≈ ±1.6% standard error, 32 KB per sketch
+    * at one byte per register — the common production operating point. */
+  val HllM = 4096
+
+  private val TwoPow61 = 1L << 61
+
+  /** Per-value (bucket, rank): bucket = first 12 md5 bits, rank =
+    * 1 + leading zeros of the next 60 bits. `bin()` has no leading
+    * zeros in either engine, so rank = 61 - len(bin(x)) needs no
+    * clz intrinsic (and no float log2 with its boundary hazards). */
+  private def bucketed(value: Column): (Column, Column) = {
+    val h = md5(value.cast("string"))
+    val bucket = conv(substring(h, 1, 3), 16, 10).cast("long")
+    val x = conv(substring(h, 4, 15), 16, 10).cast("long")
+    val rank = when(x === 0, lit(61)).otherwise(lit(61) - length(bin(x)))
+    (bucket, rank)
+  }
+
+  /** The sketch ARTIFACT: per (shard, bucket) max rank. This is what a
+    * production pipeline persists per file/partition/day and merges by
+    * `max` — [[hllMergedRegisters]] — so publishing it under an oracle
+    * gate certifies the stored object, not just one query over it
+    * (same posture as the gated LSH band index, Dedup.bandedKeys). */
+  def hllRegisters(df: DataFrame, value: Column, shard: Column): DataFrame = {
+    val (bucket, rank) = bucketed(value)
+    df.select(shard.cast("string").as("shard"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy("shard", "bucket").agg(max("rank").as("max_rank"))
+  }
+
+  /** Cross-shard merge: registers combine by per-bucket max — the
+    * associative property that makes the sketch distributable. */
+  def hllMergedRegisters(registers: DataFrame): DataFrame =
+    registers.groupBy("bucket").agg(max("max_rank").as("max_rank"))
+      .select(lit("ALL").as("shard"), col("bucket"), col("max_rank"))
+
+  /** Raw HLL estimate per shard from a register frame:
+    * E = α·m² / Σ 2^-M[j], the sum scaled by 2^61 into exact integers
+    * (empty buckets contribute 2^61 each). Output:
+    * (shard, buckets_hit, s_prime DECIMAL(25,0), est_raw).
+    * DECIMAL widths are deliberate: s_hit ≤ 4096·2^60 < 10^22 fits
+    * (25,0), and keeping operands narrow stays inside DuckDB's 38-digit
+    * arithmetic (two (38,0) operands cannot even be added there). */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val sHit = sum(expr("cast(shiftleft(cast(1 as bigint), 61 - max_rank) as decimal(25,0))"))
+    val alphaM2x261 = lit(0.7213 / (1.0 + 1.079 / HllM.toDouble) *
+      HllM.toDouble * HllM.toDouble) * lit(TwoPow61).cast("double")
+    registers.groupBy("shard")
+      .agg(count(lit(1)).as("buckets_hit"), sHit.as("s_hit"))
+      .withColumn("s_prime",
+        (col("s_hit") +
+          (lit(HllM) - col("buckets_hit")).cast(DecimalType(10, 0)) *
+            lit(TwoPow61).cast(DecimalType(20, 0))).cast(DecimalType(25, 0)))
+      .withColumn("est_raw", round(alphaM2x261 / col("s_prime").cast("double"), 2))
+      .select("shard", "buckets_hit", "s_prime", "est_raw")
+  }
+
+  /** Per-shard + merged-ALL estimates in one frame — the gate shape:
+    * three shard sketches, their merge, every number replayable. */
+  def hllDistinct(df: DataFrame, value: Column, shard: Column): DataFrame = {
+    val regs = hllRegisters(df, value, shard)
+    hllEstimate(regs).unionByName(hllEstimate(hllMergedRegisters(regs)))
+  }
+
+  /** Bias-corrected estimate (driver-side scalar math over one gate
+    * row): linear counting m·ln(m/V) below 2.5m when empty buckets
+    * remain — the regime where the raw estimator is badly biased.
+    * Uses `ln`, hence NOT in the oracle-hashed path (see class doc). */
+  def hllCorrected(bucketsHit: Long, sPrime: BigDecimal): Double = {
+    val s = sPrime.toDouble / TwoPow61.toDouble
+    val raw = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM / s
+    val empty = HllM - bucketsHit
+    if (raw <= 2.5 * HllM && empty > 0)
+      HllM * math.log(HllM.toDouble / empty)
+    else raw
+  }
+
+  // ---------------------------------------------------------------- CMS
+
+  /** depth×width = 4×1024 cells: overestimate ≤ 2N/w with prob
+    * 1-(1/2)^4 per the CM bound — at N≈10^5 gate tokens that is a few
+    * hundred, tight enough to rank hot tokens; width is the lever. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .where(col("tok") =!= "")
+
+  private def cmsCell(j: Column, tok: Column): Column =
+    pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), tok)), 1, 8),
+      16, 10).cast("long"), lit(CmsWidth))
+
+  /** The CMS table itself: (j, cell, cnt) over the corpus token stream.
+    * Additive under union (cells sum), so per-partition tables merge by
+    * groupBy-sum — 4096 counters total, constant size at any corpus. */
+  def cmsSketch(docs: DataFrame): DataFrame = {
+    val rows = tokens(docs).select(
+      posexplode(array((0 until CmsDepth).map(j => cmsCell(lit(j), col("tok"))): _*))
+        .as(Seq("j", "cell")))
+    rows.groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy-hitter check: the top-k tokens by EXACT count, each with its
+    * CMS point estimate (min over the depth rows). Every number is an
+    * integer, so the gate hash-matches a full DuckDB replay, proving
+    * both the sketch construction and the ≥-exact overestimate
+    * property on real data. The sketch side is a broadcast (≤4096
+    * rows); the exact side is one token shuffle — at 100 TB you keep
+    * the sketch and drop the exact pass, same table shape. */
+  def cmsTopK(docs: DataFrame, k: Int = 50): DataFrame = {
+    val exact = tokens(docs).groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(k)
+    val probes = exact.select(col("tok"), col("exact_cnt"),
+      posexplode(array((0 until CmsDepth).map(j => cmsCell(lit(j), col("tok"))): _*))
+        .as(Seq("j", "cell")))
+    probes.join(broadcast(cmsSketch(docs)), Seq("j", "cell"))
+      .groupBy("tok", "exact_cnt").agg(min("cnt").as("cms_est"))
+      .select(col("tok").as("token"), col("exact_cnt"), col("cms_est"))
+  }
+}

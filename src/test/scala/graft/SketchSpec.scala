@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketch
+
+/** Sketch properties that the hash-match gates cannot express: merge
+  * associativity (shard sketches combine to the global sketch), the CMS
+  * ≥-exact overestimate bound under REAL collisions (synthetic
+  * high-vocabulary corpus — the testdata vocabulary is smaller than the
+  * cell table, so collisions never fire there), and estimator accuracy
+  * including the bias-corrected small-range branch the oracle path
+  * deliberately avoids (ln is not cross-engine bit-stable). */
+class SketchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("HLL: merged shard registers equal the globally-built registers") {
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val v = concat(col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))
+    val merged = Sketch.hllMergedRegisters(
+      Sketch.hllRegisters(li, v, col("l_returnflag")))
+      .select("bucket", "max_rank")
+    val global = Sketch.hllRegisters(li, v, lit("ALL"))
+      .select("bucket", "max_rank")
+    assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty,
+      "per-shard max-merge must equal the single-pass global sketch")
+  }
+
+  test("HLL: raw estimate within 5% of exact at n >> 2.5m") {
+    // 200k distinct values: comfortably in the raw estimator's regime
+    val df = spark.range(200000).select(concat(lit("v"), col("id")).as("v"))
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, col("v"), lit("one")))
+      .head()
+    val raw = est.getAs[Double]("est_raw")
+    assert(math.abs(raw - 200000) / 200000.0 < 0.05,
+      s"raw estimate $raw vs exact 200000")
+  }
+
+  test("HLL: corrected estimate handles the small-range regime") {
+    // 2000 distinct: below 2.5m = 10240, where raw is badly biased and
+    // linear counting m·ln(m/V) takes over (driver-side scalar, ln ok)
+    val df = spark.range(2000).select(concat(lit("s"), col("id")).as("v"))
+    val row = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, col("v"), lit("one"))).head()
+    val corrected = Sketch.hllCorrected(
+      row.getAs[Long]("buckets_hit"), row.getAs[java.math.BigDecimal]("s_prime"))
+    assert(math.abs(corrected - 2000) / 2000.0 < 0.05,
+      s"corrected estimate $corrected vs exact 2000")
+  }
+
+  test("CMS: overestimates every token and is exact sans collisions") {
+    // vocabulary of 5000 > 1024 cells → guaranteed collisions; tokens
+    // must be PURE alpha (digits are split delimiters), so render the id
+    // in base 26 and map its digit alphabet onto letters; each token
+    // appears (id % 7) + 1 times
+    val tok = concat(lit("t"), translate(conv(col("id"), 10, 26),
+      "0123456789ABCDEFGHIJKLMNOP", "abcdefghijklmnopqrstuvwxyz"))
+    val docs = spark.range(5000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", array_repeat(tok,
+          (col("id") % 7 + 1).cast("int"))).as("text"))
+    val sketch = Sketch.cmsSketch(docs)
+    val exact = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    // every token's min-cell estimate must be >= its exact count
+    val est = Sketch.cmsTopK(docs, k = 5000)
+    val bad = est.where(col("cms_est") < col("exact_cnt")).count()
+    assert(bad == 0, s"$bad tokens underestimated — CMS bound violated")
+    // and collisions must actually occur at this vocabulary (the bound
+    // above would be vacuous if the table were injective)
+    val over = est.where(col("cms_est") > col("exact_cnt")).count()
+    assert(over > 0, "no collisions at vocab 5000 > width 1024 — suspicious")
+    assert(exact.count() == 5000)
+  }
+
+  test("CMS: cell tables are additive under corpus union") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val summed = Sketch.cmsSketch(a).unionByName(Sketch.cmsSketch(b))
+      .groupBy("j", "cell").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.cmsSketch(docs)
+    assert(summed.exceptAll(whole).isEmpty && whole.exceptAll(summed).isEmpty,
+      "cms(a) + cms(b) must equal cms(a ∪ b)")
+  }
+}
