@@ -672,8 +672,12 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       val corpus = docs.where(col("doc_id") % 2 === 0)
       val batch = docs.where(col("doc_id") % 2 === 1)
+      // the standing index is a WRITTEN artifact read three times in
+      // this flow (screen buckets, append base, compact input) — eager
+      // localCheckpoint mirrors that read-from-storage shape instead of
+      // re-running the corpus minhash pipeline once per consumer
       val index = Dedup.bandedKeys(corpus, numHashes = 12, bands = 4,
-        shingleLen = 3)
+        shingleLen = 3).localCheckpoint(true)
       val dups = Dedup.incrementalNearDupsWithIndex(index, corpus, batch)
       val admitted = batch.join(
         dups.select(col("batch_id").as("doc_id")).distinct(),
