@@ -47,7 +47,7 @@ object BenchScale {
     // round 7c: mergeable sketches — fixed register/cell tables are THE
     // constant-size-at-scale claim; wall should track the scan, state
     // stays 4096 registers / 4×1024 cells at any corpus size
-    "agg_hll_distinct", "text_cms_heavy_hitters",
+    "agg_hll_distinct", "text_cms_heavy_hitters", "dedup_bloom_screen",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

@@ -1010,6 +1010,28 @@ object SparkEntry {
     "text_cms_heavy_hitters" -> ((s, d) =>
       graft.ops.Sketch.cmsTopK(T(s, d, "documents"))),
 
+    // --- Bloom membership filter: per-source bit tables over the even
+    //     docs' content hashes + the OR-merged ALL rows — the third
+    //     mergeable sketch, the artifact itself gated
+    "dedup_bloom_filter" -> ((s, d) => {
+      val corpus = T(s, d, "documents").where(col("doc_id") % 2 === 0)
+      val bl = graft.ops.Sketch.bloomBuild(corpus, md5(col("text")),
+        col("source"))
+      bl.unionByName(graft.ops.Sketch.bloomMerge(bl))
+    }),
+
+    // --- screen the odd batch against the merged filter: "was this
+    //     content ever admitted?" without touching the corpus — FPs are
+    //     a deterministic function of the hash choice, so even they
+    //     hash-match the replay
+    "dedup_bloom_screen" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val bloom = graft.ops.Sketch.bloomMerge(graft.ops.Sketch.bloomBuild(
+        docs.where(col("doc_id") % 2 === 0), md5(col("text")), col("source")))
+      graft.ops.Sketch.bloomScreen(bloom,
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), md5(col("text")))
+    }),
+
     // --- K4: per-cell TTL shadow columns — synthesize TTLs on events,
     //     materialize expiry at a cutoff (the TTL-less-destination
     //     semantics; Cassandra sinks map the shadows to USING TTL).
@@ -1422,6 +1444,8 @@ object SparkEntry {
     "agg_hll_registers" -> hllRegistersOracleSql,
     "agg_hll_distinct" -> hllDistinctOracleSql,
     "text_cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
+    "dedup_bloom_filter" -> bloomFilterOracleSql,
+    "dedup_bloom_screen" -> bloomScreenOracleSql,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
     "dedup_jaccard_screened" -> screenedJaccardOracleSql,
@@ -2690,6 +2714,40 @@ object SparkEntry {
        |  round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
        |        * (1::BIGINT << 61)::DOUBLE / s_prime::DOUBLE, 2) AS est_raw
        |FROM est2""".stripMargin
+
+  // Bloom: 63 payload bits per word (bit 63 would go negative and
+  // engines disagree about 1<<63 overflow); pos = md5(j:md5(text)) %
+  // 65536, word = pos div 63, mask = 1 << (pos % 63), bits = OR
+  private def bloomCte: String =
+    """bpos AS (SELECT source AS shard,
+      |  ('0x' || substr(md5(r.j::VARCHAR || ':' || md5(text)), 1, 8))::BIGINT
+      |    % 65536 AS pos
+      |  FROM documents, range(4) AS r(j) WHERE doc_id % 2 = 0),
+      |bl AS (SELECT shard, pos // 63 AS word,
+      |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+      |  FROM bpos GROUP BY shard, word)""".stripMargin
+
+  private def bloomFilterOracleSql: String =
+    s"""WITH $bloomCte
+       |SELECT shard, word, bits FROM bl
+       |UNION ALL
+       |SELECT 'ALL' AS shard, word, bit_or(bits) AS bits
+       |FROM bl GROUP BY word""".stripMargin
+
+  private def bloomScreenOracleSql: String =
+    s"""WITH $bloomCte,
+       |m AS (SELECT word, bit_or(bits) AS bits FROM bl GROUP BY word),
+       |pr AS (SELECT doc_id AS probe_id, r.j,
+       |  ('0x' || substr(md5(r.j::VARCHAR || ':' || md5(text)), 1, 8))::BIGINT
+       |    % 65536 AS pos
+       |  FROM documents, range(4) AS r(j) WHERE doc_id % 2 = 1),
+       |h AS (SELECT probe_id,
+       |  sum(CASE WHEN m.bits IS NOT NULL
+       |           AND (m.bits & (1::BIGINT << (pr.pos % 63)::INT)) != 0
+       |      THEN 1 ELSE 0 END)::BIGINT AS hits
+       |  FROM pr LEFT JOIN m ON m.word = pr.pos // 63
+       |  GROUP BY probe_id)
+       |SELECT probe_id, hits, hits = 4 AS maybe_seen FROM h""".stripMargin
 
   private def cmsHeavyHittersOracleSql: String =
     """WITH toks AS (

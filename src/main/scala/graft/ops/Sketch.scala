@@ -140,6 +140,63 @@ object Sketch {
     rows.groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
   }
 
+  // -------------------------------------------------------------- Bloom
+
+  /** m=65536 bits, k=4 hashes: at n≈2500 corpus keys the load is
+    * nk/m ≈ 0.15 → FP ≈ (1-e^-0.15)^4 < 0.1%; m is the lever. */
+  val BloomBits = 65536
+  val BloomK = 4
+
+  /** 63 payload bits per word: bit 63 would make the mask negative,
+    * and `1 << 63` is exactly where engines disagree about overflow —
+    * one dead bit per word buys unconditional portability. */
+  private val WordBits = 63
+
+  private def bloomPos(j: Column, key: Column): Column =
+    pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), key)), 1, 8),
+      16, 10).cast("long"), lit(BloomBits))
+
+  /** Membership sketch build: per (shard, word) OR of the k hash bits of
+    * every key — the third mergeable sketch (cardinality / frequency /
+    * membership), ~8 KB per shard at any corpus size. Duplicate keys
+    * cost nothing (OR is idempotent), shards merge by [[bloomMerge]],
+    * and the production read is "was this content hash ever admitted?"
+    * without touching the standing corpus — no false negatives ever,
+    * false positives bounded by the bit budget. */
+  def bloomBuild(df: DataFrame, key: Column, shard: Column): DataFrame =
+    df.select(shard.cast("string").as("shard"),
+      explode(array((0 until BloomK).map(j => bloomPos(lit(j), key)): _*)).as("pos"))
+      .select(col("shard"), expr(s"pos div $WordBits").as("word"),
+        expr(s"shiftleft(cast(1 as bigint), cast(pos % $WordBits as int))").as("mask"))
+      .groupBy("shard", "word").agg(bit_or(col("mask")).as("bits"))
+
+  /** Cross-shard merge: words combine by OR — associative, like the
+    * HLL max-merge and the CMS cell sum. */
+  def bloomMerge(bloom: DataFrame): DataFrame =
+    bloom.groupBy("word").agg(bit_or(col("bits")).as("bits"))
+      .select(lit("ALL").as("shard"), col("word"), col("bits"))
+
+  /** Screen a probe set against a built filter: each probe's k bits are
+    * tested via a broadcast join on word (the filter is ~1 K rows at
+    * ANY corpus size); `maybe_seen` iff all k hit. Output is integers +
+    * a boolean, so the gate hash-matches a full DuckDB replay including
+    * the false positives (they are a deterministic function of the
+    * hash choice, not noise). */
+  def bloomScreen(bloom: DataFrame, df: DataFrame, id: Column,
+                  key: Column): DataFrame = {
+    val probes = df.select(id.as("probe_id"),
+      posexplode(array((0 until BloomK).map(j => bloomPos(lit(j), key)): _*))
+        .as(Seq("j", "pos")))
+      .select(col("probe_id"), col("j"), expr(s"pos div $WordBits").as("word"),
+        expr(s"shiftleft(cast(1 as bigint), cast(pos % $WordBits as int))").as("mask"))
+    probes.join(broadcast(bloom.select("word", "bits")), Seq("word"), "left")
+      .withColumn("hit",
+        when(col("bits").isNotNull &&
+          (col("bits").bitwiseAND(col("mask")) =!= 0), 1).otherwise(0))
+      .groupBy("probe_id").agg(sum("hit").cast("long").as("hits"))
+      .withColumn("maybe_seen", col("hits") === BloomK)
+  }
+
   /** Heavy-hitter check: the top-k tokens by EXACT count, each with its
     * CMS point estimate (min over the depth rows). Every number is an
     * integer, so the gate hash-matches a full DuckDB replay, proving

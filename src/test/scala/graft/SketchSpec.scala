@@ -78,6 +78,35 @@ class SketchSpec extends SparkTestBase {
     assert(exact.count() == 5000)
   }
 
+  test("Bloom: no false negatives, bounded false positives") {
+    // corpus keys k0..k1999; probes = 500 members + 2000 NON-members
+    val corpus = spark.range(2000).select(concat(lit("k"), col("id")).as("key"))
+    val bloom = Sketch.bloomMerge(
+      Sketch.bloomBuild(corpus, col("key"), lit("one")))
+    val members = spark.range(500)
+      .select(col("id").as("pid"), concat(lit("k"), col("id") * 4).as("key"))
+    val again = Sketch.bloomScreen(bloom, members, col("pid"), col("key"))
+    assert(again.where(!col("maybe_seen")).count() == 0,
+      "a member key was reported unseen — Bloom false negative")
+    val strangers = spark.range(2000)
+      .select(col("id").as("pid"), concat(lit("x"), col("id")).as("key"))
+    val fp = Sketch.bloomScreen(bloom, strangers, col("pid"), col("key"))
+      .where(col("maybe_seen")).count()
+    // load 2000*4/65536 ≈ 0.12 → FP ≈ (1-e^-0.122)^4 ≈ 0.02%; allow 1%
+    assert(fp <= 20, s"$fp false positives in 2000 disjoint probes")
+  }
+
+  test("Bloom: shard filters OR-merge to the globally-built filter") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val merged = Sketch.bloomMerge(
+      Sketch.bloomBuild(docs, md5(col("text")), col("source")))
+      .select("word", "bits")
+    val global = Sketch.bloomBuild(docs, md5(col("text")), lit("ALL"))
+      .select("word", "bits")
+    assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty,
+      "per-shard OR-merge must equal the single-pass global filter")
+  }
+
   test("CMS: cell tables are additive under corpus union") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val a = docs.where(col("doc_id") % 2 === 0)
