@@ -31,6 +31,7 @@ object Bench {
     "text_chunk_windows", "corpus_report", "files_compact",
     "streaming_window_counts", "streaming_window_append",
     "streaming_session_counts", "streaming_incremental_dedup",
+    "streaming_hll_registers",
     // round-7 additions: band-screened exact-pair confirms, IVF-PQ
     "dedup_jaccard_screened", "dedup_containment_screened",
     "ann_ivfpq_topk", "ann_ivfpq_rerank", "ann_ivf_sampled_topk",

@@ -937,6 +937,11 @@ object SparkEntry {
     //     micro-batch → per-user state update == batch GROUP BY
     "streaming_stateful_counts" -> ((s, d) => StreamingIngest.statefulUserCounts(s, d)),
 
+    // --- streaming HLL: the cardinality sketch maintained AS stream
+    //     state (bounded at shards×4096 rows forever); oracle replays
+    //     the batch register build → stream == batch proven by hash
+    "streaming_hll_registers" -> ((s, d) => StreamingIngest.hllRegisters(s, d)),
+
     // --- streaming dedup: dropDuplicates state bounded by the watermark;
     //     emitted key set == batch DISTINCT
     "streaming_dedup" -> ((s, d) => StreamingIngest.streamingDedup(s, d)),
@@ -1446,6 +1451,16 @@ object SparkEntry {
     "text_cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
     "dedup_bloom_filter" -> bloomFilterOracleSql,
     "dedup_bloom_screen" -> bloomScreenOracleSql,
+    "streaming_hll_registers" ->
+      """WITH v AS (SELECT event_type AS shard, md5(user_id::VARCHAR) AS h
+        |  FROM events),
+        |br AS (SELECT shard,
+        |  ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+        |  CASE WHEN ('0x' || substr(h, 4, 15))::BIGINT = 0 THEN 61
+        |       ELSE 61 - length(bin(('0x' || substr(h, 4, 15))::BIGINT)) END AS rank
+        |  FROM v)
+        |SELECT shard, bucket, max(rank) AS max_rank
+        |FROM br GROUP BY shard, bucket""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
     "dedup_jaccard_screened" -> screenedJaccardOracleSql,

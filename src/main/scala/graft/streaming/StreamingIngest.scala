@@ -398,6 +398,19 @@ object StreamingIngest {
         .select(col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end"), col("user_id"), col("cnt")),
       "graft_sess_", "complete")
+
+  /** Streaming HLL register maintenance: distinct-user cardinality per
+    * event type as STREAM state — `Sketch.hllRegisters` is a pure
+    * select + groupBy/max, so the same code runs on the stream; state
+    * is bounded at shards×4096 register rows no matter how many events
+    * flow (the sketch property, now as streaming state). Complete-mode
+    * output IS the register table, row-equal to the batch build — the
+    * gate's oracle replays the batch SQL, proving stream == batch. */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      graft.ops.Sketch.hllRegisters(eventsRaw(spark, dir),
+        col("user_id"), col("event_type")),
+      "graft_hll_", "complete")
 }
 
 /** Output row of [[StreamingIngest.streamingAsOf]] — the `join_asof`

@@ -204,4 +204,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("JDBCRelation") && plan.contains("numPartitions="),
       s"read-back is not a partitioned JDBC scan:\n$plan")
   }
+
+  test("HLL registers: partial max before the one (shard,bucket) shuffle, codegen'd") {
+    // the whole point of the sketch: fold per-partition, shuffle KBs.
+    // partial_max is the per-partition register fold; a plan that
+    // shuffles raw (bucket, rank) rows would move the corpus instead
+    val plan = executedPlan("agg_hll_registers")
+    assert(plan.contains("partial_max"), s"no map-side register fold:\n$plan")
+    // AQE plan strings repeat the tree under "== Initial Plan ==" —
+    // count exchanges in the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1,
+      s"register build should shuffle exactly once:\n$finalPlan")
+  }
+
+  test("Bloom screen probes via a BROADCAST of the filter, never a shuffle of it") {
+    val plan = executedPlan("dedup_bloom_screen")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filter side not broadcast:\n${plan.take(3000)}")
+    // probe rows themselves shuffle only for the final per-probe count
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe join degraded to sort-merge (filter side shuffled):\n${plan.take(3000)}")
+  }
+
+  test("CMS sketch side of the heavy-hitter check is broadcast; aggs are partial+final") {
+    val plan = executedPlan("text_cms_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell table not broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"no partial aggregation in the sketch build:\n${plan.take(3000)}")
+  }
 }

@@ -78,6 +78,17 @@ class SketchSpec extends SparkTestBase {
     assert(exact.count() == 5000)
   }
 
+  test("HLL: streaming register maintenance equals the batch build") {
+    val stream = graft.streaming.StreamingIngest.hllRegisters(spark, sf)
+      .select("shard", "bucket", "max_rank")
+    val batch = Sketch.hllRegisters(
+      graft.sources.Tables(spark, sf, "events"),
+      col("user_id"), col("event_type"))
+      .select("shard", "bucket", "max_rank")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "streaming HLL state must equal the batch register table")
+  }
+
   test("Bloom: no false negatives, bounded false positives") {
     // corpus keys k0..k1999; probes = 500 members + 2000 NON-members
     val corpus = spark.range(2000).select(concat(lit("k"), col("id")).as("key"))
