@@ -39,6 +39,7 @@ object Bench {
     "multimodal_jpeg", "multimodal_mp4", "join_asof", "join_asof_bucketed",
     "text_bpe_train", "text_bpe_encode", "streaming_asof",
     "agg_hll_distinct", "text_cms_heavy_hitters", "dedup_bloom_screen",
+    "agg_hist_quantiles",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -48,6 +48,7 @@ object BenchScale {
     // constant-size-at-scale claim; wall should track the scan, state
     // stays 4096 registers / 4×1024 cells at any corpus size
     "agg_hll_distinct", "text_cms_heavy_hitters", "dedup_bloom_screen",
+    "agg_hist_quantiles",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

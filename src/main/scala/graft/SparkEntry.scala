@@ -1015,6 +1015,17 @@ object SparkEntry {
     "text_cms_heavy_hitters" -> ((s, d) =>
       graft.ops.Sketch.cmsTopK(T(s, d, "documents"))),
 
+    // --- mergeable histogram quantiles: per-shard fixed-width bin
+    //     counts (+ merged ALL) walked to interpolated P50/P90/P99 —
+    //     the deterministic percentile sketch (no log/libm anywhere,
+    //     so the estimates replay bit-for-bit)
+    "agg_hist_quantiles" -> ((s, d) => {
+      val h = graft.ops.Sketch.histogram(T(s, d, "lineitem"),
+        col("l_extendedprice"), col("l_returnflag"))
+      graft.ops.Sketch.histQuantiles(
+        h.unionByName(graft.ops.Sketch.histMerged(h)))
+    }),
+
     // --- Bloom membership filter: per-source bit tables over the even
     //     docs' content hashes + the OR-merged ALL rows — the third
     //     mergeable sketch, the artifact itself gated
@@ -1451,6 +1462,25 @@ object SparkEntry {
     "text_cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
     "dedup_bloom_filter" -> bloomFilterOracleSql,
     "dedup_bloom_screen" -> bloomScreenOracleSql,
+    "agg_hist_quantiles" ->
+      """WITH h AS (SELECT l_returnflag AS shard,
+        |    floor(l_extendedprice / 64.0)::BIGINT AS bin, count(*) AS cnt
+        |  FROM lineitem GROUP BY shard, bin),
+        |allh AS (SELECT shard, bin, cnt FROM h
+        |  UNION ALL
+        |  SELECT 'ALL' AS shard, bin, sum(cnt) AS cnt FROM h GROUP BY bin),
+        |c AS (SELECT shard, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY shard ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY shard) AS n
+        |  FROM allh),
+        |qv AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+        |p AS (SELECT shard, q, min(bin) AS bin
+        |  FROM c, qv WHERE cum::DOUBLE >= q * n::DOUBLE GROUP BY shard, q)
+        |SELECT p.shard, p.q, c.n,
+        |  round(p.bin::DOUBLE * 64.0 + 64.0 *
+        |        (p.q * c.n::DOUBLE - (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE,
+        |        6) AS est
+        |FROM p JOIN c ON c.shard = p.shard AND c.bin = p.bin""".stripMargin,
     "streaming_hll_registers" ->
       """WITH v AS (SELECT event_type AS shard, md5(user_id::VARCHAR) AS h
         |  FROM events),

@@ -140,6 +140,59 @@ object Sketch {
     rows.groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
   }
 
+  // ---------------------------------------------------------- Histogram
+
+  /** Bin width for the quantile histogram: fixed-width (not log-scale)
+    * because `log` is libm territory — not sworn bit-identical across
+    * engines — while `floor(x / 64.0)` is one exact-rounded IEEE divide.
+    * Interpolation error is bounded by the width; the lever is the
+    * width, and at 100 TB the bin table is still only domain/width
+    * counters. */
+  val HistWidth = 64.0
+
+  /** The quantile sketch artifact: per (shard, bin) counts — mergeable
+    * by +, like every sketch here. One shuffle, counters only. */
+  def histogram(df: DataFrame, value: Column, shard: Column): DataFrame =
+    df.select(shard.cast("string").as("shard"),
+      floor(value.cast("double") / lit(HistWidth)).cast("long").as("bin"))
+      .groupBy("shard", "bin").agg(count(lit(1)).as("cnt"))
+
+  /** Cross-shard merge: bins sum. */
+  def histMerged(hist: DataFrame): DataFrame =
+    hist.groupBy("bin").agg(sum("cnt").as("cnt"))
+      .select(lit("ALL").as("shard"), col("bin"), col("cnt"))
+
+  /** Interpolated quantile estimates from a histogram: walk the
+    * cumulative bin counts to the first bin covering q·n, then linear-
+    * interpolate inside it — every step integer or exact-rounded IEEE
+    * (divide, multiply, compare), so estimates hash-match the DuckDB
+    * replay. True quantile lies inside the chosen bin ⇒ |est − exact|
+    * ≤ HistWidth by construction. The windows run over the BIN table
+    * (domain/width rows), not the data. */
+  def histQuantiles(hist: DataFrame,
+                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBin = Window.partitionBy("shard").orderBy("bin")
+    val all = Window.partitionBy("shard")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byBin))
+      .withColumn("n", sum("cnt").over(all))
+    // first bin whose cumulative count covers q·n; its predecessor has
+    // cum_before = cum - cnt < q·n, so the interpoland is in (0, cnt]
+    val picked = cum
+      .crossJoin(hist.sparkSession.range(1)
+        .select(explode(array(qs.map(lit): _*)).as("q")))
+      .where(col("cum").cast("double") >= col("q") * col("n").cast("double"))
+      .groupBy("shard", "q").agg(min("bin").as("bin"))
+    picked.join(cum, Seq("shard", "bin"))
+      .withColumn("est", round(
+        col("bin").cast("double") * lit(HistWidth) + lit(HistWidth) *
+          (col("q") * col("n").cast("double") -
+            (col("cum") - col("cnt")).cast("double")) /
+          col("cnt").cast("double"), 6))
+      .select(col("shard"), col("q"), col("n"), col("est"))
+  }
+
   // -------------------------------------------------------------- Bloom
 
   /** m=65536 bits, k=4 hashes: at n≈2500 corpus keys the load is

@@ -89,6 +89,30 @@ class SketchSpec extends SparkTestBase {
       "streaming HLL state must equal the batch register table")
   }
 
+  test("Histogram quantiles: bins merge by sum; estimates within a bin width of exact") {
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val h = Sketch.histogram(li, col("l_extendedprice"), col("l_returnflag"))
+    val merged = Sketch.histMerged(h).select("bin", "cnt")
+    val global = Sketch.histogram(li, col("l_extendedprice"), lit("ALL"))
+      .select("bin", "cnt")
+    assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty,
+      "per-shard bin sums must equal the single-pass global histogram")
+    val est = Sketch.histQuantiles(h.unionByName(Sketch.histMerged(h)))
+      .where(col("shard") === "ALL").collect()
+    assert(est.length == 3)
+    // relativeError 0 → exact quantiles; both the exact quantile and the
+    // interpolated estimate lie in the covering bin (2× width for the
+    // boundary-definition slack between the two quantile conventions)
+    val exact = li.stat.approxQuantile("l_extendedprice",
+      Array(0.5, 0.9, 0.99), 0.0)
+    val byQ = Map(0.5 -> exact(0), 0.9 -> exact(1), 0.99 -> exact(2))
+    est.foreach { r =>
+      val q = r.getAs[Double]("q"); val e = r.getAs[Double]("est")
+      assert(math.abs(e - byQ(q)) <= 2 * Sketch.HistWidth,
+        s"P$q estimate $e too far from exact ${byQ(q)}")
+    }
+  }
+
   test("Bloom: no false negatives, bounded false positives") {
     // corpus keys k0..k1999; probes = 500 members + 2000 NON-members
     val corpus = spark.range(2000).select(concat(lit("k"), col("id")).as("key"))
