@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — runs the headline queries on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line the driver collects into
   * `BENCH_r{N}.json` (targets in BASELINE.md: lineitem transfer ≤60s wall,
-  * all-tables ≤90s, queries within 2× reference-derived anchors).
+  * all-tables ≤90s, queries within 2× reference-derived anchors). The
+  * same JSON is also written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `BENCH_SELF.json`) so the artifact survives driver log truncation.
   *
   * Every query is forced through a `noop` write so the full plan executes
   * (a bare `.count()` would let Catalyst prune projections away).
@@ -48,6 +50,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // local-attribution escape hatch (r7 verdict #3): run ONLY the named
+    // queries, skipping the transfer sections — lets a fresh JVM time one
+    // query in isolation so shared-JVM contention can be separated from
+    // plan regressions. The driver never sets this.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.builder("graft-bench", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -104,7 +112,8 @@ object Bench {
         if (sibling.isDirectory) sibling.toString else sfDir
       }
       val t0 = System.nanoTime()
-      headline.filter(SparkEntry.queries.contains).foreach { name =>
+      headline.filter(SparkEntry.queries.contains)
+        .filter(n => only.forall(_.contains(n))).foreach { name =>
         try force(SparkEntry.queries(name)(spark, warmDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
@@ -117,7 +126,8 @@ object Bench {
     // from the round's metrics
     headline.filterNot(SparkEntry.queries.contains).foreach(n =>
       System.err.println(s"[bench] WARNING: headline '$n' is not a declared query"))
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
+    headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n))).foreach { name =>
       val sec = try time(force(SparkEntry.queries(name)(spark, sfDir)))
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
@@ -135,6 +145,7 @@ object Bench {
     // Transfer benchmark: the reference's core workload — full lineitem
     // read → transforms → write (BASELINE.md: ≤60 s incl. startup).
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    if (only.isEmpty)
     guarded("transfer_lineitem")(time {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .withColumn("l_extendedprice",
@@ -147,7 +158,7 @@ object Bench {
     // Resume overhead (BASELINE.md: kill at ~50% + restart ≤ 1.2× an
     // uninterrupted run): transfer orders uninterrupted, then again with
     // a mid-run cancel + resume, same chunking.
-    {
+    if (only.isEmpty) {
       import graft.core._
       import graft.engine._
       def spec(tag: String) = TransferSpec(
@@ -182,6 +193,7 @@ object Bench {
     // Multi-table engine run: all 10 tables through the full transfer
     // pipeline (chunked scans, checkpoints, 4 parallel tables) —
     // BASELINE.md target ≤ 90 s wall.
+    if (only.isEmpty)
     guarded("transfer_all_tables")(time {
       import graft.core._
       val spec = TransferSpec(
@@ -198,7 +210,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line alone is fragile: the driver's log capture
+    // truncated BENCH_r07's tail before the total ever appeared
+    // (VERDICT r7 #4). Persist the same JSON to a known path so the
+    // round artifact is whole regardless of log length.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -61,10 +61,20 @@ object BenchScale {
     // path alone is not enough — the driver regenerates the testdata in
     // place between rounds (events.ts changed parquet type in r7), and a
     // path-keyed cache would silently keep deriving from the OLD data.
-    // Size+mtime of each base file is a cheap content proxy.
+    // Size+mtime of each base file is a cheap content proxy. A missing
+    // fixture must FAIL here, not fingerprint as '<t>:0:0' and silently
+    // reuse a stale cache (ADVICE r7); and a directory-style parquet
+    // (Spark-written) must fold in its part files — directory metadata
+    // does not change when contents are rewritten in place.
     val fingerprint = graft.sources.Tables.all.map { t =>
       val f = new java.io.File(s"$base/$t.parquet")
-      s"$t:${f.length}:${f.lastModified}"
+      require(f.exists, s"base fixture missing: ${f.getPath}")
+      val stats =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName)
+            .map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString(",")
+        else s"${f.length}:${f.lastModified}"
+      s"$t:$stats"
     }.mkString(";")
     val baseId = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$base|$fingerprint".getBytes("UTF-8"))

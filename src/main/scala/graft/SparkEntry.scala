@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{ColumnTransformation, EndpointSpec, ExpressionValidator, MigrationSpec, TableMapping, TransferSpec}
 import graft.engine.{TableTransferJob, TransferControl, TransferRunner}
 import graft.functions.MySqlDateFormat
+import graft.functions.Portable.fx
 import graft.ops.{Curation, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.sinks.Upsert
 import graft.sources.Tables
@@ -233,8 +234,8 @@ object SparkEntry {
     // --- extensions: exact interpolated percentiles (type-7, both engines)
     "agg_percentiles" -> ((s, d) =>
       T(s, d, "lineitem").groupBy("l_returnflag").agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"))),
+        fx(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        fx(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"))),
 
     // --- extensions: lead/lag analytic windows
     "window_lead_lag" -> ((s, d) => {
@@ -374,8 +375,8 @@ object SparkEntry {
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       T(s, d, "customer").select(col("c_custkey"), col("c_acctbal"),
         ntile(4).over(w).cast("bigint").as("tile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        fx(percent_rank().over(w), 6).as("pr"),
+        fx(cume_dist().over(w), 6).as("cd"))
     }),
 
     // --- correlated EXISTS / NOT EXISTS subqueries — Catalyst
@@ -417,6 +418,25 @@ object SparkEntry {
     //     carrying one (ts, click_id) pair per user — O(keys) state.
     //     Same sweep algorithm ⇒ same result ⇒ same ASOF oracle.
     "streaming_asof" -> ((s, d) => StreamingIngest.streamingAsOf(s, d)),
+
+    // --- the staleness-bounded as-of (AsOf tolerance): matches older
+    //     than 6 h are nulled. At sf0.01 the corpus splits into all
+    //     three contract classes — ~209 in-tolerance matches, ~1629
+    //     stale-nulled, ~143 never-matched — so the gate exercises the
+    //     whole bound, not just the happy path (oracle: DuckDB ASOF
+    //     LEFT JOIN + post-join CASE).
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts_us",
+          tolerance = Some(21600000000L)) // 6 h in µs
+        .withColumn("gap_us", col("ts_us") - col("asof_ts_us"))
+    }),
 
     // --- monster-key mitigation AS CODE: partition on (user, day)
     //     with bucket seeds restoring the carry — result-equal to
@@ -802,10 +822,10 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       e.select(col("vec_id"),
         size(col("emb")).cast("bigint").as("dim"),
-        round(element_at(col("emb"), 1), 6).as("first_val"),
-        round(sqrt(aggregate(transform(col("emb"), x => x * x),
+        fx(element_at(col("emb"), 1), 6).as("first_val"),
+        fx(sqrt(aggregate(transform(col("emb"), x => x * x),
           lit(0.0), (a, x) => a + x)), 6).as("l2_norm"),
-        round(aggregate(col("emb"), lit(0.0), (a, x) => a + x) /
+        fx(aggregate(col("emb"), lit(0.0), (a, x) => a + x) /
           size(col("emb")).cast("double"), 6).as("mean_val"))
     }),
 
@@ -982,6 +1002,31 @@ object SparkEntry {
     "agg_salted_count" -> ((s, d) =>
       graft.ops.Salting.saltedCount(T(s, d, "lineitem"), Seq("l_returnflag"))),
 
+    // --- deterministic hash-priority sampling (ops/Sampling.scala):
+    //     min-k order statistics of md5 priorities — a mergeable,
+    //     RNG-free uniform sample; plan is ONE TakeOrderedAndProject
+    "sample_priority_topk" -> ((s, d) =>
+      graft.ops.Sampling.prioritySample(T(s, d, "documents"), k = 100)),
+
+    // --- exact per-source quotas by the same priority — one window
+    //     per stratum, full order statistic in the gate hash
+    "sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedSample(T(s, d, "documents"), quota = 50)),
+
+    // --- sketch-only set algebra: |A|, |B|, |A∪B| (register max-merge)
+    //     and |A∩B| (inclusion-exclusion) over two overlapping key
+    //     sets, all through the integer est_centi path
+    "agg_hll_set_algebra" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val v = concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))
+      graft.ops.Sketch.hllSetAlgebra(
+        graft.ops.Sketch.hllRegisters(
+          li.where(col("l_linenumber") <= 4), v, lit("A")),
+        graft.ops.Sketch.hllRegisters(
+          li.where(col("l_linenumber") >= 2), v, lit("B")))
+    }),
+
     // --- HLL cardinality sketch (approx_count_distinct). Estimates are
     //     engine-specific → no SQL oracle; rows-only check + a spec
     //     asserting ≤5% error vs exact. The hash-gated twin is
@@ -1025,6 +1070,13 @@ object SparkEntry {
       graft.ops.Sketch.histQuantiles(
         h.unionByName(graft.ops.Sketch.histMerged(h)))
     }),
+
+    // --- streaming sketch twins (VERDICT r7 #7): CMS cells (+) and
+    //     Bloom words (OR) maintained as complete-mode stream state,
+    //     like streaming_hll_registers — state bounded at the sketch
+    //     table size; oracle = batch replay, so stream == batch by hash
+    "streaming_cms_cells" -> ((s, d) => StreamingIngest.cmsCells(s, d)),
+    "streaming_bloom_words" -> ((s, d) => StreamingIngest.bloomWords(s, d)),
 
     // --- Bloom membership filter: per-source bit tables over the even
     //     docs' content hashes + the OR-merged ALL rows — the third
@@ -1363,8 +1415,8 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
-        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+        |  floor(quantile_cont(l_quantity, 0.5) * 1e6 + 0.5) / 1e6 AS median_qty,
+        |  floor(quantile_cont(l_quantity, 0.95) * 1e6 + 0.5) / 1e6 AS p95_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "window_lead_lag" ->
       """SELECT event_id, user_id,
@@ -1459,9 +1511,24 @@ object SparkEntry {
          |SELECT doc_id, bk FROM bands""".stripMargin,
     "agg_hll_registers" -> hllRegistersOracleSql,
     "agg_hll_distinct" -> hllDistinctOracleSql,
+    "agg_hll_set_algebra" -> hllSetAlgebraOracleSql,
+    "sample_priority_topk" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substr(md5('sample1' || doc_id), 1, 15))::BIGINT AS priority
+        |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+    "sample_stratified" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5('strat1' || doc_id), 1, 15))::BIGINT AS priority
+        |  FROM documents),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY source ORDER BY priority, doc_id) AS pick FROM p)
+        |SELECT doc_id, source, priority, pick FROM r WHERE pick <= 50""".stripMargin,
     "text_cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
     "dedup_bloom_filter" -> bloomFilterOracleSql,
     "dedup_bloom_screen" -> bloomScreenOracleSql,
+    // integer per-cent quantiles, micro-unit integer estimates — the
+    // whole interpolation replays in HUGEINT (no round(double, n) for
+    // the engines to disagree on; see Sketch.histQuantiles)
     "agg_hist_quantiles" ->
       """WITH h AS (SELECT l_returnflag AS shard,
         |    floor(l_extendedprice / 64.0)::BIGINT AS bin, count(*) AS cnt
@@ -1473,13 +1540,13 @@ object SparkEntry {
         |    sum(cnt) OVER (PARTITION BY shard ORDER BY bin) AS cum,
         |    sum(cnt) OVER (PARTITION BY shard) AS n
         |  FROM allh),
-        |qv AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
-        |p AS (SELECT shard, q, min(bin) AS bin
-        |  FROM c, qv WHERE cum::DOUBLE >= q * n::DOUBLE GROUP BY shard, q)
-        |SELECT p.shard, p.q, c.n,
-        |  round(p.bin::DOUBLE * 64.0 + 64.0 *
-        |        (p.q * c.n::DOUBLE - (c.cum - c.cnt)::DOUBLE) / c.cnt::DOUBLE,
-        |        6) AS est
+        |qv AS (SELECT unnest([50, 90, 99]) AS q_pct),
+        |p AS (SELECT shard, q_pct, min(bin) AS bin
+        |  FROM c, qv WHERE cum * 100 >= q_pct * n GROUP BY shard, q_pct)
+        |SELECT p.shard, p.q_pct, c.n,
+        |  (((p.bin * 64 * c.cnt * 100
+        |     + 64 * (p.q_pct * c.n - 100 * (c.cum - c.cnt)))::HUGEINT
+        |    * 1000000) // (100 * c.cnt)::HUGEINT)::BIGINT AS est_micro
         |FROM p JOIN c ON c.shard = p.shard AND c.bin = p.bin""".stripMargin,
     "streaming_hll_registers" ->
       """WITH v AS (SELECT event_type AS shard, md5(user_id::VARCHAR) AS h
@@ -1491,6 +1558,23 @@ object SparkEntry {
         |  FROM v)
         |SELECT shard, bucket, max(rank) AS max_rank
         |FROM br GROUP BY shard, bucket""".stripMargin,
+    // streaming sketch twins: oracle = the batch build (stream == batch)
+    "streaming_cms_cells" ->
+      """WITH toks AS (
+        |  SELECT tok FROM documents,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(tok)
+        |  WHERE tok != '')
+        |SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 8))::BIGINT
+        |         % 1024 AS cell, count(*) AS cnt
+        |FROM toks, range(4) AS r(j) GROUP BY j, cell""".stripMargin,
+    "streaming_bloom_words" ->
+      """WITH bpos AS (SELECT source AS shard,
+        |  ('0x' || substr(md5(r.j::VARCHAR || ':' || md5(text)), 1, 8))::BIGINT
+        |    % 65536 AS pos
+        |  FROM documents, range(4) AS r(j))
+        |SELECT shard, pos // 63 AS word,
+        |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+        |FROM bpos GROUP BY shard, word""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
     "dedup_containment" -> ngramContainmentOracleSql,
     "dedup_jaccard_screened" -> screenedJaccardOracleSql,
@@ -1510,7 +1594,7 @@ object SparkEntry {
       """WITH c AS (SELECT source, count(*) AS n_source FROM documents
         |           GROUP BY source)
         |SELECT doc_id, source, n_source,
-        |  round(least(1.0, 10.0 / sqrt(n_source)), 6) AS p_keep
+        |  floor(least(1.0, 10.0 / sqrt(n_source)) * 1e6 + 0.5) / 1e6 AS p_keep
         |FROM documents JOIN c USING (source)
         |WHERE ('0x' || substr(md5('temp1' || doc_id), 1, 8))::BIGINT % 10000 <
         |  least(1.0, 10.0 / sqrt(n_source)) * 10000""".stripMargin,
@@ -1539,7 +1623,7 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         |  FROM chunks JOIN f USING (ch) GROUP BY doc_id)
         |SELECT doc_id, n_chunks, n_dup_chunks,
-        |  round(n_dup_chunks::DOUBLE / n_chunks::DOUBLE, 6) AS dup_chunk_frac
+        |  floor(n_dup_chunks::DOUBLE / n_chunks::DOUBLE * 1e6 + 0.5) / 1e6 AS dup_chunk_frac
         |FROM per""".stripMargin,
     "dedup_cdc_chunks" -> cdcChunkOracleSql,
     "dedup_cross_source" ->
@@ -1569,9 +1653,9 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
         |p AS (SELECT qid, vec_id AS nn_id,
-        |  round(list_sum(list_transform(list_zip(qe, emb), t -> t[1]*t[2])) /
+        |  floor(list_sum(list_transform(list_zip(qe, emb), t -> t[1]*t[2])) /
         |    (sqrt(list_sum(list_transform(qe, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(emb, x -> x*x)))), 6) AS cos
+        |     sqrt(list_sum(list_transform(emb, x -> x*x)))) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM q, e WHERE qid != vec_id)
         |SELECT qid, nn_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
@@ -1583,9 +1667,9 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         |           WHERE len(embedding) BETWEEN 1 AND 64)
         |SELECT vec_id, CAST(j.j AS INT) AS dim,
-        |  round(list_sum(list_transform(range(1, len(emb)+1),
+        |  floor(list_sum(list_transform(range(1, len(emb)+1),
         |    i -> emb[i] * (CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || (i-1)), 1, 1))::INT % 2 = 0
-        |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)), 6) AS v
+        |                   THEN 1.0 ELSE -1.0 END))) * (1.0/sqrt(8)) * 1e6 + 0.5) / 1e6 AS v
         |FROM e, generate_series(0, 7) AS j(j)""".stripMargin,
     // 1-based inclusive slices on both sides; exact integer chunk count
     "text_chunk_windows" ->
@@ -1607,7 +1691,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
         |  CAST(count(DISTINCT h.h) AS BIGINT) AS n_distinct_texts,
-        |  round(CAST(sum(toks) AS DOUBLE) / count(*), 2) AS avg_tokens
+        |  floor(CAST(sum(toks) AS DOUBLE) / count(*) * 1e2 + 0.5) / 1e2 AS avg_tokens
         |FROM h JOIN c USING (h)
         |GROUP BY ROLLUP(source)""".stripMargin,
     // codes replayed in closed form; md5 over the comma-joined array
@@ -1617,11 +1701,11 @@ object SparkEntry {
         |           WHERE len(embedding) >= 1),
         |s AS (SELECT vec_id, emb, list_min(emb) AS lo, list_max(emb) AS hi FROM e),
         |q AS (SELECT vec_id, lo, hi,
-        |  list_transform(emb, x -> CAST(round(
-        |    CASE WHEN hi > lo THEN (x - lo) * 255.0 / (hi - lo) ELSE 0.0 END, 0) AS INT)) AS codes
+        |  list_transform(emb, x -> CAST(floor(
+        |    (CASE WHEN hi > lo THEN (x - lo) * 255.0 / (hi - lo) ELSE 0.0 END) + 0.5) AS INT)) AS codes
         |  FROM s)
-        |SELECT vec_id, round(lo, 6) AS offset6,
-        |  round(CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END, 6) AS scale6,
+        |SELECT vec_id, floor(lo * 1e6 + 0.5) / 1e6 AS offset6,
+        |  floor((CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS scale6,
         |  md5(array_to_string(codes, ',')) AS codes_md5,
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum
         |FROM q""".stripMargin,
@@ -1649,9 +1733,9 @@ object SparkEntry {
         |  FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id < 10),
         |p AS (SELECT qid, vec_id AS nn_id,
-        |  round(list_sum(list_transform(list_zip(qe, emb), t -> t[1]*t[2])) /
+        |  floor(list_sum(list_transform(list_zip(qe, emb), t -> t[1]*t[2])) /
         |    (sqrt(list_sum(list_transform(qe, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(emb, x -> x*x)))), 6) AS cos
+        |     sqrt(list_sum(list_transform(emb, x -> x*x)))) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM q JOIN e USING (bucket) WHERE qid != vec_id)
         |SELECT qid, nn_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
@@ -1670,8 +1754,8 @@ object SparkEntry {
         |  len(list_distinct(string_split(text,' ')))::BIGINT AS n_distinct,
         |  CAST(ceil(length(text)::DOUBLE / 4) AS BIGINT) AS n_subwords_est,
         |  len(regexp_extract_all(text, '[a-zA-Z]{1,4}'))::BIGINT AS n_subwords_re,
-        |  round(len(list_distinct(string_split(text,' ')))::DOUBLE /
-        |        len(string_split(text,' '))::DOUBLE, 6) AS ttr
+        |  floor(len(list_distinct(string_split(text,' ')))::DOUBLE /
+        |        len(string_split(text,' '))::DOUBLE * 1e6 + 0.5) / 1e6 AS ttr
         |FROM documents""".stripMargin,
     "text_fingerprint" ->
       s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
@@ -1684,16 +1768,19 @@ object SparkEntry {
          |  ELSE NULL END AS rolling_min_hash,
          |  length(text)::BIGINT AS n_chars_actual
          |FROM base""".stripMargin,
-    // per-token log-prob rounded to 6 dp first (pure scalar), then summed
-    // as DECIMAL — order-independent, so both engines aggregate exactly
+    // per-token log-prob pinned to 6 dp first (pure scalar, portable
+    // floor-scale), then summed as DECIMAL — order-independent, so both
+    // engines aggregate exactly
     "text_unigram_logprob" ->
       """WITH terms AS (SELECT doc_id, t.u AS term
         |    FROM documents, unnest(string_split(text,' ')) AS t(u)),
         |n AS (SELECT count(*)::DOUBLE AS total FROM terms),
         |uni AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
-        |lp AS (SELECT doc_id, CAST(round(ln(cnt::DOUBLE / total), 6) AS DECIMAL(18,6)) AS lp
+        |lp AS (SELECT doc_id,
+        |         CAST(floor(ln(cnt::DOUBLE / total) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS lp
         |       FROM terms JOIN uni USING (term) CROSS JOIN n)
-        |SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob,
+        |SELECT doc_id,
+        |       floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS logprob,
         |       count(*)::BIGINT AS n_tokens
         |FROM lp GROUP BY doc_id""".stripMargin,
     "text_bigram_logprob" ->
@@ -1704,9 +1791,12 @@ object SparkEntry {
         |pair AS (SELECT prev, term, count(*) AS cpair FROM big GROUP BY prev, term),
         |v AS (SELECT count(DISTINCT t.u)::DOUBLE AS vocab
         |      FROM documents, unnest(string_split(text,' ')) AS t(u)),
-        |lp AS (SELECT doc_id, CAST(round(ln((cpair + 1)::DOUBLE / (cctx + vocab)), 6) AS DECIMAL(18,6)) AS lp
+        |lp AS (SELECT doc_id,
+        |         CAST(floor(ln((cpair + 1)::DOUBLE / (cctx + vocab)) * 1e6 + 0.5) / 1e6
+        |              AS DECIMAL(18,6)) AS lp
         |       FROM big JOIN pair USING (prev, term) JOIN ctx USING (prev) CROSS JOIN v)
-        |SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logprob,
+        |SELECT doc_id,
+        |       floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS logprob,
         |       count(*)::BIGINT AS n_bigrams
         |FROM lp GROUP BY doc_id""".stripMargin,
     // pair counts are weighted by word-occurrence count (classic BPE);
@@ -1733,16 +1823,16 @@ object SparkEntry {
         |dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
         |n AS (SELECT count(*)::DOUBLE AS corpus_n FROM documents),
         |s AS (SELECT tf.doc_id, tf.term,
-        |    round((occ::DOUBLE / len::DOUBLE) * ln(corpus_n / dfq::DOUBLE), 4) AS tfidf
+        |    floor((occ::DOUBLE / len::DOUBLE) * ln(corpus_n / dfq::DOUBLE) * 1e4 + 0.5) / 1e4 AS tfidf
         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tfidf FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
         |  FROM s) WHERE rn <= 5""".stripMargin,
     "array_stats" ->
       """SELECT vec_id, len(embedding)::BIGINT AS dim,
-        |  round(embedding[1]::DOUBLE, 6) AS first_val,
-        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2_norm,
-        |  round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val
+        |  floor(embedding[1]::DOUBLE * 1e6 + 0.5) / 1e6 AS first_val,
+        |  floor(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) * 1e6 + 0.5) / 1e6 AS l2_norm,
+        |  floor(list_sum(embedding::DOUBLE[]) / len(embedding) * 1e6 + 0.5) / 1e6 AS mean_val
         |FROM embeddings""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
@@ -1761,8 +1851,8 @@ object SparkEntry {
     "window_ntile" ->
       """SELECT c_custkey, c_acctbal,
         |  ntile(4) OVER w AS tile,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd
+        |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+        |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin,
     "join_bucketed_colocated" ->
@@ -1778,6 +1868,18 @@ object SparkEntry {
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F')""".stripMargin,
     "join_asof" -> asofOracleSql,
+    // staleness bound as the post-join CASE the AsOf scaladoc sketches
+    "join_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+        |  CASE WHEN r.ts_us >= l.ts_us - 21600000000 THEN r.ts_us END AS asof_ts_us,
+        |  CASE WHEN r.ts_us >= l.ts_us - 21600000000 THEN r.click_id END AS asof_click_id,
+        |  CASE WHEN r.ts_us >= l.ts_us - 21600000000 THEN l.ts_us - r.ts_us END AS gap_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
     // the streaming twin runs the same sweep ⇒ the same oracle; the
     // bucketed variant is result-equal by construction ⇒ same again
     "streaming_asof" -> asofOracleSql,
@@ -1939,7 +2041,7 @@ object SparkEntry {
         |c AS (SELECT doc_id, source, n_tokens,
         |    cume_dist() OVER (PARTITION BY source ORDER BY n_tokens) AS pct
         |  FROM t)
-        |SELECT doc_id, source, n_tokens, round(pct, 6) AS pct
+        |SELECT doc_id, source, n_tokens, floor(pct * 1e6 + 0.5) / 1e6 AS pct
         |FROM c WHERE pct > 0.05 AND pct <= 0.95""".stripMargin,
     // same closed-form move for the WAV fixtures (Multimodal.syntheticWav)
     "multimodal_audio" ->
@@ -2045,13 +2147,13 @@ object SparkEntry {
         |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(y)
         |  WHERE x.a < y.y)
         |SELECT vec_a, vec_b,
-        |  round(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
+        |  floor(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
         |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))), 6) AS cos
+        |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))) * 1e6 + 0.5) / 1e6 AS cos
         |FROM cand JOIN b a ON vec_a = a.vec_id JOIN b c ON vec_b = c.vec_id
-        |WHERE round(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
+        |WHERE floor(list_sum(list_transform(list_zip(a.emb, c.emb), t -> t[1]*t[2])) /
         |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))), 6) >= 0.25""".stripMargin,
+        |     sqrt(list_sum(list_transform(c.emb, x -> x*x)))) * 1e6 + 0.5) / 1e6 >= 0.25""".stripMargin,
     "dedup_near_keep" ->
       s"""WITH pairs AS (${minhashOracleSql.replace("\n", "\n  ")})
          |SELECT doc_id FROM documents
@@ -2091,12 +2193,13 @@ object SparkEntry {
   private def repetitionOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
-      |    round(1.0 - len(list_distinct(w)) / len(w), 6) AS dup_word_frac
+      |    floor((1.0 - len(list_distinct(w)) / len(w)) * 1e6 + 0.5) / 1e6 AS dup_word_frac
       |  FROM w),
       |bg AS (SELECT doc_id, (len(w) - 1)::BIGINT AS n_bigrams,
       |    array_to_string(list_slice(w, i.i, i.i + 1), ' ') AS bg
       |  FROM w, unnest(range(1, len(w))) AS i(i)),
-      |top AS (SELECT doc_id, round(max(c) / any_value(n_bigrams), 6) AS top_bigram_frac
+      |top AS (SELECT doc_id,
+      |    floor(max(c) / any_value(n_bigrams) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
       |  FROM (SELECT doc_id, n_bigrams, bg, count(*) AS c
       |        FROM bg GROUP BY 1, 2, 3)
       |  GROUP BY doc_id)
@@ -2112,7 +2215,7 @@ object SparkEntry {
       |      - 1024 AS iw
       |  FROM toks)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  round(CAST(sum(iw) AS DOUBLE) / (count(*)::DOUBLE * 1024), 6) AS score,
+      |  floor(CAST(sum(iw) AS DOUBLE) / (count(*)::DOUBLE * 1024) * 1e6 + 0.5) / 1e6 AS score,
       |  CASE WHEN CAST(sum(iw) AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
       |FROM iw GROUP BY doc_id""".stripMargin
 
@@ -2174,8 +2277,8 @@ object SparkEntry {
        |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
        |  WHERE x.a < y.b),
        |conf AS (SELECT doc_a, doc_b,
-       |    round(len(list_intersect(x.s, y.s))::DOUBLE /
-       |          len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 6) AS jaccard
+       |    floor(len(list_intersect(x.s, y.s))::DOUBLE /
+       |          len(list_distinct(list_concat(x.s, y.s)))::DOUBLE * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM cand JOIN shf x ON doc_a = x.doc_id JOIN shf y ON doc_b = y.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM conf WHERE jaccard >= 0.5""".stripMargin
 
@@ -2191,8 +2294,8 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT batch_id, x.cid AS corpus_id
        |  FROM bb JOIN cb USING (bk), unnest(ids) AS x(cid)),
        |conf AS (SELECT batch_id, corpus_id,
-       |    round(len(list_intersect(y.s, x.s))::DOUBLE /
-       |          len(list_distinct(list_concat(y.s, x.s)))::DOUBLE, 6) AS jaccard
+       |    floor(len(list_intersect(y.s, x.s))::DOUBLE /
+       |          len(list_distinct(list_concat(y.s, x.s)))::DOUBLE * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM cand JOIN shf y ON batch_id = y.doc_id
        |    JOIN shf x ON corpus_id = x.doc_id)""".stripMargin
 
@@ -2221,9 +2324,9 @@ object SparkEntry {
        |WHERE b.doc_id % 10 != 0""".stripMargin
 
   private def cosSql(a: String, b: String): String =
-    s"round(list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2])) / " +
+    s"floor(list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2])) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
-      s"sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
+      s"sqrt(list_sum(list_transform($b, x -> x*x)))) * 1e6 + 0.5) / 1e6"
 
   /** IVF oracle: same deterministic centroid/assignment/probe pipeline
     * (constants match Similarity.ivfTopK — 16 cells, 2 probes, k=3,
@@ -2248,11 +2351,13 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
        |  FROM p) WHERE rn <= 3""".stripMargin
 
-  /** Rounded squared-L2 for the Lloyd's oracle (same 6-dp pin as the
-    * Spark side's `trainCentroids(scale = Some(6))`). */
+  /** 6-dp-pinned squared-L2 for the Lloyd's oracle (the same portable
+    * floor-scale primitive sequence as the Spark side's
+    * `trainCentroids(scale = Some(6))` — `Portable.fx`, not `round`,
+    * which is engine-divergent on boundary values). */
   private def sqSql(a: String, b: String): String =
-    s"round(list_sum(list_transform(list_zip($a, $b), " +
-      s"t -> (t[1]-t[2])*(t[1]-t[2]))), 6)"
+    s"floor(list_sum(list_transform(list_zip($a, $b), " +
+      s"t -> (t[1]-t[2])*(t[1]-t[2]))) * 1e6 + 0.5) / 1e6"
 
   /** One Lloyd's round in DuckDB: assign to nearest centroid (rounded
     * distance, cid tie-break), elementwise rounded means per cell, empty
@@ -2267,7 +2372,7 @@ object SparkEntry {
        |        ORDER BY ${sqSql(s"$src.emb", s"$prev.ce")}, $prev.cid) AS rn
        |    FROM $src, $prev) WHERE rn = 1),
        |$m AS (SELECT cell AS cid, list(m ORDER BY pos) AS ce FROM (
-       |    SELECT cell, pos, round(avg(v), 6) AS m FROM (
+       |    SELECT cell, pos, floor(avg(v) * 1e6 + 0.5) / 1e6 AS m FROM (
        |      SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM $a)
        |    GROUP BY cell, pos) GROUP BY cell),
        |$c AS (SELECT $prev.cid, coalesce($m.ce, $prev.ce) AS ce
@@ -2363,7 +2468,7 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
        |  FROM adc) WHERE rn <= 9),
        |rr AS (SELECT s.qid, s.nn_id,
-       |    round(${sqSql("qe.emb", "ne.emb")}, 6) AS dist
+       |    ${sqSql("qe.emb", "ne.emb")} AS dist
        |  FROM screen s JOIN e qe ON qe.vec_id = s.qid
        |    JOIN e ne ON ne.vec_id = s.nn_id)
        |SELECT qid, nn_id, dist FROM (
@@ -2409,7 +2514,8 @@ object SparkEntry {
        |  FROM sub s JOIN cb ON s.j = cb.j WHERE s.vec_id < 10),
        |cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (cell)
        |  WHERE p.qid != a.vec_id),
-       |adc AS (SELECT c.qid, c.vec_id AS nn_id, round(sum(dt.dsub), 6) AS adc
+       |adc AS (SELECT c.qid, c.vec_id AS nn_id,
+       |    CAST(sum(CAST(dt.dsub AS DECIMAL(18,6))) AS DOUBLE) AS adc
        |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
        |    JOIN dt ON dt.qid = c.qid AND dt.j = k.j AND dt.code = k.code
        |  GROUP BY 1, 2)""".stripMargin
@@ -2439,7 +2545,7 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
        |  FROM chunks JOIN f USING (ch) GROUP BY doc_id)
        |SELECT doc_id, n_chunks, n_dup_chunks,
-       |  round(n_dup_chunks::DOUBLE / n_chunks::DOUBLE, 6) AS dup_chunk_frac
+       |  floor(n_dup_chunks::DOUBLE / n_chunks::DOUBLE * 1e6 + 0.5) / 1e6 AS dup_chunk_frac
        |FROM per""".stripMargin
 
   /** Distinct md5'd word-3-gram shingles per document (the inverted
@@ -2461,7 +2567,7 @@ object SparkEntry {
        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |j AS (SELECT doc_a, doc_b, common,
-       |    round(common / (sa + sb - common), 6) AS jaccard
+       |    floor(common / (sa + sb - common) * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM (SELECT c.*, s1.sz AS sa, s2.sz AS sb FROM common c
        |    JOIN sizes s1 ON c.doc_a = s1.doc_id
        |    JOIN sizes s2 ON c.doc_b = s2.doc_id))
@@ -2483,7 +2589,7 @@ object SparkEntry {
        |d AS (SELECT
        |    CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS contained_id,
        |    CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS container_id,
-       |    common, round(common / least(sa, sb), 6) AS containment
+       |    common, floor(common / least(sa, sb) * 1e6 + 0.5) / 1e6 AS containment
        |  FROM (SELECT c.*, s1.sz AS sa, s2.sz AS sb FROM common c
        |    JOIN sizes s1 ON c.doc_a = s1.doc_id
        |    JOIN sizes s2 ON c.doc_b = s2.doc_id))
@@ -2526,7 +2632,7 @@ object SparkEntry {
   private def screenedJaccardOracleSql: String =
     s"""WITH $screenedCommonCte,
        |j AS (SELECT doc_a, doc_b, common,
-       |    round(common / (sa + sb - common), 6) AS jaccard FROM common)
+       |    floor(common / (sa + sb - common) * 1e6 + 0.5) / 1e6 AS jaccard FROM common)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b, jaccard, row_number() OVER (
        |      PARTITION BY doc_a ORDER BY common DESC, doc_b) AS rnk
@@ -2538,7 +2644,7 @@ object SparkEntry {
        |d AS (SELECT
        |    CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS contained_id,
        |    CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS container_id,
-       |    common, round(common / least(sa, sb), 6) AS containment
+       |    common, floor(common / least(sa, sb) * 1e6 + 0.5) / 1e6 AS containment
        |  FROM common)
        |SELECT contained_id, container_id, containment FROM (
        |  SELECT contained_id, container_id, containment, row_number() OVER (
@@ -2707,12 +2813,12 @@ object SparkEntry {
     val stop = Seq("the", "and", "a", "of", "to", "is")
       .map(w => s"len(list_filter(string_split(text, ' '), x -> x = '$w'))")
       .mkString(" + ")
-    s"""SELECT doc_id, round(
+    s"""SELECT doc_id, floor((
        |  least(len(string_split(text, ' '))::DOUBLE / 50, 1.0) * 0.5 +
        |  least(((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE /
        |         len(string_split(text, ' '))::DOUBLE) / 6, 1.0) * 0.3 +
-       |  least(($stop)::DOUBLE / len(string_split(text, ' '))::DOUBLE * 5, 1.0) * 0.2,
-       |  6) AS quality
+       |  least(($stop)::DOUBLE / len(string_split(text, ' '))::DOUBLE * 5, 1.0) * 0.2
+       |  ) * 1e6 + 0.5) / 1e6 AS quality
        |FROM documents""".stripMargin
   }
 
@@ -2738,8 +2844,10 @@ object SparkEntry {
 
   // register sums are integer-exact (1 << (61-rank), summed as DECIMAL —
   // order-independent); widths stay ≤ DECIMAL(26,0) because DuckDB cannot
-  // even add two (38,0) operands. The only float steps are the final
-  // division and round(_, 2), both IEEE-deterministic across engines.
+  // even add two (38,0) operands. The estimate is pure integer division
+  // of the pinned α·m²·2^61·10² constant (Sketch.HllEstC, interpolated
+  // verbatim below) — NO floats anywhere: a final round(double, 2) here
+  // failed the r7 gate because Spark and DuckDB round doubles differently.
   private def hllDistinctOracleSql: String =
     s"""WITH $hllRegistersCte,
        |allregs AS (
@@ -2756,9 +2864,50 @@ object SparkEntry {
        |  )::DECIMAL(25,0) AS s_prime
        |  FROM est)
        |SELECT shard, buckets_hit, s_prime,
-       |  round(0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-       |        * (1::BIGINT << 61)::DOUBLE / s_prime::DOUBLE, 2) AS est_raw
+       |  ('${graft.ops.Sketch.HllEstC}'::HUGEINT // s_prime::HUGEINT)::BIGINT
+       |    AS est_centi
        |FROM est2""".stripMargin
+
+  /** HLL set algebra oracle: per-set registers over the overlapping
+    * key sets (l_linenumber ≤ 4 / ≥ 2), max-merge union, integer
+    * est_centi via the pinned constant, inclusion-exclusion pivot. */
+  private def hllSetAlgebraOracleSql: String =
+    s"""WITH v AS (SELECT l_linenumber,
+       |  md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) AS h
+       |  FROM lineitem),
+       |br AS (SELECT l_linenumber,
+       |  ('0x' || substr(h, 1, 3))::BIGINT AS bucket,
+       |  CASE WHEN ('0x' || substr(h, 4, 15))::BIGINT = 0 THEN 61
+       |       ELSE 61 - length(bin(('0x' || substr(h, 4, 15))::BIGINT)) END AS rank
+       |  FROM v),
+       |ra AS (SELECT bucket, max(rank) AS max_rank FROM br
+       |       WHERE l_linenumber <= 4 GROUP BY bucket),
+       |rb AS (SELECT bucket, max(rank) AS max_rank FROM br
+       |       WHERE l_linenumber >= 2 GROUP BY bucket),
+       |allr AS (
+       |  SELECT 'A' AS set_expr, bucket, max_rank FROM ra
+       |  UNION ALL SELECT 'B', bucket, max_rank FROM rb
+       |  UNION ALL SELECT 'A_union_B', bucket, max(max_rank) FROM (
+       |    SELECT bucket, max_rank FROM ra
+       |    UNION ALL SELECT bucket, max_rank FROM rb) GROUP BY bucket),
+       |est AS (SELECT set_expr, count(*) AS buckets_hit,
+       |  (sum(((1::BIGINT) << (61 - max_rank))::DECIMAL(25,0)))::DECIMAL(25,0) AS s_hit
+       |  FROM allr GROUP BY set_expr),
+       |est2 AS (SELECT set_expr,
+       |  (s_hit + ((4096 - buckets_hit)::DECIMAL(10,0)
+       |            * (1::BIGINT << 61)::DECIMAL(20,0))::DECIMAL(25,0)
+       |  )::DECIMAL(25,0) AS s_prime
+       |  FROM est),
+       |e AS (SELECT set_expr,
+       |  ('${graft.ops.Sketch.HllEstC}'::HUGEINT // s_prime::HUGEINT)::BIGINT
+       |    AS est_centi FROM est2)
+       |SELECT set_expr, est_centi FROM e
+       |UNION ALL
+       |SELECT 'A_intersect_B',
+       |  greatest(max(CASE WHEN set_expr = 'A' THEN est_centi END)
+       |         + max(CASE WHEN set_expr = 'B' THEN est_centi END)
+       |         - max(CASE WHEN set_expr = 'A_union_B' THEN est_centi END),
+       |    0) FROM e""".stripMargin
 
   // Bloom: 63 payload bits per word (bit 63 would go negative and
   // engines disagree about 1<<63 overflow); pos = md5(j:md5(text)) %

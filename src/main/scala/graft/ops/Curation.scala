@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Training-data curation operators beyond the dedup/ANN families:
   * exact n-gram Jaccard similarity, benchmark-contamination checks, PII
   * redaction, and sequence packing. All formulas stay portable (array
-  * lambdas, md5 shingles, RE2-safe regexes, exact ratios rounded to
-  * 6 dp) so the DuckDB oracle reproduces them bit-for-bit.
+  * lambdas, md5 shingles, RE2-safe regexes, exact ratios pinned to
+  * 6 dp via [[graft.functions.Portable.fx]] — `round` is engine-
+  * divergent) so the DuckDB oracle reproduces them bit-for-bit.
   *
   * Scale shapes: the Jaccard and contamination ops are inverted-index
   * joins on shingle hashes (equi-join, no cartesian) with a document-
@@ -17,6 +18,8 @@ import org.apache.spark.sql.functions._
   * key for the window).
   */
 object Curation {
+
+  import graft.functions.Portable.fx
 
   private def words: Column = split(col("text"), " ")
 
@@ -75,14 +78,15 @@ object Curation {
     * [[graft.ops.Dedup.minhashLsh]], which estimates this same
     * similarity with a linear-ish plan. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                        dfCap: Int = 256, candCap: Int = 64): DataFrame = {
-    val common = sharedShinglePairs(docs, n, dfCap)
+                        dfCap: Int = 256, candCap: Int = 64,
+                        maxPairs: Long = DefaultMaxPairs): DataFrame = {
+    val common = sharedShinglePairs(docs, n, dfCap, maxPairs)
     // per-doc result cap — only threshold-passing pairs reach this
     // window, so the sort is over the (small) result set
     val wCand = Window.partitionBy(col("doc_a"))
       .orderBy(col("common").desc, col("doc_b"))
     common
-      .withColumn("jaccard", round(col("common").cast("double") /
+      .withColumn("jaccard", fx(col("common").cast("double") /
         (col("sa") + col("sb") - col("common")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .withColumn("rnk", row_number().over(wCand))
@@ -110,7 +114,14 @@ object Curation {
     * broadcasts at test scale and degrades to a shuffle join on a
     * corpus too big to broadcast, instead of hitting the 8 GB
     * broadcast hard limit). */
-  private def sharedShinglePairs(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
+  /** Default refusal bound for the exhaustive exact-pair ops: ~50M
+    * candidate rows (≈ a GB-scale shuffle) — generous for any corpus
+    * these precision tools should ever see, tiny next to what an
+    * unguarded Σ df² would happily try to materialize at 100×. */
+  val DefaultMaxPairs: Long = 50000000L
+
+  private def sharedShinglePairs(docs: DataFrame, n: Int, dfCap: Int,
+                                 maxPairs: Long = DefaultMaxPairs): DataFrame = {
     val ws = withWords(docs)
     // (doc_id, one row per shingle) — one explode
     val idx = ws.select(col("doc_id"),
@@ -119,6 +130,23 @@ object Curation {
     // part of the operator + oracle contract, as before
     val dfs = idx.groupBy("s").agg(count(lit(1)).as("df"))
     val rareIdx = idx.join(dfs.where(col("df") <= dfCap).select("s"), "s")
+    // Pre-flight refusal (VERDICT r7 #5): Σ df·(df−1)/2 over the rare
+    // universe upper-bounds the candidate pair stream, so check it
+    // BEFORE the quadratic expansion is ever paid for — one small
+    // explicit job over the shingle-frequency table (the same shape a
+    // production cost check runs; its cost is one df pass, re-run by
+    // the main query — trivial next to the Σ df² it protects against).
+    // An in-plan assert was tried first, but any guard joined on a
+    // constant key is folded/pushed by Catalyst into a nested-loop
+    // cross join, polluting an otherwise equi-join-only plan; the
+    // explicit action also surfaces the error unwrapped, at call time.
+    val estPairs = dfs.where(col("df") <= dfCap)
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L))).head.getLong(0)
+    require(estPairs <= maxPairs,
+      s"exact n-gram pair expansion refused: ~$estPairs candidate pairs > " +
+        s"maxPairs=$maxPairs; run the band-screened variant " +
+        "(screenedJaccardPairs / screenedContainmentPairs) or raise " +
+        "maxPairs explicitly")
     val a = rareIdx.select(col("doc_id").as("doc_a"), col("s"))
     val b = rareIdx.select(col("doc_id").as("doc_b"), col("s"))
     // sizes over the SAME rare universe the intersection counts
@@ -146,13 +174,14 @@ object Curation {
     * cap) and the same per-contained-doc result cap with an observable
     * drop counter. */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                            dfCap: Int = 256, candCap: Int = 64): DataFrame = {
-    val directed = sharedShinglePairs(docs, n, dfCap)
+                            dfCap: Int = 256, candCap: Int = 64,
+                            maxPairs: Long = DefaultMaxPairs): DataFrame = {
+    val directed = sharedShinglePairs(docs, n, dfCap, maxPairs)
       .withColumn("contained_id",
         when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")))
       .withColumn("container_id",
         when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")))
-      .withColumn("containment", round(col("common").cast("double") /
+      .withColumn("containment", fx(col("common").cast("double") /
         least(col("sa"), col("sb")).cast("double"), 6))
       .where(col("containment") >= threshold)
     val wCand = Window.partitionBy(col("contained_id"))
@@ -218,7 +247,7 @@ object Curation {
     val wCand = Window.partitionBy(col("doc_a"))
       .orderBy(col("common").desc, col("doc_b"))
     common
-      .withColumn("jaccard", round(col("common").cast("double") /
+      .withColumn("jaccard", fx(col("common").cast("double") /
         (col("sa") + col("sb") - col("common")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .withColumn("rnk", row_number().over(wCand))
@@ -245,7 +274,7 @@ object Curation {
         when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")))
       .withColumn("container_id",
         when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")))
-      .withColumn("containment", round(col("common").cast("double") /
+      .withColumn("containment", fx(col("common").cast("double") /
         least(col("sa"), col("sb")).cast("double"), 6))
       .where(col("containment") >= threshold)
     val wCand = Window.partitionBy(col("contained_id"))
@@ -307,7 +336,7 @@ object Curation {
     val w = docs.select(col("doc_id"), words.as("w")).repartition(parts)
     val base = w.select(col("doc_id"),
       size(col("w")).cast("bigint").as("n_words"),
-      round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+      fx(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
         size(col("w")).cast("double"), 6).as("dup_word_frac"))
     // single-word docs have NO bigrams: filter before the explode
     // (sequence(0, -1) would step backwards and index element 0), and
@@ -322,7 +351,7 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n_bigrams").agg(max(col("c")).as("top"))
       .select(col("doc_id"),
-        round(col("top").cast("double") / col("n_bigrams").cast("double"), 6)
+        fx(col("top").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("top_bigram_frac"))
     base.join(top, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
@@ -373,7 +402,7 @@ object Curation {
       .withColumn("pct", cume_dist().over(w))
       .where(col("pct") > lo && col("pct") <= hi)
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        round(col("pct"), 6).as("pct"))
+        fx(col("pct"), 6).as("pct"))
   }
 
   /** Size-aware temperature sampling — the Gopher/LLaMA-style mixing
@@ -403,7 +432,7 @@ object Curation {
       .withColumn("p_keep", least(lit(1.0), lit(c) / sqrt(col("n_source"))))
       .where(h < col("p_keep") * 10000)
       .select(col("doc_id"), col("source"), col("n_source"),
-        round(col("p_keep"), 6).as("p_keep"))
+        fx(col("p_keep"), 6).as("p_keep"))
   }
 
   /** Corpus snapshot diff — what changed between two crawls/ingests:
@@ -460,7 +489,7 @@ object Curation {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("cf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
-        round(col("n_dup_chunks").cast("double") /
+        fx(col("n_dup_chunks").cast("double") /
           col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
   }
 
@@ -502,7 +531,7 @@ object Curation {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("cf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
-        round(col("n_dup_chunks").cast("double") /
+        fx(col("n_dup_chunks").cast("double") /
           col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
   }
 
@@ -563,7 +592,7 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("iw")).as("sw"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sw").cast("double") /
+        fx(col("sw").cast("double") /
           (col("n_tokens").cast("double") * half), 6).as("score"),
         when(col("sw") > 0, 1).otherwise(0).as("keep"))
   }
@@ -696,7 +725,7 @@ object Curation {
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
         sum("toks").as("n_tokens"),
         countDistinct("h").as("n_distinct_texts"),
-        round(sum("toks").cast("double") / count(lit(1)), 2).as("avg_tokens"),
+        fx(sum("toks").cast("double") / count(lit(1)), 2).as("avg_tokens"),
         grouping(col("source")).as("g"))
       // grouping() distinguishes the grand-total row from a NULL source
       // GROUP (coalesce alone would conflate them into two '__all__'

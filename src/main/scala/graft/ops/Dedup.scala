@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  import graft.functions.Portable.fx
+
+
   /** (doc_id, shingle set) with the words array MATERIALIZED behind a
     * repartition boundary. Two reasons, both measured: (a) an inline
     * `split()` inside the transform lambda is re-evaluated per element
@@ -176,7 +179,7 @@ object Dedup {
     val sa = shc.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val sb = shc.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", fx(
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double"), 6))
       .where(col("jaccard") >= threshold)
@@ -301,7 +304,7 @@ object Dedup {
         Seq("doc_id"), "left_semi"), shingleLen)
       .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
     cand.join(shB, "batch_id").join(shC, "corpus_id")
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", fx(
         size(array_intersect(col("shb"), col("shc"))).cast("double") /
           size(array_union(col("shb"), col("shc"))).cast("double"), 6))
       .where(col("jaccard") >= threshold)

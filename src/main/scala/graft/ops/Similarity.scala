@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   * Cosine / squared-L2 are native codegen'd Catalyst expressions
   * ([[graft.functions.VecMath]]) that accumulate left-to-right — the
   * same sequential fold the DuckDB oracle's list arithmetic performs —
-  * and similarities are rounded to 6 dp so both engines land on the
-  * same values; ranking orders by the ROUNDED similarity with `vec_id`
-  * as tie-break, making top-k deterministic across engines.
+  * and similarities are pinned to 6 dp via the PORTABLE fixed-point
+  * [[graft.functions.Portable.fx]] (floor-scale, all exactly-rounded
+  * IEEE primitives) so both engines land on the same values —
+  * `round(x, 6)` is engine-divergent on boundary values, the r7 sketch-
+  * gate failure mode. Ranking orders by the PINNED similarity with
+  * `vec_id` as tie-break, making top-k deterministic across engines.
   */
 object Similarity {
 
+  import graft.functions.Portable.{fx, fxInt}
+
   private def cosine(a: Column, b: Column): Column =
-    round(graft.functions.VecMath.cosine(a, b), 6)
+    fx(graft.functions.VecMath.cosine(a, b), 6)
 
   /** Brute-force cosine top-k: the exact baseline. The (small) query set
     * is broadcast against the full collection — at 100 TB this is the
@@ -95,7 +100,7 @@ object Similarity {
 
   /** Scalar int8 quantization — the 4× memory lever for ANN at scale:
     * per-vector min/max affine mapping of each component into [0, 255]
-    * (`code = round((x - lo) · 255 / (hi - lo))`), stored as codes plus
+    * (`code = ⌊(x - lo)·255/(hi - lo) + ½⌋`, portable half-up), stored as codes plus
     * (offset, scale) so a scan dequantizes with one fused
     * multiply-add. Constant vectors (hi == lo) code to zeros with unit
     * scale. Pure closed-form arithmetic — the oracle replays it
@@ -117,11 +122,11 @@ object Similarity {
         val lo = s.getField("lo"); val hi = s.getField("hi")
         val span = hi > lo
         val codes = transform(col("emb"), x =>
-          round(when(span, (x - lo) * 255.0 / (hi - lo)).otherwise(0.0), 0)
+          fxInt(when(span, (x - lo) * 255.0 / (hi - lo)).otherwise(0.0))
             .cast("int"))
         element_at(transform(array(codes), cs =>
-          struct(round(lo, 6).as("offset6"),
-            round(when(span, (hi - lo) / 255.0).otherwise(1.0), 6).as("scale6"),
+          struct(fx(lo, 6).as("offset6"),
+            fx(when(span, (hi - lo) / 255.0).otherwise(1.0), 6).as("scale6"),
             md5(concat_ws(",", cs.cast("array<string>"))).as("codes_md5"),
             aggregate(cs, lit(0L), (a, x) => a + x.cast("long")).as("code_sum"))),
           1)
@@ -164,7 +169,7 @@ object Similarity {
       // into the gate as missing rows)
       val dot = graft.functions.VecMath.dot(col("emb"),
         slice(signs, lit(1), size(col("emb"))))
-      struct(lit(j).as("dim"), round(dot * invSqrtK, 6).as("v"))
+      struct(lit(j).as("dim"), fx(dot * invSqrtK, 6).as("v"))
     }
     // lower bound 1: an EMPTY vector would project to 0.0 here but NULL
     // in the oracle (list_sum over an empty list) — exclude it on both
@@ -191,11 +196,11 @@ object Similarity {
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2,
                      scale: Option[Int] = None,
                      initMaxId: Option[Long] = None): DataFrame = {
-    // `scale`: round assignment distances and per-dimension means to this
-    // many decimals — pins the trained quantizer bit-for-bit across
-    // engines (the oracle mirrors the same rounding), at a precision far
-    // below anything that moves a cluster. None = full double precision.
-    def r(c: Column): Column = scale.map(s => round(c, s)).getOrElse(c)
+    // `scale`: pin assignment distances and per-dimension means to this
+    // many decimals via the portable fixed-point (the oracle mirrors the
+    // same floor-scale primitive sequence), at a precision far below
+    // anything that moves a cluster. None = full double precision.
+    def r(c: Column): Column = scale.map(s => fx(c, s)).getOrElse(c)
     // the collection is scanned by every round's assignment join AND by
     // the convergence of the lazily-built lineage — cache it for the
     // duration of training
@@ -266,7 +271,7 @@ object Similarity {
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
     val assigned = e.join(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("cid"),
-        round(sqDist(col("emb"), col("ce")), 6).as("d"))
+        fx(sqDist(col("emb"), col("ce")), 6).as("d"))
       .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("cid").as("cell"))
     val b = assigned.select(col("cell"), col("vec_id").as("vid_b"),
@@ -357,9 +362,10 @@ object Similarity {
     *
     * Everything is deterministic so the DuckDB oracle replays it
     * bit-for-bit: coarse centroids are the `vec_id < nCells` vectors,
-    * all assignments use 6-dp-rounded squared L2 with centroid-id
+    * all assignments use 6-dp-pinned squared L2 with centroid-id
     * tie-break (the [[trainCentroids]] rule), codebooks are trained
-    * with `scale = Some(6)`, and the ADC sum is re-rounded to 6 dp.
+    * with `scale = Some(6)`, and the ADC sum runs in DECIMAL (order-
+    * independent — a double sum drifts in the last ulp with row order).
     * Output ranks ascending by ADC distance with `nn_id` tie-break.
     *
     * Scale shape: codebooks are m·ksub rows (broadcast); encoding is
@@ -371,7 +377,7 @@ object Similarity {
                 nCells: Int = 16, nProbe: Int = 2,
                 m: Int = 4, subDim: Int = 16, ksub: Int = 8,
                 subIters: Int = 2): DataFrame = {
-    def d6(a: Column, b: Column): Column = round(sqDist(a, b), 6)
+    def d6(a: Column, b: Column): Column = fx(sqDist(a, b), 6)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .where(size(col("emb")) === m * subDim)
     val cents = e.where(col("vec_id") < nCells)
@@ -429,7 +435,11 @@ object Similarity {
     cand.join(codes, "vec_id")
       .join(dtable, Seq("qid", "j", "code"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(round(sum(col("dsub")), 6).as("adc"))
+      // the m per-subspace distances are already 6-dp-pinned doubles;
+      // summing them as DOUBLE is row-order-dependent in the last ulp
+      // (measured: engines disagreed at the 6th decimal), so sum as
+      // DECIMAL — exact and order-independent — then cast back
+      .agg(sum(col("dsub").cast("decimal(18,6)")).cast("double").as("adc"))
       .select(col("qid"), col("vec_id").as("nn_id"), col("adc"))
       .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
       .select("qid", "nn_id", "adc")
@@ -459,7 +469,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("nn_id"), col("emb").as("ne")), "nn_id")
       .join(q, "qid")
       .select(col("qid"), col("nn_id"),
-        round(sqDist(col("qe"), col("ne")), 6).as("dist"))
+        fx(sqDist(col("qe"), col("ne")), 6).as("dist"))
       .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
       .select("qid", "nn_id", "dist")
   }

@@ -27,12 +27,18 @@ import org.apache.spark.sql.types.DecimalType
   *     sum would depend on partition iteration order, and a
   *     double→decimal cast rounds differently across engines (measured:
   *     Spark 1.15292150460684698e18 vs DuckDB ...976 for 2^60)
-  *   - the only floating-point steps are one exact-rounded division at
-  *     the very end plus `round(_, 2)` — IEEE-deterministic on both
-  *     engines; no `ln`/`exp` anywhere in the gated path (libm results
-  *     are not sworn identical across engines; the bias-corrected
-  *     estimator that needs `ln` lives in [[hllCorrected]] and is
-  *     unit-tested, not oracle-hashed)
+  *   - the gated path contains NO floating point AT ALL: the estimates
+  *     are integer division of pinned integer constants by integer
+  *     register sums (centi-/micro-unit outputs). Round 7 proved that
+  *     even one final `round(double, n)` is not portable — Spark rounds
+  *     via BigDecimal HALF_UP on the double's exact binary expansion,
+  *     DuckDB via scaled-multiply nearbyint, and the driver's gate run
+  *     caught them disagreeing on boundary values (CORRECTNESS_r07:
+  *     agg_hll_distinct / agg_hist_quantiles hash-fails). No `ln`/`exp`
+  *     anywhere in the gated path either (libm results are not sworn
+  *     identical across engines; the bias-corrected estimator that
+  *     needs `ln` lives in [[hllCorrected]] and is unit-tested, not
+  *     oracle-hashed).
   */
 object Sketch {
 
@@ -73,25 +79,41 @@ object Sketch {
     registers.groupBy("bucket").agg(max("max_rank").as("max_rank"))
       .select(lit("ALL").as("shard"), col("bucket"), col("max_rank"))
 
+  /** α·m²·2^61·10² pinned as ONE exact integer constant: the IEEE
+    * double α·m² (same bits on every platform — plain literal
+    * arithmetic) expanded exactly via BigDecimal, scaled by the exact
+    * integers 2^61 and 100, floored. 28 digits — inside DECIMAL(38,0)
+    * and DuckDB's HUGEINT. Embedded verbatim in both engines'
+    * expressions, so the estimate needs no cross-engine float ops. */
+  val HllEstC: BigInt =
+    (BigDecimal(0.7213 / (1.0 + 1.079 / HllM.toDouble) *
+        HllM.toDouble * HllM.toDouble) *
+      BigDecimal(BigInt(1) << 61) * 100).toBigInt
+
   /** Raw HLL estimate per shard from a register frame:
     * E = α·m² / Σ 2^-M[j], the sum scaled by 2^61 into exact integers
     * (empty buckets contribute 2^61 each). Output:
-    * (shard, buckets_hit, s_prime DECIMAL(25,0), est_raw).
+    * (shard, buckets_hit, s_prime DECIMAL(25,0), est_centi BIGINT) —
+    * est_centi = floor(α·m²·2^61·100 / s_prime), the estimate in
+    * CENTI-units, computed as pure integer division of [[HllEstC]] by
+    * the register sum (est_centi/100.0 is the human number; see the
+    * class doc for why no double ever touches the gated value).
     * DECIMAL widths are deliberate: s_hit ≤ 4096·2^60 < 10^22 fits
     * (25,0), and keeping operands narrow stays inside DuckDB's 38-digit
     * arithmetic (two (38,0) operands cannot even be added there). */
   def hllEstimate(registers: DataFrame): DataFrame = {
     val sHit = sum(expr("cast(shiftleft(cast(1 as bigint), 61 - max_rank) as decimal(25,0))"))
-    val alphaM2x261 = lit(0.7213 / (1.0 + 1.079 / HllM.toDouble) *
-      HllM.toDouble * HllM.toDouble) * lit(TwoPow61).cast("double")
     registers.groupBy("shard")
       .agg(count(lit(1)).as("buckets_hit"), sHit.as("s_hit"))
       .withColumn("s_prime",
         (col("s_hit") +
           (lit(HllM) - col("buckets_hit")).cast(DecimalType(10, 0)) *
             lit(TwoPow61).cast(DecimalType(20, 0))).cast(DecimalType(25, 0)))
-      .withColumn("est_raw", round(alphaM2x261 / col("s_prime").cast("double"), 2))
-      .select("shard", "buckets_hit", "s_prime", "est_raw")
+      // IntegralDivide on DECIMAL operands → BIGINT; both operands are
+      // positive so trunc == floor on both engines
+      .withColumn("est_centi",
+        expr(s"cast('$HllEstC' as decimal(38,0)) div s_prime"))
+      .select("shard", "buckets_hit", "s_prime", "est_centi")
   }
 
   /** Per-shard + merged-ALL estimates in one frame — the gate shape:
@@ -99,6 +121,35 @@ object Sketch {
   def hllDistinct(df: DataFrame, value: Column, shard: Column): DataFrame = {
     val regs = hllRegisters(df, value, shard)
     hllEstimate(regs).unionByName(hllEstimate(hllMergedRegisters(regs)))
+  }
+
+  /** Sketch-only set algebra — the classic HLL trick that answers
+    * corpus-diff questions ("how many NEW keys does crawl B add?",
+    * "how big is the overlap?") from two KB-sized register artifacts
+    * without touching either corpus: |A| and |B| come straight from
+    * the merged registers, |A∪B| from their per-bucket max-merge (the
+    * union sketch IS the merge — no data pass), and |A∩B| by
+    * inclusion-exclusion, clamped at 0. Output: one (set_expr,
+    * est_centi) row per measure, all four derived through the integer
+    * [[hllEstimate]] path, so the gate hash-matches the DuckDB replay.
+    * The pivot runs over THREE estimate rows — no driver math, no
+    * collect. */
+  def hllSetAlgebra(regA: DataFrame, regB: DataFrame): DataFrame = {
+    def m(r: DataFrame, tag: String) =
+      r.groupBy("bucket").agg(max("max_rank").as("max_rank"))
+        .select(lit(tag).as("shard"), col("bucket"), col("max_rank"))
+    val a = m(regA, "A")
+    val b = m(regB, "B")
+    val u = m(a.unionByName(b), "A_union_B")
+    val est = hllEstimate(a.unionByName(b).unionByName(u))
+      .select(col("shard").as("set_expr"), col("est_centi"))
+    val ix = est.agg(
+      max(when(col("set_expr") === "A", col("est_centi"))).as("ea"),
+      max(when(col("set_expr") === "B", col("est_centi"))).as("eb"),
+      max(when(col("set_expr") === "A_union_B", col("est_centi"))).as("eu"))
+      .select(lit("A_intersect_B").as("set_expr"),
+        greatest(col("ea") + col("eb") - col("eu"), lit(0L)).as("est_centi"))
+    est.unionByName(ix)
   }
 
   /** Bias-corrected estimate (driver-side scalar math over one gate
@@ -144,11 +195,13 @@ object Sketch {
 
   /** Bin width for the quantile histogram: fixed-width (not log-scale)
     * because `log` is libm territory — not sworn bit-identical across
-    * engines — while `floor(x / 64.0)` is one exact-rounded IEEE divide.
-    * Interpolation error is bounded by the width; the lever is the
-    * width, and at 100 TB the bin table is still only domain/width
-    * counters. */
+    * engines — while `floor(x / 64.0)` is one exact-rounded IEEE divide
+    * (by a power of two, so in fact exact). Interpolation error is
+    * bounded by the width; the lever is the width, and at 100 TB the
+    * bin table is still only domain/width counters. Kept integral so
+    * the quantile interpolation runs in pure integer arithmetic. */
   val HistWidth = 64.0
+  private val HistW = 64L
 
   /** The quantile sketch artifact: per (shard, bin) counts — mergeable
     * by +, like every sketch here. One shuffle, counters only. */
@@ -164,33 +217,41 @@ object Sketch {
 
   /** Interpolated quantile estimates from a histogram: walk the
     * cumulative bin counts to the first bin covering q·n, then linear-
-    * interpolate inside it — every step integer or exact-rounded IEEE
-    * (divide, multiply, compare), so estimates hash-match the DuckDB
-    * replay. True quantile lies inside the chosen bin ⇒ |est − exact|
-    * ≤ HistWidth by construction. The windows run over the BIN table
-    * (domain/width rows), not the data. */
+    * interpolate inside it — in PURE INTEGER arithmetic. Quantiles are
+    * integer per-cent (`q_pct` ∈ 50/90/99) and the estimate is emitted
+    * in MICRO-units:
+    *   est_micro = floor((bin·W·cnt·100 + W·(q_pct·n − 100·(cum−cnt)))
+    *               · 10^6 / (100·cnt))
+    * computed in DECIMAL (the pre-division numerator can pass 2^63),
+    * so the gate hashes BIGINTs only — no `round(double, n)` for the
+    * engines to disagree on (the r7 failure mode; see class doc).
+    * est_micro/10^6 is the human number; the true quantile lies inside
+    * the chosen bin ⇒ |est − exact| ≤ HistWidth by construction. The
+    * windows run over the BIN table (domain/width rows), not the data. */
   def histQuantiles(hist: DataFrame,
-                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                    qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBin = Window.partitionBy("shard").orderBy("bin")
     val all = Window.partitionBy("shard")
     val cum = hist
       .withColumn("cum", sum("cnt").over(byBin))
       .withColumn("n", sum("cnt").over(all))
-    // first bin whose cumulative count covers q·n; its predecessor has
-    // cum_before = cum - cnt < q·n, so the interpoland is in (0, cnt]
+    // first bin whose cumulative count covers q·n (integer compare:
+    // 100·cum ≥ q_pct·n); its predecessor has cum_before = cum - cnt
+    // < q·n, so the interpoland is in (0, cnt]
     val picked = cum
       .crossJoin(hist.sparkSession.range(1)
-        .select(explode(array(qs.map(lit): _*)).as("q")))
-      .where(col("cum").cast("double") >= col("q") * col("n").cast("double"))
-      .groupBy("shard", "q").agg(min("bin").as("bin"))
+        .select(explode(array(qs.map(lit): _*)).as("q_pct")))
+      .where(col("cum") * 100 >= col("q_pct") * col("n"))
+      .groupBy("shard", "q_pct").agg(min("bin").as("bin"))
     picked.join(cum, Seq("shard", "bin"))
-      .withColumn("est", round(
-        col("bin").cast("double") * lit(HistWidth) + lit(HistWidth) *
-          (col("q") * col("n").cast("double") -
-            (col("cum") - col("cnt")).cast("double")) /
-          col("cnt").cast("double"), 6))
-      .select(col("shard"), col("q"), col("n"), col("est"))
+      // numerator in DECIMAL before the 10^6 scale-up (bin·W·cnt·100
+      // alone fits BIGINT to ~10^16-row shards; the ×10^6 would not);
+      // IntegralDivide → BIGINT, operands positive so trunc == floor
+      .withColumn("est_micro", expr(
+        s"(cast(bin * $HistW * cnt * 100 + $HistW * (q_pct * n - 100 * (cum - cnt)) " +
+          "as decimal(30,0)) * 1000000) div cast(100 * cnt as decimal(12,0))"))
+      .select(col("shard"), col("q_pct"), col("n"), col("est_micro"))
   }
 
   // -------------------------------------------------------------- Bloom

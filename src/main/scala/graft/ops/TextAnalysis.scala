@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle reproduces them bit-for-bit. */
 object TextAnalysis {
 
+  import graft.functions.Portable.fx
+
+
   private def words: Column = split(col("text"), " ")
 
   /** Occurrences of an exact token (bigint, matching SQL `len()`). */
@@ -41,7 +44,7 @@ object TextAnalysis {
     val stopRatio = Seq("the", "and", "a", "of", "to", "is")
       .map(tokCount).reduce(_ + _).cast("double") / nTok
     docs.select(col("doc_id"),
-      round(
+      fx(
         least(nTok / 50, lit(1.0)) * 0.5 +
           least(avgWordLen / 6, lit(1.0)) * 0.3 +
           least(stopRatio * 5, lit(1.0)) * 0.2, 6).as("quality"))
@@ -58,7 +61,7 @@ object TextAnalysis {
       // BPE-ish regex tokenization: ≤4-char alphabetic pieces
       size(regexp_extract_all(col("text"), lit("[a-zA-Z]{1,4}"), lit(0)))
         .cast("bigint").as("n_subwords_re"),
-      round(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6).as("ttr"))
+      fx(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6).as("ttr"))
   }
 
   /** TF-IDF, top-k terms per document. tf = occurrences/doc_len,
@@ -82,7 +85,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(docLen, "doc_id").join(df_, "term")
-      .withColumn("tfidf", round(
+      .withColumn("tfidf", fx(
         (col("occ").cast("double") / col("len").cast("double")) *
           log(lit(n.toDouble) / col("df").cast("double")), 4))
       .withColumn("rn", row_number().over(w))
@@ -111,10 +114,10 @@ object TextAnalysis {
     val n = terms.agg(count(lit(1)).cast("double").as("corpus_total"))
     terms.join(uni, "term").crossJoin(broadcast(n))
       .select(col("doc_id"),
-        round(log(col("cnt").cast("double") / col("corpus_total")), 6)
+        fx(log(col("cnt").cast("double") / col("corpus_total")), 6)
           .cast("decimal(18,6)").as("lp"))
       .groupBy("doc_id")
-      .agg(round(sum("lp").cast("double") / count(lit(1)), 6).as("logprob"),
+      .agg(fx(sum("lp").cast("double") / count(lit(1)), 6).as("logprob"),
         count(lit(1)).cast("bigint").as("n_tokens"))
   }
 
@@ -154,11 +157,11 @@ object TextAnalysis {
     docPair.join(pair, Seq("prev", "term")).join(ctx, Seq("prev"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("occ"),
-        round(log((col("cpair") + 1).cast("double") /
+        fx(log((col("cpair") + 1).cast("double") /
           (col("cctx") + col("corpus_vocab"))), 6)
           .cast("decimal(18,6)").as("lp"))
       .groupBy("doc_id")
-      .agg(round(sum(col("lp") * col("occ")).cast("double") /
+      .agg(fx(sum(col("lp") * col("occ")).cast("double") /
           sum("occ"), 6).as("logprob"),
         sum("occ").cast("bigint").as("n_bigrams"))
   }

@@ -27,10 +27,28 @@ object Tables {
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
+    val conf = df.sparkSession.conf
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case LongType =>
+        // a LongType ts only appears when the session set nanosAsLong;
+        // if it did NOT, the fixture/session are mismatched and the
+        // parquet reader would fail deep inside a job — fail actionably
+        // here instead (ADVICE r7; graft.Sessions sets both keys)
+        require(conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .contains("true"),
+          "events.ts is TIMESTAMP(NANOS) but the session lacks " +
+            "spark.sql.legacy.parquet.nanosAsLong=true — build sessions " +
+            "via graft.Sessions.builder")
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // the NTZ→Timestamp cast reinterprets wall-clock in the SESSION
+        // zone; it is only byte-stable because Sessions pins UTC —
+        // enforce that instead of silently shifting every event time
+        require(conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ and the session timezone is not " +
+            "UTC — build sessions via graft.Sessions.builder")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -224,7 +224,7 @@ object StreamingIngest {
       .select(col("doc_id").as("batch_id"), col("sh").as("shb"),
         explode(col("ids")).as("corpus_id"))
       .join(cSh, "corpus_id")
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", graft.functions.Portable.fx(
         size(array_intersect(col("shb"), col("shc"))).cast("double") /
           size(array_union(col("shb"), col("shc"))).cast("double"), 6))
       .where(col("jaccard") >= 0.5)
@@ -411,6 +411,36 @@ object StreamingIngest {
       graft.ops.Sketch.hllRegisters(eventsRaw(spark, dir),
         col("user_id"), col("event_type")),
       "graft_hll_", "complete")
+
+  /** The documents table as a file stream (schema from the batch
+    * footer) — source for the text-sketch streaming twins. */
+  private def documentsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/documents.*")
+  }
+
+  /** Streaming CMS cell maintenance — the frequency-sketch twin of
+    * [[hllRegisters]] (VERDICT r7 #7): `Sketch.cmsSketch` is a pure
+    * explode + groupBy/count whose cells are ADDITIVE under union, so
+    * the same code runs on the document stream and the complete-mode
+    * state IS the corpus sketch — bounded at 4×1024 counter rows no
+    * matter how many documents flow. The gate's oracle replays the
+    * batch build: stream == batch by hash. */
+  def cmsCells(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(graft.ops.Sketch.cmsSketch(documentsRaw(spark, dir)),
+      "graft_cms_", "complete")
+
+  /** Streaming Bloom word maintenance — the membership-sketch twin:
+    * `Sketch.bloomBuild` is explode + groupBy/bit_or, and OR is
+    * idempotent-associative, so the running complete-mode state is the
+    * per-source filter table (≤ sources × 1041 word rows forever); a
+    * live pipeline would probe it with `Sketch.bloomScreen` to ask
+    * "was this content ever admitted?" without replaying the corpus.
+    * Oracle = batch build: stream == batch by hash. */
+  def bloomWords(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(graft.ops.Sketch.bloomBuild(documentsRaw(spark, dir),
+        md5(col("text")), col("source")),
+      "graft_bloom_", "complete")
 }
 
 /** Output row of [[StreamingIngest.streamingAsOf]] — the `join_asof`

@@ -10,6 +10,37 @@ class CurationSpec extends SparkTestBase {
 
   private lazy val docs = graft.sources.Tables(spark, sf, "documents")
 
+  test("exhaustive pair ops REFUSE an over-budget clique corpus (maxPairs guard)") {
+    // replicated-clique pathology (VERDICT r7 #5): 40 groups of 50
+    // IDENTICAL docs — every shingle has df = 50 ≤ dfCap, so nothing is
+    // df-capped away and the candidate bound is
+    // 40 groups · 10 shingles · C(50,2) ≈ 490k pairs. Under a small
+    // budget the operators must throw BEFORE materializing the
+    // expansion, with an actionable message; under a sufficient budget
+    // the same corpus computes normally (capped per-doc output).
+    val clique = spark.range(2000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"w${i}g"), (col("id") % 40).cast("string"))): _*).as("text"))
+    def rootMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val exJ = intercept[Exception] {
+      Curation.ngramJaccardPairs(clique, maxPairs = 1000).collect()
+    }
+    assert(rootMsgs(exJ).contains("refused"),
+      s"expected loud refusal, got: ${rootMsgs(exJ).take(300)}")
+    val exC = intercept[Exception] {
+      Curation.ngramContainmentPairs(clique, maxPairs = 1000).collect()
+    }
+    assert(rootMsgs(exC).contains("refused"),
+      s"expected loud refusal, got: ${rootMsgs(exC).take(300)}")
+    // same corpus, sufficient budget → bounded (candCap) output, no throw
+    val ok = Curation.ngramJaccardPairs(clique, maxPairs = 10000000L)
+    assert(ok.groupBy("doc_a").count().agg(max("count")).head.getLong(0) <= 64,
+      "per-doc output must stay candCap-bounded")
+  }
+
   test("ngram Jaccard pairs: ordered, bounded, and actually similar") {
     val pairs = Curation.ngramJaccardPairs(docs, threshold = 0.3).collect()
     assert(pairs.nonEmpty, "corpus has near-dups; expected pairs")

@@ -705,8 +705,11 @@ class OpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(got.size == 2 && !got.contains(3L), got.toString)
     // lp(a,b) = ln((1+1)/(1+3)) = -0.693147 ; lp(b,a) = ln((2+1)/(2+3)) = -0.510826
-    def round6(v: Double): Double = // Spark Round semantics on doubles
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the portable fixed-point contract (Portable.fx): floor(x·1e6+0.5)/1e6 —
+    // ties round toward +∞ (this mean is the exact tie -0.6019865, where
+    // BigDecimal HALF_UP would give -0.601987 instead; cross-engine
+    // portability governs, so the fx behavior is the spec)
+    def round6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
     val d1 = round6((BigDecimal("-0.693147") + BigDecimal("-0.510826")).toDouble / 2)
     assert(got(1L) == ((d1, 2L)), s"${got(1L)} vs expected ($d1, 2)")
     assert(got(2L) == ((-0.510826, 1L)), got(2L).toString)

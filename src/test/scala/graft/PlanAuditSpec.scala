@@ -45,6 +45,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$plan")
   }
 
+  test("priority sample compiles to TakeOrderedAndProject (no corpus shuffle)") {
+    val plan = executedPlan("sample_priority_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"min-k sample not a top-k:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sample shuffles the corpus:\n$plan")
+  }
+
   test("no declared query plans a cartesian product") {
     // brute-force ANN intentionally broadcasts a tiny query set (a
     // BroadcastNestedLoopJoin over 10 rows); CartesianProduct — a

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Properties the sample gates can't express: the min-k merge law
+  * (per-half samples combine to the whole-corpus sample — what makes
+  * the sample a mergeable artifact like the sketches), determinism
+  * across repartitionings, and exact quota arithmetic. */
+class SamplingSpec extends SparkTestBase {
+
+  private lazy val docs = graft.sources.Tables(spark, sf, "documents")
+
+  test("priority sample: deterministic under repartitioning; merge of half-samples = whole sample") {
+    val whole = Sampling.prioritySample(docs, k = 64).collect()
+    val reparted = Sampling.prioritySample(docs.repartition(13), k = 64).collect()
+    assert(whole.map(_.getLong(0)).toSeq == reparted.map(_.getLong(0)).toSeq,
+      "sample must be a pure function of (seed, ids), not the layout")
+    // min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) — the mergeable-
+    // reservoir law: per-half top-64s, merged and re-topped, equal the
+    // corpus sample exactly
+    val a = Sampling.prioritySample(docs.where(col("doc_id") % 2 === 0), k = 64)
+    val b = Sampling.prioritySample(docs.where(col("doc_id") % 2 === 1), k = 64)
+    val merged = a.unionByName(b)
+      .orderBy(col("priority"), col("doc_id")).limit(64).collect()
+    assert(merged.map(_.getLong(0)).toSeq == whole.map(_.getLong(0)).toSeq,
+      "min-k of merged half-samples must equal the whole-corpus min-k")
+  }
+
+  test("priority sample: different seeds give different samples; ordered by priority") {
+    val s1 = Sampling.prioritySample(docs, k = 50, seed = "s1").collect()
+    val s2 = Sampling.prioritySample(docs, k = 50, seed = "s2").collect()
+    assert(s1.map(_.getLong(0)).toSet != s2.map(_.getLong(0)).toSet,
+      "seeds must select different subsets")
+    val ps = s1.map(_.getLong(2))
+    assert(ps.sameElements(ps.sorted), "rows must arrive in priority order")
+  }
+
+  test("stratified sample: exactly min(quota, |stratum|) per source, ranks 1..n") {
+    val quota = 30
+    val got = Sampling.stratifiedSample(docs, quota = quota).collect()
+    val perSource = got.groupBy(_.getString(1))
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, n) =>
+      val rows = perSource.getOrElse(src, Array.empty)
+      assert(rows.length == math.min(quota.toLong, n),
+        s"source $src: ${rows.length} != min($quota, $n)")
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length),
+        s"source $src: picks must be the exact ranks 1..${rows.length}")
+    }
+  }
+}

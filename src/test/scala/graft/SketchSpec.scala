@@ -34,7 +34,7 @@ class SketchSpec extends SparkTestBase {
     val est = Sketch.hllEstimate(
       Sketch.hllRegisters(df, col("v"), lit("one")))
       .head()
-    val raw = est.getAs[Double]("est_raw")
+    val raw = est.getAs[Long]("est_centi") / 100.0
     assert(math.abs(raw - 200000) / 200000.0 < 0.05,
       s"raw estimate $raw vs exact 200000")
   }
@@ -105,12 +105,34 @@ class SketchSpec extends SparkTestBase {
     // boundary-definition slack between the two quantile conventions)
     val exact = li.stat.approxQuantile("l_extendedprice",
       Array(0.5, 0.9, 0.99), 0.0)
-    val byQ = Map(0.5 -> exact(0), 0.9 -> exact(1), 0.99 -> exact(2))
+    val byQ = Map(50 -> exact(0), 90 -> exact(1), 99 -> exact(2))
     est.foreach { r =>
-      val q = r.getAs[Double]("q"); val e = r.getAs[Double]("est")
+      val q = r.getAs[Int]("q_pct")
+      val e = r.getAs[Long]("est_micro") / 1e6
       assert(math.abs(e - byQ(q)) <= 2 * Sketch.HistWidth,
         s"P$q estimate $e too far from exact ${byQ(q)}")
     }
+  }
+
+  test("HLL set algebra: union/intersection estimates track exact overlap") {
+    // A = 0..119999, B = 80000..199999 → |A|=120k, |B|=120k,
+    // |A∪B|=200k, |A∩B|=40k — sizes well inside the raw-estimator
+    // regime (> 2.5m = 10240)
+    val a = spark.range(0, 120000).select(concat(lit("k"), col("id")).as("v"))
+    val b = spark.range(80000, 200000).select(concat(lit("k"), col("id")).as("v"))
+    val est = Sketch.hllSetAlgebra(
+        Sketch.hllRegisters(a, col("v"), lit("x")),
+        Sketch.hllRegisters(b, col("v"), lit("x")))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 100.0).toMap
+    assert(est.keySet == Set("A", "B", "A_union_B", "A_intersect_B"))
+    def near(got: Double, want: Double, tol: Double): Unit =
+      assert(math.abs(got - want) / want < tol, s"$got vs $want")
+    near(est("A"), 120000, 0.05)
+    near(est("B"), 120000, 0.05)
+    near(est("A_union_B"), 200000, 0.05)
+    // inclusion-exclusion compounds three ±1.6%σ estimates against a
+    // 5× smaller target — allow a wider band
+    near(est("A_intersect_B"), 40000, 0.25)
   }
 
   test("Bloom: no false negatives, bounded false positives") {
