@@ -42,6 +42,13 @@ object Bench {
     "text_bpe_train", "text_bpe_encode", "streaming_asof",
     "agg_hll_distinct", "text_cms_heavy_hitters", "dedup_bloom_screen",
     "agg_hist_quantiles",
+    // round-8 additions: deterministic sampling (min-k + stratified +
+    // KMV estimate + streaming twin), HLL set algebra, as-of staleness
+    // bound, streaming CMS/Bloom twins
+    "sample_priority_topk", "sample_stratified", "agg_kmv_distinct",
+    "agg_hll_set_algebra", "join_asof_tolerance",
+    "streaming_cms_cells", "streaming_bloom_words", "streaming_sample_topk",
+    "multimodal_ahash", "dedup_image_pairs",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

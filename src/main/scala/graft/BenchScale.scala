@@ -49,6 +49,10 @@ object BenchScale {
     // stays 4096 registers / 4×1024 cells at any corpus size
     "agg_hll_distinct", "text_cms_heavy_hitters", "dedup_bloom_screen",
     "agg_hist_quantiles",
+    // round 8: min-k sampling (one TakeOrdered — wall should track the
+    // scan), KMV estimate, HLL set algebra (register-table work only)
+    "sample_priority_topk", "sample_stratified", "agg_kmv_distinct",
+    "agg_hll_set_algebra",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

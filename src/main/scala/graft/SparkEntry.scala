@@ -852,6 +852,29 @@ object SparkEntry {
         .transform(df => Multimodal.imageStats(df, "id", "img").toDF())
     }),
 
+    // --- perceptual average-hash over REAL decoded pixels: integer
+    //     brightness-threshold bits (gray·n > Σgray), closed-form
+    //     replayable — the image modality's near-dup fingerprint
+    "multimodal_ahash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.imageAHash(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img"), "id", "img").toDF()
+    }),
+
+    // --- image near-dup pairs: simhash-style 4×12-bit bands over the
+    //     aHash, capped buckets, exact Hamming confirm — dedup extended
+    //     to the image modality
+    "dedup_image_pairs" -> ((s, d) => {
+      import s.implicits._
+      val hashes = Multimodal.imageAHash(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img"), "id", "img").toDF()
+      Multimodal.imageAHashPairs(hashes)
+    }),
+
     // --- REAL COMPRESSED image decode (VERDICT r5 #5): per-row PNG
     //     fixtures (zlib IDAT, row filters rotating through all five
     //     PNG filter types) decoded by the pure-JVM Png codec per
@@ -1012,6 +1035,18 @@ object SparkEntry {
     //     per stratum, full order statistic in the gate hash
     "sample_stratified" -> ((s, d) =>
       graft.ops.Sampling.stratifiedSample(T(s, d, "documents"), quota = 50)),
+
+    // --- the sample as STREAM state: MinKSample aggregator in
+    //     complete mode, buffer bounded at k rows; oracle = the batch
+    //     sample SQL (stream == batch)
+    "streaming_sample_topk" -> ((s, d) =>
+      StreamingIngest.prioritySample(s, d, k = 100)),
+
+    // --- KMV distinct-count estimate from the same min-k machinery:
+    //     k-th smallest distinct md5 value → integer DECIMAL estimate
+    //     of distinct texts (the dedup cardinality question)
+    "agg_kmv_distinct" -> ((s, d) =>
+      graft.ops.Sampling.kmvDistinct(T(s, d, "documents"), md5(col("text")))),
 
     // --- sketch-only set algebra: |A|, |B|, |A∪B| (register max-merge)
     //     and |A∩B| (inclusion-exclusion) over two overlapping key
@@ -1523,6 +1558,21 @@ object SparkEntry {
         |r AS (SELECT *, row_number()
         |    OVER (PARTITION BY source ORDER BY priority, doc_id) AS pick FROM p)
         |SELECT doc_id, source, priority, pick FROM r WHERE pick <= 50""".stripMargin,
+    // stream == batch: the streaming MinKSample twin replays the batch
+    // sample SQL
+    "streaming_sample_topk" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substr(md5('sample1' || doc_id), 1, 15))::BIGINT AS priority
+        |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+    "agg_kmv_distinct" ->
+      """WITH p AS (SELECT DISTINCT
+        |    ('0x' || substr(md5('kmv1' || md5(text)), 1, 15))::BIGINT AS priority
+        |  FROM documents),
+        |mk AS (SELECT priority FROM p ORDER BY priority LIMIT 256)
+        |SELECT count(*) AS k_used, max(priority) AS p_k,
+        |  (((count(*) - 1)::HUGEINT << 60) // max(priority)::HUGEINT)::BIGINT
+        |    AS est
+        |FROM mk""".stripMargin,
     "text_cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
     "dedup_bloom_filter" -> bloomFilterOracleSql,
     "dedup_bloom_screen" -> bloomScreenOracleSql,
@@ -1907,6 +1957,29 @@ object SparkEntry {
         |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
         |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
         |FROM px GROUP BY id, w, h""".stripMargin,
+    "multimodal_ahash" -> ahashOracleSql(
+      "SELECT t.id, CAST(t.w AS BIGINT) AS width, CAST(t.h AS BIGINT) AS height, ahash FROM ah t"),
+    "dedup_image_pairs" -> ahashOracleSql(
+      """hb AS (SELECT id, unnest([
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':0:' || ((ahash >> 0) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':1:' || ((ahash >> 12) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
+        |  ]) AS band_key FROM ah),
+        |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:256] AS ids
+        |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+        |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+        |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
+        |conf AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |  FROM cand JOIN ah a ON id_a = a.id JOIN ah b ON id_b = b.id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 4)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+        |WHERE rnk <= 4""".stripMargin,
+      extraCte = true),
+
     // same closed-form move for the PNG fixtures (Multimodal.syntheticPng):
     // the Spark side inflates + unfilters REAL PNG bytes; the oracle only
     // replays the pixel formula
@@ -2867,6 +2940,28 @@ object SparkEntry {
        |  ('${graft.ops.Sketch.HllEstC}'::HUGEINT // s_prime::HUGEINT)::BIGINT
        |    AS est_centi
        |FROM est2""".stripMargin
+
+  /** Shared aHash CTE chain (mirrors `Multimodal.imageAHash` over the
+    * closed-form BMP fixture pixels) + a caller-supplied tail query.
+    * `extraCte = true` when the tail begins with additional CTEs. */
+  private def ahashOracleSql(tail: String, extraCte: Boolean = false): String =
+    s"""WITH imgs AS (
+       |  SELECT event_id AS id, 4 + event_id % 5 AS w, 3 + event_id % 4 AS h
+       |  FROM events),
+       |px AS (
+       |  SELECT i.id, i.w, i.h, ys.y * i.w + xs.x AS idx,
+       |      (i.id + 7*xs.x + 13*ys.y) % 256
+       |    + (2*i.id + 3*xs.x + 5*ys.y) % 256
+       |    + (5*i.id + 11*xs.x + 17*ys.y) % 256 AS gray
+       |  FROM imgs i, generate_series(0, 7) AS xs(x), generate_series(0, 5) AS ys(y)
+       |  WHERE xs.x < i.w AND ys.y < i.h),
+       |tt AS (SELECT id, w, h, sum(gray) AS total, count(*) AS n
+       |  FROM px GROUP BY id, w, h),
+       |ah AS (SELECT tt.id, tt.w, tt.h,
+       |  CAST(coalesce(sum(CASE WHEN p.gray * tt.n > tt.total
+       |    THEN 1::BIGINT << p.idx::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
+       |  FROM px p JOIN tt ON p.id = tt.id GROUP BY tt.id, tt.w, tt.h)${if (extraCte) "," else ""}
+       |$tail""".stripMargin
 
   /** HLL set algebra oracle: per-set registers over the overlapping
     * key sets (l_linenumber ≤ 4 / ≥ 2), max-merge union, integer

@@ -101,6 +101,99 @@ object Multimodal {
       .mapPartitions(bmpImageStats)
   }
 
+  final case class ImageHash(id: Long, width: Long, height: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) from a REAL decode — the image
+    * modality's member of the near-dup family: bit `y·w + x` is set
+    * iff that pixel's brightness strictly exceeds the image mean, in
+    * PURE INTEGER arithmetic (`gray·(w·h) > Σgray` — no division), so
+    * the oracle replays the fixtures' closed-form pixels in SQL while
+    * the engine path round-trips real encoded bytes through
+    * [[Bmp.decode]]. A global brightness shift moves every pixel and
+    * the mean together, preserving the bit pattern — the invariance
+    * that makes aHash a NEAR-duplicate key rather than a content
+    * hash; the fixtures' mod-256 wraparound perturbs a few bits
+    * between neighboring ids, giving the pairs gate real Hamming
+    * structure. w·h ≤ 48 here, so the hash sits in the low bits of
+    * one BIGINT (production 8×8 = 64 bits splits into two words, same
+    * plan shape). */
+  def imageAHash(df: DataFrame, idCol: String, binCol: String): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = Bmp.decode(bytes)
+        val n = img.pixels.length.toLong
+        val gray = new Array[Long](img.pixels.length)
+        var total = 0L
+        var i = 0
+        while (i < gray.length) {
+          val p = img.pixels(i)
+          gray(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          total += gray(i)
+          i += 1
+        }
+        var hash = 0L
+        i = 0
+        while (i < gray.length) {
+          if (gray(i) * n > total) hash |= 1L << i
+          i += 1
+        }
+        ImageHash(id, img.width.toLong, img.height.toLong, hash)
+      })
+  }
+
+  /** Near-duplicate image pairs from [[imageAHash]] fingerprints —
+    * `Dedup.simhashPairs`'s banded scheme on the image hash: the
+    * 48-bit hash splits into 4×12-bit bands, candidates share
+    * (width, height, band) — an equi-join on the band key, never a
+    * cartesian — buckets keep their `bucketCap` smallest ids with an
+    * observable drop count, and survivors confirm by exact Hamming
+    * distance (`bit_count(xor)`) ≤ `maxHamming`. Because a low-bit
+    * hash forms LARGE equivalence cliques (every brightness-shifted
+    * copy of a popular template shares one hash — C(n,2) pairs at
+    * Hamming 0), the output is additionally capped at `candCap`
+    * best-Hamming partners PER IMAGE (`Curation.ngramJaccardPairs`'s
+    * rule): uncapped, the sf0.01 fixtures alone emit 543k pair rows,
+    * and a production corpus would be quadratic in its most-copied
+    * template. Drops are observable; dedup semantics survive capping
+    * (an image keeps its nearest partners, which is all a
+    * keep/drop/cluster decision consumes). */
+  def imageAHashPairs(hashes: DataFrame, maxHamming: Int = 4,
+                      bucketCap: Int = 256, candCap: Int = 4): DataFrame = {
+    val bandKeys = (0 until 4).map(k => concat(
+      col("width").cast("string"), lit("x"), col("height").cast("string"),
+      lit(s":$k:"), shiftright(col("ahash"), 12 * k).bitwiseAND(4095).cast("string")))
+    val keyed = hashes.select(
+      struct(col("id"), col("ahash")).as("m"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    keyed.groupBy("band_key")
+      .agg(sort_array(collect_set(col("m"))).as("all_ms"))
+      .where(size(col("all_ms")) > 1)
+      .select(slice(col("all_ms"), 1, bucketCap).as("ms"),
+        greatest(size(col("all_ms")) - bucketCap, lit(0)).as("dropped"))
+      .observe("image_ahash_buckets_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(col("dropped")).as("ids_over_cap"))
+      .select(explode(expr(
+        "filter(flatten(transform(ms, a -> transform(ms, b -> " +
+          "struct(a AS a, b AS b)))), p -> p.a.id < p.b.id)")).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.ahash").bitwiseXOR(col("p.b.ahash")))
+          .cast("bigint").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
+          .orderBy(col("hamming"), col("id_b"))))
+      .observe("image_ahash_cands_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
+      .where(col("rnk") <= candCap)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Deterministic BMP fixture for row `id`: dimensions and every pixel
     * are closed-form functions of (id, x, y), so the DuckDB oracle can
     * recompute the decoded statistics WITHOUT a codec (the container

@@ -58,4 +58,70 @@ object Sampling {
       .withColumn("pick", row_number().over(w))
       .where(col("pick") <= quota)
   }
+
+  /** KMV (k-minimum-values) distinct-count estimate — the OTHER thing
+    * the min-k sample is (Bar-Yossef et al. 2002): if the k-th
+    * smallest of the DISTINCT 60-bit hash values is p_k, the value
+    * universe holds ≈ (k−1)·2^60 / p_k distinct members, σ ≈ 1/√k.
+    * One row out: (k_used, p_k, est) with
+    * `est = floor((k_used−1)·2^60 / p_k)` computed in DECIMAL — the
+    * same no-floats gate contract as the HLL estimates
+    * ([[Sketch.hllEstimate]]). Mergeable exactly like
+    * [[prioritySample]] (min-k of unioned min-k sets), so per-shard
+    * KMV artifacts combine without touching data; next to HLL it
+    * trades k longs of state (vs 4096 registers) for an unbiased
+    * estimator plus a FREE uniform sample of the distinct values. */
+  def kmvDistinct(df: DataFrame, value: Column, k: Int = 256,
+                  seed: String = "kmv1"): DataFrame = {
+    val minK = df.select(priority(seed, value).as("priority"))
+      .dropDuplicates("priority")
+      .orderBy(col("priority")).limit(k)
+    minK.agg(count(lit(1)).as("k_used"), max(col("priority")).as("p_k"))
+      // (k−1)·2^60 passes BIGINT range immediately → DECIMAL operands;
+      // IntegralDivide → BIGINT, positive operands so trunc == floor
+      .withColumn("est", expr(
+        "cast(k_used - 1 as decimal(10,0)) * " +
+          "cast(shiftleft(cast(1 as bigint), 60) as decimal(20,0)) div p_k"))
+  }
+
+  /** One sampled row: the (priority, doc_id) pair is the total order,
+    * `source` rides along as payload. */
+  final case class SampleRow(doc_id: Long, source: String, priority: Long)
+
+  /** The min-k sample as a typed AGGREGATE (`Aggregator`, SURVEY §2.8's
+    * UDAF tier): reduce/merge keep the k smallest rows, so the
+    * aggregation BUFFER is the mergeable sample artifact itself —
+    * bounded at k rows on every executor, partial-aggregated map-side
+    * like any agg, and legal as STREAMING state in complete mode
+    * (where sort+limit is not): the running buffer IS the corpus
+    * sample after every micro-batch. The buffer stays sorted;
+    * per-element reduce is an O(1) reject when the row can't enter
+    * (the common case once the buffer fills) and an O(k) insert
+    * otherwise. */
+  class MinKSample(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        SampleRow, Seq[SampleRow], Seq[SampleRow]] {
+    private def lt(a: SampleRow, b: SampleRow): Boolean =
+      a.priority < b.priority || (a.priority == b.priority && a.doc_id < b.doc_id)
+    override def zero: Seq[SampleRow] = Vector.empty
+    override def reduce(b: Seq[SampleRow], a: SampleRow): Seq[SampleRow] =
+      if (b.size >= k && !lt(a, b.last)) b
+      else {
+        val (lo, hi) = b.span(lt(_, a))
+        ((lo :+ a) ++ hi).take(k)
+      }
+    override def merge(b1: Seq[SampleRow], b2: Seq[SampleRow]): Seq[SampleRow] =
+      (b1 ++ b2).sortWith(lt).take(k)
+    override def finish(r: Seq[SampleRow]): Seq[SampleRow] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[SampleRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[SampleRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** (doc_id, source, priority) rows for [[MinKSample]] — the shared
+    * input shape of the batch gate and its streaming twin. */
+  def priorityRows(docs: DataFrame, seed: String = "sample1"): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      priority(seed, col("doc_id")).as("priority"))
 }

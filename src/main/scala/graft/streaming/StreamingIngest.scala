@@ -441,6 +441,30 @@ object StreamingIngest {
     runToMemory(graft.ops.Sketch.bloomBuild(documentsRaw(spark, dir),
         md5(col("text")), col("source")),
       "graft_bloom_", "complete")
+
+  /** Streaming min-k priority sample: `Sampling.MinKSample` runs as a
+    * complete-mode streaming AGGREGATION (sort+limit is illegal on
+    * streams; an aggregate whose buffer IS the k-row sample is not),
+    * so the maintained state is bounded at k rows and after every
+    * micro-batch the output row holds the exact whole-corpus sample —
+    * the mergeable-reservoir law as stream state. The k-row array is
+    * exploded on the returned (batch) sink table; oracle = the batch
+    * sample SQL, proving stream == batch. */
+  def prioritySample(spark: SparkSession, dir: String,
+                     k: Int = 100): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val agg = new Sampling.MinKSample(k)
+    val rows = Sampling.priorityRows(documentsRaw(spark, dir))
+      .as[Sampling.SampleRow]
+    val sampled = rows.groupByKey(_ => 1)
+      .agg(agg.toColumn.name("sample"))
+      .toDF("g", "sample")
+    runToMemory(sampled, "graft_minks_", "complete")
+      .select(explode(col("sample")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.priority").as("priority"))
+  }
 }
 
 /** Output row of [[StreamingIngest.streamingAsOf]] — the `join_asof`

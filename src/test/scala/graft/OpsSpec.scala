@@ -1439,6 +1439,44 @@ class OpsSpec extends SparkTestBase {
     assert(stats(7L).sum_r == expect)
   }
 
+  test("image aHash: brightness-shift invariant, wrap-perturbed, exact-dup pairs at hamming 0") {
+    import spark.implicits._
+    import graft.ops.Bmp
+    // hand-built 4x3 gradient; +40 on every channel (no wraps) shifts
+    // every pixel AND the mean equally, so not a single threshold bit
+    // may move — the invariance that makes aHash a NEAR-dup key;
+    // +200 wraps some channels and must perturb bits
+    def img(off: Int) = Bmp.encode(4, 3, (x, y) => (
+      (10 + 20 * x + off) % 256, (30 + 15 * y + off) % 256,
+      (5 + 10 * x + 5 * y + off) % 256))
+    val hashed = Multimodal.imageAHash(
+      Seq((0L, img(0)), (1L, img(40)), (2L, img(200)), (3L, img(0)))
+        .toDF("id", "img"), "id", "img")
+      .collect().map(r => r.id -> r.ahash).toMap
+    assert(hashed(0L) == hashed(1L), "no-wrap brightness shift must preserve aHash")
+    assert(hashed(0L) != hashed(2L), "wrapping shift must perturb aHash")
+    assert(hashed(0L) == hashed(3L), "identical images hash identically")
+    // pairs: the identical pair surfaces through the bands at hamming 0
+    val pairs = Multimodal.imageAHashPairs(
+      Multimodal.imageAHash(
+        Seq((0L, img(0)), (3L, img(0))).toDF("id", "img"), "id", "img").toDF())
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 3L &&
+      r.getLong(2) == 0L), s"missing exact-dup pair: ${pairs.mkString(",")}")
+    // fixture path: the gate's hash for id 7 equals a direct local recompute
+    val fx = graft.ops.Bmp.decode(Multimodal.syntheticBmp(7L))
+    val gray = fx.pixels.map(p =>
+      (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong)
+    val total = gray.sum
+    val want = gray.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) =>
+      if (g * gray.length > total) acc | (1L << i) else acc
+    }
+    val got = Multimodal.imageAHash(
+      Seq((7L, Multimodal.syntheticBmp(7L))).toDF("id", "img"), "id", "img")
+      .head().ahash
+    assert(got == want)
+  }
+
   test("live streaming dedup (within-watermark) is bounded by the exact key sets") {
     import org.apache.spark.sql.functions._
     // the live variant's output is arrival-order dependent (re-occurrence

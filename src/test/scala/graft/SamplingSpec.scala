@@ -37,6 +37,31 @@ class SamplingSpec extends SparkTestBase {
     assert(ps.sameElements(ps.sorted), "rows must arrive in priority order")
   }
 
+  test("MinKSample aggregator equals the sort+limit sample (buffer IS the artifact)") {
+    import spark.implicits._
+    val agg = new Sampling.MinKSample(64)
+    val viaAgg = Sampling.priorityRows(docs).as[Sampling.SampleRow]
+      .groupByKey(_ => 1).agg(agg.toColumn.name("sample"))
+      .collect().head._2.map(_.doc_id)
+    val viaSort = Sampling.prioritySample(docs, k = 64).collect().map(_.getLong(0))
+    assert(viaAgg.toSeq == viaSort.toSeq,
+      "aggregator buffer must equal the sort+limit sample exactly")
+  }
+
+  test("KMV distinct estimate within 3σ of exact distinct count") {
+    // 50k distinct values at k=256 → σ ≈ 1/√256 ≈ 6.3%
+    val vals = spark.range(50000)
+      .select(concat(lit("v"), col("id")).as("v"))
+    val row = Sampling.kmvDistinct(vals, col("v")).head()
+    assert(row.getAs[Long]("k_used") == 256L)
+    val est = row.getAs[Long]("est").toDouble
+    assert(math.abs(est - 50000) / 50000.0 < 0.19, s"KMV estimate $est vs 50000")
+    // duplicates must not move the estimate: distinct hashes only
+    val dup = vals.unionAll(vals.limit(20000))
+    val est2 = Sampling.kmvDistinct(dup, col("v")).head().getAs[Long]("est")
+    assert(est2.toDouble == est, "duplicate values must not perturb KMV")
+  }
+
   test("stratified sample: exactly min(quota, |stratum|) per source, ranks 1..n") {
     val quota = 30
     val got = Sampling.stratifiedSample(docs, quota = quota).collect()
