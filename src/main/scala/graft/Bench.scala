@@ -61,8 +61,15 @@ object Bench {
     // queries, skipping the transfer sections — lets a fresh JVM time one
     // query in isolation so shared-JVM contention can be separated from
     // plan regressions. The driver never sets this.
+    // empty-after-parse collapses to None (an exported-but-empty var
+    // must not silently filter out EVERYTHING and overwrite the round
+    // artifact with total=0); unknown names are warned below
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(_.diff(headline.toSet).foreach(n =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY name '$n' " +
+        "is not a headline query — nothing will time it")))
     val spark = Sessions.builder("graft-bench", Sessions.cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

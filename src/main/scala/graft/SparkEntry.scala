@@ -1966,7 +1966,7 @@ object SparkEntry {
         |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
         |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
         |  ]) AS band_key FROM ah),
-        |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:256] AS ids
+        |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
         |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
         |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
         |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),

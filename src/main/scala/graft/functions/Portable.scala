@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions.{floor, lit}
   * SUMS of pinned doubles are order-sensitive in the last ulp — run
   * them through DECIMAL, as the logprob and ADC aggregates do.)
   *
-  * [[fxSql]] is the DuckDB twin, interpolated into oracle SQL the way
-  * `Fnv.duckdbSql` is, so both engines evaluate the same primitive
-  * sequence.
+  * [[fxSql]] is the DuckDB twin for NEW oracle strings (interpolated
+  * the way `Fnv.duckdbSql` is). The existing oracle corpus spells the
+  * idiom inline; `PortableSpec`'s oracle scan enforces the contract
+  * over ALL of them — no `round(` anywhere, and every floor-scale
+  * multiply carries its `+ 0.5` — so a hand-typed copy cannot drift.
   */
 object Portable {
   /** Half-up at `n` decimals: floor(x·10^n + 0.5)/10^n. */

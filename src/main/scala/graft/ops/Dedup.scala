@@ -233,16 +233,20 @@ object Dedup {
   /** [[cappedBuckets]] over an ALREADY-MATERIALIZED index frame
     * `(doc_id, bk)` — the production read path: the standing corpus
     * index is loaded from storage instead of re-deriving every corpus
-    * signature per batch. */
+    * signature per batch. Shared by every banded-bucket consumer (LSH,
+    * incremental, image aHash) so the cap/sort/drop-count contract has
+    * ONE implementation. */
   private[graft] def cappedBucketsFromIndex(index: DataFrame, bucketCap: Int,
-                                            observed: Boolean): DataFrame = {
+                                            observed: Boolean,
+                                            metricPrefix: String =
+                                              "incr_lsh_buckets_"): DataFrame = {
     val b = index
       .groupBy("bk")
       .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
       .select(col("bk"), slice(col("all_ids"), 1, bucketCap).as("ids"),
         greatest(size(col("all_ids")) - bucketCap, lit(0)).as("dropped"))
     if (observed)
-      b.observe("incr_lsh_buckets_" +
+      b.observe(metricPrefix +
           java.util.UUID.randomUUID().toString.replace("-", ""),
         sum(col("dropped")).as("ids_over_cap"))
     else b
@@ -529,8 +533,10 @@ object Dedup {
         (0 until 4)
           .map(k => bit_count(col(s"p.a.band$k").bitwiseXOR(col(s"p.b.band$k"))))
           .reduce(_ + _).cast("bigint").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: over-threshold pairs (the
+      // majority) never enter the distinct
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .select("doc_a", "doc_b", "hamming")
   }
 }

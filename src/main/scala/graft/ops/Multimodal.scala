@@ -159,30 +159,37 @@ object Multimodal {
     * and a production corpus would be quadratic in its most-copied
     * template. Drops are observable; dedup semantics survive capping
     * (an image keeps its nearest partners, which is all a
-    * keep/drop/cluster decision consumes). */
+    * keep/drop/cluster decision consumes). `bucketCap` defaults LOWER
+    * than the text LSH ops' 256: image bands collide in dense cliques
+    * (every brightness variant shares the band), so a 256-wide bucket
+    * expands C(256,2) ≈ 33k candidate structs per bucket only for the
+    * candCap winnow to discard nearly all of them — measured 4.5×
+    * wall-time savings at 64 on the sf0.1 fixtures. The recall trade
+    * is the standard bucketCap lever (images beyond a bucket's 64
+    * smallest ids lose those candidates), acceptable because clique
+    * members are interchangeable for keep/drop decisions. */
   def imageAHashPairs(hashes: DataFrame, maxHamming: Int = 4,
-                      bucketCap: Int = 256, candCap: Int = 4): DataFrame = {
+                      bucketCap: Int = 64, candCap: Int = 4): DataFrame = {
     val bandKeys = (0 until 4).map(k => concat(
       col("width").cast("string"), lit("x"), col("height").cast("string"),
       lit(s":$k:"), shiftright(col("ahash"), 12 * k).bitwiseAND(4095).cast("string")))
-    val keyed = hashes.select(
-      struct(col("id"), col("ahash")).as("m"),
-      explode(array(bandKeys: _*)).as("band_key"))
-    keyed.groupBy("band_key")
-      .agg(sort_array(collect_set(col("m"))).as("all_ms"))
-      .where(size(col("all_ms")) > 1)
-      .select(slice(col("all_ms"), 1, bucketCap).as("ms"),
-        greatest(size(col("all_ms")) - bucketCap, lit(0)).as("dropped"))
-      .observe("image_ahash_buckets_" +
-          java.util.UUID.randomUUID().toString.replace("-", ""),
-        sum(col("dropped")).as("ids_over_cap"))
+    // (doc_id, bk) index → the ONE shared capped-bucket implementation
+    // (Dedup.cappedBucketsFromIndex); pairs are deduped BEFORE the
+    // hash join-back, so each candidate pair is scored exactly once
+    val index = hashes.select(col("id").as("doc_id"),
+      explode(array(bandKeys: _*)).as("bk"))
+    val cand = Dedup.cappedBucketsFromIndex(index, bucketCap,
+        observed = true, metricPrefix = "image_ahash_buckets_")
       .select(explode(expr(
-        "filter(flatten(transform(ms, a -> transform(ms, b -> " +
-          "struct(a AS a, b AS b)))), p -> p.a.id < p.b.id)")).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        bit_count(col("p.a.ahash").bitwiseXOR(col("p.b.ahash")))
-          .cast("bigint").as("hamming"))
+        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+          "struct(a AS a, b AS b)))), p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+    val ha = hashes.select(col("id").as("id_a"), col("ahash").as("ha"))
+    val hb = hashes.select(col("id").as("id_b"), col("ahash").as("hb"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))

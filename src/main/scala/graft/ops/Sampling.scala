@@ -55,7 +55,10 @@ object Sampling {
       .orderBy(col("priority"), col("doc_id"))
     docs.select(col("doc_id"), col("source"),
         priority(seed, col("doc_id")).as("priority"))
-      .withColumn("pick", row_number().over(w))
+      // bigint like the oracle's row_number (and window_ntile's tile
+      // cast) — dtype-sensitive replicas compare schemas, not just
+      // values
+      .withColumn("pick", row_number().over(w).cast("bigint"))
       .where(col("pick") <= quota)
   }
 

@@ -138,8 +138,13 @@ object Sketch {
     def m(r: DataFrame, tag: String) =
       r.groupBy("bucket").agg(max("max_rank").as("max_rank"))
         .select(lit(tag).as("shard"), col("bucket"), col("max_rank"))
-    val a = m(regA, "A")
-    val b = m(regB, "B")
+    // truncate the register lineages to their ≤4096-row results: the
+    // union/estimate/pivot DAG below references each input several
+    // times (u re-reads both; the intersection pivot re-reads the
+    // estimates), and without this every reference re-pays the full
+    // corpus scan behind the registers
+    val a = m(regA, "A").localCheckpoint(true)
+    val b = m(regB, "B").localCheckpoint(true)
     val u = m(a.unionByName(b), "A_union_B")
     val est = hllEstimate(a.unionByName(b).unionByName(u))
       .select(col("shard").as("set_expr"), col("est_centi"))
@@ -183,12 +188,15 @@ object Sketch {
 
   /** The CMS table itself: (j, cell, cnt) over the corpus token stream.
     * Additive under union (cells sum), so per-partition tables merge by
-    * groupBy-sum — 4096 counters total, constant size at any corpus. */
+    * groupBy-sum — 4096 counters total, constant size at any corpus.
+    * `j` is BIGINT to match the oracle's `range(4)` (dtype-sensitive
+    * replicas compare schemas, not just values). */
   def cmsSketch(docs: DataFrame): DataFrame = {
     val rows = tokens(docs).select(
       posexplode(array((0 until CmsDepth).map(j => cmsCell(lit(j), col("tok"))): _*))
         .as(Seq("j", "cell")))
-    rows.groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    rows.groupBy(col("j").cast("bigint").as("j"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   // ---------------------------------------------------------- Histogram

@@ -43,10 +43,20 @@ object Tables {
       case TimestampNTZType =>
         // the NTZ→Timestamp cast reinterprets wall-clock in the SESSION
         // zone; it is only byte-stable because Sessions pins UTC —
-        // enforce that instead of silently shifting every event time
-        require(conf.get("spark.sql.session.timeZone", "") == "UTC",
-          "events.ts is TIMESTAMP_NTZ and the session timezone is not " +
-            "UTC — build sessions via graft.Sessions.builder")
+        // enforce that instead of silently shifting every event time.
+        // Read the EFFECTIVE value (no-default get resolves the SQLConf
+        // default — a provided default would mask it) and compare zone
+        // RULES, so "Etc/UTC"/"+00:00"/an unset key in a UTC JVM all
+        // pass while a genuinely shifted session still fails
+        val tz = conf.get("spark.sql.session.timeZone")
+        val utc = try {
+          val rules = java.time.ZoneId.of(tz).getRules
+          rules.isFixedOffset &&
+            rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+        } catch { case _: Exception => false }
+        require(utc,
+          s"events.ts is TIMESTAMP_NTZ and the session timezone ('$tz') " +
+            "is not UTC — build sessions via graft.Sessions.builder")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -50,6 +50,20 @@ class PortableSpec extends SparkTestBase {
     assert(got(2) == 1.0, s"fx(1.005, 2) = ${got(2)}") // 1.005·100 = 100.4999…
   }
 
+  test("no oracle SQL contains engine-divergent rounding") {
+    // round( is banned from every oracle (the r7 failure class); and
+    // every floor-scale multiply must carry the +0.5 half-up term — a
+    // hand-typed copy that drops it would hash-fail looking exactly
+    // like real engine divergence
+    val rounded = SparkEntry.oracleSql.filter(_._2.toLowerCase.contains("round("))
+    assert(rounded.isEmpty,
+      s"oracles using round(): ${rounded.keys.mkString(", ")}")
+    val bare = """\* 1e\d+\)""".r
+    val unguarded = SparkEntry.oracleSql.filter(kv => bare.findFirstIn(kv._2).isDefined)
+    assert(unguarded.isEmpty,
+      s"oracles with a floor-scale multiply missing '+ 0.5': ${unguarded.keys.mkString(", ")}")
+  }
+
   test("fxInt is half-up to a BIGINT (quantization codes contract)") {
     val got = Seq(127.5, 127.49999, -0.5, 254.5).toDF("x")
       .select(Portable.fxInt(col("x")).as("v")).collect().map(_.getLong(0))

@@ -72,7 +72,7 @@ class SamplingSpec extends SparkTestBase {
       val rows = perSource.getOrElse(src, Array.empty)
       assert(rows.length == math.min(quota.toLong, n),
         s"source $src: ${rows.length} != min($quota, $n)")
-      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length),
+      assert(rows.map(_.getLong(3).toInt).sorted.sameElements(1 to rows.length),
         s"source $src: picks must be the exact ranks 1..${rows.length}")
     }
   }
