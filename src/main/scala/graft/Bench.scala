@@ -48,7 +48,7 @@ object Bench {
     "sample_priority_topk", "sample_stratified", "agg_kmv_distinct",
     "agg_hll_set_algebra", "join_asof_tolerance",
     "streaming_cms_cells", "streaming_bloom_words", "streaming_sample_topk",
-    "multimodal_ahash", "dedup_image_pairs",
+    "multimodal_ahash", "dedup_image_pairs", "sample_split_assign",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -1036,6 +1036,12 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       graft.ops.Sampling.stratifiedSample(T(s, d, "documents"), quota = 50)),
 
+    // --- deterministic train/val/test split: md5 basis points vs
+    //     cumulative cut-offs — growth-stable (new docs never move an
+    //     existing doc across splits), one narrow pass
+    "sample_split_assign" -> ((s, d) =>
+      graft.ops.Sampling.splitAssign(T(s, d, "documents"))),
+
     // --- the sample as STREAM state: MinKSample aggregator in
     //     complete mode, buffer bounded at k rows; oracle = the batch
     //     sample SQL (stream == batch)
@@ -1558,6 +1564,16 @@ object SparkEntry {
         |r AS (SELECT *, row_number()
         |    OVER (PARTITION BY source ORDER BY priority, doc_id) AS pick FROM p)
         |SELECT doc_id, source, priority, pick FROM r WHERE pick <= 50""".stripMargin,
+    "sample_split_assign" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substr(md5('split1' || doc_id), 1, 8))::BIGINT % 10000
+        |    AS split_bp,
+        |  CASE WHEN ('0x' || substr(md5('split1' || doc_id), 1, 8))::BIGINT % 10000 < 8000
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5('split1' || doc_id), 1, 8))::BIGINT % 10000 < 9000
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     // stream == batch: the streaming MinKSample twin replays the batch
     // sample SQL
     "streaming_sample_topk" ->
@@ -1593,7 +1609,7 @@ object SparkEntry {
         |qv AS (SELECT unnest([50, 90, 99]) AS q_pct),
         |p AS (SELECT shard, q_pct, min(bin) AS bin
         |  FROM c, qv WHERE cum * 100 >= q_pct * n GROUP BY shard, q_pct)
-        |SELECT p.shard, p.q_pct, c.n,
+        |SELECT p.shard, p.q_pct, c.n::BIGINT AS n,
         |  (((p.bin * 64 * c.cnt * 100
         |     + 64 * (p.q_pct * c.n - 100 * (c.cum - c.cnt)))::HUGEINT
         |    * 1000000) // (100 * c.cnt)::HUGEINT)::BIGINT AS est_micro

@@ -62,6 +62,27 @@ object Sampling {
       .where(col("pick") <= quota)
   }
 
+  /** Deterministic train/validation/test split — the assignment every
+    * training corpus needs exactly once and must NEVER change under
+    * reshuffling, re-ingestion, or corpus growth: a document's split
+    * is a pure function of its id (md5 fraction in basis points
+    * against cumulative cut-offs), so adding documents later cannot
+    * move an existing document across splits (no leakage from val/test
+    * into train on re-runs), and any engine recomputes the same
+    * assignment. One narrow codegen'd pass, no shuffle, no state. */
+  def splitAssign(docs: DataFrame, trainBp: Int = 8000, valBp: Int = 1000,
+                  seed: String = "split1"): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      s"basis-point budgets invalid: train=$trainBp val=$valBp")
+    val bp = (conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("bigint") % 10000).as("split_bp")
+    docs.select(col("doc_id"), col("source"), bp)
+      .withColumn("split",
+        when(col("split_bp") < trainBp, lit("train"))
+          .when(col("split_bp") < trainBp + valBp, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** KMV (k-minimum-values) distinct-count estimate — the OTHER thing
     * the min-k sample is (Bar-Yossef et al. 2002): if the k-th
     * smallest of the DISTINCT 60-bit hash values is p_k, the value

@@ -69,7 +69,10 @@ object Sketch {
     * (same posture as the gated LSH band index, Dedup.bandedKeys). */
   def hllRegisters(df: DataFrame, value: Column, shard: Column): DataFrame = {
     val (bucket, rank) = bucketed(value)
-    df.select(shard.cast("string").as("shard"), bucket.as("bucket"), rank.as("rank"))
+    // rank as BIGINT like the oracle's arithmetic — dtype-sensitive
+    // replicas compare schemas, not just values
+    df.select(shard.cast("string").as("shard"), bucket.as("bucket"),
+        rank.cast("bigint").as("rank"))
       .groupBy("shard", "bucket").agg(max("rank").as("max_rank"))
   }
 

@@ -62,6 +62,26 @@ class SamplingSpec extends SparkTestBase {
     assert(est2.toDouble == est, "duplicate values must not perturb KMV")
   }
 
+  test("split assignment: growth-stable, ratio-faithful, leak-proof") {
+    val full = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // growth stability — the property that prevents test→train leakage
+    // across re-ingestions: assignments over HALF the corpus are
+    // bit-identical to the full corpus's for the shared ids
+    val half = Sampling.splitAssign(docs.where(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    half.foreach { case (id, s) =>
+      assert(full(id) == s, s"doc $id moved splits when the corpus grew")
+    }
+    // ratios: 80/10/10 within binomial noise at n=500
+    val byS = full.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(math.abs(byS("train") - 400) < 60, byS.toString)
+    assert(byS.values.sum == full.size && byS.keySet == Set("train", "val", "test"))
+    // budget validation fails loudly
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(docs, trainBp = 9500, valBp = 1000))
+  }
+
   test("stratified sample: exactly min(quota, |stratum|) per source, ranks 1..n") {
     val quota = 30
     val got = Sampling.stratifiedSample(docs, quota = quota).collect()
