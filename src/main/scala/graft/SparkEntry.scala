@@ -1056,16 +1056,15 @@ object SparkEntry {
 
     // --- sketch-only set algebra: |A|, |B|, |A∪B| (register max-merge)
     //     and |A∩B| (inclusion-exclusion) over two overlapping key
-    //     sets, all through the integer est_centi path
+    //     sets, all through the integer est_centi path; both register
+    //     sets build from ONE corpus scan (membership is a row
+    //     predicate, not a separate read)
     "agg_hll_set_algebra" -> ((s, d) => {
       val li = T(s, d, "lineitem")
       val v = concat(col("l_orderkey").cast("string"), lit(":"),
         col("l_linenumber").cast("string"))
-      graft.ops.Sketch.hllSetAlgebra(
-        graft.ops.Sketch.hllRegisters(
-          li.where(col("l_linenumber") <= 4), v, lit("A")),
-        graft.ops.Sketch.hllRegisters(
-          li.where(col("l_linenumber") >= 2), v, lit("B")))
+      graft.ops.Sketch.hllSetAlgebra(li, v,
+        inA = col("l_linenumber") <= 4, inB = col("l_linenumber") >= 2)
     }),
 
     // --- HLL cardinality sketch (approx_count_distinct). Estimates are

@@ -137,6 +137,28 @@ object Sketch {
     * [[hllEstimate]] path, so the gate hash-matches the DuckDB replay.
     * The pivot runs over THREE estimate rows — no driver math, no
     * collect. */
+  /** One-pass convenience: build BOTH register sets from a single scan
+    * of `df` — each row is tagged with every set it belongs to
+    * (explode of the applicable membership tags), so the corpus is
+    * read once however many sets overlap, then the algebra runs over
+    * the ≤2×4096-row register table. This is the 100 TB shape: set
+    * membership is a row predicate, and predicates don't deserve
+    * separate scans. */
+  def hllSetAlgebra(df: DataFrame, value: Column,
+                    inA: Column, inB: Column): DataFrame = {
+    val tagged = df.select(value.as("_v"),
+        explode(array(when(inA, "A"), when(inB, "B"))).as("_tag"))
+      .where(col("_tag").isNotNull)
+    // checkpoint the COMBINED ≤2×4096-row register table here — one
+    // action, one corpus scan; the per-set checkpoints inside the
+    // register overload then re-materialize from this table, not from
+    // the corpus
+    val regs = hllRegisters(tagged, col("_v"), col("_tag"))
+      .localCheckpoint(true)
+    hllSetAlgebra(regs.where(col("shard") === "A"),
+      regs.where(col("shard") === "B"))
+  }
+
   def hllSetAlgebra(regA: DataFrame, regB: DataFrame): DataFrame = {
     def m(r: DataFrame, tag: String) =
       r.groupBy("bucket").agg(max("max_rank").as("max_rank"))
@@ -145,7 +167,8 @@ object Sketch {
     // union/estimate/pivot DAG below references each input several
     // times (u re-reads both; the intersection pivot re-reads the
     // estimates), and without this every reference re-pays the full
-    // corpus scan behind the registers
+    // corpus scan behind the registers — for the one-pass overload
+    // above both checkpoints materialize from the SAME single scan
     val a = m(regA, "A").localCheckpoint(true)
     val b = m(regB, "B").localCheckpoint(true)
     val u = m(a.unionByName(b), "A_union_B")
