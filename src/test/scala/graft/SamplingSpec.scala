@@ -48,6 +48,28 @@ class SamplingSpec extends SparkTestBase {
       "aggregator buffer must equal the sort+limit sample exactly")
   }
 
+  test("MinKSample reduce/merge laws on random permutations and ties") {
+    val agg = new Sampling.MinKSample(8)
+    val rnd = new scala.util.Random(88)
+    for (round <- 0 until 20) {
+      // duplicate priorities force the tie-break path; doc_id disambiguates
+      val rows = Seq.fill(60)(Sampling.SampleRow(
+        rnd.nextInt(1000).toLong, s"s${rnd.nextInt(3)}", rnd.nextInt(20).toLong))
+        .distinct
+      val want = rows.sortBy(r => (r.priority, r.doc_id)).take(8)
+      // fold-reduce over ANY permutation must reach the same buffer
+      val perm = rnd.shuffle(rows)
+      val viaReduce = perm.foldLeft(agg.zero)(agg.reduce)
+      assert(viaReduce == want, s"round $round: reduce-fold diverged")
+      // merge is symmetric and equals top-k of the union for any split
+      val (l, r) = perm.splitAt(rnd.nextInt(perm.size + 1))
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(bl, br) == want && agg.merge(br, bl) == want,
+        s"round $round: merge diverged")
+    }
+  }
+
   test("KMV distinct estimate within 3σ of exact distinct count") {
     // 50k distinct values at k=256 → σ ≈ 1/√256 ≈ 6.3%
     val vals = spark.range(50000)
