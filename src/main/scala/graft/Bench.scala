@@ -49,6 +49,7 @@ object Bench {
     "agg_hll_set_algebra", "join_asof_tolerance",
     "streaming_cms_cells", "streaming_bloom_words", "streaming_sample_topk",
     "multimodal_ahash", "dedup_image_pairs", "sample_split_assign",
+    "multimodal_audio_fingerprint",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -958,6 +958,17 @@ object SparkEntry {
         .transform(df => Multimodal.audioEnergyWindows(df, "id", "clip").toDF())
     }),
 
+    // --- volume-invariant audio fingerprint: sign-of-delta window
+    //     energies over REAL decoded samples — integer-only, the audio
+    //     analog of the image aHash
+    "multimodal_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.audioFingerprint(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+          .toDF("id", "clip"), "id", "clip").toDF()
+    }),
+
     // --- multimodal resize stage: fit stub-decoded dims inside 32px,
     //     integer-exact → oracle-gated (decode → feature → resize chain)
     "multimodal_resize" -> ((s, d) =>
@@ -2123,6 +2134,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_samples,
         |  CAST(sum(v * v) AS BIGINT) AS energy
         |FROM s GROUP BY id, win""".stripMargin,
+    // the fingerprint replayed from the closed-form samples: 4-frame
+    // window energies, lead() delta signs, bits ORed per clip
+    "multimodal_audio_fingerprint" ->
+      """WITH clips AS (
+        |  SELECT event_id AS id, 1 + event_id % 2 AS ch,
+        |    32 + event_id % 33 AS nf
+        |  FROM events),
+        |s AS (
+        |  SELECT c.id, c.ch, f.f // 4 AS win,
+        |    ((31*c.id + 17*f.f + 29*cc.c) % 65536) - 32768 AS v
+        |  FROM clips c, generate_series(0, 64) AS f(f), generate_series(0, 1) AS cc(c)
+        |  WHERE f.f < c.nf AND cc.c < c.ch),
+        |e AS (SELECT id, ch, win, sum(v*v) AS energy FROM s GROUP BY id, ch, win),
+        |d AS (SELECT id, ch, win, energy,
+        |    lead(energy) OVER (PARTITION BY id ORDER BY win) AS nxt,
+        |    count(*) OVER (PARTITION BY id) AS nw
+        |  FROM e)
+        |SELECT id, CAST(ch AS BIGINT) AS channels, CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(coalesce(sum(CASE WHEN nxt > energy
+        |    THEN 1::BIGINT << win::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS fp
+        |FROM d GROUP BY id, ch, nw""".stripMargin,
     "text_length_trim" ->
       """WITH t AS (SELECT doc_id, source,
         |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -483,6 +483,47 @@ object Multimodal {
       })
   }
 
+  final case class AudioFingerprint(id: Long, channels: Long,
+                                    n_windows: Long, fp: Long)
+
+  /** Volume-invariant audio fingerprint from a REAL decode — the audio
+    * modality's near-dup signature, the analog of [[imageAHash]]'s
+    * brightness invariance: bit `w` is set iff window w+1's exact
+    * integer energy strictly exceeds window w's (the sign-of-delta
+    * idea of audio fingerprinting collapsed to the time axis,
+    * integer-only so the oracle replays the fixtures' closed-form
+    * samples). Uniform gain scales every window energy by g² and
+    * flips no comparison, so louder/quieter (or phase-inverted)
+    * re-encodes of the same material fingerprint identically —
+    * spec-proven. The ≤64-frame fixtures at 4-frame windows yield
+    * ≤16 windows → ≤15 bits in one BIGINT; production raises the
+    * window count, same shape, and pairs reuse the banded-Hamming
+    * machinery of [[imageAHashPairs]]. */
+  def audioFingerprint(df: DataFrame, idCol: String, binCol: String,
+                       windowFrames: Int = 4): Dataset[AudioFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val clip = Wav.decode(bytes)
+        val perWin = windowFrames * clip.channels
+        val energies = clip.samples.grouped(perWin).map { w =>
+          var e = 0L
+          var j = 0
+          while (j < w.length) { val v = w(j).toLong; e += v * v; j += 1 }
+          e
+        }.toArray
+        var fp = 0L
+        var w = 0
+        while (w + 1 < energies.length) {
+          if (energies(w + 1) > energies(w)) fp |= 1L << w
+          w += 1
+        }
+        AudioFingerprint(id, clip.channels.toLong, energies.length.toLong, fp)
+      })
+  }
+
   /** One sampled frame of a media payload. */
   final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)
 

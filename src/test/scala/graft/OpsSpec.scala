@@ -1477,6 +1477,36 @@ class OpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("audio fingerprint: gain- and inversion-invariant, content-sensitive") {
+    import spark.implicits._
+    import graft.ops.Wav
+    // 24-frame mono clip with varied energy; samples small enough that
+    // ×2 gain cannot clip — uniform gain scales every window energy by
+    // g², flipping no delta sign, so not one fingerprint bit may move;
+    // phase inversion (×−1) leaves energies untouched entirely
+    def clip(g: Int): Array[Byte] = Wav.encode(1, 8000, 24,
+      (f, _) => (g * (((f * 37) % 120) - 60 + (if (f % 7 == 0) 900 else 0))).toShort)
+    val shuffledContent = Wav.encode(1, 8000, 24,
+      (f, _) => ((((f * 53) % 120) - 60 + (if (f % 5 == 0) 900 else 0))).toShort)
+    val got = Multimodal.audioFingerprint(
+      Seq((0L, clip(1)), (1L, clip(2)), (2L, clip(-1)), (3L, shuffledContent))
+        .toDF("id", "clip"), "id", "clip")
+      .collect().map(r => r.id -> r.fp).toMap
+    assert(got(0L) == got(1L), "2x gain must preserve the fingerprint")
+    assert(got(0L) == got(2L), "phase inversion must preserve the fingerprint")
+    assert(got(0L) != got(3L), "different content must move bits")
+    // and the fixture path equals a direct local recompute
+    val fx = Wav.decode(Multimodal.syntheticWav(7L))
+    val energies = fx.samples.grouped(4 * fx.channels).map(w =>
+      w.foldLeft(0L)((a, v) => a + v.toLong * v.toLong)).toArray
+    val want = energies.indices.dropRight(1).foldLeft(0L)((acc, w) =>
+      if (energies(w + 1) > energies(w)) acc | (1L << w) else acc)
+    val one = Multimodal.audioFingerprint(
+      Seq((7L, Multimodal.syntheticWav(7L))).toDF("id", "clip"), "id", "clip")
+      .head()
+    assert(one.fp == want && one.n_windows == energies.length)
+  }
+
   test("live streaming dedup (within-watermark) is bounded by the exact key sets") {
     import org.apache.spark.sql.functions._
     // the live variant's output is arrival-order dependent (re-occurrence
