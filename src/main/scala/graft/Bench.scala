@@ -50,6 +50,8 @@ object Bench {
     "streaming_cms_cells", "streaming_bloom_words", "streaming_sample_topk",
     "multimodal_ahash", "dedup_image_pairs", "sample_split_assign",
     "multimodal_audio_fingerprint",
+    // r9: audio pairs, media clusters, token-budget admission
+    "dedup_audio_pairs", "dedup_image_clusters", "sample_token_budget",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",
@@ -231,11 +233,29 @@ object Bench {
     // The stdout line alone is fragile: the driver's log capture
     // truncated BENCH_r07's tail before the total ever appeared
     // (VERDICT r7 #4). Persist the same JSON to a known path so the
-    // round artifact is whole regardless of log length.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    // round artifact is whole regardless of log length. An only-mode
+    // run must NOT clobber the full round artifact with its partial
+    // results (ADVICE r8): it defaults to a distinct path unless the
+    // caller picked one explicitly.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH_SELF.json" else "BENCH_ONLY.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // LAST stdout line: a short summary that fits entirely inside the
+    // driver's ~1.8 KB log tail (the r7/r8 BENCH_r0N.json carried only
+    // the tail of the 84-entry line — its head, with the total, was cut
+    // off, so "parsed" came back null). Totals + the BASELINE.md gate
+    // queries in ~300 chars; the full per-query map lives in the line
+    // above and in the file artifact.
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val gateQs = Seq("transfer_lineitem", "transfer_all_tables",
+        "transfer_orders", "transfer_orders_kill_resume")
+      .flatMap(k => results.get(k).map(v => "\"" + k + "\":" + f3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":$gateQs,"n_queries":${results.size},""" +
+      s""""full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,6 +68,16 @@ object Curation {
     * total tie-break); the drop count rides the write as an observable
     * metric (same pattern as the LSH bucket cap).
     *
+    * NOT fully lazy: the `maxPairs` pre-flight runs one small Spark
+    * job (a shingle-frequency pass) AT CONSTRUCTION time, before any
+    * action on the returned frame — the refusal must fire before the
+    * quadratic expansion is ever planned for execution. Two
+    * consequences callers should know: building the frame costs one
+    * corpus scan even if the result is never executed, and on a
+    * mutable source the estimate pass and the main query read at
+    * different times (TOCTOU) — irrelevant for immutable parquet
+    * snapshots, but pin a snapshot/version when reading a live table.
+    *
     * Shape: the candidate pipeline is [[sharedShinglePairs]] — a
     * narrow (doc_a, doc_b) pair stream through the aggregation, sizes
     * rejoined after it with the join strategy left to AQE, threshold
@@ -172,7 +182,9 @@ object Curation {
     * containment is computed over the rare-shingle subuniverse — same
     * contract as [[ngramJaccardPairs]], oracle applies the identical
     * cap) and the same per-contained-doc result cap with an observable
-    * drop counter. */
+    * drop counter. Shares [[ngramJaccardPairs]]'s construction-time
+    * `maxPairs` pre-flight job (see its scaladoc for the laziness and
+    * TOCTOU caveats). */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                             dfCap: Int = 256, candCap: Int = 64,
                             maxPairs: Long = DefaultMaxPairs): DataFrame = {

@@ -414,9 +414,34 @@ object Dedup {
       while (it < maxIters && !converged) {
         val prop = edges.join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster"))
-        val next = labels.union(prop)
+        val hop = labels.union(prop)
           .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
-          .persist()
+        // Pointer-doubling shortcut (the Hash-to-Min / pointer-jumping
+        // idea, Rastogi et al. 2013): follow one more level of
+        // indirection — label(label(x)) — so label information travels
+        // 2^round hops instead of `round` hops, and convergence takes
+        // O(log diameter) rounds, not O(diameter). The r9 image-pair
+        // graph made this non-optional: a 213-asset component with
+        // diameter 17 silently exceeded maxIters=15 under plain
+        // one-hop propagation (the driver gate caught the divergence).
+        // Every cluster value is itself a doc_id, so the lookup is a
+        // self-join on the label; labels only ever decrease (hop takes
+        // a min over {self} ∪ neighbors; the jump substitutes
+        // hop(hop(x)) ≤ hop(x)), so the labelSum convergence probe's
+        // strict-decrease argument is unchanged.
+        val lookup = hop.toDF("lk", "lv") // renamed: self-join disambiguation
+        val next = hop.join(lookup, col("cluster") === col("lk"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lv"), col("cluster")).as("cluster"))
+          // localCheckpoint, not persist: `next` embeds `labels` twice
+          // and `hop` twice more, so with persist alone the LOGICAL
+          // plan grows ~4× per round — by round ~13 the driver OOMs
+          // just RENDERING the plan string for the SQL UI (measured on
+          // the r9 image-pair graph: 8 GB heap gone in explainString,
+          // zero data involved). The eager checkpoint truncates
+          // lineage to the materialized one-row-per-doc result, and
+          // the labelSum probe was already forcing a per-round action.
+          .localCheckpoint(true)
         val nextSum = timed(s"iter $it")(labelSum(next))
         labels.unpersist()
         labels = next

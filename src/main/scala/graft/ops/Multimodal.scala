@@ -169,24 +169,52 @@ object Multimodal {
     * smallest ids lose those candidates), acceptable because clique
     * members are interchangeable for keep/drop decisions. */
   def imageAHashPairs(hashes: DataFrame, maxHamming: Int = 4,
-                      bucketCap: Int = 64, candCap: Int = 4): DataFrame = {
-    val bandKeys = (0 until 4).map(k => concat(
-      col("width").cast("string"), lit("x"), col("height").cast("string"),
-      lit(s":$k:"), shiftright(col("ahash"), 12 * k).bitwiseAND(4095).cast("string")))
+                      bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(hashes, hashCol = "ahash",
+      group = concat(col("width").cast("string"), lit("x"),
+        col("height").cast("string")),
+      bandBits = 12, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "image_ahash")
+
+  /** The ONE banded-Hamming pair implementation every fixed-width
+    * perceptual fingerprint shares (images via [[imageAHashPairs]],
+    * audio via [[audioFingerprintPairs]]): the hash splits into
+    * `numBands`×`bandBits`-bit bands; candidates share (`group`, band
+    * index, band value) — an equi-join on that key through the shared
+    * capped-bucket machinery (`Dedup.cappedBucketsFromIndex`: each
+    * bucket keeps its `bucketCap` smallest ids, drops observable);
+    * survivors confirm by exact Hamming distance (`bit_count(xor)`)
+    * ≤ `maxHamming`, and each id_a keeps its `candCap` best-Hamming
+    * partners (observable drop count — perceptual hashes form LARGE
+    * equivalence cliques, so uncapped output is quadratic in the most
+    * copied asset). `group` carries the dimensions a Hamming compare
+    * requires to be meaningful (image width×height, audio
+    * channels:n_windows). Banding guarantee: two hashes within
+    * Hamming ≤ numBands−1 share at least one exact band; beyond that
+    * the screen is probabilistic — the standard LSH trade. */
+  private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+                                        group: Column, bandBits: Int,
+                                        numBands: Int, maxHamming: Int,
+                                        bucketCap: Int, candCap: Int,
+                                        metric: String): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bandKeys = (0 until numBands).map(k => concat(
+      group, lit(s":$k:"),
+      shiftright(col(hashCol), bandBits * k).bitwiseAND(mask).cast("string")))
     // (doc_id, bk) index → the ONE shared capped-bucket implementation
     // (Dedup.cappedBucketsFromIndex); pairs are deduped BEFORE the
     // hash join-back, so each candidate pair is scored exactly once
     val index = hashes.select(col("id").as("doc_id"),
       explode(array(bandKeys: _*)).as("bk"))
     val cand = Dedup.cappedBucketsFromIndex(index, bucketCap,
-        observed = true, metricPrefix = "image_ahash_buckets_")
+        observed = true, metricPrefix = s"${metric}_buckets_")
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> " +
           "struct(a AS a, b AS b)))), p -> p.a < p.b)")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    val ha = hashes.select(col("id").as("id_a"), col("ahash").as("ha"))
-    val hb = hashes.select(col("id").as("id_b"), col("ahash").as("hb"))
+    val ha = hashes.select(col("id").as("id_a"), col(hashCol).as("ha"))
+    val hb = hashes.select(col("id").as("id_b"), col(hashCol).as("hb"))
     cand.join(ha, "id_a").join(hb, "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"))
@@ -194,7 +222,7 @@ object Multimodal {
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
           .orderBy(col("hamming"), col("id_b"))))
-      .observe("image_ahash_cands_" +
+      .observe(s"${metric}_cands_" +
           java.util.UUID.randomUUID().toString.replace("-", ""),
         sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
       .where(col("rnk") <= candCap)
@@ -523,6 +551,61 @@ object Multimodal {
         AudioFingerprint(id, clip.channels.toLong, energies.length.toLong, fp)
       })
   }
+
+  /** Near-duplicate audio pairs from [[audioFingerprint]] signatures —
+    * the audio modality through the SAME [[bandedHammingPairs]]
+    * machinery as [[imageAHashPairs]] (previously only asserted; this
+    * makes it code). Candidates must share (channels, n_windows) —
+    * comparing delta-sign bits across different framings is
+    * meaningless — plus one exact 4-bit band of the fingerprint.
+    * `maxHamming` defaults to 3 = numBands−1, the bound under which
+    * banding is exhaustive (every qualifying pair shares a band).
+    * Bands are 4 bits because the fixture fingerprints carry ≤15
+    * delta bits; production clips with more windows widen `bandBits`,
+    * same shape. Same clique hazard and caps as images: a popular
+    * jingle's re-encodes all share one fingerprint (gain invariance is
+    * the POINT), so buckets cap at `bucketCap` smallest ids and each
+    * clip keeps `candCap` best partners, drops observable. */
+  def audioFingerprintPairs(fps: DataFrame, maxHamming: Int = 3,
+                            bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(fps, hashCol = "fp",
+      group = concat(col("channels").cast("string"), lit(":"),
+        col("n_windows").cast("string")),
+      bandBits = 4, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "audio_fp")
+
+  /** Pair lists → a per-asset KEEP/DROP decision — what a curation
+    * pipeline actually consumes (the text path's `nearDupClusters`
+    * extended to media assets): min-label propagation
+    * (`Dedup.propagateMinLabels`, the ONE transitive-closure
+    * implementation) over the near-dup pair graph assigns every asset
+    * the smallest id in its connected component; `keep` is true
+    * exactly for that representative. Assets with no near-dup edges
+    * are their own singleton cluster (kept). Both inputs are id
+    * frames: `ids` the full asset universe (one column `id`), `pairs`
+    * any [[bandedHammingPairs]] output (`id_a`, `id_b`). Scale shape:
+    * inherited from the propagation core — per round one shuffle-on-key
+    * join + one min-agg, rounds bounded by component diameter (tiny
+    * for near-dup cliques), convergence probed by a one-scalar
+    * DECIMAL sum, never collected rows.
+    *
+    * Both inputs are localCheckpointed first: the propagation loop
+    * re-embeds its inputs' plans once per round, and a decode-pipeline
+    * plan (mapPartitions codec → banded join → window) re-embedded ~6×
+    * per iteration grows the logical plan past what the driver can
+    * even render — measured: the UNtruncated sf0.001 image graph OOMed
+    * an 8 GB driver in `explainString`, pure plan bloat, zero data.
+    * The checkpoint inputs are small by construction (ids: one long
+    * per asset; pairs: capped at candCap per asset). */
+  def mediaNearDupClusters(ids: DataFrame, pairs: DataFrame,
+                           maxIters: Int = 15): DataFrame =
+    Dedup.propagateMinLabels(
+        ids.select(col("id").as("doc_id")).localCheckpoint(true),
+        pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          .localCheckpoint(true),
+        maxIters)
+      .select(col("doc_id").as("id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
 
   /** One sampled frame of a media payload. */
   final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)

@@ -62,6 +62,39 @@ object Sampling {
       .where(col("pick") <= quota)
   }
 
+  /** Per-source sampling under a TOKEN budget — the unit training
+    * mixtures are actually planned in ([[Curation]]'s temperature mix
+    * reweights by tokens for the same reason): [[stratifiedSample]]'s
+    * doc-count quota treats a 10-token stub and a 10k-token article as
+    * equal contributions, so a source full of long documents blows its
+    * token share. Here each source admits its smallest-PRIORITY docs
+    * (same md5 order — deterministic, growth-insensitive for the
+    * admitted prefix as long as admitted docs' priorities don't
+    * change, which they can't) until the running token sum would pass
+    * `budgetTokens`: keep iff cum_tokens ≤ budget, where cum_tokens
+    * includes the doc itself — a strict prefix of the priority order
+    * (no skip-and-refill knapsack; the rule must be a pure window
+    * function for any engine to replay it). Tokens are whitespace
+    * counts (`TextAnalysis`' convention). Output carries n_tokens and
+    * cum_tokens so the gate hashes the whole admission ledger.
+    *
+    * Scale shape: one shuffle on `source` (the window), the running
+    * sum inside each stratum's sort — same plan family as
+    * [[stratifiedSample]]; pairs naturally with
+    * `Curation.packSequences` downstream (budgeted docs → packed
+    * training sequences). */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 20000L,
+                        seed: String = "tokbudget1"): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        priority(seed, col("doc_id")).as("priority"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Deterministic train/validation/test split — the assignment every
     * training corpus needs exactly once and must NEVER change under
     * reshuffling, re-ingestion, or corpus growth: a document's split

@@ -93,6 +93,15 @@ object Sketch {
         HllM.toDouble * HllM.toDouble) *
       BigDecimal(BigInt(1) << 61) * 100).toBigInt
 
+  /** Smallest register sum for which est_centi = HllEstC div s_prime
+    * still fits a BIGINT (~1.09e9). s_prime ≥ this ⇒ quotient ≤
+    * Long.MaxValue; below it both engines clamp to Long.MaxValue, so
+    * even a degenerate register table (which real data never produces —
+    * the true minimum Σ over 4096 buckets at max rank is 4096, but an
+    * adversarial hand-built frame could get close) cannot make Spark's
+    * non-ANSI BIGINT wrap diverge from DuckDB's exact HUGEINT path. */
+  val HllSPrimeSafeMin: BigInt = HllEstC / BigInt(Long.MaxValue) + 1
+
   /** Raw HLL estimate per shard from a register frame:
     * E = α·m² / Σ 2^-M[j], the sum scaled by 2^61 into exact integers
     * (empty buckets contribute 2^61 each). Output:
@@ -103,7 +112,11 @@ object Sketch {
     * class doc for why no double ever touches the gated value).
     * DECIMAL widths are deliberate: s_hit ≤ 4096·2^60 < 10^22 fits
     * (25,0), and keeping operands narrow stays inside DuckDB's 38-digit
-    * arithmetic (two (38,0) operands cannot even be added there). */
+    * arithmetic (two (38,0) operands cannot even be added there).
+    * s_prime is kept for [[hllCorrected]] and debugging; gated outputs
+    * go through [[hllDistinct]], which drops it (a DECIMAL(25,0) wider
+    * than BIGINT renders differently across the driver's compare —
+    * see GateSchemaSpec). */
   def hllEstimate(registers: DataFrame): DataFrame = {
     val sHit = sum(expr("cast(shiftleft(cast(1 as bigint), 61 - max_rank) as decimal(25,0))"))
     registers.groupBy("shard")
@@ -113,17 +126,29 @@ object Sketch {
           (lit(HllM) - col("buckets_hit")).cast(DecimalType(10, 0)) *
             lit(TwoPow61).cast(DecimalType(20, 0))).cast(DecimalType(25, 0)))
       // IntegralDivide on DECIMAL operands → BIGINT; both operands are
-      // positive so trunc == floor on both engines
+      // positive so trunc == floor on both engines. Clamped below the
+      // safe s_prime bound so the quotient can never wrap (CaseWhen
+      // branches evaluate lazily — the div is skipped when clamped).
       .withColumn("est_centi",
-        expr(s"cast('$HllEstC' as decimal(38,0)) div s_prime"))
+        when(col("s_prime") <
+            lit(HllSPrimeSafeMin.toString).cast(DecimalType(25, 0)),
+          lit(Long.MaxValue))
+        .otherwise(expr(s"cast('$HllEstC' as decimal(38,0)) div s_prime")))
       .select("shard", "buckets_hit", "s_prime", "est_centi")
   }
 
   /** Per-shard + merged-ALL estimates in one frame — the gate shape:
-    * three shard sketches, their merge, every number replayable. */
+    * three shard sketches, their merge, every number replayable.
+    * Deliberately drops the intermediate s_prime: the gate hashes its
+    * output against a DuckDB replay, and a 22-digit DECIMAL(25,0) is
+    * the one dtype the two environments render differently (the r7/r8
+    * red gate — values bit-matched, the column's textual form didn't).
+    * The register artifact gate (hllRegisters) already certifies the
+    * sums s_prime derives from. */
   def hllDistinct(df: DataFrame, value: Column, shard: Column): DataFrame = {
     val regs = hllRegisters(df, value, shard)
     hllEstimate(regs).unionByName(hllEstimate(hllMergedRegisters(regs)))
+      .select("shard", "buckets_hit", "est_centi")
   }
 
   /** Sketch-only set algebra — the classic HLL trick that answers

@@ -156,6 +156,63 @@ class OpsSpec extends SparkTestBase {
     labels.unpersist()
   }
 
+  test("min-label propagation converges on diameter >> maxIters (pointer doubling)") {
+    import spark.implicits._
+    // a 60-node path graph: diameter 59 with one-hop propagation needs
+    // 59 rounds — the r9 image graph hit exactly this (a diameter-17
+    // component silently exceeded maxIters=15 and the driver gate
+    // caught the divergence). Pointer doubling reaches 2^k hops in k
+    // rounds, so 15 iterations cover diameter 2^15.
+    val n = 60L
+    val ids = (0L until n).toDF("doc_id")
+    val path = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cl = Dedup.propagateMinLabels(ids, path, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.values.forall(_ == 0L),
+      s"path graph must collapse to cluster 0; got ${cl.filter(_._2 != 0L)}")
+  }
+
+  test("media clusters: keep marks exactly one representative per component") {
+    import spark.implicits._
+    val ids = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L, 0L), (2L, 3L, 1L), (5L, 6L, 2L))
+      .toDF("id_a", "id_b", "hamming")
+    val out = Multimodal.mediaNearDupClusters(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L) == ((1L, 1L, true)) && byId(2L) == ((2L, 1L, false)) &&
+      byId(3L) == ((3L, 1L, false)), s"chain 1-2-3 wrong: $out")
+    assert(byId(4L) == ((4L, 4L, true)) && byId(7L) == ((7L, 7L, true)),
+      "singletons are their own kept representative")
+    assert(byId(5L) == ((5L, 5L, true)) && byId(6L) == ((6L, 5L, false)))
+    // exactly one keep per cluster
+    val keepPerCluster = out.groupBy(_._2).map { case (_, g) => g.count(_._3) }
+    assert(keepPerCluster.forall(_ == 1), "one representative per cluster")
+  }
+
+  test("audio pairs: gain-scaled re-encodes of a clip pair up at Hamming 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same material at different volumes: fingerprints are identical
+    // (spec'd on audioFingerprint); the PAIRS op must surface them
+    def wav(gain: Int) = graft.ops.Wav.encode(1, 8000, 40, (f, _) =>
+      (((f % 7) - 3) * 600 * gain).toShort)
+    val clips = Seq((1L, wav(1)), (2L, wav(3)), (3L, wav(10))).toDF("id", "clip")
+    val fps = Multimodal.audioFingerprint(clips, "id", "clip").toDF()
+    val got = Multimodal.audioFingerprintPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"gain-invariant trio must form all 3 pairs at Hamming 0: $got")
+    // and a different-material clip with the same framing does NOT pair
+    // at Hamming <= 3 unless its delta signs agree
+    val other = Seq((9L, graft.ops.Wav.encode(1, 8000, 40, (f, _) =>
+      (((f % 13) - 6) * 500).toShort))).toDF("id", "clip")
+    val fps2 = Multimodal.audioFingerprint(clips.union(other), "id", "clip").toDF()
+    val ids9 = Multimodal.audioFingerprintPairs(fps2)
+      .where(col("id_a") === 9L || col("id_b") === 9L).count()
+    assert(ids9 == 0, "different periodic material must not pair at Hamming<=3")
+  }
+
   test("incremental dedup == all-pairs LSH restricted to the batch-vs-corpus straddle") {
     import org.apache.spark.sql.functions._
     val corpus = docs.where(col("doc_id") % 2 === 0)

@@ -118,4 +118,36 @@ class SamplingSpec extends SparkTestBase {
         s"source $src: picks must be the exact ranks 1..${rows.length}")
     }
   }
+
+  test("token-budget sample: strict priority prefix, budget respected, first excluded doc overflows") {
+    val budget = 5000L
+    val got = Sampling.tokenBudgetSample(docs, budgetTokens = budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // ground truth: full per-source priority order with token lengths
+    val all = Sampling.tokenBudgetSample(docs, budgetTokens = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._1)) // (priority, doc_id)
+      val admitted = got.filter(_._2 == src).map(_._1).toSet
+      val expect = ordered.takeWhile(_._5 <= budget)
+      assert(admitted == expect.map(_._1).toSet,
+        s"source $src: admitted set must be the exact budget prefix")
+      // cum_tokens is a faithful running sum and stays inside budget
+      var cum = 0L
+      expect.foreach { r => cum += r._3; assert(r._5 == cum, s"cum drift at $r") }
+      assert(cum <= budget)
+      // the FIRST excluded doc (if any) genuinely overflows — the rule
+      // is a prefix, not a skip-and-refill knapsack
+      ordered.drop(expect.length).headOption.foreach { r =>
+        assert(r._5 > budget, s"first excluded doc $r does not overflow")
+      }
+    }
+    // deterministic under repartitioning
+    val reparted = Sampling.tokenBudgetSample(docs.repartition(11),
+      budgetTokens = budget).collect().map(_.getLong(0)).toSet
+    assert(reparted == got.map(_._1).toSet)
+  }
 }

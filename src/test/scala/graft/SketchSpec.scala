@@ -51,6 +51,33 @@ class SketchSpec extends SparkTestBase {
       s"corrected estimate $corrected vs exact 2000")
   }
 
+  test("HLL: gated hllDistinct projects no wide-decimal columns") {
+    // the r8 red gate: s_prime DECIMAL(25,0) in the hashed output —
+    // GateSchemaSpec bans the class; this pins the specific shape
+    val df = Sketch.hllDistinct(
+      spark.range(100).select(col("id").cast("string").as("v")),
+      col("v"), lit("one"))
+    assert(df.columns.toSeq == Seq("shard", "buckets_hit", "est_centi"))
+  }
+
+  test("HLL: est_centi clamps instead of wrapping on degenerate register tables") {
+    // an adversarial hand-built frame: every bucket at max rank 61 →
+    // s_prime = 4096 (the true minimum), quotient ≈ 2.4e24 >> Long.Max.
+    // Non-ANSI BIGINT division would wrap silently while DuckDB's
+    // HUGEINT path stays exact — the clamp pins both to Long.MaxValue
+    val regs = spark.range(Sketch.HllM)
+      .select(lit("adv").as("shard"), col("id").as("bucket"),
+        lit(61L).as("max_rank"))
+    val row = Sketch.hllEstimate(regs).head()
+    assert(row.getAs[Long]("est_centi") == Long.MaxValue)
+    // and a realistic frame sits far below the clamp threshold
+    val real = Sketch.hllEstimate(Sketch.hllRegisters(
+      spark.range(50000).select(concat(lit("c"), col("id")).as("v")),
+      col("v"), lit("one"))).head()
+    assert(real.getAs[Long]("est_centi") < Long.MaxValue)
+    assert(Sketch.HllSPrimeSafeMin * BigInt(Long.MaxValue) > Sketch.HllEstC)
+  }
+
   test("CMS: overestimates every token and is exact sans collisions") {
     // vocabulary of 5000 > 1024 cells → guaranteed collisions; tokens
     // must be PURE alpha (digits are split delimiters), so render the id
