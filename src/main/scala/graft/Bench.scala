@@ -51,7 +51,8 @@ object Bench {
     "multimodal_ahash", "dedup_image_pairs", "sample_split_assign",
     "multimodal_audio_fingerprint",
     // r9: audio pairs, media clusters, token-budget admission
-    "dedup_audio_pairs", "dedup_image_clusters", "sample_token_budget",
+    "dedup_audio_pairs", "dedup_image_clusters", "dedup_audio_clusters",
+    "sample_token_budget",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -998,6 +998,18 @@ object SparkEntry {
       Multimodal.audioFingerprintPairs(fps)
     }),
 
+    // --- and the audio pair graph through the shared closure to a
+    //     keep/drop decision, like dedup_image_clusters
+    "dedup_audio_clusters" -> ((s, d) => {
+      import s.implicits._
+      val fps = Multimodal.audioFingerprint(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+          .toDF("id", "clip"), "id", "clip").toDF()
+      Multimodal.mediaNearDupClusters(fps.select("id"),
+        Multimodal.audioFingerprintPairs(fps))
+    }),
+
     // --- multimodal resize stage: fit stub-decoded dims inside 32px,
     //     integer-exact → oracle-gated (decode → feature → resize chain)
     "multimodal_resize" -> ((s, d) =>
@@ -2207,42 +2219,22 @@ object SparkEntry {
     // (channels, n_windows), bucket cap 64, exact Hamming ≤ 3, 4 best
     // partners per id_a — the same CTE shape as dedup_image_pairs
     "dedup_audio_pairs" ->
-      """WITH clips AS (
-        |  SELECT event_id AS id, 1 + event_id % 2 AS ch,
-        |    32 + event_id % 33 AS nf
-        |  FROM events),
-        |s AS (
-        |  SELECT c.id, c.ch, f.f // 4 AS win,
-        |    ((31*c.id + 17*f.f + 29*cc.c) % 65536) - 32768 AS v
-        |  FROM clips c, generate_series(0, 64) AS f(f), generate_series(0, 1) AS cc(c)
-        |  WHERE f.f < c.nf AND cc.c < c.ch),
-        |e AS (SELECT id, ch, win, sum(v*v) AS energy FROM s GROUP BY id, ch, win),
-        |d AS (SELECT id, ch, win, energy,
-        |    lead(energy) OVER (PARTITION BY id ORDER BY win) AS nxt,
-        |    count(*) OVER (PARTITION BY id) AS nw
-        |  FROM e),
-        |af AS (SELECT id, ch, nw,
-        |  CAST(coalesce(sum(CASE WHEN nxt > energy
-        |    THEN 1::BIGINT << win::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS fp
-        |  FROM d GROUP BY id, ch, nw),
-        |hb AS (SELECT id, unnest([
-        |    ch::VARCHAR || ':' || nw::VARCHAR || ':0:' || ((fp >> 0) & 15)::VARCHAR,
-        |    ch::VARCHAR || ':' || nw::VARCHAR || ':1:' || ((fp >> 4) & 15)::VARCHAR,
-        |    ch::VARCHAR || ':' || nw::VARCHAR || ':2:' || ((fp >> 8) & 15)::VARCHAR,
-        |    ch::VARCHAR || ':' || nw::VARCHAR || ':3:' || ((fp >> 12) & 15)::VARCHAR
-        |  ]) AS band_key FROM af),
-        |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
-        |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
-        |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
-        |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
-        |conf AS (SELECT id_a, id_b,
-        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-        |  FROM cand JOIN af a ON id_a = a.id JOIN af b ON id_b = b.id
-        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)
-        |SELECT id_a, id_b, hamming FROM (
-        |  SELECT *, row_number()
-        |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
-        |WHERE rnk <= 4""".stripMargin,
+      s"""WITH $audioPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // min-label closure over the audio pair graph → per-clip keep/drop
+    // (Multimodal.mediaNearDupClusters over audioFingerprintPairs) —
+    // recursive-CTE closure like dedup_image_clusters
+    "dedup_audio_clusters" ->
+      s"""WITH RECURSIVE $audioPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM af a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
     "text_length_trim" ->
       """WITH t AS (SELECT doc_id, source,
         |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
@@ -3085,6 +3077,50 @@ object SparkEntry {
        |       ELSE ('${graft.ops.Sketch.HllEstC}'::HUGEINT
        |             // s_prime::HUGEINT)::BIGINT END AS est_centi
        |FROM est2""".stripMargin
+
+  /** Audio analog of [[ahashPairsCte]], self-contained (includes the
+    * closed-form WAV fixture energies and fingerprint): 4×4-bit bands
+    * keyed by (channels, n_windows), bucket cap 64, exact Hamming ≤ 3,
+    * 4 best partners per id_a. Defines `af(id, ch, nw, fp)` and
+    * `pairs(id_a, id_b, hamming)` — shared by the audio pairs gate and
+    * the audio clusters gate's closure. */
+  private def audioPairsCte: String =
+    """clips AS (
+      |  SELECT event_id AS id, 1 + event_id % 2 AS ch,
+      |    32 + event_id % 33 AS nf
+      |  FROM events),
+      |s AS (
+      |  SELECT c.id, c.ch, f.f // 4 AS win,
+      |    ((31*c.id + 17*f.f + 29*cc.c) % 65536) - 32768 AS v
+      |  FROM clips c, generate_series(0, 64) AS f(f), generate_series(0, 1) AS cc(c)
+      |  WHERE f.f < c.nf AND cc.c < c.ch),
+      |e AS (SELECT id, ch, win, sum(v*v) AS energy FROM s GROUP BY id, ch, win),
+      |d AS (SELECT id, ch, win, energy,
+      |    lead(energy) OVER (PARTITION BY id ORDER BY win) AS nxt,
+      |    count(*) OVER (PARTITION BY id) AS nw
+      |  FROM e),
+      |af AS (SELECT id, ch, nw,
+      |  CAST(coalesce(sum(CASE WHEN nxt > energy
+      |    THEN 1::BIGINT << win::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS fp
+      |  FROM d GROUP BY id, ch, nw),
+      |hb AS (SELECT id, unnest([
+      |    ch::VARCHAR || ':' || nw::VARCHAR || ':0:' || ((fp >> 0) & 15)::VARCHAR,
+      |    ch::VARCHAR || ':' || nw::VARCHAR || ':1:' || ((fp >> 4) & 15)::VARCHAR,
+      |    ch::VARCHAR || ':' || nw::VARCHAR || ':2:' || ((fp >> 8) & 15)::VARCHAR,
+      |    ch::VARCHAR || ':' || nw::VARCHAR || ':3:' || ((fp >> 12) & 15)::VARCHAR
+      |  ]) AS band_key FROM af),
+      |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
+      |conf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |  FROM cand JOIN af a ON id_a = a.id JOIN af b ON id_b = b.id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+      |pairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+      |WHERE rnk <= 4)""".stripMargin
 
   /** Shared banded-Hamming pair CTEs over the `ah` fingerprint CTE
     * (mirrors `Multimodal.imageAHashPairs` through

@@ -430,18 +430,29 @@ object Dedup {
         // hop(hop(x)) ≤ hop(x)), so the labelSum convergence probe's
         // strict-decrease argument is unchanged.
         val lookup = hop.toDF("lk", "lv") // renamed: self-join disambiguation
-        val next = hop.join(lookup, col("cluster") === col("lk"), "left")
+        def jump(df: DataFrame): DataFrame = df
+          .join(lookup, col("cluster") === col("lk"), "left")
           .select(col("doc_id"),
             coalesce(col("lv"), col("cluster")).as("cluster"))
-          // localCheckpoint, not persist: `next` embeds `labels` twice
-          // and `hop` twice more, so with persist alone the LOGICAL
-          // plan grows ~4× per round — by round ~13 the driver OOMs
-          // just RENDERING the plan string for the SQL UI (measured on
-          // the r9 image-pair graph: 8 GB heap gone in explainString,
-          // zero data involved). The eager checkpoint truncates
-          // lineage to the materialized one-row-per-doc result, and
-          // the labelSum probe was already forcing a per-round action.
-          .localCheckpoint(true)
+        // localCheckpoint, not persist: `next` embeds `labels` twice
+        // and `hop` several times more, so with persist alone the
+        // LOGICAL plan grows geometrically per round — by round ~13
+        // the driver OOMs just RENDERING the plan string for the SQL
+        // UI (measured on the r9 image-pair graph: 8 GB heap gone in
+        // explainString, zero data involved). The eager checkpoint
+        // truncates lineage to the materialized one-row-per-doc
+        // result, and the labelSum probe was already forcing a
+        // per-round action. The jump applies ONCE: a second
+        // application was measured a wash on the r9 image graph
+        // (rounds 23 → 21 for one extra join per round) — label
+        // information fundamentally travels the GRAPH one hop per
+        // round; the jump only compresses already-known indirection
+        // chains. Rounds are therefore bounded by the min-node's
+        // eccentricity — the same contract as GraphX/Pregel connected
+        // components — and the bucketCap/candCap pair design is what
+        // keeps near-dup component diameters small at scale.
+        val next = timed(s"iter $it checkpoint")(
+          jump(hop).localCheckpoint(true))
         val nextSum = timed(s"iter $it")(labelSum(next))
         labels.unpersist()
         labels = next

@@ -596,16 +596,39 @@ object Multimodal {
     * even render — measured: the UNtruncated sf0.001 image graph OOMed
     * an 8 GB driver in `explainString`, pure plan bloat, zero data.
     * The checkpoint inputs are small by construction (ids: one long
-    * per asset; pairs: capped at candCap per asset). */
+    * per asset; pairs: capped at candCap per asset).
+    *
+    * `maxIters` defaults HIGHER than the text path's 15: candCap
+    * prunes perceptual-hash cliques into long chain-like subgraphs
+    * (measured: the sf0.1 image graph still hadn't converged after 15
+    * pointer-doubled rounds, i.e. its diameter exceeds 2^15-hop
+    * reach), and rounds beyond the fixpoint cost nothing — the loop
+    * exits on the convergence probe. 30 rounds bound components of
+    * diameter ~2^30. */
   def mediaNearDupClusters(ids: DataFrame, pairs: DataFrame,
-                           maxIters: Int = 15): DataFrame =
-    Dedup.propagateMinLabels(
-        ids.select(col("id").as("doc_id")).localCheckpoint(true),
-        pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-          .localCheckpoint(true),
-        maxIters)
-      .select(col("doc_id").as("id"), col("cluster"),
-        (col("doc_id") === col("cluster")).as("keep"))
+                           maxIters: Int = 30): DataFrame = {
+    val p = pairs
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .localCheckpoint(true)
+    // Propagate over PARTICIPANTS only — assets appearing in at least
+    // one pair. Assets with no near-dup edge (the overwhelming bulk of
+    // a real corpus) are singleton clusters by definition and never
+    // enter the iterative loop; they rejoin at the end with
+    // cluster = own id. This keeps every per-round shuffle
+    // proportional to the near-dup SUBGRAPH, not the corpus — at
+    // sf0.1, 35k participants of 100k images; at 100 TB the ratio is
+    // far more lopsided.
+    val participants = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val lab = Dedup.propagateMinLabels(participants, p, maxIters)
+      .withColumnRenamed("doc_id", "id")
+    ids.select(col("id"))
+      .join(lab, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("keep", col("id") === col("cluster"))
+  }
 
   /** One sampled frame of a media payload. */
   final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)
