@@ -891,6 +891,23 @@ object SparkEntry {
         Multimodal.imageAHashPairs(hashes))
     }),
 
+    // --- steady-state incremental screen for images: a NEW batch
+    //     against the STANDING corpus index — batch cost proportional
+    //     to the batch, corpus side pre-bucketed and capped; the media
+    //     analog of dedup_incremental. Split is on id-blocks of 20
+    //     (dims repeat with period 20, so a parity split would never
+    //     straddle a same-dimension pair)
+    "dedup_image_incremental" -> ((s, d) => {
+      import s.implicits._
+      val hashes = Multimodal.imageAHash(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img"), "id", "img").toDF()
+      Multimodal.incrementalImageNearDups(
+        hashes.where(expr("id div 20") % 2 === 0),
+        hashes.where(expr("id div 20") % 2 === 1))
+    }),
+
     // --- REAL COMPRESSED image decode (VERDICT r5 #5): per-row PNG
     //     fixtures (zlib IDAT, row filters rotating through all five
     //     PNG filter types) decoded by the pure-JVM Png codec per
@@ -2047,6 +2064,40 @@ object SparkEntry {
     "dedup_image_pairs" -> ahashOracleSql(
       s"""$ahashPairsCte
          |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+      extraCte = true),
+
+    // batch (odd ids) vs standing corpus (even ids): corpus-side
+    // buckets capped at 64 smallest ids (size-1 buckets KEPT — a lone
+    // corpus asset can still match a batch asset), exact Hamming ≤ 4,
+    // 4 best corpus partners per batch asset
+    "dedup_image_incremental" -> ahashOracleSql(
+      """hc AS (SELECT * FROM ah WHERE (id // 20) % 2 = 0),
+        |hbt AS (SELECT * FROM ah WHERE (id // 20) % 2 = 1),
+        |ci AS (SELECT id, unnest([
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':0:' || ((ahash >> 0) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':1:' || ((ahash >> 12) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
+        |  ]) AS bk FROM hc),
+        |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+        |  FROM ci GROUP BY bk),
+        |bi AS (SELECT id AS batch_id, unnest([
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':0:' || ((ahash >> 0) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':1:' || ((ahash >> 12) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
+        |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
+        |  ]) AS bk FROM hbt),
+        |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+        |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+        |conf AS (SELECT batch_id, corpus_id,
+        |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
+        |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+        |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 4)
+        |SELECT batch_id, corpus_id, hamming FROM (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+        |  FROM conf)
+        |WHERE rnk <= 4""".stripMargin,
       extraCte = true),
 
     // min-label closure over the image pair graph → per-asset

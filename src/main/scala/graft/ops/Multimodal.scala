@@ -192,15 +192,22 @@ object Multimodal {
     * channels:n_windows). Banding guarantee: two hashes within
     * Hamming ≤ numBands−1 share at least one exact band; beyond that
     * the screen is probabilistic — the standard LSH trade. */
+  /** The (group, band index, band value) key columns shared by the
+    * all-pairs and incremental banded-Hamming consumers. */
+  private def bandKeyCols(hashCol: String, group: Column, bandBits: Int,
+                          numBands: Int): Seq[Column] = {
+    val mask = (1L << bandBits) - 1
+    (0 until numBands).map(k => concat(
+      group, lit(s":$k:"),
+      shiftright(col(hashCol), bandBits * k).bitwiseAND(mask).cast("string")))
+  }
+
   private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
                                         group: Column, bandBits: Int,
                                         numBands: Int, maxHamming: Int,
                                         bucketCap: Int, candCap: Int,
                                         metric: String): DataFrame = {
-    val mask = (1L << bandBits) - 1
-    val bandKeys = (0 until numBands).map(k => concat(
-      group, lit(s":$k:"),
-      shiftright(col(hashCol), bandBits * k).bitwiseAND(mask).cast("string")))
+    val bandKeys = bandKeyCols(hashCol, group, bandBits, numBands)
     // (doc_id, bk) index → the ONE shared capped-bucket implementation
     // (Dedup.cappedBucketsFromIndex); pairs are deduped BEFORE the
     // hash join-back, so each candidate pair is scored exactly once
@@ -228,6 +235,67 @@ object Multimodal {
       .where(col("rnk") <= candCap)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Incremental media near-dup screening — a NEW batch of assets
+    * against a STANDING corpus, the steady-state production shape
+    * (`Dedup.incrementalNearDups` for perceptual fingerprints): the
+    * corpus side of the band join is bucketed and capped exactly like
+    * the all-pairs path (shared `cappedBucketsFromIndex` — smallest
+    * `bucketCap` ids kept, drops observable; unlike the all-pairs
+    * path, size-1 buckets stay — one corpus asset can still match a
+    * batch asset), candidates equi-join on the band key, exact
+    * Hamming confirms, and each batch asset keeps its `candCap` best
+    * corpus partners. Only batch↔corpus pairs are produced (directed
+    * `(batch_id, corpus_id)`), batch-internal duplicates are a
+    * [[bandedHammingPairs]] pass over the small batch, corpus-internal
+    * ones were settled at admission — the same contract as the text
+    * path. At scale the corpus band index `(doc_id, bk)` is the
+    * persistable artifact (write once, read per batch), so batch cost
+    * is proportional to the BATCH, not the corpus. */
+  private[graft] def incrementalBandedHamming(corpus: DataFrame,
+                                              batch: DataFrame,
+                                              hashCol: String, group: Column,
+                                              bandBits: Int, numBands: Int,
+                                              maxHamming: Int, bucketCap: Int,
+                                              candCap: Int,
+                                              metric: String): DataFrame = {
+    val keys = bandKeyCols(hashCol, group, bandBits, numBands)
+    val corpusIndex = corpus.select(col("id").as("doc_id"),
+      explode(array(keys: _*)).as("bk"))
+    val cBuckets = Dedup.cappedBucketsFromIndex(corpusIndex, bucketCap,
+      observed = true, metricPrefix = s"${metric}_buckets_")
+    val cand = batch.select(col("id").as("batch_id"),
+        explode(array(keys: _*)).as("bk"))
+      .join(cBuckets, "bk")
+      .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
+      .distinct()
+    val hb = batch.select(col("id").as("batch_id"), col(hashCol).as("bh"))
+    val hc = corpus.select(col("id").as("corpus_id"), col(hashCol).as("ch"))
+    cand.join(hb, "batch_id").join(hc, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("bh").bitwiseXOR(col("ch"))).cast("bigint").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("batch_id"))
+          .orderBy(col("hamming"), col("corpus_id"))))
+      .observe(s"${metric}_cands_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
+      .where(col("rnk") <= candCap)
+      .select("batch_id", "corpus_id", "hamming")
+  }
+
+  /** [[incrementalBandedHamming]] for image aHashes — same band/cap
+    * constants as [[imageAHashPairs]]. */
+  def incrementalImageNearDups(corpusHashes: DataFrame,
+                               batchHashes: DataFrame,
+                               maxHamming: Int = 4, bucketCap: Int = 64,
+                               candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusHashes, batchHashes, hashCol = "ahash",
+      group = concat(col("width").cast("string"), lit("x"),
+        col("height").cast("string")),
+      bandBits = 12, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "image_ahash_incr")
 
   /** Deterministic BMP fixture for row `id`: dimensions and every pixel
     * are closed-form functions of (id, x, y), so the DuckDB oracle can

@@ -190,6 +190,35 @@ class OpsSpec extends SparkTestBase {
     assert(keepPerCluster.forall(_ == 1), "one representative per cluster")
   }
 
+  test("incremental image screen == all-pairs restricted to the batch-vs-corpus straddle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hashes = Multimodal.imageAHash(
+      spark.range(400).select(col("id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img"), "id", "img").toDF()
+    // dims repeat with period 20 (w: id%5, h: id%4), so a parity split
+    // would never straddle a same-dimension pair; split on blocks of 20
+    val corpus = hashes.where(expr("id div 20") % 2 === 0)
+    val batch = hashes.where(expr("id div 20") % 2 === 1)
+    // non-binding caps: equality must hold exactly (same bands, same
+    // confirm) — no candidate lost by going incremental
+    val inc = Multimodal.incrementalImageNearDups(corpus, batch,
+        bucketCap = 100000, candCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val straddle = Multimodal.imageAHashPairs(hashes,
+        bucketCap = 100000, candCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a / 20) % 2 != (b / 20) % 2 }
+      .map { case (a, b, h) => if ((a / 20) % 2 == 1) (a, b, h) else (b, a, h) }.toSet
+    assert(inc.nonEmpty, "block split must straddle some near-dup pairs")
+    assert(inc == straddle,
+      s"incremental screen diverges from all-pairs straddle: " +
+        s"only-inc=${(inc -- straddle).take(3)} only-pairs=${(straddle -- inc).take(3)}")
+    // every pair is directed batch -> corpus
+    inc.foreach { case (b, c, _) => assert((b / 20) % 2 == 1 && (c / 20) % 2 == 0) }
+  }
+
   test("audio pairs: gain-scaled re-encodes of a clip pair up at Hamming 0") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
