@@ -908,6 +908,14 @@ object SparkEntry {
         hashes.where(expr("id div 20") % 2 === 1))
     }),
 
+    // --- the image screen as a STREAM: new image batches vs the
+    //     standing corpus index, stream-static joins only (batch hash
+    //     carried through the band join), stateful dropDuplicates; no
+    //     candCap (windows are illegal on streams) — stream == batch
+    //     minus the cap, same oracle CTE chain uncapped
+    "streaming_image_dedup" -> ((s, d) =>
+      StreamingIngest.imageDedupStream(s, d)),
+
     // --- REAL COMPRESSED image decode (VERDICT r5 #5): per-row PNG
     //     fixtures (zlib IDAT, row filters rotating through all five
     //     PNG filter types) decoded by the pure-JVM Png codec per
@@ -2071,33 +2079,19 @@ object SparkEntry {
     // corpus asset can still match a batch asset), exact Hamming ≤ 4,
     // 4 best corpus partners per batch asset
     "dedup_image_incremental" -> ahashOracleSql(
-      """hc AS (SELECT * FROM ah WHERE (id // 20) % 2 = 0),
-        |hbt AS (SELECT * FROM ah WHERE (id // 20) % 2 = 1),
-        |ci AS (SELECT id, unnest([
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':0:' || ((ahash >> 0) & 4095)::VARCHAR,
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':1:' || ((ahash >> 12) & 4095)::VARCHAR,
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
-        |  ]) AS bk FROM hc),
-        |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
-        |  FROM ci GROUP BY bk),
-        |bi AS (SELECT id AS batch_id, unnest([
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':0:' || ((ahash >> 0) & 4095)::VARCHAR,
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':1:' || ((ahash >> 12) & 4095)::VARCHAR,
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
-        |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
-        |  ]) AS bk FROM hbt),
-        |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
-        |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
-        |conf AS (SELECT batch_id, corpus_id,
-        |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
-        |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
-        |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 4)
-        |SELECT batch_id, corpus_id, hamming FROM (
-        |  SELECT *, row_number()
-        |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
-        |  FROM conf)
-        |WHERE rnk <= 4""".stripMargin,
+      s"""$imageIncrementalCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
+      extraCte = true),
+
+    // the streaming twin emits every confirmed pair (no candCap —
+    // row_number windows are illegal on streams); same CTE chain
+    "streaming_image_dedup" -> ahashOracleSql(
+      s"""$imageIncrementalCte
+         |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
       extraCte = true),
 
     // min-label closure over the image pair graph → per-asset
@@ -3172,6 +3166,37 @@ object SparkEntry {
       |  SELECT *, row_number()
       |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
       |WHERE rnk <= 4)""".stripMargin
+
+  /** Incremental image screen CTEs over the `ah` fingerprint CTE:
+    * corpus = even id-blocks of 20, batch = odd blocks, corpus band
+    * buckets capped at 64 smallest ids (size-1 buckets KEPT — a lone
+    * corpus asset can still match a batch asset), exact Hamming ≤ 4.
+    * Ends defining `conf(batch_id, corpus_id, hamming)` — the batch
+    * gate caps at 4 best partners on top; the streaming twin takes
+    * `conf` whole. */
+  private def imageIncrementalCte: String =
+    """hc AS (SELECT * FROM ah WHERE (id // 20) % 2 = 0),
+      |hbt AS (SELECT * FROM ah WHERE (id // 20) % 2 = 1),
+      |ci AS (SELECT id, unnest([
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':0:' || ((ahash >> 0) & 4095)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':1:' || ((ahash >> 12) & 4095)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
+      |  ]) AS bk FROM hc),
+      |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM ci GROUP BY bk),
+      |bi AS (SELECT id AS batch_id, unnest([
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':0:' || ((ahash >> 0) & 4095)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':1:' || ((ahash >> 12) & 4095)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':2:' || ((ahash >> 24) & 4095)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':3:' || ((ahash >> 36) & 4095)::VARCHAR
+      |  ]) AS bk FROM hbt),
+      |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+      |conf AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
+      |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 4)""".stripMargin
 
   /** Shared banded-Hamming pair CTEs over the `ah` fingerprint CTE
     * (mirrors `Multimodal.imageAHashPairs` through

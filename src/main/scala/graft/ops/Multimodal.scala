@@ -252,29 +252,49 @@ object Multimodal {
     * path. At scale the corpus band index `(doc_id, bk)` is the
     * persistable artifact (write once, read per batch), so batch cost
     * is proportional to the BATCH, not the corpus. */
+  /** The confirm core, STREAM-SAFE by construction: the batch hash is
+    * CARRIED through the band join instead of joined back (a join-back
+    * would be a stream-stream join needing watermarks when `batch` is
+    * a streaming frame — the same carry trick the text path's
+    * `incrementalDedupStream` uses), so the only joins are
+    * stream-static against the corpus buckets and corpus hashes.
+    * Emits duplicate (batch_id, corpus_id) rows when a pair shares
+    * several bands — batch callers `.distinct()`, streaming callers
+    * `.dropDuplicates(...)` (stateful streaming dedup). `observed` is
+    * false for streaming use (per-batch observe metrics are not
+    * reportable there — same posture as `cappedBuckets`). */
+  private[graft] def incrementalScreen(corpus: DataFrame, batch: DataFrame,
+                                       hashCol: String, group: Column,
+                                       bandBits: Int, numBands: Int,
+                                       maxHamming: Int, bucketCap: Int,
+                                       metric: String,
+                                       observed: Boolean): DataFrame = {
+    val keys = bandKeyCols(hashCol, group, bandBits, numBands)
+    val corpusIndex = corpus.select(col("id").as("doc_id"),
+      explode(array(keys: _*)).as("bk"))
+    val cBuckets = Dedup.cappedBucketsFromIndex(corpusIndex, bucketCap,
+      observed = observed, metricPrefix = s"${metric}_buckets_")
+    val hc = corpus.select(col("id").as("corpus_id"), col(hashCol).as("ch"))
+    batch.select(col("id").as("batch_id"), col(hashCol).as("bh"),
+        explode(array(keys: _*)).as("bk"))
+      .join(cBuckets, "bk")
+      .select(col("batch_id"), col("bh"), explode(col("ids")).as("corpus_id"))
+      .join(hc, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("bh").bitwiseXOR(col("ch"))).cast("bigint").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   private[graft] def incrementalBandedHamming(corpus: DataFrame,
                                               batch: DataFrame,
                                               hashCol: String, group: Column,
                                               bandBits: Int, numBands: Int,
                                               maxHamming: Int, bucketCap: Int,
                                               candCap: Int,
-                                              metric: String): DataFrame = {
-    val keys = bandKeyCols(hashCol, group, bandBits, numBands)
-    val corpusIndex = corpus.select(col("id").as("doc_id"),
-      explode(array(keys: _*)).as("bk"))
-    val cBuckets = Dedup.cappedBucketsFromIndex(corpusIndex, bucketCap,
-      observed = true, metricPrefix = s"${metric}_buckets_")
-    val cand = batch.select(col("id").as("batch_id"),
-        explode(array(keys: _*)).as("bk"))
-      .join(cBuckets, "bk")
-      .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
+                                              metric: String): DataFrame =
+    incrementalScreen(corpus, batch, hashCol, group, bandBits, numBands,
+        maxHamming, bucketCap, metric, observed = true)
       .distinct()
-    val hb = batch.select(col("id").as("batch_id"), col(hashCol).as("bh"))
-    val hc = corpus.select(col("id").as("corpus_id"), col(hashCol).as("ch"))
-    cand.join(hb, "batch_id").join(hc, "corpus_id")
-      .select(col("batch_id"), col("corpus_id"),
-        bit_count(col("bh").bitwiseXOR(col("ch"))).cast("bigint").as("hamming"))
-      .where(col("hamming") <= maxHamming)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("batch_id"))
           .orderBy(col("hamming"), col("corpus_id"))))
@@ -283,7 +303,6 @@ object Multimodal {
         sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
       .where(col("rnk") <= candCap)
       .select("batch_id", "corpus_id", "hamming")
-  }
 
   /** [[incrementalBandedHamming]] for image aHashes — same band/cap
     * constants as [[imageAHashPairs]]. */

@@ -233,6 +233,43 @@ object StreamingIngest {
     runToMemory(confirmed, "graft_incr_", "append")
   }
 
+  /** The incremental IMAGE near-dup screen as a stream — new image
+    * batches arriving continuously, screened against the standing
+    * corpus aHash index ([[graft.ops.Multimodal.incrementalScreen]],
+    * the media analog of [[incrementalDedupStream]]): the per-row
+    * decode + fingerprint runs inside the micro-batch (mapPartitions
+    * on the streaming frame — embarrassingly parallel, no shuffle),
+    * the band join and the Hamming confirm are STREAM-STATIC joins
+    * (the batch hash is carried through the band join precisely so no
+    * stream-stream join arises), and duplicate multi-band hits dedup
+    * through the stateful `dropDuplicates` operator. No per-batch
+    * candCap: `row_number` windows are illegal on streams, so the
+    * streaming twin emits every confirmed pair (the oracle applies the
+    * same uncapped rule). Result equals the batch screen minus the cap
+    * — hash-gated against the same CTE chain. */
+  def imageDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def hashes(df: DataFrame) = Multimodal.imageAHash(
+      df.select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img"), "id", "img").toDF()
+    val corpus = hashes(spark.read.parquet(s"$dir/events.parquet")
+      .where(expr("event_id div 20") % 2 === 0))
+    val batch = hashes(spark.readStream.schema(evSchema)
+      .parquet(s"$dir/events.*")
+      .where(expr("event_id div 20") % 2 === 1))
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "ahash",
+        group = concat(col("width").cast("string"), lit("x"),
+          col("height").cast("string")),
+        bandBits = 12, numBands = 4, maxHamming = 4, bucketCap = 64,
+        metric = "image_ahash_stream", observed = false)
+      .dropDuplicates("batch_id", "corpus_id")
+    runToMemory(confirmed, "graft_img_incr_", "append")
+  }
+
   /** Streaming INTO a live database: watermark-closed windows upserted
     * per micro-batch into a JDBC store via `foreachBatch` + the MERGE
     * sink — the streaming half of the transfer product. Exactly-once
