@@ -1120,6 +1120,13 @@ object SparkEntry {
     "sample_token_budget" -> ((s, d) =>
       graft.ops.Sampling.tokenBudgetSample(T(s, d, "documents"))),
 
+    // --- the full deterministic training-mix op: total token budget
+    //     split across sources by temperature-smoothed shares
+    //     (w = floor(sqrt(Σtokens)), all-integer arithmetic), then
+    //     priority-prefix admission per source
+    "sample_temperature_budget" -> ((s, d) =>
+      graft.ops.Sampling.temperatureBudgetSample(T(s, d, "documents"))),
+
     // --- deterministic train/val/test split: md5 basis points vs
     //     cumulative cut-offs — growth-stable (new docs never move an
     //     existing doc across splits), one narrow pass
@@ -1658,6 +1665,23 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id, source, n_tokens, priority, cum_tokens
         |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+    "sample_temperature_budget" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5('tempbudget1' || doc_id), 1, 15))::BIGINT AS priority
+        |  FROM documents),
+        |wsrc AS (SELECT source, floor(sqrt(sum(n_tokens)))::BIGINT AS w
+        |  FROM p GROUP BY source),
+        |tot AS (SELECT sum(w)::BIGINT AS w_total FROM wsrc),
+        |b AS (SELECT source, ((60000 * w) // w_total)::BIGINT AS budget_src
+        |  FROM wsrc, tot),
+        |c AS (SELECT doc_id, source, n_tokens, priority,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+        |  FROM p)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.priority, c.cum_tokens,
+        |  b.budget_src
+        |FROM c JOIN b USING (source) WHERE cum_tokens <= budget_src""".stripMargin,
     "sample_split_assign" ->
       """SELECT doc_id, source,
         |  ('0x' || substr(md5('split1' || doc_id), 1, 8))::BIGINT % 10000

@@ -95,6 +95,45 @@ object Sampling {
       .where(col("cum_tokens") <= budgetTokens)
   }
 
+  /** [[tokenBudgetSample]] with the budget SPLIT across sources by
+    * temperature-smoothed token shares — the full "give me an N-token
+    * training mix, balanced across sources, deterministically" op
+    * (`Curation.temperatureMix` sets per-doc keep odds by the same
+    * smoothing idea; this one hits an exact token target instead).
+    * Per-source weight w_s = floor(sqrt(Σ tokens_s)) — the T = 2
+    * smoothing exponent, computed as floor∘sqrt of an exact BIGINT:
+    * sqrt is correctly rounded in both engines (unlike ln/exp) and
+    * every sum/division here is integer arithmetic, so the gate
+    * replays bit-for-bit (no order-dependent double sums — the hazard
+    * that bans a Σ of raw sqrt weights). Budget_s = total·w_s div Σw,
+    * then the usual smallest-priority prefix admission per source.
+    * Scale shape: one tiny per-source aggregate joined back broadcast,
+    * one window shuffle on source — same family as
+    * [[stratifiedSample]]/[[tokenBudgetSample]]. */
+  def temperatureBudgetSample(docs: DataFrame,
+                              totalBudgetTokens: Long = 60000L,
+                              seed: String = "tempbudget1"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      priority(seed, col("doc_id")).as("priority"))
+    val weights = toks.groupBy("source")
+      .agg(sum("n_tokens").as("tok_src"))
+      .withColumn("w", floor(sqrt(col("tok_src"))).cast("bigint"))
+    val totalW = weights.agg(sum("w").as("w_total"))
+    val budgets = weights.crossJoin(broadcast(totalW)) // 1-row scalar
+      .withColumn("budget_src",
+        expr(s"cast($totalBudgetTokens as bigint) * w div w_total"))
+      .select(col("source"), col("budget_src"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .join(budgets, "source")
+      .where(col("cum_tokens") <= col("budget_src"))
+      .select("doc_id", "source", "n_tokens", "priority",
+        "cum_tokens", "budget_src")
+  }
+
   /** Deterministic train/validation/test split — the assignment every
     * training corpus needs exactly once and must NEVER change under
     * reshuffling, re-ingestion, or corpus growth: a document's split

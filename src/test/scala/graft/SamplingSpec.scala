@@ -150,4 +150,33 @@ class SamplingSpec extends SparkTestBase {
       budgetTokens = budget).collect().map(_.getLong(0)).toSet
     assert(reparted == got.map(_._1).toSet)
   }
+
+  test("temperature budget: integer sqrt weights, shares sum within rounding, per-source prefix") {
+    import org.apache.spark.sql.functions._
+    val total = 30000L
+    val got = Sampling.temperatureBudgetSample(docs, totalBudgetTokens = total)
+      .collect()
+    assert(got.nonEmpty)
+    // one budget per source; Σ budget_src ≤ total (integer-div floor
+    // loses at most one token per source)
+    val budgets = got.map(r => r.getString(1) -> r.getLong(5)).toMap
+    val sumB = budgets.values.sum
+    assert(sumB <= total && sumB > total - budgets.size,
+      s"budget split $sumB vs total $total over ${budgets.size} sources")
+    // budgets track temperature-smoothed token shares: recompute from
+    // the corpus and compare exactly (all-integer arithmetic)
+    val tokBySrc = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = tokBySrc.map { case (s, t) => s -> math.sqrt(t.toDouble).toLong }
+    val wTot = w.values.sum
+    budgets.foreach { case (s, b) =>
+      assert(b == total * w(s) / wTot, s"source $s budget $b != ${total * w(s) / wTot}")
+    }
+    // admission within each source respects its own budget
+    got.groupBy(_.getString(1)).foreach { case (s, rows) =>
+      assert(rows.map(_.getLong(4)).max <= budgets(s))
+    }
+  }
 }
