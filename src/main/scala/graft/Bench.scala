@@ -53,7 +53,7 @@ object Bench {
     // r9: audio pairs, media clusters, token-budget admission
     "dedup_audio_pairs", "dedup_image_clusters", "dedup_audio_clusters",
     "dedup_image_incremental", "streaming_image_dedup",
-    "sample_token_budget", "sample_temperature_budget",
+    "sample_token_budget", "sample_temperature_budget", "dedup_keep_best",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

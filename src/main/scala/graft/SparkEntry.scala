@@ -770,6 +770,12 @@ object SparkEntry {
     "dedup_cluster_stats" -> ((s, d) =>
       Dedup.clusterSizeHistogram(T(s, d, "documents"))),
 
+    // --- quality-aware survivorship: each near-dup cluster keeps its
+    //     HIGHEST-quality member (not the arbitrary min id) — the
+    //     policy real curation applies after dedup finds the clusters
+    "dedup_keep_best" -> ((s, d) =>
+      Curation.keepBestInClusters(T(s, d, "documents"))),
+
     // --- paragraph-level (chunk) dedup: per-document fraction of
     //     10-word chunks that occur elsewhere in the corpus (the
     //     repeated-span removal pass, vs whole-document near-dup)
@@ -2431,6 +2437,18 @@ object SparkEntry {
     // min reachable id (self for singletons) — equals Spark's min-label
     // propagation fixpoint
     "dedup_clusters" -> clustersOracleSql,
+    // survivorship: clusters CTE (nested WITH RECURSIVE, the
+    // dedup_cluster_stats pattern) joined with the quality CTE, best
+    // quality wins per cluster (doc_id tie-break)
+    "dedup_keep_best" ->
+      s"""WITH cl AS (${clustersOracleSql.replace("\n", "\n  ")}),
+         |q AS (${qualityOracleSql.replace("\n", "\n  ")}),
+         |j AS (SELECT cl.doc_id, cl.cluster, q.quality
+         |      FROM cl JOIN q USING (doc_id))
+         |SELECT doc_id, cluster, quality,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality DESC, doc_id) = 1 AS keep
+         |FROM j""".stripMargin,
     // histogram of the closure's cluster sizes (corpus-health report)
     "dedup_cluster_stats" ->
       s"""WITH c AS (${clustersOracleSql.replace("\n", "\n  ")})

@@ -625,6 +625,31 @@ object Curation {
     * doc_id. Thresholds are calibration knobs, not contracts — the
     * defaults fire meaningfully on the synthetic corpus and the
     * oracle pins whatever is configured. */
+  /** Quality-aware SURVIVORSHIP over near-dup clusters — the policy a
+    * real curation pipeline applies after dedup finds the clusters:
+    * instead of keeping each cluster's arbitrary min-id member
+    * (`Dedup.nearDupClusters`' representative), keep its HIGHEST-
+    * QUALITY member ([[graft.ops.TextAnalysis.quality]] score, doc_id
+    * as the total tie-break), so deduplication never throws away the
+    * best copy of duplicated content. Output: one row per doc with
+    * its cluster, quality, and the keep verdict (exactly one keeper
+    * per cluster; singletons keep themselves).
+    *
+    * Scale shape: the closure's cost is [[graft.ops.Dedup.nearDupClusters]]'
+    * (bounded-round label propagation over the capped pair graph); the
+    * survivorship choice itself is one quality pass (narrow, codegen'd)
+    * + one window over the cluster key — a single extra shuffle. */
+  def keepBestInClusters(docs: DataFrame,
+                         threshold: Double = 0.5): DataFrame = {
+    val clusters = Dedup.nearDupClusters(docs, threshold)
+    val q = TextAnalysis.quality(docs)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster", "quality", "keep")
+  }
+
   def curationPipeline(docs: DataFrame,
                        minWords: Int = 15, maxWords: Int = 90,
                        maxTopBigram: Double = 0.1, maxDupWord: Double = 0.68,

@@ -527,4 +527,23 @@ class CurationSpec extends SparkTestBase {
     // size-ranked round-robin across 16 groups lands well under 20% skew
     assert(mx / mn < 1.2, s"shard token skew too high: $totals")
   }
+
+  test("keep-best survivorship: one keeper per cluster, and it has the max quality") {
+    val out = Curation.keepBestInClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.length == docs.count())
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      val keepers = rows.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cl has ${keepers.length} keepers")
+      val best = rows.maxBy(r => (r._3, -r._1)) // max quality, min doc_id tie
+      assert(keepers.head._1 == best._1,
+        s"cluster $cl keeper ${keepers.head} is not the best-quality member $best")
+    }
+    // the policy must actually differ from min-id representatives
+    // somewhere on this corpus (otherwise the gate is vacuous)
+    val minIdKeeps = out.groupBy(_._2).map { case (_, rows) => rows.map(_._1).min }.toSet
+    val bestKeeps = out.filter(_._4).map(_._1).toSet
+    assert(minIdKeeps != bestKeeps,
+      "quality survivorship coincides with min-id everywhere — corpus too uniform to test the policy")
+  }
 }

@@ -53,6 +53,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"sample shuffles the corpus:\n$plan")
   }
 
+  test("token-budget admission is one window over one source shuffle") {
+    val plan = executedPlan("sample_token_budget")
+    // exactly one data exchange: the window's hashpartitioning(source);
+    // a second would mean the running sum re-shuffles what the window
+    // already co-located. The AQE string repeats the plan under
+    // "== Initial Plan ==" — count only the final section.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected 1 window shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"no window operator:\n$plan")
+  }
+
+  test("incremental image screen is equi-joins only (band key + corpus hash)") {
+    val plan = executedPlan("dedup_image_incremental")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental screen must stay equi-join:\n$plan")
+  }
+
   test("no declared query plans a cartesian product") {
     // brute-force ANN intentionally broadcasts a tiny query set (a
     // BroadcastNestedLoopJoin over 10 rows); CartesianProduct — a
