@@ -610,6 +610,21 @@ object SparkEntry {
     "ann_bucket_topk" -> ((s, d) => Similarity.bucketTopK(T(s, d, "embeddings"))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(T(s, d, "embeddings"))),
 
+    // --- IVF index LIFECYCLE: the cell-partitioned vector store built
+    //     in TWO generations (even vectors indexed first, odd appended
+    //     against the same frozen centroids) and probed as one — must
+    //     hash-match the single-build oracle, proving append ≡ rebuild
+    //     (the ANN sibling of dedup_index_lifecycle)
+    "ann_index_lifecycle" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("emb").as("ce"))
+      val gen0 = Similarity.ivfAssign(e.where(col("vec_id") % 2 === 0), cents)
+      val gen1 = Similarity.ivfAssign(e.where(col("vec_id") % 2 === 1), cents)
+      Similarity.ivfProbe(gen0.unionByName(gen1), e, cents)
+    }),
+
     // --- IVF fed by the TRAINED coarse quantizer (VERDICT r3 #7): two
     //     deterministic Lloyd's rounds (distances and means rounded to
     //     6 dp so the oracle reproduces the quantizer exactly), then the
@@ -1931,6 +1946,10 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
         |  FROM p) WHERE rn <= 3""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
+    // append ≡ rebuild by construction (per-row assignment against
+    // frozen centroids), so the two-generation index probes to exactly
+    // the single-build result — the oracle IS the plain IVF oracle
+    "ann_index_lifecycle" -> ivfOracleSql,
     "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
     "ann_ivfpq_rerank" -> ivfPqRerankOracleSql,

@@ -319,15 +319,35 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cents = centroids.getOrElse(e.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("emb").as("ce")))
+    ivfProbe(ivfAssign(e, cents), e, cents, maxQueryId, k, nProbe)
+  }
 
+  /** The IVF INDEX artifact: each vector assigned to its nearest
+    * coarse centroid — `(vec_id, emb, cell)`, the cell-partitioned
+    * vector store a production deployment persists (and, for IVF-flat,
+    * IS the index). Assignment is per-row against the broadcast
+    * centroids, which yields the lifecycle property for free and BY
+    * CONSTRUCTION: appending a new generation of vectors
+    * (`ivfAssign(newVecs, cents)`, union) produces bit-identical rows
+    * to rebuilding over the combined collection — no global state, so
+    * unlike retrained k-means there is nothing to drift.
+    * `ann_index_lifecycle` gates exactly that: probe over a
+    * two-generation index hash-matches the single-build oracle. */
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    val assigned = e.join(broadcast(cents))
+    e.join(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("cid"),
         cosine(col("emb"), col("ce")).as("sim"))
       .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("cid").as("cell"))
+  }
 
-    val q = e.where(col("vec_id") < maxQueryId)
+  /** Probe a (possibly loaded-from-storage) IVF index: queries pick
+    * their `nProbe` closest cells against the broadcast centroids and
+    * scan only those cells' vectors. */
+  def ivfProbe(index: DataFrame, queries: DataFrame, cents: DataFrame,
+               maxQueryId: Long = 10, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val q = queries.where(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
     val probes = q.join(broadcast(cents))
@@ -339,7 +359,7 @@ object Similarity {
     // scan ONLY the probed cells; a vector lives in exactly one cell, so
     // no neighbor can surface twice
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
-    probes.join(assigned, "cell")
+    probes.join(index, "cell")
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nn_id"),
         cosine(col("qe"), col("emb")).as("cos"))

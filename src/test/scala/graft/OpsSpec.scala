@@ -373,6 +373,27 @@ class OpsSpec extends SparkTestBase {
       "IVF must probe via equi-join on the cell id, never a cartesian")
   }
 
+  test("IVF index lifecycle: two-generation append equals a single rebuild, probe included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("emb").as("ce"))
+    // the artifact level: appended generations are bit-identical rows
+    val rebuilt = Similarity.ivfAssign(e, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val appended = Similarity.ivfAssign(e.where(col("vec_id") % 2 === 0), cents)
+      .unionByName(Similarity.ivfAssign(e.where(col("vec_id") % 2 === 1), cents))
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(appended == rebuilt, "per-generation assignment must equal a rebuild")
+    // and the probe level: identical answers
+    val a = Similarity.ivfProbe(Similarity.ivfAssign(e, cents), e, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SparkEntry.queries("ann_index_lifecycle")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("IVF-PQ: ADC ranking recalls same-cell exact-L2 neighbors, no cartesian") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
