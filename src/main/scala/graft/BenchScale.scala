@@ -55,6 +55,15 @@ object BenchScale {
     // image aHash + banded pairs (decode-bound, then fingerprint-only)
     "sample_priority_topk", "sample_stratified", "agg_kmv_distinct",
     "agg_hll_set_algebra", "multimodal_ahash", "dedup_image_pairs",
+    // round 9: media pair/closure/incremental family — THE claims are
+    // (a) pairs stay near-linear under the caps, (b) closure cost is
+    // rounds×participants (rounds ~ eccentricity, participants «
+    // corpus), (c) the incremental screen is batch-proportional;
+    // budget sampling should track the scan + one window shuffle
+    "dedup_audio_pairs", "dedup_image_clusters", "dedup_audio_clusters",
+    "dedup_image_incremental", "dedup_keep_best",
+    "sample_token_budget", "sample_temperature_budget",
+    "ann_index_lifecycle",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",
