@@ -832,6 +832,12 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(T(s, d, "documents"))),
 
+    // --- perplexity-band filter (CCNet-style): keep each source's
+    //     middle logprob quantile band — low tail is noise, high tail
+    //     is boilerplate; cume_dist per source like text_length_trim
+    "text_logprob_trim" -> ((s, d) =>
+      Curation.logprobTrim(T(s, d, "documents"))),
+
     // --- bigram LM scoring, add-1 smoothed: order-sensitive perplexity
     //     proxy; narrow bigram expansion, vocabulary-bounded aggs
     "text_bigram_logprob" -> ((s, d) =>
@@ -1980,18 +1986,18 @@ object SparkEntry {
     // per-token log-prob pinned to 6 dp first (pure scalar, portable
     // floor-scale), then summed as DECIMAL — order-independent, so both
     // engines aggregate exactly
-    "text_unigram_logprob" ->
-      """WITH terms AS (SELECT doc_id, t.u AS term
-        |    FROM documents, unnest(string_split(text,' ')) AS t(u)),
-        |n AS (SELECT count(*)::DOUBLE AS total FROM terms),
-        |uni AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
-        |lp AS (SELECT doc_id,
-        |         CAST(floor(ln(cnt::DOUBLE / total) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS lp
-        |       FROM terms JOIN uni USING (term) CROSS JOIN n)
-        |SELECT doc_id,
-        |       floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS logprob,
-        |       count(*)::BIGINT AS n_tokens
-        |FROM lp GROUP BY doc_id""".stripMargin,
+    "text_unigram_logprob" -> unigramLogprobOracleSql,
+    // perplexity-band filter: the unigram LM oracle as a CTE, then the
+    // text_length_trim cume_dist mechanics on the logprob axis
+    "text_logprob_trim" ->
+      s"""WITH lp0 AS (${unigramLogprobOracleSql.replace("\n", "\n  ")}),
+         |j AS (SELECT lp0.doc_id, d.source, lp0.logprob, lp0.n_tokens
+         |      FROM lp0 JOIN documents d USING (doc_id)),
+         |c AS (SELECT *, cume_dist() OVER (PARTITION BY source
+         |        ORDER BY logprob) AS pct FROM j)
+         |SELECT doc_id, source, logprob, n_tokens,
+         |  floor(pct * 1e6 + 0.5) / 1e6 AS pct
+         |FROM c WHERE pct > 0.05 AND pct <= 0.95""".stripMargin,
     "text_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |b0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d),
@@ -3227,6 +3233,23 @@ object SparkEntry {
       |  SELECT *, row_number()
       |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
       |WHERE rnk <= 4)""".stripMargin
+
+  /** Unigram LM scoring oracle (mirrors `TextAnalysis.unigramLogProb`):
+    * per-token ln quantized through the portable floor-scale, summed
+    * as DECIMAL. Shared by the plain gate and the logprob-trim
+    * composition. */
+  private def unigramLogprobOracleSql: String =
+    """WITH terms AS (SELECT doc_id, t.u AS term
+      |    FROM documents, unnest(string_split(text,' ')) AS t(u)),
+      |n AS (SELECT count(*)::DOUBLE AS total FROM terms),
+      |uni AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+      |lp AS (SELECT doc_id,
+      |         CAST(floor(ln(cnt::DOUBLE / total) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS lp
+      |       FROM terms JOIN uni USING (term) CROSS JOIN n)
+      |SELECT doc_id,
+      |       floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS logprob,
+      |       count(*)::BIGINT AS n_tokens
+      |FROM lp GROUP BY doc_id""".stripMargin
 
   /** Incremental image screen CTEs over the `ah` fingerprint CTE:
     * corpus = even id-blocks of 20, batch = odd blocks, corpus band

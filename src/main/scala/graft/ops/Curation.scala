@@ -417,6 +417,32 @@ object Curation {
         fx(col("pct"), 6).as("pct"))
   }
 
+  /** Perplexity-band filtering (the CCNet/Wenzek et al. move, on the
+    * engine's own unigram LM): score every document with
+    * [[graft.ops.TextAnalysis.unigramLogProb]] (mean per-token log
+    * probability — the deterministic perplexity proxy), then keep the
+    * middle per-source quantile band by `cume_dist`, exactly
+    * [[lengthTrim]]'s mechanics on a different axis. Both tails carry
+    * signal worth dropping: the low-logprob tail is noise/garbled
+    * text, the high tail is repetitive boilerplate the LM finds too
+    * easy. Per-SOURCE banding matters because sources have different
+    * base perplexities — a global cut would empty the hardest source.
+    *
+    * Scale shape: the LM pass is two hash aggregations (term counts,
+    * per-doc DECIMAL sums) + the same one-window-per-source trim as
+    * [[lengthTrim]]; same giant-source caveat, same
+    * histogram-pre-aggregation escape hatch at that scale. */
+  def logprobTrim(docs: DataFrame, lo: Double = 0.05,
+                  hi: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("logprob"))
+    TextAnalysis.unigramLogProb(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("pct", cume_dist().over(w))
+      .where(col("pct") > lo && col("pct") <= hi)
+      .select(col("doc_id"), col("source"), col("logprob"),
+        col("n_tokens"), fx(col("pct"), 6).as("pct"))
+  }
+
   /** Size-aware temperature sampling — the Gopher/LLaMA-style mixing
     * rule where a source's keep probability is DERIVED from its size
     * instead of hand-set per source ([[mixSample]]'s contract): tiny
