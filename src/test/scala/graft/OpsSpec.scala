@@ -190,6 +190,30 @@ class OpsSpec extends SparkTestBase {
     assert(keepPerCluster.forall(_ == 1), "one representative per cluster")
   }
 
+  test("banded-Hamming guarantee: under non-binding caps, NO pair within maxHamming = bands-1 is missed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 300 random 16-bit hashes in one dimension group: with 4 bands of
+    // 4 bits, any pair at Hamming ≤ 3 shares at least one exact band
+    // (pigeonhole), so the screen with non-binding caps must surface
+    // EVERY such pair — the exhaustive check of the banding guarantee
+    val rnd = new scala.util.Random(17)
+    val hs = (0L until 300L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+    val df = hs.toDF("id", "fp")
+      .withColumn("channels", lit(1L)).withColumn("n_windows", lit(16L))
+    val got = Multimodal.audioFingerprintPairs(df,
+        maxHamming = 3, bucketCap = 100000, candCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture produced no close pairs — seed broken")
+    assert(got == want,
+      s"banding guarantee violated: missed=${(want -- got).take(5)} " +
+        s"spurious=${(got -- want).take(5)}")
+  }
+
   test("incremental image screen == all-pairs restricted to the batch-vs-corpus straddle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
