@@ -54,7 +54,7 @@ object Bench {
     "dedup_audio_pairs", "dedup_image_clusters", "dedup_audio_clusters",
     "dedup_image_incremental", "streaming_image_dedup",
     "sample_token_budget", "sample_temperature_budget", "dedup_keep_best",
-    "ann_index_lifecycle", "text_logprob_trim",
+    "ann_index_lifecycle", "text_logprob_trim", "pipeline_pretrain_mix",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -791,6 +791,22 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) =>
       Curation.keepBestInClusters(T(s, d, "documents"))),
 
+    // --- the WHOLE admission path composed into one gated query:
+    //     curation keep ∧ best-copy survivorship → per-source
+    //     token-budget prefix admission. Every stage is its own green
+    //     gate; this certifies the COMPOSITION a real pretraining-mix
+    //     job runs (and that the stages' contracts actually compose)
+    "pipeline_pretrain_mix" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cp = Curation.curationPipeline(docs)
+        .where(col("keep") === 1).select("doc_id")
+      val kb = Curation.keepBestInClusters(docs)
+        .where(col("keep")).select("doc_id")
+      graft.ops.Sampling.tokenBudgetSample(
+        docs.join(cp, "doc_id").join(kb, "doc_id"),
+        budgetTokens = 15000L, seed = "mix1")
+    }),
+
     // --- paragraph-level (chunk) dedup: per-document fraction of
     //     10-word chunks that occur elsewhere in the corpus (the
     //     repeated-span removal pass, vs whole-document near-dup)
@@ -2465,15 +2481,26 @@ object SparkEntry {
     // survivorship: clusters CTE (nested WITH RECURSIVE, the
     // dedup_cluster_stats pattern) joined with the quality CTE, best
     // quality wins per cluster (doc_id tie-break)
-    "dedup_keep_best" ->
-      s"""WITH cl AS (${clustersOracleSql.replace("\n", "\n  ")}),
-         |q AS (${qualityOracleSql.replace("\n", "\n  ")}),
-         |j AS (SELECT cl.doc_id, cl.cluster, q.quality
-         |      FROM cl JOIN q USING (doc_id))
-         |SELECT doc_id, cluster, quality,
-         |  row_number() OVER (PARTITION BY cluster
-         |    ORDER BY quality DESC, doc_id) = 1 AS keep
-         |FROM j""".stripMargin,
+    "dedup_keep_best" -> keepBestOracleSql,
+    // the WHOLE admission path as one gate: curation keep ∧ best-copy
+    // survivorship → per-source token-budget prefix — every stage is
+    // its own green gate; this one certifies the COMPOSITION
+    "pipeline_pretrain_mix" ->
+      s"""WITH cp AS (${curationPipelineOracleSql.replace("\n", "\n  ")}),
+         |kb AS (${keepBestOracleSql.replace("\n", "\n  ")}),
+         |sv AS (SELECT d.doc_id, d.source, d.text
+         |       FROM documents d JOIN cp USING (doc_id) JOIN kb USING (doc_id)
+         |       WHERE cp.keep = 1 AND kb.keep),
+         |p AS (SELECT doc_id, source,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    ('0x' || substr(md5('mix1' || doc_id), 1, 15))::BIGINT AS priority
+         |  FROM sv),
+         |c AS (SELECT doc_id, source, n_tokens, priority,
+         |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+         |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+         |  FROM p)
+         |SELECT doc_id, source, n_tokens, priority, cum_tokens
+         |FROM c WHERE cum_tokens <= 15000""".stripMargin,
     // histogram of the closure's cluster sizes (corpus-health report)
     "dedup_cluster_stats" ->
       s"""WITH c AS (${clustersOracleSql.replace("\n", "\n  ")})
@@ -2481,6 +2508,19 @@ object SparkEntry {
          |FROM (SELECT cluster, count(*) AS cnt FROM c GROUP BY cluster)
          |GROUP BY cnt""".stripMargin
   )
+
+  /** Quality survivorship oracle: clusters CTE (nested WITH RECURSIVE)
+    * joined with quality, best quality wins per cluster. Shared by the
+    * dedup_keep_best gate and the pipeline_pretrain_mix composition. */
+  private def keepBestOracleSql: String =
+    s"""WITH cl AS (${clustersOracleSql.replace("\n", "\n  ")}),
+       |q AS (${qualityOracleSql.replace("\n", "\n  ")}),
+       |j AS (SELECT cl.doc_id, cl.cluster, q.quality
+       |      FROM cl JOIN q USING (doc_id))
+       |SELECT doc_id, cluster, quality,
+       |  row_number() OVER (PARTITION BY cluster
+       |    ORDER BY quality DESC, doc_id) = 1 AS keep
+       |FROM j""".stripMargin
 
   private def clustersOracleSql: String =
     s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
