@@ -63,7 +63,7 @@ object BenchScale {
     "dedup_audio_pairs", "dedup_image_clusters", "dedup_audio_clusters",
     "dedup_image_incremental", "dedup_keep_best",
     "sample_token_budget", "sample_temperature_budget",
-    "ann_index_lifecycle",
+    "ann_index_lifecycle", "dedup_video_pairs",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

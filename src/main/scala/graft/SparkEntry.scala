@@ -998,6 +998,29 @@ object SparkEntry {
         .transform(df => Multimodal.mp4Stats(df, "id", "vid").toDF())
     }),
 
+    // --- container-invariant video fingerprint: md5 of the per-frame
+    //     payload byte-sum sequence from the REAL box-tree parse —
+    //     re-muxed copies (metadata/timescale changes, same frames)
+    //     fingerprint identically; the video modality's near-dup key
+    "multimodal_video_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.videoFingerprint(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+    }),
+
+    // --- re-mux duplicate pairs: exact-equality buckets on the video
+    //     fingerprint through the shared capped-bucket machinery
+    "dedup_video_pairs" -> ((s, d) => {
+      import s.implicits._
+      val fps = Multimodal.videoFingerprint(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      Multimodal.videoNearDupPairs(fps)
+    }),
+
     // --- REAL LZW decode: GIF fixtures (variable-width code stream,
     //     256-entry palette) through the pure-JVM Gif codec — the
     //     second compressed format, on a different algorithm family
@@ -2226,6 +2249,21 @@ object SparkEntry {
         |  CAST(p.key_b AS BIGINT) AS key_bytes,
         |  CAST(f.max_len AS BIGINT) AS max_sample
         |FROM fra f JOIN pxa p USING (id)""".stripMargin,
+    // the video fingerprint replayed from the closed-form sample bytes:
+    // per-frame payload byte sums, ':'-joined in frame order, md5'd
+    "multimodal_video_fingerprint" ->
+      s"""WITH $videoFpCte
+         |SELECT id, CAST(nf AS BIGINT) AS n_samples, fp FROM vfp""".stripMargin,
+    // exact-equality fp buckets (capped at 64 smallest ids) → pairs;
+    // fixtures collide when every frame sum AND the frame count agree
+    // (id ≡ id' mod lcm(256,7,5) by the generating formulas)
+    "dedup_video_pairs" ->
+      s"""WITH $videoFpCte,
+         |buckets AS (SELECT fp, list_sort(list(DISTINCT id))[1:64] AS ids
+         |  FROM vfp GROUP BY fp HAVING count(DISTINCT id) > 1)
+         |SELECT DISTINCT x.a AS id_a, y.b AS id_b, fp
+         |FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+         |WHERE x.a < y.b""".stripMargin,
     // JPEG fixtures (Multimodal.syntheticJpeg): the Spark side runs the
     // full baseline decode (Huffman, dequant, IDCT, fixed-point color);
     // the oracle composes the per-block YCbCr formula with the same
@@ -3290,6 +3328,24 @@ object SparkEntry {
       |       floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS logprob,
       |       count(*)::BIGINT AS n_tokens
       |FROM lp GROUP BY doc_id""".stripMargin
+
+  /** Video-fingerprint CTEs (mirrors `Multimodal.videoFingerprint`
+    * over the closed-form MP4 fixture sample bytes): per-frame payload
+    * byte sums, ':'-joined in frame order, md5'd. Ends defining
+    * `vfp(id, nf, fp)`. */
+  private def videoFpCte: String =
+    """imgs AS (
+      |  SELECT event_id AS id, 2 + event_id % 5 AS nf FROM events),
+      |fr AS (
+      |  SELECT id, nf, fs.f, 10 + ((id + 3*fs.f) % 7) AS len
+      |  FROM imgs, generate_series(0, 6) AS fs(f) WHERE fs.f < nf),
+      |px AS (
+      |  SELECT id, f, (5*id + 7*f + 11*js.j) % 256 AS v
+      |  FROM fr, generate_series(0, 16) AS js(j) WHERE js.j < len),
+      |fsum AS (SELECT id, f, (sum(v))::BIGINT AS s FROM px GROUP BY id, f),
+      |vfp AS (SELECT id, count(*) AS nf,
+      |    md5(string_agg(s::VARCHAR, ':' ORDER BY f)) AS fp
+      |  FROM fsum GROUP BY id)""".stripMargin
 
   /** Incremental image screen CTEs over the `ah` fingerprint CTE:
     * corpus = even id-blocks of 20, batch = odd blocks, corpus band

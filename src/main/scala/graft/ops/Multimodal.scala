@@ -522,6 +522,54 @@ object Multimodal {
       })
   }
 
+  final case class VideoFingerprint(id: Long, n_samples: Long, fp: String)
+
+  /** Container-invariant VIDEO near-dup fingerprint from a REAL
+    * ISO-BMFF parse — the last modality without a near-dup key: fp is
+    * the md5 of the per-frame PAYLOAD byte-sum sequence (frame order,
+    * ':'-joined), so it depends only on the media samples themselves.
+    * A re-muxed copy — new timescale, different keyframe stride,
+    * rewritten box metadata, same frames — fingerprints identically
+    * (spec-proven), while changing a single payload byte flips it.
+    * Exact-match (not banded): transcoding changes every byte, so
+    * Hamming bands buy nothing here; re-mux dedup is an equality
+    * grouping, the cheapest possible pair machinery. */
+  def videoFingerprint(df: DataFrame, idCol: String,
+                       binCol: String): Dataset[VideoFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val m = Mp4.parse(bytes)
+          val sums = m.samples.map(s =>
+            m.sampleBytes(bytes, s).foldLeft(0L)((a, b) => a + (b & 0xFF)))
+          md.reset()
+          val fp = md.digest(sums.mkString(":").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          VideoFingerprint(id, m.samples.length.toLong, fp)
+        }
+      }
+  }
+
+  /** Re-mux duplicate pairs: exact-equality buckets on the
+    * [[videoFingerprint]], through the ONE shared capped-bucket
+    * implementation (`Dedup.cappedBucketsFromIndex` with the
+    * fingerprint itself as the bucket key — smallest `bucketCap` ids
+    * kept, drops observable). No confirm stage: the bucket key IS the
+    * full-precision fingerprint. */
+  def videoNearDupPairs(fps: DataFrame, bucketCap: Int = 64): DataFrame = {
+    val index = fps.select(col("id").as("doc_id"), col("fp").as("bk"))
+    Dedup.cappedBucketsFromIndex(index, bucketCap,
+        observed = true, metricPrefix = "video_fp_buckets_")
+      .select(col("bk").as("fp"), explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+          "struct(a AS a, b AS b)))), p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("fp"))
+  }
+
   /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample
     * sum plus min/max across all channels — closed-form recomputable
     * by the oracle, like [[ImageStats]]. */

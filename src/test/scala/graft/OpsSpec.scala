@@ -190,6 +190,34 @@ class OpsSpec extends SparkTestBase {
     assert(keepPerCluster.forall(_ == 1), "one representative per cluster")
   }
 
+  test("video fingerprint: re-mux invariant, payload sensitive; pairs surface re-muxes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(12)(j => ((7 * f + 3 * j) % 256).toByte))
+    // same frames, three different CONTAINERS (timescale, delta,
+    // keyframe stride all changed) — a re-mux in every metadata axis
+    val remux = Seq(
+      (1L, graft.ops.Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = 2)),
+      (2L, graft.ops.Mp4.encode(frames, timescale = 90000, delta = 3000, keyStride = 1)),
+      (3L, graft.ops.Mp4.encode(frames, timescale = 600, delta = 25, keyStride = 4)))
+    // and one payload-changed copy: a single byte differs in frame 2
+    val tampered = frames.updated(2,
+      frames(2).updated(5, (frames(2)(5) ^ 1).toByte))
+    val all = (remux :+
+      (9L, graft.ops.Mp4.encode(tampered, timescale = 1000, delta = 40, keyStride = 2)))
+      .toDF("id", "vid")
+    val fps = Multimodal.videoFingerprint(all, "id", "vid").toDF()
+    val byId = fps.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L),
+      "re-muxed copies must fingerprint identically")
+    assert(byId(9L) != byId(1L), "a changed payload byte must flip the fingerprint")
+    val pairs = Multimodal.videoNearDupPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"exact-fp buckets must pair all re-muxes and nothing else: $pairs")
+  }
+
   test("banded-Hamming guarantee: under non-binding caps, NO pair within maxHamming = bands-1 is missed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
