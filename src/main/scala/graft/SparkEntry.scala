@@ -1021,6 +1021,18 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(fps)
     }),
 
+    // --- and the keep/drop decision over those pairs via the shared
+    //     closure — every modality now runs pairs → clusters → keep
+    "dedup_video_clusters" -> ((s, d) => {
+      import s.implicits._
+      val fps = Multimodal.videoFingerprint(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      Multimodal.mediaNearDupClusters(fps.select("id"),
+        Multimodal.videoNearDupPairs(fps))
+    }),
+
     // --- REAL LZW decode: GIF fixtures (variable-width code stream,
     //     256-entry palette) through the pure-JVM Gif codec — the
     //     second compressed format, on a different algorithm family
@@ -2264,6 +2276,25 @@ object SparkEntry {
          |SELECT DISTINCT x.a AS id_a, y.b AS id_b, fp
          |FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
          |WHERE x.a < y.b""".stripMargin,
+    // closure over the re-mux pair graph → keep/drop, the
+    // dedup_image_clusters shape (equality cliques make the recursive
+    // CTE's fixpoint shallow — min of each bucket wins)
+    "dedup_video_clusters" ->
+      s"""WITH RECURSIVE $videoFpCte,
+         |buckets AS (SELECT fp, list_sort(list(DISTINCT id))[1:64] AS ids
+         |  FROM vfp GROUP BY fp HAVING count(DISTINCT id) > 1),
+         |pairs AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+         |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+         |  WHERE x.a < y.b),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT v.id, least(v.id, coalesce(min(r.dst), v.id)) AS cluster
+         |  FROM vfp v LEFT JOIN reach r ON v.id = r.src GROUP BY v.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
     // JPEG fixtures (Multimodal.syntheticJpeg): the Spark side runs the
     // full baseline decode (Huffman, dequant, IDCT, fixed-point color);
     // the oracle composes the per-block YCbCr formula with the same
