@@ -665,13 +665,18 @@ object Curation {
     * (bounded-round label propagation over the capped pair graph); the
     * survivorship choice itself is one quality pass (narrow, codegen'd)
     * + one window over the cluster key — a single extra shuffle. */
-  def keepBestInClusters(docs: DataFrame,
-                         threshold: Double = 0.5): DataFrame = {
-    val clusters = Dedup.nearDupClusters(docs, threshold)
+  def keepBestInClusters(docs: DataFrame, threshold: Double = 0.5,
+                         clusters: Option[DataFrame] = None): DataFrame = {
+    // `clusters` injection is the production shape: a pipeline that
+    // also runs the LSH pass elsewhere (e.g. curationPipeline's
+    // near-dup signal) computes the pair graph ONCE, persists the
+    // closure, and feeds it to every consumer — recomputing it here is
+    // gate-convenience, not a cost model
+    val cl = clusters.getOrElse(Dedup.nearDupClusters(docs, threshold))
     val q = TextAnalysis.quality(docs)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("quality").desc, col("doc_id"))
-    clusters.join(q, "doc_id")
+    cl.join(q, "doc_id")
       .withColumn("keep", row_number().over(w) === 1)
       .select("doc_id", "cluster", "quality", "keep")
   }
