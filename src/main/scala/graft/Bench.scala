@@ -56,6 +56,7 @@ object Bench {
     "sample_token_budget", "sample_temperature_budget", "dedup_keep_best",
     "ann_index_lifecycle", "text_logprob_trim", "pipeline_pretrain_mix",
     "multimodal_video_fingerprint", "dedup_video_pairs", "dedup_video_clusters",
+    "dedup_audio_incremental",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

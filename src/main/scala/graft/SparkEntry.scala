@@ -1101,6 +1101,21 @@ object SparkEntry {
       Multimodal.audioFingerprintPairs(fps)
     }),
 
+    // --- steady-state incremental screen for audio: new clips (odd
+    //     66-blocks) against the standing fingerprint index (even
+    //     blocks — 66 = lcm(2, 33) keeps (channels, n_windows) groups
+    //     straddling the split); the shared incrementalScreen core
+    "dedup_audio_incremental" -> ((s, d) => {
+      import s.implicits._
+      val fps = Multimodal.audioFingerprint(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+          .toDF("id", "clip"), "id", "clip").toDF()
+      Multimodal.incrementalAudioNearDups(
+        fps.where(expr("id div 66") % 2 === 0),
+        fps.where(expr("id div 66") % 2 === 1))
+    }),
+
     // --- and the audio pair graph through the shared closure to a
     //     keep/drop decision, like dedup_image_clusters
     "dedup_audio_clusters" -> ((s, d) => {
@@ -2406,6 +2421,38 @@ object SparkEntry {
     "dedup_audio_pairs" ->
       s"""WITH $audioPairsCte
          |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // batch (odd 66-blocks) vs standing corpus (even blocks): corpus
+    // buckets capped at 64 smallest ids, size-1 buckets KEPT, exact
+    // Hamming ≤ 3, 4 best corpus partners per batch clip
+    "dedup_audio_incremental" ->
+      s"""WITH $audioFpCte,
+         |ac AS (SELECT * FROM af WHERE (id // 66) % 2 = 0),
+         |ab AS (SELECT * FROM af WHERE (id // 66) % 2 = 1),
+         |ci AS (SELECT id, unnest([
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':0:' || ((fp >> 0) & 15)::VARCHAR,
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':1:' || ((fp >> 4) & 15)::VARCHAR,
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':2:' || ((fp >> 8) & 15)::VARCHAR,
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':3:' || ((fp >> 12) & 15)::VARCHAR
+         |  ]) AS bk FROM ac),
+         |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+         |  FROM ci GROUP BY bk),
+         |bi AS (SELECT id AS batch_id, unnest([
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':0:' || ((fp >> 0) & 15)::VARCHAR,
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':1:' || ((fp >> 4) & 15)::VARCHAR,
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':2:' || ((fp >> 8) & 15)::VARCHAR,
+         |    ch::VARCHAR || ':' || nw::VARCHAR || ':3:' || ((fp >> 12) & 15)::VARCHAR
+         |  ]) AS bk FROM ab),
+         |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+         |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+         |conf AS (SELECT batch_id, corpus_id,
+         |    CAST(bit_count(xor(b.fp, c.fp)) AS BIGINT) AS hamming
+         |  FROM cand JOIN ab b ON batch_id = b.id JOIN ac c ON corpus_id = c.id
+         |  WHERE bit_count(xor(b.fp, c.fp)) <= 3)
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
     // min-label closure over the audio pair graph → per-clip keep/drop
     // (Multimodal.mediaNearDupClusters over audioFingerprintPairs) —
     // recursive-CTE closure like dedup_image_clusters
@@ -3305,7 +3352,10 @@ object SparkEntry {
     * 4 best partners per id_a. Defines `af(id, ch, nw, fp)` and
     * `pairs(id_a, id_b, hamming)` — shared by the audio pairs gate and
     * the audio clusters gate's closure. */
-  private def audioPairsCte: String =
+  /** Audio fingerprint CTEs alone (closed-form WAV fixture energies →
+    * `af(id, ch, nw, fp)`) — shared by the all-pairs, clusters, and
+    * incremental oracles. */
+  private def audioFpCte: String =
     """clips AS (
       |  SELECT event_id AS id, 1 + event_id % 2 AS ch,
       |    32 + event_id % 33 AS nf
@@ -3323,7 +3373,10 @@ object SparkEntry {
       |af AS (SELECT id, ch, nw,
       |  CAST(coalesce(sum(CASE WHEN nxt > energy
       |    THEN 1::BIGINT << win::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS fp
-      |  FROM d GROUP BY id, ch, nw),
+      |  FROM d GROUP BY id, ch, nw)""".stripMargin
+
+  private def audioPairsCte: String =
+    s"""$audioFpCte,
       |hb AS (SELECT id, unnest([
       |    ch::VARCHAR || ':' || nw::VARCHAR || ':0:' || ((fp >> 0) & 15)::VARCHAR,
       |    ch::VARCHAR || ':' || nw::VARCHAR || ':1:' || ((fp >> 4) & 15)::VARCHAR,

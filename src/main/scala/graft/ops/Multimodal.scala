@@ -316,6 +316,17 @@ object Multimodal {
       bandBits = 12, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "image_ahash_incr")
 
+  /** [[incrementalBandedHamming]] for audio fingerprints — same
+    * band/cap constants as [[audioFingerprintPairs]]. */
+  def incrementalAudioNearDups(corpusFps: DataFrame, batchFps: DataFrame,
+                               maxHamming: Int = 3, bucketCap: Int = 64,
+                               candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusFps, batchFps, hashCol = "fp",
+      group = concat(col("channels").cast("string"), lit(":"),
+        col("n_windows").cast("string")),
+      bandBits = 4, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "audio_fp_incr")
+
   /** Deterministic BMP fixture for row `id`: dimensions and every pixel
     * are closed-form functions of (id, x, y), so the DuckDB oracle can
     * recompute the decoded statistics WITHOUT a codec (the container
