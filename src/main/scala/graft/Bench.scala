@@ -57,6 +57,12 @@ object Bench {
     "ann_index_lifecycle", "text_logprob_trim", "pipeline_pretrain_mix",
     "multimodal_video_fingerprint", "dedup_video_pairs", "dedup_video_clusters",
     "dedup_audio_incremental",
+    // r10: transcode-robust perceptual video dedup (signature, pairs,
+    // clusters), the video incremental screen, the gated ANN recall
+    // curve, and the full-book admission pipeline
+    "multimodal_video_phash", "dedup_video_perceptual",
+    "dedup_video_perceptual_clusters", "dedup_video_incremental",
+    "ann_recall", "pipeline_pretrain_full",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -64,6 +64,17 @@ object BenchScale {
     "dedup_image_incremental", "dedup_keep_best",
     "sample_token_budget", "sample_temperature_budget",
     "ann_index_lifecycle", "dedup_video_pairs",
+    // round 10 (VERDICT r9 #4): the r9 entries BENCH_SCALE hadn't
+    // covered — the composed admission path (what a production run
+    // actually pays), the video closure, the audio incremental screen,
+    // the video fingerprint scan — plus the r10 perceptual-video
+    // family, the video incremental screen, the recall gate, and the
+    // full-book pipeline
+    "pipeline_pretrain_mix", "dedup_video_clusters",
+    "dedup_audio_incremental", "multimodal_video_fingerprint",
+    "multimodal_video_phash", "dedup_video_perceptual",
+    "dedup_video_perceptual_clusters", "dedup_video_incremental",
+    "ann_recall", "pipeline_pretrain_full",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

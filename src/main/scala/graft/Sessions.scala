@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   * in this engine is exactly `events.ts`.
   */
 object Sessions {
-  def builder(appName: String, cores: Int): SparkSession.Builder =
+  def builder(appName: String, cores: Int): SparkSession.Builder = {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -25,6 +25,7 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   /** Default core count: env override, else min(32, host cores). */
   def cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

@@ -643,6 +643,13 @@ object SparkEntry {
     // exact re-rank reading full vectors ONLY for the candidates
     "ann_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerankTopK(T(s, d, "embeddings"))),
 
+    // --- gated recall@k (VERDICT r9 #3): integer hit counts of the
+    //     IVF probe (per nProbe 1/2/4, vs exact cosine top-3) and the
+    //     IVF-PQ rerank path (vs exact L2 top-3), over an off-centroid
+    //     query window — "probe more cells for more recall" as a
+    //     hash-checked number instead of a SCALE.md argument
+    "ann_recall" -> ((s, d) => Similarity.annRecall(T(s, d, "embeddings"))),
+
     // --- SAMPLE-trained IVF (VERDICT r6 #8): the documented 100 TB
     //     recipe as code — Lloyd's runs on the vec_id%4==0 quarter of
     //     the collection (seeded by its first 16 members), the full
@@ -805,6 +812,38 @@ object SparkEntry {
       graft.ops.Sampling.tokenBudgetSample(
         docs.join(cp, "doc_id").join(kb, "doc_id"),
         budgetTokens = 15000L, seed = "mix1")
+    }),
+
+    // --- the FULL admission book as one gate (VERDICT r9 #2): every
+    //     standalone admission stage composed end-to-end — benchmark
+    //     contamination BLOCKS, curation keep ∧ best-copy survivorship
+    //     ∧ perplexity band ADMIT, PII redaction rewrites the
+    //     survivors (deterministic injected PII so the stage
+    //     demonstrably fires; audit counts ride along), and the
+    //     token-budget prefix admits from the CLEAN text. Each stage
+    //     is its own green gate; this certifies the COMPLETE
+    //     composition a production pretraining-mix job runs.
+    "pipeline_pretrain_full" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cont = Curation.contamination(docs).select("doc_id").distinct()
+      val cp = Curation.curationPipeline(docs)
+        .where(col("keep") === 1).select("doc_id")
+      val kb = Curation.keepBestInClusters(docs)
+        .where(col("keep")).select("doc_id")
+      val band = Curation.logprobTrim(docs).select("doc_id")
+      val admitted = docs.join(cp, "doc_id").join(kb, "doc_id")
+        .join(band, "doc_id")
+        .join(cont, Seq("doc_id"), "left_anti")
+      val injected = admitted.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com ref "),
+          (col("doc_id") * 1234567 + 10000000).cast("string")).as("text"))
+      val red = Curation.piiRedact(injected)
+      val forBudget = red.select(col("doc_id"), col("clean_text").as("text"))
+        .join(admitted.select("doc_id", "source"), "doc_id")
+      graft.ops.Sampling.tokenBudgetSample(forBudget,
+          budgetTokens = 15000L, seed = "mix1")
+        .join(red.select("doc_id", "n_emails", "n_longnums"), "doc_id")
     }),
 
     // --- paragraph-level (chunk) dedup: per-document fraction of
@@ -1031,6 +1070,61 @@ object SparkEntry {
           .toDF("id", "vid"), "id", "vid").toDF()
       Multimodal.mediaNearDupClusters(fps.select("id"),
         Multimodal.videoNearDupPairs(fps))
+    }),
+
+    // --- steady-state incremental screen for video on the EXACT
+    //     container fingerprint: new clips (odd 256-blocks) against the
+    //     standing corpus fp index through the shared capped-bucket
+    //     core (256 divides the fixtures' dominant collision period
+    //     8960 with an odd quotient, so colliding pairs straddle the
+    //     split) — every modality now has its incremental screen
+    "dedup_video_incremental" -> ((s, d) => {
+      import s.implicits._
+      val fps = Multimodal.videoFingerprint(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      Multimodal.incrementalVideoNearDups(
+        fps.where(expr("id div 256") % 2 === 0),
+        fps.where(expr("id div 256") % 2 === 1))
+    }),
+
+    // --- TRANSCODE-robust perceptual video signature (VERDICT r9 #1):
+    //     real stss keyframe walk → REAL image decode of each keyframe
+    //     (codec sniffed — the fixture transcodes between BMP and PNG)
+    //     → the shared aHash bits per frame → one BIGINT clip signature
+    "multimodal_video_phash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.videoPerceptualHash(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+    }),
+
+    // --- perceptual video near-dup pairs: the clip signature through
+    //     the ONE shared banded-Hamming core (bands = per-keyframe
+    //     16-bit folded hashes) — catches transcodes/brightness-shifted
+    //     re-encodes the exact fingerprint is blind to
+    "dedup_video_perceptual" -> ((s, d) => {
+      import s.implicits._
+      val sigs = Multimodal.videoPerceptualHash(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      Multimodal.videoPerceptualPairs(sigs)
+    }),
+
+    // --- and the perceptual pair graph through the shared closure to
+    //     keep/drop — every modality now has a PERCEPTUAL pairs →
+    //     clusters → keep path, not just image/audio
+    "dedup_video_perceptual_clusters" -> ((s, d) => {
+      import s.implicits._
+      val sigs = Multimodal.videoPerceptualHash(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.videoPerceptualPairs(sigs))
     }),
 
     // --- REAL LZW decode: GIF fixtures (variable-width code stream,
@@ -1547,10 +1641,15 @@ object SparkEntry {
       graft.engine.JdbcTransfer.readAll(s, url, "comp_dst")
     }),
 
-    // --- S5: catalog introspection (parquet footer as the catalog);
-    //     no SQL oracle — driver applies the rows-only check.
+    // --- S5: catalog introspection (parquet footer as the catalog),
+    //     HASH-MATCHED against DuckDB's own DESCRIBE of the same table
+    //     (VERDICT r9 #5): canonicalized (name, dtype) rows — the
+    //     contract a DDL-emitting consumer reads. `events` is the
+    //     richest surface (bigint/timestamp/varchar/double, plus the
+    //     nanos→timestamp storage adaptation the catalog must report
+    //     as its QUERY type, not its footer type).
     "catalog_columns" -> ((s, d) =>
-      graft.sources.Catalog.columns(s, d, "documents")),
+      graft.sources.Catalog.columnsPortable(s, d, "events")),
 
     // --- K1-K4 analog: last-writer-wins keyed upsert. A synthesized
     //     update batch (+100 acctbal for custkey % 10 = 0) merged over the
@@ -2025,6 +2124,14 @@ object SparkEntry {
     "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
     "ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
+    "ann_recall" -> annRecallOracleSql,
+    // the catalog gate's oracle is DuckDB DESCRIBING the same table —
+    // two independent engines must agree on the canonical (name, dtype)
+    // inventory (events.ts: both expose TIMESTAMP regardless of the
+    // parquet physical type)
+    "catalog_columns" ->
+      """SELECT column_name AS col_name, lower(column_type) AS dtype
+        |FROM (DESCRIBE SELECT * FROM events)""".stripMargin,
     "ann_ivf_sampled_topk" -> ivfSampledOracleSql,
     "dedup_semantic" -> semanticDedupOracleSql,
     "text_langid" -> langIdOracleSql,
@@ -2309,6 +2416,51 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |lab AS (SELECT v.id, least(v.id, coalesce(min(r.dst), v.id)) AS cluster
          |  FROM vfp v LEFT JOIN reach r ON v.id = r.src GROUP BY v.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // incremental video screen on the exact fingerprint: corpus = even
+    // 256-blocks (fp buckets capped at 64 smallest ids, size-1 kept),
+    // batch = odd blocks joins on fp equality, 4 smallest-id corpus
+    // partners per batch clip — no confirm stage, the bucket key IS
+    // the full-precision fingerprint
+    "dedup_video_incremental" ->
+      s"""WITH $videoFpCte,
+         |hc AS (SELECT * FROM vfp WHERE (id // 256) % 2 = 0),
+         |hbt AS (SELECT * FROM vfp WHERE (id // 256) % 2 = 1),
+         |cb AS (SELECT fp, list_sort(list(DISTINCT id))[1:64] AS ids
+         |  FROM hc GROUP BY fp)
+         |SELECT batch_id, corpus_id, fp FROM (
+         |  SELECT b.id AS batch_id, u.cid AS corpus_id, b.fp,
+         |    row_number() OVER (PARTITION BY b.id ORDER BY u.cid) AS rnk
+         |  FROM hbt b JOIN cb USING (fp), unnest(ids) AS u(cid))
+         |WHERE rnk <= 4""".stripMargin,
+    // the perceptual clip signature replayed in closed form: keyframe
+    // pixels from the transcode-fixture formulas → per-frame aHash →
+    // 16-bit XOR folds packed by keyframe order
+    "multimodal_video_phash" ->
+      s"""WITH $videoPerceptualCte
+         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(nk AS BIGINT) AS n_key, sig FROM vsig""".stripMargin,
+    // banded-Hamming pairs over the clip signature (4×16-bit bands =
+    // the per-keyframe folded hashes, bucket cap 64, Hamming ≤ 6,
+    // 4 best partners) — mirrors Multimodal.videoPerceptualPairs
+    // through the shared bandedHammingPairs core
+    "dedup_video_perceptual" ->
+      s"""WITH $videoPerceptualCte,
+         |$videoPerceptualPairsCte
+         |SELECT id_a, id_b, hamming FROM vpairs""".stripMargin,
+    // min-label closure over the perceptual video pair graph →
+    // per-clip keep/drop, the dedup_image_clusters shape
+    "dedup_video_perceptual_clusters" ->
+      s"""WITH RECURSIVE $videoPerceptualCte,
+         |$videoPerceptualPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+         |  UNION SELECT id_b, id_a FROM vpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT v.id, least(v.id, coalesce(min(r.dst), v.id)) AS cluster
+         |  FROM vsig v LEFT JOIN reach r ON v.id = r.src GROUP BY v.id)
          |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
     // JPEG fixtures (Multimodal.syntheticJpeg): the Spark side runs the
     // full baseline decode (Huffman, dequant, IDCT, fixed-point color);
@@ -2617,6 +2769,12 @@ object SparkEntry {
          |  FROM p)
          |SELECT doc_id, source, n_tokens, priority, cum_tokens
          |FROM c WHERE cum_tokens <= 15000""".stripMargin,
+    // the FULL admission book (VERDICT r9 #2): contamination blocks,
+    // curation ∧ keep-best ∧ perplexity band admit, PII redaction
+    // rewrites survivors (injected fixture PII, audit counts hashed),
+    // token budget admits from the CLEAN text — one nested-CTE oracle
+    // certifying the complete cross-engine composition
+    "pipeline_pretrain_full" -> pipelineFullOracleSql,
     // histogram of the closure's cluster sizes (corpus-health report)
     "dedup_cluster_stats" ->
       s"""WITH c AS (${clustersOracleSql.replace("\n", "\n  ")})
@@ -2637,6 +2795,52 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY cluster
        |    ORDER BY quality DESC, doc_id) = 1 AS keep
        |FROM j""".stripMargin
+
+  /** The full-book admission oracle (mirrors the
+    * `pipeline_pretrain_full` gate): each stage oracle nested as its
+    * own derived table (isolated WITH scopes), composed exactly as the
+    * engine composes the operators. */
+  private def pipelineFullOracleSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{7,}"
+    def ind(s: String) = s.replace("\n", "\n  ")
+    s"""WITH cont AS (SELECT DISTINCT doc_id FROM (${ind(contaminationOracleSql)})),
+       |cp AS (${ind(curationPipelineOracleSql)}),
+       |kb AS (${ind(keepBestOracleSql)}),
+       |band AS (SELECT doc_id FROM (
+       |  WITH lp0 AS (${ind(unigramLogprobOracleSql)}),
+       |  bj AS (SELECT lp0.doc_id, d.source, lp0.logprob
+       |         FROM lp0 JOIN documents d USING (doc_id)),
+       |  bc AS (SELECT doc_id, cume_dist() OVER (PARTITION BY source
+       |           ORDER BY logprob) AS pct FROM bj)
+       |  SELECT doc_id FROM bc WHERE pct > 0.05 AND pct <= 0.95)),
+       |adm AS (SELECT d.doc_id, d.source, d.text
+       |        FROM documents d JOIN cp USING (doc_id) JOIN kb USING (doc_id)
+       |          JOIN band USING (doc_id)
+       |        WHERE cp.keep = 1 AND kb.keep
+       |          AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |inj AS (SELECT doc_id, source,
+       |    text || ' contact user' || doc_id || '@mail.example.com ref ' ||
+       |      (doc_id * 1234567 + 10000000) AS text
+       |  FROM adm),
+       |red AS (SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |      '$num', '<NUM>', 'g') AS text,
+       |    len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+       |    len(regexp_extract_all(
+       |      regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num'))::BIGINT AS n_longnums
+       |  FROM inj),
+       |fp0 AS (SELECT doc_id, source, n_emails, n_longnums,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    ('0x' || substr(md5('mix1' || doc_id), 1, 15))::BIGINT AS priority
+       |  FROM red),
+       |fc AS (SELECT doc_id, source, n_tokens, priority, n_emails, n_longnums,
+       |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+       |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+       |  FROM fp0)
+       |SELECT doc_id, source, n_tokens, priority, cum_tokens, n_emails, n_longnums
+       |FROM fc WHERE cum_tokens <= 15000""".stripMargin
+  }
 
   private def clustersOracleSql: String =
     s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
@@ -2922,7 +3126,7 @@ object SparkEntry {
     * vec_id<8 init over the subvector slices), nearest-code encoding,
     * and the query-side ADC distance table summed per candidate. */
   private def ivfPqOracleSql: String =
-    s"""WITH $ivfPqCtes
+    s"""WITH ${ivfPqCtes()}
        |SELECT qid, nn_id, adc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
        |  FROM adc) WHERE rn <= 3""".stripMargin
@@ -2931,7 +3135,7 @@ object SparkEntry {
     * candidates, the exact squared-L2 re-rank keeps the final 3 —
     * mirrors `Similarity.ivfPqRerankTopK`. */
   private def ivfPqRerankOracleSql: String =
-    s"""WITH $ivfPqCtes,
+    s"""WITH ${ivfPqCtes()},
        |screen AS (SELECT qid, nn_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
        |  FROM adc) WHERE rn <= 9),
@@ -2943,7 +3147,10 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rn
        |  FROM rr) WHERE rn <= 3""".stripMargin
 
-  private def ivfPqCtes: String = {
+  /** `qlo`/`qhi`: the query-id window (default = the classic
+    * `vec_id < 10` set; the recall oracle probes an off-centroid
+    * window instead). */
+  private def ivfPqCtes(qlo: Long = 0, qhi: Long = 10): String = {
     val m = 4; val subDim = 16; val ksub = 8
     val subspaces = (0 until m).map { j =>
       val lo = j * subDim + 1; val hi = j * subDim + subDim
@@ -2976,10 +3183,11 @@ object SparkEntry {
        |    SELECT e.vec_id AS qid, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${sqSql("e.emb", "cc.ce")}, cc.cid) AS rn
-       |    FROM e, cc WHERE e.vec_id < 10) WHERE rn <= 2),
+       |    FROM e, cc WHERE e.vec_id >= $qlo AND e.vec_id < $qhi) WHERE rn <= 2),
        |dt AS (SELECT s.vec_id AS qid, s.j, cb.cid AS code,
        |    ${sqSql("s.se", "cb.ce")} AS dsub
-       |  FROM sub s JOIN cb ON s.j = cb.j WHERE s.vec_id < 10),
+       |  FROM sub s JOIN cb ON s.j = cb.j
+       |  WHERE s.vec_id >= $qlo AND s.vec_id < $qhi),
        |cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (cell)
        |  WHERE p.qid != a.vec_id),
        |adc AS (SELECT c.qid, c.vec_id AS nn_id,
@@ -2987,6 +3195,84 @@ object SparkEntry {
        |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
        |    JOIN dt ON dt.qid = c.qid AND dt.j = k.j AND dt.code = k.code
        |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Recall-gate oracle (mirrors `Similarity.annRecall`): recomputes
+    * the exact cosine / exact L2 top-3 AND each approximate path from
+    * scratch (IVF at nProbe 1/2/4; the full IVF-PQ + rerank CTE chain
+    * over the off-centroid [100,110) query window), then counts the
+    * per-query intersection. Every approximate sub-query is a nested
+    * derived table with its own WITH so the big CTE chains cannot
+    * collide on names. */
+  private def annRecallOracleSql: String = {
+    val qlo = 100L; val qhi = 110L
+    val qf = s"vec_id >= $qlo AND vec_id < $qhi"
+    def ivfIdsSql(nProbe: Int): String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, emb, cell FROM (
+         |    SELECT e.vec_id, e.emb, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |probe AS (SELECT qid, qe, cell FROM (
+         |    SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS rn
+         |    FROM e, c WHERE e.$qf) WHERE rn <= $nProbe),
+         |p AS (SELECT qid, a.vec_id AS nn_id, ${cosSql("qe", "a.emb")} AS cos
+         |  FROM probe JOIN assign a USING (cell) WHERE qid != a.vec_id)
+         |SELECT qid, nn_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+         |  FROM p) WHERE rn <= 3""".stripMargin
+    val bruteCosSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE $qf),
+         |p AS (SELECT qid, vec_id AS nn_id, ${cosSql("qe", "emb")} AS cos
+         |  FROM q, e WHERE qid != vec_id)
+         |SELECT qid, nn_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn
+         |  FROM p) WHERE rn <= 3""".stripMargin
+    val bruteL2Sql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |           WHERE len(embedding) = 64),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE $qf),
+         |p AS (SELECT qid, vec_id AS nn_id, ${sqSql("qe", "emb")} AS dist
+         |  FROM q, e WHERE qid != vec_id)
+         |SELECT qid, nn_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rn
+         |  FROM p) WHERE rn <= 3""".stripMargin
+    val pqRerankSql =
+      s"""WITH ${ivfPqCtes(qlo, qhi)},
+         |screen AS (SELECT qid, nn_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
+         |  FROM adc) WHERE rn <= 9),
+         |rr AS (SELECT s.qid, s.nn_id,
+         |    ${sqSql("qe.emb", "ne.emb")} AS dist
+         |  FROM screen s JOIN e qe ON qe.vec_id = s.qid
+         |    JOIN e ne ON ne.vec_id = s.nn_id)
+         |SELECT qid, nn_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rn
+         |  FROM rr) WHERE rn <= 3""".stripMargin
+    def hitsCtes(tag: String, approxSql: String, exactSql: String,
+                 method: String, nProbe: Int): String = {
+      def ind(s: String) = s.replace("\n", "\n  ")
+      s"""${tag}a AS (SELECT qid, nn_id FROM (${ind(approxSql)})),
+         |${tag}x AS (SELECT qid, nn_id FROM (${ind(exactSql)})),
+         |${tag}m AS (SELECT x.qid, count(*) AS c FROM ${tag}x x JOIN ${tag}a a
+         |  ON x.qid = a.qid AND x.nn_id = a.nn_id GROUP BY x.qid),
+         |${tag}h AS (SELECT q.qid, '$method' AS method, $nProbe AS n_probe,
+         |  coalesce(${tag}m.c, 0) AS hits FROM q LEFT JOIN ${tag}m ON q.qid = ${tag}m.qid)""".stripMargin
+    }
+    val parts = Seq(1, 2, 4).map(p =>
+      hitsCtes(s"p$p", ivfIdsSql(p), bruteCosSql, "ivf", p)) :+
+      hitsCtes("pr", pqRerankSql, bruteL2Sql, "ivfpq_rerank", 2)
+    s"""WITH q AS (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE $qf),
+       |${parts.mkString(",\n")}
+       |SELECT qid, method, CAST(n_probe AS BIGINT) AS n_probe,
+       |  CAST(3 AS BIGINT) AS k, CAST(hits AS BIGINT) AS hits
+       |FROM (SELECT * FROM p1h UNION ALL SELECT * FROM p2h
+       |      UNION ALL SELECT * FROM p4h UNION ALL SELECT * FROM prh)""".stripMargin
   }
 
   /** CDC chunk-dedup oracle: same fnv-triggered boundary rule (chunk id
@@ -3346,12 +3632,6 @@ object SparkEntry {
        |             // s_prime::HUGEINT)::BIGINT END AS est_centi
        |FROM est2""".stripMargin
 
-  /** Audio analog of [[ahashPairsCte]], self-contained (includes the
-    * closed-form WAV fixture energies and fingerprint): 4×4-bit bands
-    * keyed by (channels, n_windows), bucket cap 64, exact Hamming ≤ 3,
-    * 4 best partners per id_a. Defines `af(id, ch, nw, fp)` and
-    * `pairs(id_a, id_b, hamming)` — shared by the audio pairs gate and
-    * the audio clusters gate's closure. */
   /** Audio fingerprint CTEs alone (closed-form WAV fixture energies →
     * `af(id, ch, nw, fp)`) — shared by the all-pairs, clusters, and
     * incremental oracles. */
@@ -3375,6 +3655,13 @@ object SparkEntry {
       |    THEN 1::BIGINT << win::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS fp
       |  FROM d GROUP BY id, ch, nw)""".stripMargin
 
+  /** Audio analog of [[ahashPairsCte]], self-contained (includes the
+    * closed-form WAV fixture energies and fingerprint via
+    * [[audioFpCte]]): 4×4-bit bands keyed by (channels, n_windows),
+    * bucket cap 64, exact Hamming ≤ 3, 4 best partners per id_a.
+    * Defines `af(id, ch, nw, fp)` and `pairs(id_a, id_b, hamming)` —
+    * shared by the audio pairs gate and the audio clusters gate's
+    * closure. */
   private def audioPairsCte: String =
     s"""$audioFpCte,
       |hb AS (SELECT id, unnest([
@@ -3430,6 +3717,69 @@ object SparkEntry {
       |vfp AS (SELECT id, count(*) AS nf,
       |    md5(string_agg(s::VARCHAR, ':' ORDER BY f)) AS fp
       |  FROM fsum GROUP BY id)""".stripMargin
+
+  /** Perceptual video clip-signature CTEs (mirrors
+    * `Multimodal.videoPerceptualHash` over the closed-form transcode
+    * fixtures of `Multimodal.syntheticVideoMp4`): content c = id//4,
+    * variant v = id%4; keyframes f ∈ {0,2,4} below nf; per-keyframe
+    * gray sums from the three coprime-moduli channel formulas (+16v
+    * brightness shift, +30·3 one-pixel edit for v ≥ 2); frame aHash
+    * bits by the shared integer `gray·n > Σgray` rule; 16-bit XOR
+    * folds packed by keyframe order. Ends defining
+    * `vsig(id, w, h, nk, sig)`. */
+  private def videoPerceptualCte: String =
+    """vids AS (SELECT event_id AS id, event_id // 4 AS c, event_id % 4 AS v
+      |  FROM events),
+      |vdims AS (SELECT id, c, v, 4 + c % 5 AS w, 3 + c % 4 AS h,
+      |    3 + c % 3 AS nf FROM vids),
+      |vkf AS (SELECT id, c, v, w, h, fs.f, fs.f // 2 AS k
+      |  FROM vdims, (SELECT unnest([0, 2, 4]) AS f) AS fs WHERE fs.f < nf),
+      |vpx AS (SELECT id, w, h, f, k, ys.y * w + xs.x AS idx,
+      |    (20 + (c + 7*xs.x + 13*ys.y + 19*f) % 149 + 16*v
+      |       + CASE WHEN v >= 2 AND xs.x = c % w AND ys.y = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (2*c + 3*xs.x + 5*ys.y + 23*f) % 151 + 16*v
+      |       + CASE WHEN v >= 2 AND xs.x = c % w AND ys.y = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (5*c + 11*xs.x + 17*ys.y + 29*f) % 150 + 16*v
+      |       + CASE WHEN v >= 2 AND xs.x = c % w AND ys.y = 0 THEN 30 ELSE 0 END)
+      |    AS gray
+      |  FROM vkf, generate_series(0, 7) AS xs(x), generate_series(0, 5) AS ys(y)
+      |  WHERE xs.x < w AND ys.y < h),
+      |vtt AS (SELECT id, w, h, f, k, sum(gray) AS total, count(*) AS n
+      |  FROM vpx GROUP BY id, w, h, f, k),
+      |vfh AS (SELECT t.id, t.w, t.h, t.k,
+      |  CAST(coalesce(sum(CASE WHEN p.gray * t.n > t.total
+      |    THEN 1::BIGINT << p.idx::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS fhash
+      |  FROM vpx p JOIN vtt t ON p.id = t.id AND p.f = t.f
+      |  GROUP BY t.id, t.w, t.h, t.k),
+      |vsig AS (SELECT id, w, h, count(*) AS nk,
+      |  CAST(sum(xor(xor(fhash & 65535, (fhash >> 16) & 65535),
+      |      (fhash >> 32) & 65535) << (16 * k::INT)) AS BIGINT) AS sig
+      |  FROM vfh GROUP BY id, w, h)""".stripMargin
+
+  /** Banded-Hamming pair CTEs over `vsig` (mirrors
+    * `Multimodal.videoPerceptualPairs` through `bandedHammingPairs`):
+    * 4×16-bit bands keyed by (w×h:nk), bucket cap 64 smallest ids,
+    * exact Hamming ≤ 6 confirm, 4 best partners per id_a. Ends
+    * defining `vpairs(id_a, id_b, hamming)`. */
+  private def videoPerceptualPairsCte: String =
+    """vhb AS (SELECT id, unnest([
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM vsig),
+      |vbuckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM vhb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |vcand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM vbuckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
+      |vconf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |  FROM vcand JOIN vsig a ON id_a = a.id JOIN vsig b ON id_b = b.id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+      |vpairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM vconf)
+      |WHERE rnk <= 4)""".stripMargin
 
   /** Incremental image screen CTEs over the `ah` fingerprint CTE:
     * corpus = even id-blocks of 20, batch = odd blocks, corpus band

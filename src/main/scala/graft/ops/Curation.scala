@@ -635,22 +635,6 @@ object Curation {
         when(col("sw") > 0, 1).otherwise(0).as("keep"))
   }
 
-  /** End-to-end corpus admission — the signals composed into ONE
-    * keep/drop decision per document with machine-readable reason
-    * codes, the driver a real curation run ends with: length bounds
-    * ([[repetitionStats]]' word count), repetition
-    * (top-bigram / duplicate-word fractions), learned quality
-    * ([[qualityClassifier]] score), and near-duplication (the greedy
-    * drop side of [[graft.ops.Dedup.minhashLsh]] pairs). A document
-    * survives iff NO reason fires; `reasons` is the sorted
-    * comma-joined code list (`""` for keepers) so downstream audits
-    * can group drops by cause.
-    *
-    * Scale shape: each signal is its own gated operator's pipeline
-    * (no new shuffle classes); the composition is three equi-joins on
-    * doc_id. Thresholds are calibration knobs, not contracts — the
-    * defaults fire meaningfully on the synthetic corpus and the
-    * oracle pins whatever is configured. */
   /** Quality-aware SURVIVORSHIP over near-dup clusters — the policy a
     * real curation pipeline applies after dedup finds the clusters:
     * instead of keeping each cluster's arbitrary min-id member
@@ -681,6 +665,22 @@ object Curation {
       .select("doc_id", "cluster", "quality", "keep")
   }
 
+  /** End-to-end corpus admission — the signals composed into ONE
+    * keep/drop decision per document with machine-readable reason
+    * codes, the driver a real curation run ends with: length bounds
+    * ([[repetitionStats]]' word count), repetition
+    * (top-bigram / duplicate-word fractions), learned quality
+    * ([[qualityClassifier]] score), and near-duplication (the greedy
+    * drop side of [[graft.ops.Dedup.minhashLsh]] pairs). A document
+    * survives iff NO reason fires; `reasons` is the sorted
+    * comma-joined code list (`""` for keepers) so downstream audits
+    * can group drops by cause.
+    *
+    * Scale shape: each signal is its own gated operator's pipeline
+    * (no new shuffle classes); the composition is three equi-joins on
+    * doc_id. Thresholds are calibration knobs, not contracts — the
+    * defaults fire meaningfully on the synthetic corpus and the
+    * oracle pins whatever is configured. */
   def curationPipeline(docs: DataFrame,
                        minWords: Int = 15, maxWords: Int = 90,
                        maxTopBigram: Double = 0.1, maxDupWord: Double = 0.68,

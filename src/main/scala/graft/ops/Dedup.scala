@@ -416,14 +416,19 @@ object Dedup {
           .select(col("dst").as("doc_id"), col("cluster"))
         val hop = labels.union(prop)
           .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
-        // Pointer-doubling shortcut (the Hash-to-Min / pointer-jumping
+        // Pointer-jumping shortcut (the Hash-to-Min / pointer-jumping
         // idea, Rastogi et al. 2013): follow one more level of
-        // indirection — label(label(x)) — so label information travels
-        // 2^round hops instead of `round` hops, and convergence takes
-        // O(log diameter) rounds, not O(diameter). The r9 image-pair
-        // graph made this non-optional: a 213-asset component with
-        // diameter 17 silently exceeded maxIters=15 under plain
-        // one-hop propagation (the driver gate caught the divergence).
+        // indirection — label(label(x)). MEASURED guarantee, not the
+        // textbook 2^k one: new label information still travels the
+        // GRAPH one hop per round (the jump only compresses
+        // indirection chains that are already known), so rounds are
+        // bounded by ~the min-node's eccentricity with the jump
+        // trimming constants — BENCH_NOTES: 23 rounds for the r9
+        // image graph, vs maxIters=15 exceeded without the jump (the
+        // driver gate caught that divergence; the non-convergence
+        // warning below is the safety net). The exponential 2^k bound
+        // holds only for chain-shaped label structures (the path-graph
+        // test) — do NOT lower maxIters on its strength.
         // Every cluster value is itself a doc_id, so the lookup is a
         // self-join on the label; labels only ever decrease (hop takes
         // a min over {self} ∪ neighbors; the jump substitutes
@@ -454,7 +459,16 @@ object Dedup {
         val next = timed(s"iter $it checkpoint")(
           jump(hop).localCheckpoint(true))
         val nextSum = timed(s"iter $it")(labelSum(next))
-        labels.unpersist()
+        // Release the PREVIOUS round's materialization NOW (ADVICE r9):
+        // after the switch to localCheckpoint, Dataset.unpersist is a
+        // no-op on checkpoint-backed frames (cacheManager never saw
+        // them), so without the explicit RDD release every round's
+        // label table would squat in executor storage until GC — a
+        // soft leak proportional to rounds × participants. Safe order:
+        // `next` is already eagerly materialized (its own blocks), so
+        // nothing references the old blocks again.
+        labels.unpersist()            // round 0: the initial persist()
+        releaseLocalCheckpoint(labels) // rounds ≥ 1: checkpoint blocks
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
@@ -467,13 +481,41 @@ object Dedup {
         System.err.println(s"[dedup] WARNING: min-label propagation hit " +
           s"maxIters=$maxIters without converging; labels may not be the " +
           "transitive-closure fixpoint (raise maxIters for deep chains)")
-      // hand back an UNPERSISTED result: the fixpoint was already forced
-      // by the convergence probes, and a leaked cache entry per call
-      // would squat on executor storage for the rest of the session
+      // hand back a SELF-CONTAINED checkpoint and release the loop's
+      // final round explicitly (same no-op-unpersist reason as above);
+      // only `out`'s own blocks stay resident, and the caller owns them
       val out = timed("localCheckpoint")(labels.localCheckpoint(true))
       labels.unpersist()
+      releaseLocalCheckpoint(labels)
       out
     } finally edges.unpersist()
+  }
+
+  /** Explicitly drop the cached blocks behind a `localCheckpoint(true)`
+    * frame. `Dataset.unpersist` cannot do this — it asks the
+    * cacheManager, which never registered the checkpoint RDD — so
+    * iterative loops that truncate lineage per round must release each
+    * superseded round themselves or leak storage until GC (ADVICE r9).
+    * ONLY call this once nothing will read the frame again: a released
+    * local checkpoint cannot be recomputed (lineage was severed). */
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit = {
+    // Unpersisting a locally-checkpointed RDD draws a WARN ("lineage
+    // has been truncated and cannot be recomputed") from the RDD's
+    // class logger. Here that is the documented INTENT — superseded
+    // rounds are released precisely because nothing reads them again —
+    // so silence that one logger rather than emit a spurious warning
+    // per propagation round. Done lazily (not at session build):
+    // Spark re-applies its own log4j profile during context startup,
+    // which would wipe an earlier override.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging backend absent: cosmetic only
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 
   /** 64-bit SimHash carried as FOUR 16-bit band integers (VERDICT r2

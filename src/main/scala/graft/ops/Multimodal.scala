@@ -124,24 +124,33 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val img = Bmp.decode(bytes)
-        val n = img.pixels.length.toLong
-        val gray = new Array[Long](img.pixels.length)
-        var total = 0L
-        var i = 0
-        while (i < gray.length) {
-          val p = img.pixels(i)
-          gray(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-          total += gray(i)
-          i += 1
-        }
-        var hash = 0L
-        i = 0
-        while (i < gray.length) {
-          if (gray(i) * n > total) hash |= 1L << i
-          i += 1
-        }
-        ImageHash(id, img.width.toLong, img.height.toLong, hash)
+        ImageHash(id, img.width.toLong, img.height.toLong, aHashBits(img.pixels))
       })
+  }
+
+  /** The ONE aHash bit computation (bit `i` set iff pixel i's gray sum
+    * strictly exceeds the raster mean, pure integer `gray·n > Σgray`)
+    * shared by the still-image path ([[imageAHash]]) and the video
+    * keyframe path ([[videoPerceptualHash]]) — one thresholding rule,
+    * one invariance argument. */
+  private[graft] def aHashBits(pixels: Array[Int]): Long = {
+    val n = pixels.length.toLong
+    val gray = new Array[Long](pixels.length)
+    var total = 0L
+    var i = 0
+    while (i < gray.length) {
+      val p = pixels(i)
+      gray(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      total += gray(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < gray.length) {
+      if (gray(i) * n > total) hash |= 1L << i
+      i += 1
+    }
+    hash
   }
 
   /** Near-duplicate image pairs from [[imageAHash]] fingerprints —
@@ -176,9 +185,20 @@ object Multimodal {
       bandBits = 12, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "image_ahash")
 
+  /** The (group, band index, band value) key columns shared by the
+    * all-pairs and incremental banded-Hamming consumers. */
+  private def bandKeyCols(hashCol: String, group: Column, bandBits: Int,
+                          numBands: Int): Seq[Column] = {
+    val mask = (1L << bandBits) - 1
+    (0 until numBands).map(k => concat(
+      group, lit(s":$k:"),
+      shiftright(col(hashCol), bandBits * k).bitwiseAND(mask).cast("string")))
+  }
+
   /** The ONE banded-Hamming pair implementation every fixed-width
     * perceptual fingerprint shares (images via [[imageAHashPairs]],
-    * audio via [[audioFingerprintPairs]]): the hash splits into
+    * audio via [[audioFingerprintPairs]], video clip signatures via
+    * [[videoPerceptualPairs]]): the hash splits into
     * `numBands`×`bandBits`-bit bands; candidates share (`group`, band
     * index, band value) — an equi-join on that key through the shared
     * capped-bucket machinery (`Dedup.cappedBucketsFromIndex`: each
@@ -192,16 +212,6 @@ object Multimodal {
     * channels:n_windows). Banding guarantee: two hashes within
     * Hamming ≤ numBands−1 share at least one exact band; beyond that
     * the screen is probabilistic — the standard LSH trade. */
-  /** The (group, band index, band value) key columns shared by the
-    * all-pairs and incremental banded-Hamming consumers. */
-  private def bandKeyCols(hashCol: String, group: Column, bandBits: Int,
-                          numBands: Int): Seq[Column] = {
-    val mask = (1L << bandBits) - 1
-    (0 until numBands).map(k => concat(
-      group, lit(s":$k:"),
-      shiftright(col(hashCol), bandBits * k).bitwiseAND(mask).cast("string")))
-  }
-
   private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
                                         group: Column, bandBits: Int,
                                         numBands: Int, maxHamming: Int,
@@ -236,22 +246,6 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Incremental media near-dup screening — a NEW batch of assets
-    * against a STANDING corpus, the steady-state production shape
-    * (`Dedup.incrementalNearDups` for perceptual fingerprints): the
-    * corpus side of the band join is bucketed and capped exactly like
-    * the all-pairs path (shared `cappedBucketsFromIndex` — smallest
-    * `bucketCap` ids kept, drops observable; unlike the all-pairs
-    * path, size-1 buckets stay — one corpus asset can still match a
-    * batch asset), candidates equi-join on the band key, exact
-    * Hamming confirms, and each batch asset keeps its `candCap` best
-    * corpus partners. Only batch↔corpus pairs are produced (directed
-    * `(batch_id, corpus_id)`), batch-internal duplicates are a
-    * [[bandedHammingPairs]] pass over the small batch, corpus-internal
-    * ones were settled at admission — the same contract as the text
-    * path. At scale the corpus band index `(doc_id, bk)` is the
-    * persistable artifact (write once, read per batch), so batch cost
-    * is proportional to the BATCH, not the corpus. */
   /** The confirm core, STREAM-SAFE by construction: the batch hash is
     * CARRIED through the band join instead of joined back (a join-back
     * would be a stream-stream join needing watermarks when `batch` is
@@ -285,6 +279,23 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Incremental media near-dup screening — a NEW batch of assets
+    * against a STANDING corpus, the steady-state production shape
+    * (`Dedup.incrementalNearDups` for perceptual fingerprints): the
+    * corpus side of the band join is bucketed and capped exactly like
+    * the all-pairs path (shared `cappedBucketsFromIndex` — smallest
+    * `bucketCap` ids kept, drops observable; unlike the all-pairs
+    * path, size-1 buckets stay — one corpus asset can still match a
+    * batch asset), candidates equi-join on the band key via
+    * [[incrementalScreen]], exact Hamming confirms, and each batch
+    * asset keeps its `candCap` best corpus partners. Only
+    * batch↔corpus pairs are produced (directed
+    * `(batch_id, corpus_id)`), batch-internal duplicates are a
+    * [[bandedHammingPairs]] pass over the small batch, corpus-internal
+    * ones were settled at admission — the same contract as the text
+    * path. At scale the corpus band index `(doc_id, bk)` is the
+    * persistable artifact (write once, read per batch), so batch cost
+    * is proportional to the BATCH, not the corpus. */
   private[graft] def incrementalBandedHamming(corpus: DataFrame,
                                               batch: DataFrame,
                                               hashCol: String, group: Column,
@@ -581,6 +592,153 @@ object Multimodal {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("fp"))
   }
 
+  /** Incremental (steady-state) video screen on the EXACT container
+    * fingerprint: a new batch of clips against the standing corpus,
+    * through the same shared capped-bucket core as every other
+    * incremental screen — the corpus fingerprint index is bucketed on
+    * the fingerprint itself (`bucketCap` smallest ids kept, drops
+    * observable, size-1 buckets stay: one standing copy can still match
+    * an incoming one), the batch equi-joins on it, and each batch clip
+    * keeps its `candCap` smallest-id corpus partners. No confirm stage
+    * and no Hamming ordering: the bucket key IS the full-precision
+    * fingerprint, so every bucket member is an exact re-mux duplicate
+    * and partners rank by corpus_id. At scale the corpus index is the
+    * persistable artifact; batch cost is proportional to the BATCH. */
+  def incrementalVideoNearDups(corpusFps: DataFrame, batchFps: DataFrame,
+                               bucketCap: Int = 64, candCap: Int = 4): DataFrame = {
+    val corpusIndex = corpusFps.select(col("id").as("doc_id"),
+      col("fp").as("bk"))
+    val cBuckets = Dedup.cappedBucketsFromIndex(corpusIndex, bucketCap,
+      observed = true, metricPrefix = "video_fp_incr_buckets_")
+    batchFps.select(col("id").as("batch_id"), col("fp").as("bk"))
+      .join(cBuckets, "bk")
+      .select(col("batch_id"), col("bk").as("fp"),
+        explode(col("ids")).as("corpus_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("batch_id"))
+          .orderBy(col("corpus_id"))))
+      .observe("video_fp_incr_cands_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("rnk") > candCap, 1L).otherwise(0L)).as("pairs_over_cap"))
+      .where(col("rnk") <= candCap)
+      .select("batch_id", "corpus_id", "fp")
+  }
+
+  final case class VideoPerceptualHash(id: Long, width: Long, height: Long,
+                                       n_key: Long, sig: Long)
+
+  /** Transcode-robust perceptual VIDEO signature — what the exact
+    * [[videoFingerprint]] cannot see: a transcoded copy re-encodes
+    * every payload byte, so content identity must come from the DECODED
+    * keyframes, not the container bytes. The pipeline: real ISO-BMFF
+    * parse ([[Mp4]]) → `stss`-marked keyframes (first `maxKeyframes`
+    * in decode order) → REAL image decode of each keyframe payload
+    * (codec sniffed from magic bytes — BMP or PNG here; a deployment
+    * adds sniffers, nothing else changes) → the shared 48-bit
+    * [[aHashBits]] per frame (brightness-invariant integer
+    * thresholding, the image modality's exact rule) → each frame hash
+    * XOR-folds to 16 bits and packs into one BIGINT clip signature
+    * (frame k at bits [16k, 16k+16)). A re-encoded copy — different
+    * codec, shifted brightness, rewritten container — signatures
+    * identically as long as its keyframes survive thresholding
+    * unchanged; small content edits flip few bits (each flipped aHash
+    * bit flips exactly one fold bit), so pairs run through the ONE
+    * shared [[bandedHammingPairs]] core with bands = the per-frame
+    * 16-bit words. Keyframe SAMPLING is stride-aligned here (fixtures
+    * share `keyStride`); production transcoders that re-place
+    * keyframes want time-aligned sampling via the `stts` timestamps —
+    * same tables, same shape, noted not built. */
+  def videoPerceptualHash(df: DataFrame, idCol: String, binCol: String,
+                          maxKeyframes: Int = 4): Dataset[VideoPerceptualHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Mp4.parse(bytes)
+        val keys = m.samples.filter(_.keyframe).take(maxKeyframes)
+        var w = 0L; var h = 0L; var sig = 0L
+        keys.zipWithIndex.foreach { case (s, k) =>
+          val (fw, fh, px) = decodeImagePayload(m.sampleBytes(bytes, s))
+          require(k == 0 || (fw == w && fh == h),
+            s"video $id: keyframe $k is ${fw}x$fh, expected ${w}x$h " +
+              "(mixed-dimension frames have no comparable signature)")
+          w = fw; h = fh
+          val hash = aHashBits(px)
+          val fold = (hash ^ (hash >>> 16) ^ (hash >>> 32)) & 0xFFFFL
+          sig |= fold << (16 * k)
+        }
+        VideoPerceptualHash(id, w, h, keys.length.toLong, sig)
+      })
+  }
+
+  /** Magic-byte codec sniff for keyframe payloads: 'BM' → [[Bmp]],
+    * \x89PNG → [[Png]]. Returns (width, height, packed 0xRRGGBB). */
+  private def decodeImagePayload(bytes: Array[Byte]): (Long, Long, Array[Int]) = {
+    require(bytes.length >= 2, "keyframe payload too short to sniff")
+    if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      val i = Bmp.decode(bytes); (i.width.toLong, i.height.toLong, i.pixels)
+    } else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte) {
+      val i = Png.decode(bytes); (i.width.toLong, i.height.toLong, i.pixels)
+    } else sys.error("unrecognized keyframe codec (expected BMP or PNG magic)")
+  }
+
+  /** Near-duplicate video pairs from [[videoPerceptualHash]] clip
+    * signatures — the TRANSCODE-robust companion to the exact-equality
+    * [[videoNearDupPairs]], through the SAME [[bandedHammingPairs]]
+    * machinery as images and audio: bands are the four per-keyframe
+    * 16-bit folded hashes (sharing a band = one keyframe agrees
+    * perceptually), the group key carries (width×height : n_key) so
+    * only aligned clips compare, buckets cap at `bucketCap` smallest
+    * ids and each clip keeps `candCap` best partners (transcode
+    * families of a popular clip are exactly the clique hazard the caps
+    * exist for). `maxHamming` 6 > numBands−1: pairs within 3 bits are
+    * caught exhaustively, 4-6 probabilistically — the image family's
+    * posture. */
+  def videoPerceptualPairs(sigs: DataFrame, maxHamming: Int = 6,
+                           bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "sig",
+      group = concat(col("width").cast("string"), lit("x"),
+        col("height").cast("string"), lit(":"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "video_phash")
+
+  /** Deterministic MP4 fixture family for TRANSCODE dedup: ids group
+    * into CONTENTS of four VARIANTS (`c = id/4`, `v = id%4`) that
+    * re-encode the same closed-form frames — v's transcode axes are
+    * the frame codec (even v → BMP, odd v → PNG: every payload byte
+    * differs, pixels identical), a global brightness shift (`+16v` per
+    * channel — moves every byte, aHash-invariant by the threshold
+    * argument), a container re-mux (timescale/delta vary with v), and
+    * for v ≥ 2 a one-pixel content edit (+30/channel at (c mod w, 0))
+    * that flips a few threshold bits — so v0↔v1 and v2↔v3 signature
+    * identically while v0↔v2 sit a small Hamming distance apart, and
+    * the corpus carries real near-dup structure, not just exact
+    * cliques. Channel formulas use coprime moduli (149/151/150) so
+    * content patterns do not repeat across the corpus; all values stay
+    * < 256 (max 20+150+48+30 = 248), so the brightness shift never
+    * wraps — wrap would break the invariance the fixture proves. The
+    * oracle replays every formula in closed form. */
+  def syntheticVideoMp4(id: Long): Array[Byte] = {
+    val c = id / 4
+    val v = (id % 4).toInt
+    val w = 4 + (c % 5).toInt
+    val h = 3 + (c % 4).toInt
+    val nf = 3 + (c % 3).toInt
+    def px(f: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val pert = if (v >= 2 && x == (c % w).toInt && y == 0) 30 else 0
+      ((20 + (c + 7L * x + 13L * y + 19L * f) % 149 + 16 * v + pert).toInt,
+       (20 + (2L * c + 3L * x + 5L * y + 23L * f) % 151 + 16 * v + pert).toInt,
+       (20 + (5L * c + 11L * x + 17L * y + 29L * f) % 150 + 16 * v + pert).toInt)
+    }
+    val frames = (0 until nf).map { f =>
+      if (v % 2 == 0) Bmp.encode(w, h, px(f))
+      else Png.encode(w, h, px(f), filterFor = y => (f + y) % 5)
+    }
+    Mp4.encode(frames, timescale = 1000 + 200 * v, delta = 40 + 10 * v,
+      keyStride = 2)
+  }
+
   /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample
     * sum plus min/max across all channels — closed-form recomputable
     * by the oracle, like [[ImageStats]]. */
@@ -745,12 +903,15 @@ object Multimodal {
     * per asset; pairs: capped at candCap per asset).
     *
     * `maxIters` defaults HIGHER than the text path's 15: candCap
-    * prunes perceptual-hash cliques into long chain-like subgraphs
-    * (measured: the sf0.1 image graph still hadn't converged after 15
-    * pointer-doubled rounds, i.e. its diameter exceeds 2^15-hop
-    * reach), and rounds beyond the fixpoint cost nothing — the loop
-    * exits on the convergence probe. 30 rounds bound components of
-    * diameter ~2^30. */
+    * prunes perceptual-hash cliques into long chain-like subgraphs,
+    * and label information travels the GRAPH one hop per round (the
+    * pointer jump only compresses already-known indirection chains —
+    * see the measured note in `Dedup.propagateMinLabels`), so rounds
+    * are bounded by the min-node's eccentricity: the sf0.1 image graph
+    * needed 23 rounds for an eccentricity-~22 component. Rounds beyond
+    * the fixpoint cost nothing — the loop exits on the convergence
+    * probe — so 30 covers eccentricity-30 components, and deeper
+    * chains warn loudly instead of returning a non-fixpoint. */
   def mediaNearDupClusters(ids: DataFrame, pairs: DataFrame,
                            maxIters: Int = 30): DataFrame = {
     val p = pairs

@@ -396,7 +396,7 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 3,
                 nCells: Int = 16, nProbe: Int = 2,
                 m: Int = 4, subDim: Int = 16, ksub: Int = 8,
-                subIters: Int = 2): DataFrame = {
+                subIters: Int = 2, minQueryId: Long = 0): DataFrame = {
     def d6(a: Column, b: Column): Column = fx(sqDist(a, b), 6)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .where(size(col("emb")) === m * subDim)
@@ -430,7 +430,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wCode)).where(col("rn") === 1)
       .select(col("vec_id"), col("j"), col("cid").as("code"))
 
-    val q = e.where(col("vec_id") < maxQueryId)
+    val q = e.where(col("vec_id") >= minQueryId && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
     val probes = q.join(broadcast(cents))
@@ -477,12 +477,12 @@ object Similarity {
   def ivfPqRerankTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 3,
                       rerank: Int = 3, nCells: Int = 16, nProbe: Int = 2,
                       m: Int = 4, subDim: Int = 16, ksub: Int = 8,
-                      subIters: Int = 2): DataFrame = {
+                      subIters: Int = 2, minQueryId: Long = 0): DataFrame = {
     val screened = ivfPqTopK(emb, maxQueryId, k * rerank, nCells, nProbe,
-      m, subDim, ksub, subIters)
+      m, subDim, ksub, subIters, minQueryId)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .where(size(col("emb")) === m * subDim)
-    val q = e.where(col("vec_id") < maxQueryId)
+    val q = e.where(col("vec_id") >= minQueryId && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nn_id"))
     screened
@@ -499,6 +499,77 @@ object Similarity {
     * cross join anywhere in the plan), then exact cosine + window top-k
     * within the candidates. Approximate by construction: neighbors in a
     * different bucket are unseen (recall/cost is tuned by `bits`). */
+  /** Gated recall@k of the approximate ANN paths against the EXACT
+    * top-k (VERDICT r9 #3) — turns "probe more cells for more recall"
+    * from a qualitative SCALE.md claim into a number the driver
+    * hash-checks every round: for each query, how many of the exact
+    * k nearest neighbors the approximate path returned. Output is one
+    * row per (query, method, nProbe) with an INTEGER hit count —
+    * portable by construction; the oracle recomputes both the exact
+    * and the approximate side from scratch.
+    *
+    * Methods measured: `ivf` ([[ivfProbe]] over [[ivfAssign]],
+    * cosine-ranked) at each `probes` setting against the exact cosine
+    * top-k, and `ivfpq_rerank` ([[ivfPqRerankTopK]], L2-ranked)
+    * against the exact squared-L2 top-k — each approximate path is
+    * judged against the exact baseline of ITS OWN metric.
+    *
+    * Queries default to `[minQueryId, maxQueryId)` = [100, 110) —
+    * deliberately NOT the `vec_id < nCells` vectors, which seed the
+    * coarse quantizer: a centroid-vector query probes its own cell
+    * first and saturates recall at nProbe = 1, hiding exactly the
+    * tradeoff this gate exists to expose (measured: centroid queries
+    * score 29/30 at every nProbe; the off-centroid window scores
+    * 6/30 → 7/30 → 15/30 for nProbe 1 → 2 → 4).
+    *
+    * Scale shape: the exact baselines are one broadcast-queries scan
+    * each (the scoring-pass shape — fine for a gate-sized query set;
+    * production recall estimation samples queries exactly like this);
+    * the approximate paths carry their own documented shapes; the hit
+    * join is query-set-sized. */
+  def annRecall(emb: DataFrame, minQueryId: Long = 100, maxQueryId: Long = 110,
+                k: Int = 3, nCells: Int = 16, probes: Seq[Int] = Seq(1, 2, 4),
+                rerankProbe: Int = 2): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("emb").as("ce"))
+    val qFrame = e.where(col("vec_id") >= minQueryId && col("vec_id") < maxQueryId)
+    val q = qFrame.select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val qids = q.select("qid")
+    val wCos = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
+    val exactCos = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        cosine(col("qe"), col("emb")).as("cos"))
+      .withColumn("rn", row_number().over(wCos)).where(col("rn") <= k)
+      .select("qid", "nn_id")
+    val wL2 = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nn_id"))
+    val exactL2 = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        fx(sqDist(col("qe"), col("emb")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wL2)).where(col("rn") <= k)
+      .select("qid", "nn_id")
+    val index = ivfAssign(e, cents)
+    // hits = |exact top-k ∩ approx top-k| per query; queries the
+    // approximate path missed entirely still get a 0 row (left join)
+    def hitCounts(approx: DataFrame, exact: DataFrame, method: String,
+                  nProbe: Int): DataFrame =
+      qids.join(
+        exact.join(approx.select("qid", "nn_id"), Seq("qid", "nn_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("h")),
+        Seq("qid"), "left")
+        .select(col("qid"), lit(method).as("method"),
+          lit(nProbe.toLong).as("n_probe"), lit(k.toLong).as("k"),
+          coalesce(col("h"), lit(0L)).as("hits"))
+    val ivfRows = probes.map(p =>
+      hitCounts(ivfProbe(index, qFrame, cents, maxQueryId, k, p),
+        exactCos, "ivf", p))
+    val pqRows = hitCounts(
+      ivfPqRerankTopK(emb, maxQueryId, k, nProbe = rerankProbe,
+        minQueryId = minQueryId),
+      exactL2, "ivfpq_rerank", rerankProbe)
+    (ivfRows :+ pqRows).reduce(_ unionByName _)
+  }
+
   def bucketTopK(emb: DataFrame, maxQueryId: Long = 10, k: Int = 3,
                  bits: Int = 8): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

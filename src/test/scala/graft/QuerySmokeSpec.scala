@@ -19,11 +19,16 @@ class QuerySmokeSpec extends SparkTestBase {
     // closed-form MP4 fixtures first collide past id ~1000, so the
     // 1000-event sf0.001 slice has none (sf0.01 yields 1050 pairs —
     // the driver's gate scale)
-    "dedup_video_pairs")
+    "dedup_video_pairs",
+    // same fixtures, same reason: the dominant collision period is
+    // 8960, so no batch↔corpus pair exists inside 1000 events
+    "dedup_video_incremental")
 
-  for ((name, fn) <- SparkEntry.queries) {
+  for ((name, _) <- SparkEntry.queries) {
     test(s"query $name runs at sf0.001") {
-      val df = fn(spark, sf)
+      // shared construction (GateFrames): eager gates execute once per
+      // JVM even when GateSchemaSpec also needs their schema
+      val df = GateFrames(name, spark, sf)
       assert(df.columns.nonEmpty)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")
