@@ -63,6 +63,8 @@ object Bench {
     "multimodal_video_phash", "dedup_video_perceptual",
     "dedup_video_perceptual_clusters", "dedup_video_incremental",
     "ann_recall", "pipeline_pretrain_full",
+    "dedup_video_perceptual_incremental", "streaming_video_dedup",
+    "multimodal_video_phash_aligned",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -75,6 +75,7 @@ object BenchScale {
     "multimodal_video_phash", "dedup_video_perceptual",
     "dedup_video_perceptual_clusters", "dedup_video_incremental",
     "ann_recall", "pipeline_pretrain_full",
+    "dedup_video_perceptual_incremental", "multimodal_video_phash_aligned",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

@@ -1127,6 +1127,41 @@ object SparkEntry {
         Multimodal.videoPerceptualPairs(sigs))
     }),
 
+    // --- steady-state incremental screen on the PERCEPTUAL clip
+    //     signature (the transcode-robust key, vs the exact-fp screen
+    //     above): (id div 2) parity puts each content's {v0,v1} in the
+    //     corpus and {v2,v3} in the batch — every transcode family
+    //     straddles the split
+    "dedup_video_perceptual_incremental" -> ((s, d) => {
+      import s.implicits._
+      val sigs = Multimodal.videoPerceptualHash(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      Multimodal.incrementalVideoPerceptualNearDups(
+        sigs.where(expr("id div 2") % 2 === 0),
+        sigs.where(expr("id div 2") % 2 === 1))
+    }),
+
+    // --- the perceptual screen as a STREAM: new clips parsed, decoded
+    //     and signed inside the micro-batch, screened against the
+    //     standing signature index via stream-static joins only — the
+    //     video sibling of streaming_image_dedup, same uncapped oracle
+    "streaming_video_dedup" -> ((s, d) =>
+      StreamingIngest.videoDedupStream(s, d)),
+
+    // --- TIME-ALIGNED perceptual signature: slots at fractions of the
+    //     stts timeline instead of stss keyframe order — invariant to
+    //     KEYFRAME RE-PLACEMENT (the fixtures vary keyStride 1..4,
+    //     which provably breaks the stride-aligned sampler; spec'd)
+    "multimodal_video_phash_aligned" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.videoPerceptualHashTimeAligned(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4T(id))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+    }),
+
     // --- REAL LZW decode: GIF fixtures (variable-width code stream,
     //     256-entry palette) through the pure-JVM Gif codec — the
     //     second compressed format, on a different algorithm family
@@ -2462,6 +2497,31 @@ object SparkEntry {
          |lab AS (SELECT v.id, least(v.id, coalesce(min(r.dst), v.id)) AS cluster
          |  FROM vsig v LEFT JOIN reach r ON v.id = r.src GROUP BY v.id)
          |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // incremental perceptual screen: corpus = even (id div 2) blocks
+    // (band buckets capped at 64 smallest ids, size-1 kept), batch =
+    // odd blocks, exact Hamming <= 6, 4 best corpus partners per clip
+    "dedup_video_perceptual_incremental" ->
+      s"""WITH $videoPerceptualCte,
+         |$videoPerceptualIncrementalCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM vconf)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed pair (no candCap —
+    // row_number windows are illegal on streams); same CTE chain
+    "streaming_video_dedup" ->
+      s"""WITH $videoPerceptualCte,
+         |$videoPerceptualIncrementalCte
+         |SELECT batch_id, corpus_id, hamming FROM vconf""".stripMargin,
+    // time-aligned signature over the keyStride-varying fixtures: slot
+    // k of 4 samples frame (k*nf)//4 — the dts-fraction rule in closed
+    // form (dts = f*delta, duration = nf*delta, so the delta cancels);
+    // pixel formulas shared with videoPerceptualCte's fixtures
+    "multimodal_video_phash_aligned" ->
+      s"""WITH $videoAlignedCte
+         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(4 AS BIGINT) AS n_key, sig FROM tsig""".stripMargin,
     // JPEG fixtures (Multimodal.syntheticJpeg): the Spark side runs the
     // full baseline decode (Huffman, dequant, IDCT, fixed-point color);
     // the oracle composes the per-block YCbCr formula with the same
@@ -3780,6 +3840,87 @@ object SparkEntry {
       |  SELECT *, row_number()
       |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM vconf)
       |WHERE rnk <= 4)""".stripMargin
+
+  /** Incremental perceptual-video screen CTEs over `vsig` (mirrors
+    * `Multimodal.incrementalVideoPerceptualNearDups` /
+    * `StreamingIngest.videoDedupStream`): corpus = even (id div 2)
+    * blocks with band buckets capped at 64 smallest ids (size-1
+    * kept), batch = odd blocks, exact Hamming ≤ 6. Ends defining
+    * `vconf(batch_id, corpus_id, hamming)` — the batch gate caps at 4
+    * best partners on top; the streaming twin takes `vconf` whole. */
+  private def videoPerceptualIncrementalCte: String =
+    """vhc AS (SELECT * FROM vsig WHERE (id // 2) % 2 = 0),
+      |vhbt AS (SELECT * FROM vsig WHERE (id // 2) % 2 = 1),
+      |vci AS (SELECT id, unnest([
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM vhc),
+      |vcb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM vci GROUP BY bk),
+      |vbi AS (SELECT id AS batch_id, unnest([
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    w::VARCHAR || 'x' || h::VARCHAR || ':' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM vhbt),
+      |vcand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM vbi JOIN vcb USING (bk), unnest(ids) AS u(cid)),
+      |vconf AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.sig, c.sig)) AS BIGINT) AS hamming
+      |  FROM vcand JOIN vhbt b ON batch_id = b.id JOIN vhc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.sig, c.sig)) <= 6)""".stripMargin
+
+  /** Time-aligned clip-signature CTEs (mirrors
+    * `Multimodal.videoPerceptualHashTimeAligned` over the
+    * keyStride-varying `syntheticVideoMp4T` fixtures — same pixel
+    * formulas as [[videoPerceptualCte]], different sampling index
+    * set: slot k of 4 hashes frame `(k·nf)//4`, the dts-fraction rule
+    * with the constant frame duration cancelled). Ends defining
+    * `tsig(id, w, h, sig)`. */
+  private def videoAlignedCte: String =
+    """tvids AS (SELECT event_id AS id, event_id // 4 AS c, event_id % 4 AS v
+      |  FROM events),
+      |tdims AS (SELECT id, c, v, 4 + c % 5 AS w, 3 + c % 4 AS h,
+      |    3 + c % 3 AS nf FROM tvids),
+      |tslots AS (SELECT id, c, v, w, h, ks.k, (ks.k * nf) // 4 AS f
+      |  FROM tdims, generate_series(0, 3) AS ks(k)),
+      |tfr AS (SELECT DISTINCT id, c, v, w, h, f FROM tslots),
+      |tpx AS (SELECT id, w, h, f, ys.y * w + xs.x AS idx,
+      |    (20 + (c + 7*xs.x + 13*ys.y + 19*f) % 149 + 16*v
+      |       + CASE WHEN v >= 2 AND xs.x = c % w AND ys.y = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (2*c + 3*xs.x + 5*ys.y + 23*f) % 151 + 16*v
+      |       + CASE WHEN v >= 2 AND xs.x = c % w AND ys.y = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (5*c + 11*xs.x + 17*ys.y + 29*f) % 150 + 16*v
+      |       + CASE WHEN v >= 2 AND xs.x = c % w AND ys.y = 0 THEN 30 ELSE 0 END)
+      |    AS gray
+      |  FROM tfr, generate_series(0, 7) AS xs(x), generate_series(0, 5) AS ys(y)
+      |  WHERE xs.x < w AND ys.y < h),
+      |ttt AS (SELECT id, f, sum(gray) AS total, count(*) AS n
+      |  FROM tpx GROUP BY id, f),
+      |tfh AS (SELECT t.id, t.f,
+      |  CAST(coalesce(sum(CASE WHEN p.gray * t.n > t.total
+      |    THEN 1::BIGINT << p.idx::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS fhash
+      |  FROM tpx p JOIN ttt t ON p.id = t.id AND p.f = t.f
+      |  GROUP BY t.id, t.f),
+      |tfold AS (SELECT s.id, s.w, s.h, s.k,
+      |    xor(xor(fh.fhash & 65535, (fh.fhash >> 16) & 65535),
+      |      (fh.fhash >> 32) & 65535) AS fold
+      |  FROM tslots s JOIN tfh fh ON s.id = fh.id AND s.f = fh.f),
+      |-- slot 3 lands in bits 48-63: the engine's Long OR wraps into the
+      |-- sign bit, so the replay packs it as a SIGNED 16-bit field times
+      |-- 2^48 (DuckDB's << raises on signed overflow; sum runs in
+      |-- HUGEINT, exact, and the final BIGINT cast is in range by
+      |-- construction: |slot-3| <= 32768 * 2^48 = |int64 min|)
+      |tsig AS (SELECT id, w, h,
+      |  CAST(sum(CASE k
+      |    WHEN 0 THEN fold
+      |    WHEN 1 THEN fold * 65536
+      |    WHEN 2 THEN fold * 4294967296
+      |    ELSE (CASE WHEN fold >= 32768 THEN fold - 65536 ELSE fold END)
+      |           * 281474976710656 END) AS BIGINT) AS sig
+      |  FROM tfold GROUP BY id, w, h)""".stripMargin
 
   /** Incremental image screen CTEs over the `ah` fingerprint CTE:
     * corpus = even id-blocks of 20, batch = odd blocks, corpus band

@@ -491,6 +491,115 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Transitive closure by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond" — the
+    * public two-phase algorithm): repeatedly rewrite the EDGE SET with
+    * the large-star operation (every node points its strictly-larger
+    * neighbors at its neighborhood minimum) then the small-star
+    * operation (every node points itself and its smaller neighbors at
+    * that minimum), until the edges stop changing — at which point
+    * every component is a star rooted at its minimum id, and the label
+    * of a node is simply `min(self, neighbors)`.
+    *
+    * Same output contract as [[propagateMinLabels]] (per-node minimum
+    * component id; equivalence property-tested against an independent
+    * union-find on random graphs), different round bound: plain
+    * propagation needs ~eccentricity rounds — new label information
+    * travels ONE graph hop per round, pointer jump or not — while star
+    * contraction HALVES component structure per phase pair, converging
+    * in O(log² n) rounds on ANY topology. That difference is why this
+    * core exists: the r10 perceptual-video pair graph's candCap-pruned
+    * chains exceeded eccentricity 30 at sf0.1 and propagation hit its
+    * round cap (loudly); contraction converges in a handful of phase
+    * pairs. Trade: each phase pair costs ~3 shuffles (group-min, join
+    * back, dedup) against propagation's ~2, and the shuffled unit is
+    * the EDGE set, so for shallow graphs (text LSH near-dup cliques)
+    * propagation stays the cheaper core — both are kept, both
+    * gate-covered.
+    *
+    * Storage discipline matches the propagation loop: every phase
+    * localCheckpoints the edge frame (the rewrite embeds the previous
+    * plan several times — geometric plan growth without truncation)
+    * and the superseded round's blocks are released explicitly.
+    * Convergence probe: (count, Σu, Σv) of the canonical edge set as
+    * DECIMAL — a deterministic rewrite with an unchanged triple is
+    * treated as the fixpoint; the per-gate oracles and the union-find
+    * property tests back that judgment with exact checks. */
+  private[graft] def starContractLabels(ids: DataFrame, pairs: DataFrame,
+                                        maxIters: Int = 25): DataFrame = {
+    // canonical undirected edge list (a < b), self-loops dropped
+    var edges = pairs.toDF("a", "b")
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def adj(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) over the current edge set
+    def mins(a: DataFrame): DataFrame =
+      a.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    def canonical(e: DataFrame): DataFrame =
+      e.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+
+    def edgeProbe(e: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val r = e.agg(count(lit(1)), sum(col("a").cast(dec)), sum(col("b").cast(dec))).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+    }
+
+    var probe = edgeProbe(edges)
+    var it = 0
+    var converged = probe._1 == 0L // no edges: everything is a singleton
+    while (it < maxIters && !converged) {
+      val a1 = adj(edges)
+      // LARGE-STAR: (v, m(u)) for every strictly-larger neighbor v of u
+      val large = canonical(
+        a1.join(mins(a1), "u").where(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y")))
+        .localCheckpoint(true)
+      releaseLocalCheckpoint(edges)
+      // SMALL-STAR: (v, m(u)) for every ≤ neighbor v ≠ m, plus (u, m)
+      val a2 = adj(large)
+      val m2 = mins(a2)
+      val small = canonical(
+        a2.join(m2, "u")
+          .where(col("v") <= col("u") && col("v") =!= col("m"))
+          .select(col("v").as("x"), col("m").as("y"))
+          .union(m2.select(col("u").as("x"), col("m").as("y"))))
+        .localCheckpoint(true)
+      releaseLocalCheckpoint(large)
+      edges = small
+      val next = edgeProbe(edges)
+      converged = next == probe
+      probe = next
+      it += 1
+    }
+    if (!converged)
+      System.err.println(s"[dedup] WARNING: star contraction hit " +
+        s"maxIters=$maxIters without an edge fixpoint; labels may not be " +
+        "the transitive closure (raise maxIters)")
+    // fixpoint edges are stars rooted at component minima:
+    // label = min(self, neighbors); non-participants label themselves
+    val lab = adj(edges).groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id_l"), col("mn"))
+    val out = ids.toDF("doc_id")
+      .join(lab, col("doc_id") === col("doc_id_l"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster"))
+      .localCheckpoint(true)
+    releaseLocalCheckpoint(edges)
+    out
+  }
+
   /** Explicitly drop the cached blocks behind a `localCheckpoint(true)`
     * frame. `Dataset.unpersist` cannot do this — it asks the
     * cacheManager, which never registered the checkpoint RDD — so
@@ -507,10 +616,18 @@ object Dedup {
     // per propagation round. Done lazily (not at session build):
     // Spark re-applies its own log4j profile during context startup,
     // which would wipe an earlier override.
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // logging backend absent: cosmetic only
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.ERROR)
+      // the async unpersist also draws per-partition "Asked to remove
+      // block ... which does not exist" WARNs from BlockManager for
+      // partitions whose cache entry was already dropped — same
+      // intentional-release noise class
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.storage.BlockManager",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () } // logging backend absent: cosmetic only
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

@@ -703,6 +703,74 @@ object Multimodal {
       bandBits = 16, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "video_phash")
 
+  /** [[incrementalBandedHamming]] for perceptual video clip
+    * signatures — the steady-state screen for the TRANSCODE-robust
+    * key (the exact-fp [[incrementalVideoNearDups]] only catches
+    * re-muxes): same band/cap constants as [[videoPerceptualPairs]].
+    * With this, every modality has BOTH the all-pairs and the
+    * incremental perceptual screen through the one shared core. */
+  def incrementalVideoPerceptualNearDups(corpusSigs: DataFrame,
+                                         batchSigs: DataFrame,
+                                         maxHamming: Int = 6,
+                                         bucketCap: Int = 64,
+                                         candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "sig",
+      group = concat(col("width").cast("string"), lit("x"),
+        col("height").cast("string"), lit(":"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "video_phash_incr")
+
+  /** TIME-ALIGNED perceptual video signature — the sampler for
+    * transcoders that RE-PLACE keyframes (a different `keyStride`
+    * moves the `stss` set, so [[videoPerceptualHash]]'s stride-aligned
+    * sampling hashes different frames and the signatures diverge even
+    * for identical content; spec-proven). Slots are fractions of the
+    * CONTENT TIMELINE via the real `stts` decode timestamps: slot k of
+    * `nSamples` hashes the last frame whose dts ≤ k/nSamples of the
+    * clip duration — invariant to timescale, frame-duration, AND
+    * keyframe placement, because decode order and timestamps are
+    * container facts the transcoder must preserve to be a transcode.
+    * Frames are decoded per slot (fixtures are intra-only; a
+    * production decoder seeks the preceding keyframe and rolls
+    * forward — same tables, noted not built). Output shape identical
+    * to [[videoPerceptualHash]] with `n_key = nSamples` always, so the
+    * SAME pairs/clusters/incremental machinery consumes either
+    * signature. */
+  def videoPerceptualHashTimeAligned(df: DataFrame, idCol: String,
+                                     binCol: String, nSamples: Int = 4)
+      : Dataset[VideoPerceptualHash] = {
+    require(nSamples >= 1 && nSamples <= 4,
+      s"nSamples must be in [1, 4] (16-bit folds in one BIGINT), got $nSamples")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Mp4.parse(bytes)
+        require(m.samples.nonEmpty, s"video $id has no samples")
+        var w = 0L; var h = 0L; var sig = 0L
+        // cache per distinct frame: slots often repeat a frame on
+        // short clips, and decode is the expensive step
+        val foldCache = scala.collection.mutable.Map.empty[Int, Long]
+        (0 until nSamples).foreach { k =>
+          val target = k.toLong * m.duration / nSamples
+          // last frame with dts <= target; dts is non-decreasing
+          val s = m.samples.takeWhile(_.dts <= target).lastOption
+            .getOrElse(m.samples.head)
+          val fold = foldCache.getOrElseUpdate(s.index, {
+            val (fw, fh, px) = decodeImagePayload(m.sampleBytes(bytes, s))
+            require(w == 0L || (fw == w && fh == h),
+              s"video $id: frame ${s.index} is ${fw}x$fh, expected ${w}x$h")
+            w = fw; h = fh
+            val hash = aHashBits(px)
+            (hash ^ (hash >>> 16) ^ (hash >>> 32)) & 0xFFFFL
+          })
+          sig |= fold << (16 * k)
+        }
+        VideoPerceptualHash(id, w, h, nSamples.toLong, sig)
+      })
+  }
+
   /** Deterministic MP4 fixture family for TRANSCODE dedup: ids group
     * into CONTENTS of four VARIANTS (`c = id/4`, `v = id%4`) that
     * re-encode the same closed-form frames — v's transcode axes are
@@ -737,6 +805,33 @@ object Multimodal {
     }
     Mp4.encode(frames, timescale = 1000 + 200 * v, delta = 40 + 10 * v,
       keyStride = 2)
+  }
+
+  /** [[syntheticVideoMp4]]'s harder sibling: variants additionally
+    * RE-PLACE KEYFRAMES (`keyStride = 1 + v`) — the transcode axis the
+    * stride-aligned sampler provably cannot absorb (different stss
+    * sets → different sampled frames) and the time-aligned sampler
+    * must. Pixel content per (c, v, f) uses the same formulas as
+    * [[syntheticVideoMp4]], so the oracle's pixel CTEs are shared;
+    * only the sampling index set differs. */
+  def syntheticVideoMp4T(id: Long): Array[Byte] = {
+    val c = id / 4
+    val v = (id % 4).toInt
+    val w = 4 + (c % 5).toInt
+    val h = 3 + (c % 4).toInt
+    val nf = 3 + (c % 3).toInt
+    def px(f: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val pert = if (v >= 2 && x == (c % w).toInt && y == 0) 30 else 0
+      ((20 + (c + 7L * x + 13L * y + 19L * f) % 149 + 16 * v + pert).toInt,
+       (20 + (2L * c + 3L * x + 5L * y + 23L * f) % 151 + 16 * v + pert).toInt,
+       (20 + (5L * c + 11L * x + 17L * y + 29L * f) % 150 + 16 * v + pert).toInt)
+    }
+    val frames = (0 until nf).map { f =>
+      if (v % 2 == 0) Bmp.encode(w, h, px(f))
+      else Png.encode(w, h, px(f), filterFor = y => (f + y) % 5)
+    }
+    Mp4.encode(frames, timescale = 600 + 300 * v, delta = 30 + 7 * v,
+      keyStride = 1 + v)
   }
 
   /** Per-clip audio statistics from a REAL decode ([[Wav]]): sample
@@ -902,22 +997,22 @@ object Multimodal {
     * The checkpoint inputs are small by construction (ids: one long
     * per asset; pairs: capped at candCap per asset).
     *
-    * `maxIters` defaults HIGHER than the text path's 15: candCap
-    * prunes perceptual-hash cliques into long chain-like subgraphs,
-    * and label information travels the GRAPH one hop per round (the
-    * pointer jump only compresses already-known indirection chains —
-    * see the measured note in `Dedup.propagateMinLabels`), so rounds
-    * are bounded by the min-node's eccentricity: the sf0.1 image graph
-    * needed 23 rounds for an eccentricity-~22 component. Rounds beyond
-    * the fixpoint cost nothing — the loop exits on the convergence
-    * probe — so 30 covers eccentricity-30 components, and deeper
-    * chains warn loudly instead of returning a non-fixpoint. */
+    * The closure core is `Dedup.starContractLabels` (alternating
+    * large-star/small-star contraction — O(log² n) rounds on ANY
+    * topology), NOT the text path's min-label propagation: candCap
+    * prunes perceptual-hash cliques into long chain-like subgraphs
+    * whose eccentricity grows with corpus size — the r10
+    * perceptual-video graph exceeded eccentricity 30 at sf0.1, where
+    * propagation (rounds ~ eccentricity, pointer jump or not) hit its
+    * round cap while contraction converges in a handful of phase
+    * pairs. `maxIters` 25 bounds log²-many contraction rounds with a
+    * wide margin; non-convergence warns loudly. */
   def mediaNearDupClusters(ids: DataFrame, pairs: DataFrame,
-                           maxIters: Int = 30): DataFrame = {
+                           maxIters: Int = 25): DataFrame = {
     val p = pairs
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .localCheckpoint(true)
-    // Propagate over PARTICIPANTS only — assets appearing in at least
+    // Contract over PARTICIPANTS only — assets appearing in at least
     // one pair. Assets with no near-dup edge (the overwhelming bulk of
     // a real corpus) are singleton clusters by definition and never
     // enter the iterative loop; they rejoin at the end with
@@ -928,13 +1023,15 @@ object Multimodal {
     val participants = p.select(col("doc_a").as("doc_id"))
       .union(p.select(col("doc_b").as("doc_id")))
       .distinct()
-    val lab = Dedup.propagateMinLabels(participants, p, maxIters)
+    val lab = Dedup.starContractLabels(participants, p, maxIters)
       .withColumnRenamed("doc_id", "id")
-    ids.select(col("id"))
+    val out = ids.select(col("id"))
       .join(lab, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster"), col("id")).as("cluster"))
       .withColumn("keep", col("id") === col("cluster"))
+    Dedup.releaseLocalCheckpoint(p)
+    out
   }
 
   /** One sampled frame of a media payload. */

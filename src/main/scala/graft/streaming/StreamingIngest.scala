@@ -285,6 +285,49 @@ object StreamingIngest {
     spark.read.parquet(s"$work/out")
   }
 
+  /** The incremental VIDEO perceptual screen as a stream — new clips
+    * arriving continuously, parsed + keyframe-decoded + signed INSIDE
+    * the micro-batch (mapPartitions on the streaming frame), screened
+    * against the standing clip-signature index through the same
+    * stream-safe confirm core as [[imageDedupStream]]
+    * ([[graft.ops.Multimodal.incrementalScreen]] — batch signature
+    * carried through the band join, so both joins are stream-static).
+    * No per-batch candCap (`row_number` windows are illegal on
+    * streams); durable parquet sink for the same corpus-sized-result
+    * reason as the image twin. Stream == batch screen minus the cap,
+    * hash-gated against the same CTE chain uncapped. */
+  def videoDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def sigs(df: DataFrame) = Multimodal.videoPerceptualHash(
+      df.select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    // (id div 2) parity puts each content's {v0, v1} in the corpus and
+    // {v2, v3} in the batch — every transcode family straddles
+    val corpus = sigs(spark.read.parquet(s"$dir/events.parquet")
+      .where(expr("event_id div 2") % 2 === 0))
+    val batch = sigs(spark.readStream.schema(evSchema)
+      .parquet(s"$dir/events.*")
+      .where(expr("event_id div 2") % 2 === 1))
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "sig",
+        group = concat(col("width").cast("string"), lit("x"),
+          col("height").cast("string"), lit(":"), col("n_key").cast("string")),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "video_phash_stream", observed = false)
+      .dropDuplicates("batch_id", "corpus_id")
+    val work = workDir("stream_vid_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/out")
+  }
+
   /** Streaming INTO a live database: watermark-closed windows upserted
     * per micro-batch into a JDBC store via `foreachBatch` + the MERGE
     * sink — the streaming half of the transfer product. Exactly-once

@@ -297,6 +297,139 @@ class OpsSpec extends SparkTestBase {
       assert((b / 256) % 2 == 1 && (cc / 256) % 2 == 0, "directed batch → corpus") }
   }
 
+  test("video incremental perceptual screen == banded pairs restricted to the straddle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = (0L until 64L)
+    val sigs = Multimodal.videoPerceptualHash(
+      ids.toDF("id").select(col("id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val inc = Multimodal.incrementalVideoPerceptualNearDups(
+        sigs.where(expr("id div 2") % 2 === 0),
+        sigs.where(expr("id div 2") % 2 === 1),
+        bucketCap = 100000, candCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val straddle = Multimodal.videoPerceptualPairs(sigs,
+        bucketCap = 100000, candCap = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a / 2) % 2 != (b / 2) % 2 }
+      .map { case (a, b, h) => if ((a / 2) % 2 == 1) (a, b, h) else (b, a, h) }.toSet
+    assert(inc.nonEmpty, "the (id div 2) split must straddle transcode families")
+    assert(inc == straddle,
+      s"incremental perceptual screen diverges from the all-pairs straddle: " +
+        s"only-inc=${(inc -- straddle).take(3)} only-pairs=${(straddle -- inc).take(3)}")
+  }
+
+  test("time-aligned sampler absorbs keyframe re-placement; the stride-aligned sampler provably cannot") {
+    import spark.implicits._
+    // syntheticVideoMp4T varies keyStride 1..4 across variants: the
+    // stss sets differ, so stride-aligned sampling hashes DIFFERENT
+    // frames — while the stts timeline is preserved, so time-aligned
+    // slots hash the SAME frames
+    val c = 3L
+    val vids = (0 until 4).map(v => (4 * c + v, Multimodal.syntheticVideoMp4T(4 * c + v)))
+      .toDF("id", "vid")
+    val aligned = Multimodal.videoPerceptualHashTimeAligned(vids, "id", "vid").toDF()
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(aligned(4 * c) == aligned(4 * c + 1),
+      "time-aligned: codec+brightness+keyStride transcode must not move the signature")
+    assert(aligned(4 * c + 2) == aligned(4 * c + 3))
+    val ham = java.lang.Long.bitCount(aligned(4 * c) ^ aligned(4 * c + 2))
+    assert(ham >= 1 && ham <= 6, s"content edit should flip a few bits, got $ham")
+    // the negative control: the stride-aligned sampler sees different
+    // keyframe SETS for v0 (stride 1) vs v1 (stride 2) — either the
+    // signature or the sampled-frame count must diverge
+    val stride = Multimodal.videoPerceptualHash(vids, "id", "vid").toDF()
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(stride(4 * c) != stride(4 * c + 1),
+      "keyStride re-placement must break stride-aligned sampling — " +
+        "otherwise the time-aligned variant is unnecessary")
+  }
+
+  test("ann recall: hits are within [0, k] and aggregate recall is non-decreasing in nProbe") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val rows = graft.ops.Similarity.annRecall(emb)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, k, hits) =>
+      assert(hits >= 0 && hits <= k, s"hits $hits outside [0, $k]") }
+    val ivfByProbe = rows.filter(_._1 == "ivf").groupBy(_._2)
+      .view.mapValues(_.map(_._4).sum).toMap
+    val probes = ivfByProbe.keys.toSeq.sorted
+    probes.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(ivfByProbe(a) <= ivfByProbe(b),
+          s"aggregate recall decreased: nProbe $a=${ivfByProbe(a)} > $b=${ivfByProbe(b)}")
+      case _ => ()
+    }
+    // the curve must not be flat at saturation — the off-centroid query
+    // window exists precisely so more probes find more neighbors
+    assert(ivfByProbe(probes.head) < ivfByProbe(probes.last),
+      s"recall curve is flat ($ivfByProbe) — query window saturated")
+  }
+
+  /** Independent ground truth for closure cores: plain Scala
+    * union-find over the same node/edge sets. */
+  private def dsuClusters(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  test("property: star contraction == union-find on random graphs, chains, cliques") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val cases: Seq[(String, Long, Seq[(Long, Long)])] =
+      Seq.tabulate(6) { s =>
+        val n = 60L
+        val m = 20 + rnd.nextInt(80)
+        (s"random-$s", n, Seq.fill(m)((rnd.nextLong(n), rnd.nextLong(n)))
+          .filter { case (a, b) => a != b })
+      } ++ Seq(
+        // the propagation killer: a 300-node path needs ~300
+        // propagation rounds but only O(log^2) contraction rounds —
+        // maxIters 25 must converge and label everything 0
+        ("path-300", 300L, (0L until 299L).map(i => (i, i + 1))),
+        ("clique-40", 50L, for (a <- 0L until 40L; b <- a + 1 until 40L) yield (a, b)),
+        ("two-comps", 20L, Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))),
+        ("no-edges", 10L, Seq.empty),
+        ("dup-and-reversed", 8L, Seq((3L, 4L), (4L, 3L), (3L, 4L), (6L, 7L))))
+    for ((tag, n, edges) <- cases) {
+      val ids = (0L until n).toDF("doc_id")
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      else edges.toDF("doc_a", "doc_b")
+      val got = Dedup.starContractLabels(ids, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = dsuClusters(n, edges)
+      assert(got == want, s"$tag: star contraction diverges from union-find: " +
+        s"${(got.toSet -- want.toSet).take(5)} vs ${(want.toSet -- got.toSet).take(5)}")
+      Dedup.releaseLocalCheckpoint(
+        Dedup.starContractLabels(ids, pairs)) // exercise release path
+    }
+  }
+
+  test("star contraction matches min-label propagation on the media pair-graph shape") {
+    import spark.implicits._
+    // a candCap-pruned-like graph: several chains + one dense clique
+    val edges = ((0L until 30L).map(i => (i * 2, i * 2 + 2)).filter(_._2 < 60) ++
+      (for (a <- 100L until 110L; b <- a + 1 until 110L) yield (a, b)) ++
+      Seq((59L, 100L))).map { case (a, b) => (a, b) }
+    val n = 120L
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val star = Dedup.starContractLabels(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.propagateMinLabels(ids, pairs, maxIters = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, "the two closure cores must agree")
+  }
+
   test("closure releases every superseded round's storage (no soft leak)") {
     import spark.implicits._
     // a 40-node path graph forces many propagation rounds, each of which
