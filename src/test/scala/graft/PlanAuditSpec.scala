@@ -10,7 +10,9 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 class PlanAuditSpec extends SparkTestBase {
 
   private def executedPlan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
+    // shared construction (GateFrames): eager gates — streaming runs,
+    // iterative closures — execute once per JVM across the spec suites
+    val df = GateFrames(name, spark, sf)
     // run df's OWN QueryExecution (a noop write executes a separate one,
     // leaving this AdaptiveSparkPlanExec at its initial plan) so the
     // assertions read the FINAL adaptive plan
