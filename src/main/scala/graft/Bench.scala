@@ -65,6 +65,9 @@ object Bench {
     "ann_recall", "pipeline_pretrain_full",
     "dedup_video_perceptual_incremental", "streaming_video_dedup",
     "multimodal_video_phash_aligned",
+    // r10: exact substring-span dedup (stride-1 grams → maximal spans)
+    // and the rewrite pass that removes them
+    "dedup_span_exact", "dedup_span_trim",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

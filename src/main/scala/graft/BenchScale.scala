@@ -76,6 +76,11 @@ object BenchScale {
     "dedup_video_perceptual_clusters", "dedup_video_incremental",
     "ann_recall", "pipeline_pretrain_full",
     "dedup_video_perceptual_incremental", "multimodal_video_phash_aligned",
+    // round 10b: exact substring-span dedup — THE claim is that the
+    // stride-1 gram volume (16 B × n_words) shuffles linearly and the
+    // island merge stays doc-local; the trim adds one anti-join bounded
+    // by span coverage
+    "dedup_span_exact", "dedup_span_trim",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

@@ -851,6 +851,13 @@ object SparkEntry {
     //     repeated-span removal pass, vs whole-document near-dup)
     "dedup_paragraph" -> ((s, d) => Curation.paragraphDedup(T(s, d, "documents"))),
 
+    // --- exact substring-span dedup (Lee et al. 2022, stride-1 word
+    //     grams → corpus-frequency screen → gaps-and-islands maximal
+    //     spans) and its rewrite pass (all covered positions removed,
+    //     survivors re-joined; audit counters ride along)
+    "dedup_span_exact" -> ((s, d) => Curation.spanDedup(T(s, d, "documents"))),
+    "dedup_span_trim" -> ((s, d) => Curation.spanTrim(T(s, d, "documents"))),
+
     // --- cross-source duplicate resolution: prefer the copy from the
     //     highest-priority source within each content-key group
     "dedup_cross_source" -> ((s, d) => Curation.crossSourceDedup(T(s, d, "documents"))),
@@ -2036,6 +2043,54 @@ object SparkEntry {
         |SELECT doc_id, n_chunks, n_dup_chunks,
         |  floor(n_dup_chunks::DOUBLE / n_chunks::DOUBLE * 1e6 + 0.5) / 1e6 AS dup_chunk_frac
         |FROM per""".stripMargin,
+    // stride-1 exact-span twins: gram generation replays the engine's
+    // (10-word windows at every offset, md5-keyed), the frequency
+    // screen is a HAVING over the gram key, and the island merge is the
+    // same pos - row_number() trick — both engines must agree on every
+    // maximal span boundary
+    "dedup_span_exact" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |    md5(array_to_string(list_slice(w, i.i, i.i + 9), ' ')) AS g
+        |  FROM w, unnest(range(1, len(w) - 8)) AS i(i)),
+        |f AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM grams JOIN f USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 9)::BIGINT AS span_end,
+        |  (max(pos) - min(pos) + 10)::BIGINT AS span_words,
+        |  count(*)::BIGINT AS n_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "dedup_span_trim" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wg AS (SELECT * FROM w WHERE len(w) >= 10),
+        |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |    md5(array_to_string(list_slice(w, i.i, i.i + 9), ' ')) AS g
+        |  FROM wg, unnest(range(1, len(w) - 8)) AS i(i)),
+        |f AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM grams JOIN f USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT DISTINCT doc_id, j.j::BIGINT AS pos
+        |  FROM spans, unnest(range(s, e + 1)) AS j(j)),
+        |pw AS (SELECT doc_id, i.i::BIGINT AS pos, w[i.i] AS word
+        |  FROM w, unnest(range(1, len(w) + 1)) AS i(i)),
+        |kept AS (SELECT pw.doc_id, pw.pos, pw.word FROM pw
+        |  ANTI JOIN cov ON pw.doc_id = cov.doc_id AND pw.pos = cov.pos),
+        |agg AS (SELECT doc_id,
+        |    array_to_string(list(word ORDER BY pos), ' ') AS clean_text,
+        |    count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept_words,
+        |  (len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0))::BIGINT
+        |    AS n_removed_words
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "dedup_cdc_chunks" -> cdcChunkOracleSql,
     "dedup_cross_source" ->
       """WITH k AS (SELECT doc_id, source,

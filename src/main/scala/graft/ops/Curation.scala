@@ -531,6 +531,97 @@ object Curation {
           col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
   }
 
+  /** Exact substring-span deduplication — the STRIDE-1 exact pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499) at word granularity: every
+    * `gramWords`-word window (stride 1, so a repeated span is found at
+    * ANY offset, unlike [[paragraphDedup]]'s fixed grid) is keyed
+    * corpus-wide by md5; a window occurring more than once anywhere
+    * (any document, any position — a within-document repeat counts) is
+    * duplicated, and per document the overlapping duplicated windows
+    * merge into MAXIMAL spans via gaps-and-islands (consecutive
+    * positions share `pos - row_number`). Output: one row per maximal
+    * duplicated span — `(doc_id, span_start, span_end, span_words,
+    * n_grams)`, word positions 1-based inclusive.
+    *
+    * Scale shape: the paper's suffix array is replaced by what Spark
+    * does well — one explode to ~n_words stride-1 grams, one shuffle on
+    * the md5 gram key for corpus frequency (uniform by construction),
+    * one shuffle on doc_id for the island merge. Gram volume is
+    * `16 bytes × n_words` — the known price of EXACT substring dedup;
+    * the cheaper screens ([[paragraphDedup]] grid, [[cdcChunkDedup]]
+    * content-defined boundaries) are the first-pass filters at 100 TB,
+    * this pass runs on what they flag. No cartesian, no driver state. */
+  def spanDedup(docs: DataFrame, gramWords: Int = 10): DataFrame = {
+    val ws = withWords(docs).where(size(col("w")) >= gramWords)
+    val grams = ws
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          (size(col("w")) - lit(gramWords) + 1))).as("pos"),
+        col("w"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("pos"), lit(gramWords)))).as("g"))
+    // corpus frequency via a window over the gram key: one pass over
+    // the explode lineage, one shuffle on g (same rationale as
+    // paragraphDedup — a groupBy + join back re-executes the subtree)
+    val dup = grams
+      .withColumn("gf", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("gf") > 1)
+      .select(col("doc_id"), col("pos"))
+    val isl = dup
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(gramWords.toLong) - 1L).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"),
+        col("n_grams"))
+  }
+
+  /** Span-trim rewrite — applies [[spanDedup]]'s findings to the text:
+    * every word position covered by a maximal duplicated span is
+    * removed from EVERY document holding it (the aggressive variant of
+    * Lee et al. 2022 §3 — removing all copies rather than electing an
+    * owner keeps the pass deterministic and order-free, the property a
+    * distributed rewrite needs), and the survivors re-join into
+    * `clean_text`. Every input document appears in the output —
+    * documents with nothing removed pass through verbatim, fully
+    * trimmed documents emit an empty string — with
+    * `n_kept_words`/`n_removed_words` as the audit counters.
+    *
+    * Scale shape: spanDedup's shuffles plus one explode of covered
+    * positions (bounded by span volume, not corpus volume), one
+    * doc_id+pos anti-join, and one doc_id aggregation whose
+    * `array_sort(collect_list(struct(pos, word)))` rebuild is
+    * per-document memory — the same bound any whole-document operator
+    * (the split itself) already imposes. */
+  def spanTrim(docs: DataFrame, gramWords: Int = 10): DataFrame = {
+    val covered = spanDedup(docs, gramWords)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val positioned = withWords(docs)
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("word"))
+    val kept = positioned.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x("word"))).as("clean_text"),
+        count(lit(1)).as("n_kept_words"))
+    docs.select(col("doc_id"), size(words).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
+        (col("n_words") - coalesce(col("n_kept_words"), lit(0L)))
+          .as("n_removed_words"))
+  }
+
   /** Content-defined chunk deduplication — the SHIFT-ROBUST sibling of
     * [[paragraphDedup]] (the LBFS/rsync boundary trick applied to
     * corpus dedup): chunk boundaries fall after "trigger" words

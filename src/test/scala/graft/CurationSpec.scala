@@ -231,6 +231,46 @@ class CurationSpec extends SparkTestBase {
     assert(out.find(_.getLong(0) == probe).get.getLong(1) == expect.toLong)
   }
 
+  test("exact span dedup finds maximal cross-doc spans at any offset; trim removes exactly them") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"dup$i")       // 12-word repeated run
+    val d1 = (0 until 5).map(i => s"a$i") ++ shared ++ (0 until 7).map(i => s"b$i")
+    val d2 = (0 until 9).map(i => s"c$i") ++ shared ++ (0 until 3).map(i => s"d$i")
+    val d3 = (0 until 30).map(i => s"e$i")             // clean doc
+    val d4 = (0 until 6).map(i => s"s$i")              // too short for any gram
+    val in = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+      (3L, d3.mkString(" ")), (4L, d4.mkString(" "))).toDF("doc_id", "text")
+    val spans = Curation.spanDedup(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // three stride-1 grams (start offsets differ BETWEEN the docs — the
+    // fixed grid would miss one side) merge into ONE maximal 12-word span
+    assert(spans == Set((1L, 6L, 17L, 12L, 3L), (2L, 10L, 21L, 12L, 3L)))
+    val trim = Curation.spanTrim(in).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(trim(1L) == ((((0 until 5).map(i => s"a$i") ++
+      (0 until 7).map(i => s"b$i")).mkString(" "), 12L, 12L)))
+    assert(trim(2L) == ((((0 until 9).map(i => s"c$i") ++
+      (0 until 3).map(i => s"d$i")).mkString(" "), 12L, 12L)))
+    assert(trim(3L) == ((d3.mkString(" "), 30L, 0L)))  // untouched, verbatim
+    assert(trim(4L) == ((d4.mkString(" "), 6L, 0L)))   // short doc passes through
+  }
+
+  test("span dedup counts within-document repeats the fixed grid cannot see") {
+    import spark.implicits._
+    val run = (0 until 10).map(i => s"r$i")
+    val doc = run ++ Seq("gapA", "gapB", "gapC") ++ run // same 10-gram twice in ONE doc
+    val in = Seq((1L, doc.mkString(" "))).toDF("doc_id", "text")
+    val spans = Curation.spanDedup(in).collect()
+    assert(spans.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 10L), (14L, 23L)))
+    // the second copy starts at word 14 — off the 10-word grid — so the
+    // fixed-window pass reports zero duplication on the same input
+    val para = Curation.paragraphDedup(in).collect()(0)
+    assert(para.getLong(2) == 0L, "fixed grid unexpectedly saw the repeat")
+  }
+
   test("CDC chunk dedup survives the insertion that blinds fixed-window chunking") {
     import spark.implicits._
     val base = (0 until 200).map(i => s"a$i")
