@@ -858,6 +858,12 @@ object SparkEntry {
     "dedup_span_exact" -> ((s, d) => Curation.spanDedup(T(s, d, "documents"))),
     "dedup_span_trim" -> ((s, d) => Curation.spanTrim(T(s, d, "documents"))),
 
+    // --- span-level benchmark decontamination: positions covered by a
+    //     5-gram also present in the benchmark slice removed, un-leaked
+    //     remainder kept (vs text_contamination's whole-doc flag)
+    "text_decontaminate_spans" -> ((s, d) =>
+      Curation.decontaminateSpans(T(s, d, "documents"))),
+
     // --- cross-source duplicate resolution: prefer the copy from the
     //     highest-priority source within each content-key group
     "dedup_cross_source" -> ((s, d) => Curation.crossSourceDedup(T(s, d, "documents"))),
@@ -2091,6 +2097,38 @@ object SparkEntry {
         |  (len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0))::BIGINT
         |    AS n_removed_words
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // surgical decontamination: the dup screen is membership in the
+    // benchmark slice's distinct 5-gram set (no corpus-wide frequency),
+    // then the same island-merge + trim replay as dedup_span_trim
+    "text_decontaminate_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wg AS (SELECT * FROM w WHERE len(w) >= 5),
+        |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |    md5(array_to_string(list_slice(w, i.i, i.i + 4), ' ')) AS g
+        |  FROM wg, unnest(range(1, len(w) - 3)) AS i(i)),
+        |b AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+        |dup AS (SELECT doc_id, pos FROM grams SEMI JOIN b USING (g)
+        |  WHERE doc_id >= 20),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT DISTINCT doc_id, j.j::BIGINT AS pos
+        |  FROM spans, unnest(range(s, e + 1)) AS j(j)),
+        |pw AS (SELECT doc_id, i.i::BIGINT AS pos, w[i.i] AS word
+        |  FROM w, unnest(range(1, len(w) + 1)) AS i(i) WHERE doc_id >= 20),
+        |kept AS (SELECT pw.doc_id, pw.pos, pw.word FROM pw
+        |  ANTI JOIN cov ON pw.doc_id = cov.doc_id AND pw.pos = cov.pos),
+        |agg AS (SELECT doc_id,
+        |    array_to_string(list(word ORDER BY pos), ' ') AS clean_text,
+        |    count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept_words,
+        |  (len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0))::BIGINT
+        |    AS n_removed_words
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id >= 20""".stripMargin,
     "dedup_cdc_chunks" -> cdcChunkOracleSql,
     "dedup_cross_source" ->
       """WITH k AS (SELECT doc_id, source,

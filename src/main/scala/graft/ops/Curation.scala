@@ -602,7 +602,17 @@ object Curation {
     val covered = spanDedup(docs, gramWords)
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val positioned = withWords(docs)
+    trimByCoverage(docs, covered)
+  }
+
+  /** Rewrite `base` with every (doc_id, covered word position) removed
+    * and survivors re-joined — the shared back half of [[spanTrim]] and
+    * [[decontaminateSpans]]. Every `base` document appears in the
+    * output (verbatim when uncovered, empty when fully covered), with
+    * kept/removed word counters. Duplicate coverage rows are harmless
+    * (anti-join semantics). */
+  private def trimByCoverage(base: DataFrame, covered: DataFrame): DataFrame = {
+    val positioned = withWords(base)
       .select(col("doc_id"), posexplode(col("w")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("word"))
@@ -613,13 +623,53 @@ object Curation {
           array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x("word"))).as("clean_text"),
         count(lit(1)).as("n_kept_words"))
-    docs.select(col("doc_id"), size(words).cast("long").as("n_words"))
+    base.select(col("doc_id"), size(words).cast("long").as("n_words"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
         (col("n_words") - coalesce(col("n_kept_words"), lit(0L)))
           .as("n_removed_words"))
+  }
+
+  /** Span-level benchmark decontamination — the SURGICAL sibling of
+    * [[contamination]]: instead of flagging whole corpus documents that
+    * overlap the benchmark, every corpus word position covered by a
+    * `gramWords`-word window that ALSO occurs anywhere in the benchmark
+    * slice (`doc_id < benchMaxId`, stand-in for an external eval set)
+    * is removed, overlapping hits merged into maximal spans first
+    * (gaps-and-islands, as [[spanDedup]]). Output: every CORPUS
+    * document (benchmark docs are the eval set, not training data) with
+    * `clean_text` + kept/removed counters — contaminated docs keep
+    * their un-leaked remainder instead of being dropped wholesale.
+    *
+    * Scale shape: the benchmark gram set is small by construction →
+    * one `broadcast` semi-join marks hit positions in a single corpus
+    * pass (no corpus-wide frequency shuffle — this is CHEAPER than
+    * [[spanDedup]]); islands + trim as the span pass. */
+  def decontaminateSpans(docs: DataFrame, benchMaxId: Long = 20,
+                         gramWords: Int = 5): DataFrame = {
+    val grams = withWords(docs).where(size(col("w")) >= gramWords)
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          size(col("w")) - lit(gramWords) + 1)).as("pos"),
+        col("w"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("pos"), lit(gramWords)))).as("g"))
+    val bench = grams.where(col("doc_id") < benchMaxId)
+      .select("g").distinct()
+    val dup = grams.where(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val covered = dup
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(gramWords.toLong) - 1L).as("e"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    trimByCoverage(docs.where(col("doc_id") >= benchMaxId), covered)
   }
 
   /** Content-defined chunk deduplication — the SHIFT-ROBUST sibling of

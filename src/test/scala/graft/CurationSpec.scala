@@ -271,6 +271,26 @@ class CurationSpec extends SparkTestBase {
     assert(para.getLong(2) == 0L, "fixed grid unexpectedly saw the repeat")
   }
 
+  test("span decontamination removes exactly the benchmark-leaked spans from corpus docs") {
+    import spark.implicits._
+    val leak = (0 until 7).map(i => s"leak$i")         // 7-word benchmark phrase
+    val bench = (0 until 4).map(i => s"q$i") ++ leak   // doc_id 1 < benchMaxId
+    val hit = (0 until 6).map(i => s"x$i") ++ leak ++ (0 until 5).map(i => s"y$i")
+    val clean = (0 until 12).map(i => s"z$i")
+    val in = Seq((1L, bench.mkString(" ")), (30L, hit.mkString(" ")),
+      (31L, clean.mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.decontaminateSpans(in).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // benchmark docs are NOT in the output; both corpus docs are
+    assert(out.keySet == Set(30L, 31L))
+    // three overlapping 5-gram hits (offsets 7..9) merge into ONE
+    // maximal span covering the whole 7-word leak — x*/y* words survive
+    assert(out(30L) == ((((0 until 6).map(i => s"x$i") ++
+      (0 until 5).map(i => s"y$i")).mkString(" "), 11L, 7L)))
+    assert(out(31L) == ((clean.mkString(" "), 12L, 0L))) // untouched, verbatim
+  }
+
   test("CDC chunk dedup survives the insertion that blinds fixed-window chunking") {
     import spark.implicits._
     val base = (0 until 200).map(i => s"a$i")
