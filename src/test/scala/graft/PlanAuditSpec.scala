@@ -75,6 +75,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"incremental screen must stay equi-join:\n$plan")
   }
 
+  test("span dedup: two hash shuffles only (gram key, doc_id); islands reuse doc_id partitioning") {
+    // count in the FINAL adaptive plan only — the AQE plan string
+    // repeats the tree under "== Initial Plan ==" and would double it
+    val plan = executedPlan("dedup_span_exact").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected 2 hash exchanges (gram key + doc_id window; the island " +
+        s"aggregation must reuse the doc_id partitioning), got $exchanges:\n$plan")
+  }
+
+  test("span decontamination screens via a broadcast of the benchmark gram set") {
+    val plan = executedPlan("text_decontaminate_spans")
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark gram set not broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"corpus screen is not a broadcast semi-join:\n$plan")
+  }
+
   test("no declared query plans a cartesian product") {
     // brute-force ANN intentionally broadcasts a tiny query set (a
     // BroadcastNestedLoopJoin over 10 rows); CartesianProduct — a
