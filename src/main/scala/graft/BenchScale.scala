@@ -81,6 +81,7 @@ object BenchScale {
     // island merge stays doc-local; the trim adds one anti-join bounded
     // by span coverage
     "dedup_span_exact", "dedup_span_trim", "text_decontaminate_spans",
+    "dedup_span_incremental",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",

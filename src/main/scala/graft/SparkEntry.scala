@@ -858,6 +858,16 @@ object SparkEntry {
     "dedup_span_exact" -> ((s, d) => Curation.spanDedup(T(s, d, "documents"))),
     "dedup_span_trim" -> ((s, d) => Curation.spanTrim(T(s, d, "documents"))),
 
+    // --- steady-state span screen: the odd-id batch's spans that
+    //     duplicate the even-id standing corpus, via the corpus's
+    //     distinct gram index (the persistable artifact)
+    "dedup_span_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Curation.incrementalSpanDedup(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
+
     // --- span-level benchmark decontamination: positions covered by a
     //     5-gram also present in the benchmark slice removed, un-leaked
     //     remainder kept (vs text_contamination's whole-doc flag)
@@ -2097,6 +2107,25 @@ object SparkEntry {
         |  (len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0))::BIGINT
         |    AS n_removed_words
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // the incremental screen: dup = batch gram ∈ the corpus's distinct
+    // gram set, then the same island replay
+    "dedup_span_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |    md5(array_to_string(list_slice(w, i.i, i.i + 9), ' ')) AS g
+        |  FROM w, unnest(range(1, len(w) - 8)) AS i(i)),
+        |idx AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+        |dup AS (SELECT doc_id, pos FROM grams SEMI JOIN idx USING (g)
+        |  WHERE doc_id % 2 = 1),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 9)::BIGINT AS span_end,
+        |  (max(pos) - min(pos) + 10)::BIGINT AS span_words,
+        |  count(*)::BIGINT AS n_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     // surgical decontamination: the dup screen is membership in the
     // benchmark slice's distinct 5-gram set (no corpus-wide frequency),
     // then the same island-merge + trim replay as dedup_span_trim

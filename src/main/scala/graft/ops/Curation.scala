@@ -553,8 +553,21 @@ object Curation {
     * content-defined boundaries) are the first-pass filters at 100 TB,
     * this pass runs on what they flag. No cartesian, no driver state. */
   def spanDedup(docs: DataFrame, gramWords: Int = 10): DataFrame = {
-    val ws = withWords(docs).where(size(col("w")) >= gramWords)
-    val grams = ws
+    // corpus frequency via a window over the gram key: one pass over
+    // the explode lineage, one shuffle on g (same rationale as
+    // paragraphDedup — a groupBy + join back re-executes the subtree)
+    val dup = stride1Grams(docs, gramWords)
+      .withColumn("gf", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("gf") > 1)
+      .select(col("doc_id"), col("pos"))
+    islandSpans(dup, gramWords)
+  }
+
+  /** Every `gramWords`-word window at EVERY offset (stride 1) of every
+    * document, md5-keyed: `(doc_id, pos, g)`, `pos` 1-based. The shared
+    * front half of the span family. */
+  private def stride1Grams(docs: DataFrame, gramWords: Int): DataFrame =
+    withWords(docs).where(size(col("w")) >= gramWords)
       .select(col("doc_id"),
         explode(sequence(lit(1),
           (size(col("w")) - lit(gramWords) + 1))).as("pos"),
@@ -562,23 +575,45 @@ object Curation {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ",
           slice(col("w"), col("pos"), lit(gramWords)))).as("g"))
-    // corpus frequency via a window over the gram key: one pass over
-    // the explode lineage, one shuffle on g (same rationale as
-    // paragraphDedup — a groupBy + join back re-executes the subtree)
-    val dup = grams
-      .withColumn("gf", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .where(col("gf") > 1)
-      .select(col("doc_id"), col("pos"))
-    val isl = dup
+
+  /** Gaps-and-islands merge of flagged gram positions into MAXIMAL
+    * per-document spans (consecutive positions share `pos -
+    * row_number`): `(doc_id, span_start, span_end, span_words,
+    * n_grams)`, boundaries 1-based inclusive. One shuffle on doc_id;
+    * the follow-on aggregation reuses that partitioning. */
+  private def islandSpans(dup: DataFrame, gramWords: Int): DataFrame =
+    dup
       .withColumn("island", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    isl.groupBy(col("doc_id"), col("island"))
+      .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(gramWords.toLong) - 1L).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_words"),
         col("n_grams"))
+
+  /** Steady-state span screen — which spans of a NEW batch duplicate
+    * the STANDING corpus: the incremental sibling of [[spanDedup]]
+    * (the same relationship `incrementalNearDups` bears to the LSH
+    * pass). The corpus side collapses to its DISTINCT gram set — the
+    * persistable index artifact; screening a delta batch never
+    * re-reads corpus text — and batch gram positions that hit it merge
+    * into maximal spans. Within-batch repeats are spanDedup's job on
+    * the batch alone; this pass reports batch-vs-corpus duplication
+    * only. Output schema = [[spanDedup]]'s, restricted to batch docs.
+    *
+    * Scale shape: batch explode is delta-sized; the semi-join shuffles
+    * on the uniform md5 gram key (the index side is corpus-scale but
+    * carries ONE 16 B column — too big to broadcast, cheap to
+    * shuffle); islands as the batch pass. */
+  def incrementalSpanDedup(corpus: DataFrame, batch: DataFrame,
+                           gramWords: Int = 10): DataFrame = {
+    val index = stride1Grams(corpus, gramWords).select("g").distinct()
+    val dup = stride1Grams(batch, gramWords)
+      .join(index, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    islandSpans(dup, gramWords)
   }
 
   /** Span-trim rewrite — applies [[spanDedup]]'s findings to the text:
@@ -649,26 +684,15 @@ object Curation {
     * [[spanDedup]]); islands + trim as the span pass. */
   def decontaminateSpans(docs: DataFrame, benchMaxId: Long = 20,
                          gramWords: Int = 5): DataFrame = {
-    val grams = withWords(docs).where(size(col("w")) >= gramWords)
-      .select(col("doc_id"),
-        explode(sequence(lit(1),
-          size(col("w")) - lit(gramWords) + 1)).as("pos"),
-        col("w"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ",
-          slice(col("w"), col("pos"), lit(gramWords)))).as("g"))
+    val grams = stride1Grams(docs, gramWords)
     val bench = grams.where(col("doc_id") < benchMaxId)
       .select("g").distinct()
     val dup = grams.where(col("doc_id") >= benchMaxId)
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val covered = dup
-      .withColumn("island", col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"),
-        (max(col("pos")) + lit(gramWords.toLong) - 1L).as("e"))
-      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    val covered = islandSpans(dup, gramWords)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     trimByCoverage(docs.where(col("doc_id") >= benchMaxId), covered)
   }
 

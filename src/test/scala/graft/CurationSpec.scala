@@ -271,6 +271,26 @@ class CurationSpec extends SparkTestBase {
     assert(para.getLong(2) == 0L, "fixed grid unexpectedly saw the repeat")
   }
 
+  test("incremental span screen flags batch-vs-corpus spans only, not batch-internal repeats") {
+    import spark.implicits._
+    val shared = (0 until 11).map(i => s"c$i")          // 11-word run in the corpus
+    val corpus = Seq((2L, ((0 until 4).map(i => s"k$i") ++ shared).mkString(" ")))
+    val innerRep = (0 until 10).map(i => s"m$i")
+    val batch = Seq(
+      // hits the corpus at offset 3: expect one maximal span [3,13]
+      (3L, ((0 until 2).map(i => s"n$i") ++ shared ++
+        (0 until 4).map(i => s"p$i")).mkString(" ")),
+      // repeats a 10-gram WITHIN the batch twice but never in the corpus:
+      // the incremental screen must stay silent (spanDedup's job)
+      (5L, (innerRep ++ Seq("gap1", "gap2") ++ innerRep).mkString(" ")))
+    val in = (corpus ++ batch).toDF("doc_id", "text")
+    val out = Curation.incrementalSpanDedup(
+      in.where(col("doc_id") % 2 === 0), in.where(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set((3L, 3L, 13L, 11L, 2L)))
+  }
+
   test("span decontamination removes exactly the benchmark-leaked spans from corpus docs") {
     import spark.implicits._
     val leak = (0 until 7).map(i => s"leak$i")         // 7-word benchmark phrase
