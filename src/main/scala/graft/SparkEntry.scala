@@ -1173,6 +1173,13 @@ object SparkEntry {
     "streaming_video_dedup" -> ((s, d) =>
       StreamingIngest.videoDedupStream(s, d)),
 
+    // --- the span screen as a STREAM: gram explode in the micro-batch,
+    //     stream-static semi-join vs the standing corpus gram index,
+    //     raw (doc_id, pos) hits emitted — island consolidation stays
+    //     the batch pass's job (the online/offline split production runs)
+    "streaming_span_screen" -> ((s, d) =>
+      StreamingIngest.spanScreenStream(s, d)),
+
     // --- TIME-ALIGNED perceptual signature: slots at fractions of the
     //     stts timeline instead of stss keyframe order — invariant to
     //     KEYFRAME RE-PLACEMENT (the fixtures vary keyStride 1..4,
@@ -2107,6 +2114,17 @@ object SparkEntry {
         |  (len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0))::BIGINT
         |    AS n_removed_words
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // the streaming screen emits the raw hits the batch pass would
+    // island-merge — same dup CTE, no consolidation
+    "streaming_span_screen" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |    md5(array_to_string(list_slice(w, i.i, i.i + 9), ' ')) AS g
+        |  FROM w, unnest(range(1, len(w) - 8)) AS i(i)),
+        |idx AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0)
+        |SELECT doc_id, pos FROM grams SEMI JOIN idx USING (g)
+        |WHERE doc_id % 2 = 1""".stripMargin,
     // the incremental screen: dup = batch gram ∈ the corpus's distinct
     // gram set, then the same island replay
     "dedup_span_incremental" ->

@@ -566,7 +566,7 @@ object Curation {
   /** Every `gramWords`-word window at EVERY offset (stride 1) of every
     * document, md5-keyed: `(doc_id, pos, g)`, `pos` 1-based. The shared
     * front half of the span family. */
-  private def stride1Grams(docs: DataFrame, gramWords: Int): DataFrame =
+  private[graft] def stride1Grams(docs: DataFrame, gramWords: Int): DataFrame =
     withWords(docs).where(size(col("w")) >= gramWords)
       .select(col("doc_id"),
         explode(sequence(lit(1),
@@ -581,7 +581,7 @@ object Curation {
     * row_number`): `(doc_id, span_start, span_end, span_words,
     * n_grams)`, boundaries 1-based inclusive. One shuffle on doc_id;
     * the follow-on aggregation reuses that partitioning. */
-  private def islandSpans(dup: DataFrame, gramWords: Int): DataFrame =
+  private[graft] def islandSpans(dup: DataFrame, gramWords: Int): DataFrame =
     dup
       .withColumn("island", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))

@@ -291,6 +291,24 @@ class CurationSpec extends SparkTestBase {
     assert(out == Set((3L, 3L, 13L, 11L, 2L)))
   }
 
+  test("online span screen + offline island merge recompose the batch incremental result") {
+    // the streaming twin emits raw (doc_id, pos) hits and defers
+    // consolidation; islandSpans over those hits must equal the batch
+    // pass end-to-end on the real corpus split
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val index = Curation.stride1Grams(corpus, 10).select("g").distinct()
+    val hits = Curation.stride1Grams(batch, 10)
+      .join(index, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val recomposed = Curation.islandSpans(hits, 10).collect()
+      .map(_.toSeq).toSet
+    val direct = Curation.incrementalSpanDedup(corpus, batch).collect()
+      .map(_.toSeq).toSet
+    assert(recomposed.nonEmpty, "fixture produced no cross-parity spans")
+    assert(recomposed == direct)
+  }
+
   test("span decontamination removes exactly the benchmark-leaked spans from corpus docs") {
     import spark.implicits._
     val leak = (0 until 7).map(i => s"leak$i")         // 7-word benchmark phrase
