@@ -69,6 +69,7 @@ object Bench {
     // and the rewrite pass that removes them
     "dedup_span_exact", "dedup_span_trim", "text_decontaminate_spans",
     "dedup_span_incremental", "streaming_span_screen",
+    "dedup_span_index_lifecycle",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

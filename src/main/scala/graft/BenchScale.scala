@@ -81,11 +81,11 @@ object BenchScale {
     // island merge stays doc-local; the trim adds one anti-join bounded
     // by span coverage
     "dedup_span_exact", "dedup_span_trim", "text_decontaminate_spans",
-    "dedup_span_incremental",
+    "dedup_span_incremental", "dedup_span_index_lifecycle",
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",
-    "streaming_incremental_dedup", "streaming_asof")
+    "streaming_incremental_dedup", "streaming_asof", "streaming_span_screen")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

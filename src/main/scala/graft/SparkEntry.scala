@@ -868,6 +868,30 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 1))
     }),
 
+    // --- the span-gram index LIFECYCLE (the span analog of
+    //     dedup_index_lifecycle): build (g, df) over the even-id
+    //     corpus, screen the odd-id batch (any gram hit = dup,
+    //     rejected), APPEND admitted docs' counts, COMPACT the
+    //     takedown set (doc_id%10==0, drawn from corpus ∪ admitted —
+    //     count subtraction must never see a ghost) — output is the
+    //     maintained index itself; the oracle rebuilds it from scratch
+    //     over the final doc set (append/compact ≡ rebuild)
+    "dedup_span_index_lifecycle" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+      // standing artifact read twice (screen + append base): eager
+      // localCheckpoint mirrors the read-from-storage shape
+      val index = Curation.spanIndexBuild(corpus).localCheckpoint(true)
+      val dupDocs = Curation.stride1Grams(batch, 10)
+        .join(index.select("g"), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val admitted = batch.join(dupDocs, Seq("doc_id"), "left_anti")
+      val appended = Curation.spanIndexAppend(index, admitted)
+      Curation.spanIndexCompact(appended,
+        corpus.unionByName(admitted).where(col("doc_id") % 10 === 0))
+    }),
+
     // --- span-level benchmark decontamination: positions covered by a
     //     5-gram also present in the benchmark slice removed, un-leaked
     //     remainder kept (vs text_contamination's whole-doc flag)
@@ -2114,6 +2138,26 @@ object SparkEntry {
         |  (len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0))::BIGINT
         |    AS n_removed_words
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // lifecycle oracle: rebuild the (g, df) index FROM SCRATCH over the
+    // final doc set — evens plus screened-in odds, takedowns out —
+    // proving the engine's append/compact merges equal a rebuild
+    "dedup_span_index_lifecycle" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |    md5(array_to_string(list_slice(w, i.i, i.i + 9), ' ')) AS g
+        |  FROM w, unnest(range(1, len(w) - 8)) AS i(i)),
+        |idxset AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+        |dup_docs AS (SELECT DISTINCT doc_id FROM grams SEMI JOIN idxset USING (g)
+        |  WHERE doc_id % 2 = 1),
+        |final AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+        |    AND doc_id NOT IN (SELECT doc_id FROM dup_docs)),
+        |kept AS (SELECT doc_id FROM final WHERE doc_id % 10 != 0)
+        |SELECT g, count(*)::BIGINT AS df
+        |FROM grams JOIN kept USING (doc_id) GROUP BY g""".stripMargin,
     // the streaming screen emits the raw hits the batch pass would
     // island-merge — same dup CTE, no consolidation
     "streaming_span_screen" ->

@@ -616,6 +616,33 @@ object Curation {
     islandSpans(dup, gramWords)
   }
 
+  /** The span-gram index as a MAINTAINED artifact: `(g, df)` —
+    * corpus-wide stride-1 gram frequencies. Unlike the LSH band index
+    * (per-doc rows, compaction = anti-join), gram frequencies are the
+    * right standing shape here — the screen only needs membership, and
+    * counts make append and takedown EXACT merges with no per-doc
+    * provenance rows (the index stays ~one row per distinct gram, not
+    * per occurrence). Append adds a batch's counts; compact subtracts
+    * removed docs' counts and drops grams at df ≤ 0. Callers must only
+    * compact docs actually PRESENT in the indexed set — subtraction has
+    * no way to detect a ghost (the lifecycle gate derives removals from
+    * corpus ∪ admitted for exactly this reason). Append/compact ≡
+    * rebuild over the final doc set, by arithmetic. */
+  def spanIndexBuild(docs: DataFrame, gramWords: Int = 10): DataFrame =
+    stride1Grams(docs, gramWords).groupBy("g").agg(count(lit(1)).as("df"))
+
+  def spanIndexAppend(index: DataFrame, admitted: DataFrame,
+                      gramWords: Int = 10): DataFrame =
+    index.unionByName(spanIndexBuild(admitted, gramWords))
+      .groupBy("g").agg(sum(col("df")).as("df"))
+
+  def spanIndexCompact(index: DataFrame, removed: DataFrame,
+                       gramWords: Int = 10): DataFrame =
+    index.unionByName(spanIndexBuild(removed, gramWords)
+        .select(col("g"), (-col("df")).as("df")))
+      .groupBy("g").agg(sum(col("df")).as("df"))
+      .where(col("df") > 0)
+
   /** Span-trim rewrite — applies [[spanDedup]]'s findings to the text:
     * every word position covered by a maximal duplicated span is
     * removed from EVERY document holding it (the aggressive variant of

@@ -309,6 +309,25 @@ class CurationSpec extends SparkTestBase {
     assert(recomposed == direct)
   }
 
+  test("span index lifecycle: append/compact merges equal a from-scratch rebuild") {
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val index = Curation.spanIndexBuild(corpus)
+    val dupDocs = Curation.stride1Grams(batch, 10)
+      .join(index.select("g"), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val admitted = batch.join(dupDocs, Seq("doc_id"), "left_anti")
+    val maintained = Curation.spanIndexCompact(
+        Curation.spanIndexAppend(index, admitted),
+        corpus.unionByName(admitted).where(col("doc_id") % 10 === 0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = Curation.spanIndexBuild(
+        corpus.unionByName(admitted).where(col("doc_id") % 10 =!= 0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maintained.nonEmpty, "fixture produced an empty index")
+    assert(maintained == rebuilt)
+  }
+
   test("span decontamination removes exactly the benchmark-leaked spans from corpus docs") {
     import spark.implicits._
     val leak = (0 until 7).map(i => s"leak$i")         // 7-word benchmark phrase
