@@ -85,7 +85,8 @@ object BenchScale {
     // streaming: watermark-bounded state over 10× events (10× keyed
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",
-    "streaming_incremental_dedup", "streaming_asof", "streaming_span_screen")
+    "streaming_incremental_dedup", "streaming_asof", "streaming_span_screen",
+    "streaming_image_dedup", "streaming_video_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -262,13 +262,23 @@ object Multimodal {
                                        bandBits: Int, numBands: Int,
                                        maxHamming: Int, bucketCap: Int,
                                        metric: String,
-                                       observed: Boolean): DataFrame = {
+                                       observed: Boolean,
+                                       noBroadcast: Boolean = false): DataFrame = {
     val keys = bandKeyCols(hashCol, group, bandBits, numBands)
     val corpusIndex = corpus.select(col("id").as("doc_id"),
       explode(array(keys: _*)).as("bk"))
-    val cBuckets = Dedup.cappedBucketsFromIndex(corpusIndex, bucketCap,
+    val cBuckets0 = Dedup.cappedBucketsFromIndex(corpusIndex, bucketCap,
       observed = observed, metricPrefix = s"${metric}_buckets_")
-    val hc = corpus.select(col("id").as("corpus_id"), col(hashCol).as("ch"))
+    val hc0 = corpus.select(col("id").as("corpus_id"), col(hashCol).as("ch"))
+    // noBroadcast: the STREAMING callers force shuffle joins on the
+    // static sides. Streaming plans have no AQE to re-plan a bad
+    // estimate, and the planner's post-aggregation size guess elected
+    // a broadcast of the corpus-scale bucket table — which at 10× data
+    // dies building the broadcast (measured). Batch callers keep the
+    // estimate-driven choice: AQE corrects it with runtime sizes.
+    val (cBuckets, hc) =
+      if (noBroadcast) (cBuckets0.hint("shuffle_hash"), hc0.hint("shuffle_hash"))
+      else (cBuckets0, hc0)
     batch.select(col("id").as("batch_id"), col(hashCol).as("bh"),
         explode(array(keys: _*)).as("bk"))
       .join(cBuckets, "bk")

@@ -263,9 +263,24 @@ object StreamingIngest {
       df.select(col("event_id").cast("long")).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img"), "id", "img").toDF()
+    // MATERIALIZE the standing index (eager localCheckpoint): the
+    // corpus feeds BOTH sides of the screen (band index + hash confirm)
+    // and a lazy plan re-decodes it per consumer per micro-batch —
+    // worse, the planner's size underestimate of the derived frame
+    // picks a BROADCAST for the stream-static joins, which at 10× data
+    // dies with "not enough memory to build and broadcast" (measured;
+    // streaming has no AQE to re-plan it). The checkpointed frame
+    // reports conservative stats, so the joins plan as shuffles — the
+    // only shape that survives a corpus-scale static side.
     val corpus = hashes(spark.read.parquet(s"$dir/events.parquet")
-      .where(expr("event_id div 20") % 2 === 0))
+      .where(expr("event_id div 20") % 2 === 0)).localCheckpoint(true)
+    // bounded micro-batches: a corpus-scale source in ONE AvailableNow
+    // batch holds the whole run's pair state at once no matter how the
+    // dedup ages it (measured OOM at 10×); file-granular batches keep a
+    // source row's band hits co-batch (the dedup-exactness invariant)
+    // while the watermark purges pair state BETWEEN batches
     val batch = hashes(spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "4")
       .parquet(s"$dir/events.*")
       .where(expr("event_id div 20") % 2 === 1))
     val confirmed = Multimodal.incrementalScreen(corpus, batch,
@@ -273,8 +288,21 @@ object StreamingIngest {
         group = concat(col("width").cast("string"), lit("x"),
           col("height").cast("string")),
         bandBits = 12, numBands = 4, maxHamming = 4, bucketCap = 64,
-        metric = "image_ahash_stream", observed = false)
-      .dropDuplicates("batch_id", "corpus_id")
+        metric = "image_ahash_stream", observed = false, noBroadcast = true)
+      // multi-band hits of one pair are born in ONE micro-batch (a
+      // source row's band rows never straddle batches), so
+      // watermark-aged dedup state is EXACT here — not the lossy
+      // streamingDedupLive trade — while bounding state to ~one
+      // micro-batch's pairs. The plain stateful dropDuplicates kept
+      // every emitted pair forever: state grew with the OUTPUT and
+      // OOMed the 10× scale run (measured). current_timestamp() is
+      // the batch-constant trigger time; exactness needs only co-batch
+      // retention, so 1 second of slack lets state purge between the
+      // bounded micro-batches instead of accumulating across them.
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
     val work = workDir("stream_img_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
@@ -282,6 +310,7 @@ object StreamingIngest {
       .option("checkpointLocation", s"$work/checkpoint")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
     spark.read.parquet(s"$work/out")
   }
 
@@ -306,9 +335,15 @@ object StreamingIngest {
         .toDF("id", "vid"), "id", "vid").toDF()
     // (id div 2) parity puts each content's {v0, v1} in the corpus and
     // {v2, v3} in the batch — every transcode family straddles
+    // same eager materialization as the image twin (see the comment
+    // there): one decode of the standing index, conservative stats →
+    // the stream-static joins shuffle instead of broadcasting a
+    // corpus-scale side (the broadcast OOMed at 10×, measured)
     val corpus = sigs(spark.read.parquet(s"$dir/events.parquet")
-      .where(expr("event_id div 2") % 2 === 0))
+      .where(expr("event_id div 2") % 2 === 0)).localCheckpoint(true)
+    // bounded micro-batches, same invariant as the image twin
     val batch = sigs(spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "4")
       .parquet(s"$dir/events.*")
       .where(expr("event_id div 2") % 2 === 1))
     val confirmed = Multimodal.incrementalScreen(corpus, batch,
@@ -316,8 +351,14 @@ object StreamingIngest {
         group = concat(col("width").cast("string"), lit("x"),
           col("height").cast("string"), lit(":"), col("n_key").cast("string")),
         bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
-        metric = "video_phash_stream", observed = false)
-      .dropDuplicates("batch_id", "corpus_id")
+        metric = "video_phash_stream", observed = false, noBroadcast = true)
+      // same exact watermark-aged dedup as the image twin (see there):
+      // pair duplicates are co-batch by construction, so state is
+      // bounded at ~one micro-batch instead of the whole output
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 minute")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
     val work = workDir("stream_vid_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
@@ -325,6 +366,7 @@ object StreamingIngest {
       .option("checkpointLocation", s"$work/checkpoint")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
     spark.read.parquet(s"$work/out")
   }
 
