@@ -200,14 +200,17 @@ object StreamingIngest {
     * candidates flow through two stream-static equi-joins and the
     * exact-Jaccard confirm, all append-safe.
     *
-    * A pair confirms once per shared band; keyed streaming dedup
-    * collapses the duplicates (state = one entry per EMITTED pair —
-    * bounded by the result size; the oracle-gated bounded-run shape.
-    * A long-running deployment would window the stream and age pair
-    * state with `dropDuplicatesWithinWatermark`, the same trade
-    * [[streamingDedupLive]] documents). Result equals the batch
-    * operator row-for-row — asserted in the spec and hash-gated
-    * against the SAME DuckDB oracle as `dedup_incremental`. */
+    * A pair confirms once per shared band; watermark-aged keyed dedup
+    * collapses the duplicates EXACTLY (a source row's band rows never
+    * straddle micro-batches, so pair duplicates are co-batch by
+    * construction — the r10 media-twin argument), with state bounded
+    * at ~one micro-batch of pairs instead of the whole output (the
+    * plain stateful dropDuplicates grew state with the RESULT — the
+    * shape the 10× media sweep OOMed; `maxFilesPerTrigger` keeps
+    * AvailableNow micro-batches file-granular so the watermark has
+    * boundaries to purge across). Result equals the batch operator
+    * row-for-row — asserted in the spec and hash-gated against the
+    * SAME DuckDB oracle as `dedup_incremental`. */
   def incrementalDedupStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
     val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -218,6 +221,7 @@ object StreamingIngest {
     val cSh = Dedup.shingleSets(corpus, 3)
       .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
     val batch = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "4")
       .parquet(s"$dir/documents.*")
       .where(col("doc_id") % 2 === 1)
     val confirmed = Dedup.narrowBandRows(batch)
@@ -229,7 +233,9 @@ object StreamingIngest {
         size(array_intersect(col("shb"), col("shc"))).cast("double") /
           size(array_union(col("shb"), col("shc"))).cast("double"), 6))
       .where(col("jaccard") >= 0.5)
-      .dropDuplicates("batch_id", "corpus_id")
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .select("batch_id", "corpus_id", "jaccard")
     runToMemory(confirmed, "graft_incr_", "append")
   }
