@@ -62,7 +62,7 @@ object StreamingIngest {
     * prune target set. Kept next to the call sites so a new purpose
     * cannot silently escape GC. */
   private[graft] val WorkDirPurposes =
-    Seq("stream_append", "sjdbc", "stream_img_dedup")
+    Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by

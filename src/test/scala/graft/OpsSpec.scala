@@ -1589,6 +1589,20 @@ class OpsSpec extends SparkTestBase {
     assert(r2 == r1, "rerun after prune must reproduce the result")
   }
 
+  test("every workDir purpose in the source is registered for pruning") {
+    // the video twin's purpose escaped the prune list once (found in
+    // r10 review) — lint the source so a new call site cannot leak
+    import graft.streaming.StreamingIngest
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("src/main/scala/graft/streaming/StreamingIngest.scala")), "UTF-8")
+    val used = """workDir\("([a-z_]+)"""".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    assert(used.nonEmpty, "source scan found no workDir call sites")
+    val registered = StreamingIngest.WorkDirPurposes.toSet
+    assert(used.subsetOf(registered),
+      s"unregistered workDir purposes leak from the prune GC: ${used.diff(registered)}")
+  }
+
   test("codec fuzz: random and bit-flipped inputs fail loudly or decode, never escape") {
     import graft.ops.{Bmp, Gif, Png, Wav}
     val rnd = new scala.util.Random(31337)
