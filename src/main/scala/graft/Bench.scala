@@ -62,7 +62,7 @@ object Bench {
     // curve, and the full-book admission pipeline
     "multimodal_video_phash", "dedup_video_perceptual",
     "dedup_video_perceptual_clusters", "dedup_video_incremental",
-    "ann_recall", "pipeline_pretrain_full",
+    "ann_recall", "pipeline_pretrain_full", "pipeline_pretrain_surgical",
     "dedup_video_perceptual_incremental", "streaming_video_dedup",
     "multimodal_video_phash_aligned",
     // r10: exact substring-span dedup (stride-1 grams → maximal spans)

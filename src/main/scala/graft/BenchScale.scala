@@ -74,7 +74,7 @@ object BenchScale {
     "dedup_audio_incremental", "multimodal_video_fingerprint",
     "multimodal_video_phash", "dedup_video_perceptual",
     "dedup_video_perceptual_clusters", "dedup_video_incremental",
-    "ann_recall", "pipeline_pretrain_full",
+    "ann_recall", "pipeline_pretrain_full", "pipeline_pretrain_surgical",
     "dedup_video_perceptual_incremental", "multimodal_video_phash_aligned",
     // round 10b: exact substring-span dedup — THE claim is that the
     // stride-1 gram volume (16 B × n_words) shuffles linearly and the

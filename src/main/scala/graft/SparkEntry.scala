@@ -846,6 +846,33 @@ object SparkEntry {
         .join(red.select("doc_id", "n_emails", "n_longnums"), "doc_id")
     }),
 
+    // --- the SURGICAL admission variant: where pipeline_pretrain_full
+    //     BLOCKS any benchmark-overlapping doc, this one admits it and
+    //     TRIMS the leaked spans (decontaminateSpans over bench ∪
+    //     admitted), budgeting over the clean text — benchmark docs
+    //     themselves (the eval set) are never admitted. Composition of
+    //     the r10 span machinery into the admission path, one gated
+    //     query, nested-CTE oracle replaying every stage
+    "pipeline_pretrain_surgical" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cp = Curation.curationPipeline(docs)
+        .where(col("keep") === 1).select("doc_id")
+      val kb = Curation.keepBestInClusters(docs)
+        .where(col("keep")).select("doc_id")
+      val band = Curation.logprobTrim(docs).select("doc_id")
+      val admitted = docs.join(cp, "doc_id").join(kb, "doc_id")
+        .join(band, "doc_id")
+        .where(col("doc_id") >= 20)
+      val deconIn = docs.where(col("doc_id") < 20)
+        .unionByName(admitted.select(docs.columns.map(col): _*))
+      val red = Curation.decontaminateSpans(deconIn)
+      val forBudget = red.select(col("doc_id"), col("clean_text").as("text"))
+        .join(admitted.select("doc_id", "source"), "doc_id")
+      graft.ops.Sampling.tokenBudgetSample(forBudget,
+          budgetTokens = 15000L, seed = "mix1")
+        .join(red.select("doc_id", "n_kept_words", "n_removed_words"), "doc_id")
+    }),
+
     // --- paragraph-level (chunk) dedup: per-document fraction of
     //     10-word chunks that occur elsewhere in the corpus (the
     //     repeated-span removal pass, vs whole-document near-dup)
@@ -3019,6 +3046,7 @@ object SparkEntry {
     // token budget admits from the CLEAN text — one nested-CTE oracle
     // certifying the complete cross-engine composition
     "pipeline_pretrain_full" -> pipelineFullOracleSql,
+    "pipeline_pretrain_surgical" -> pipelineSurgicalOracleSql,
     // histogram of the closure's cluster sizes (corpus-health report)
     "dedup_cluster_stats" ->
       s"""WITH c AS (${clustersOracleSql.replace("\n", "\n  ")})
@@ -3044,6 +3072,69 @@ object SparkEntry {
     * `pipeline_pretrain_full` gate): each stage oracle nested as its
     * own derived table (isolated WITH scopes), composed exactly as the
     * engine composes the operators. */
+  /** The surgical admission book: curation ∧ keep-best ∧ perplexity
+    * band admit (benchmark ids never admitted), decontaminateSpans
+    * trims the survivors' benchmark-leaked 5-gram spans, and the
+    * token budget runs over the CLEAN text. Replays every stage
+    * nested, including the full span-trim chain. */
+  private def pipelineSurgicalOracleSql: String = {
+    def ind(s: String) = s.replace("\n", "\n  ")
+    s"""WITH cp AS (${ind(curationPipelineOracleSql)}),
+       |kb AS (${ind(keepBestOracleSql)}),
+       |band AS (SELECT doc_id FROM (
+       |  WITH lp0 AS (${ind(unigramLogprobOracleSql)}),
+       |  bj AS (SELECT lp0.doc_id, d.source, lp0.logprob
+       |         FROM lp0 JOIN documents d USING (doc_id)),
+       |  bc AS (SELECT doc_id, cume_dist() OVER (PARTITION BY source
+       |           ORDER BY logprob) AS pct FROM bj)
+       |  SELECT doc_id FROM bc WHERE pct > 0.05 AND pct <= 0.95)),
+       |adm AS (SELECT d.doc_id, d.source, d.text
+       |        FROM documents d JOIN cp USING (doc_id) JOIN kb USING (doc_id)
+       |          JOIN band USING (doc_id)
+       |        WHERE cp.keep = 1 AND kb.keep AND d.doc_id >= 20),
+       |pool AS (SELECT doc_id, text FROM documents WHERE doc_id < 20
+       |         UNION ALL SELECT doc_id, text FROM adm),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM pool),
+       |wg AS (SELECT * FROM w WHERE len(w) >= 5),
+       |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+       |    md5(array_to_string(list_slice(w, i.i, i.i + 4), ' ')) AS g
+       |  FROM wg, unnest(range(1, len(w) - 3)) AS i(i)),
+       |b AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+       |dup AS (SELECT doc_id, pos FROM grams SEMI JOIN b USING (g)
+       |  WHERE doc_id >= 20),
+       |isl AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM dup),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |cov AS (SELECT DISTINCT doc_id, j.j::BIGINT AS pos
+       |  FROM spans, unnest(range(s, e + 1)) AS j(j)),
+       |pw AS (SELECT doc_id, i.i::BIGINT AS pos, w[i.i] AS word
+       |  FROM w, unnest(range(1, len(w) + 1)) AS i(i) WHERE doc_id >= 20),
+       |kept AS (SELECT pw.doc_id, pw.pos, pw.word FROM pw
+       |  ANTI JOIN cov ON pw.doc_id = cov.doc_id AND pw.pos = cov.pos),
+       |agg AS (SELECT doc_id,
+       |    array_to_string(list(word ORDER BY pos), ' ') AS clean_text,
+       |    count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+       |red AS (SELECT p.doc_id, coalesce(a.clean_text, '') AS text,
+       |    coalesce(a.n_kept, 0)::BIGINT AS n_kept_words,
+       |    (len(string_split(p.text, ' ')) - coalesce(a.n_kept, 0))::BIGINT
+       |      AS n_removed_words
+       |  FROM pool p LEFT JOIN agg a USING (doc_id) WHERE p.doc_id >= 20),
+       |fp0 AS (SELECT r.doc_id, adm.source, r.n_kept_words, r.n_removed_words,
+       |    len(string_split(r.text, ' '))::BIGINT AS n_tokens,
+       |    ('0x' || substr(md5('mix1' || r.doc_id), 1, 15))::BIGINT AS priority
+       |  FROM red r JOIN adm USING (doc_id)),
+       |fc AS (SELECT doc_id, source, n_tokens, priority, n_kept_words,
+       |    n_removed_words,
+       |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY priority, doc_id
+       |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+       |  FROM fp0)
+       |SELECT doc_id, source, n_tokens, priority, cum_tokens,
+       |  n_kept_words, n_removed_words
+       |FROM fc WHERE cum_tokens <= 15000""".stripMargin
+  }
+
   private def pipelineFullOracleSql: String = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val num = "[0-9]{7,}"

@@ -35,6 +35,21 @@ class QuerySmokeSpec extends SparkTestBase {
     }
   }
 
+  test("surgical pipeline never admits benchmark docs; trim counters reconcile") {
+    import org.apache.spark.sql.functions._
+    val out = GateFrames("pipeline_pretrain_surgical", spark, sf)
+    assert(out.where(col("doc_id") < 20).count() == 0,
+      "the eval set must never enter the training mix")
+    // kept + removed must equal the ORIGINAL word count of every doc
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    val bad = out.join(docs, "doc_id")
+      .where(col("n_kept_words") + col("n_removed_words") =!= col("n_words"))
+      .count()
+    assert(bad == 0, "trim counters must partition the original word count")
+  }
+
   test("upsert last-writer-wins semantics") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
