@@ -235,14 +235,23 @@ object Dedup {
     * index is loaded from storage instead of re-deriving every corpus
     * signature per batch. Shared by every banded-bucket consumer (LSH,
     * incremental, image aHash) so the cap/sort/drop-count contract has
-    * ONE implementation. */
+    * ONE implementation.
+    *
+    * `idExpr` lets a caller collect a STRUCT whose FIRST field is
+    * doc_id (e.g. `struct(doc_id, hash)`, the carry shape of
+    * [[graft.ops.Multimodal]]'s all-pairs path — VERDICT r10 #6):
+    * struct arrays sort lexicographically field-by-field, so with
+    * doc_id leading and any payload a pure function of doc_id, the
+    * "smallest `bucketCap` ids kept" contract is unchanged. */
   private[graft] def cappedBucketsFromIndex(index: DataFrame, bucketCap: Int,
                                             observed: Boolean,
                                             metricPrefix: String =
-                                              "incr_lsh_buckets_"): DataFrame = {
+                                              "incr_lsh_buckets_",
+                                            idExpr: Column = col("doc_id"))
+      : DataFrame = {
     val b = index
       .groupBy("bk")
-      .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
+      .agg(sort_array(collect_set(idExpr)).as("all_ids"))
       .select(col("bk"), slice(col("all_ids"), 1, bucketCap).as("ids"),
         greatest(size(col("all_ids")) - bucketCap, lit(0)).as("dropped"))
     if (observed)
@@ -548,12 +557,24 @@ object Dedup {
         .where(col("a") =!= col("b"))
         .distinct()
 
-    def edgeProbe(e: DataFrame): (Long, BigDecimal, BigDecimal) = {
+    // Convergence probe: an order-independent fingerprint of the
+    // canonical edge set. Unlike propagateMinLabels' labelSum (sound
+    // via monotone-decreasing labels), edge sets carry no monotonicity
+    // argument, so the probe must make collisions between DIFFERENT
+    // edge sets negligible, not just unlikely (ADVICE r10 #3): on top
+    // of (count, Σa, Σb) it sums a 60-bit md5-derived integer per
+    // canonical edge (portable integer arithmetic, repo convention) —
+    // a false fixpoint now needs a simultaneous coincidence in all
+    // four components across a distinct edge set.
+    def edgeProbe(e: DataFrame): (Long, BigDecimal, BigDecimal, BigDecimal) = {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val r = e.agg(count(lit(1)), sum(col("a").cast(dec)), sum(col("b").cast(dec))).head
-      (r.getLong(0),
-        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
-        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+      val edgeHash = conv(substring(
+        md5(concat_ws(":", col("a"), col("b"))), 1, 15), 16, 10).cast(dec)
+      val r = e.agg(count(lit(1)), sum(col("a").cast(dec)),
+        sum(col("b").cast(dec)), sum(edgeHash)).head
+      def d(i: Int): BigDecimal =
+        if (r.isNullAt(i)) BigDecimal(0) else BigDecimal(r.getDecimal(i))
+      (r.getLong(0), d(1), d(2), d(3))
     }
 
     var probe = edgeProbe(edges)
@@ -600,35 +621,89 @@ object Dedup {
     out
   }
 
+  /** Suppress ONLY the three benign WARN texts an intentional release
+    * of a local checkpoint produces, leaving every other message of the
+    * two loggers (failed fetches, replication, memory pressure) at
+    * their configured levels — ADVICE r10 #1: the previous
+    * whole-logger ERROR demotion hid genuine BlockManager warnings
+    * process-wide. A DENY-on-match / NEUTRAL-otherwise filter is also
+    * correct under async unpersist (blocking = false): the stray WARNs
+    * fire on executor threads after the release call returns, so a
+    * save-set-restore window around the call could not catch them.
+    * Installed once, lazily (not at session build: Spark re-applies its
+    * own log4j profile during context startup, which would drop a
+    * LoggerConfig added earlier). */
+  private lazy val benignReleaseNoiseFilter: Unit = try {
+    import org.apache.logging.log4j.core.{Filter, LogEvent}
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    // exact substrings from the Spark 4.1 sources (verified against the
+    // shipped jar): intentional-release noise and nothing else
+    val benign = Seq(
+      "truncated and cannot be recomputed after unpersisting",
+      "Asked to remove block",
+      "could not be dropped from memory as it does not exist")
+    val filter = new AbstractFilter(Filter.Result.NEUTRAL, Filter.Result.NEUTRAL) {
+      override def filter(event: LogEvent): Filter.Result = {
+        val m = Option(event.getMessage).map(_.getFormattedMessage).getOrElse("")
+        if (benign.exists(m.contains)) Filter.Result.DENY else Filter.Result.NEUTRAL
+      }
+    }
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val cfg = ctx.getConfiguration
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+      "org.apache.spark.storage.BlockManager").foreach { name =>
+      val ancestor = cfg.getLoggerConfig(name)
+      if (ancestor.getName == name) ancestor.addFilter(filter)
+      else {
+        // getLoggerConfig returned an ancestor (often root) — attaching
+        // there would filter unrelated loggers. Create a dedicated
+        // additive config at the exact name, inheriting the effective
+        // level, and filter only it.
+        val dedicated = new org.apache.logging.log4j.core.config.LoggerConfig(
+          name, ancestor.getLevel, true)
+        dedicated.addFilter(filter)
+        cfg.addLogger(name, dedicated)
+      }
+    }
+    ctx.updateLoggers()
+  } catch { case _: Throwable => () } // logging backend absent: cosmetic only
+
   /** Explicitly drop the cached blocks behind a `localCheckpoint(true)`
     * frame. `Dataset.unpersist` cannot do this — it asks the
     * cacheManager, which never registered the checkpoint RDD — so
     * iterative loops that truncate lineage per round must release each
     * superseded round themselves or leak storage until GC (ADVICE r9).
-    * ONLY call this once nothing will read the frame again: a released
-    * local checkpoint cannot be recomputed (lineage was severed). */
+    *
+    * ==Deep-release contract (read before calling)==
+    * This releases EVERY `LogicalRDD` anywhere in the frame's analyzed
+    * plan, not just the frame's own checkpoint — and a released local
+    * checkpoint can never be recomputed (its lineage was severed at
+    * materialization). Passing a derived frame whose lineage embeds a
+    * caller-owned checkpoint that something else still reads would drop
+    * that input's blocks and make later reads throw. The deep walk is
+    * deliberate: `bpeTrainState` releases a superseded round through a
+    * derived projection and relies on the embedded round checkpoint
+    * being swept. Callers that own only the frame itself should use
+    * [[releaseOwnCheckpoint]] instead (ADVICE r10 #2). ONLY call either
+    * once nothing will read the released blocks again. */
   private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit = {
-    // Unpersisting a locally-checkpointed RDD draws a WARN ("lineage
-    // has been truncated and cannot be recomputed") from the RDD's
-    // class logger. Here that is the documented INTENT — superseded
-    // rounds are released precisely because nothing reads them again —
-    // so silence that one logger rather than emit a spurious warning
-    // per propagation round. Done lazily (not at session build):
-    // Spark re-applies its own log4j profile during context startup,
-    // which would wipe an earlier override.
-    try {
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.rdd.MapPartitionsRDD",
-        org.apache.logging.log4j.Level.ERROR)
-      // the async unpersist also draws per-partition "Asked to remove
-      // block ... which does not exist" WARNs from BlockManager for
-      // partitions whose cache entry was already dropped — same
-      // intentional-release noise class
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.storage.BlockManager",
-        org.apache.logging.log4j.Level.ERROR)
-    } catch { case _: Throwable => () } // logging backend absent: cosmetic only
+    benignReleaseNoiseFilter
     df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** Shallow sibling of [[releaseLocalCheckpoint]]: releases the
+    * checkpoint blocks ONLY when the frame's plan root is itself a
+    * `LogicalRDD` (i.e. the frame IS the checkpoint), leaving any
+    * checkpoints embedded deeper in a derived lineage untouched. Safe
+    * for callers that own just the frame they pass. */
+  private[graft] def releaseOwnCheckpoint(df: DataFrame): Unit = {
+    benignReleaseNoiseFilter
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()

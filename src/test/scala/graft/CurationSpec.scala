@@ -257,6 +257,33 @@ class CurationSpec extends SparkTestBase {
     assert(trim(4L) == ((d4.mkString(" "), 6L, 0L)))   // short doc passes through
   }
 
+  test("partial-agg span frequency equals the count-over-window form on a mega-frequency gram") {
+    import spark.implicits._
+    // a "licence header" run carried by 90% of docs — the hot-gram skew
+    // case the pre-r11 window form serialized onto ONE task (VERDICT
+    // r10 #1); the partial-aggregated rewrite must return byte-equal
+    // spans on exactly this corpus shape
+    val boiler = (0 until 10).map(i => s"lic$i")
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { id =>
+      val body = (0 until 12 + rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(40)}")
+      val words = if (id % 10 == 0) body else boiler ++ body
+      (id, words.mkString(" "))
+    }
+    val in = rows.toDF("doc_id", "text")
+    val fast = Curation.spanDedup(in).collect().map(_.toSeq).toSet
+    // reference: the superseded windowed-frequency form, inline
+    val windowed = {
+      val dup = Curation.stride1Grams(in, 10)
+        .withColumn("gf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+        .where(col("gf") > 1).select(col("doc_id"), col("pos"))
+      Curation.islandSpans(dup, 10).collect().map(_.toSeq).toSet
+    }
+    assert(fast.nonEmpty, "fixture produced no duplicated spans")
+    assert(fast == windowed)
+  }
+
   test("span dedup counts within-document repeats the fixed grid cannot see") {
     import spark.implicits._
     val run = (0 until 10).map(i => s"r$i")
