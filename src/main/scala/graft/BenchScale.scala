@@ -86,7 +86,16 @@ object BenchScale {
     // state for the stateful ops — user ids are offset per copy)
     "streaming_window_counts", "streaming_dedup", "streaming_stateful_counts",
     "streaming_incremental_dedup", "streaming_asof", "streaming_span_screen",
-    "streaming_image_dedup", "streaming_video_dedup")
+    "streaming_image_dedup", "streaming_video_dedup",
+    // round 11: the media admission book (the composed per-asset cost a
+    // production media ingest pays), the stream-maintained span index,
+    // the SKEWED-corpus span case (VERDICT r10 #1 — one gram at
+    // corpus-wide frequency must not create a straggler task under the
+    // partial-agg frequency stage), and BPE at ~tokenizer scale
+    // (VERDICT r10 #4 — 1000 merge rounds; the claim is wall-clock
+    // linear in merges under the checkpoint cadence)
+    "pipeline_media_admission", "streaming_span_index",
+    "dedup_span_exact_boiler", "text_bpe_train_1k")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -226,13 +235,36 @@ object BenchScale {
           graft.sources.Tables(s, d, "documents"), maxPairs = Long.MaxValue)),
       "dedup_containment" -> ((s, d) =>
         graft.ops.Curation.ngramContainmentPairs(
-          graft.sources.Tables(s, d, "documents"), maxPairs = Long.MaxValue)))
+          graft.sources.Tables(s, d, "documents"), maxPairs = Long.MaxValue)),
+      // r11 (VERDICT r10 #1 done-criteria): a boilerplate-heavy corpus
+      // variant — 90% of docs gain one shared 12-word licence header,
+      // so a single gram reaches corpus-wide frequency. Under the old
+      // count-over-window frequency stage this concentrated the hot
+      // gram's whole occurrence list on ONE task; the partial-agg
+      // rewrite must keep the skewed cost near the uniform case's.
+      "dedup_span_exact_boiler" -> ((s, d) => {
+        val docs = graft.sources.Tables(s, d, "documents")
+        val boiler = (0 until 12).map(i => s"lichdr$i").mkString(" ")
+        graft.ops.Curation.spanDedup(docs.withColumn("text",
+          when(col("doc_id") % 10 =!= 0,
+            concat(lit(boiler), lit(" "), col("text")))
+            .otherwise(col("text"))))
+      }),
+      // r11 (VERDICT r10 #4): BPE toward real tokenizer scale — 1000
+      // merge rounds (gate trains 8; the oracle replay cost keeps the
+      // gate small). Paired with text_bpe_train's 8-round row, the
+      // wall-clock slope per merge is the linearity evidence for the
+      // checkpointed loop.
+      "text_bpe_train_1k" -> ((s, d) =>
+        graft.ops.TextAnalysis.bpeTrain(
+          graft.sources.Tables(s, d, "documents"), numMerges = 1000)))
     def q(name: String) = overrides.getOrElse(name, SparkEntry.queries(name))
 
     // Time BASE and SCALED in the same JVM so the ratio column in
     // BENCH_SCALE.md measures data scaling, not classloading luck.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    selected.filter(SparkEntry.queries.contains).foreach { name =>
+    selected.filter(n => SparkEntry.queries.contains(n) || overrides.contains(n))
+      .foreach { name =>
       // per-QUERY warmup: the first execution of a plan shape carries its
       // Catalyst/codegen compile cost; timing it as "base" would deflate
       // the scaled/base ratio (the scaled run reuses the generated

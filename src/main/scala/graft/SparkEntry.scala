@@ -873,6 +873,45 @@ object SparkEntry {
         .join(red.select("doc_id", "n_kept_words", "n_removed_words"), "doc_id")
     }),
 
+    // --- the MEDIA admission book (VERDICT r10 #3): the media sibling
+    //     of the pretrain books — per-asset keep/drop across ALL THREE
+    //     binary modalities, each the conjunction of EXACT content
+    //     survivorship (min-id keeper per decoded-content fingerprint
+    //     group: pixel md5 for images, PCM-sample md5 for audio,
+    //     payload md5 for video) and PERCEPTUAL survivorship (the
+    //     closure keeper over the modality's banded-Hamming pair
+    //     graph). One row per (modality, asset): keep_exact,
+    //     keep_perceptual, admit = both. The oracle replays every
+    //     stage — fixture decode formulas, fingerprints, bands,
+    //     capped buckets, Hamming confirms, recursive closures, and
+    //     the min-id keeps — per modality in nested CTE chains.
+    "pipeline_media_admission" -> ((s, d) => {
+      import s.implicits._
+      def assets(gen: Long => Array[Byte], c: String) =
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
+      val imgBin = assets(Multimodal.syntheticBmp, "img")
+      val imgHashes = Multimodal.imageAHash(imgBin, "id", "img").toDF()
+      val img = Multimodal.mediaAdmissionVerdicts(
+        Multimodal.imagePixelFingerprint(imgBin, "id", "img").toDF(), "fp",
+        Multimodal.mediaNearDupClusters(imgHashes.select("id"),
+          Multimodal.imageAHashPairs(imgHashes)), "image")
+      val audBin = assets(Multimodal.syntheticWav, "clip")
+      val audFps = Multimodal.audioFingerprint(audBin, "id", "clip").toDF()
+      val aud = Multimodal.mediaAdmissionVerdicts(
+        Multimodal.audioSampleFingerprint(audBin, "id", "clip").toDF(), "fp",
+        Multimodal.mediaNearDupClusters(audFps.select("id"),
+          Multimodal.audioFingerprintPairs(audFps)), "audio")
+      val vidSigs = Multimodal.videoPerceptualHash(
+        assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
+      val vid = Multimodal.mediaAdmissionVerdicts(
+        Multimodal.videoFingerprint(
+          assets(Multimodal.syntheticMp4, "vid"), "id", "vid").toDF(), "fp",
+        Multimodal.mediaNearDupClusters(vidSigs.select("id"),
+          Multimodal.videoPerceptualPairs(vidSigs)), "video")
+      img.unionByName(aud).unionByName(vid)
+    }),
+
     // --- paragraph-level (chunk) dedup: per-document fraction of
     //     10-word chunks that occur elsewhere in the corpus (the
     //     repeated-span removal pass, vs whole-document near-dup)
@@ -1230,6 +1269,15 @@ object SparkEntry {
     //     the batch pass's job (the online/offline split production runs)
     "streaming_span_screen" -> ((s, d) =>
       StreamingIngest.spanScreenStream(s, d)),
+
+    // --- the streaming screen MAINTAINING the artifact it reads
+    //     (VERDICT r10 #5): admitted docs' gram counts merged into the
+    //     standing (g, df) index from foreachBatch — idempotent
+    //     per-batch increment dirs, additive compaction on read; the
+    //     oracle rebuilds the index from scratch over the final doc
+    //     set (stream-appended ≡ rebuild)
+    "streaming_span_index" -> ((s, d) =>
+      StreamingIngest.spanIndexMaintainStream(s, d)),
 
     // --- TIME-ALIGNED perceptual signature: slots at fractions of the
     //     stts timeline instead of stss keyframe order — invariant to
@@ -2185,6 +2233,25 @@ object SparkEntry {
         |kept AS (SELECT doc_id FROM final WHERE doc_id % 10 != 0)
         |SELECT g, count(*)::BIGINT AS df
         |FROM grams JOIN kept USING (doc_id) GROUP BY g""".stripMargin,
+    // stream-appended index == from-scratch rebuild over corpus ∪
+    // admitted (odd docs with no gram in the corpus's distinct set) —
+    // the lifecycle oracle minus its compact stage
+    "streaming_span_index" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |grams AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |    md5(array_to_string(list_slice(w, i.i, i.i + 9), ' ')) AS g
+        |  FROM w, unnest(range(1, len(w) - 8)) AS i(i)),
+        |idxset AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+        |dup_docs AS (SELECT DISTINCT doc_id FROM grams SEMI JOIN idxset USING (g)
+        |  WHERE doc_id % 2 = 1),
+        |final AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+        |    AND doc_id NOT IN (SELECT doc_id FROM dup_docs))
+        |SELECT g, count(*)::BIGINT AS df
+        |FROM grams JOIN final USING (doc_id) GROUP BY g""".stripMargin,
     // the streaming screen emits the raw hits the batch pass would
     // island-merge — same dup CTE, no consolidation
     "streaming_span_screen" ->
@@ -3047,6 +3114,7 @@ object SparkEntry {
     // certifying the complete cross-engine composition
     "pipeline_pretrain_full" -> pipelineFullOracleSql,
     "pipeline_pretrain_surgical" -> pipelineSurgicalOracleSql,
+    "pipeline_media_admission" -> mediaAdmissionOracleSql,
     // histogram of the closure's cluster sizes (corpus-health report)
     "dedup_cluster_stats" ->
       s"""WITH c AS (${clustersOracleSql.replace("\n", "\n  ")})
@@ -3485,8 +3553,9 @@ object SparkEntry {
   /** `qlo`/`qhi`: the query-id window (default = the classic
     * `vec_id < 10` set; the recall oracle probes an off-centroid
     * window instead). */
-  private def ivfPqCtes(qlo: Long = 0, qhi: Long = 10): String = {
-    val m = 4; val subDim = 16; val ksub = 8
+  private def ivfPqCtes(qlo: Long = 0, qhi: Long = 10, m: Int = 4,
+                        subDim: Int = 16, ksub: Int = 8, nProbe: Int = 2,
+                        coarseTrained: Boolean = false): String = {
     val subspaces = (0 until m).map { j =>
       val lo = j * subDim + 1; val hi = j * subDim + subDim
       s"""e$j AS (SELECT vec_id, list_slice(emb, $lo, $hi) AS emb FROM e),
@@ -3496,9 +3565,22 @@ object SparkEntry {
     }.mkString(",\n")
     val cbUnion = (0 until m)
       .map(j => s"SELECT $j AS j, cid, ce FROM p${j}2").mkString(" UNION ALL ")
+    // coarseTrained: the annRecall PQ row's quantizer — 4 Lloyd's
+    // rounds over the vec_id<8 seeds (trainCentroids nCells=8,
+    // trainIters=4), vs the default untrained vec_id<16 seeds the
+    // standalone ivfpq gates keep
+    val ccCte =
+      if (coarseTrained)
+        s"""cc0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 8),
+           |${lloydCte("cc0", "ca1", "cm1", "cc1")},
+           |${lloydCte("cc1", "ca2", "cm2", "cc2")},
+           |${lloydCte("cc2", "ca3", "cm3", "cc3")},
+           |${lloydCte("cc3", "ca4", "cm4", "cc4")},
+           |cc AS (SELECT cid, ce FROM cc4)""".stripMargin
+      else "cc AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16)"
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |           WHERE len(embedding) = ${m * subDim}),
-       |cc AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
+       |$ccCte,
        |assign AS (SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -3518,7 +3600,7 @@ object SparkEntry {
        |    SELECT e.vec_id AS qid, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${sqSql("e.emb", "cc.ce")}, cc.cid) AS rn
-       |    FROM e, cc WHERE e.vec_id >= $qlo AND e.vec_id < $qhi) WHERE rn <= 2),
+       |    FROM e, cc WHERE e.vec_id >= $qlo AND e.vec_id < $qhi) WHERE rn <= $nProbe),
        |dt AS (SELECT s.vec_id AS qid, s.j, cb.cid AS code,
        |    ${sqSql("s.se", "cb.ce")} AS dsub
        |  FROM sub s JOIN cb ON s.j = cb.j
@@ -3542,9 +3624,18 @@ object SparkEntry {
   private def annRecallOracleSql: String = {
     val qlo = 100L; val qhi = 110L
     val qf = s"vec_id >= $qlo AND vec_id < $qhi"
+    // the IVF rows' coarse quantizer is TRAINED (4 Lloyd's rounds over
+    // the vec_id<8 seeds — Similarity.annRecall's nCells=8/trainIters=4,
+    // VERDICT r10 #2); assignment and probe then rank by cosine on the
+    // trained c4, exactly as ivfAssign/ivfProbe do
     def ivfIdsSql(nProbe: Int): String =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16),
+         |c0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 8),
+         |${lloydCte("c0", "a1", "m1", "c1")},
+         |${lloydCte("c1", "a2", "m2", "c2")},
+         |${lloydCte("c2", "a3", "m3", "c3")},
+         |${lloydCte("c3", "a4", "m4", "c4")},
+         |c AS (SELECT cid, ce FROM c4),
          |assign AS (SELECT vec_id, emb, cell FROM (
          |    SELECT e.vec_id, e.emb, c.cid AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
@@ -3577,11 +3668,15 @@ object SparkEntry {
          |SELECT qid, nn_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rn
          |  FROM p) WHERE rn <= 3""".stripMargin
+    // the PQ row's measured-recall configuration (Similarity.annRecall:
+    // trained 8-cell coarse, m=8/subDim=8/ksub=16 codes, nProbe 4,
+    // rerank 8 → screen keeps k·rerank = 24)
     val pqRerankSql =
-      s"""WITH ${ivfPqCtes(qlo, qhi)},
+      s"""WITH ${ivfPqCtes(qlo, qhi, m = 8, subDim = 8, ksub = 16,
+        nProbe = 4, coarseTrained = true)},
          |screen AS (SELECT qid, nn_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
-         |  FROM adc) WHERE rn <= 9),
+         |  FROM adc) WHERE rn <= 24),
          |rr AS (SELECT s.qid, s.nn_id,
          |    ${sqSql("qe.emb", "ne.emb")} AS dist
          |  FROM screen s JOIN e qe ON qe.vec_id = s.qid
@@ -3601,7 +3696,7 @@ object SparkEntry {
     }
     val parts = Seq(1, 2, 4).map(p =>
       hitsCtes(s"p$p", ivfIdsSql(p), bruteCosSql, "ivf", p)) :+
-      hitsCtes("pr", pqRerankSql, bruteL2Sql, "ivfpq_rerank", 2)
+      hitsCtes("pr", pqRerankSql, bruteL2Sql, "ivfpq_rerank", 4)
     s"""WITH q AS (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE $qf),
        |${parts.mkString(",\n")}
        |SELECT qid, method, CAST(n_probe AS BIGINT) AS n_probe,
@@ -4253,6 +4348,92 @@ object SparkEntry {
       |  SELECT *, row_number()
       |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
       |WHERE rnk <= 4)""".stripMargin
+
+  /** Media admission book oracle (mirrors the gate's composition):
+    * three SELF-CONTAINED per-modality chains — each replaying fixture
+    * decode formulas, the EXACT content fingerprint (pixel md5 /
+    * PCM-sample md5 / payload md5) with its min-id keeper window, and
+    * the PERCEPTUAL path (banded buckets → capped candidates → Hamming
+    * confirm → recursive closure → keeper) — nested as derived tables
+    * with their own WITH RECURSIVE so the shared CTE names (pairs,
+    * edges, reach) cannot collide, then unioned. */
+  private def mediaAdmissionOracleSql: String = {
+    def ind(s: String) = s.replace("\n", "\n  ")
+    val closure =
+      """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+    val imageSql = ahashOracleSql(
+      s"""$ahashPairsCte,
+         |$closure,
+         |plab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM ah a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id),
+         |rgbx AS (SELECT i.id, i.w, i.h, ys.y * i.w + xs.x AS idx,
+         |    (i.id + 7*xs.x + 13*ys.y) % 256 AS r,
+         |    (2*i.id + 3*xs.x + 5*ys.y) % 256 AS g,
+         |    (5*i.id + 11*xs.x + 17*ys.y) % 256 AS b
+         |  FROM imgs i, generate_series(0, 7) AS xs(x), generate_series(0, 5) AS ys(y)
+         |  WHERE xs.x < i.w AND ys.y < i.h),
+         |efp AS (SELECT id, md5(w::VARCHAR || ':' || h::VARCHAR || ':' ||
+         |    string_agg(r::VARCHAR || ',' || g::VARCHAR || ',' || b::VARCHAR,
+         |      ':' ORDER BY idx)) AS fp
+         |  FROM rgbx GROUP BY id, w, h),
+         |ek AS (SELECT id, id = min(id) OVER (PARTITION BY fp) AS keep_exact
+         |  FROM efp)
+         |SELECT 'image' AS modality, ek.id, ek.keep_exact,
+         |  p.cluster = p.id AS keep_perceptual,
+         |  ek.keep_exact AND p.cluster = p.id AS admit
+         |FROM ek JOIN plab p ON ek.id = p.id""".stripMargin,
+      extraCte = true, recursive = true)
+    val audioSql =
+      s"""WITH RECURSIVE $audioPairsCte,
+         |$closure,
+         |plab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM af a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id),
+         |sv AS (SELECT c.id, c.ch, f.f * c.ch + cc.c AS idx,
+         |    ((31*c.id + 17*f.f + 29*cc.c) % 65536) - 32768 AS v
+         |  FROM clips c, generate_series(0, 64) AS f(f), generate_series(0, 1) AS cc(c)
+         |  WHERE f.f < c.nf AND cc.c < c.ch),
+         |efp AS (SELECT id, md5(ch::VARCHAR || ':' ||
+         |    string_agg(v::VARCHAR, ':' ORDER BY idx)) AS fp
+         |  FROM sv GROUP BY id, ch),
+         |ek AS (SELECT id, id = min(id) OVER (PARTITION BY fp) AS keep_exact
+         |  FROM efp)
+         |SELECT 'audio' AS modality, ek.id, ek.keep_exact,
+         |  p.cluster = p.id AS keep_perceptual,
+         |  ek.keep_exact AND p.cluster = p.id AS admit
+         |FROM ek JOIN plab p ON ek.id = p.id""".stripMargin
+    val videoSql =
+      s"""WITH RECURSIVE $videoFpCte,
+         |$videoPerceptualCte,
+         |$videoPerceptualPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+         |  UNION SELECT id_b, id_a FROM vpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |plab AS (SELECT v.id, least(v.id, coalesce(min(r.dst), v.id)) AS cluster
+         |  FROM vsig v LEFT JOIN reach r ON v.id = r.src GROUP BY v.id),
+         |ek AS (SELECT id, id = min(id) OVER (PARTITION BY fp) AS keep_exact
+         |  FROM vfp)
+         |SELECT 'video' AS modality, ek.id, ek.keep_exact,
+         |  p.cluster = p.id AS keep_perceptual,
+         |  ek.keep_exact AND p.cluster = p.id AS admit
+         |FROM ek JOIN plab p ON ek.id = p.id""".stripMargin
+    s"""WITH im AS (SELECT * FROM (
+       |  ${ind(imageSql)})),
+       |au AS (SELECT * FROM (
+       |  ${ind(audioSql)})),
+       |vi AS (SELECT * FROM (
+       |  ${ind(videoSql)}))
+       |SELECT modality, id, keep_exact, keep_perceptual, admit FROM im
+       |UNION ALL SELECT modality, id, keep_exact, keep_perceptual, admit FROM au
+       |UNION ALL SELECT modality, id, keep_exact, keep_perceptual, admit FROM vi""".stripMargin
+  }
 
   /** Shared aHash CTE chain (mirrors `Multimodal.imageAHash` over the
     * closed-form BMP fixture pixels) + a caller-supplied tail query.

@@ -128,6 +128,46 @@ object Multimodal {
       })
   }
 
+  final case class PixelFingerprint(id: Long, width: Long, height: Long,
+                                    fp: String)
+
+  /** EXACT decoded-pixel fingerprint — the image modality's
+    * container-invariant content identity, the still-image analog of
+    * [[videoFingerprint]]: md5 over `"w:h:"` + the `r,g,b` triples in
+    * raster order (codec sniffed via magic bytes, so a BMP and a PNG
+    * of the same raster fingerprint identically — a "re-mux" in image
+    * terms). Where [[imageAHash]] answers "looks the same", this
+    * answers "IS the same pixels": equality groups are exact-duplicate
+    * cliques needing no pair graph or closure — `groupBy(fp)` with a
+    * min-id keeper is the whole dedup (the media admission book's
+    * exact stage). One shuffle on the 16-byte key at any scale. */
+  def imagePixelFingerprint(df: DataFrame, idCol: String,
+                            binCol: String): Dataset[PixelFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodeImagePayload(bytes)
+          val sb = new java.lang.StringBuilder
+          sb.append(w).append(':').append(h).append(':')
+          var i = 0
+          while (i < px.length) {
+            if (i > 0) sb.append(':')
+            val p = px(i)
+            sb.append((p >> 16) & 0xff).append(',')
+              .append((p >> 8) & 0xff).append(',').append(p & 0xff)
+            i += 1
+          }
+          md.reset()
+          val d = md.digest(sb.toString.getBytes("UTF-8"))
+          PixelFingerprint(id, w, h, d.map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
   /** The ONE aHash bit computation (bit `i` set iff pixel i's gray sum
     * strictly exceeds the raster mean, pure integer `gray·n > Σgray`)
     * shared by the still-image path ([[imageAHash]]) and the video
@@ -976,6 +1016,48 @@ object Multimodal {
       })
   }
 
+  final case class SampleFingerprint(id: Long, channels: Long,
+                                     n_samples: Long, fp: String)
+
+  /** EXACT decoded-sample fingerprint — the audio modality's content
+    * identity, the audio analog of [[imagePixelFingerprint]]: md5 over
+    * `"channels:"` + the interleaved PCM sample values in decode
+    * order. Deliberately EXCLUDES the sample-rate header (the audio
+    * "container" fact): a stream re-tagged with a different rate is a
+    * re-mux of the same samples, exactly as [[videoFingerprint]]
+    * ignores MP4 timing boxes. Equality groups are exact-duplicate
+    * cliques — `groupBy(fp)` + min-id keeper, no pair graph (the media
+    * admission book's exact stage). Note the synthetic WAV fixtures
+    * have no cross-id exact duplicates below id 65536 (the sample
+    * formula's period), so at gate scale this stage admits everything
+    * and the perceptual stage does the work — the spec proves the
+    * stage fires on byte-identical clips. */
+  def audioSampleFingerprint(df: DataFrame, idCol: String,
+                             binCol: String): Dataset[SampleFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val clip = Wav.decode(bytes)
+          val sb = new java.lang.StringBuilder
+          sb.append(clip.channels).append(':')
+          var i = 0
+          while (i < clip.samples.length) {
+            if (i > 0) sb.append(':')
+            sb.append(clip.samples(i).toInt)
+            i += 1
+          }
+          md.reset()
+          val d = md.digest(sb.toString.getBytes("UTF-8"))
+          SampleFingerprint(id, clip.channels.toLong,
+            clip.samples.length.toLong, d.map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
   /** Near-duplicate audio pairs from [[audioFingerprint]] signatures —
     * the audio modality through the SAME [[bandedHammingPairs]]
     * machinery as [[imageAHashPairs]] (previously only asserted; this
@@ -1058,6 +1140,30 @@ object Multimodal {
     Dedup.releaseLocalCheckpoint(p)
     out
   }
+
+  /** Per-asset admission verdict for ONE modality — the media
+    * admission book's row shape (VERDICT r10 #3): exact survivorship
+    * (min-id keeper per exact-fingerprint group — equality cliques
+    * need no pair graph or closure, one shuffle on the 16-byte key) ∧
+    * perceptual survivorship (the closure keeper from
+    * [[mediaNearDupClusters]] over the modality's banded-Hamming pair
+    * graph). `admit` is the conjunction: an asset enters the training
+    * mix only if it is BOTH the canonical copy of its byte/pixel/
+    * sample-identical clique AND the keeper of its perceptual
+    * near-dup cluster. `exactFps` must carry `(id, fpCol)`;
+    * `perceptual` must carry `(id, keep)` (the clusters shape). */
+  def mediaAdmissionVerdicts(exactFps: DataFrame, fpCol: String,
+                             perceptual: DataFrame,
+                             modality: String): DataFrame =
+    exactFps.select(col("id"),
+        (col("id") === min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(fpCol))))
+          .as("keep_exact"))
+      .join(perceptual.select(col("id"), col("keep").as("keep_perceptual")),
+        "id")
+      .select(lit(modality).as("modality"), col("id"), col("keep_exact"),
+        col("keep_perceptual"),
+        (col("keep_exact") && col("keep_perceptual")).as("admit"))
 
   /** One sampled frame of a media payload. */
   final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)

@@ -62,7 +62,8 @@ object StreamingIngest {
     * prune target set. Kept next to the call sites so a new purpose
     * cannot silently escape GC. */
   private[graft] val WorkDirPurposes =
-    Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup")
+    Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
+      "stream_span_index")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -585,6 +586,65 @@ object StreamingIngest {
       .join(index, Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
     runToMemory(hits, "graft_spanscr_", "append")
+  }
+
+  /** STREAMING MAINTENANCE of the span-gram index (VERDICT r10 #5):
+    * where [[spanScreenStream]] only READS the standing `(g, df)`
+    * artifact, this stream also WRITES it — each micro-batch screens
+    * its documents against the standing corpus gram set (any gram hit
+    * → rejected, the `dedup_span_index_lifecycle` admission rule) and
+    * the ADMITTED documents' gram counts merge into the index store
+    * from `foreachBatch` — the span analog of [[windowCountsToJdbc]]'s
+    * MERGE sink, in the log-structured form a parquet store supports:
+    * one `(g, df)` increment directory per micro-batch, compacted by
+    * the additive groupBy on read (exactly
+    * [[graft.ops.Curation.spanIndexAppend]]'s arithmetic). Exactly-once
+    * lands by the same composition as the JDBC sink: a
+    * checkpoint-replayed batch rewrites its OWN deterministic
+    * `batch_<id>` directory (mode overwrite), so replay is a no-op.
+    *
+    * Admission deliberately screens against the ORIGINAL index
+    * SNAPSHOT, not the growing one: that makes the admitted set — and
+    * therefore the maintained index — independent of micro-batch
+    * slicing (stream-appended ≡ batch rebuild over the same final doc
+    * set, the gate's equality), and it is the right concurrency
+    * posture at 100 TB, where parallel ingest streams must not race on
+    * read-your-own-writes admission. Cross-batch duplicates among
+    * ADMITTED docs are the next compaction's `spanIndexCompact` /
+    * re-screen concern, the same contract as the batch lifecycle.
+    * Returns the maintained index — `(g, df)` over corpus ∪ admitted. */
+  def spanIndexMaintainStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Curation
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 2 === 0)
+    // the standing artifact, materialized once: the screen's read side
+    // AND the base of the final merge (a lazy plan would re-derive the
+    // corpus explode per micro-batch — the streaming-media lesson)
+    val index0 = Curation.spanIndexBuild(corpus).localCheckpoint(true)
+    val work = workDir("stream_span_index", dir)
+    val q = documentsRaw(spark, dir).where(col("doc_id") % 2 === 1)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val dupDocs = Curation.stride1Grams(b, 10)
+          .join(index0.select("g"), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        val admitted = b.join(dupDocs, Seq("doc_id"), "left_anti")
+        Curation.spanIndexBuild(admitted).write.mode("overwrite")
+          .parquet(s"$work/increments/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$work/checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val incDirs = Option(new java.io.File(s"$work/increments").listFiles())
+      .toSeq.flatten.filter(_.isDirectory).sortBy(_.getName)
+    val maintained = incDirs
+      .map(f => spark.read.parquet(f.getAbsolutePath))
+      .foldLeft(index0)(_ unionByName _)
+      .groupBy("g").agg(sum(col("df")).as("df"))
+      .localCheckpoint(true)
+    graft.ops.Dedup.releaseOwnCheckpoint(index0)
+    maintained
   }
 
   /** Streaming CMS cell maintenance — the frequency-sketch twin of

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.ops._
 import graft.streaming.StreamingIngest
@@ -1908,6 +1909,43 @@ class OpsSpec extends SparkTestBase {
       Seq((7L, Multimodal.syntheticWav(7L))).toDF("id", "clip"), "id", "clip")
       .head()
     assert(one.fp == want && one.n_windows == energies.length)
+  }
+
+  test("exact media fingerprints: container-invariant, content-sensitive; admission is the conjunction") {
+    import spark.implicits._
+    import graft.ops.{Bmp, Png, Wav}
+    // IMAGE: a BMP and a PNG of the SAME raster must fingerprint
+    // identically (the image "re-mux"); one moved pixel must not
+    def px(shift: Int)(x: Int, y: Int) = ((x * 7 + y * 13 + shift) % 256, (x * 3) % 256, (y * 5) % 256)
+    val ifp = Multimodal.imagePixelFingerprint(
+      Seq((0L, Bmp.encode(5, 4, px(0))), (1L, Png.encode(5, 4, px(0))),
+        (2L, Bmp.encode(5, 4, px(1)))).toDF("id", "img"), "id", "img")
+      .collect().map(r => r.id -> r.fp).toMap
+    assert(ifp(0L) == ifp(1L), "BMP vs PNG of identical pixels must collide")
+    assert(ifp(0L) != ifp(2L), "different pixels must not collide")
+    // AUDIO: byte-identical clips collide (the exact stage FIRES — the
+    // synthetic fixture space has no sub-65536 exact dups, this pins
+    // the operator itself); a sample-rate-only retag is a re-mux and
+    // collides; one changed sample does not
+    def wav(sr: Int, bump: Int) = Wav.encode(2, sr, 16,
+      (f, c) => ((f * 31 + c * 17 + (if (f == 3 && c == 1) bump else 0)) % 1200).toShort)
+    val afp = Multimodal.audioSampleFingerprint(
+      Seq((0L, wav(8000, 0)), (1L, wav(8000, 0)), (2L, wav(16000, 0)),
+        (3L, wav(8000, 5))).toDF("id", "clip"), "id", "clip")
+      .collect().map(r => r.id -> r.fp).toMap
+    assert(afp(0L) == afp(1L), "byte-identical clips must collide")
+    assert(afp(0L) == afp(2L), "sample-rate retag (re-mux) must collide")
+    assert(afp(0L) != afp(3L), "a changed sample must not collide")
+    // ADMISSION: min-id keeper per exact group ∧ perceptual keeper
+    val exact = Seq((10L, "A"), (11L, "A"), (12L, "B")).toDF("id", "fp")
+    val perc = Seq((10L, 10L), (11L, 11L), (12L, 11L))
+      .toDF("id", "cluster").withColumn("keep", col("id") === col("cluster"))
+    val v = Multimodal.mediaAdmissionVerdicts(exact, "fp", perc, "m")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(v(10L) == ((true, true, true)))    // keeper of both
+    assert(v(11L) == ((false, true, false)))  // exact-dup of 10, dropped
+    assert(v(12L) == ((true, false, false)))  // perceptual dup, dropped
   }
 
   test("live streaming dedup (within-watermark) is bounded by the exact key sets") {
