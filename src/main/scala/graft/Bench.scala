@@ -71,9 +71,10 @@ object Bench {
     "dedup_span_incremental", "streaming_span_screen",
     "dedup_span_index_lifecycle",
     // r11: the media admission book (exact ∧ perceptual survivorship
-    // across all three binary modalities in one gated composition) and
-    // the stream-maintained span-gram index
-    "pipeline_media_admission", "streaming_span_index",
+    // across all three binary modalities in one gated composition),
+    // the stream-maintained span-gram index, and the gated LSH recall
+    // curve (ann_recall's move applied to text dedup)
+    "pipeline_media_admission", "streaming_span_index", "dedup_lsh_recall",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -561,6 +561,12 @@ object SparkEntry {
     //     (bucket-join on band keys — no cartesian; see Dedup.minhashLsh)
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T(s, d, "documents"))),
 
+    // --- gated LSH recall (round 11, the ann_recall move applied to
+    //     text dedup): how many of the exhaustive jaccard pairs the
+    //     capped band screen surfaces, per bands setting — the
+    //     "more bands → more recall" S-curve as hash-checked integers
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(T(s, d, "documents"))),
+
     // --- SimHash fingerprints + hamming-banded near-dup pairs
     "dedup_simhash" -> ((s, d) => Dedup.simhash(T(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(T(s, d, "documents"))),
@@ -1173,8 +1179,14 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(fps)
     }),
 
-    // --- and the keep/drop decision over those pairs via the shared
-    //     closure — every modality now runs pairs → clusters → keep
+    // --- and the keep/drop decision via the shared closure — every
+    //     modality runs pairs → clusters → keep. The closure consumes
+    //     STAR edges (min → member per equality bucket), not the full
+    //     in-bucket pair expansion: identical components at O(cap)
+    //     instead of O(cap²) edges per bucket (round 11 — the 10×
+    //     fixture's 18M-pair graph OOMed the sweep; the 0.57M-edge
+    //     star closure is a footnote). Oracle unchanged: it replays
+    //     the all-pairs closure, which yields the same labels.
     "dedup_video_clusters" -> ((s, d) => {
       import s.implicits._
       val fps = Multimodal.videoFingerprint(
@@ -1182,7 +1194,7 @@ object SparkEntry {
           .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
       Multimodal.mediaNearDupClusters(fps.select("id"),
-        Multimodal.videoNearDupPairs(fps))
+        Multimodal.videoNearDupStarEdges(fps))
     }),
 
     // --- steady-state incremental screen for video on the EXACT
@@ -1990,6 +2002,7 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_lsh_recall" -> lshRecallOracleSql,
     "dedup_incremental" -> incrementalOracleSql,
     "dedup_index_lifecycle" -> indexLifecycleOracleSql,
     "streaming_incremental_dedup" -> incrementalOracleSql,
@@ -3319,13 +3332,19 @@ object SparkEntry {
   /** Shared minhash CTE prefix (shingles → FNV pair → 12 signatures →
     * 4 band keys) used by the all-pairs LSH oracle and the incremental
     * batch-vs-corpus oracle. */
-  private def minhashCtePrefix: String = {
+  private def minhashCtePrefix: String = minhashCtePrefixFor(12, 4)
+
+  /** [[minhashCtePrefix]] parametrized in (numHashes, bands) — rows =
+    * numHashes/bands; the recall gate sweeps `bands` while every other
+    * minhash oracle keeps the 12/4 default. */
+  private def minhashCtePrefixFor(numHashes: Int, bands: Int): String = {
     val p = graft.ops.Dedup.MinhashP
-    val sigs = (0 until 12)
+    val r = numHashes / bands
+    val sigs = (0 until numHashes)
       .map(j => s"    min((h1 + $j * h2) % $p) AS g$j")
       .mkString(",\n")
-    val bandKeys = (0 until 4).map { b =>
-      val gs = (0 until 3).map(i => s"g${b * 3 + i}::VARCHAR").mkString(" || '|' || ")
+    val bandKeys = (0 until bands).map { b =>
+      val gs = (0 until r).map(i => s"g${b * r + i}::VARCHAR").mkString(" || '|' || ")
       s"md5($gs || '|$b')"
     }.mkString(",\n    ")
     s"""sh0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3760,6 +3779,36 @@ object SparkEntry {
        |      PARTITION BY doc_a ORDER BY common DESC, doc_b) AS rnk
        |    FROM j WHERE jaccard >= 0.5)
        |WHERE rnk <= 64""".stripMargin
+
+  /** LSH-recall oracle (mirrors `Dedup.lshRecall`): the exhaustive
+    * jaccard truth set once, then for each bands setting the full
+    * signature → capped-bucket → candidate chain in its own nested
+    * WITH (names collide across settings otherwise), semi-joined for
+    * the integer hit counts. */
+  private def lshRecallOracleSql: String = {
+    def ind(s: String) = s.replace("\n", "\n  ")
+    def candSql(b: Int): String =
+      s"""WITH ${minhashCtePrefixFor(12, b)},
+         |buckets AS (SELECT bk, list_sort(list(DISTINCT doc_id))[1:256] AS ids
+         |  FROM bands GROUP BY bk HAVING count(DISTINCT doc_id) > 1)
+         |SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
+         |FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+         |WHERE x.a < y.b""".stripMargin
+    val bandsRows = Seq(2, 3, 4, 6).map { b =>
+      s"""r$b AS (SELECT $b AS bands, count(*) AS hits FROM truth
+         |  SEMI JOIN (
+         |  ${ind(ind(candSql(b)))}) USING (doc_a, doc_b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (
+       |  ${ind(ngramJaccardOracleSql)})),
+       |tot AS (SELECT count(*) AS n_truth FROM truth),
+       |$bandsRows
+       |SELECT 'minhash_lsh' AS method, CAST(bands AS BIGINT) AS bands,
+       |  CAST(n_truth AS BIGINT) AS n_truth, CAST(hits AS BIGINT) AS hits
+       |FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r3
+       |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r6)
+       |CROSS JOIN tot""".stripMargin
+  }
 
   private def ngramContainmentOracleSql: String =
     s"""WITH $shingleCte,

@@ -164,6 +164,48 @@ object Dedup {
     * partial min-agg, one shuffle on doc_id → band explode → shuffle
     * equi-join on band key. No cartesian anywhere.
     */
+  /** Gated recall of the banded-minhash SCREEN against the exhaustive
+    * exact-Jaccard pair set — the text-dedup sibling of
+    * `Similarity.annRecall` (round 11): "more bands → more recall" as
+    * an INTEGER the driver hash-checks every round, instead of the
+    * S-curve argument in a comment. For each `bands` setting (rows =
+    * numHashes/bands shrink as bands grow, so the per-band match
+    * probability `s^rows` rises), how many of the exhaustive op's
+    * threshold-passing pairs ([[graft.ops.Curation.ngramJaccardPairs]]
+    * — the df-capped precision tool, the same truth set
+    * `dedup_jaccard_screened` confirms against) the capped band
+    * buckets surface as candidates. One row per setting:
+    * `(method, bands, n_truth, hits)` — all integers, portable by
+    * construction; the oracle recomputes both sides from scratch.
+    *
+    * Scale shape: the truth side is the exhaustive op (its own
+    * refusal-bounded cost); each screen is the linear-ish signature
+    * pipeline + capped bucket expansion; the hit join is
+    * pair-set-sized. A production recall estimate runs this on a
+    * SAMPLE — the operator shape is identical. */
+  def lshRecall(docs: DataFrame, bandsList: Seq[Int] = Seq(2, 3, 4, 6),
+                numHashes: Int = 12, shingleLen: Int = 3,
+                bucketCap: Int = 256): DataFrame = {
+    val truth = graft.ops.Curation.ngramJaccardPairs(docs)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val perBand = bandsList.map { b =>
+      truth.join(
+          lshCandidatePairs(docs, numHashes, b, shingleLen, bucketCap,
+            s"lsh_recall_b${b}_buckets"),
+          Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(b.toLong).as("bands"), col("hits"))
+    }.reduce(_ unionByName _)
+    // 1-row totals frame fanned into the per-band rows — the scalar
+    // crossJoin pattern (TextAnalysis/Sketch), not a data cartesian
+    val out = perBand.crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(lit("minhash_lsh").as("method"), col("bands"),
+        col("n_truth"), col("hits"))
+      .localCheckpoint(true) // few rows; lets the truth blocks release
+    releaseOwnCheckpoint(truth)
+    out
+  }
+
   def minhashLsh(docs: DataFrame, numHashes: Int = 12, bands: Int = 4,
                  shingleLen: Int = 3, threshold: Double = 0.5,
                  bucketCap: Int = 256): DataFrame = {

@@ -648,6 +648,32 @@ object Multimodal {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("fp"))
   }
 
+  /** Equality-clique STAR edges for the closure (round 11): each
+    * capped fp bucket contributes `(min_id, member)` instead of the
+    * full `C(|bucket|, 2)` in-bucket expansion — the transitive
+    * closure over a star equals the closure over the clique (every
+    * member reaches the bucket minimum directly), and edge volume
+    * drops from O(cap²) to O(cap) per bucket. Found by measuring: the
+    * 10× sf0.1 fixture packs 1M clips into ~9k exact-duplicate
+    * classes of ~112, whose capped all-pairs graph is 18M edges — the
+    * closure over it died building a broadcast at the sweep's 8g heap
+    * (and at 1000-executor scale would shuffle 36M adjacency rows per
+    * round for nothing); the star graph is 0.57M edges for IDENTICAL
+    * labels. The PAIRS gate keeps the full expansion — surfacing
+    * every re-mux pair IS its contract — the closure never needed it.
+    * Only valid for EQUALITY buckets (banded-Hamming pairs are not
+    * cliques; their closures keep the real pair graph). */
+  def videoNearDupStarEdges(fps: DataFrame, bucketCap: Int = 64): DataFrame =
+    Dedup.cappedBucketsFromIndex(
+        fps.select(col("id").as("doc_id"), col("fp").as("bk")),
+        bucketCap, observed = true, metricPrefix = "video_fp_star_")
+      .select(explode(expr(
+        // ids is sort_array-ascending, so element_at(ids, 1) is the
+        // bucket minimum; slice is 1-based, [2, n-1] = the rest
+        "transform(slice(ids, 2, size(ids) - 1), " +
+          "x -> struct(element_at(ids, 1) AS a, x AS b))")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+
   /** Incremental (steady-state) video screen on the EXACT container
     * fingerprint: a new batch of clips against the standing corpus,
     * through the same shared capped-bucket core as every other

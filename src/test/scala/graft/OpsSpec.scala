@@ -1911,6 +1911,45 @@ class OpsSpec extends SparkTestBase {
     assert(one.fp == want && one.n_windows == energies.length)
   }
 
+  test("star-edge closure equals all-pairs closure on exact video cliques") {
+    import spark.implicits._
+    // 50 exact-duplicate classes of 4 (sf0.001 has no natural period-
+    // 8960 collisions): the star graph (min → member, 150 edges) must
+    // label identically to the full in-bucket expansion (300 edges)
+    val fps = Multimodal.videoFingerprint(
+      spark.range(200).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id % 50))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val viaPairs = Multimodal.mediaNearDupClusters(fps.select("id"),
+        Multimodal.videoNearDupPairs(fps))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaStar = Multimodal.mediaNearDupClusters(fps.select("id"),
+        Multimodal.videoNearDupStarEdges(fps))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaPairs.exists(!_._3), "fixture produced no duplicates")
+    assert(viaStar == viaPairs)
+    // and the star stream really is linear in the bucket, not quadratic
+    val nStar = Multimodal.videoNearDupStarEdges(fps).count()
+    val nPairs = Multimodal.videoNearDupPairs(fps).count()
+    assert(nStar == 150L && nPairs == 300L, s"star $nStar pairs $nPairs")
+  }
+
+  test("lsh recall: hits within [0, n_truth] and non-decreasing in bands") {
+    val rows = graft.ops.Dedup.lshRecall(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, h) =>
+      assert(h >= 0 && h <= n, s"bands=$b hits $h outside [0, $n]") }
+    // candidate-set NESTING holds only where every coarse band is a
+    // union of fine bands (2→3: {0-5}⊇{0-3},{6-11}⊇{8-11}; 4→6; 2→6)
+    // — 3→4 interleaves rows and carries no such guarantee — so the
+    // monotonicity assertion follows the provable pairs
+    val h = rows.map(r => r._1 -> r._3).toMap
+    for ((c, f) <- Seq((2L, 3L), (4L, 6L), (2L, 6L)) if h.contains(c) && h.contains(f))
+      assert(h(c) <= h(f), s"recall dropped on nested refine $c→$f: ${h(c)} > ${h(f)}")
+  }
+
   test("exact media fingerprints: container-invariant, content-sensitive; admission is the conjunction") {
     import spark.implicits._
     import graft.ops.{Bmp, Png, Wav}
