@@ -896,25 +896,44 @@ object SparkEntry {
       def assets(gen: Long => Array[Byte], c: String) =
         T(s, d, "events").select(col("event_id").cast("long")).as[Long]
           .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
+      // Each modality's perceptual-signature frame fans out into TWO
+      // consumers (the pair screen and the cluster membership join);
+      // unmaterialized, each consumer re-runs the full corpus decode.
+      // localCheckpoint(true) pins the signatures — a few longs per
+      // asset — so decode runs ONCE per modality. This is the local
+      // analog of the production shape: at 100 TB the signature frame
+      // IS the persisted index artifact (the *_index_lifecycle ops),
+      // written once by the decode pass and read by every consumer.
       val imgBin = assets(Multimodal.syntheticBmp, "img")
       val imgHashes = Multimodal.imageAHash(imgBin, "id", "img").toDF()
-      val img = Multimodal.mediaAdmissionVerdicts(
-        Multimodal.imagePixelFingerprint(imgBin, "id", "img").toDF(), "fp",
-        Multimodal.mediaNearDupClusters(imgHashes.select("id"),
-          Multimodal.imageAHashPairs(imgHashes)), "image")
+        .localCheckpoint(true)
       val audBin = assets(Multimodal.syntheticWav, "clip")
       val audFps = Multimodal.audioFingerprint(audBin, "id", "clip").toDF()
-      val aud = Multimodal.mediaAdmissionVerdicts(
-        Multimodal.audioSampleFingerprint(audBin, "id", "clip").toDF(), "fp",
-        Multimodal.mediaNearDupClusters(audFps.select("id"),
-          Multimodal.audioFingerprintPairs(audFps)), "audio")
+        .localCheckpoint(true)
       val vidSigs = Multimodal.videoPerceptualHash(
         assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
+        .localCheckpoint(true)
+      // ONE contraction over the union of the three disjoint modality
+      // pair graphs (rounds = max over modalities, not the sum) —
+      // measured 52 s -> see BENCH_NOTES; results are exactly the
+      // per-modality closures (spec-pinned), so the oracle's
+      // per-modality recursive CTEs replay unchanged.
+      val perceptual = Multimodal.mediaNearDupClustersMulti(Seq(
+        ("image", imgHashes.select("id"), Multimodal.imageAHashPairs(imgHashes)),
+        ("audio", audFps.select("id"), Multimodal.audioFingerprintPairs(audFps)),
+        ("video", vidSigs.select("id"), Multimodal.videoPerceptualPairs(vidSigs))))
+        .localCheckpoint(true)
+      def perc(m: String) = perceptual.where(col("modality") === m)
+      val img = Multimodal.mediaAdmissionVerdicts(
+        Multimodal.imagePixelFingerprint(imgBin, "id", "img").toDF(), "fp",
+        perc("image"), "image")
+      val aud = Multimodal.mediaAdmissionVerdicts(
+        Multimodal.audioSampleFingerprint(audBin, "id", "clip").toDF(), "fp",
+        perc("audio"), "audio")
       val vid = Multimodal.mediaAdmissionVerdicts(
         Multimodal.videoFingerprint(
           assets(Multimodal.syntheticMp4, "vid"), "id", "vid").toDF(), "fp",
-        Multimodal.mediaNearDupClusters(vidSigs.select("id"),
-          Multimodal.videoPerceptualPairs(vidSigs)), "video")
+        perc("video"), "video")
       img.unionByName(aud).unionByName(vid)
     }),
 

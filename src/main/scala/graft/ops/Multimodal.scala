@@ -1167,6 +1167,56 @@ object Multimodal {
     out
   }
 
+  /** ONE transitive closure over SEVERAL modalities' pair graphs — the
+    * admission book's composition shape. The per-modality graphs are
+    * disjoint by construction (an image never pairs with an audio
+    * clip), so running [[mediaNearDupClusters]] once per modality pays
+    * the iterative contraction's fixed per-round cost (3 actions ×
+    * O(log² n) phases — measured ~37 s of the sf0.1 book's ~52 s,
+    * dominated by per-round job overhead, not data) THREE times over.
+    * This variant makes the union id space collision-free by encoding
+    * `id·k + code` (k = number of modalities, code = position in
+    * `parts`; ANSI arithmetic makes a never-expected Long overflow
+    * loud), contracts the UNION graph once — rounds become the MAX
+    * over modalities instead of the sum, per-round shuffle volume is
+    * the sum of the (tiny) subgraphs — and decodes back.
+    * Component minima stay within one modality (disjointness), so the
+    * decoded (id, cluster, keep) rows are exactly the per-modality
+    * results — spec-pinned, and the book's oracle replays the
+    * per-modality recursion unchanged. At 100 TB the same argument
+    * holds: one iterative job over all modalities' near-dup subgraphs
+    * instead of one scheduler round-trip storm per modality.
+    *
+    * `parts`: (modality label, ids(id), pairs(id_a, id_b, …)) per
+    * modality; any Long ids (the pmod decode is sign-safe). Returns
+    * (modality, id, cluster, keep). */
+  def mediaNearDupClustersMulti(parts: Seq[(String, DataFrame, DataFrame)],
+                                maxIters: Int = 25): DataFrame = {
+    require(parts.nonEmpty, "mediaNearDupClustersMulti needs >= 1 modality")
+    val k = parts.size.toLong
+    def enc(c: Column, code: Int): Column =
+      c.cast("long") * lit(k) + lit(code.toLong)
+    val encIds = parts.zipWithIndex.map { case ((m, ids, _), code) =>
+      ids.select(lit(m).as("modality"), enc(col("id"), code).as("id"))
+    }.reduce(_ unionByName _)
+    val encPairs = parts.zipWithIndex.map { case ((_, _, pairs), code) =>
+      pairs.select(enc(col("id_a"), code).as("id_a"),
+        enc(col("id_b"), code).as("id_b"))
+    }.reduce(_ unionByName _)
+    val clustered = mediaNearDupClusters(encIds.select("id"), encPairs, maxIters)
+    // Sign-safe decode: pmod(id·k + code, k) == code for ANY Long id
+    // (pmod is non-negative by definition), and (enc − code) is an
+    // exact multiple of k, which `div` divides exactly regardless of
+    // sign — a bare `enc div k` would mis-decode negative ids
+    // (truncating division). The component-min cluster label carries
+    // the same modality code (min over one modality's ids, and
+    // id ↦ id·k+code is order-preserving), so it decodes identically.
+    def dec(c: String): Column = expr(s"($c - pmod($c, $k)) div $k")
+    encIds.join(clustered, "id")
+      .select(col("modality"), dec("id").as("id"),
+        dec("cluster").as("cluster"), col("keep"))
+  }
+
   /** Per-asset admission verdict for ONE modality — the media
     * admission book's row shape (VERDICT r10 #3): exact survivorship
     * (min-id keeper per exact-fingerprint group — equality cliques

@@ -191,6 +191,41 @@ class OpsSpec extends SparkTestBase {
     assert(keepPerCluster.forall(_ == 1), "one representative per cluster")
   }
 
+  test("media clusters multi: union contraction == per-modality closures") {
+    import spark.implicits._
+    // overlapping RAW id spaces across modalities (the encoding must
+    // isolate them), mixed topologies: a chain, a clique + singleton,
+    // an edgeless modality, and NEGATIVE ids spanning zero (the pmod
+    // decode must be sign-safe; truncating div would mis-decode)
+    val partsIn = Seq(
+      ("image", (1L to 6L), Seq((1L, 2L), (2L, 3L), (3L, 4L))),
+      ("audio", (1L to 5L), Seq((1L, 2L), (2L, 3L), (1L, 3L))),
+      ("video", (2L to 4L), Seq.empty[(Long, Long)]),
+      ("neg", (-3L to 1L), Seq((-3L, -1L), (-1L, 1L))))
+    val parts = partsIn.map { case (m, ids, ps) =>
+      (m, ids.toDF("id"), ps.toDF("id_a", "id_b")) }
+    val multi = Multimodal.mediaNearDupClustersMulti(parts)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val single = parts.flatMap { case (m, ids, ps) =>
+      Multimodal.mediaNearDupClusters(ids, ps).collect()
+        .map(r => (m, r.getLong(0)) -> (r.getLong(1), r.getBoolean(2)))
+    }.toMap
+    assert(multi == single,
+      s"union closure diverged from per-modality closures:\n" +
+        s"multi=$multi\nsingle=$single")
+    assert(multi.size == partsIn.map(_._2.size).sum, "one row per (modality, id)")
+    // modality isolation despite shared raw ids: image 2 is in the
+    // chain's cluster 1, video 2 is a singleton
+    assert(multi(("image", 2L)) == ((1L, false)))
+    assert(multi(("video", 2L)) == ((2L, true)))
+    // negative ids decode exactly: the {-3,-1,1} chain clusters at -3
+    // and 0 stays a singleton labelled by itself
+    assert(multi(("neg", 1L)) == ((-3L, false)))
+    assert(multi(("neg", 0L)) == ((0L, true)))
+  }
+
   test("video fingerprint: re-mux invariant, payload sensitive; pairs surface re-muxes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
