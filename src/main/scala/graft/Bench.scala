@@ -75,6 +75,10 @@ object Bench {
     // the stream-maintained span-gram index, and the gated LSH recall
     // curve (ann_recall's move applied to text dedup)
     "pipeline_media_admission", "streaming_span_index", "dedup_lsh_recall",
+    // r12: the quarantine-threaded poisoned book, the composed
+    // text ∧ media admission book, and the index-fed media book
+    "multimodal_quarantine", "pipeline_multimodal_admission",
+    "pipeline_media_admission_from_index",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -565,7 +565,8 @@ object SparkEntry {
     //     text dedup): how many of the exhaustive jaccard pairs the
     //     capped band screen surfaces, per bands setting — the
     //     "more bands → more recall" S-curve as hash-checked integers
-    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(T(s, d, "documents"))),
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(T(s, d, "documents"),
+      thresholdsPct = Seq(30, 50, 70))),
 
     // --- SimHash fingerprints + hamming-banded near-dup pairs
     "dedup_simhash" -> ((s, d) => Dedup.simhash(T(s, d, "documents"))),
@@ -859,25 +860,7 @@ object SparkEntry {
     //     themselves (the eval set) are never admitted. Composition of
     //     the r10 span machinery into the admission path, one gated
     //     query, nested-CTE oracle replaying every stage
-    "pipeline_pretrain_surgical" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val cp = Curation.curationPipeline(docs)
-        .where(col("keep") === 1).select("doc_id")
-      val kb = Curation.keepBestInClusters(docs)
-        .where(col("keep")).select("doc_id")
-      val band = Curation.logprobTrim(docs).select("doc_id")
-      val admitted = docs.join(cp, "doc_id").join(kb, "doc_id")
-        .join(band, "doc_id")
-        .where(col("doc_id") >= 20)
-      val deconIn = docs.where(col("doc_id") < 20)
-        .unionByName(admitted.select(docs.columns.map(col): _*))
-      val red = Curation.decontaminateSpans(deconIn)
-      val forBudget = red.select(col("doc_id"), col("clean_text").as("text"))
-        .join(admitted.select("doc_id", "source"), "doc_id")
-      graft.ops.Sampling.tokenBudgetSample(forBudget,
-          budgetTokens = 15000L, seed = "mix1")
-        .join(red.select("doc_id", "n_kept_words", "n_removed_words"), "doc_id")
-    }),
+    "pipeline_pretrain_surgical" -> ((s, d) => surgicalPretrainBook(s, d)),
 
     // --- the MEDIA admission book (VERDICT r10 #3): the media sibling
     //     of the pretrain books — per-asset keep/drop across ALL THREE
@@ -891,50 +874,112 @@ object SparkEntry {
     //     stage — fixture decode formulas, fingerprints, bands,
     //     capped buckets, Hamming confirms, recursive closures, and
     //     the min-id keeps — per modality in nested CTE chains.
-    "pipeline_media_admission" -> ((s, d) => {
+    "pipeline_media_admission" -> ((s, d) => mediaAdmissionBook(s, d)),
+
+    // --- the media book FROM THE PERSISTED INDEX (VERDICT r11 #5):
+    //     identical verdicts composed from the parquet signature
+    //     artifacts (built once per JVM by mediaSignatureIndex — the
+    //     *_index_lifecycle artifact made real) instead of re-decoding
+    //     the media bytes; same oracle as pipeline_media_admission, so
+    //     the hash gate IS the book-from-index ≡ book-from-decode proof.
+    "pipeline_media_admission_from_index" ->
+      ((s, d) => mediaAdmissionBookFromIndex(s, d)),
+
+    // --- the media admission book with the QUARANTINE tier (VERDICT
+    //     r11 #1): the same corpus PLUS a deliberately corrupt asset
+    //     per modality for every 5th event (truncated stream, CRC-valid
+    //     zip-bomb header, flipped checksum, wrong magic, corrupt
+    //     keyframe payload inside a valid container) at id 10⁷+event_id.
+    //     Each corrupt asset routes to a per-asset quarantine verdict
+    //     (admit=false, reason=decode:<kind>) instead of killing its
+    //     task; good assets' verdicts stay byte-identical to
+    //     pipeline_media_admission's (quarantined assets seed no
+    //     fingerprint group and no pair bucket). The video kind-2 poison
+    //     corrupts only the PERCEPTUAL corpus (container parses, exact
+    //     fingerprint computes) — proving the either-tier-fails →
+    //     quarantine rule, not just whole-asset rot.
+    "multimodal_quarantine" -> ((s, d) => {
       import s.implicits._
+      val QBase = 10000000L
       def assets(gen: Long => Array[Byte], c: String) =
         T(s, d, "events").select(col("event_id").cast("long")).as[Long]
           .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
-      // Each modality's perceptual-signature frame fans out into TWO
-      // consumers (the pair screen and the cluster membership join);
-      // unmaterialized, each consumer re-runs the full corpus decode.
-      // localCheckpoint(true) pins the signatures — a few longs per
-      // asset — so decode runs ONCE per modality. This is the local
-      // analog of the production shape: at 100 TB the signature frame
-      // IS the persisted index artifact (the *_index_lifecycle ops),
-      // written once by the decode pass and read by every consumer.
-      val imgBin = assets(Multimodal.syntheticBmp, "img")
-      val imgHashes = Multimodal.imageAHash(imgBin, "id", "img").toDF()
-        .localCheckpoint(true)
-      val audBin = assets(Multimodal.syntheticWav, "clip")
-      val audFps = Multimodal.audioFingerprint(audBin, "id", "clip").toDF()
-        .localCheckpoint(true)
-      val vidSigs = Multimodal.videoPerceptualHash(
-        assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
-        .localCheckpoint(true)
-      // ONE contraction over the union of the three disjoint modality
-      // pair graphs (rounds = max over modalities, not the sum) —
-      // measured 52 s -> see BENCH_NOTES; results are exactly the
-      // per-modality closures (spec-pinned), so the oracle's
-      // per-modality recursive CTEs replay unchanged.
-      val perceptual = Multimodal.mediaNearDupClustersMulti(Seq(
-        ("image", imgHashes.select("id"), Multimodal.imageAHashPairs(imgHashes)),
-        ("audio", audFps.select("id"), Multimodal.audioFingerprintPairs(audFps)),
-        ("video", vidSigs.select("id"), Multimodal.videoPerceptualPairs(vidSigs))))
-        .localCheckpoint(true)
-      def perc(m: String) = perceptual.where(col("modality") === m)
-      val img = Multimodal.mediaAdmissionVerdicts(
-        Multimodal.imagePixelFingerprint(imgBin, "id", "img").toDF(), "fp",
-        perc("image"), "image")
-      val aud = Multimodal.mediaAdmissionVerdicts(
-        Multimodal.audioSampleFingerprint(audBin, "id", "clip").toDF(), "fp",
-        perc("audio"), "audio")
-      val vid = Multimodal.mediaAdmissionVerdicts(
-        Multimodal.videoFingerprint(
-          assets(Multimodal.syntheticMp4, "vid"), "id", "vid").toDF(), "fp",
-        perc("video"), "video")
-      img.unionByName(aud).unionByName(vid)
+      def poisoned(gen: (Long, Int) => Array[Byte], c: String, k: Int) =
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .filter((e: Long) => e % 5 == 0)
+          .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
+          .toDF("id", c)
+      import graft.ops.Multimodal._
+      val imgBin = assets(syntheticBmp, "img").unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticBmp(QBase + e))
+          case 1 => poisonPngBomb()
+          case _ => poisonPngBadCrc(QBase + e)
+        }, "img", 3))
+      val audBin = assets(syntheticWav, "clip").unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticWav(QBase + e))
+          case _ => poisonWavBadMagic(QBase + e)
+        }, "clip", 2))
+      val vidPBin = assets(syntheticVideoMp4, "vid").unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticVideoMp4(QBase + e), 16)
+          case 1 => poisonMp4Bomb(syntheticVideoMp4(QBase + e))
+          case _ => poisonMp4Keyframe(syntheticVideoMp4(QBase + e))
+        }, "vid", 3))
+      val vidEBin = assets(syntheticMp4, "vid").unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticMp4(QBase + e), 16)
+          case 1 => poisonMp4Bomb(syntheticMp4(QBase + e))
+          case _ => syntheticMp4(QBase + e) // exact tier stays good
+        }, "vid", 3))
+      mediaAdmissionBookSafe(imgBin, audBin, vidPBin, vidEBin)
+    }),
+
+    // --- the FULL multimodal pretraining book (VERDICT r11 #3): the
+    //     text book and the media book COMPOSE. Real interleaved
+    //     pretraining data admits a document iff its text survives the
+    //     surgical pipeline AND every asset it references survives the
+    //     media book. The doc→asset reference fixture is closed-form
+    //     (doc d references 1 + d%3 assets, asset_id =
+    //     (31·d + 17·i) mod |events|, modality cycling image/audio/
+    //     video), so the oracle replays the whole composition — both
+    //     books' nested CTE chains plus the reference arithmetic — in
+    //     one query. Shape: the reference table is a generated column
+    //     explode (no new source), dropped assets anti-join against it
+    //     (pair-stream-sized), verdict is one row per document.
+    "pipeline_multimodal_admission" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val textAdm = surgicalPretrainBook(s, d).select("doc_id").distinct()
+        .withColumn("text_admit", lit(true))
+      // the media verdicts come from the persisted signature index —
+      // the composition gate never re-decodes what the media book's
+      // decode pass (or this JVM's first media gate) already extracted
+      val media = mediaAdmissionBookFromIndex(s, d)
+      val nev = T(s, d, "events")
+        .agg((max(col("event_id").cast("long")) + 1L).as("nev"))
+      val refs = docs.select(col("doc_id").cast("long").as("doc_id"))
+        .crossJoin(nev) // 1-row scalar fan-in, not a data cartesian
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("doc_id") % 3L)).as("i"), col("nev"))
+        .select(col("doc_id"), col("i"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("i") % 3L).cast("int") + 1).as("modality"),
+          ((col("doc_id") * 31L + col("i") * 17L) % col("nev")).as("asset_id"))
+      val dropped = media.where(!col("admit"))
+        .select(col("modality"), col("id").as("asset_id"))
+      val bad = refs.join(dropped, Seq("modality", "asset_id"), "left_semi")
+        .select("doc_id").distinct().withColumn("has_dropped_asset", lit(true))
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(refs.groupBy("doc_id").agg(count(lit(1)).as("n_refs")), "doc_id")
+        .join(textAdm, Seq("doc_id"), "left")
+        .join(bad, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("text_admit"), lit(false)).as("text_admit"),
+          col("n_refs"),
+          coalesce(col("has_dropped_asset"), lit(false)).as("has_dropped_asset"),
+          (coalesce(col("text_admit"), lit(false)) &&
+            !coalesce(col("has_dropped_asset"), lit(false))).as("admit"))
     }),
 
     // --- paragraph-level (chunk) dedup: per-document fraction of
@@ -1874,6 +1919,150 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_acctbal")
     })
   )
+
+  /** The surgical-decontamination pretrain book (round 10) — factored
+    * so [[queries]]' `pipeline_pretrain_surgical` and the multimodal
+    * composition gate share one definition. */
+  private def surgicalPretrainBook(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val cp = Curation.curationPipeline(docs)
+      .where(col("keep") === 1).select("doc_id")
+    val kb = Curation.keepBestInClusters(docs)
+      .where(col("keep")).select("doc_id")
+    val band = Curation.logprobTrim(docs).select("doc_id")
+    val admitted = docs.join(cp, "doc_id").join(kb, "doc_id")
+      .join(band, "doc_id")
+      .where(col("doc_id") >= 20)
+    val deconIn = docs.where(col("doc_id") < 20)
+      .unionByName(admitted.select(docs.columns.map(col): _*))
+    val red = Curation.decontaminateSpans(deconIn)
+    val forBudget = red.select(col("doc_id"), col("clean_text").as("text"))
+      .join(admitted.select("doc_id", "source"), "doc_id")
+    graft.ops.Sampling.tokenBudgetSample(forBudget,
+        budgetTokens = 15000L, seed = "mix1")
+      .join(red.select("doc_id", "n_kept_words", "n_removed_words"), "doc_id")
+  }
+
+  /** The media admission book (round 11) — factored so
+    * `pipeline_media_admission` and the multimodal composition gate
+    * share one definition.
+    *
+    * Each modality's perceptual-signature frame fans out into TWO
+    * consumers (the pair screen and the cluster membership join);
+    * unmaterialized, each consumer re-runs the full corpus decode.
+    * localCheckpoint(true) pins the signatures — a few longs per
+    * asset — so decode runs ONCE per modality. This is the local
+    * analog of the production shape: at 100 TB the signature frame
+    * IS the persisted index artifact (the *_index_lifecycle ops),
+    * written once by the decode pass and read by every consumer.
+    * ONE contraction runs over the union of the three disjoint
+    * modality pair graphs (rounds = max over modalities, not the
+    * sum — measured 52 s → see BENCH_NOTES); results are exactly the
+    * per-modality closures (spec-pinned), so the oracle's
+    * per-modality recursive CTEs replay unchanged. The verdict frame
+    * (tiny: one row per asset) is eagerly pinned and the four
+    * signature checkpoints released — in the multi-gate bench JVM
+    * unreleased blocks squat on executor storage until RDD GC
+    * (ADVICE r11 #2; same shape as Dedup.lshRecall). */
+  private def mediaAdmissionBook(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def assets(gen: Long => Array[Byte], c: String) =
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
+    val imgBin = assets(Multimodal.syntheticBmp, "img")
+    val imgHashes = Multimodal.imageAHash(imgBin, "id", "img").toDF()
+      .localCheckpoint(true)
+    val audBin = assets(Multimodal.syntheticWav, "clip")
+    val audFps = Multimodal.audioFingerprint(audBin, "id", "clip").toDF()
+      .localCheckpoint(true)
+    val vidSigs = Multimodal.videoPerceptualHash(
+      assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
+      .localCheckpoint(true)
+    val out = composeMediaBook(imgHashes, audFps, vidSigs,
+      Multimodal.imagePixelFingerprint(imgBin, "id", "img").toDF(),
+      Multimodal.audioSampleFingerprint(audBin, "id", "clip").toDF(),
+      Multimodal.videoFingerprint(
+        assets(Multimodal.syntheticMp4, "vid"), "id", "vid").toDF())
+    Seq(imgHashes, audFps, vidSigs)
+      .foreach(graft.ops.Dedup.releaseOwnCheckpoint)
+    out
+  }
+
+  /** The media book's composition, decode-free: perceptual signature
+    * frames → ONE union-graph contraction; exact fingerprint frames →
+    * groupBy-min keepers; verdict = conjunction. Factored (round 12) so
+    * the decode-fed book and the index-fed book share one definition. */
+  private def composeMediaBook(imgHashes: DataFrame, audFps: DataFrame,
+                               vidSigs: DataFrame, imgFp: DataFrame,
+                               audFp: DataFrame, vidFp: DataFrame): DataFrame = {
+    val perceptual = Multimodal.mediaNearDupClustersMulti(Seq(
+      ("image", imgHashes.select("id"), Multimodal.imageAHashPairs(imgHashes)),
+      ("audio", audFps.select("id"), Multimodal.audioFingerprintPairs(audFps)),
+      ("video", vidSigs.select("id"), Multimodal.videoPerceptualPairs(vidSigs))))
+      .localCheckpoint(true)
+    def perc(m: String) = perceptual.where(col("modality") === m)
+    val out = Multimodal.mediaAdmissionVerdicts(imgFp, "fp", perc("image"), "image")
+      .unionByName(
+        Multimodal.mediaAdmissionVerdicts(audFp, "fp", perc("audio"), "audio"))
+      .unionByName(
+        Multimodal.mediaAdmissionVerdicts(vidFp, "fp", perc("video"), "video"))
+      .localCheckpoint(true)
+    graft.ops.Dedup.releaseOwnCheckpoint(perceptual)
+    out
+  }
+
+  /** Build-once-per-JVM PERSISTED media signature artifacts (VERDICT
+    * r11 #5): each modality's corpus is decoded exactly once per
+    * (sf dir) and its six signature frames written as parquet — the
+    * `*_index_lifecycle` artifact made real. Every media gate in the
+    * same JVM (the Verify/Bench runs execute all gates sequentially)
+    * reads the columnar artifacts instead of re-decoding; the
+    * decode-fed `pipeline_media_admission` stays as the equivalence's
+    * other side, and `pipeline_media_admission_from_index` gates
+    * book-from-index ≡ book-from-decode (same oracle, same hash). */
+  private val mediaIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mediaSignatureIndex(s: SparkSession, d: String): String =
+    mediaIndexCache.computeIfAbsent(d, dir => {
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_media_index_").toString
+      def assets(gen: Long => Array[Byte], c: String) =
+        T(s, dir, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
+      val imgBin = assets(Multimodal.syntheticBmp, "img")
+      val audBin = assets(Multimodal.syntheticWav, "clip")
+      Multimodal.imageAHash(imgBin, "id", "img").toDF()
+        .write.mode("overwrite").parquet(s"$out/img_ahash")
+      Multimodal.imagePixelFingerprint(imgBin, "id", "img").toDF()
+        .write.mode("overwrite").parquet(s"$out/img_fp")
+      Multimodal.audioFingerprint(audBin, "id", "clip").toDF()
+        .write.mode("overwrite").parquet(s"$out/aud_fp_perceptual")
+      Multimodal.audioSampleFingerprint(audBin, "id", "clip").toDF()
+        .write.mode("overwrite").parquet(s"$out/aud_fp_exact")
+      Multimodal.videoPerceptualHash(
+          assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
+        .write.mode("overwrite").parquet(s"$out/vid_phash")
+      Multimodal.videoFingerprint(
+          assets(Multimodal.syntheticMp4, "vid"), "id", "vid").toDF()
+        .write.mode("overwrite").parquet(s"$out/vid_fp")
+      out
+    })
+
+  private def mediaAdmissionBookFromIndex(s: SparkSession, d: String): DataFrame = {
+    val ix = mediaSignatureIndex(s, d)
+    // parquet artifacts are cheap to re-scan — no checkpointing needed
+    // on the multi-consumer frames; the plan reads columnar signatures,
+    // never the media bytes
+    composeMediaBook(
+      s.read.parquet(s"$ix/img_ahash"),
+      s.read.parquet(s"$ix/aud_fp_perceptual"),
+      s.read.parquet(s"$ix/vid_phash"),
+      s.read.parquet(s"$ix/img_fp"),
+      s.read.parquet(s"$ix/aud_fp_exact"),
+      s.read.parquet(s"$ix/vid_fp"))
+  }
 
   /** DuckDB-equivalent SQL per query key; aliases match the Spark side
     * exactly (the driver sorts columns by name before hashing). */
@@ -3163,7 +3352,10 @@ object SparkEntry {
     // certifying the complete cross-engine composition
     "pipeline_pretrain_full" -> pipelineFullOracleSql,
     "pipeline_pretrain_surgical" -> pipelineSurgicalOracleSql,
-    "pipeline_media_admission" -> mediaAdmissionOracleSql,
+    "pipeline_media_admission" -> mediaAdmissionOracleSql(),
+    "pipeline_media_admission_from_index" -> mediaAdmissionOracleSql(),
+    "multimodal_quarantine" -> mediaAdmissionOracleSql(withQuarantine = true),
+    "pipeline_multimodal_admission" -> multimodalAdmissionOracleSql,
     // histogram of the closure's cluster sizes (corpus-health report)
     "dedup_cluster_stats" ->
       s"""WITH c AS (${clustersOracleSql.replace("\n", "\n  ")})
@@ -3610,10 +3802,14 @@ object SparkEntry {
     * window instead). */
   private def ivfPqCtes(qlo: Long = 0, qhi: Long = 10, m: Int = 4,
                         subDim: Int = 16, ksub: Int = 8, nProbe: Int = 2,
-                        coarseTrained: Boolean = false): String = {
+                        coarseTrained: Boolean = false,
+                        residual: Boolean = false): String = {
+    // residual (IVFADC): codebooks/codes quantize `vec − assigned coarse
+    // centroid`; the base frame feeding every subspace becomes `res`
+    val baseSrc = if (residual) "res" else "e"
     val subspaces = (0 until m).map { j =>
       val lo = j * subDim + 1; val hi = j * subDim + subDim
-      s"""e$j AS (SELECT vec_id, list_slice(emb, $lo, $hi) AS emb FROM e),
+      s"""e$j AS (SELECT vec_id, list_slice(emb, $lo, $hi) AS emb FROM $baseSrc),
          |p${j}0 AS (SELECT vec_id AS cid, emb AS ce FROM e$j WHERE vec_id < $ksub),
          |${lloydCte(s"p${j}0", s"pa$j", s"pm$j", s"p${j}1", src = s"e$j")},
          |${lloydCte(s"p${j}1", s"pb$j", s"pn$j", s"p${j}2", src = s"e$j")}""".stripMargin
@@ -3624,6 +3820,11 @@ object SparkEntry {
     // rounds over the vec_id<8 seeds (trainCentroids nCells=8,
     // trainIters=4), vs the default untrained vec_id<16 seeds the
     // standalone ivfpq gates keep
+    // MATERIALIZED on the junction CTEs: DuckDB inlines CTEs, so the
+    // residual chain — where `res` feeds all m subspace Lloyd chains,
+    // each of which would re-inline the trained coarse chain —
+    // otherwise blows up exponentially (measured: sf0.001 went from
+    // 20+ min to seconds)
     val ccCte =
       if (coarseTrained)
         s"""cc0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 8),
@@ -3631,42 +3832,74 @@ object SparkEntry {
            |${lloydCte("cc1", "ca2", "cm2", "cc2")},
            |${lloydCte("cc2", "ca3", "cm3", "cc3")},
            |${lloydCte("cc3", "ca4", "cm4", "cc4")},
-           |cc AS (SELECT cid, ce FROM cc4)""".stripMargin
-      else "cc AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16)"
+           |cc AS MATERIALIZED (SELECT cid, ce FROM cc4)""".stripMargin
+      else "cc AS MATERIALIZED (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 16)"
+    val resCte =
+      if (residual)
+        s""",
+           |res AS MATERIALIZED (SELECT a.vec_id,
+           |    list_transform(list_zip(e.emb, cc.ce), t -> t[1] - t[2]) AS emb
+           |  FROM assign a JOIN e USING (vec_id) JOIN cc ON cc.cid = a.cell)""".stripMargin
+      else ""
+    // residual mode: the ADC table is PER PROBED CELL (the query
+    // residual depends on the cell being scanned) — keyed
+    // (qid, cell, j, code); raw mode keeps the cell-independent table
+    val dtCte =
+      if (residual)
+        s"""qres AS (SELECT p.qid, p.cell,
+           |    list_transform(list_zip(e.emb, cc.ce), t -> t[1] - t[2]) AS qr
+           |  FROM probe p JOIN e ON e.vec_id = p.qid JOIN cc ON cc.cid = p.cell),
+           |qsub AS (SELECT qid, cell, j.j AS j,
+           |    list_slice(qr, j.j*$subDim + 1, j.j*$subDim + $subDim) AS se
+           |  FROM qres, generate_series(0, ${m - 1}) AS j(j)),
+           |dt AS (SELECT s.qid, s.cell, s.j, cb.cid AS code,
+           |    ${sqSql("s.se", "cb.ce")} AS dsub
+           |  FROM qsub s JOIN cb ON s.j = cb.j),
+           |cand AS (SELECT p.qid, p.cell, a.vec_id
+           |  FROM probe p JOIN assign a USING (cell)
+           |  WHERE p.qid != a.vec_id),
+           |adc AS (SELECT c.qid, c.vec_id AS nn_id,
+           |    CAST(sum(CAST(dt.dsub AS DECIMAL(18,6))) AS DOUBLE) AS adc
+           |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
+           |    JOIN dt ON dt.qid = c.qid AND dt.cell = c.cell
+           |      AND dt.j = k.j AND dt.code = k.code
+           |  GROUP BY 1, 2)""".stripMargin
+      else
+        s"""dt AS (SELECT s.vec_id AS qid, s.j, cb.cid AS code,
+           |    ${sqSql("s.se", "cb.ce")} AS dsub
+           |  FROM sub s JOIN cb ON s.j = cb.j
+           |  WHERE s.vec_id >= $qlo AND s.vec_id < $qhi),
+           |cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (cell)
+           |  WHERE p.qid != a.vec_id),
+           |adc AS (SELECT c.qid, c.vec_id AS nn_id,
+           |    CAST(sum(CAST(dt.dsub AS DECIMAL(18,6))) AS DOUBLE) AS adc
+           |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
+           |    JOIN dt ON dt.qid = c.qid AND dt.j = k.j AND dt.code = k.code
+           |  GROUP BY 1, 2)""".stripMargin
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |           WHERE len(embedding) = ${m * subDim}),
        |$ccCte,
-       |assign AS (SELECT vec_id, cell FROM (
+       |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${sqSql("e.emb", "cc.ce")}, cc.cid) AS rn
-       |    FROM e, cc) WHERE rn = 1),
+       |    FROM e, cc) WHERE rn = 1)$resCte,
        |$subspaces,
-       |cb AS ($cbUnion),
-       |sub AS (SELECT vec_id, j.j AS j,
+       |cb AS MATERIALIZED ($cbUnion),
+       |sub AS MATERIALIZED (SELECT vec_id, j.j AS j,
        |    list_slice(emb, j.j*$subDim + 1, j.j*$subDim + $subDim) AS se
-       |  FROM e, generate_series(0, ${m - 1}) AS j(j)),
-       |codes AS (SELECT vec_id, j, code FROM (
+       |  FROM $baseSrc, generate_series(0, ${m - 1}) AS j(j)),
+       |codes AS MATERIALIZED (SELECT vec_id, j, code FROM (
        |    SELECT s.vec_id, s.j, cb.cid AS code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.j
        |        ORDER BY ${sqSql("s.se", "cb.ce")}, cb.cid) AS rn
        |    FROM sub s JOIN cb ON s.j = cb.j) WHERE rn = 1),
-       |probe AS (SELECT qid, cell FROM (
+       |probe AS MATERIALIZED (SELECT qid, cell FROM (
        |    SELECT e.vec_id AS qid, cc.cid AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${sqSql("e.emb", "cc.ce")}, cc.cid) AS rn
        |    FROM e, cc WHERE e.vec_id >= $qlo AND e.vec_id < $qhi) WHERE rn <= $nProbe),
-       |dt AS (SELECT s.vec_id AS qid, s.j, cb.cid AS code,
-       |    ${sqSql("s.se", "cb.ce")} AS dsub
-       |  FROM sub s JOIN cb ON s.j = cb.j
-       |  WHERE s.vec_id >= $qlo AND s.vec_id < $qhi),
-       |cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (cell)
-       |  WHERE p.qid != a.vec_id),
-       |adc AS (SELECT c.qid, c.vec_id AS nn_id,
-       |    CAST(sum(CAST(dt.dsub AS DECIMAL(18,6))) AS DOUBLE) AS adc
-       |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
-       |    JOIN dt ON dt.qid = c.qid AND dt.j = k.j AND dt.code = k.code
-       |  GROUP BY 1, 2)""".stripMargin
+       |$dtCte""".stripMargin
   }
 
   /** Recall-gate oracle (mirrors `Similarity.annRecall`): recomputes
@@ -3726,12 +3959,14 @@ object SparkEntry {
     // the PQ row's measured-recall configuration (Similarity.annRecall:
     // trained 8-cell coarse, m=8/subDim=8/ksub=16 codes, nProbe 4,
     // rerank 8 → screen keeps k·rerank = 24)
-    val pqRerankSql =
-      s"""WITH ${ivfPqCtes(qlo, qhi, m = 8, subDim = 8, ksub = 16,
-        nProbe = 4, coarseTrained = true)},
+    def pqRerankSqlAt(residual: Boolean): String =
+      s"""WITH ${ivfPqCtes(qlo, qhi,
+        m = if (residual) 16 else 8, subDim = if (residual) 4 else 8,
+        ksub = 16, nProbe = if (residual) 6 else 4,
+        coarseTrained = true, residual = residual)},
          |screen AS (SELECT qid, nn_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nn_id) AS rn
-         |  FROM adc) WHERE rn <= 24),
+         |  FROM adc) WHERE rn <= ${if (residual) 96 else 24}),
          |rr AS (SELECT s.qid, s.nn_id,
          |    ${sqSql("qe.emb", "ne.emb")} AS dist
          |  FROM screen s JOIN e qe ON qe.vec_id = s.qid
@@ -3739,6 +3974,7 @@ object SparkEntry {
          |SELECT qid, nn_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rn
          |  FROM rr) WHERE rn <= 3""".stripMargin
+    val pqRerankSql = pqRerankSqlAt(residual = false)
     def hitsCtes(tag: String, approxSql: String, exactSql: String,
                  method: String, nProbe: Int): String = {
       def ind(s: String) = s.replace("\n", "\n  ")
@@ -3751,13 +3987,16 @@ object SparkEntry {
     }
     val parts = Seq(1, 2, 4).map(p =>
       hitsCtes(s"p$p", ivfIdsSql(p), bruteCosSql, "ivf", p)) :+
-      hitsCtes("pr", pqRerankSql, bruteL2Sql, "ivfpq_rerank", 4)
+      hitsCtes("pr", pqRerankSql, bruteL2Sql, "ivfpq_rerank", 4) :+
+      hitsCtes("ps", pqRerankSqlAt(residual = true), bruteL2Sql,
+        "ivfpq_rerank_residual", 6)
     s"""WITH q AS (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE $qf),
        |${parts.mkString(",\n")}
        |SELECT qid, method, CAST(n_probe AS BIGINT) AS n_probe,
        |  CAST(3 AS BIGINT) AS k, CAST(hits AS BIGINT) AS hits
        |FROM (SELECT * FROM p1h UNION ALL SELECT * FROM p2h
-       |      UNION ALL SELECT * FROM p4h UNION ALL SELECT * FROM prh)""".stripMargin
+       |      UNION ALL SELECT * FROM p4h UNION ALL SELECT * FROM prh
+       |      UNION ALL SELECT * FROM psh)""".stripMargin
   }
 
   /** CDC chunk-dedup oracle: same fnv-triggered boundary rule (chunk id
@@ -3796,7 +4035,9 @@ object SparkEntry {
       |    md5(array_to_string(list_slice(w, i.i, i.i + 2), ' ')) AS sh
       |  FROM w, unnest(range(1, len(w) - 1)) AS i(i))""".stripMargin
 
-  private def ngramJaccardOracleSql: String =
+  private def ngramJaccardOracleSql: String = ngramJaccardOracleSqlAt("0.5")
+
+  private def ngramJaccardOracleSqlAt(threshold: String): String =
     s"""WITH $shingleCte,
        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
        |  WHERE c <= 256),
@@ -3813,14 +4054,14 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b, jaccard, row_number() OVER (
        |      PARTITION BY doc_a ORDER BY common DESC, doc_b) AS rnk
-       |    FROM j WHERE jaccard >= 0.5)
+       |    FROM j WHERE jaccard >= $threshold)
        |WHERE rnk <= 64""".stripMargin
 
-  /** LSH-recall oracle (mirrors `Dedup.lshRecall`): the exhaustive
-    * jaccard truth set once, then for each bands setting the full
+  /** LSH-recall oracle (mirrors `Dedup.lshRecall`): one exhaustive
+    * jaccard truth set per threshold, each bands setting's full
     * signature → capped-bucket → candidate chain in its own nested
     * WITH (names collide across settings otherwise), semi-joined for
-    * the integer hit counts. */
+    * the integer hit counts per (threshold, bands) cell. */
   private def lshRecallOracleSql: String = {
     def ind(s: String) = s.replace("\n", "\n  ")
     def candSql(b: Int): String =
@@ -3830,20 +4071,28 @@ object SparkEntry {
          |SELECT DISTINCT x.a AS doc_a, y.b AS doc_b
          |FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
          |WHERE x.a < y.b""".stripMargin
-    val bandsRows = Seq(2, 3, 4, 6).map { b =>
-      s"""r$b AS (SELECT $b AS bands, count(*) AS hits FROM truth
-         |  SEMI JOIN (
-         |  ${ind(ind(candSql(b)))}) USING (doc_a, doc_b))""".stripMargin
+    val bands = Seq(2, 3, 4, 6)
+    val thresholds = Seq(30, 50, 70)
+    val candCtes = bands.map { b =>
+      s"""c$b AS (SELECT * FROM (
+         |  ${ind(ind(candSql(b)))}))""".stripMargin
     }.mkString(",\n")
-    s"""WITH truth AS (SELECT doc_a, doc_b FROM (
-       |  ${ind(ngramJaccardOracleSql)})),
-       |tot AS (SELECT count(*) AS n_truth FROM truth),
-       |$bandsRows
+    val truthCtes = thresholds.map { t =>
+      s"""t$t AS (SELECT doc_a, doc_b FROM (
+         |  ${ind(ngramJaccardOracleSqlAt(s"0.$t"))}))""".stripMargin
+    }.mkString(",\n")
+    val cells = (for (t <- thresholds; b <- bands) yield
+      s"""SELECT $t AS threshold_pct, $b AS bands,
+         |  (SELECT count(*) FROM t$t) AS n_truth,
+         |  (SELECT count(*) FROM t$t SEMI JOIN c$b USING (doc_a, doc_b)) AS hits""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH $truthCtes,
+       |$candCtes
        |SELECT 'minhash_lsh' AS method, CAST(bands AS BIGINT) AS bands,
+       |  CAST(threshold_pct AS BIGINT) AS threshold_pct,
        |  CAST(n_truth AS BIGINT) AS n_truth, CAST(hits AS BIGINT) AS hits
-       |FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r3
-       |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r6)
-       |CROSS JOIN tot""".stripMargin
+       |FROM (
+       |$cells)""".stripMargin
   }
 
   private def ngramContainmentOracleSql: String =
@@ -4442,7 +4691,14 @@ object SparkEntry {
     * confirm → recursive closure → keeper) — nested as derived tables
     * with their own WITH RECURSIVE so the shared CTE names (pairs,
     * edges, reach) cannot collide, then unioned. */
-  private def mediaAdmissionOracleSql: String = {
+  /** With `withQuarantine`, the same book replayed over the POISONED
+    * corpus (every 5th event contributes a corrupt asset per modality
+    * at id 10⁷+event_id): good rows gain `reason=''` and stay otherwise
+    * byte-identical (quarantined assets fail decode, so they seed no
+    * fingerprint group and no pair bucket); corrupt rows are replayed
+    * from the fixture rule — kind `(event_id // 5) % K` per modality,
+    * matching the classified decoder guard each poison targets. */
+  private def mediaAdmissionOracleSql(withQuarantine: Boolean = false): String = {
     def ind(s: String) = s.replace("\n", "\n  ")
     val closure =
       """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -4509,15 +4765,69 @@ object SparkEntry {
          |  p.cluster = p.id AS keep_perceptual,
          |  ek.keep_exact AND p.cluster = p.id AS admit
          |FROM ek JOIN plab p ON ek.id = p.id""".stripMargin
+    val quarantineCte =
+      """,
+        |q AS (
+        |  SELECT m.modality, 10000000 + e.event_id AS id,
+        |    false AS keep_exact, false AS keep_perceptual, false AS admit,
+        |    CASE m.modality
+        |      WHEN 'image' THEN CASE ((e.event_id // 5) % 3)
+        |        WHEN 0 THEN 'decode:truncated' WHEN 1 THEN 'decode:bomb'
+        |        ELSE 'decode:bad_crc' END
+        |      WHEN 'audio' THEN CASE ((e.event_id // 5) % 2)
+        |        WHEN 0 THEN 'decode:truncated' ELSE 'decode:bad_magic' END
+        |      ELSE CASE ((e.event_id // 5) % 3)
+        |        WHEN 0 THEN 'decode:truncated' WHEN 1 THEN 'decode:bomb'
+        |        ELSE 'decode:bad_magic' END
+        |    END AS reason
+        |  FROM events e, (VALUES ('image'), ('audio'), ('video')) AS m(modality)
+        |  WHERE e.event_id % 5 = 0)""".stripMargin
+    val goodCols = "modality, id, keep_exact, keep_perceptual, admit" +
+      (if (withQuarantine) ", '' AS reason" else "")
+    val quarantineTail =
+      if (withQuarantine)
+        "\nUNION ALL SELECT modality, id, keep_exact, keep_perceptual, admit, reason FROM q"
+      else ""
     s"""WITH im AS (SELECT * FROM (
        |  ${ind(imageSql)})),
        |au AS (SELECT * FROM (
        |  ${ind(audioSql)})),
        |vi AS (SELECT * FROM (
-       |  ${ind(videoSql)}))
-       |SELECT modality, id, keep_exact, keep_perceptual, admit FROM im
-       |UNION ALL SELECT modality, id, keep_exact, keep_perceptual, admit FROM au
-       |UNION ALL SELECT modality, id, keep_exact, keep_perceptual, admit FROM vi""".stripMargin
+       |  ${ind(videoSql)}))${if (withQuarantine) quarantineCte else ""}
+       |SELECT $goodCols FROM im
+       |UNION ALL SELECT $goodCols FROM au
+       |UNION ALL SELECT $goodCols FROM vi$quarantineTail""".stripMargin
+  }
+
+  /** The composed multimodal book's oracle: the surgical text book and
+    * the media admission book replayed as nested derived tables, the
+    * closed-form doc→asset reference fixture regenerated, admit =
+    * text-survives ∧ no-referenced-asset-dropped. */
+  private def multimodalAdmissionOracleSql: String = {
+    def ind(s: String) = s.replace("\n", "\n  ")
+    s"""WITH tb AS (SELECT DISTINCT doc_id FROM (
+       |  ${ind(pipelineSurgicalOracleSql)})),
+       |mb AS (SELECT modality, id, admit FROM (
+       |  ${ind(mediaAdmissionOracleSql())})),
+       |nev AS (SELECT max(event_id) + 1 AS n FROM events),
+       |refs AS (SELECT d.doc_id, i.i,
+       |    CASE (i.i % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS modality,
+       |    (d.doc_id * 31 + i.i * 17) % nev.n AS asset_id
+       |  FROM documents d, nev, generate_series(0, 2) AS i(i)
+       |  WHERE i.i <= d.doc_id % 3),
+       |bad AS (SELECT DISTINCT r.doc_id FROM refs r
+       |  JOIN mb ON mb.modality = r.modality AND mb.id = r.asset_id
+       |  WHERE NOT mb.admit),
+       |nr AS (SELECT doc_id, count(*) AS n_refs FROM refs GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  (tb.doc_id IS NOT NULL) AS text_admit,
+       |  nr.n_refs,
+       |  (bad.doc_id IS NOT NULL) AS has_dropped_asset,
+       |  (tb.doc_id IS NOT NULL AND bad.doc_id IS NULL) AS admit
+       |FROM documents d JOIN nr USING (doc_id)
+       |  LEFT JOIN tb ON tb.doc_id = d.doc_id
+       |  LEFT JOIN bad ON bad.doc_id = d.doc_id""".stripMargin
   }
 
   /** Shared aHash CTE chain (mirrors `Multimodal.imageAHash` over the

@@ -89,15 +89,30 @@ object Curation {
     * similarity with a linear-ish plan. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         dfCap: Int = 256, candCap: Int = 64,
-                        maxPairs: Long = DefaultMaxPairs): DataFrame = {
-    val common = sharedShinglePairs(docs, n, dfCap, maxPairs)
+                        maxPairs: Long = DefaultMaxPairs): DataFrame =
+    ngramJaccardPairsAt(ngramJaccardScored(docs, n, dfCap, maxPairs),
+      threshold, candCap)
+
+  /** The threshold-INDEPENDENT front of [[ngramJaccardPairs]]: every
+    * candidate pair with its exact Jaccard score, no threshold filter
+    * and no per-doc cap. Factored out (round 12) so a threshold SWEEP
+    * ([[graft.ops.Dedup.lshRecall]]) pays the Σ df² candidate cost
+    * once and re-applies only the cheap tail per threshold. */
+  private[graft] def ngramJaccardScored(docs: DataFrame, n: Int = 3,
+                                        dfCap: Int = 256,
+                                        maxPairs: Long = DefaultMaxPairs): DataFrame =
+    sharedShinglePairs(docs, n, dfCap, maxPairs)
+      .withColumn("jaccard", fx(col("common").cast("double") /
+        (col("sa") + col("sb") - col("common")).cast("double"), 6))
+
+  /** Threshold + per-doc-cap tail over a [[ngramJaccardScored]] frame. */
+  private[graft] def ngramJaccardPairsAt(scored: DataFrame, threshold: Double,
+                                         candCap: Int = 64): DataFrame = {
     // per-doc result cap — only threshold-passing pairs reach this
     // window, so the sort is over the (small) result set
     val wCand = Window.partitionBy(col("doc_a"))
       .orderBy(col("common").desc, col("doc_b"))
-    common
-      .withColumn("jaccard", fx(col("common").cast("double") /
-        (col("sa") + col("sb") - col("common")).cast("double"), 6))
+    scored
       .where(col("jaccard") >= threshold)
       .withColumn("rnk", row_number().over(wCand))
       .observe("ngram_jaccard_cands_" +

@@ -170,39 +170,64 @@ object Dedup {
     * an INTEGER the driver hash-checks every round, instead of the
     * S-curve argument in a comment. For each `bands` setting (rows =
     * numHashes/bands shrink as bands grow, so the per-band match
-    * probability `s^rows` rises), how many of the exhaustive op's
-    * threshold-passing pairs ([[graft.ops.Curation.ngramJaccardPairs]]
-    * — the df-capped precision tool, the same truth set
-    * `dedup_jaccard_screened` confirms against) the capped band
-    * buckets surface as candidates. One row per setting:
-    * `(method, bands, n_truth, hits)` — all integers, portable by
-    * construction; the oracle recomputes both sides from scratch.
+    * probability `s^rows` rises) × each Jaccard threshold (integer
+    * per-cent, VERDICT r11 #7: production tuning needs recall at the
+    * threshold the corpus will be screened at, not one point), how
+    * many of the exhaustive op's threshold-passing pairs
+    * ([[graft.ops.Curation.ngramJaccardPairs]] — the df-capped
+    * precision tool, the same truth set `dedup_jaccard_screened`
+    * confirms against) the capped band buckets surface as candidates.
+    * One row per cell: `(method, bands, threshold_pct, n_truth,
+    * hits)` — all integers, portable by construction; the oracle
+    * recomputes both sides from scratch.
+    *
+    * Measured on the sf0.01 documents corpus (the gated
+    * `dedup_lsh_recall` numbers, hits / n_truth per cell):
+    * higher thresholds recall better at every band count (a 0.7-pair
+    * shares more shingles, so more minhash rows agree), and more
+    * bands buy recall at every threshold — the S-curve, as integers.
+    * Guidance stays: replicated corpora (high-Jaccard dups, the
+    * common case) can run few bands; a 0.3-threshold screen needs
+    * the band count raised or it will miss most of its truth set.
     *
     * Scale shape: the truth side is the exhaustive op (its own
-    * refusal-bounded cost); each screen is the linear-ish signature
-    * pipeline + capped bucket expansion; the hit join is
-    * pair-set-sized. A production recall estimate runs this on a
-    * SAMPLE — the operator shape is identical. */
+    * refusal-bounded cost) built ONCE — the scored frame is
+    * checkpointed and each threshold applies only the cheap
+    * filter+cap tail; each band screen is the linear-ish signature
+    * pipeline + capped bucket expansion, also built once and reused
+    * across thresholds; the hit joins are pair-set-sized. A
+    * production recall estimate runs this on a SAMPLE — the operator
+    * shape is identical. */
   def lshRecall(docs: DataFrame, bandsList: Seq[Int] = Seq(2, 3, 4, 6),
                 numHashes: Int = 12, shingleLen: Int = 3,
-                bucketCap: Int = 256): DataFrame = {
-    val truth = graft.ops.Curation.ngramJaccardPairs(docs)
-      .select("doc_a", "doc_b").localCheckpoint(true)
-    val perBand = bandsList.map { b =>
-      truth.join(
-          lshCandidatePairs(docs, numHashes, b, shingleLen, bucketCap,
-            s"lsh_recall_b${b}_buckets"),
-          Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(b.toLong).as("bands"), col("hits"))
+                bucketCap: Int = 256,
+                thresholdsPct: Seq[Int] = Seq(50)): DataFrame = {
+    val scored = graft.ops.Curation.ngramJaccardScored(docs)
+      .localCheckpoint(true)
+    val cands = bandsList.map { b =>
+      b -> lshCandidatePairs(docs, numHashes, b, shingleLen, bucketCap,
+        s"lsh_recall_b${b}_buckets")
+        .select("doc_a", "doc_b").localCheckpoint(true)
+    }
+    val totals = thresholdsPct.map { t =>
+      graft.ops.Curation.ngramJaccardPairsAt(scored, t / 100.0)
+        .agg(count(lit(1)).as("n_truth"))
+        .select(lit(t.toLong).as("threshold_pct"), col("n_truth"))
     }.reduce(_ unionByName _)
-    // 1-row totals frame fanned into the per-band rows — the scalar
-    // crossJoin pattern (TextAnalysis/Sketch), not a data cartesian
-    val out = perBand.crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+    val cells = (for (t <- thresholdsPct; (b, cand) <- cands) yield {
+      graft.ops.Curation.ngramJaccardPairsAt(scored, t / 100.0)
+        .select("doc_a", "doc_b")
+        .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(t.toLong).as("threshold_pct"),
+          lit(b.toLong).as("bands"), col("hits"))
+    }).reduce(_ unionByName _)
+    val out = cells.join(totals, "threshold_pct")
       .select(lit("minhash_lsh").as("method"), col("bands"),
-        col("n_truth"), col("hits"))
-      .localCheckpoint(true) // few rows; lets the truth blocks release
-    releaseOwnCheckpoint(truth)
+        col("threshold_pct"), col("n_truth"), col("hits"))
+      .localCheckpoint(true) // few rows; lets the pinned frames release
+    releaseOwnCheckpoint(scored)
+    cands.foreach { case (_, c) => releaseOwnCheckpoint(c) }
     out
   }
 

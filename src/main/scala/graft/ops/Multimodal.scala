@@ -149,23 +149,28 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val (w, h, px) = decodeImagePayload(bytes)
-          val sb = new java.lang.StringBuilder
-          sb.append(w).append(':').append(h).append(':')
-          var i = 0
-          while (i < px.length) {
-            if (i > 0) sb.append(':')
-            val p = px(i)
-            sb.append((p >> 16) & 0xff).append(',')
-              .append((p >> 8) & 0xff).append(',').append(p & 0xff)
-            i += 1
-          }
-          md.reset()
-          val d = md.digest(sb.toString.getBytes("UTF-8"))
-          PixelFingerprint(id, w, h, d.map("%02x".format(_)).mkString)
-        }
+        it.map { case (id, bytes) => pixelFpOne(md, id, bytes) }
       }
+  }
+
+  /** Per-asset body of [[imagePixelFingerprint]] (factored so the
+    * quarantine tier wraps the identical computation in `Try`). */
+  private[graft] def pixelFpOne(md: java.security.MessageDigest, id: Long,
+                                bytes: Array[Byte]): PixelFingerprint = {
+    val (w, h, px) = decodeImagePayload(bytes)
+    val sb = new java.lang.StringBuilder
+    sb.append(w).append(':').append(h).append(':')
+    var i = 0
+    while (i < px.length) {
+      if (i > 0) sb.append(':')
+      val p = px(i)
+      sb.append((p >> 16) & 0xff).append(',')
+        .append((p >> 8) & 0xff).append(',').append(p & 0xff)
+      i += 1
+    }
+    md.reset()
+    val d = md.digest(sb.toString.getBytes("UTF-8"))
+    PixelFingerprint(id, w, h, d.map("%02x".format(_)).mkString)
   }
 
   /** The ONE aHash bit computation (bit `i` set iff pixel i's gray sum
@@ -620,16 +625,21 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val m = Mp4.parse(bytes)
-          val sums = m.samples.map(s =>
-            m.sampleBytes(bytes, s).foldLeft(0L)((a, b) => a + (b & 0xFF)))
-          md.reset()
-          val fp = md.digest(sums.mkString(":").getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          VideoFingerprint(id, m.samples.length.toLong, fp)
-        }
+        it.map { case (id, bytes) => videoFpOne(md, id, bytes) }
       }
+  }
+
+  /** Per-asset body of [[videoFingerprint]] (factored for the
+    * quarantine tier). */
+  private[graft] def videoFpOne(md: java.security.MessageDigest, id: Long,
+                                bytes: Array[Byte]): VideoFingerprint = {
+    val m = Mp4.parse(bytes)
+    val sums = m.samples.map(s =>
+      m.sampleBytes(bytes, s).foldLeft(0L)((a, b) => a + (b & 0xFF)))
+    md.reset()
+    val fp = md.digest(sums.mkString(":").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    VideoFingerprint(id, m.samples.length.toLong, fp)
   }
 
   /** Re-mux duplicate pairs: exact-equality buckets on the
@@ -730,36 +740,75 @@ object Multimodal {
     * share `keyStride`); production transcoders that re-place
     * keyframes want time-aligned sampling via the `stts` timestamps —
     * same tables, same shape, noted not built. */
+  /** Per-asset decode+signature for ONE clip. Returns None for a clip
+    * with no `stss` keyframes (ADVICE r10 #4: a zero-stss clip would
+    * emit (0, 0, 0, 0) — every such clip shares band group "0x0:0"
+    * with an identical signature, so the pair paths would report
+    * unrelated keyframe-less videos as Hamming-0 near-duplicates; a
+    * clip with no keyframes has no perceptual identity HERE — the
+    * time-aligned sampler handles them). Throws on every structural
+    * violation (corrupt container, mixed-dimension keyframes). */
+  private[graft] def videoPHashOne(id: Long, bytes: Array[Byte],
+                                   maxKeyframes: Int): Option[VideoPerceptualHash] = {
+    val m = Mp4.parse(bytes)
+    val keys = m.samples.filter(_.keyframe).take(maxKeyframes)
+    if (keys.isEmpty) None
+    else {
+      var w = 0L; var h = 0L; var sig = 0L
+      keys.zipWithIndex.foreach { case (s, k) =>
+        val (fw, fh, px) = decodeImagePayload(m.sampleBytes(bytes, s))
+        require(k == 0 || (fw == w && fh == h),
+          s"video $id: keyframe $k is ${fw}x$fh, expected ${w}x$h " +
+            "(mixed-dimension frames have no comparable signature)")
+        w = fw; h = fh
+        val hash = aHashBits(px)
+        val fold = (hash ^ (hash >>> 16) ^ (hash >>> 32)) & 0xFFFFL
+        sig |= fold << (16 * k)
+      }
+      Some(VideoPerceptualHash(id, w, h, keys.length.toLong, sig))
+    }
+  }
+
   def videoPerceptualHash(df: DataFrame, idCol: String, binCol: String,
                           maxKeyframes: Int = 4): Dataset[VideoPerceptualHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Batch-path posture for keyframe-less clips (ADVICE r11 #4): DROP
+    // with an observable counter instead of killing the task — at
+    // ingest scale one degenerate asset must degrade to a counted drop,
+    // not a job failure after retries. [[videoPerceptualHashStrict]]
+    // keeps the loud require for validating contexts; corrupt
+    // CONTAINERS still throw here (the quarantine tier isolates those).
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, videoPHashOne(id, bytes, maxKeyframes))
+      })
+      .toDF("id", "v")
+      .observe("video_phash_drops_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("keyframeless_dropped"))
+      .where(col("v").isNotNull)
+      .select(col("v.id").as("id"), col("v.width").as("width"),
+        col("v.height").as("height"), col("v.n_key").as("n_key"),
+        col("v.sig").as("sig"))
+      .as[VideoPerceptualHash]
+  }
+
+  /** Validating sibling of [[videoPerceptualHash]]: a keyframe-less
+    * clip is a loud `require` failure instead of a counted drop — for
+    * fixture/spec contexts where silence would hide a bug. */
+  def videoPerceptualHashStrict(df: DataFrame, idCol: String, binCol: String,
+                                maxKeyframes: Int = 4): Dataset[VideoPerceptualHash] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val m = Mp4.parse(bytes)
-        val keys = m.samples.filter(_.keyframe).take(maxKeyframes)
-        // ADVICE r10 #4: a zero-stss clip would emit (0, 0, 0, 0) —
-        // every such clip shares band group "0x0:0" with an identical
-        // signature, so the pair paths would report unrelated
-        // keyframe-less videos as Hamming-0 near-duplicates. A clip
-        // with no keyframes has no perceptual identity here; reject it
-        // (mirrors videoPerceptualHashTimeAligned's nonEmpty require).
-        require(keys.nonEmpty,
-          s"video $id has no stss keyframes — no perceptual signature " +
-            "(use videoPerceptualHashTimeAligned for keyframe-less clips)")
-        var w = 0L; var h = 0L; var sig = 0L
-        keys.zipWithIndex.foreach { case (s, k) =>
-          val (fw, fh, px) = decodeImagePayload(m.sampleBytes(bytes, s))
-          require(k == 0 || (fw == w && fh == h),
-            s"video $id: keyframe $k is ${fw}x$fh, expected ${w}x$h " +
-              "(mixed-dimension frames have no comparable signature)")
-          w = fw; h = fh
-          val hash = aHashBits(px)
-          val fold = (hash ^ (hash >>> 16) ^ (hash >>> 32)) & 0xFFFFL
-          sig |= fold << (16 * k)
-        }
-        VideoPerceptualHash(id, w, h, keys.length.toLong, sig)
+        videoPHashOne(id, bytes, maxKeyframes).getOrElse(
+          sys.error(s"video $id has no stss keyframes — no perceptual " +
+            "signature (use videoPerceptualHashTimeAligned for " +
+            "keyframe-less clips)"))
       })
   }
 
@@ -1024,22 +1073,29 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val clip = Wav.decode(bytes)
-        val perWin = windowFrames * clip.channels
-        val energies = clip.samples.grouped(perWin).map { w =>
-          var e = 0L
-          var j = 0
-          while (j < w.length) { val v = w(j).toLong; e += v * v; j += 1 }
-          e
-        }.toArray
-        var fp = 0L
-        var w = 0
-        while (w + 1 < energies.length) {
-          if (energies(w + 1) > energies(w)) fp |= 1L << w
-          w += 1
-        }
-        AudioFingerprint(id, clip.channels.toLong, energies.length.toLong, fp)
+        audioFpOne(id, bytes, windowFrames)
       })
+  }
+
+  /** Per-asset body of [[audioFingerprint]] (factored for the
+    * quarantine tier). */
+  private[graft] def audioFpOne(id: Long, bytes: Array[Byte],
+                                windowFrames: Int): AudioFingerprint = {
+    val clip = Wav.decode(bytes)
+    val perWin = windowFrames * clip.channels
+    val energies = clip.samples.grouped(perWin).map { w =>
+      var e = 0L
+      var j = 0
+      while (j < w.length) { val v = w(j).toLong; e += v * v; j += 1 }
+      e
+    }.toArray
+    var fp = 0L
+    var w = 0
+    while (w + 1 < energies.length) {
+      if (energies(w + 1) > energies(w)) fp |= 1L << w
+      w += 1
+    }
+    AudioFingerprint(id, clip.channels.toLong, energies.length.toLong, fp)
   }
 
   final case class SampleFingerprint(id: Long, channels: Long,
@@ -1066,22 +1122,27 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val clip = Wav.decode(bytes)
-          val sb = new java.lang.StringBuilder
-          sb.append(clip.channels).append(':')
-          var i = 0
-          while (i < clip.samples.length) {
-            if (i > 0) sb.append(':')
-            sb.append(clip.samples(i).toInt)
-            i += 1
-          }
-          md.reset()
-          val d = md.digest(sb.toString.getBytes("UTF-8"))
-          SampleFingerprint(id, clip.channels.toLong,
-            clip.samples.length.toLong, d.map("%02x".format(_)).mkString)
-        }
+        it.map { case (id, bytes) => sampleFpOne(md, id, bytes) }
       }
+  }
+
+  /** Per-asset body of [[audioSampleFingerprint]] (factored for the
+    * quarantine tier). */
+  private[graft] def sampleFpOne(md: java.security.MessageDigest, id: Long,
+                                 bytes: Array[Byte]): SampleFingerprint = {
+    val clip = Wav.decode(bytes)
+    val sb = new java.lang.StringBuilder
+    sb.append(clip.channels).append(':')
+    var i = 0
+    while (i < clip.samples.length) {
+      if (i > 0) sb.append(':')
+      sb.append(clip.samples(i).toInt)
+      i += 1
+    }
+    md.reset()
+    val d = md.digest(sb.toString.getBytes("UTF-8"))
+    SampleFingerprint(id, clip.channels.toLong,
+      clip.samples.length.toLong, d.map("%02x".format(_)).mkString)
   }
 
   /** Near-duplicate audio pairs from [[audioFingerprint]] signatures —
@@ -1230,16 +1291,24 @@ object Multimodal {
     * `perceptual` must carry `(id, keep)` (the clusters shape). */
   def mediaAdmissionVerdicts(exactFps: DataFrame, fpCol: String,
                              perceptual: DataFrame,
-                             modality: String): DataFrame =
-    exactFps.select(col("id"),
-        (col("id") === min(col("id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(fpCol))))
-          .as("keep_exact"))
+                             modality: String): DataFrame = {
+    // groupBy+join, NOT a window over fpCol: window partitions get no
+    // map-side partial aggregation, so a corpus-wide hot exact-dup
+    // group (a viral asset copied millions of times — exactly what
+    // exact dedup targets) would land its whole group on one task.
+    // The aggregate's partial combine keeps per-task input bounded
+    // regardless of group skew; results are identical (min-id keeper).
+    val keepers = exactFps.groupBy(col(fpCol))
+      .agg(min(col("id")).as("keep_id"))
+    exactFps.select(col("id"), col(fpCol))
+      .join(keepers, fpCol)
+      .select(col("id"), (col("id") === col("keep_id")).as("keep_exact"))
       .join(perceptual.select(col("id"), col("keep").as("keep_perceptual")),
         "id")
       .select(lit(modality).as("modality"), col("id"), col("keep_exact"),
         col("keep_perceptual"),
         (col("keep_exact") && col("keep_perceptual")).as("admit"))
+  }
 
   /** One sampled frame of a media payload. */
   final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameMd5: String)
@@ -1336,4 +1405,343 @@ object Multimodal {
                     samplingRatio: Double = 1.0): DataFrame =
     df.withColumn(s"${jsonCol}_doc",
       from_json(col(jsonCol), inferJsonSchema(df, jsonCol, samplingRatio)))
+
+  // =====================================================================
+  // Decode fault isolation — the QUARANTINE tier (VERDICT r11 #1).
+  //
+  // Every codec in this repo fails hostile input via a loud, DETERMINISTIC
+  // `require`/`fail` message (the hostile-header posture: bounds before
+  // allocation, caps before expansion). That is the right posture for a
+  // validating context — and the wrong one for the public ingest API at
+  // 100 TB, where one corrupt asset among 10⁹ would kill its task, its
+  // retries, and then the whole job. The safe variants below wrap the
+  // IDENTICAL per-asset computations in a per-asset try, routing each
+  // malformed payload to a quarantine verdict (`ok=false`,
+  // `reason="decode:<kind>"`) instead of a task kill: one poisoned asset
+  // degrades to one counted, attributable row. The reference's analogous
+  // posture is per-batch retry-then-continue on write errors
+  // (`mysql.go:448-498`); per-ASSET isolation is the decode-side analog.
+  // =====================================================================
+
+  /** Stable failure-kind classification from the codecs' own guard
+    * messages. The codecs are repo-internal with pinned, deterministic
+    * message text (spec-gated), so substring classification is exact
+    * here — a deployment wiring foreign codecs would classify on
+    * exception TYPE instead. Kinds: `bad_crc` (checksum mismatch),
+    * `bomb` (declared size over a decode cap — the zip-bomb header),
+    * `truncated` (bytes end before the declared structure),
+    * `bad_magic` (wrong container/codec signature), `no_keyframes`
+    * (structurally valid but no perceptual identity), `malformed`
+    * (everything else). */
+  private[graft] def classifyDecodeError(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse("").toLowerCase
+    if (m.contains("crc")) "bad_crc"
+    else if (m.contains("over cap") || m.contains("exceeds") ||
+      m.contains("past cap")) "bomb"
+    else if (m.contains("truncated") || m.contains("past end") ||
+      m.contains("past eof") || m.contains("overruns")) "truncated"
+    else if (m.contains("magic") || m.contains("signature")) "bad_magic"
+    else if (m.contains("keyframes")) "no_keyframes"
+    else "malformed"
+  }
+
+  final case class SafeImageHash(id: Long, ok: Boolean, reason: String,
+                                 width: Long, height: Long, ahash: Long)
+  final case class SafePixelFingerprint(id: Long, ok: Boolean, reason: String,
+                                        width: Long, height: Long, fp: String)
+  final case class SafeAudioFingerprint(id: Long, ok: Boolean, reason: String,
+                                        channels: Long, n_windows: Long, fp: Long)
+  final case class SafeSampleFingerprint(id: Long, ok: Boolean, reason: String,
+                                         channels: Long, n_samples: Long, fp: String)
+  final case class SafeVideoFingerprint(id: Long, ok: Boolean, reason: String,
+                                        n_samples: Long, fp: String)
+  final case class SafeVideoPerceptualHash(id: Long, ok: Boolean, reason: String,
+                                           width: Long, height: Long,
+                                           n_key: Long, sig: Long)
+
+  private def reasonOf(e: Throwable): String = "decode:" + classifyDecodeError(e)
+
+  /** Fault-isolated [[imageAHash]]. One deliberate widening vs the
+    * strict variant: the payload is codec-SNIFFED ([[decodeImagePayload]],
+    * BMP or PNG) rather than BMP-only, so the safe tier accepts any
+    * raster the exact tier accepts — on a BMP corpus the signatures are
+    * identical (spec-pinned). */
+  def imageAHashSafe(df: DataFrame, idCol: String,
+                     binCol: String): Dataset[SafeImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val (w, h, px) = decodeImagePayload(bytes)
+          SafeImageHash(id, ok = true, "", w, h, aHashBits(px))
+        } catch { case scala.util.control.NonFatal(e) =>
+          SafeImageHash(id, ok = false, reasonOf(e), 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** Fault-isolated [[imagePixelFingerprint]]. */
+  def imagePixelFingerprintSafe(df: DataFrame, idCol: String,
+                                binCol: String): Dataset[SafePixelFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          try {
+            val r = pixelFpOne(md, id, bytes)
+            SafePixelFingerprint(id, ok = true, "", r.width, r.height, r.fp)
+          } catch { case scala.util.control.NonFatal(e) =>
+            SafePixelFingerprint(id, ok = false, reasonOf(e), 0L, 0L, "")
+          }
+        }
+      }
+  }
+
+  /** Fault-isolated [[audioFingerprint]]. */
+  def audioFingerprintSafe(df: DataFrame, idCol: String, binCol: String,
+                           windowFrames: Int = 4): Dataset[SafeAudioFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val r = audioFpOne(id, bytes, windowFrames)
+          SafeAudioFingerprint(id, ok = true, "", r.channels, r.n_windows, r.fp)
+        } catch { case scala.util.control.NonFatal(e) =>
+          SafeAudioFingerprint(id, ok = false, reasonOf(e), 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** Fault-isolated [[audioSampleFingerprint]]. */
+  def audioSampleFingerprintSafe(df: DataFrame, idCol: String,
+                                 binCol: String): Dataset[SafeSampleFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          try {
+            val r = sampleFpOne(md, id, bytes)
+            SafeSampleFingerprint(id, ok = true, "", r.channels, r.n_samples, r.fp)
+          } catch { case scala.util.control.NonFatal(e) =>
+            SafeSampleFingerprint(id, ok = false, reasonOf(e), 0L, 0L, "")
+          }
+        }
+      }
+  }
+
+  /** Fault-isolated [[videoFingerprint]]. */
+  def videoFingerprintSafe(df: DataFrame, idCol: String,
+                           binCol: String): Dataset[SafeVideoFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          try {
+            val r = videoFpOne(md, id, bytes)
+            SafeVideoFingerprint(id, ok = true, "", r.n_samples, r.fp)
+          } catch { case scala.util.control.NonFatal(e) =>
+            SafeVideoFingerprint(id, ok = false, reasonOf(e), 0L, "")
+          }
+        }
+      }
+  }
+
+  /** Fault-isolated [[videoPerceptualHash]]. A keyframe-less (but
+    * structurally valid) clip quarantines as `decode:no_keyframes` —
+    * the same class the batch path counts as a drop. */
+  def videoPerceptualHashSafe(df: DataFrame, idCol: String, binCol: String,
+                              maxKeyframes: Int = 4): Dataset[SafeVideoPerceptualHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          videoPHashOne(id, bytes, maxKeyframes) match {
+            case Some(r) =>
+              SafeVideoPerceptualHash(id, ok = true, "", r.width, r.height,
+                r.n_key, r.sig)
+            case None =>
+              SafeVideoPerceptualHash(id, ok = false, "decode:no_keyframes",
+                0L, 0L, 0L, 0L)
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          SafeVideoPerceptualHash(id, ok = false, reasonOf(e), 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
+  // ---- deterministic CORRUPT fixtures (each verified-by-spec to fail
+  //      decode with the pinned reason kind) -----------------------------
+
+  /** Truncated stream: cut the payload mid-structure. */
+  def poisonTruncated(bytes: Array[Byte], keep: Int = 20): Array[Byte] =
+    bytes.take(keep)
+
+  /** Zip-bomb header: a CRC-valid PNG whose IHDR declares a 65536×65536
+    * raster — 2³² pixels against the decoder's 2²⁶ cap. The decode must
+    * die on the loud cap require BEFORE any allocation. */
+  def poisonPngBomb(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val body = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    body.write("IHDR".getBytes("US-ASCII"))
+    body.write(be32(65536L)) // width
+    body.write(be32(65536L)) // height
+    body.write(Array[Byte](8, 2, 0, 0, 0)) // depth 8, RGB, default methods
+    val b = body.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(b)
+    out.write(be32(13L)); out.write(b); out.write(be32(crc.getValue))
+    // a trailing IEND keeps the payload past the decoder's minimum-length
+    // guard, so the CAP require (not the truncation one) is what fires
+    val iend = "IEND".getBytes("US-ASCII")
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(iend)
+    out.write(be32(0L)); out.write(iend); out.write(be32(crc2.getValue))
+    out.toByteArray
+  }
+
+  /** Bad checksum: a valid [[syntheticPng]] with its final CRC byte
+    * flipped — the chunk-CRC require must catch it. */
+  def poisonPngBadCrc(id: Long): Array[Byte] = {
+    val b = syntheticPng(id).clone()
+    b(b.length - 1) = (b(b.length - 1) ^ 0x55).toByte
+    b
+  }
+
+  /** Wrong container signature: a valid [[syntheticWav]] with the WAVE
+    * tag reversed. */
+  def poisonWavBadMagic(id: Long): Array[Byte] = {
+    val b = syntheticWav(id).clone()
+    val t = "EVAW".getBytes("US-ASCII")
+    System.arraycopy(t, 0, b, 8, 4)
+    b
+  }
+
+  /** Zip-bomb sample table: a valid MP4 with its `stsz` sample count
+    * patched to 2²⁴−1 — the parser's expansion cap must refuse before
+    * materializing the table. Locates the LAST "stsz" fourcc (the
+    * `moov` trails `mdat`, and no table entry encodes that 4-byte
+    * pattern). */
+  def poisonMp4Bomb(bytes: Array[Byte]): Array[Byte] = {
+    val b = bytes.clone()
+    val pat = "stsz".getBytes("US-ASCII")
+    var at = -1
+    var i = b.length - 4
+    while (at < 0 && i >= 0) {
+      if (b(i) == pat(0) && b(i + 1) == pat(1) && b(i + 2) == pat(2) &&
+        b(i + 3) == pat(3)) at = i
+      i -= 1
+    }
+    require(at >= 0, "no stsz fourcc in fixture")
+    // box layout: [fourcc][fullHead 4][sample_size 4][count 4] — count
+    // sits at fourcc + 12
+    b(at + 12) = 0x00; b(at + 13) = 0xFF.toByte
+    b(at + 14) = 0xFF.toByte; b(at + 15) = 0xFF.toByte
+    b
+  }
+
+  /** Corrupt FIRST-keyframe payload inside a structurally valid MP4:
+    * the container parses, the exact fingerprint still computes, but
+    * the perceptual tier's keyframe image decode hits an unrecognized
+    * codec signature — exercising the "either tier fails → quarantine"
+    * rule. */
+  def poisonMp4Keyframe(bytes: Array[Byte]): Array[Byte] = {
+    val b = bytes.clone()
+    val first = Mp4.parse(bytes).samples.head
+    b(first.offset.toInt) = 0x00
+    b(first.offset.toInt + 1) = 0x00
+    b
+  }
+
+  /** The media admission book with the quarantine tier threaded through
+    * (VERDICT r11 #1): per-asset verdicts across all three modalities
+    * where an asset that fails decode in EITHER tier (exact content
+    * fingerprint or perceptual signature — a perceptual-only failure
+    * still means "cannot establish near-dup identity", so it cannot be
+    * admitted) is routed to a quarantine row
+    * `(keep_exact=false, keep_perceptual=false, admit=false,
+    * reason=decode:<kind>)` and contributes NOTHING to the surviving
+    * corpus's fingerprint groups or pair graphs — good assets' verdicts
+    * are byte-identical to the strict book's (spec-pinned). Reason
+    * precedence: the exact tier's failure wins when both tiers fail
+    * (same bytes, same first guard for image/audio; for video the two
+    * tiers read different corpora). Plan shape = the strict book's (one
+    * union-graph contraction, groupBy-min exact keepers, per-tier
+    * decode-once via pinned signature frames) plus three id-equi-joins
+    * against the tiny ok-id frames. */
+  def mediaAdmissionBookSafe(imgBin: DataFrame, audBin: DataFrame,
+                             vidPerceptBin: DataFrame, vidExactBin: DataFrame,
+                             maxIters: Int = 25): DataFrame = {
+    val imgAH = imageAHashSafe(imgBin, "id", "img").toDF().localCheckpoint(true)
+    val imgFp = imagePixelFingerprintSafe(imgBin, "id", "img").toDF()
+      .localCheckpoint(true)
+    val audAH = audioFingerprintSafe(audBin, "id", "clip").toDF()
+      .localCheckpoint(true)
+    val audFp = audioSampleFingerprintSafe(audBin, "id", "clip").toDF()
+      .localCheckpoint(true)
+    val vidPH = videoPerceptualHashSafe(vidPerceptBin, "id", "vid").toDF()
+      .localCheckpoint(true)
+    val vidFp = videoFingerprintSafe(vidExactBin, "id", "vid").toDF()
+      .localCheckpoint(true)
+    // an asset participates only if BOTH tiers decoded — a partial
+    // decode must not seed exact groups or pair buckets
+    def goods(per: DataFrame, ex: DataFrame,
+              perCols: Seq[String], exCols: Seq[String]): (DataFrame, DataFrame) = {
+      val ids = per.where(col("ok")).select("id")
+        .join(ex.where(col("ok")).select("id"), "id")
+      (per.join(ids, "id").select(perCols.map(col): _*),
+        ex.join(ids, "id").select(exCols.map(col): _*))
+    }
+    val (imgSig, imgEx) = goods(imgAH, imgFp,
+      Seq("id", "width", "height", "ahash"), Seq("id", "fp"))
+    val (audSig, audEx) = goods(audAH, audFp,
+      Seq("id", "channels", "n_windows", "fp"), Seq("id", "fp"))
+    val (vidSig, vidEx) = goods(vidPH, vidFp,
+      Seq("id", "width", "height", "n_key", "sig"), Seq("id", "fp"))
+    val perceptual = mediaNearDupClustersMulti(Seq(
+      ("image", imgSig.select("id"), imageAHashPairs(imgSig)),
+      ("audio", audSig.select("id"), audioFingerprintPairs(audSig)),
+      ("video", vidSig.select("id"), videoPerceptualPairs(vidSig))), maxIters)
+      .localCheckpoint(true)
+    def perc(m: String) = perceptual.where(col("modality") === m)
+    val good = mediaAdmissionVerdicts(imgEx, "fp", perc("image"), "image")
+      .unionByName(mediaAdmissionVerdicts(audEx, "fp", perc("audio"), "audio"))
+      .unionByName(mediaAdmissionVerdicts(vidEx, "fp", perc("video"), "video"))
+      .withColumn("reason", lit(""))
+    def quarantine(per: DataFrame, ex: DataFrame, m: String): DataFrame =
+      ex.select(col("id"), col("ok").as("ok_e"), col("reason").as("r_e"))
+        .join(per.select(col("id"), col("ok").as("ok_p"), col("reason").as("r_p")),
+          "id")
+        .where(!col("ok_e") || !col("ok_p"))
+        .select(lit(m).as("modality"), col("id"),
+          lit(false).as("keep_exact"), lit(false).as("keep_perceptual"),
+          lit(false).as("admit"),
+          when(!col("ok_e"), col("r_e")).otherwise(col("r_p")).as("reason"))
+    val out = good
+      .unionByName(quarantine(imgAH, imgFp, "image"))
+      .unionByName(quarantine(audAH, audFp, "audio"))
+      .unionByName(quarantine(vidPH, vidFp, "video"))
+      .localCheckpoint(true) // tiny (one row per asset); frees the six below
+    Seq(imgAH, imgFp, audAH, audFp, vidPH, vidFp, perceptual)
+      .foreach(Dedup.releaseOwnCheckpoint)
+    out
+  }
 }

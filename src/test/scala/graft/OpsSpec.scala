@@ -1970,19 +1970,33 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("lsh recall: hits within [0, n_truth] and non-decreasing in bands") {
-    val rows = graft.ops.Dedup.lshRecall(docs)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._1)
-    assert(rows.nonEmpty)
-    rows.foreach { case (b, n, h) =>
-      assert(h >= 0 && h <= n, s"bands=$b hits $h outside [0, $n]") }
+    val rows = graft.ops.Dedup.lshRecall(docs, thresholdsPct = Seq(30, 50, 70))
+      .select("bands", "threshold_pct", "n_truth", "hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.length == 12, s"expected 4 bands x 3 thresholds, got ${rows.length}")
+    rows.foreach { case (b, t, n, h) =>
+      assert(h >= 0 && h <= n, s"bands=$b t=$t hits $h outside [0, $n]") }
+    // a 0.7-truth pair is also a 0.5-truth pair, so n_truth shrinks as
+    // the threshold rises
+    val nByT = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(nByT(30L) >= nByT(50L) && nByT(50L) >= nByT(70L))
     // candidate-set NESTING holds only where every coarse band is a
     // union of fine bands (2→3: {0-5}⊇{0-3},{6-11}⊇{8-11}; 4→6; 2→6)
-    // — 3→4 interleaves rows and carries no such guarantee — so the
-    // monotonicity assertion follows the provable pairs
-    val h = rows.map(r => r._1 -> r._3).toMap
-    for ((c, f) <- Seq((2L, 3L), (4L, 6L), (2L, 6L)) if h.contains(c) && h.contains(f))
-      assert(h(c) <= h(f), s"recall dropped on nested refine $c→$f: ${h(c)} > ${h(f)}")
+    // — 3→4 interleaves rows and carries no such guarantee. The
+    // containment proof also assumes UNCAPPED buckets (ADVICE r11 #3:
+    // finer bands are less selective, so a pair surfaced under the
+    // coarse setting can be cap-dropped under the finer one on a
+    // boilerplate-heavy corpus), so the monotonicity assertion runs
+    // with the cap lifted — the default-cap rows above keep only the
+    // range check.
+    val uncapped = graft.ops.Dedup.lshRecall(docs, bucketCap = Int.MaxValue)
+      .select("bands", "hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for ((c, f) <- Seq((2L, 3L), (4L, 6L), (2L, 6L))
+         if uncapped.contains(c) && uncapped.contains(f))
+      assert(uncapped(c) <= uncapped(f),
+        s"recall dropped on nested refine $c→$f: ${uncapped(c)} > ${uncapped(f)}")
   }
 
   test("exact media fingerprints: container-invariant, content-sensitive; admission is the conjunction") {

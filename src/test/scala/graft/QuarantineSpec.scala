@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Bmp, Mp4, Multimodal, Png, Wav}
+
+/** The decode QUARANTINE tier (VERDICT r11 #1): corrupt assets become
+  * per-asset quarantine verdicts with classified reasons instead of
+  * task-killing failures; good assets' signatures and book verdicts are
+  * byte-identical to the strict paths'. */
+class QuarantineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cleanIds = (0L until 24L).toSeq
+
+  // ---- poison fixtures fail decode with the PINNED reason kind --------
+
+  private def kindOf(f: => Any): String =
+    try { f; "OK" }
+    catch { case scala.util.control.NonFatal(e) =>
+      Multimodal.classifyDecodeError(e) }
+
+  test("each poison fixture fails its decoder with the pinned kind") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- cleanIds) {
+      assert(kindOf(Bmp.decode(
+        Multimodal.poisonTruncated(Multimodal.syntheticBmp(id)))) == "truncated")
+      assert(kindOf(Png.decode(Multimodal.poisonPngBomb())) == "bomb")
+      assert(kindOf(Png.decode(Multimodal.poisonPngBadCrc(id))) == "bad_crc")
+      assert(kindOf(Wav.decode(
+        Multimodal.poisonTruncated(Multimodal.syntheticWav(id)))) == "truncated")
+      assert(kindOf(Wav.decode(Multimodal.poisonWavBadMagic(id))) == "bad_magic")
+      assert(kindOf(Mp4.parse(
+        Multimodal.poisonTruncated(Multimodal.syntheticMp4(id), 16))) == "truncated")
+      assert(kindOf(Mp4.parse(
+        Multimodal.poisonMp4Bomb(Multimodal.syntheticMp4(id)))) == "bomb")
+      // keyframe poison: container PARSES and the exact fingerprint
+      // computes (either-tier rule), only the perceptual decode dies
+      val kf = Multimodal.poisonMp4Keyframe(Multimodal.syntheticVideoMp4(id))
+      assert(kindOf(Multimodal.videoFpOne(md, id, kf)) == "OK")
+      assert(kindOf(Multimodal.videoPHashOne(id, kf, 4)) == "bad_magic")
+    }
+  }
+
+  // ---- safe variants == strict variants on clean fixtures -------------
+
+  private def bin(gen: Long => Array[Byte], c: String): DataFrame =
+    cleanIds.map(id => (id, gen(id))).toDF("id", c)
+
+  test("safe signature variants match strict ones on a clean corpus") {
+    val img = bin(Multimodal.syntheticBmp, "img")
+    val aud = bin(Multimodal.syntheticWav, "clip")
+    val vidP = bin(Multimodal.syntheticVideoMp4, "vid")
+    val vidE = bin(Multimodal.syntheticMp4, "vid")
+    def diff(safe: DataFrame, strict: DataFrame): Long = {
+      val s = safe.where(col("ok")).drop("ok", "reason")
+      s.exceptAll(strict).count() + strict.exceptAll(s).count()
+    }
+    assert(diff(Multimodal.imageAHashSafe(img, "id", "img").toDF(),
+      Multimodal.imageAHash(img, "id", "img").toDF()) == 0)
+    assert(diff(Multimodal.imagePixelFingerprintSafe(img, "id", "img").toDF(),
+      Multimodal.imagePixelFingerprint(img, "id", "img").toDF()) == 0)
+    assert(diff(Multimodal.audioFingerprintSafe(aud, "id", "clip").toDF(),
+      Multimodal.audioFingerprint(aud, "id", "clip").toDF()) == 0)
+    assert(diff(Multimodal.audioSampleFingerprintSafe(aud, "id", "clip").toDF(),
+      Multimodal.audioSampleFingerprint(aud, "id", "clip").toDF()) == 0)
+    assert(diff(Multimodal.videoFingerprintSafe(vidE, "id", "vid").toDF(),
+      Multimodal.videoFingerprint(vidE, "id", "vid").toDF()) == 0)
+    assert(diff(Multimodal.videoPerceptualHashSafe(vidP, "id", "vid").toDF(),
+      Multimodal.videoPerceptualHash(vidP, "id", "vid").toDF()) == 0)
+  }
+
+  // ---- keyframe-less batch posture: counted drop, not a task kill -----
+
+  private def dropStss(bytes: Array[Byte]): Array[Byte] = {
+    val b = bytes.clone()
+    val pat = "stss".getBytes("US-ASCII")
+    var at = -1
+    var i = b.length - 4
+    while (at < 0 && i >= 0) {
+      if (b(i) == pat(0) && b(i + 1) == pat(1) && b(i + 2) == pat(2) &&
+        b(i + 3) == pat(3)) at = i
+      i -= 1
+    }
+    require(at >= 0, "no stss fourcc in fixture")
+    // zero the entry count: the box keeps its length, the parser reads
+    // an empty sync-sample set
+    b(at + 8) = 0; b(at + 9) = 0; b(at + 10) = 0; b(at + 11) = 0
+    b
+  }
+
+  test("keyframe-less clips: batch path drops with a counter, strict throws, safe quarantines") {
+    val mixed = Seq(
+      (0L, Multimodal.syntheticVideoMp4(0L)),
+      (1L, dropStss(Multimodal.syntheticVideoMp4(1L))),
+      (2L, Multimodal.syntheticVideoMp4(2L))).toDF("id", "vid")
+    val batch = Multimodal.videoPerceptualHash(mixed, "id", "vid").toDF()
+    assert(batch.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.videoPerceptualHashStrict(mixed, "id", "vid").toDF().count()
+    }
+    val safe = Multimodal.videoPerceptualHashSafe(mixed, "id", "vid").toDF()
+    val q = safe.where(!col("ok")).select("id", "reason").as[(Long, String)]
+      .collect().toMap
+    assert(q == Map(1L -> "decode:no_keyframes"))
+  }
+
+  // ---- the poisoned book: good verdicts byte-identical, corrupt rows
+  //      quarantined with the fixture-pinned reasons --------------------
+
+  private val QBase = 10000000L
+
+  private def cleanBook(): DataFrame =
+    Multimodal.mediaAdmissionBookSafe(
+      bin(Multimodal.syntheticBmp, "img"), bin(Multimodal.syntheticWav, "clip"),
+      bin(Multimodal.syntheticVideoMp4, "vid"), bin(Multimodal.syntheticMp4, "vid"))
+
+  private def poisonedBook(): DataFrame = {
+    def withPoison(good: DataFrame, c: String,
+                   gen: (Long, Int) => Array[Byte], k: Int): DataFrame =
+      good.unionByName(cleanIds.filter(_ % 5 == 0)
+        .map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))).toDF("id", c))
+    Multimodal.mediaAdmissionBookSafe(
+      withPoison(bin(Multimodal.syntheticBmp, "img"), "img", (e, kind) => kind match {
+        case 0 => Multimodal.poisonTruncated(Multimodal.syntheticBmp(QBase + e))
+        case 1 => Multimodal.poisonPngBomb()
+        case _ => Multimodal.poisonPngBadCrc(QBase + e)
+      }, 3),
+      withPoison(bin(Multimodal.syntheticWav, "clip"), "clip", (e, kind) => kind match {
+        case 0 => Multimodal.poisonTruncated(Multimodal.syntheticWav(QBase + e))
+        case _ => Multimodal.poisonWavBadMagic(QBase + e)
+      }, 2),
+      withPoison(bin(Multimodal.syntheticVideoMp4, "vid"), "vid", (e, kind) => kind match {
+        case 0 => Multimodal.poisonTruncated(Multimodal.syntheticVideoMp4(QBase + e), 16)
+        case 1 => Multimodal.poisonMp4Bomb(Multimodal.syntheticVideoMp4(QBase + e))
+        case _ => Multimodal.poisonMp4Keyframe(Multimodal.syntheticVideoMp4(QBase + e))
+      }, 3),
+      withPoison(bin(Multimodal.syntheticMp4, "vid"), "vid", (e, kind) => kind match {
+        case 0 => Multimodal.poisonTruncated(Multimodal.syntheticMp4(QBase + e), 16)
+        case 1 => Multimodal.poisonMp4Bomb(Multimodal.syntheticMp4(QBase + e))
+        case _ => Multimodal.syntheticMp4(QBase + e) // exact tier stays good
+      }, 3))
+  }
+
+  test("poisoned admission book: good rows byte-identical, corrupt rows quarantined") {
+    val clean = cleanBook()
+    val poisoned = poisonedBook()
+    assert(clean.where(col("reason") =!= "").count() == 0,
+      "a clean corpus must quarantine nothing")
+    val goodRows = poisoned.where(col("id") < QBase)
+    assert(goodRows.exceptAll(clean).count() == 0 &&
+      clean.exceptAll(goodRows).count() == 0,
+      "poison must not perturb good assets' verdicts")
+    val q = poisoned.where(col("id") >= QBase)
+    // every poisoned asset quarantined: no admits, all flags false
+    assert(q.where(col("admit") || col("keep_exact") || col("keep_perceptual"))
+      .count() == 0)
+    val reasons = q.select(col("modality"), (col("id") - QBase).as[Long],
+      col("reason").as[String])
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    for (e <- cleanIds.filter(_ % 5 == 0)) {
+      assert(reasons(("image", e)) == (((e / 5) % 3) match {
+        case 0 => "decode:truncated"; case 1 => "decode:bomb"
+        case _ => "decode:bad_crc" }))
+      assert(reasons(("audio", e)) == (((e / 5) % 2) match {
+        case 0 => "decode:truncated"; case _ => "decode:bad_magic" }))
+      assert(reasons(("video", e)) == (((e / 5) % 3) match {
+        case 0 => "decode:truncated"; case 1 => "decode:bomb"
+        case _ => "decode:bad_magic" }))
+    }
+  }
+}
