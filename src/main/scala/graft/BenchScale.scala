@@ -250,14 +250,34 @@ object BenchScale {
             concat(lit(boiler), lit(" "), col("text")))
             .otherwise(col("text"))))
       }),
-      // r11 (VERDICT r10 #4): BPE toward real tokenizer scale — 1000
-      // merge rounds (gate trains 8; the oracle replay cost keeps the
-      // gate small). Paired with text_bpe_train's 8-round row, the
-      // wall-clock slope per merge is the linearity evidence for the
-      // checkpointed loop.
-      "text_bpe_train_1k" -> ((s, d) =>
-        graft.ops.TextAnalysis.bpeTrain(
-          graft.sources.Tables(s, d, "documents"), numMerges = 1000)))
+      // r11 (VERDICT r10 #4): BPE toward real tokenizer scale. r12
+      // (VERDICT r11 #6): the raw documents vocabulary EXHAUSTED at 89
+      // merges, so the 1000-merge claim was a slope extrapolated 10×
+      // past the measured range. The corpus now gains a productive
+      // synthetic MORPHOLOGY — eight trisyllabic words per document
+      // composed from three 16-syllable banks (4096 distinct surface
+      // forms, every syllable and syllable-pair corpus-frequent), so
+      // hundreds of real merges execute: syllable-internal first, then
+      // cross-syllable, then whole-word. numMerges = 600 bounds the
+      // row's wall-clock while keeping ≥500 REAL merges in range.
+      "text_bpe_train_1k" -> ((s, d) => {
+        val syl = Seq(
+          Seq("kar", "zel", "mon", "tup", "riv", "bax", "sho", "pel",
+            "dra", "fiq", "lum", "vet", "gos", "nyx", "hab", "cez"),
+          Seq("ora", "ilt", "une", "ask", "evo", "yma", "igr", "ohn",
+            "ebi", "uxo", "afy", "ito", "ulz", "ach", "eko", "ivu"),
+          Seq("nek", "sil", "tor", "mug", "pyx", "fen", "wab", "loz",
+            "dit", "rya", "kov", "zef", "hur", "gim", "bes", "qan"))
+        def bank(b: Int, idx: org.apache.spark.sql.Column) =
+          element_at(array(syl(b).map(lit): _*), (idx % 16).cast("int") + 1)
+        val words = (0 until 8).map { j =>
+          val n = col("doc_id") * 8 + j
+          concat(bank(0, n), bank(1, n / 16), bank(2, n / 256))
+        }
+        val enriched = graft.sources.Tables(s, d, "documents")
+          .withColumn("text", concat_ws(" ", col("text") +: words: _*))
+        graft.ops.TextAnalysis.bpeTrain(enriched, numMerges = 600)
+      }))
     def q(name: String) = overrides.getOrElse(name, SparkEntry.queries(name))
 
     // Time BASE and SCALED in the same JVM so the ratio column in

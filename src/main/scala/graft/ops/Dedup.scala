@@ -181,14 +181,23 @@ object Dedup {
     * hits)` — all integers, portable by construction; the oracle
     * recomputes both sides from scratch.
     *
-    * Measured on the sf0.01 documents corpus (the gated
-    * `dedup_lsh_recall` numbers, hits / n_truth per cell):
-    * higher thresholds recall better at every band count (a 0.7-pair
-    * shares more shingles, so more minhash rows agree), and more
-    * bands buy recall at every threshold — the S-curve, as integers.
-    * Guidance stays: replicated corpora (high-Jaccard dups, the
-    * common case) can run few bands; a 0.3-threshold screen needs
-    * the band count raised or it will miss most of its truth set.
+    * Measured (hits/n_truth). The sf0.01 documents corpus is
+    * threshold-FLAT — its exhaustive truth pairs all sit at
+    * Jaccard ≥ 0.7 (25 pairs at every threshold, 24-25 recalled at
+    * every band setting) — so the spec adds a GRADED corpus (six
+    * pairs each at j ≈ 0.30/0.50/0.71, pair-private vocabularies)
+    * where the sweep separates:
+    *
+    *   bands (of 12 hashes):   2     3     4     6
+    *   t=0.30 (18 pairs):    2/18  6/18  7/18 15/18
+    *   t=0.50 (12 pairs):    2/12  6/12  6/12 12/12
+    *   t=0.70 ( 6 pairs):     2/6   5/6   5/6   6/6
+    *
+    * The production guidance these integers pin: replicated corpora
+    * (high-Jaccard dups, the common case) are caught even at few
+    * bands once bands ≥ 3; a 0.3-threshold screen MUST raise the
+    * band count (2 bands recall 11%, 6 bands 83% of its truth set)
+    * or it silently misses most of what it claims to screen.
     *
     * Scale shape: the truth side is the exhaustive op (its own
     * refusal-bounded cost) built ONCE — the scored frame is

@@ -875,7 +875,21 @@ object Multimodal {
     * forward — same tables, noted not built). Output shape identical
     * to [[videoPerceptualHash]] with `n_key = nSamples` always, so the
     * SAME pairs/clusters/incremental machinery consumes either
-    * signature. */
+    * signature.
+    *
+    * EDIT LISTS (round 12, VERDICT r11 #8): a re-muxed file can carry
+    * an `elst` that maps presentation time 0 to media time M (the
+    * priming-samples / codec-delay pattern) — reading `stts` only
+    * would sample the skipped priming frames and misalign every slot.
+    * Slot targets therefore live on the PRESENTATION timeline: slot k
+    * targets media time `M + k·presDur/nSamples`, where presDur is
+    * the elst segment duration (falling back to the mvhd duration for
+    * un-edited files, where M = 0 and behavior is bit-identical to
+    * before). Spec'd both directions: an elst-edited re-mux signatures
+    * identically to its plain original, and ignoring the offset
+    * provably picks different frames on the same fixture. (Fixtures
+    * share one timescale for movie and media, as [[Mp4.encode]]
+    * writes; a deployment with split timescales rescales segDur.) */
   def videoPerceptualHashTimeAligned(df: DataFrame, idCol: String,
                                      binCol: String, nSamples: Int = 4)
       : Dataset[VideoPerceptualHash] = {
@@ -889,11 +903,12 @@ object Multimodal {
         val m = Mp4.parse(bytes)
         require(m.samples.nonEmpty, s"video $id has no samples")
         var w = 0L; var h = 0L; var sig = 0L
+        val presDur = if (m.editDuration > 0) m.editDuration else m.duration
         // cache per distinct frame: slots often repeat a frame on
         // short clips, and decode is the expensive step
         val foldCache = scala.collection.mutable.Map.empty[Int, Long]
         (0 until nSamples).foreach { k =>
-          val target = k.toLong * m.duration / nSamples
+          val target = m.editMediaTime + k.toLong * presDur / nSamples
           // last frame with dts <= target; dts is non-decreasing
           val s = m.samples.takeWhile(_.dts <= target).lastOption
             .getOrElse(m.samples.head)

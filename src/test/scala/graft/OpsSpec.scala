@@ -383,6 +383,47 @@ class OpsSpec extends SparkTestBase {
         "otherwise the time-aligned variant is unnecessary")
   }
 
+  test("time-aligned sampler is invariant to elst edit lists; ignoring the offset provably misaligns") {
+    import spark.implicits._
+    import graft.ops.{Bmp, Mp4}
+    // re-mux with PRIMING frames + an elst skipping them: the media
+    // timeline shifts by |prime|·delta, presentation is unchanged
+    def reMux(id: Long, nPrime: Int): Array[Byte] = {
+      val plain = Mp4.parse(Multimodal.syntheticVideoMp4T(id))
+      val src = Multimodal.syntheticVideoMp4T(id)
+      val frames = plain.samples.map(s => plain.sampleBytes(src, s))
+      // priming frames: same dimensions, deliberately DIFFERENT pixels —
+      // if any slot mistakenly samples one, signatures diverge loudly
+      val i0 = Bmp.decode(frames.head) // frames are BMP for even variants
+      val prime = Seq.fill(nPrime)(Bmp.encode(i0.width, i0.height,
+        (x, y) => ((x * 91 + y * 57) % 256, 255 - (x * 3) % 256, (y * 7) % 256)))
+      Mp4.encodeWithEdit(frames, timescale = 600 + 300 * (id % 4).toInt,
+        delta = 30 + 7 * (id % 4).toInt, keyStride = 1 + (id % 4).toInt,
+        primeFrames = prime)
+    }
+    // even variants (v=0, 2) carry BMP frames the reMux helper re-wraps
+    val ids = Seq(0L, 2L, 8L, 10L, 16L)
+    val plain = Multimodal.videoPerceptualHashTimeAligned(
+      ids.map(id => (id, Multimodal.syntheticVideoMp4T(id))).toDF("id", "vid"),
+      "id", "vid").toDF().collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val edited = Multimodal.videoPerceptualHashTimeAligned(
+      ids.map(id => (id, reMux(id, nPrime = 2))).toDF("id", "vid"),
+      "id", "vid").toDF().collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(plain == edited,
+      s"elst re-mux moved the time-aligned signature: plain=$plain edited=$edited")
+    // both directions: the parsed offset is real, and an elst-IGNORANT
+    // slot rule (target without the media-time offset) picks a priming
+    // frame for slot 0 on every edited fixture — the silent hazard
+    ids.foreach { id =>
+      val m = Mp4.parse(reMux(id, nPrime = 2))
+      assert(m.editMediaTime > 0 && m.editDuration > 0, s"elst not parsed for $id")
+      val ignorantSlot0 = m.samples.takeWhile(_.dts <= 0L).last
+      val awareSlot0 = m.samples.takeWhile(_.dts <= m.editMediaTime).last
+      assert(ignorantSlot0.index != awareSlot0.index,
+        s"fixture $id does not exercise the misalignment")
+    }
+  }
+
   test("ann recall: hits are within [0, k] and aggregate recall is non-decreasing in nProbe") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     val rows = graft.ops.Similarity.annRecall(emb)
@@ -1997,6 +2038,38 @@ class OpsSpec extends SparkTestBase {
          if uncapped.contains(c) && uncapped.contains(f))
       assert(uncapped(c) <= uncapped(f),
         s"recall dropped on nested refine $c→$f: ${uncapped(c)} > ${uncapped(f)}")
+  }
+
+  test("lsh recall threshold sweep separates on a graded-similarity corpus") {
+    import spark.implicits._
+    // The sf fixtures' exhaustive truth pairs all sit at Jaccard ≥ 0.7
+    // (threshold-flat), so the SWEEP's value needs a corpus with pairs
+    // AT each threshold: per pair, two 32-token docs share a prefix of
+    // m tokens over a pair-private vocabulary — shared 3-gram shingles
+    // c = m − 2, Jaccard = c / (60 − c). m = 16/22/27 lands j ≈ 0.304 /
+    // 0.5 / 0.714; six pairs per grade.
+    val graded = (0 until 18).flatMap { p =>
+      val m = Seq(16, 22, 27)(p % 3)
+      val a = (0 until 32).map(i => s"p${p}a$i")
+      val b = (0 until 32).map(i => if (i < m) s"p${p}a$i" else s"p${p}b$i")
+      Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.lshRecall(graded, thresholdsPct = Seq(30, 50, 70))
+      .select("threshold_pct", "bands", "n_truth", "hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // truth sets nest strictly: 18 pairs ≥ 0.3, 12 ≥ 0.5, 6 ≥ 0.7
+    assert(rows((30L, 2L))._1 == 18L && rows((50L, 2L))._1 == 12L &&
+      rows((70L, 2L))._1 == 6L, s"graded truth sets wrong: $rows")
+    // the S-curve: at the LOW threshold, few bands (rows=6, p≈s⁶) miss
+    // most 0.3-pairs while many bands (rows=2, p≈1−(1−s²)⁶) recover a
+    // large fraction — the spread the production guidance cites
+    assert(rows((30L, 6L))._2 > rows((30L, 2L))._2,
+      s"banding lever invisible at t=0.3: $rows")
+    // at 6 bands (rows=2) the 0.7-pairs are essentially all caught
+    // (p ≈ 1−(1−0.714²)⁶ ≈ 0.98 per pair; measured 6/6)
+    assert(rows((70L, 6L))._2 >= 5L, s"0.7-pairs should survive 6 bands: $rows")
+    info(s"graded recall table: ${rows.toSeq.sortBy(_._1).mkString(", ")}")
   }
 
   test("exact media fingerprints: container-invariant, content-sensitive; admission is the conjunction") {
