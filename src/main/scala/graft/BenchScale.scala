@@ -95,7 +95,16 @@ object BenchScale {
     // (VERDICT r10 #4 — 1000 merge rounds; the claim is wall-clock
     // linear in merges under the checkpoint cadence)
     "pipeline_media_admission", "streaming_span_index",
-    "dedup_span_exact_boiler", "text_bpe_train_1k")
+    "dedup_span_exact_boiler", "text_bpe_train_1k",
+    // round 12: the POISONED media book (VERDICT r11 #1 — one corrupt
+    // asset per 5 events across all three modalities must degrade to
+    // counted quarantine rows, so the book survives a poisoned corpus
+    // at 10× instead of dying on a require), the composed text ∧ media
+    // admission book, the index-fed media book (decode amortized into
+    // the persisted signature artifacts), and the residual IVF-PQ's
+    // cost delta (inside ann_recall)
+    "multimodal_quarantine", "pipeline_multimodal_admission",
+    "pipeline_media_admission_from_index")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
