@@ -936,6 +936,45 @@ object SparkEntry {
       mediaAdmissionBookSafe(imgBin, audBin, vidPBin, vidEBin)
     }),
 
+    // --- the quarantine tier over the two COMPRESSED codecs the media
+    //     book does not exercise (JPEG — the truncated ENTROPY stream
+    //     is this family's canonical corruption — and LZW GIF): good
+    //     assets keep their exact decoded pixel statistics, poisoned
+    //     assets (every 5th event: cut entropy tails, a checksum-free
+    //     SOF0 patched to a 2³²-pixel raster, defaced magic, a
+    //     from-scratch bomb GIF) become per-asset quarantine rows with
+    //     classified reasons; caps fire before any allocation.
+    "multimodal_quarantine_codecs" -> ((s, d) => {
+      import s.implicits._
+      val QBase = 10000000L
+      def assets(gen: Long => Array[Byte]) =
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", "img")
+      def poisoned(gen: (Long, Int) => Array[Byte], k: Int) =
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .filter((e: Long) => e % 5 == 0)
+          .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
+          .toDF("id", "img")
+      import graft.ops.Multimodal._
+      val jpegBin = assets(syntheticJpeg).unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonJpegTruncatedEntropy(syntheticJpeg(QBase + e))
+          case _ => poisonJpegBomb(syntheticJpeg(QBase + e))
+        }, 2))
+      val gifBin = assets(syntheticGif).unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticGif(QBase + e))
+          case 1 => poisonGifBadMagic(QBase + e)
+          case _ => poisonGifBomb()
+        }, 3))
+      jpegStatsSafe(jpegBin, "id", "img").toDF()
+        .withColumn("codec", lit("jpeg"))
+        .unionByName(gifStatsSafe(gifBin, "id", "img").toDF()
+          .withColumn("codec", lit("gif")))
+        .select("codec", "id", "ok", "reason", "width", "height",
+          "sum_r", "sum_g", "sum_b", "px_min", "px_max")
+    }),
+
     // --- the FULL multimodal pretraining book (VERDICT r11 #3): the
     //     text book and the media book COMPOSE. Real interleaved
     //     pretraining data admits a document iff its text survives the
@@ -3043,49 +3082,12 @@ object SparkEntry {
     // the oracle composes the per-block YCbCr formula with the same
     // integer color conversion (>>16 == floor division — exact on both
     // engines); each block contributes 64 identical pixels
-    "multimodal_jpeg" ->
-      """WITH imgs AS (
-        |  SELECT event_id AS id, 1 + event_id % 3 AS wb, 1 + event_id % 2 AS hb
-        |  FROM events),
-        |blk AS (
-        |  SELECT i.id, i.wb, i.hb,
-        |    (3*i.id + 5*bxs.x + 11*bys.y) % 256 AS yy,
-        |    (7*i.id + 2*bxs.x + 3*bys.y) % 256 AS cb,
-        |    (i.id + 13*bxs.x + 9*bys.y) % 256 AS cr
-        |  FROM imgs i, generate_series(0, 2) AS bxs(x), generate_series(0, 1) AS bys(y)
-        |  WHERE bxs.x < i.wb AND bys.y < i.hb),
-        |rgb AS (
-        |  SELECT id, wb, hb,
-        |    greatest(0, least(255, yy + CAST(floor((91881*(cr-128) + 32768) / 65536.0) AS INT))) AS r,
-        |    greatest(0, least(255, yy + CAST(floor((-22554*(cb-128) - 46802*(cr-128) + 32768) / 65536.0) AS INT))) AS g,
-        |    greatest(0, least(255, yy + CAST(floor((116130*(cb-128) + 32768) / 65536.0) AS INT))) AS b
-        |  FROM blk)
-        |SELECT id, CAST(8*wb AS BIGINT) AS width, CAST(8*hb AS BIGINT) AS height,
-        |  CAST(64*sum(r) AS BIGINT) AS sum_r, CAST(64*sum(g) AS BIGINT) AS sum_g,
-        |  CAST(64*sum(b) AS BIGINT) AS sum_b,
-        |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
-        |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
-        |FROM rgb GROUP BY id, wb, hb""".stripMargin,
+    "multimodal_jpeg" -> jpegStatsOracleSql,
     // GIF fixtures (Multimodal.syntheticGif): the Spark side walks real
     // LZW sub-blocks; the oracle composes the palette-index and palette
     // channel formulas
-    "multimodal_gif" ->
-      """WITH imgs AS (
-        |  SELECT event_id AS id, 4 + event_id % 6 AS w, 2 + event_id % 5 AS h
-        |  FROM events),
-        |px AS (
-        |  SELECT i.id, i.w, i.h,
-        |    (3*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 7) % 256 AS r,
-        |    (5*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 11) % 256 AS g,
-        |    (7*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 13) % 256 AS b
-        |  FROM imgs i, generate_series(0, 8) AS xs(x), generate_series(0, 5) AS ys(y)
-        |  WHERE xs.x < i.w AND ys.y < i.h)
-        |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
-        |  CAST(sum(b) AS BIGINT) AS sum_b,
-        |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
-        |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
-        |FROM px GROUP BY id, w, h""".stripMargin,
+    "multimodal_gif" -> gifStatsOracleSql,
+    "multimodal_quarantine_codecs" -> codecQuarantineOracleSql,
     // animated-GIF frame sampling: frame count, per-frame index formula,
     // and palette all closed-form (Multimodal.syntheticGifAnim)
     "multimodal_gif_frames" ->
@@ -4797,6 +4799,83 @@ object SparkEntry {
        |SELECT $goodCols FROM im
        |UNION ALL SELECT $goodCols FROM au
        |UNION ALL SELECT $goodCols FROM vi$quarantineTail""".stripMargin
+  }
+
+  /** Decoded-pixel statistics oracle for the baseline-JPEG fixtures
+    * (`Multimodal.syntheticJpeg`): per-block constant YCbCr makes the
+    * lossy pipeline exact, so the oracle replays block formula + the
+    * fixed-point color conversion without a codec. */
+  private def jpegStatsOracleSql: String =
+    """WITH imgs AS (
+      |  SELECT event_id AS id, 1 + event_id % 3 AS wb, 1 + event_id % 2 AS hb
+      |  FROM events),
+      |blk AS (
+      |  SELECT i.id, i.wb, i.hb,
+      |    (3*i.id + 5*bxs.x + 11*bys.y) % 256 AS yy,
+      |    (7*i.id + 2*bxs.x + 3*bys.y) % 256 AS cb,
+      |    (i.id + 13*bxs.x + 9*bys.y) % 256 AS cr
+      |  FROM imgs i, generate_series(0, 2) AS bxs(x), generate_series(0, 1) AS bys(y)
+      |  WHERE bxs.x < i.wb AND bys.y < i.hb),
+      |rgb AS (
+      |  SELECT id, wb, hb,
+      |    greatest(0, least(255, yy + CAST(floor((91881*(cr-128) + 32768) / 65536.0) AS INT))) AS r,
+      |    greatest(0, least(255, yy + CAST(floor((-22554*(cb-128) - 46802*(cr-128) + 32768) / 65536.0) AS INT))) AS g,
+      |    greatest(0, least(255, yy + CAST(floor((116130*(cb-128) + 32768) / 65536.0) AS INT))) AS b
+      |  FROM blk)
+      |SELECT id, CAST(8*wb AS BIGINT) AS width, CAST(8*hb AS BIGINT) AS height,
+      |  CAST(64*sum(r) AS BIGINT) AS sum_r, CAST(64*sum(g) AS BIGINT) AS sum_g,
+      |  CAST(64*sum(b) AS BIGINT) AS sum_b,
+      |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+      |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
+      |FROM rgb GROUP BY id, wb, hb""".stripMargin
+
+  /** Decoded-pixel statistics oracle for the GIF fixtures
+    * (`Multimodal.syntheticGif`): palette-index and palette-channel
+    * formulas composed without a codec. */
+  private def gifStatsOracleSql: String =
+    """WITH imgs AS (
+      |  SELECT event_id AS id, 4 + event_id % 6 AS w, 2 + event_id % 5 AS h
+      |  FROM events),
+      |px AS (
+      |  SELECT i.id, i.w, i.h,
+      |    (3*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 7) % 256 AS r,
+      |    (5*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 11) % 256 AS g,
+      |    (7*((5*i.id + 7*xs.x + 3*ys.y) % 256) + 13) % 256 AS b
+      |  FROM imgs i, generate_series(0, 8) AS xs(x), generate_series(0, 5) AS ys(y)
+      |  WHERE xs.x < i.w AND ys.y < i.h)
+      |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+      |  CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
+      |FROM px GROUP BY id, w, h""".stripMargin
+
+  /** The codec-quarantine gate's oracle: good rows are the two stats
+    * oracles verbatim (plus ok/'' columns), corrupt rows replay the
+    * poison-kind arithmetic. */
+  private def codecQuarantineOracleSql: String = {
+    def ind(s: String) = s.replace("\n", "\n  ")
+    val zeros = (1 to 7).map(_ => "CAST(0 AS BIGINT)").zip(
+      Seq("width", "height", "sum_r", "sum_g", "sum_b", "px_min", "px_max"))
+      .map { case (z, n) => s"$z AS $n" }.mkString(", ")
+    s"""WITH j AS (SELECT * FROM (
+       |  ${ind(jpegStatsOracleSql)})),
+       |g AS (SELECT * FROM (
+       |  ${ind(gifStatsOracleSql)}))
+       |SELECT 'jpeg' AS codec, id, true AS ok, '' AS reason,
+       |  width, height, sum_r, sum_g, sum_b, px_min, px_max FROM j
+       |UNION ALL SELECT 'gif', id, true, '',
+       |  width, height, sum_r, sum_g, sum_b, px_min, px_max FROM g
+       |UNION ALL SELECT 'jpeg', 10000000 + event_id, false,
+       |  'decode:' || CASE ((event_id // 5) % 2)
+       |    WHEN 0 THEN 'truncated' ELSE 'bomb' END,
+       |  $zeros
+       |FROM events WHERE event_id % 5 = 0
+       |UNION ALL SELECT 'gif', 10000000 + event_id, false,
+       |  'decode:' || CASE ((event_id // 5) % 3)
+       |    WHEN 0 THEN 'truncated' WHEN 1 THEN 'bad_magic' ELSE 'bomb' END,
+       |  $zeros
+       |FROM events WHERE event_id % 5 = 0""".stripMargin
   }
 
   /** The composed multimodal book's oracle: the surgical text book and

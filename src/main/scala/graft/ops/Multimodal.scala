@@ -1673,6 +1673,105 @@ object Multimodal {
     b
   }
 
+  /** Zip-bomb SOF0: a valid [[syntheticJpeg]] with its frame header's
+    * dimensions patched to 65535×65535 (JPEG carries no checksums, so
+    * the patch is otherwise a legal stream) — the decoder's raster cap
+    * must refuse before any allocation. A raw FFC0 byte pair exists
+    * only as the real SOF0 marker (entropy data byte-stuffs FF as
+    * FF00), so the scan is unambiguous. */
+  def poisonJpegBomb(bytes: Array[Byte]): Array[Byte] = {
+    val b = bytes.clone()
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 1 < b.length) {
+      if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0) at = i
+      i += 1
+    }
+    require(at >= 0, "no SOF0 marker in fixture")
+    // segment: FFC0 len(2) precision(1) height(2) width(2)
+    b(at + 5) = 0xFF.toByte; b(at + 6) = 0xFF.toByte
+    b(at + 7) = 0xFF.toByte; b(at + 8) = 0xFF.toByte
+    b
+  }
+
+  /** Truncated ENTROPY stream: a valid JPEG cut before its final
+    * entropy bytes + EOI — the Huffman reader (or the EOI scan) must
+    * hit its loud truncation require, never an infinite loop. */
+  def poisonJpegTruncatedEntropy(bytes: Array[Byte]): Array[Byte] =
+    bytes.take(math.max(4, bytes.length - 6))
+
+  /** Wrong container signature: a valid [[syntheticGif]] with the GIF
+    * magic defaced. */
+  def poisonGifBadMagic(id: Long): Array[Byte] = {
+    val b = syntheticGif(id).clone()
+    b(0) = 'X'.toByte
+    b
+  }
+
+  /** Zip-bomb GIF: structurally valid header + image descriptor both
+    * declaring a 65535×65535 raster (4.3·10⁹ pixels against the
+    * decoder cap) — the cap require must fire in the descriptor
+    * handler, before any LZW read or allocation. */
+  def poisonGifBomb(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(0xFFFF); le16(0xFFFF) // logical screen 65535x65535
+    out.write(0x80); out.write(0); out.write(0) // GCT present, 2 entries
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // the 2-entry GCT
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(0xFFFF); le16(0xFFFF)
+    out.write(0) // no local table, not interlaced
+    out.write(2) // LZW min code size (never reached)
+    out.toByteArray
+  }
+
+  final case class SafeImageStats(id: Long, ok: Boolean, reason: String,
+                                  width: Long, height: Long,
+                                  sum_r: Long, sum_g: Long, sum_b: Long,
+                                  px_min: Long, px_max: Long)
+
+  /** Fault-isolated [[jpegStats]]. */
+  def jpegStatsSafe(df: DataFrame, idCol: String,
+                    binCol: String): Dataset[SafeImageStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val img = Jpeg.decode(bytes)
+          val st = pixelStats(id, img.width, img.height, img.pixels)
+          SafeImageStats(id, ok = true, "", st.width, st.height,
+            st.sum_r, st.sum_g, st.sum_b, st.px_min, st.px_max)
+        } catch { case scala.util.control.NonFatal(e) =>
+          SafeImageStats(id, ok = false, reasonOf(e), 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** Fault-isolated [[gifStats]]. */
+  def gifStatsSafe(df: DataFrame, idCol: String,
+                   binCol: String): Dataset[SafeImageStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val img = Gif.decode(bytes)
+          val packed = new Array[Int](img.pixels.length)
+          var i = 0
+          while (i < packed.length) { packed(i) = img.palette(img.pixels(i)); i += 1 }
+          val st = pixelStats(id, img.width, img.height, packed)
+          SafeImageStats(id, ok = true, "", st.width, st.height,
+            st.sum_r, st.sum_g, st.sum_b, st.px_min, st.px_max)
+        } catch { case scala.util.control.NonFatal(e) =>
+          SafeImageStats(id, ok = false, reasonOf(e), 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
   /** Corrupt FIRST-keyframe payload inside a structurally valid MP4:
     * the container parses, the exact fingerprint still computes, but
     * the perceptual tier's keyframe image decode hits an unrecognized

@@ -42,6 +42,27 @@ class QuarantineSpec extends SparkTestBase {
     }
   }
 
+  test("jpeg/gif poison fixtures fail with pinned kinds; safe stats match strict on clean input") {
+    import graft.ops.{Gif, Jpeg}
+    for (id <- cleanIds) {
+      assert(kindOf(Jpeg.decode(Multimodal.poisonJpegTruncatedEntropy(
+        Multimodal.syntheticJpeg(id)))) == "truncated")
+      assert(kindOf(Jpeg.decode(Multimodal.poisonJpegBomb(
+        Multimodal.syntheticJpeg(id)))) == "bomb")
+      assert(kindOf(Gif.decode(Multimodal.poisonTruncated(
+        Multimodal.syntheticGif(id)))) == "truncated")
+      assert(kindOf(Gif.decode(Multimodal.poisonGifBadMagic(id))) == "bad_magic")
+    }
+    assert(kindOf(Gif.decode(Multimodal.poisonGifBomb())) == "bomb")
+    val jbin = cleanIds.map(id => (id, Multimodal.syntheticJpeg(id))).toDF("id", "img")
+    val gbin = cleanIds.map(id => (id, Multimodal.syntheticGif(id))).toDF("id", "img")
+    def strip(df: DataFrame) = df.where(col("ok")).drop("ok", "reason")
+    assert(strip(Multimodal.jpegStatsSafe(jbin, "id", "img").toDF())
+      .exceptAll(Multimodal.jpegStats(jbin, "id", "img").toDF()).count() == 0)
+    assert(strip(Multimodal.gifStatsSafe(gbin, "id", "img").toDF())
+      .exceptAll(Multimodal.gifStats(gbin, "id", "img").toDF()).count() == 0)
+  }
+
   // ---- safe variants == strict variants on clean fixtures -------------
 
   private def bin(gen: Long => Array[Byte], c: String): DataFrame =
