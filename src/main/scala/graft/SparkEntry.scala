@@ -1230,6 +1230,18 @@ object SparkEntry {
     "streaming_image_dedup" -> ((s, d) =>
       StreamingIngest.imageDedupStream(s, d)),
 
+    // --- the quarantine tier at the STREAM boundary (round 12): a
+    //     corrupt asset in a stream wedges the micro-batch retry loop
+    //     forever — strictly worse than the batch failure the batch
+    //     quarantine tier fixes. Incoming assets (1 poisoned per 5th
+    //     source row) safe-decode inside foreachBatch; malformed →
+    //     per-asset quarantine rows, good → screened vs the standing
+    //     corpus index. Per-asset verdicts are batch-slicing-invariant
+    //     (one asset, one micro-batch, static corpus), so the oracle
+    //     replays the batch computation.
+    "streaming_media_quarantine" -> ((s, d) =>
+      StreamingIngest.mediaQuarantineStream(s, d)),
+
     // --- REAL COMPRESSED image decode (VERDICT r5 #5): per-row PNG
     //     fixtures (zlib IDAT, row filters rotating through all five
     //     PNG filter types) decoded by the pure-JVM Png codec per
@@ -2910,6 +2922,22 @@ object SparkEntry {
     "streaming_image_dedup" -> ahashOracleSql(
       s"""$imageIncrementalCte
          |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
+      extraCte = true),
+
+    // good incoming rows: formula hashes + corpus-dup flag (the same
+    // uncapped screen chain as streaming_image_dedup); quarantine rows:
+    // the poison-kind arithmetic
+    "streaming_media_quarantine" -> ahashOracleSql(
+      s"""$imageIncrementalCte
+         |SELECT b.id, true AS ok, '' AS reason,
+         |  (d.batch_id IS NOT NULL) AS dup
+         |FROM hbt b LEFT JOIN (SELECT DISTINCT batch_id FROM conf) d
+         |  ON b.id = d.batch_id
+         |UNION ALL SELECT 10000000 + event_id, false,
+         |  'decode:' || CASE ((event_id // 5) % 3)
+         |    WHEN 0 THEN 'truncated' WHEN 1 THEN 'bomb' ELSE 'bad_crc' END,
+         |  false
+         |FROM events WHERE event_id % 5 = 0 AND (event_id // 20) % 2 = 1""".stripMargin,
       extraCte = true),
 
     // min-label closure over the image pair graph → per-asset

@@ -63,7 +63,7 @@ object StreamingIngest {
     * cannot silently escape GC. */
   private[graft] val WorkDirPurposes =
     Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
-      "stream_span_index")
+      "stream_span_index", "stream_media_quarantine")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -316,6 +316,83 @@ object StreamingIngest {
       .option("path", s"$work/out")
       .option("checkpointLocation", s"$work/checkpoint")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The QUARANTINE tier at the STREAM boundary (round 12, completing
+    * VERDICT r11 #1): in a stream, a corrupt asset is strictly WORSE
+    * than in batch — the failed micro-batch retries the same files
+    * forever and the pipeline wedges. Incoming assets (including a
+    * poisoned one per 5th source row: truncated BMP, CRC-valid PNG
+    * bomb, flipped PNG checksum) safe-decode INSIDE `foreachBatch`:
+    * malformed payloads become per-asset quarantine rows
+    * `(ok=false, reason=decode:<kind>, dup=false)`; good payloads
+    * screen against the standing corpus index (the shuffle-join /
+    * checkpointed-static shapes of [[imageDedupStream]]) and emit
+    * `(ok=true, dup=<has a corpus near-dup>)`. Every asset is seen in
+    * exactly one micro-batch and the corpus is static, so per-asset
+    * verdicts are independent of batch slicing — stream output ≡ the
+    * batch computation, which is what the oracle replays. (Contract:
+    * `dup` is vs the CORPUS only; batch-internal pairs are the
+    * all-pairs ops' job.) */
+  def mediaQuarantineStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val QBase = 10000000L
+    val corpus = Multimodal.imageAHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .where(expr("event_id div 20") % 2 === 0)
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img"), "id", "img").toDF()
+      .localCheckpoint(true) // decode once; conservative stats → shuffle joins
+    val work = workDir("stream_media_quarantine", dir)
+    val incoming = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(s"$dir/events.*")
+      .where(expr("event_id div 20") % 2 === 1)
+    val q = incoming.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val assets = b.select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.flatMap { e =>
+            val clean = Seq((e, Multimodal.syntheticBmp(e)))
+            val poison =
+              if (e % 5 == 0) Seq((QBase + e, ((e / 5) % 3) match {
+                case 0 => Multimodal.poisonTruncated(Multimodal.syntheticBmp(QBase + e))
+                case 1 => Multimodal.poisonPngBomb()
+                case _ => Multimodal.poisonPngBadCrc(QBase + e)
+              }))
+              else Nil
+            (clean ++ poison).iterator
+          }).toDF("id", "img")
+        // decode once per micro-batch: the safe frame feeds the
+        // quarantine rows, the screen, AND the verdict join
+        val safe = Multimodal.imageAHashSafe(assets, "id", "img").toDF()
+          .localCheckpoint(true)
+        val ok = safe.where(col("ok"))
+          .select("id", "width", "height", "ahash")
+        val dupIds = Multimodal.incrementalScreen(corpus, ok,
+            hashCol = "ahash",
+            group = concat(col("width").cast("string"), lit("x"),
+              col("height").cast("string")),
+            bandBits = 12, numBands = 4, maxHamming = 4, bucketCap = 64,
+            metric = "media_quarantine_stream", observed = false,
+            noBroadcast = true)
+          .select(col("batch_id").as("id")).distinct()
+          .withColumn("dup", lit(true))
+        val out = safe.select(col("id"), col("ok"), col("reason"))
+          .join(dupIds, Seq("id"), "left")
+          .select(col("id"), col("ok"), col("reason"),
+            (col("ok") && coalesce(col("dup"), lit(false))).as("dup"))
+        out.write.mode("append").parquet(s"$work/out")
+        graft.ops.Dedup.releaseOwnCheckpoint(safe)
+        ()
+      }
+      .option("checkpointLocation", s"$work/checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     graft.ops.Dedup.releaseLocalCheckpoint(corpus)
     spark.read.parquet(s"$work/out")
