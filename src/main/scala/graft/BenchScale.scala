@@ -104,7 +104,8 @@ object BenchScale {
     // the persisted signature artifacts), and the residual IVF-PQ's
     // cost delta (inside ann_recall)
     "multimodal_quarantine", "pipeline_multimodal_admission",
-    "pipeline_media_admission_from_index", "streaming_media_quarantine")
+    "pipeline_media_admission_from_index", "streaming_media_quarantine",
+    "streaming_ann_index")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -622,6 +622,16 @@ object SparkEntry {
     //     against the same frozen centroids) and probed as one — must
     //     hash-match the single-build oracle, proving append ≡ rebuild
     //     (the ANN sibling of dedup_index_lifecycle)
+    // --- the IVF index MAINTAINED BY A STREAM (round 12): new vectors
+    //     arrive as micro-batches, each appending its frozen-centroid
+    //     cell assignments as an idempotent increment dir; the probe
+    //     reads the union of generations. Stream-appended ≡ rebuilt
+    //     (per-vector assignment, frozen centroids), so the oracle is
+    //     the single-build probe — every standing index (bands, span
+    //     grams, IVF cells) now has a stream-maintained variant.
+    "streaming_ann_index" -> ((s, d) =>
+      StreamingIngest.annIndexMaintainStream(s, d)),
+
     "ann_index_lifecycle" -> ((s, d) => {
       val e = T(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -2723,6 +2733,7 @@ object SparkEntry {
     // frozen centroids), so the two-generation index probes to exactly
     // the single-build result — the oracle IS the plain IVF oracle
     "ann_index_lifecycle" -> ivfOracleSql,
+    "streaming_ann_index" -> ivfOracleSql,
     "ann_ivf_trained_topk" -> ivfTrainedOracleSql,
     "ann_ivfpq_topk" -> ivfPqOracleSql,
     "ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
