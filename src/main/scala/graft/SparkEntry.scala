@@ -946,6 +946,49 @@ object SparkEntry {
       mediaAdmissionBookSafe(imgBin, audBin, vidPBin, vidEBin)
     }),
 
+    // --- the quarantine REPORT (the monitoring view an ingest operator
+    //     actually watches): per-(modality, reason) asset counts over
+    //     the poisoned corpus, decode tier only — cheap (one decode
+    //     pass per modality, one tiny groupBy), and the reason volumes
+    //     hash-gated so a classification regression is caught by count,
+    //     not only by per-asset row diffs.
+    "multimodal_quarantine_report" -> ((s, d) => {
+      import s.implicits._
+      val QBase = 10000000L
+      def assets(gen: Long => Array[Byte], c: String) =
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
+      def poisoned(gen: (Long, Int) => Array[Byte], c: String, k: Int) =
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .filter((e: Long) => e % 5 == 0)
+          .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
+          .toDF("id", c)
+      import graft.ops.Multimodal._
+      val img = imageAHashSafe(assets(syntheticBmp, "img").unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticBmp(QBase + e))
+          case 1 => poisonPngBomb()
+          case _ => poisonPngBadCrc(QBase + e)
+        }, "img", 3)), "id", "img").toDF()
+        .select(lit("image").as("modality"), col("reason"))
+      val aud = audioFingerprintSafe(assets(syntheticWav, "clip").unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticWav(QBase + e))
+          case _ => poisonWavBadMagic(QBase + e)
+        }, "clip", 2)), "id", "clip").toDF()
+        .select(lit("audio").as("modality"), col("reason"))
+      val vid = videoPerceptualHashSafe(assets(syntheticVideoMp4, "vid").unionByName(
+        poisoned((e, kind) => kind match {
+          case 0 => poisonTruncated(syntheticVideoMp4(QBase + e), 16)
+          case 1 => poisonMp4Bomb(syntheticVideoMp4(QBase + e))
+          case _ => poisonMp4Keyframe(syntheticVideoMp4(QBase + e))
+        }, "vid", 3)), "id", "vid").toDF()
+        .select(lit("video").as("modality"), col("reason"))
+      img.unionByName(aud).unionByName(vid)
+        .groupBy("modality", "reason")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // --- the quarantine tier over the two COMPRESSED codecs the media
     //     book does not exercise (JPEG — the truncated ENTROPY stream
     //     is this family's canonical corruption — and LZW GIF): good
@@ -3396,6 +3439,25 @@ object SparkEntry {
     "pipeline_media_admission" -> mediaAdmissionOracleSql(),
     "pipeline_media_admission_from_index" -> mediaAdmissionOracleSql(),
     "multimodal_quarantine" -> mediaAdmissionOracleSql(withQuarantine = true),
+    // closed-form counts: n_events ok rows per modality + poison-kind
+    // volumes by the same (event_id // 5) % K arithmetic the fixtures use
+    "multimodal_quarantine_report" ->
+      """SELECT modality, reason, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT m.modality, '' AS reason
+        |  FROM events e, (VALUES ('image'), ('audio'), ('video')) AS m(modality)
+        |  UNION ALL SELECT 'image',
+        |    'decode:' || CASE ((event_id // 5) % 3) WHEN 0 THEN 'truncated'
+        |      WHEN 1 THEN 'bomb' ELSE 'bad_crc' END
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL SELECT 'audio',
+        |    'decode:' || CASE ((event_id // 5) % 2) WHEN 0 THEN 'truncated'
+        |      ELSE 'bad_magic' END
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL SELECT 'video',
+        |    'decode:' || CASE ((event_id // 5) % 3) WHEN 0 THEN 'truncated'
+        |      WHEN 1 THEN 'bomb' ELSE 'bad_magic' END
+        |  FROM events WHERE event_id % 5 = 0)
+        |GROUP BY modality, reason""".stripMargin,
     "pipeline_multimodal_admission" -> multimodalAdmissionOracleSql,
     // histogram of the closure's cluster sizes (corpus-health report)
     "dedup_cluster_stats" ->

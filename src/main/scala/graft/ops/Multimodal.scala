@@ -1853,6 +1853,14 @@ object Multimodal {
       .unionByName(quarantine(imgAH, imgFp, "image"))
       .unionByName(quarantine(audAH, audFp, "audio"))
       .unionByName(quarantine(vidPH, vidFp, "video"))
+      // the LOUD counter: quarantine volume is an observable metric on
+      // the book itself (fires when the verdict frame materializes), so
+      // a poisoned-ingest spike surfaces in ops telemetry, not just in
+      // the verdict rows
+      .observe("media_book_quarantine_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("reason") =!= "", 1L).otherwise(0L)).as("quarantined"),
+        count(lit(1)).as("assets"))
       .localCheckpoint(true) // tiny (one row per asset); frees the six below
     Seq(imgAH, imgFp, audAH, audFp, vidPH, vidFp, perceptual)
       .foreach(Dedup.releaseOwnCheckpoint)
