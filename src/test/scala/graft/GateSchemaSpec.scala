@@ -46,6 +46,9 @@ class GateSchemaSpec extends SparkTestBase {
     "ann_bucket_topk" -> Set("cos"),
     "ann_cosine_topk" -> Set("cos"),
     "ann_index_lifecycle" -> Set("cos"),
+    // the stream-maintained sibling probes through the same
+    // fx-quantized cosine
+    "streaming_ann_index" -> Set("cos"),
     "ann_ivf_sampled_topk" -> Set("cos"),
     "ann_ivf_topk" -> Set("cos"),
     "ann_ivf_trained_topk" -> Set("cos"),
