@@ -2130,8 +2130,17 @@ object SparkEntry {
   private def mediaSignatureIndex(s: SparkSession, d: String): String =
     mediaIndexCache.computeIfAbsent(d, dir => {
       import s.implicits._
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_media_index_").toString
+      // deterministic, content-keyed scratch (not a fresh tempdir per
+      // JVM): bounded /tmp usage across rounds, and the events
+      // size+mtime key invalidates when the driver regenerates the
+      // fixtures in place (the BenchScale fingerprint lesson). Wiped
+      // and rebuilt on first touch per JVM — the artifact is cheap to
+      // rebuild and a half-written dir from a killed JVM must never be
+      // trusted.
+      val ev = new java.io.File(s"$dir/events.parquet")
+      val out = graft.util.Fs.workDir("media_index",
+        s"$dir:${ev.length}:${ev.lastModified}")
+      graft.util.Fs.deleteRecursive(new java.io.File(out))
       def assets(gen: Long => Array[Byte], c: String) =
         T(s, dir, "events").select(col("event_id").cast("long")).as[Long]
           .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)

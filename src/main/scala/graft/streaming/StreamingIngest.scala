@@ -355,7 +355,7 @@ object StreamingIngest {
       .parquet(s"$dir/events.*")
       .where(expr("event_id div 20") % 2 === 1)
     val q = incoming.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         val assets = b.select(col("event_id").cast("long")).as[Long]
           .mapPartitions(_.flatMap { e =>
             val clean = Seq((e, Multimodal.syntheticBmp(e)))
@@ -387,7 +387,10 @@ object StreamingIngest {
           .join(dupIds, Seq("id"), "left")
           .select(col("id"), col("ok"), col("reason"),
             (col("ok") && coalesce(col("dup"), lit(false))).as("dup"))
-        out.write.mode("append").parquet(s"$work/out")
+        // idempotent per-batch dir (the span/ANN index streams' MERGE
+        // posture): a checkpoint-replayed micro-batch rewrites its own
+        // directory instead of appending duplicate verdict rows
+        out.write.mode("overwrite").parquet(s"$work/out/batch_$id")
         graft.ops.Dedup.releaseOwnCheckpoint(safe)
         ()
       }
@@ -395,7 +398,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     graft.ops.Dedup.releaseLocalCheckpoint(corpus)
-    spark.read.parquet(s"$work/out")
+    spark.read.parquet(s"$work/out/*")
   }
 
   /** The incremental VIDEO perceptual screen as a stream — new clips
