@@ -105,7 +105,7 @@ object BenchScale {
     // cost delta (inside ann_recall)
     "multimodal_quarantine", "pipeline_multimodal_admission",
     "pipeline_media_admission_from_index", "streaming_media_quarantine",
-    "streaming_ann_index", "multimodal_quarantine_report")
+    "streaming_ann_index", "multimodal_quarantine_report", "streaming_video_quarantine")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

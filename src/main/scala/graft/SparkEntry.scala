@@ -1295,6 +1295,14 @@ object SparkEntry {
     "streaming_media_quarantine" -> ((s, d) =>
       StreamingIngest.mediaQuarantineStream(s, d)),
 
+    // --- the VIDEO twin: the decode-heaviest stream (container parse +
+    //     per-keyframe image decode per asset) with container-level AND
+    //     payload-level poison — the corrupt-keyframe kind parses fine
+    //     and quarantines only at the image decode, the video-specific
+    //     hazard an outer container check cannot catch.
+    "streaming_video_quarantine" -> ((s, d) =>
+      StreamingIngest.videoQuarantineStream(s, d)),
+
     // --- REAL COMPRESSED image decode (VERDICT r5 #5): per-row PNG
     //     fixtures (zlib IDAT, row filters rotating through all five
     //     PNG filter types) decoded by the pure-JVM Png codec per
@@ -3160,6 +3168,18 @@ object SparkEntry {
       s"""WITH $videoPerceptualCte,
          |$videoPerceptualIncrementalCte
          |SELECT batch_id, corpus_id, hamming FROM vconf""".stripMargin,
+    "streaming_video_quarantine" ->
+      s"""WITH $videoPerceptualCte,
+         |$videoPerceptualIncrementalCte
+         |SELECT b.id, true AS ok, '' AS reason,
+         |  (d.batch_id IS NOT NULL) AS dup
+         |FROM vhbt b LEFT JOIN (SELECT DISTINCT batch_id FROM vconf) d
+         |  ON b.id = d.batch_id
+         |UNION ALL SELECT 10000000 + event_id, false,
+         |  'decode:' || CASE ((event_id // 5) % 3)
+         |    WHEN 0 THEN 'truncated' WHEN 1 THEN 'bomb' ELSE 'bad_magic' END,
+         |  false
+         |FROM events WHERE event_id % 5 = 0 AND (event_id // 2) % 2 = 1""".stripMargin,
     // time-aligned signature over the keyStride-varying fixtures: slot
     // k of 4 samples frame (k*nf)//4 — the dts-fraction rule in closed
     // form (dts = f*delta, duration = nf*delta, so the delta cancels);

@@ -63,7 +63,8 @@ object StreamingIngest {
     * cannot silently escape GC. */
   private[graft] val WorkDirPurposes =
     Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
-      "stream_span_index", "stream_media_quarantine", "stream_ann_index")
+      "stream_span_index", "stream_media_quarantine", "stream_ann_index",
+      "stream_vid_quarantine")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -725,6 +726,78 @@ object StreamingIngest {
       .localCheckpoint(true)
     graft.ops.Dedup.releaseOwnCheckpoint(index0)
     maintained
+  }
+
+  /** [[mediaQuarantineStream]]'s VIDEO twin — the decode-heaviest
+    * stream (container parse + per-keyframe image decode per asset),
+    * where an unisolated corrupt clip is the most expensive possible
+    * wedge. Poison kinds per 5th source row: truncated container,
+    * `stsz` bomb (cap fires before table materialization), corrupt
+    * keyframe payload inside a VALID container (parse succeeds, the
+    * keyframe image decode quarantines — the video-specific hazard).
+    * Good clips screen against the standing perceptual signature index
+    * with [[videoDedupStream]]'s shapes. */
+  def videoQuarantineStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val QBase = 10000000L
+    val corpus = Multimodal.videoPerceptualHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .where(expr("event_id div 2") % 2 === 0)
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+      .localCheckpoint(true)
+    val work = workDir("stream_vid_quarantine", dir)
+    val incoming = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(s"$dir/events.*")
+      .where(expr("event_id div 2") % 2 === 1)
+    val q = incoming.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val assets = b.select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.flatMap { e =>
+            val clean = Seq((e, Multimodal.syntheticVideoMp4(e)))
+            val poison =
+              if (e % 5 == 0) Seq((QBase + e, ((e / 5) % 3) match {
+                case 0 => Multimodal.poisonTruncated(
+                  Multimodal.syntheticVideoMp4(QBase + e), 16)
+                case 1 => Multimodal.poisonMp4Bomb(
+                  Multimodal.syntheticVideoMp4(QBase + e))
+                case _ => Multimodal.poisonMp4Keyframe(
+                  Multimodal.syntheticVideoMp4(QBase + e))
+              }))
+              else Nil
+            (clean ++ poison).iterator
+          }).toDF("id", "vid")
+        val safe = Multimodal.videoPerceptualHashSafe(assets, "id", "vid").toDF()
+          .localCheckpoint(true)
+        val ok = safe.where(col("ok"))
+          .select("id", "width", "height", "n_key", "sig")
+        val dupIds = Multimodal.incrementalScreen(corpus, ok,
+            hashCol = "sig",
+            group = concat(col("width").cast("string"), lit("x"),
+              col("height").cast("string"), lit(":"),
+              col("n_key").cast("string")),
+            bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+            metric = "video_quarantine_stream", observed = false,
+            noBroadcast = true)
+          .select(col("batch_id").as("id")).distinct()
+          .withColumn("dup", lit(true))
+        val out = safe.select(col("id"), col("ok"), col("reason"))
+          .join(dupIds, Seq("id"), "left")
+          .select(col("id"), col("ok"), col("reason"),
+            (col("ok") && coalesce(col("dup"), lit(false))).as("dup"))
+        out.write.mode("overwrite").parquet(s"$work/out/batch_$id")
+        graft.ops.Dedup.releaseOwnCheckpoint(safe)
+        ()
+      }
+      .option("checkpointLocation", s"$work/checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out/*")
   }
 
   /** Stream-MAINTAINED IVF vector index (round 12): the ANN sibling of
