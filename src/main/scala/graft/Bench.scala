@@ -79,7 +79,7 @@ object Bench {
     // text ∧ media admission book, and the index-fed media book
     "multimodal_quarantine", "pipeline_multimodal_admission",
     "pipeline_media_admission_from_index", "multimodal_quarantine_codecs",
-    "streaming_media_quarantine", "streaming_ann_index", "multimodal_quarantine_report", "streaming_video_quarantine",
+    "streaming_media_quarantine", "streaming_ann_index", "multimodal_quarantine_report", "streaming_video_quarantine", "text_bpe_encode_pretrained",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -1157,6 +1157,16 @@ object SparkEntry {
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(T(s, d, "documents"))),
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(T(s, d, "documents"))),
 
+    // --- encode under the PERSISTED merge artifact (the production
+    //     train-once/encode-many contract): the corpus is encoded with
+    //     the merge TABLE bpeTrain emits, through the artifact-driven
+    //     broadcast fold — must equal the in-place bpeEncode bit-for-bit
+    //     (same oracle), proving the tokenizer artifact is sufficient
+    "text_bpe_encode_pretrained" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      TextAnalysis.bpeEncodeWith(docs, TextAnalysis.bpeTrain(docs, 8))
+    }),
+
     // --- unigram LM scoring (perplexity proxy for quality filtering);
     //     per-token log-probs rounded then DECIMAL-summed for exactness
     "text_unigram_logprob" -> ((s, d) =>
@@ -2876,6 +2886,7 @@ object SparkEntry {
         |  FROM a) WHERE rn <= 50""".stripMargin,
     "text_bpe_train" -> bpeTrainOracleSql(8),
     "text_bpe_encode" -> bpeEncodeOracleSql(8),
+    "text_bpe_encode_pretrained" -> bpeEncodeOracleSql(8),
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, t.u AS term
         |    FROM documents, unnest(string_split(text, ' ')) AS t(u)),

@@ -335,6 +335,58 @@ object TextAnalysis {
       .groupBy("doc_id").agg(sum(col("ntok")).cast("bigint").as("n_tokens"))
   }
 
+  /** BPE ENCODE under a FIXED, externally-supplied merge table — the
+    * production contract [[bpeEncode]] (which retrains in place) does
+    * not cover: a tokenizer is trained ONCE (often on a sample) and its
+    * merge artifact then encodes every corpus that follows. `merges`
+    * is the [[bpeTrain]] shape `(rank, lhs, rhs, …)`; it is collected
+    * to the driver and broadcast — the merge table IS the tokenizer
+    * artifact and is vocabulary-sized by construction (production
+    * vocabularies are 10⁴-10⁵ rules; never corpus-sized). Rules apply
+    * in rank order with exactly [[applyMerge]]'s one-pass left-to-right
+    * semantics, so encoding a corpus with its OWN trained merges equals
+    * [[bpeEncode]] bit-for-bit (spec-pinned, shared gate oracle), and
+    * encoding a NEW corpus costs one distinct-word fold + one
+    * broadcast-sized join — no training loop, no per-merge actions. */
+  def bpeEncodeWith(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = merges.select(col("rank").cast("long"),
+        col("lhs").cast("string"), col("rhs").cast("string"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(rules)
+    val perWord = docs.select(explode(words).as("word"))
+      .where(length(col("word")) >= 1 && !col("word").contains("|"))
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val rs = bc.value
+        it.map { w =>
+          var toks: Vector[String] = w.split("").toVector
+          var i = 0
+          while (i < rs.length) {
+            val (l, r) = rs(i)
+            // one left-to-right pass per rule — applyMerge's exact
+            // semantics (the merged token does NOT re-merge with the
+            // next element within the same pass unless it again equals
+            // the lhs)
+            toks = toks.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            }
+            i += 1
+          }
+          (w, toks.length.toLong)
+        }
+      }.toDF("word", "ntok")
+    docs.select(col("doc_id"), explode(words).as("word"))
+      .where(length(col("word")) >= 1 && !col("word").contains("|"))
+      .join(perWord, "word")
+      .groupBy("doc_id").agg(sum(col("ntok")).cast("bigint").as("n_tokens"))
+  }
+
   /** Content fingerprints: md5 of the normalized text (exact matching)
     * plus a bottom-1 rolling-hash sketch — the minimum Carter-Wegman
     * hash over the document's 3-gram shingles, which survives local

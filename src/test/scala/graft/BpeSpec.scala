@@ -125,4 +125,29 @@ class BpeSpec extends AnyFunSuite {
     val merges = TextAnalysis.bpeTrain(docs("a b c"), 5).collect()
     assert(merges.isEmpty)
   }
+
+  test("encode under the persisted merge artifact equals in-place encode; artifact transfers to a new corpus") {
+    val train = docs("abab abab cdcd ab cd", "aaaa abab", "cd ab abcd")
+    val merges = TextAnalysis.bpeTrain(train, 6)
+    // own-corpus: artifact-driven encode must be bit-identical to the
+    // in-place trainer+encoder
+    val own = TextAnalysis.bpeEncodeWith(train, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inPlace = TextAnalysis.bpeEncode(train, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(own == inPlace, s"artifact encode diverged: $own vs $inPlace")
+    // cross-corpus (the production shape): the SAME artifact encodes a
+    // corpus the trainer never saw; rules apply where they match
+    // ('abab' compresses) and unseen words stay character-split
+    val fresh = docs("abab zzz")
+    val cross = TextAnalysis.bpeEncodeWith(fresh, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mergedPairs = merges.select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // 'abab' tokenizes below its 4 chars iff (a,b) was learned; 'zzz'
+    // has no learned rule and stays 3 tokens
+    val ababToks = cross(0L) - 3L
+    assert(mergedPairs.contains(("a", "b")) && ababToks < 4,
+      s"learned rules must transfer: abab -> $ababToks tokens")
+  }
 }
