@@ -1042,7 +1042,7 @@ object SparkEntry {
     //     (pair-stream-sized), verdict is one row per document.
     "pipeline_multimodal_admission" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val textAdm = surgicalPretrainBook(s, d).select("doc_id").distinct()
+      val textAdm = s.read.parquet(surgicalAdmittedDocsPath(s, d))
         .withColumn("text_admit", lit(true))
       // the media verdicts come from the persisted signature index —
       // the composition gate never re-decodes what the media book's
@@ -2144,6 +2144,26 @@ object SparkEntry {
     * book-from-index ≡ book-from-decode (same oracle, same hash). */
   private val mediaIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The surgical text book's ADMITTED doc ids as a persisted artifact
+    * (the text sibling of [[mediaSignatureIndex]], built once per JVM
+    * per corpus): the composition gate reads the verdict column it
+    * needs instead of re-running the whole curation pipeline the
+    * `pipeline_pretrain_surgical` gate already pays for. Same
+    * content-keyed scratch discipline. */
+  private val textAdmitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def surgicalAdmittedDocsPath(s: SparkSession, d: String): String =
+    textAdmitCache.computeIfAbsent(d, dir => {
+      val doc = new java.io.File(s"$dir/documents.parquet")
+      val out = graft.util.Fs.workDir("text_admit",
+        s"$dir:${doc.length}:${doc.lastModified}")
+      graft.util.Fs.deleteRecursive(new java.io.File(out))
+      surgicalPretrainBook(s, dir).select("doc_id").distinct()
+        .write.mode("overwrite").parquet(out)
+      out
+    })
 
   private def mediaSignatureIndex(s: SparkSession, d: String): String =
     mediaIndexCache.computeIfAbsent(d, dir => {
