@@ -80,6 +80,8 @@ object Bench {
     "multimodal_quarantine", "pipeline_multimodal_admission",
     "pipeline_media_admission_from_index", "multimodal_quarantine_codecs",
     "streaming_media_quarantine", "streaming_ann_index", "multimodal_quarantine_report", "streaming_video_quarantine", "text_bpe_encode_pretrained",
+    // r14: the quarantine book composed from the persisted safe index
+    "multimodal_quarantine_from_index",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",
@@ -167,6 +169,34 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // De-confound the standing-artifact BUILDS from the gates that READ
+    // them (VERDICT r13 #1): whichever *_from_index gate ran first in a
+    // JVM paid the full decode+build inside its timed region (r13 driver:
+    // 44.1 s vs the 16.7-17.4 s steady read-compose cost the DriftProbe
+    // measured). Build the measured dir's artifacts BEFORE the timed
+    // loop and report each build as its own line item, so the from-index
+    // gates measure what they claim to: composing from a persisted index.
+    locally {
+      val artifactReaders = Set("pipeline_media_admission_from_index",
+        "pipeline_multimodal_admission", "multimodal_quarantine_from_index")
+      if (only.forall(_.exists(artifactReaders.contains))) {
+        def timed(name: String)(body: => Unit): Unit =
+          results(name) = try time(body) catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          }
+        timed("media_index_build") {
+          SparkEntry.mediaSignatureIndex(spark, sfDir); ()
+        }
+        timed("text_admit_build") {
+          SparkEntry.surgicalAdmittedDocsPath(spark, sfDir); ()
+        }
+        timed("quarantine_index_build") {
+          SparkEntry.quarantineSignatureIndex(spark, sfDir); ()
+        }
+      }
+    }
+
     // a typo'd/renamed headline must be VISIBLE, not silently dropped
     // from the round's metrics
     headline.filterNot(SparkEntry.queries.contains).foreach(n =>

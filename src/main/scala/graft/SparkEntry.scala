@@ -909,41 +909,28 @@ object SparkEntry {
     //     fingerprint computes) — proving the either-tier-fails →
     //     quarantine rule, not just whole-asset rot.
     "multimodal_quarantine" -> ((s, d) => {
-      import s.implicits._
-      val QBase = 10000000L
-      def assets(gen: Long => Array[Byte], c: String) =
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
-          .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
-      def poisoned(gen: (Long, Int) => Array[Byte], c: String, k: Int) =
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
-          .filter((e: Long) => e % 5 == 0)
-          .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
-          .toDF("id", c)
-      import graft.ops.Multimodal._
-      val imgBin = assets(syntheticBmp, "img").unionByName(
-        poisoned((e, kind) => kind match {
-          case 0 => poisonTruncated(syntheticBmp(QBase + e))
-          case 1 => poisonPngBomb()
-          case _ => poisonPngBadCrc(QBase + e)
-        }, "img", 3))
-      val audBin = assets(syntheticWav, "clip").unionByName(
-        poisoned((e, kind) => kind match {
-          case 0 => poisonTruncated(syntheticWav(QBase + e))
-          case _ => poisonWavBadMagic(QBase + e)
-        }, "clip", 2))
-      val vidPBin = assets(syntheticVideoMp4, "vid").unionByName(
-        poisoned((e, kind) => kind match {
-          case 0 => poisonTruncated(syntheticVideoMp4(QBase + e), 16)
-          case 1 => poisonMp4Bomb(syntheticVideoMp4(QBase + e))
-          case _ => poisonMp4Keyframe(syntheticVideoMp4(QBase + e))
-        }, "vid", 3))
-      val vidEBin = assets(syntheticMp4, "vid").unionByName(
-        poisoned((e, kind) => kind match {
-          case 0 => poisonTruncated(syntheticMp4(QBase + e), 16)
-          case 1 => poisonMp4Bomb(syntheticMp4(QBase + e))
-          case _ => syntheticMp4(QBase + e) // exact tier stays good
-        }, "vid", 3))
-      mediaAdmissionBookSafe(imgBin, audBin, vidPBin, vidEBin)
+      val (imgBin, audBin, vidPBin, vidEBin) = poisonedMediaCorpora(s, d)
+      graft.ops.Multimodal.mediaAdmissionBookSafe(imgBin, audBin, vidPBin, vidEBin)
+    }),
+
+    // --- the quarantine book FROM THE PERSISTED SAFE INDEX (VERDICT
+    //     r13 #2): the safe variants' per-asset outputs (ok/reason +
+    //     signature columns) are persisted once per JVM per corpus —
+    //     exactly like mediaSignatureIndex persists the strict frames —
+    //     and the book composes verdicts from the parquet artifacts
+    //     without re-decoding the poisoned corpus. Same oracle as
+    //     multimodal_quarantine, so the hash gate IS the
+    //     book-from-index ≡ book-from-decode proof for the quarantine
+    //     tier too.
+    "multimodal_quarantine_from_index" -> ((s, d) => {
+      val ix = quarantineSignatureIndex(s, d)
+      graft.ops.Multimodal.composeSafeMediaBook(
+        s.read.parquet(s"$ix/img_ahash_safe"),
+        s.read.parquet(s"$ix/img_fp_safe"),
+        s.read.parquet(s"$ix/aud_fp_perceptual_safe"),
+        s.read.parquet(s"$ix/aud_fp_exact_safe"),
+        s.read.parquet(s"$ix/vid_phash_safe"),
+        s.read.parquet(s"$ix/vid_fp_safe"))
     }),
 
     // --- the quarantine REPORT (the monitoring view an ingest operator
@@ -1724,13 +1711,23 @@ object SparkEntry {
         inA = col("l_linenumber") <= 4, inB = col("l_linenumber") >= 2)
     }),
 
-    // --- HLL cardinality sketch (approx_count_distinct). Estimates are
-    //     engine-specific → no SQL oracle; rows-only check + a spec
-    //     asserting ≤5% error vs exact. The hash-gated twin is
-    //     agg_hll_distinct below (own md5-register HLL, fully replayed).
+    // --- HLL cardinality sketch (approx_count_distinct). The estimate
+    //     itself is engine-specific, so the gate hashes the ann_recall
+    //     shape instead (VERDICT r13 #7): the exact distinct count plus
+    //     an integer error-bound verdict (|approx-exact|·100 ≤ exact·5,
+    //     i.e. within 5% — all-integer arithmetic per the portable
+    //     rounding contract). The oracle replays the exact count and
+    //     asserts the bound holds; a drifting estimator hash-mismatches.
+    //     The fully-replayed twin is agg_hll_distinct below (own
+    //     md5-register HLL).
     "agg_approx_distinct" -> ((s, d) =>
-      T(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+      T(s, d, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).cast("long").as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) * 100 <=
+            col("exact_parts") * 5).cast("long").as("within_5pct"))),
 
     // --- deterministic HLL: the register table is the persistable
     //     per-shard sketch artifact (merged by max at serving time) —
@@ -2154,30 +2151,38 @@ object SparkEntry {
   private val textAdmitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def surgicalAdmittedDocsPath(s: SparkSession, d: String): String =
-    textAdmitCache.computeIfAbsent(d, dir => {
-      val doc = new java.io.File(s"$dir/documents.parquet")
-      val out = graft.util.Fs.workDir("text_admit",
-        s"$dir:${doc.length}:${doc.lastModified}")
+  private[graft] def surgicalAdmittedDocsPath(s: SparkSession, d: String): String = {
+    // the cache key IS the content key (ADVICE r12): keying on the dir
+    // string alone would pin the first build for the JVM's lifetime even
+    // if the fixtures are regenerated in place mid-session — size+mtime
+    // in the key makes an in-JVM regeneration rebuild the artifact
+    val doc = new java.io.File(s"$d/documents.parquet")
+    val key = s"$d:${doc.length}:${doc.lastModified}"
+    textAdmitCache.computeIfAbsent(key, _ => {
+      val out = graft.util.Fs.workDir("text_admit", key)
       graft.util.Fs.deleteRecursive(new java.io.File(out))
-      surgicalPretrainBook(s, dir).select("doc_id").distinct()
+      surgicalPretrainBook(s, d).select("doc_id").distinct()
         .write.mode("overwrite").parquet(out)
       out
     })
+  }
 
-  private def mediaSignatureIndex(s: SparkSession, d: String): String =
-    mediaIndexCache.computeIfAbsent(d, dir => {
+  private[graft] def mediaSignatureIndex(s: SparkSession, d: String): String = {
+    // deterministic, content-keyed scratch (not a fresh tempdir per
+    // JVM): bounded /tmp usage across rounds, and the events
+    // size+mtime key invalidates when the driver regenerates the
+    // fixtures in place (the BenchScale fingerprint lesson). The MAP
+    // key is the same content key (ADVICE r12): keying on the dir
+    // string would pin the first build for the JVM's lifetime across
+    // an in-place fixture regeneration. Wiped and rebuilt on first
+    // touch per JVM — the artifact is cheap to rebuild and a
+    // half-written dir from a killed JVM must never be trusted.
+    val ev = new java.io.File(s"$d/events.parquet")
+    val key = s"$d:${ev.length}:${ev.lastModified}"
+    mediaIndexCache.computeIfAbsent(key, _ => {
+      val dir = d
       import s.implicits._
-      // deterministic, content-keyed scratch (not a fresh tempdir per
-      // JVM): bounded /tmp usage across rounds, and the events
-      // size+mtime key invalidates when the driver regenerates the
-      // fixtures in place (the BenchScale fingerprint lesson). Wiped
-      // and rebuilt on first touch per JVM — the artifact is cheap to
-      // rebuild and a half-written dir from a killed JVM must never be
-      // trusted.
-      val ev = new java.io.File(s"$dir/events.parquet")
-      val out = graft.util.Fs.workDir("media_index",
-        s"$dir:${ev.length}:${ev.lastModified}")
+      val out = graft.util.Fs.workDir("media_index", key)
       graft.util.Fs.deleteRecursive(new java.io.File(out))
       def assets(gen: Long => Array[Byte], c: String) =
         T(s, dir, "events").select(col("event_id").cast("long")).as[Long]
@@ -2200,6 +2205,86 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$out/vid_fp")
       out
     })
+  }
+
+  /** The shared poisoned-ingest fixture: the clean synthetic corpus per
+    * modality PLUS a deliberately corrupt asset per modality for every
+    * 5th event at id 10⁷+event_id (truncated stream, CRC-valid zip-bomb
+    * header, flipped checksum, wrong magic, corrupt keyframe payload
+    * inside a valid container). Used by the multimodal_quarantine gate
+    * (decode path) and by [[quarantineSignatureIndex]] (persisted safe
+    * frames) — one definition, one oracle. */
+  private def poisonedMediaCorpora(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val QBase = 10000000L
+    def assets(gen: Long => Array[Byte], c: String) =
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
+    def poisoned(gen: (Long, Int) => Array[Byte], c: String, k: Int) =
+      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 5 == 0)
+        .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
+        .toDF("id", c)
+    import graft.ops.Multimodal._
+    val imgBin = assets(syntheticBmp, "img").unionByName(
+      poisoned((e, kind) => kind match {
+        case 0 => poisonTruncated(syntheticBmp(QBase + e))
+        case 1 => poisonPngBomb()
+        case _ => poisonPngBadCrc(QBase + e)
+      }, "img", 3))
+    val audBin = assets(syntheticWav, "clip").unionByName(
+      poisoned((e, kind) => kind match {
+        case 0 => poisonTruncated(syntheticWav(QBase + e))
+        case _ => poisonWavBadMagic(QBase + e)
+      }, "clip", 2))
+    val vidPBin = assets(syntheticVideoMp4, "vid").unionByName(
+      poisoned((e, kind) => kind match {
+        case 0 => poisonTruncated(syntheticVideoMp4(QBase + e), 16)
+        case 1 => poisonMp4Bomb(syntheticVideoMp4(QBase + e))
+        case _ => poisonMp4Keyframe(syntheticVideoMp4(QBase + e))
+      }, "vid", 3))
+    val vidEBin = assets(syntheticMp4, "vid").unionByName(
+      poisoned((e, kind) => kind match {
+        case 0 => poisonTruncated(syntheticMp4(QBase + e), 16)
+        case 1 => poisonMp4Bomb(syntheticMp4(QBase + e))
+        case _ => syntheticMp4(QBase + e) // exact tier stays good
+      }, "vid", 3))
+    (imgBin, audBin, vidPBin, vidEBin)
+  }
+
+  private val quarantineIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-JVM persisted SAFE signature artifacts over the
+    * poisoned corpus (VERDICT r13 #2) — the quarantine sibling of
+    * [[mediaSignatureIndex]]: six parquet frames carrying per-asset
+    * `(ok, reason, …signature columns)`, so the quarantine book (and any
+    * later consumer of quarantine verdicts) reads columnar artifacts
+    * instead of re-decoding. Same content-keyed scratch discipline. */
+  private[graft] def quarantineSignatureIndex(s: SparkSession, d: String): String = {
+    val ev = new java.io.File(s"$d/events.parquet")
+    val key = s"$d:${ev.length}:${ev.lastModified}"
+    quarantineIndexCache.computeIfAbsent(key, _ => {
+      val out = graft.util.Fs.workDir("quarantine_index", key)
+      graft.util.Fs.deleteRecursive(new java.io.File(out))
+      val (imgBin, audBin, vidPBin, vidEBin) = poisonedMediaCorpora(s, d)
+      import graft.ops.Multimodal
+      Multimodal.imageAHashSafe(imgBin, "id", "img").toDF()
+        .write.mode("overwrite").parquet(s"$out/img_ahash_safe")
+      Multimodal.imagePixelFingerprintSafe(imgBin, "id", "img").toDF()
+        .write.mode("overwrite").parquet(s"$out/img_fp_safe")
+      Multimodal.audioFingerprintSafe(audBin, "id", "clip").toDF()
+        .write.mode("overwrite").parquet(s"$out/aud_fp_perceptual_safe")
+      Multimodal.audioSampleFingerprintSafe(audBin, "id", "clip").toDF()
+        .write.mode("overwrite").parquet(s"$out/aud_fp_exact_safe")
+      Multimodal.videoPerceptualHashSafe(vidPBin, "id", "vid").toDF()
+        .write.mode("overwrite").parquet(s"$out/vid_phash_safe")
+      Multimodal.videoFingerprintSafe(vidEBin, "id", "vid").toDF()
+        .write.mode("overwrite").parquet(s"$out/vid_fp_safe")
+      out
+    })
+  }
 
   private def mediaAdmissionBookFromIndex(s: SparkSession, d: String): DataFrame = {
     val ix = mediaSignatureIndex(s, d)
@@ -2387,6 +2472,12 @@ object SparkEntry {
          |SELECT doc_id, bk FROM bands""".stripMargin,
     "agg_hll_registers" -> hllRegistersOracleSql,
     "agg_hll_distinct" -> hllDistinctOracleSql,
+    // error-bound gate (not a value gate): the oracle computes the exact
+    // distinct count and asserts the 5% bound verdict is true — the
+    // Spark side's approx estimate must land inside it to hash-match
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |1::BIGINT AS within_5pct FROM lineitem""".stripMargin,
     "agg_hll_set_algebra" -> hllSetAlgebraOracleSql,
     "sample_priority_topk" ->
       """SELECT doc_id, source,
@@ -3499,6 +3590,9 @@ object SparkEntry {
     "pipeline_media_admission" -> mediaAdmissionOracleSql(),
     "pipeline_media_admission_from_index" -> mediaAdmissionOracleSql(),
     "multimodal_quarantine" -> mediaAdmissionOracleSql(withQuarantine = true),
+    // same oracle: book-from-persisted-safe-index ≡ book-from-decode
+    "multimodal_quarantine_from_index" ->
+      mediaAdmissionOracleSql(withQuarantine = true),
     // closed-form counts: n_events ok rows per modality + poison-kind
     // volumes by the same (event_id // 5) % K arithmetic the fixtures use
     "multimodal_quarantine_report" ->
@@ -4077,8 +4171,12 @@ object SparkEntry {
     val qf = s"vec_id >= $qlo AND vec_id < $qhi"
     // the IVF rows' coarse quantizer is TRAINED (4 Lloyd's rounds over
     // the vec_id<8 seeds — Similarity.annRecall's nCells=8/trainIters=4,
-    // VERDICT r10 #2); assignment and probe then rank by cosine on the
-    // trained c4, exactly as ivfAssign/ivfProbe do
+    // VERDICT r10 #2); the index is MULTI-ASSIGNED under each vector's
+    // 2 nearest cells (r14, VERDICT r13 #6 — `rn <= 2` below mirrors
+    // ivfAssignMulti(dup = 2)), so the candidate set takes DISTINCT
+    // (a neighbor surfaces once per probed home cell); assignment and
+    // probe rank by cosine on the trained c4, exactly as
+    // ivfAssignMulti/ivfProbe do
     def ivfIdsSql(nProbe: Int): String =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 8),
@@ -4091,13 +4189,13 @@ object SparkEntry {
          |    SELECT e.vec_id, e.emb, c.cid AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS rn
-         |    FROM e, c) WHERE rn = 1),
+         |    FROM e, c) WHERE rn <= 2),
          |probe AS (SELECT qid, qe, cell FROM (
          |    SELECT e.vec_id AS qid, e.emb AS qe, c.cid AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cid) AS rn
          |    FROM e, c WHERE e.$qf) WHERE rn <= $nProbe),
-         |p AS (SELECT qid, a.vec_id AS nn_id, ${cosSql("qe", "a.emb")} AS cos
+         |p AS (SELECT DISTINCT qid, a.vec_id AS nn_id, ${cosSql("qe", "a.emb")} AS cos
          |  FROM probe JOIN assign a USING (cell) WHERE qid != a.vec_id)
          |SELECT qid, nn_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nn_id) AS rn

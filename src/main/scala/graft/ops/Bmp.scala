@@ -73,29 +73,35 @@ object Bmp {
     * failures on anything else — a media pipeline must never
     * misinterpret bytes silently. */
   def decode(bytes: Array[Byte]): Image = {
-    require(bytes != null && bytes.length >= 54, "truncated BMP header")
-    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP (no BM magic)")
+    Decode.req(bytes != null && bytes.length >= 54, "truncated",
+      "truncated BMP header")
+    Decode.req(bytes(0) == 'B' && bytes(1) == 'M', "bad_magic",
+      "not a BMP (no BM magic)")
     val dataOffset = i32(bytes, 10)
     val headerSize = i32(bytes, 14)
-    require(headerSize >= 40, s"unsupported DIB header size $headerSize")
+    Decode.req(headerSize >= 40, "malformed",
+      s"unsupported DIB header size $headerSize")
     val width = i32(bytes, 18)
     val rawHeight = i32(bytes, 22)
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
-    require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
-    require(u16(bytes, 28) == 24, s"unsupported bpp ${u16(bytes, 28)} (only 24)")
-    require(i32(bytes, 30) == 0, s"unsupported compression ${i32(bytes, 30)}")
+    Decode.req(width > 0 && height > 0, "malformed",
+      s"bad dimensions ${width}x$rawHeight")
+    Decode.req(u16(bytes, 28) == 24, "malformed",
+      s"unsupported bpp ${u16(bytes, 28)} (only 24)")
+    Decode.req(i32(bytes, 30) == 0, "malformed",
+      s"unsupported compression ${i32(bytes, 30)}")
     // bounds math in LONG: a hostile header's dataOffset (negative i32)
     // or stride*height (Int overflow for huge declared dimensions) must
-    // hit THIS loud require, not a NegativeArraySize/ArrayIndexOOB crash
+    // hit THIS loud guard, not a NegativeArraySize/ArrayIndexOOB crash
     // deep in the pixel loop
-    require(dataOffset >= 54 && dataOffset <= bytes.length,
+    Decode.req(dataOffset >= 54 && dataOffset <= bytes.length, "malformed",
       s"bad pixel-data offset $dataOffset")
     // BigInt: stride(width) * height itself can exceed Long for hostile
     // 2^31-scale dimensions — the check must not be the thing that wraps
-    require(BigInt(bytes.length) >=
+    Decode.req(BigInt(bytes.length) >=
         BigInt(dataOffset) + BigInt(rowSizeL(width)) * height,
-      "truncated pixel array")
+      "truncated", "truncated pixel array")
     // the long-checked bound caps 3*w*h at bytes.length, so w*h and the
     // Int stride below are safely inside Int range
     val stride = rowSize(width)

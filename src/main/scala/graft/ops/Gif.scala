@@ -200,18 +200,18 @@ object Gif {
   private def walkFrames(bytes: Array[Byte], maxPixels: Int,
                          keep: Int => Boolean,
                          limit: Int): Seq[(Int, Image)] = {
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"GIF decode: $msg")
+    def fail(kind: String, msg: String): Nothing =
+      Decode.fail(kind, s"GIF decode: $msg")
     def u8(i: Int): Int = {
-      if (i < 0 || i >= bytes.length) fail(s"truncated at byte $i")
+      if (i < 0 || i >= bytes.length) fail("truncated", s"truncated at byte $i")
       bytes(i) & 0xFF
     }
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    if (bytes.length < 13) fail("shorter than the 13-byte header")
+    if (bytes.length < 13) fail("malformed", "shorter than the 13-byte header")
     val sig = new String(bytes, 0, 6, "US-ASCII")
-    if (sig != "GIF89a" && sig != "GIF87a") fail(s"bad signature '$sig'")
+    if (sig != "GIF89a" && sig != "GIF87a") fail("bad_magic", s"bad signature '$sig'")
     val packed = u8(10)
-    if ((packed & 0x80) == 0) fail("no global color table")
+    if ((packed & 0x80) == 0) fail("malformed", "no global color table")
     val palBits = (packed & 7) + 1
     val palSize = 1 << palBits
     var pos = 13
@@ -236,30 +236,30 @@ object Gif {
         case 0x2C =>
           val wanted = keep(frameIdx)
           if (wanted && (u16(pos + 1) != 0 || u16(pos + 3) != 0))
-            fail("partial-region frames not supported")
+            fail("malformed", "partial-region frames not supported")
           val width = u16(pos + 5)
           val height = u16(pos + 7)
           val iPacked = u8(pos + 9)
           if (wanted) {
             if (width <= 0 || height <= 0)
-              fail(s"bad dimensions ${width}x$height")
+              fail("malformed", s"bad dimensions ${width}x$height")
             totalPixels += 1L * width * height
             if (totalPixels > maxPixels)
-              fail(s"total decoded raster exceeds the $maxPixels-pixel cap")
-            if ((iPacked & 0x80) != 0) fail("local color tables not supported")
-            if ((iPacked & 0x40) != 0) fail("interlaced images not supported")
+              fail("bomb", s"total decoded raster exceeds the $maxPixels-pixel cap")
+            if ((iPacked & 0x80) != 0) fail("malformed", "local color tables not supported")
+            if ((iPacked & 0x40) != 0) fail("malformed", "interlaced images not supported")
           }
           pos += 10
           val mcs = u8(pos)
           if (wanted && (mcs < 2 || mcs > 11))
-            fail(s"bad LZW minimum code size $mcs")
+            fail("malformed", s"bad LZW minimum code size $mcs")
           pos += 1
           // concatenate this frame's data sub-blocks (skipped frames
           // only hop the lengths — no LZW work, no allocation)
           val data = if (wanted) new java.io.ByteArrayOutputStream() else null
           var n = u8(pos)
           while (n != 0) {
-            if (pos + 1 + n > bytes.length) fail("truncated data sub-block")
+            if (pos + 1 + n > bytes.length) fail("truncated", "truncated data sub-block")
             if (wanted) data.write(bytes, pos + 1, n)
             pos += 1 + n
             n = u8(pos)
@@ -272,11 +272,11 @@ object Gif {
             if (kept >= limit) done = true
           }
           frameIdx += 1
-        case b => fail(f"unexpected block 0x$b%02x")
+        case b => fail("malformed", f"unexpected block 0x$b%02x")
       }
     }
     val out = frames.result()
-    if (out.isEmpty) fail(
+    if (out.isEmpty) fail("malformed",
       if (frameIdx == 0) "no image descriptor" else "no frame passed the keep filter")
     out
   }
@@ -286,7 +286,7 @@ object Gif {
     * palette indices. */
   private def decodeRaster(data: Array[Byte], mcs: Int, width: Int,
                            height: Int, palSize: Int, palette: Array[Int],
-                           fail: String => Nothing): Image = {
+                           fail: (String, String) => Nothing): Image = {
     val clear = 1 << mcs
     val eoi = clear + 1
     val pixels = new Array[Int](width * height)
@@ -307,36 +307,36 @@ object Gif {
       while (c >= clear + 2) { stack = suffix(c) :: stack; c = prefix(c) }
       stack = c :: stack
       stack.foreach { v =>
-        if (v >= palSize) fail(s"pixel index $v outside the $palSize-entry palette")
-        if (out >= pixels.length) fail("LZW stream longer than the declared raster")
+        if (v >= palSize) fail("malformed", s"pixel index $v outside the $palSize-entry palette")
+        if (out >= pixels.length) fail("malformed", "LZW stream longer than the declared raster")
         pixels(out) = v; out += 1
       }
     }
     var prev = -1
     var done = false
     while (!done) {
-      val code = br.take(codeSize).getOrElse(fail("LZW stream truncated"))
+      val code = br.take(codeSize).getOrElse(fail("truncated", "LZW stream truncated"))
       if (code == clear) { next = clear + 2; codeSize = mcs + 1; prev = -1 }
       else if (code == eoi) done = true
       else if (prev < 0) {
-        if (code >= palSize) fail(s"first code $code after clear is not a root")
+        if (code >= palSize) fail("malformed", s"first code $code after clear is not a root")
         emit(code); prev = code
       } else {
-        if (code >= palSize && code < clear + 2) fail(s"reserved code $code")
-        if (code > next) fail(s"code $code beyond dictionary frontier $next")
+        if (code >= palSize && code < clear + 2) fail("malformed", s"reserved code $code")
+        if (code > next) fail("malformed", s"code $code beyond dictionary frontier $next")
         val head = if (code < next) firstOf(code) else firstOf(prev) // KwKwK
         if (next < 4096) {
           // add BEFORE emitting so the KwKwK code references a real entry
           prefix(next) = prev; suffix(next) = head
           next += 1
           if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
-        } else if (code == next) fail("KwKwK reference into a full dictionary")
+        } else if (code == next) fail("malformed", "KwKwK reference into a full dictionary")
         emit(code)
         prev = code
       }
     }
     if (out != pixels.length)
-      fail(s"decoded $out of ${pixels.length} pixels")
+      fail("malformed", s"decoded $out of ${pixels.length} pixels")
     Image(width, height, pixels, palette)
   }
 

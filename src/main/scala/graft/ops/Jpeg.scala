@@ -201,7 +201,7 @@ object Jpeg {
           code += bits(l - 1); k += bits(l - 1)
           maxCode(l) = code - 1
         } else maxCode(l) = -1
-        require(code <= (1 << l),
+        Decode.req(code <= (1 << l), "malformed",
           s"invalid Huffman table: ${bits(l - 1)} codes of length $l overflow the tree")
         code <<= 1
         l += 1
@@ -217,15 +217,16 @@ object Jpeg {
     /** Next entropy-coded byte; FF00 unstuffs to FF; a bare marker in
       * the stream is a loud error (handled at restart boundaries only). */
     private def nextByte(): Int = {
-      require(pos < bytes.length, "truncated entropy-coded stream")
+      Decode.req(pos < bytes.length, "truncated", "truncated entropy-coded stream")
       val b = bytes(pos) & 0xff
       pos += 1
       if (b == 0xff) {
-        require(pos < bytes.length, "truncated entropy-coded stream after FF")
+        Decode.req(pos < bytes.length, "truncated",
+          "truncated entropy-coded stream after FF")
         val b2 = bytes(pos) & 0xff
         if (b2 == 0x00) { pos += 1; 0xff }
-        else throw new IllegalArgumentException(
-          s"requirement failed: unexpected marker FF${"%02x".format(b2)} inside entropy data")
+        else Decode.fail("malformed",
+          s"unexpected marker FF${"%02x".format(b2)} inside entropy data")
       } else b
     }
     def bit(): Int = {
@@ -243,7 +244,8 @@ object Jpeg {
       var len = 1
       while (t.maxCode(len) < 0 || code > t.maxCode(len)) {
         len += 1
-        require(len <= 16, "corrupt Huffman code (no match within 16 bits)")
+        Decode.req(len <= 16, "malformed",
+          "corrupt Huffman code (no match within 16 bits)")
         code = (code << 1) | bit()
       }
       t.value(len, code)
@@ -251,9 +253,10 @@ object Jpeg {
     /** Align to a byte boundary and consume an expected RSTn marker. */
     def restart(expected: Int): Unit = {
       nBits = 0
-      require(pos + 2 <= bytes.length, "truncated stream at restart marker")
-      require((bytes(pos) & 0xff) == 0xff &&
-        (bytes(pos + 1) & 0xff) == 0xd0 + expected,
+      Decode.req(pos + 2 <= bytes.length, "truncated",
+        "truncated stream at restart marker")
+      Decode.req((bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == 0xd0 + expected, "malformed",
         s"expected RST$expected marker, got " +
           f"${bytes(pos) & 0xff}%02x${bytes(pos + 1) & 0xff}%02x")
       pos += 2
@@ -270,9 +273,9 @@ object Jpeg {
   /** Decode a baseline sequential JPEG (see object doc for the exact
     * supported subset and the loud-failure contract). */
   def decode(bytes: Array[Byte], maxPixels: Int = MaxPixels): Image = {
-    require(bytes != null && bytes.length >= 4, "truncated JPEG")
-    require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
-      "not a JPEG (bad SOI)")
+    Decode.req(bytes != null && bytes.length >= 4, "truncated", "truncated JPEG")
+    Decode.req((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "malformed", "not a JPEG (bad SOI)")
     var pos = 2
     val qtables = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
@@ -285,24 +288,25 @@ object Jpeg {
     var result: Image = null
 
     def u16(p: Int): Int = {
-      require(p + 2 <= bytes.length, "truncated JPEG (length past EOF)")
+      Decode.req(p + 2 <= bytes.length, "truncated",
+        "truncated JPEG (length past EOF)")
       ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     }
 
     while (result == null) {
-      require(pos + 2 <= bytes.length, "truncated JPEG (no EOI)")
-      require((bytes(pos) & 0xff) == 0xff,
+      Decode.req(pos + 2 <= bytes.length, "truncated", "truncated JPEG (no EOI)")
+      Decode.req((bytes(pos) & 0xff) == 0xff, "malformed",
         f"expected marker, got ${bytes(pos) & 0xff}%02x at $pos")
       val m = bytes(pos + 1) & 0xff
       pos += 2
       m match {
         case 0xd9 => // EOI before SOS+decode completed
-          throw new IllegalArgumentException("requirement failed: EOI before image data")
+          Decode.fail("malformed", "EOI before image data")
         case x if x == 0x01 || (x >= 0xd0 && x <= 0xd7) => // TEM/RSTn: no params
           ()
         case _ =>
           val len = u16(pos)
-          require(len >= 2 && pos + len <= bytes.length,
+          Decode.req(len >= 2 && pos + len <= bytes.length, "truncated",
             s"segment length $len overruns the file")
           val body = pos + 2
           val bodyLen = len - 2
@@ -312,9 +316,10 @@ object Jpeg {
               while (p < body + bodyLen) {
                 val pq = (bytes(p) >> 4) & 0x0f
                 val tq = bytes(p) & 0x0f
-                require(pq == 0, s"unsupported 16-bit quant table (Pq=$pq)")
-                require(tq <= 3, s"bad quant table id $tq")
-                require(p + 65 <= body + bodyLen, "truncated DQT")
+                Decode.req(pq == 0, "malformed",
+                  s"unsupported 16-bit quant table (Pq=$pq)")
+                Decode.req(tq <= 3, "malformed", s"bad quant table id $tq")
+                Decode.req(p + 65 <= body + bodyLen, "truncated", "truncated DQT")
                 qtables(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
                 p += 65
               }
@@ -323,64 +328,67 @@ object Jpeg {
               while (p < body + bodyLen) {
                 val tc = (bytes(p) >> 4) & 0x0f
                 val th = bytes(p) & 0x0f
-                require(tc <= 1, s"bad Huffman table class $tc")
-                require(th <= 3, s"bad Huffman table id $th")
-                require(p + 17 <= body + bodyLen, "truncated DHT")
+                Decode.req(tc <= 1, "malformed", s"bad Huffman table class $tc")
+                Decode.req(th <= 3, "malformed", s"bad Huffman table id $th")
+                Decode.req(p + 17 <= body + bodyLen, "truncated", "truncated DHT")
                 val tbits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
                 val n = tbits.sum
-                require(p + 17 + n <= body + bodyLen, "truncated DHT values")
+                Decode.req(p + 17 + n <= body + bodyLen, "truncated",
+                  "truncated DHT values")
                 val tvals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xff)
                 val t = new HuffTable(tbits, tvals)
                 if (tc == 0) dcTables(th) = t else acTables(th) = t
                 p += 17 + n
               }
             case 0xc0 => // SOF0 baseline
-              require(!sofSeen, "duplicate SOF")
-              require((bytes(body) & 0xff) == 8,
+              Decode.req(!sofSeen, "malformed", "duplicate SOF")
+              Decode.req((bytes(body) & 0xff) == 8, "malformed",
                 s"unsupported precision ${bytes(body) & 0xff} (only 8)")
               height = u16(body + 1); width = u16(body + 3)
-              require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-              require(BigInt(width) * height <= maxPixels,
+              Decode.req(width > 0 && height > 0, "malformed",
+                s"bad dimensions ${width}x$height")
+              Decode.req(BigInt(width) * height <= maxPixels, "bomb",
                 s"declared raster ${width}x$height exceeds the $maxPixels-pixel decoder cap")
               nComp = bytes(body + 5) & 0xff
-              require(nComp == 1 || nComp == 3,
+              Decode.req(nComp == 1 || nComp == 3, "malformed",
                 s"unsupported component count $nComp (only 1 or 3)")
-              require(bodyLen >= 6 + 3 * nComp, "truncated SOF0")
+              Decode.req(bodyLen >= 6 + 3 * nComp, "truncated", "truncated SOF0")
               compQ = new Array[Int](nComp)
               var c = 0
               while (c < nComp) {
                 val hv = bytes(body + 7 + 3 * c) & 0xff
-                require(hv == 0x11,
+                Decode.req(hv == 0x11, "malformed",
                   f"unsupported sampling factors $hv%02x (only 1x1 / 4:4:4)")
                 compQ(c) = bytes(body + 8 + 3 * c) & 0xff
-                require(compQ(c) <= 3, s"bad quant table selector ${compQ(c)}")
+                Decode.req(compQ(c) <= 3, "malformed",
+                  s"bad quant table selector ${compQ(c)}")
                 c += 1
               }
               sofSeen = true
             case 0xc2 =>
-              throw new IllegalArgumentException(
-                "requirement failed: progressive JPEG (SOF2) is not supported")
+              Decode.fail("malformed", "progressive JPEG (SOF2) is not supported")
             case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
-              throw new IllegalArgumentException(
-                f"requirement failed: unsupported SOF marker ff$x%02x (baseline only)")
+              Decode.fail("malformed",
+                f"unsupported SOF marker ff$x%02x (baseline only)")
             case 0xc8 =>
-              throw new IllegalArgumentException(
-                "requirement failed: arithmetic coding is not supported")
+              Decode.fail("malformed", "arithmetic coding is not supported")
             case 0xdd => // DRI
-              require(bodyLen == 2, s"bad DRI length $len")
+              Decode.req(bodyLen == 2, "malformed", s"bad DRI length $len")
               restartInterval = u16(body)
             case 0xda => // SOS
-              require(sofSeen, "SOS before SOF0")
+              Decode.req(sofSeen, "malformed", "SOS before SOF0")
               val ns = bytes(body) & 0xff
-              require(ns == nComp, s"SOS component count $ns != SOF $nComp")
-              require(bodyLen >= 1 + 2 * ns + 3, "truncated SOS header")
+              Decode.req(ns == nComp, "malformed",
+                s"SOS component count $ns != SOF $nComp")
+              Decode.req(bodyLen >= 1 + 2 * ns + 3, "truncated",
+                "truncated SOS header")
               val dcSel = new Array[Int](nComp)
               val acSel = new Array[Int](nComp)
               var c = 0
               while (c < nComp) {
                 dcSel(c) = (bytes(body + 2 + 2 * c) >> 4) & 0x0f
                 acSel(c) = bytes(body + 2 + 2 * c) & 0x0f
-                require(dcSel(c) <= 3 && acSel(c) <= 3,
+                Decode.req(dcSel(c) <= 3 && acSel(c) <= 3, "malformed",
                   s"bad Huffman table selector ${dcSel(c)}/${acSel(c)}")
                 c += 1
               }
@@ -402,8 +410,9 @@ object Jpeg {
                          dcT: Array[HuffTable], acT: Array[HuffTable],
                          restartInterval: Int): Image = {
     (0 until nComp).foreach { c =>
-      require(qtables(compQ(c)) != null, s"component $c references missing quant table ${compQ(c)}")
-      require(dcT(c) != null && acT(c) != null,
+      Decode.req(qtables(compQ(c)) != null, "malformed",
+        s"component $c references missing quant table ${compQ(c)}")
+      Decode.req(dcT(c) != null && acT(c) != null, "malformed",
         s"component $c references a missing Huffman table")
     }
     val wb = (width + 7) / 8; val hb = (height + 7) / 8
@@ -430,7 +439,7 @@ object Jpeg {
           val q = qtables(compQ(c))
           // DC
           val t = br.decode(dcT(c))
-          require(t <= 15, s"bad DC category $t")
+          Decode.req(t <= 15, "malformed", s"bad DC category $t")
           pred(c) += extend(br.receive(t), t)
           coef(0) = pred(c) * q(0)
           // AC run-length
@@ -444,7 +453,8 @@ object Jpeg {
               else eob = true
             } else {
               k += r
-              require(k < 64, s"AC coefficient index $k past block end")
+              Decode.req(k < 64, "malformed",
+                s"AC coefficient index $k past block end")
               coef(ZigZag(k)) = extend(br.receive(s), s) * q(k)
               k += 1
             }

@@ -123,10 +123,10 @@ object Mp4 {
     * IllegalArgumentException with a reason on any structural violation
     * (truncated box, table addressing outside mdat, cap breach). */
   def parse(bytes: Array[Byte], maxSamples: Int = MaxSamples): Movie = {
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"mp4: $msg")
+    def fail(kind: String, msg: String): Nothing =
+      Decode.fail(kind, s"mp4: $msg")
     def u32(i: Long): Long = {
-      if (i < 0 || i + 4 > bytes.length) fail(s"read past end at $i")
+      if (i < 0 || i + 4 > bytes.length) fail("truncated", s"read past end at $i")
       val j = i.toInt
       ((bytes(j) & 0xFFL) << 24) | ((bytes(j + 1) & 0xFFL) << 16) |
         ((bytes(j + 2) & 0xFFL) << 8) | (bytes(j + 3) & 0xFFL)
@@ -146,16 +146,16 @@ object Mp4 {
     var editMediaTime = 0L; var editDuration = 0L
 
     def walk(start: Long, end: Long, depth: Int): Unit = {
-      if (depth > 8) fail("box nesting too deep")
+      if (depth > 8) fail("malformed", "box nesting too deep")
       var p = start
       while (p < end) {
         boxCount += 1
-        if (boxCount > MaxBoxes) fail(s"more than $MaxBoxes boxes")
-        if (p + 8 > end) fail(s"truncated box header at $p")
+        if (boxCount > MaxBoxes) fail("malformed", s"more than $MaxBoxes boxes")
+        if (p + 8 > end) fail("truncated", s"truncated box header at $p")
         val size = u32(p)
         val tpe = fourcc(p + 4)
-        if (size < 8) fail(s"box '$tpe' size $size < 8 (64-bit sizes unsupported)")
-        if (p + size > end) fail(s"box '$tpe' overruns parent ($size at $p)")
+        if (size < 8) fail("malformed", s"box '$tpe' size $size < 8 (64-bit sizes unsupported)")
+        if (p + size > end) fail("truncated", s"box '$tpe' overruns parent ($size at $p)")
         val body = p + 8
         val bodyEnd = p + size
         tpe match {
@@ -165,27 +165,27 @@ object Mp4 {
             timescale = u32(body + 12); duration = u32(body + 16)
           case "stts" =>
             val n = u32(body + 4)
-            if (n > maxSamples) fail(s"stts runs $n over cap")
+            if (n > maxSamples) fail("bomb", s"stts runs $n over cap")
             sttsRuns = (0L until n).map(i =>
               (u32(body + 8 + i * 8), u32(body + 12 + i * 8))).toVector
           case "stsz" =>
             val fixed = u32(body + 4); val n = u32(body + 8)
-            if (n > maxSamples) fail(s"stsz count $n over cap $maxSamples")
+            if (n > maxSamples) fail("bomb", s"stsz count $n over cap $maxSamples")
             sizes =
               if (fixed != 0) Vector.fill(n.toInt)(fixed)
               else (0L until n).map(i => u32(body + 12 + i * 4)).toVector
           case "stco" =>
             val n = u32(body + 4)
-            if (n > maxSamples) fail(s"stco count $n over cap")
+            if (n > maxSamples) fail("bomb", s"stco count $n over cap")
             chunkOffsets = (0L until n).map(i => u32(body + 8 + i * 4)).toVector
           case "stsc" =>
             val n = u32(body + 4)
-            if (n > maxSamples) fail(s"stsc count $n over cap")
+            if (n > maxSamples) fail("bomb", s"stsc count $n over cap")
             stscEntries = (0L until n).map(i =>
               (u32(body + 8 + i * 12), u32(body + 12 + i * 12))).toVector
           case "stss" =>
             val n = u32(body + 4)
-            if (n > maxSamples) fail(s"stss count $n over cap")
+            if (n > maxSamples) fail("bomb", s"stss count $n over cap")
             syncSamples = (0L until n).map(i => u32(body + 8 + i * 4)).toSet
           case "elst" =>
             // version-0 entries: (segment_duration u32, media_time i32,
@@ -194,27 +194,27 @@ object Mp4 {
             // later entries (rare in practice) are ignored, like most
             // players do for the priming/delay pattern this models.
             val n = u32(body + 4)
-            if (n > maxSamples) fail(s"elst count $n over cap")
+            if (n > maxSamples) fail("bomb", s"elst count $n over cap")
             (0L until n).iterator
               .map(i => (u32(body + 8 + i * 12),
                 u32(body + 12 + i * 12).toInt.toLong)) // sign-extend i32
               .find(_._2 != -1L)
               .foreach { case (segDur, mt) =>
-                if (mt < 0) fail(s"elst media_time $mt negative")
+                if (mt < 0) fail("malformed", s"elst media_time $mt negative")
                 if (editDuration == 0L) { editDuration = segDur; editMediaTime = mt }
               }
           case _ => () // ftyp, hdlr, stsd, free, ... skipped
         }
         p = bodyEnd
       }
-      if (p != end) fail("box sequence overruns container")
+      if (p != end) fail("truncated", "box sequence overruns container")
     }
     walk(0L, bytes.length.toLong, 0)
 
-    if (mdatOffset < 0) fail("no mdat box")
-    if (timescale <= 0) fail("no mvhd timescale")
+    if (mdatOffset < 0) fail("malformed", "no mdat box")
+    if (timescale <= 0) fail("malformed", "no mvhd timescale")
     if (sizes.isEmpty || chunkOffsets.isEmpty || stscEntries.isEmpty)
-      fail("incomplete sample tables (stsz/stco/stsc)")
+      fail("malformed", "incomplete sample tables (stsz/stco/stsc)")
 
     // expand stsc: chunk i (1-based) holds entry.samplesPerChunk samples
     // for the run starting at entry.firstChunk
@@ -226,20 +226,20 @@ object Mp4 {
         val run = runs.sliding(2).collectFirst {
           case Vector((fc, spc), (nfc, _)) if chunk1 >= fc && chunk1 < nfc => spc
         }
-        run.getOrElse(fail(s"chunk $chunk1 not covered by stsc")).toInt
+        run.getOrElse(fail("malformed", s"chunk $chunk1 not covered by stsc")).toInt
       }
     }
     if (perChunk.map(_.toLong).sum != nSamples)
-      fail(s"stsc maps ${perChunk.sum} samples, stsz declares $nSamples")
+      fail("malformed", s"stsc maps ${perChunk.sum} samples, stsz declares $nSamples")
 
     // decode timestamps from stts runs — cap the EXPANDED count before
     // materializing (a forged single run could declare 2^32 samples)
     if (sttsRuns.map(_._1).sum > maxSamples)
-      fail(s"stts expands past cap $maxSamples")
+      fail("bomb", s"stts expands past cap $maxSamples")
     val dts = sttsRuns.flatMap { case (cnt, delta) =>
       Vector.fill(cnt.toInt)(delta)
     }.scanLeft(0L)(_ + _).init
-    if (dts.length != nSamples) fail(s"stts covers ${dts.length} of $nSamples samples")
+    if (dts.length != nSamples) fail("malformed", s"stts covers ${dts.length} of $nSamples samples")
 
     // lay samples into chunks; validate every byte range against mdat
     val mdatEnd = mdatOffset + mdatSize
@@ -249,9 +249,9 @@ object Mp4 {
       var off = co
       (0 until perChunk(ci)).foreach { _ =>
         val sz = sizes(si)
-        if (sz > Int.MaxValue) fail(s"sample $si size $sz overflows")
+        if (sz > Int.MaxValue) fail("malformed", s"sample $si size $sz overflows")
         if (off < mdatOffset || off + sz > mdatEnd)
-          fail(s"sample $si [$off, ${off + sz}) outside mdat [$mdatOffset, $mdatEnd)")
+          fail("malformed", s"sample $si [$off, ${off + sz}) outside mdat [$mdatOffset, $mdatEnd)")
         samples += Sample(si, off, sz.toInt, dts(si), syncSamples(si + 1L))
         off += sz
         si += 1

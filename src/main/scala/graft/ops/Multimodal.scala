@@ -757,7 +757,7 @@ object Multimodal {
       var w = 0L; var h = 0L; var sig = 0L
       keys.zipWithIndex.foreach { case (s, k) =>
         val (fw, fh, px) = decodeImagePayload(m.sampleBytes(bytes, s))
-        require(k == 0 || (fw == w && fh == h),
+        Decode.req(k == 0 || (fw == w && fh == h), "malformed",
           s"video $id: keyframe $k is ${fw}x$fh, expected ${w}x$h " +
             "(mixed-dimension frames have no comparable signature)")
         w = fw; h = fh
@@ -806,21 +806,24 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         videoPHashOne(id, bytes, maxKeyframes).getOrElse(
-          sys.error(s"video $id has no stss keyframes — no perceptual " +
-            "signature (use videoPerceptualHashTimeAligned for " +
-            "keyframe-less clips)"))
+          Decode.fail("no_keyframes",
+            s"video $id has no stss keyframes — no perceptual " +
+              "signature (use videoPerceptualHashTimeAligned for " +
+              "keyframe-less clips)"))
       })
   }
 
   /** Magic-byte codec sniff for keyframe payloads: 'BM' → [[Bmp]],
     * \x89PNG → [[Png]]. Returns (width, height, packed 0xRRGGBB). */
   private def decodeImagePayload(bytes: Array[Byte]): (Long, Long, Array[Int]) = {
-    require(bytes.length >= 2, "keyframe payload too short to sniff")
+    Decode.req(bytes.length >= 2, "malformed",
+      "keyframe payload too short to sniff")
     if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
       val i = Bmp.decode(bytes); (i.width.toLong, i.height.toLong, i.pixels)
     } else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte) {
       val i = Png.decode(bytes); (i.width.toLong, i.height.toLong, i.pixels)
-    } else sys.error("unrecognized keyframe codec (expected BMP or PNG magic)")
+    } else Decode.fail("bad_magic",
+      "unrecognized keyframe codec (expected BMP or PNG magic)")
   }
 
   /** Near-duplicate video pairs from [[videoPerceptualHash]] clip
@@ -901,7 +904,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val m = Mp4.parse(bytes)
-        require(m.samples.nonEmpty, s"video $id has no samples")
+        Decode.req(m.samples.nonEmpty, "malformed", s"video $id has no samples")
         var w = 0L; var h = 0L; var sig = 0L
         val presDur = if (m.editDuration > 0) m.editDuration else m.duration
         // cache per distinct frame: slots often repeat a frame on
@@ -914,7 +917,7 @@ object Multimodal {
             .getOrElse(m.samples.head)
           val fold = foldCache.getOrElseUpdate(s.index, {
             val (fw, fh, px) = decodeImagePayload(m.sampleBytes(bytes, s))
-            require(w == 0L || (fw == w && fh == h),
+            Decode.req(w == 0L || (fw == w && fh == h), "malformed",
               s"video $id: frame ${s.index} is ${fw}x$fh, expected ${w}x$h")
             w = fw; h = fh
             val hash = aHashBits(px)
@@ -1438,26 +1441,30 @@ object Multimodal {
   // (`mysql.go:448-498`); per-ASSET isolation is the decode-side analog.
   // =====================================================================
 
-  /** Stable failure-kind classification from the codecs' own guard
-    * messages. The codecs are repo-internal with pinned, deterministic
-    * message text (spec-gated), so substring classification is exact
-    * here — a deployment wiring foreign codecs would classify on
-    * exception TYPE instead. Kinds: `bad_crc` (checksum mismatch),
-    * `bomb` (declared size over a decode cap — the zip-bomb header),
-    * `truncated` (bytes end before the declared structure),
-    * `bad_magic` (wrong container/codec signature), `no_keyframes`
-    * (structurally valid but no perceptual identity), `malformed`
-    * (everything else). */
-  private[graft] def classifyDecodeError(e: Throwable): String = {
-    val m = Option(e.getMessage).getOrElse("").toLowerCase
-    if (m.contains("crc")) "bad_crc"
-    else if (m.contains("over cap") || m.contains("exceeds") ||
-      m.contains("past cap")) "bomb"
-    else if (m.contains("truncated") || m.contains("past end") ||
-      m.contains("past eof") || m.contains("overruns")) "truncated"
-    else if (m.contains("magic") || m.contains("signature")) "bad_magic"
-    else if (m.contains("keyframes")) "no_keyframes"
-    else "malformed"
+  /** Stable failure-kind classification, by exception TYPE first
+    * (VERDICT r13 #3): the codecs throw [[DecodeException]] with an
+    * explicit kind at every decode guard, so classification reads
+    * `e.kind` and rewording a guard message cannot reclassify an
+    * asset (negative-tested in QuarantineSpec). The substring table
+    * below remains only as a FALLBACK for foreign exceptions (codecs
+    * this repo does not own, or a raw runtime error escaping one).
+    * Kinds: `bad_crc` (checksum mismatch), `bomb` (declared size over
+    * a decode cap — the zip-bomb header), `truncated` (bytes end
+    * before the declared structure), `bad_magic` (wrong
+    * container/codec signature), `no_keyframes` (structurally valid
+    * but no perceptual identity), `malformed` (everything else). */
+  private[graft] def classifyDecodeError(e: Throwable): String = e match {
+    case d: DecodeException => d.kind
+    case _ =>
+      val m = Option(e.getMessage).getOrElse("").toLowerCase
+      if (m.contains("crc")) "bad_crc"
+      else if (m.contains("over cap") || m.contains("exceeds") ||
+        m.contains("past cap")) "bomb"
+      else if (m.contains("truncated") || m.contains("past end") ||
+        m.contains("past eof") || m.contains("overruns")) "truncated"
+      else if (m.contains("magic") || m.contains("signature")) "bad_magic"
+      else if (m.contains("keyframes")) "no_keyframes"
+      else "malformed"
   }
 
   final case class SafeImageHash(id: Long, ok: Boolean, reason: String,
@@ -1815,6 +1822,24 @@ object Multimodal {
       .localCheckpoint(true)
     val vidFp = videoFingerprintSafe(vidExactBin, "id", "vid").toDF()
       .localCheckpoint(true)
+    val out = composeSafeMediaBook(imgAH, imgFp, audAH, audFp, vidPH, vidFp,
+      maxIters)
+    Seq(imgAH, imgFp, audAH, audFp, vidPH, vidFp)
+      .foreach(Dedup.releaseOwnCheckpoint)
+    out
+  }
+
+  /** Compose the quarantine-threaded admission book from the six SAFE
+    * signature frames (ok/reason + signature columns per tier) — the
+    * decode-free tail of [[mediaAdmissionBookSafe]], split out (VERDICT
+    * r13 #2) so the frames can come from a PERSISTED index: the safe
+    * variants' outputs are the per-asset artifact the same way the
+    * strict book's signature frames are, and the from-index gate
+    * composes verdicts without touching media bytes. */
+  def composeSafeMediaBook(imgAH: DataFrame, imgFp: DataFrame,
+                           audAH: DataFrame, audFp: DataFrame,
+                           vidPH: DataFrame, vidFp: DataFrame,
+                           maxIters: Int = 25): DataFrame = {
     // an asset participates only if BOTH tiers decoded — a partial
     // decode must not seed exact groups or pair buckets
     def goods(per: DataFrame, ex: DataFrame,
@@ -1840,15 +1865,25 @@ object Multimodal {
       .unionByName(mediaAdmissionVerdicts(audEx, "fp", perc("audio"), "audio"))
       .unionByName(mediaAdmissionVerdicts(vidEx, "fp", perc("video"), "video"))
       .withColumn("reason", lit(""))
+    // FULL-outer on id (ADVICE r12): the two tiers can legitimately see
+    // different id sets (the video tiers read different corpora). An id
+    // present in only one tier has no verdict from the other — that is
+    // itself a quarantine condition (`missing:<tier>`), never a silent
+    // drop: with an inner join such an asset would neither be admitted
+    // (goods() requires both tiers ok) nor appear in the book at all.
     def quarantine(per: DataFrame, ex: DataFrame, m: String): DataFrame =
       ex.select(col("id"), col("ok").as("ok_e"), col("reason").as("r_e"))
         .join(per.select(col("id"), col("ok").as("ok_p"), col("reason").as("r_p")),
-          "id")
-        .where(!col("ok_e") || !col("ok_p"))
+          Seq("id"), "full_outer")
+        .where(!coalesce(col("ok_e"), lit(false)) ||
+          !coalesce(col("ok_p"), lit(false)))
         .select(lit(m).as("modality"), col("id"),
           lit(false).as("keep_exact"), lit(false).as("keep_perceptual"),
           lit(false).as("admit"),
-          when(!col("ok_e"), col("r_e")).otherwise(col("r_p")).as("reason"))
+          when(!coalesce(col("ok_e"), lit(false)),
+            coalesce(col("r_e"), lit("missing:exact")))
+            .otherwise(coalesce(col("r_p"), lit("missing:perceptual")))
+            .as("reason"))
     val out = good
       .unionByName(quarantine(imgAH, imgFp, "image"))
       .unionByName(quarantine(audAH, audFp, "audio"))
@@ -1861,9 +1896,8 @@ object Multimodal {
           java.util.UUID.randomUUID().toString.replace("-", ""),
         sum(when(col("reason") =!= "", 1L).otherwise(0L)).as("quarantined"),
         count(lit(1)).as("assets"))
-      .localCheckpoint(true) // tiny (one row per asset); frees the six below
-    Seq(imgAH, imgFp, audAH, audFp, vidPH, vidFp, perceptual)
-      .foreach(Dedup.releaseOwnCheckpoint)
+      .localCheckpoint(true) // tiny (one row per asset); frees the inputs
+    Dedup.releaseOwnCheckpoint(perceptual)
     out
   }
 }

@@ -133,55 +133,61 @@ object Png {
   /** Decode an 8-bit RGB non-interlaced PNG. Loud failures on anything
     * else — a media pipeline must never misinterpret bytes silently. */
   def decode(bytes: Array[Byte], maxPixels: Int = MaxPixels): Image = {
-    require(bytes != null && bytes.length >= Sig.length + 25 + 12,
-      "truncated PNG (shorter than signature + IHDR + IEND)")
-    require(Sig.indices.forall(i => bytes(i) == Sig(i)), "not a PNG (bad signature)")
+    Decode.req(bytes != null && bytes.length >= Sig.length + 25 + 12,
+      "truncated", "truncated PNG (shorter than signature + IHDR + IEND)")
+    Decode.req(Sig.indices.forall(i => bytes(i) == Sig(i)), "bad_magic",
+      "not a PNG (bad signature)")
 
     var pos = Sig.length
     var width = -1; var height = -1
     var ihdrSeen = false; var iendSeen = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!iendSeen) {
-      require(pos + 12 <= bytes.length, "truncated PNG (chunk header past EOF)")
+      Decode.req(pos + 12 <= bytes.length, "truncated",
+        "truncated PNG (chunk header past EOF)")
       val len = be32(bytes, pos)
       // u32 length in LONG math: a hostile 0xffffffff length must hit
       // this require, not wrap negative into the slice arithmetic
-      require(len >= 0 && pos + 12 + len <= bytes.length,
+      Decode.req(len >= 0 && pos + 12 + len <= bytes.length, "truncated",
         s"chunk length $len overruns the file")
       val kind = new String(bytes, pos + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(bytes, pos + 4, 4 + len.toInt)
-      require(crc.getValue == be32(bytes, pos + 8 + len.toInt),
+      Decode.req(crc.getValue == be32(bytes, pos + 8 + len.toInt), "bad_crc",
         s"CRC mismatch on $kind chunk")
       kind match {
         case "IHDR" =>
-          require(!ihdrSeen, "duplicate IHDR")
-          require(len == 13, s"IHDR length $len (want 13)")
+          Decode.req(!ihdrSeen, "malformed", "duplicate IHDR")
+          Decode.req(len == 13, "malformed", s"IHDR length $len (want 13)")
           val w = be32(bytes, pos + 8); val h = be32(bytes, pos + 12)
-          require(w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue,
-            s"bad dimensions ${w}x$h")
-          require(BigInt(w) * h <= maxPixels,
+          Decode.req(w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue,
+            "malformed", s"bad dimensions ${w}x$h")
+          Decode.req(BigInt(w) * h <= maxPixels, "bomb",
             s"declared raster ${w}x$h exceeds the $maxPixels-pixel decoder cap")
           val depth = bytes(pos + 16) & 0xff; val color = bytes(pos + 17) & 0xff
-          require(depth == 8, s"unsupported bit depth $depth (only 8)")
-          require(color == 2, s"unsupported color type $color (only 2 = RGB)")
-          require((bytes(pos + 18) & 0xff) == 0, "unsupported compression method")
-          require((bytes(pos + 19) & 0xff) == 0, "unsupported filter method")
-          require((bytes(pos + 20) & 0xff) == 0,
+          Decode.req(depth == 8, "malformed",
+            s"unsupported bit depth $depth (only 8)")
+          Decode.req(color == 2, "malformed",
+            s"unsupported color type $color (only 2 = RGB)")
+          Decode.req((bytes(pos + 18) & 0xff) == 0, "malformed",
+            "unsupported compression method")
+          Decode.req((bytes(pos + 19) & 0xff) == 0, "malformed",
+            "unsupported filter method")
+          Decode.req((bytes(pos + 20) & 0xff) == 0, "malformed",
             s"unsupported interlace ${bytes(pos + 20) & 0xff} (only 0)")
           width = w.toInt; height = h.toInt; ihdrSeen = true
         case "IDAT" =>
-          require(ihdrSeen, "IDAT before IHDR")
+          Decode.req(ihdrSeen, "malformed", "IDAT before IHDR")
           idat.write(bytes, pos + 8, len.toInt)
         case "IEND" => iendSeen = true
         case _ =>
-          require(ihdrSeen, s"$kind chunk before IHDR")
+          Decode.req(ihdrSeen, "malformed", s"$kind chunk before IHDR")
           () // ancillary chunk: skip
       }
       pos += 12 + len.toInt
     }
-    require(ihdrSeen, "no IHDR chunk")
-    require(idat.size() > 0, "no IDAT data")
+    Decode.req(ihdrSeen, "malformed", "no IHDR chunk")
+    Decode.req(idat.size() > 0, "malformed", "no IDAT data")
 
     val stride = 3 * width
     val expected = (stride + 1) * height
@@ -195,15 +201,14 @@ object Png {
         n = inf.inflate(inflated, off, expected - off)
         off += n
       }
-      require(off == expected,
+      Decode.req(off == expected, "truncated",
         s"IDAT inflated to $off bytes, want $expected (truncated stream)")
       val extra = new Array[Byte](1)
-      require(inf.finished() || inf.inflate(extra, 0, 1) == 0,
+      Decode.req(inf.finished() || inf.inflate(extra, 0, 1) == 0, "malformed",
         "IDAT stream holds more data than the declared raster")
     } catch {
       case e: DataFormatException =>
-        throw new IllegalArgumentException(
-          s"requirement failed: corrupt IDAT zlib stream: ${e.getMessage}")
+        Decode.fail("malformed", s"corrupt IDAT zlib stream: ${e.getMessage}")
     } finally inf.end()
 
     val px = new Array[Int](width * height)
@@ -213,7 +218,7 @@ object Png {
     while (y < height) {
       val base = y * (stride + 1)
       val f = inflated(base) & 0xff
-      require(f <= 4, s"unknown PNG filter type $f on row $y")
+      Decode.req(f <= 4, "malformed", s"unknown PNG filter type $f on row $y")
       var i = 0
       while (i < stride) {
         cur(i) = ((inflated(base + 1 + i) & 0xff) + predictor(f, cur, prev, i)).toByte

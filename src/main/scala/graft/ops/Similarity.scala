@@ -333,12 +333,25 @@ object Similarity {
     * unlike retrained k-means there is nothing to drift.
     * `ann_index_lifecycle` gates exactly that: probe over a
     * two-generation index hash-matches the single-build oracle. */
-  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignMulti(e, cents, dup = 1)
+
+  /** MULTI-ASSIGNMENT IVF index (VERDICT r13 #6): each vector is
+    * indexed under its `dup` nearest cells, not only the nearest — the
+    * standard recall lever for vectors sitting near cell boundaries
+    * (Jégou et al. 2011 §V's "multiple assignment", on the INDEX side).
+    * Costs `dup`× index rows (the classic recall/space tradeoff, linear
+    * and partition-friendly at any scale); probes must then dedup
+    * candidates (`ivfProbe(multiAssigned = true)`). Measured on the
+    * gate fixture: dup=2 lifts the nProbe-4 recall ceiling from 24/30
+    * (single-assignment — no seeding or extra Lloyd rounds moved it;
+    * maximin seeding made it WORSE, 22-23/30) to 29/30. */
+  def ivfAssignMulti(e: DataFrame, cents: DataFrame, dup: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
     e.join(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("cid"),
         cosine(col("emb"), col("ce")).as("sim"))
-      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") <= dup)
       .select(col("vec_id"), col("emb"), col("cid").as("cell"))
   }
 
@@ -346,7 +359,8 @@ object Similarity {
     * their `nProbe` closest cells against the broadcast centroids and
     * scan only those cells' vectors. */
   def ivfProbe(index: DataFrame, queries: DataFrame, cents: DataFrame,
-               maxQueryId: Long = 10, k: Int = 3, nProbe: Int = 2): DataFrame = {
+               maxQueryId: Long = 10, k: Int = 3, nProbe: Int = 2,
+               multiAssigned: Boolean = false): DataFrame = {
     val q = queries.where(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
@@ -356,13 +370,19 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
       .select(col("qid"), col("qe"), col("cid").as("cell"))
 
-    // scan ONLY the probed cells; a vector lives in exactly one cell, so
-    // no neighbor can surface twice
+    // scan ONLY the probed cells. Single-assignment index: a vector
+    // lives in exactly one cell, no neighbor can surface twice. A
+    // multi-assigned index ([[ivfAssignMulti]]) CAN surface a neighbor
+    // once per probed home cell — without the dedup a duplicated
+    // candidate would occupy two of the top-k slots and silently
+    // shrink the effective k.
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nn_id"))
-    probes.join(index, "cell")
+    val cand0 = probes.join(index, "cell")
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nn_id"),
         cosine(col("qe"), col("emb")).as("cos"))
+    val cand = if (multiAssigned) cand0.dropDuplicates("qid", "nn_id") else cand0
+    cand
       .withColumn("rn", row_number().over(wTop)).where(col("rn") <= k)
       .select("qid", "nn_id", "cos")
   }
@@ -604,7 +624,14 @@ object Similarity {
         fx(sqDist(col("qe"), col("emb")), 6).as("dist"))
       .withColumn("rn", row_number().over(wL2)).where(col("rn") <= k)
       .select("qid", "nn_id")
-    val index = ivfAssign(e, cents)
+    // MULTI-ASSIGNED index, dup=2 (VERDICT r13 #6): the r12/r13 ceiling
+    // measurements proved single-assignment caps this fixture's
+    // nProbe-4 recall at 24/30 regardless of seeding (first-k, md5-low
+    // and maximin seeds, 2-16 Lloyd rounds all measured ≤25/30);
+    // indexing each vector under its 2 nearest cells lifts the ceiling
+    // to 29/30 at the same probe budget, the standard space-for-recall
+    // trade. The oracle replays rn <= 2 + candidate DISTINCT in lockstep.
+    val index = ivfAssignMulti(e, cents, dup = 2)
     // hits = |exact top-k ∩ approx top-k| per query; queries the
     // approximate path missed entirely still get a 0 row (left join)
     def hitCounts(approx: DataFrame, exact: DataFrame, method: String,
@@ -617,7 +644,8 @@ object Similarity {
           lit(nProbe.toLong).as("n_probe"), lit(k.toLong).as("k"),
           coalesce(col("h"), lit(0L)).as("hits"))
     val ivfRows = probes.map(p =>
-      hitCounts(ivfProbe(index, qFrame, cents, maxQueryId, k, p),
+      hitCounts(ivfProbe(index, qFrame, cents, maxQueryId, k, p,
+          multiAssigned = true),
         exactCos, "ivf", p))
     // the PQ row's levers, each standard and each measured (sf0.01
     // sweep): the shared trained 8-cell coarse quantizer, finer codes
@@ -633,13 +661,16 @@ object Similarity {
     // the RESIDUAL-encoded sibling (IVFADC, VERDICT r11 #2): codes
     // quantize `vec − coarse centroid`; the narrowed dynamic range buys
     // finer subspaces (m=16×4-dim vs the raw row's 8×8). Measured
-    // honestly: the nProbe-4 row is PROBE-limited, not code-limited —
-    // the exact-L2-within-probed-cells ceiling on this fixture is
-    // 24/30 at nProbe 4 (so the r11 ask's ≥26/30 is unreachable there),
-    // 28/30 at nProbe 6, 30/30 at 8. The residual row therefore runs
-    // the production configuration the ask implies: 6 of 8 probes and
-    // rerank 16 (reading 48 full vectors per query — trivial at any
-    // scale), where quantization quality is what recall measures. The
+    // honestly: under SINGLE assignment the nProbe-4 row was
+    // PROBE-limited, not code-limited — the exact-L2-within-probed-
+    // cells ceiling on this fixture was 24/30 at nProbe 4, 28/30 at 6,
+    // 30/30 at 8 (the raw-IVF rows above broke that ceiling in r14 via
+    // index multi-assignment; the PQ chains keep single assignment so
+    // the code-quality levers stay separately measurable). The residual
+    // row therefore runs the production configuration the ask implies:
+    // 6 of 8 probes and rerank 16 (reading 48 full vectors per query —
+    // trivial at any scale), where quantization quality is what recall
+    // measures. The
     // raw row stays at its r11 configuration so the lever's effect
     // remains a measured number.
     val pqResidualRows = hitCounts(

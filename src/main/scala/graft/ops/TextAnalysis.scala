@@ -11,6 +11,12 @@ object TextAnalysis {
 
   import graft.functions.Portable.fx
 
+  /** Driver-collect cap for [[bpeEncodeWith]]'s merge artifact: an
+    * order of magnitude above any production tokenizer's merge count
+    * (GPT-2's ~50k, 100k-class vocabularies), far below anything that
+    * threatens the driver heap. */
+  val MaxMergeRules: Int = 1 << 20
+
 
   private def words: Column = split(col("text"), " ")
 
@@ -252,18 +258,36 @@ object TextAnalysis {
       .select(col("word"), col("wc"),
         array_join(split(col("word"), ""), "|").as("seq"))
       .persist()
+    // the pair census is maintained INCREMENTALLY across rounds
+    // (VERDICT r13 #5): merging (l, r) changes the adjacent-pair
+    // multiset ONLY inside words that contain the pair, so each round
+    // subtracts the changed words' old pairs and adds their new ones —
+    // the untouched majority of the vocabulary contributes nothing to
+    // the round's shuffle (the full-rescan cost the old loop paid).
+    // `census` is the ONE pair-extraction definition shared by the
+    // initial full scan and every delta (BpeSpec pins delta ≡ rescan
+    // per round, and the text_bpe_train oracle replays the rescan).
+    def census(df: DataFrame, seqCol: String, sign: Int): DataFrame = {
+      val toks = split(col(seqCol), "\\|")
+      val n = size(toks)
+      df.select((col("wc") * sign).as("w"),
+        explode(zip_with(
+          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("z"))
+        .select(col("z.lhs").as("lhs"), col("z.rhs").as("rhs"), col("w"))
+    }
+    // the pair table is tiny (pair-vocabulary-sized) — keep it on ONE
+    // partition so the per-round argmax, union and re-aggregation are
+    // single-task jobs, not 32-partition shuffles of a few thousand rows
+    def aggPairs(df: DataFrame): DataFrame =
+      df.groupBy("lhs", "rhs").agg(sum(col("w")).cast("bigint").as("freq"))
+        .where(col("freq") =!= 0).coalesce(1)
+    var pairs = aggPairs(census(vocab, "seq", 1)).persist()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var exhausted = false
     var round = 0
     for (_ <- 0 until numMerges if !exhausted) {
-      val toks = split(col("seq"), "\\|")
-      val n = size(toks)
-      val best = vocab
-        .select(col("wc"), explode(zip_with(
-          slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("z"))
-        .groupBy(col("z.lhs").as("lhs"), col("z.rhs").as("rhs"))
-        .agg(sum(col("wc")).cast("bigint").as("freq"))
+      val best = pairs
         .orderBy(col("freq").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
       if (best.isEmpty) exhausted = true // every word is one token
@@ -271,35 +295,57 @@ object TextAnalysis {
         val l = best(0).getString(0); val r = best(0).getString(1); val f = best(0).getLong(2)
         merges += ((l, r, f))
         round += 1
-        val grown = vocab.withColumn("seq", applyMerge(col("seq"), l, r))
+        // ONE applyMerge pass per round, shared by the grown vocabulary
+        // and the delta: the fold over every word's tokens is the
+        // round's real per-row cost, so it must not run twice
+        val annotated = vocab
+          .select(col("word"), col("wc"), col("seq"),
+            applyMerge(col("seq"), l, r).as("nseq"))
+          .persist()
+        val grown = annotated
+          .select(col("word"), col("wc"), col("nseq").as("seq"))
+        // the delta: only words whose token sequence actually changed
+        val changed = annotated.where(col("nseq") =!= col("seq"))
+        val grownPairs = aggPairs(
+          pairs.select(col("lhs"), col("rhs"), col("freq").as("w"))
+            .unionByName(census(changed, "nseq", 1))
+            .unionByName(census(changed, "seq", -1)))
         if (round % checkpointEvery == 0) {
           // checkpoint round: `next` is SELF-CONTAINED once the eager
           // checkpoint returns, so the predecessor — and, through its
           // plan, the superseded checkpoint it may embed — is safe to
           // release in full (Dataset.unpersist alone is a no-op on
           // checkpoint-backed frames, the closure loop's ADVICE r9 fix)
-          val next = grown.localCheckpoint(true)
-          vocab.unpersist()
-          Dedup.releaseLocalCheckpoint(vocab)
-          vocab = next
+          val nextV = grown.localCheckpoint(true)
+          val nextP = grownPairs.localCheckpoint(true)
+          annotated.unpersist()
+          vocab.unpersist(); Dedup.releaseLocalCheckpoint(vocab)
+          pairs.unpersist(); Dedup.releaseLocalCheckpoint(pairs)
+          vocab = nextV; pairs = nextP
         } else {
           // plain round: `next`'s lineage still roots at the LAST
           // checkpoint, so only the predecessor's OWN cache entry may
           // be dropped — the embedded checkpoint must stay resident
-          // until the next checkpoint round supersedes it
-          val next = grown.persist()
-          next.count()
-          vocab.unpersist()
-          vocab = next
+          // until the next checkpoint round supersedes it. nextV.count()
+          // materializes `annotated` (the one applyMerge pass); the
+          // pairs materialization then reads it from cache, paying only
+          // the changed-rows census
+          val nextV = grown.persist(); nextV.count()
+          val nextP = grownPairs.persist(); nextP.count()
+          annotated.unpersist()
+          vocab.unpersist(); pairs.unpersist()
+          vocab = nextV; pairs = nextP
         }
       }
     }
     // normalize the handoff: a self-contained checkpoint, everything
-    // else released (releasing THROUGH vocab's plan also frees the
-    // last in-loop checkpoint it may still embed)
+    // else released (releasing THROUGH the plans also frees the last
+    // in-loop checkpoints they may still embed)
     val out = vocab.localCheckpoint(true)
     vocab.unpersist()
     Dedup.releaseLocalCheckpoint(vocab)
+    pairs.unpersist()
+    Dedup.releaseLocalCheckpoint(pairs)
     (merges.toSeq, out)
   }
 
@@ -351,6 +397,18 @@ object TextAnalysis {
   def bpeEncodeWith(docs: DataFrame, merges: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // LOUD driver-collect guard (ADVICE r12): the merge table is the
+    // tokenizer artifact and vocabulary-sized BY CONTRACT (10⁴-10⁵
+    // rules). Wiring a corpus-sized frame here would OOM the driver in
+    // collect() with an opaque heap error; refuse with an attributable
+    // message first. limit(cap+1).count() bounds the check itself — it
+    // never scans past cap+1 rows.
+    val overCap = merges.limit(MaxMergeRules + 1).count()
+    require(overCap <= MaxMergeRules,
+      s"bpeEncodeWith: merge table exceeds $MaxMergeRules rules — a BPE " +
+        "merge artifact is vocabulary-sized (10^4-10^5 rules); a frame " +
+        "this large here is a wiring bug (corpus passed where the " +
+        "trained artifact belongs), and collecting it would OOM the driver")
     val rules = merges.select(col("rank").cast("long"),
         col("lhs").cast("string"), col("rhs").cast("string"))
       .collect().sortBy(_.getLong(0))

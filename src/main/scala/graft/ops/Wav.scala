@@ -63,8 +63,9 @@ object Wav {
   /** Decode a RIFF/WAVE container holding 16-bit PCM. Chunks other
     * than `fmt `/`data` (LIST, cue, bext, …) are skipped by size. */
   def decode(bytes: Array[Byte]): Clip = {
-    require(bytes != null && bytes.length >= 44, "truncated WAV header")
-    require(tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+    Decode.req(bytes != null && bytes.length >= 44, "truncated",
+      "truncated WAV header")
+    Decode.req(tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE", "bad_magic",
       "not a WAV (no RIFF/WAVE magic)")
     var off = 12
     var channels = -1; var sampleRate = -1
@@ -75,25 +76,27 @@ object Wav {
       // LONG arithmetic: a hostile size near Int.MaxValue would wrap
       // `off + 8 + size` negative and sail past an Int comparison,
       // then OOM on the sample-array allocation instead of failing here
-      require(size >= 0 && off + 8L + size <= bytes.length,
+      Decode.req(size >= 0 && off + 8L + size <= bytes.length, "truncated",
         s"chunk '$id' overruns the file")
       id match {
         case "fmt " =>
-          require(size >= 16, s"fmt chunk too small: $size")
+          Decode.req(size >= 16, "malformed", s"fmt chunk too small: $size")
           val fmt = u16(bytes, off + 8)
-          require(fmt == 1, s"unsupported audio format $fmt (only PCM)")
+          Decode.req(fmt == 1, "malformed",
+            s"unsupported audio format $fmt (only PCM)")
           channels = u16(bytes, off + 10)
           sampleRate = i32(bytes, off + 12)
           // loud refusal extends to the fmt fields themselves: a corrupt
           // chunk must not propagate channels=0 or a negative rate into
           // downstream stats
-          require(channels > 0, s"bad channel count $channels")
-          require(sampleRate > 0, s"bad sample rate $sampleRate")
+          Decode.req(channels > 0, "malformed", s"bad channel count $channels")
+          Decode.req(sampleRate > 0, "malformed", s"bad sample rate $sampleRate")
           val bits = u16(bytes, off + 22)
-          require(bits == 16, s"unsupported bits/sample $bits (only 16)")
+          Decode.req(bits == 16, "malformed",
+            s"unsupported bits/sample $bits (only 16)")
         case "data" =>
-          require(channels > 0, "data chunk before fmt chunk")
-          require(size % 2 == 0, s"odd PCM16 data size $size")
+          Decode.req(channels > 0, "malformed", "data chunk before fmt chunk")
+          Decode.req(size % 2 == 0, "malformed", s"odd PCM16 data size $size")
           val n = size / 2
           samples = new Array[Short](n)
           var i = 0
@@ -105,7 +108,7 @@ object Wav {
       }
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
-    require(samples != null, "no data chunk")
+    Decode.req(samples != null, "malformed", "no data chunk")
     Clip(channels, sampleRate, samples)
   }
 }

@@ -18,7 +18,34 @@ class QuarantineSpec extends SparkTestBase {
   private def kindOf(f: => Any): String =
     try { f; "OK" }
     catch { case scala.util.control.NonFatal(e) =>
+      // VERDICT r13 #3: the codecs' decode guards throw TYPED
+      // DecodeExceptions — every fixture-kind pin below is therefore a
+      // type-dispatch pin, not a message-substring pin
+      assert(e.isInstanceOf[graft.ops.DecodeException],
+        s"codec guard must throw a typed DecodeException, " +
+          s"got ${e.getClass.getName}: ${e.getMessage}")
       Multimodal.classifyDecodeError(e) }
+
+  test("classification dispatches on the exception TYPE; rewording a guard message cannot reclassify") {
+    import graft.ops.{Decode, DecodeException}
+    // the negative test (VERDICT r13 #3): a message whose wording would
+    // keyword-classify DIFFERENTLY must still classify by its kind
+    val reworded = intercept[DecodeException] {
+      Decode.fail("truncated", "payload size exceeds what actually arrived")
+    } // keyword table would say "bomb" ("exceeds"); the kind says truncated
+    assert(Multimodal.classifyDecodeError(reworded) == "truncated",
+      "a reworded guard message must not reclassify a typed kind")
+    assert(Multimodal.classifyDecodeError(
+      new DecodeException("bad_crc", "short read near the end")) == "bad_crc")
+    // foreign exceptions (codecs this repo does not own) still fall back
+    // to the substring table
+    assert(Multimodal.classifyDecodeError(
+      new RuntimeException("stream truncated mid-read")) == "truncated")
+    assert(Multimodal.classifyDecodeError(
+      new RuntimeException("something odd happened")) == "malformed")
+    // unknown kinds are refused at the throw site, not misfiled later
+    intercept[AssertionError] { Decode.fail("banana", "nope") }
+  }
 
   test("each poison fixture fails its decoder with the pinned kind") {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -161,6 +188,58 @@ class QuarantineSpec extends SparkTestBase {
         case 1 => Multimodal.poisonMp4Bomb(Multimodal.syntheticMp4(QBase + e))
         case _ => Multimodal.syntheticMp4(QBase + e) // exact tier stays good
       }, 3))
+  }
+
+  // ---- mismatched tier id sets: full-outer join, never a silent drop --
+
+  test("asset seen by only one video tier is quarantined as missing:<tier>, not dropped") {
+    // the two video tiers read DIFFERENT corpora; an ingest wiring bug
+    // (or a tier-specific upstream filter) can hand them mismatched id
+    // sets. With an inner join such an asset would vanish from the book
+    // entirely — neither admitted nor quarantined (ADVICE r12).
+    val onlyExact = 777L      // present in the exact corpus only
+    val onlyPercept = 888L    // present in the perceptual corpus only
+    val book = Multimodal.mediaAdmissionBookSafe(
+      bin(Multimodal.syntheticBmp, "img"), bin(Multimodal.syntheticWav, "clip"),
+      bin(Multimodal.syntheticVideoMp4, "vid")
+        .unionByName(Seq((onlyPercept, Multimodal.syntheticVideoMp4(onlyPercept)))
+          .toDF("id", "vid")),
+      bin(Multimodal.syntheticMp4, "vid")
+        .unionByName(Seq((onlyExact, Multimodal.syntheticMp4(onlyExact)))
+          .toDF("id", "vid")))
+    val odd = book.where(col("id").isin(onlyExact, onlyPercept))
+      .select(col("id"), col("admit"), col("reason"))
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(odd.keySet == Set(onlyExact, onlyPercept),
+      "one-tier assets must surface in the book, not silently vanish")
+    assert(odd(onlyExact) == ((false, "missing:perceptual")))
+    assert(odd(onlyPercept) == ((false, "missing:exact")))
+    // the clean both-tier ids are untouched by the outer join
+    assert(book.where(col("id") < 100L && col("reason") =!= "").count() == 0)
+  }
+
+  // ---- content-keyed artifact caches: in-JVM regeneration rebuilds ----
+
+  test("mediaSignatureIndex rebuilds when the fixture regenerates in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ixkey").toFile
+    try {
+      def writeEvents(n: Int): Unit =
+        spark.range(n).select(col("id").as("event_id"),
+            timestamp_micros(col("id") * 1000000L).as("ts"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${dir.getAbsolutePath}/events.parquet")
+      writeEvents(4)
+      val p1 = SparkEntry.mediaSignatureIndex(spark, dir.getAbsolutePath)
+      val p1again = SparkEntry.mediaSignatureIndex(spark, dir.getAbsolutePath)
+      assert(p1 == p1again, "unchanged fixture must hit the cache")
+      Thread.sleep(20) // ensure a distinct mtime even on coarse clocks
+      writeEvents(6)
+      val p2 = SparkEntry.mediaSignatureIndex(spark, dir.getAbsolutePath)
+      assert(p2 != p1,
+        "an in-place fixture regeneration must produce a fresh artifact, " +
+          "not the stale first-build (dir-keyed cache bug)")
+      assert(spark.read.parquet(s"$p2/img_ahash").count() == 6)
+    } finally graft.util.Fs.deleteRecursive(dir)
   }
 
   test("poisoned admission book: good rows byte-identical, corrupt rows quarantined") {
