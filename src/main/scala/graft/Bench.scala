@@ -80,8 +80,10 @@ object Bench {
     "multimodal_quarantine", "pipeline_multimodal_admission",
     "pipeline_media_admission_from_index", "multimodal_quarantine_codecs",
     "streaming_media_quarantine", "streaming_ann_index", "multimodal_quarantine_report", "streaming_video_quarantine", "text_bpe_encode_pretrained",
-    // r14: the quarantine book composed from the persisted safe index
-    "multimodal_quarantine_from_index",
+    // r14: the quarantine book composed from the persisted safe index,
+    // and DSIR importance-resampling selection
+    "multimodal_quarantine_from_index", "text_dsir_select",
+    "streaming_dsir_score",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -158,6 +158,14 @@ object Multimodal {
   private[graft] def pixelFpOne(md: java.security.MessageDigest, id: Long,
                                 bytes: Array[Byte]): PixelFingerprint = {
     val (w, h, px) = decodeImagePayload(bytes)
+    PixelFingerprint(id, w, h, pixelMd5(md, w, h, px))
+  }
+
+  /** The md5-over-raster computation shared by [[pixelFpOne]] and the
+    * fused [[imageSignatures]] pass — one fingerprint definition, so
+    * fused ≡ separate holds by construction, not by parallel code. */
+  private[graft] def pixelMd5(md: java.security.MessageDigest,
+                              w: Long, h: Long, px: Array[Int]): String = {
     val sb = new java.lang.StringBuilder
     sb.append(w).append(':').append(h).append(':')
     var i = 0
@@ -170,7 +178,43 @@ object Multimodal {
     }
     md.reset()
     val d = md.digest(sb.toString.getBytes("UTF-8"))
-    PixelFingerprint(id, w, h, d.map("%02x".format(_)).mkString)
+    d.map("%02x".format(_)).mkString
+  }
+
+  final case class ImageSignatures(id: Long, width: Long, height: Long,
+                                   ahash: Long, fp: String)
+
+  /** BOTH image tiers' signatures from ONE decode pass — the fused
+    * form of [[imageAHash]] + [[imagePixelFingerprint]]. The admission
+    * book and the signature-index build consume both tiers over the
+    * same corpus; decoded separately, the bytes are parsed once per
+    * tier (and the exact tier's groupBy+join-back consumes its frame
+    * twice → up to three decodes per asset). Fused, the corpus is
+    * decoded exactly once and the (id, width, height, ahash, fp) frame
+    * projects into the two tier shapes. One deliberate widening vs the
+    * strict [[imageAHash]]: the payload is codec-SNIFFED
+    * ([[decodeImagePayload]], BMP or PNG) — on a BMP corpus the sniff
+    * IS [[Bmp.decode]], so both projections are byte-identical to the
+    * separate passes (spec-pinned), and it matches the safe tier's
+    * already-documented sniffed behavior. */
+  def imageSignatures(df: DataFrame, idCol: String,
+                      binCol: String): Dataset[ImageSignatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => imageSigOne(md, id, bytes) }
+      }
+  }
+
+  /** Per-asset body of [[imageSignatures]] (factored for the
+    * quarantine tier's fused pass). */
+  private[graft] def imageSigOne(md: java.security.MessageDigest, id: Long,
+                                 bytes: Array[Byte]): ImageSignatures = {
+    val (w, h, px) = decodeImagePayload(bytes)
+    ImageSignatures(id, w, h, aHashBits(px), pixelMd5(md, w, h, px))
   }
 
   /** The ONE aHash bit computation (bit `i` set iff pixel i's gray sum
@@ -1100,6 +1144,15 @@ object Multimodal {
   private[graft] def audioFpOne(id: Long, bytes: Array[Byte],
                                 windowFrames: Int): AudioFingerprint = {
     val clip = Wav.decode(bytes)
+    val (nWin, fp) = windowFpOf(clip, windowFrames)
+    AudioFingerprint(id, clip.channels.toLong, nWin, fp)
+  }
+
+  /** The window-energy delta-sign computation shared by [[audioFpOne]]
+    * and the fused [[audioSignatures]] pass — one fingerprint
+    * definition. Returns (n_windows, fp bits). */
+  private[graft] def windowFpOf(clip: Wav.Clip,
+                                windowFrames: Int): (Long, Long) = {
     val perWin = windowFrames * clip.channels
     val energies = clip.samples.grouped(perWin).map { w =>
       var e = 0L
@@ -1113,7 +1166,7 @@ object Multimodal {
       if (energies(w + 1) > energies(w)) fp |= 1L << w
       w += 1
     }
-    AudioFingerprint(id, clip.channels.toLong, energies.length.toLong, fp)
+    (energies.length.toLong, fp)
   }
 
   final case class SampleFingerprint(id: Long, channels: Long,
@@ -1149,6 +1202,14 @@ object Multimodal {
   private[graft] def sampleFpOne(md: java.security.MessageDigest, id: Long,
                                  bytes: Array[Byte]): SampleFingerprint = {
     val clip = Wav.decode(bytes)
+    SampleFingerprint(id, clip.channels.toLong,
+      clip.samples.length.toLong, sampleMd5(md, clip))
+  }
+
+  /** The md5-over-samples computation shared by [[sampleFpOne]] and
+    * the fused [[audioSignatures]] pass — one fingerprint definition. */
+  private[graft] def sampleMd5(md: java.security.MessageDigest,
+                               clip: Wav.Clip): String = {
     val sb = new java.lang.StringBuilder
     sb.append(clip.channels).append(':')
     var i = 0
@@ -1159,8 +1220,40 @@ object Multimodal {
     }
     md.reset()
     val d = md.digest(sb.toString.getBytes("UTF-8"))
-    SampleFingerprint(id, clip.channels.toLong,
-      clip.samples.length.toLong, d.map("%02x".format(_)).mkString)
+    d.map("%02x".format(_)).mkString
+  }
+
+  final case class AudioSignatures(id: Long, channels: Long, n_windows: Long,
+                                   wfp: Long, n_samples: Long, sfp: String)
+
+  /** BOTH audio tiers' signatures from ONE decode pass — the fused
+    * form of [[audioFingerprint]] + [[audioSampleFingerprint]], the
+    * audio sibling of [[imageSignatures]]: the WAV stream is parsed
+    * once and the frame projects into the perceptual
+    * (channels, n_windows, wfp→fp) and exact (channels, n_samples,
+    * sfp→fp) tier shapes, each byte-identical to its separate pass
+    * (shared per-asset bodies; spec-pinned). */
+  def audioSignatures(df: DataFrame, idCol: String, binCol: String,
+                      windowFrames: Int = 4): Dataset[AudioSignatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => audioSigOne(md, id, bytes, windowFrames) }
+      }
+  }
+
+  /** Per-asset body of [[audioSignatures]] (factored for the
+    * quarantine tier's fused pass). */
+  private[graft] def audioSigOne(md: java.security.MessageDigest, id: Long,
+                                 bytes: Array[Byte],
+                                 windowFrames: Int): AudioSignatures = {
+    val clip = Wav.decode(bytes)
+    val (nWin, wfp) = windowFpOf(clip, windowFrames)
+    AudioSignatures(id, clip.channels.toLong, nWin, wfp,
+      clip.samples.length.toLong, sampleMd5(md, clip))
   }
 
   /** Near-duplicate audio pairs from [[audioFingerprint]] signatures —
@@ -1561,6 +1654,64 @@ object Multimodal {
       }
   }
 
+  final case class SafeImageSignatures(id: Long, ok: Boolean, reason: String,
+                                       width: Long, height: Long,
+                                       ahash: Long, fp: String)
+
+  /** Fault-isolated [[imageSignatures]] — BOTH image tiers from ONE
+    * decode of the (possibly poisoned) corpus. A failed decode yields
+    * one quarantine row whose reason serves both tiers; this is
+    * exactly what the separate safe passes produce ([[imageAHashSafe]]
+    * and [[imagePixelFingerprintSafe]] parse the same bytes through
+    * the same sniffed decode, so they fail on the same first guard
+    * with the same kind — the reason-precedence rule's "exact wins"
+    * case is degenerate here; spec-pinned on the poisoned fixture). */
+  def imageSignaturesSafe(df: DataFrame, idCol: String,
+                          binCol: String): Dataset[SafeImageSignatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          try {
+            val r = imageSigOne(md, id, bytes)
+            SafeImageSignatures(id, ok = true, "", r.width, r.height,
+              r.ahash, r.fp)
+          } catch { case scala.util.control.NonFatal(e) =>
+            SafeImageSignatures(id, ok = false, reasonOf(e), 0L, 0L, 0L, "")
+          }
+        }
+      }
+  }
+
+  final case class SafeAudioSignatures(id: Long, ok: Boolean, reason: String,
+                                       channels: Long, n_windows: Long,
+                                       wfp: Long, n_samples: Long, sfp: String)
+
+  /** Fault-isolated [[audioSignatures]] — the audio sibling of
+    * [[imageSignaturesSafe]]. */
+  def audioSignaturesSafe(df: DataFrame, idCol: String, binCol: String,
+                          windowFrames: Int = 4): Dataset[SafeAudioSignatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          try {
+            val r = audioSigOne(md, id, bytes, windowFrames)
+            SafeAudioSignatures(id, ok = true, "", r.channels, r.n_windows,
+              r.wfp, r.n_samples, r.sfp)
+          } catch { case scala.util.control.NonFatal(e) =>
+            SafeAudioSignatures(id, ok = false, reasonOf(e), 0L, 0L, 0L, 0L, "")
+          }
+        }
+      }
+  }
+
   /** Fault-isolated [[videoFingerprint]]. */
   def videoFingerprintSafe(df: DataFrame, idCol: String,
                            binCol: String): Dataset[SafeVideoFingerprint] = {
@@ -1811,20 +1962,28 @@ object Multimodal {
   def mediaAdmissionBookSafe(imgBin: DataFrame, audBin: DataFrame,
                              vidPerceptBin: DataFrame, vidExactBin: DataFrame,
                              maxIters: Int = 25): DataFrame = {
-    val imgAH = imageAHashSafe(imgBin, "id", "img").toDF().localCheckpoint(true)
-    val imgFp = imagePixelFingerprintSafe(imgBin, "id", "img").toDF()
+    // image and audio decode ONCE via the fused safe passes (r14): the
+    // pinned fused frame projects into the two tier shapes — identical
+    // rows to the separate safe passes (shared per-asset bodies,
+    // spec-pinned), one fewer corpus parse per modality. The video
+    // tiers read DIFFERENT corpora, so no fusion exists there.
+    val imgSig = imageSignaturesSafe(imgBin, "id", "img").toDF()
       .localCheckpoint(true)
-    val audAH = audioFingerprintSafe(audBin, "id", "clip").toDF()
+    val imgAH = imgSig.select("id", "ok", "reason", "width", "height", "ahash")
+    val imgFp = imgSig.select("id", "ok", "reason", "width", "height", "fp")
+    val audSig = audioSignaturesSafe(audBin, "id", "clip").toDF()
       .localCheckpoint(true)
-    val audFp = audioSampleFingerprintSafe(audBin, "id", "clip").toDF()
-      .localCheckpoint(true)
+    val audAH = audSig.select(col("id"), col("ok"), col("reason"),
+      col("channels"), col("n_windows"), col("wfp").as("fp"))
+    val audFp = audSig.select(col("id"), col("ok"), col("reason"),
+      col("channels"), col("n_samples"), col("sfp").as("fp"))
     val vidPH = videoPerceptualHashSafe(vidPerceptBin, "id", "vid").toDF()
       .localCheckpoint(true)
     val vidFp = videoFingerprintSafe(vidExactBin, "id", "vid").toDF()
       .localCheckpoint(true)
     val out = composeSafeMediaBook(imgAH, imgFp, audAH, audFp, vidPH, vidFp,
       maxIters)
-    Seq(imgAH, imgFp, audAH, audFp, vidPH, vidFp)
+    Seq(imgSig, audSig, vidPH, vidFp)
       .foreach(Dedup.releaseOwnCheckpoint)
     out
   }

@@ -241,6 +241,52 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** GROUPED Lloyd's training — [[trainCentroids]] over MANY disjoint
+    * training sets in ONE iterative job (the `mediaNearDupClustersMulti`
+    * move applied to quantizer training): `sub` carries
+    * `(g, vec_id, emb)` and every group `g` trains its own k-centroid
+    * quantizer, but each round is ONE assignment join + ONE mean
+    * aggregation over the union instead of a per-group job storm.
+    * The PQ encoders train `m` per-subspace codebooks — sequentially
+    * that is `m × iters` scheduler round-trips of tiny data (measured:
+    * job overhead, not compute, dominated `ann_recall`'s two PQ chains);
+    * grouped, rounds = `iters` regardless of `m`, and at 100 TB one
+    * iterative job over all subspaces replaces a driver-side training
+    * loop. Groups are independent by construction (every key carries
+    * `g`), so results decompose EXACTLY into the per-group
+    * [[trainCentroids]] outputs — spec-pinned. Returns `(g, cid, ce)`. */
+  def trainCentroidsGrouped(sub: DataFrame, k: Int = 16, iters: Int = 2,
+                            scale: Option[Int] = None): DataFrame = {
+    def r(c: Column): Column = scale.map(s => fx(c, s)).getOrElse(c)
+    val e = sub.select(col("g"), col("vec_id"),
+      col("emb").cast("array<double>").as("emb")).persist()
+    try {
+      var cents = e.where(col("vec_id") < k.toLong)
+        .select(col("g"), col("vec_id").as("cid"), col("emb").as("ce"))
+      for (_ <- 1 to iters) {
+        val w = Window.partitionBy(col("g"), col("vec_id"))
+          .orderBy(col("d"), col("cid"))
+        val assigned = e.join(broadcast(cents), Seq("g"))
+          .select(col("g"), col("vec_id"), col("emb"), col("cid"),
+            r(sqDist(col("emb"), col("ce"))).as("d"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("g"), col("emb"), col("cid").as("cell"))
+        val means = assigned
+          .select(col("g"), col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+          .groupBy("g", "cell", "pos").agg(r(avg(col("v"))).as("m"))
+          .groupBy("g", "cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("ce"))
+          .select(col("g"), col("cell").as("cid"), col("ce"))
+        cents = means.join(
+            cents.select(col("g"), col("cid"), col("ce").as("prev")),
+            Seq("g", "cid"), "right_outer")
+          .select(col("g"), col("cid"), coalesce(col("ce"), col("prev")).as("ce"))
+      }
+      cents.localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then mark
     * near-duplicates ONLY within each cluster — the learned partition
@@ -449,20 +495,20 @@ object Similarity {
           zip_with(col("emb"), col("ce"), (x, y) => x - y).as("emb"))
       else e
 
-    // per-subspace codebooks: m independent Lloyd's trainings over the
-    // subvector slices, tagged and unioned into one broadcastable frame
-    val codebook = (0 until m).map { j =>
-      trainCentroids(
-        base.select(col("vec_id"),
-          slice(col("emb"), j * subDim + 1, subDim).as("embedding")),
-        ksub, subIters, scale = Some(6))
-        .select(lit(j).as("j"), col("cid"), col("ce"))
-    }.reduce(_ unionByName _)
-
     val sub = base.select(col("vec_id"), explode(array((0 until m).map(j =>
         struct(lit(j).as("j"),
           slice(col("emb"), j * subDim + 1, subDim).as("se"))): _*)).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.se").as("se"))
+
+    // per-subspace codebooks: m independent Lloyd's trainings, run as
+    // ONE grouped iterative job ([[trainCentroidsGrouped]] — rounds =
+    // subIters, not m × subIters scheduler round-trips; results are
+    // exactly the per-subspace trainings, spec-pinned) over the same
+    // slice frame the encoder reads
+    val codebook = trainCentroidsGrouped(
+      sub.select(col("j").as("g"), col("vec_id"), col("se").as("emb")),
+      ksub, subIters, scale = Some(6))
+      .select(col("g").as("j"), col("cid"), col("ce"))
     val wCode = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("d"), col("cid"))
     val codes = sub.join(broadcast(codebook), "j")

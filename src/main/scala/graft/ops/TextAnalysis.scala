@@ -467,4 +467,138 @@ object TextAnalysis {
       when(cnt > 0, array_min(shingleHashes)).as("rolling_min_hash"),
       length(col("text")).cast("bigint").as("n_chars_actual"))
   }
+
+  /** DSIR-style data selection by importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score every raw document by how much its
+    * hashed n-gram feature distribution looks like a small curated
+    * TARGET set, then keep the top-k. The standard recipe for "give me
+    * the web documents that look like my high-quality seed corpus":
+    *
+    *  1. features = unigrams ∪ bigrams, hashed into `buckets` buckets
+    *     (the codegen'd [[graft.functions.Fnv]] native — the same
+    *     oracle-replayable hash the MinHash pipeline uses);
+    *  2. two add-1-smoothed bag-of-buckets models: p from the target
+    *     docs (`isTarget`), q from the whole raw corpus;
+    *  3. per-doc log importance weight `logw = Σ_instances ln(p_b/q_b)`
+    *     — each bucket's log-ratio quantized to 6 dp first (the
+    *     portable floor-scale) and DECIMAL-summed, so the distributed
+    *     aggregation is exact and order-independent;
+    *  4. deterministic top-k selection (the paper's Gumbel resampling
+    *     replaced by the testable argmax variant): `selected` iff the
+    *     doc beats the k-th (logw desc, doc_id asc) entry.
+    *
+    * Scale shape: the bucket-ratio table is `buckets` rows — a
+    * BROADCAST map-side join onto the feature stream, so scoring is
+    * one explode + one broadcast join + one doc-keyed aggregation;
+    * model fitting is two bucket-keyed aggregations (map-side
+    * partial). Selection avoids any global window: the k-th entry
+    * comes from an `orderBy().limit(k)` (TakeOrderedAndProject — a
+    * per-partition top-k then a k-row merge), and the verdict is a
+    * scalar-broadcast comparison. At 100 TB the ratio table is still
+    * `buckets` rows and the only corpus-wide shuffle is the per-doc
+    * aggregation. */
+  /** The hashed feature stream backing the DSIR family: every unigram
+    * and bigram of every document, bucketed by the codegen'd FNV
+    * native. One definition shared by model fitting and scoring. */
+  private def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+    import graft.functions.Fnv
+    val w = words
+    val bigArr = when(size(w) >= 2, transform(sequence(lit(0), size(w) - 2),
+      i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+    docs.select(col("doc_id"), explode(words).as("g"))
+      .unionByName(docs.select(col("doc_id"), explode(bigArr).as("g")))
+      .select(col("doc_id"),
+        pmod(Fnv.fnv32(col("g"), Fnv.Basis1), lit(buckets.toLong)).as("b"))
+  }
+
+  /** The DSIR MODEL as a standing artifact: one row per bucket
+    * (DENSE — every bucket in [0, buckets), so a scorer never meets a
+    * missing key) with the add-1-smoothed log importance ratio
+    * `lr = ln((cp+1)(tq+B) / ((cq+1)(tp+B)))` quantized to 6 dp.
+    * `buckets` rows total — persistable, broadcastable, and the thing
+    * a streaming scorer ships to every executor. */
+  def dsirBucketRatios(docs: DataFrame, isTarget: Column,
+                       buckets: Int = 256): DataFrame = {
+    val feats = dsirFeatures(docs, buckets)
+    val tgtIds = docs.where(isTarget).select("doc_id")
+    val cq = feats.groupBy("b").agg(count(lit(1)).as("cq"))
+    val cp = feats.join(tgtIds, "doc_id").groupBy("b").agg(count(lit(1)).as("cp"))
+    // totals as a LAZY broadcast single-row frame (the unigramLogProb
+    // shape — no eager pass at plan-construction time)
+    val tot = feats.join(tgtIds, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+      .crossJoin(feats.agg(count(lit(1)).as("tq")))
+    // one ln over an exact integer ratio: (cp+1)·(tq+B) / ((cq+1)·(tp+B))
+    // — products stay far below 2^53, so the double argument is
+    // identical in both engines and the 6-dp floor-scale pins the rest
+    docs.sparkSession.range(0, buckets).select(col("id").as("b"))
+      .join(cq, Seq("b"), "left").join(cp, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        fx(log(((coalesce(col("cp"), lit(0L)) + 1).cast("double") *
+            (col("tq") + buckets).cast("double")) /
+          ((coalesce(col("cq"), lit(0L)) + 1).cast("double") *
+            (col("tp") + buckets).cast("double"))), 6)
+          .cast("decimal(18,6)").as("lr"))
+  }
+
+  def dsirSelect(docs: DataFrame, isTarget: Column, buckets: Int = 256,
+                 k: Int = 100): DataFrame = {
+    val feats = dsirFeatures(docs, buckets)
+    val lr = dsirBucketRatios(docs, isTarget, buckets)
+    val scored = feats.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum("lr").as("lw"), count(lit(1)).cast("bigint").as("n_feats"))
+    // the k-th entry under (lw desc, doc_id asc): TakeOrderedAndProject
+    // k rows, then the LAST of them re-sorted — a 1-row broadcast scalar
+    val kth = scored.orderBy(col("lw").desc, col("doc_id")).limit(k)
+      .orderBy(col("lw").asc, col("doc_id").desc).limit(1)
+      .select(col("lw").as("thr"), col("doc_id").as("tie"))
+    scored.crossJoin(broadcast(kth))
+      .select(col("doc_id"),
+        fx(col("lw").cast("double"), 6).as("logw"),
+        col("n_feats"),
+        (col("lw") > col("thr") ||
+          (col("lw") === col("thr") && col("doc_id") <= col("tie")))
+          .as("selected"))
+  }
+
+  /** MAP-ONLY DSIR scoring against a collected dense ratio table — the
+    * streaming/serving shape: the model ([[dsirBucketRatios]], `buckets`
+    * rows) becomes a literal map in the plan, each document's grams fold
+    * through it with `aggregate`, and scoring needs NO join and NO
+    * shuffle at all — legal in a streaming micro-batch and embarrassingly
+    * parallel at any scale.
+    *
+    * Exactness: the 6-dp ratios are carried as integer MICRO-units
+    * (lr·10⁶, exact by construction) and summed in LONG arithmetic —
+    * value-identical to [[dsirSelect]]'s DECIMAL sum (≤ a few thousand
+    * grams × |lr| ≤ ~20 → |Σ| < 10¹⁰ micros, nowhere near overflow), so
+    * stream scores equal the batch gate's `logw` bit-for-bit.
+    *
+    * `ratios` must be the DENSE table (every bucket present) — enforced
+    * loudly, because a missing key would null out a document's score. */
+  def dsirScoreWith(docs: DataFrame, ratios: Array[(Long, java.math.BigDecimal)],
+                    buckets: Int = 256): DataFrame = {
+    import graft.functions.Fnv
+    require(ratios.length == buckets &&
+      ratios.map(_._1).sorted.sameElements(0L until buckets.toLong),
+      s"dsirScoreWith needs the DENSE ${buckets}-bucket ratio table, " +
+        s"got ${ratios.length} rows")
+    val micros = ratios.map { case (b, d) =>
+      (b, d.movePointRight(6).longValueExact) }
+    val lrMap = map(micros.flatMap { case (b, m) =>
+      Seq(lit(b), lit(m)) }.toIndexedSeq: _*)
+    val w = words
+    val bigArr = coalesce(
+      when(size(w) >= 2, transform(sequence(lit(0), size(w) - 2),
+        i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2)))),
+      array().cast("array<string>"))
+    val grams = concat(w, bigArr)
+    val micro = aggregate(grams, lit(0L), (acc, g) =>
+      acc + element_at(lrMap, pmod(Fnv.fnv32(g, Fnv.Basis1), lit(buckets.toLong))))
+    docs.select(col("doc_id"),
+      fx(micro.cast("double") / lit(1e6), 6).as("logw"),
+      size(grams).cast("bigint").as("n_feats"))
+  }
 }

@@ -853,6 +853,32 @@ object StreamingIngest {
     * state IS the corpus sketch — bounded at 4×1024 counter rows no
     * matter how many documents flow. The gate's oracle replays the
     * batch build: stream == batch by hash. */
+  /** DSIR scoring as a STREAM — the serving shape of the
+    * [[graft.ops.TextAnalysis.dsirBucketRatios]] artifact: the dense
+    * bucket-ratio model is fitted ONCE on the standing corpus (the
+    * even-id docs; target = the src0/src1 curated slice), collected
+    * (`buckets` rows — the artifact is broadcast-sized by
+    * construction), and every arriving document folds its grams
+    * through the literal map — map-only, no join, no shuffle, no
+    * state; append mode. Stream scores are bit-identical to the batch
+    * scorer's `logw` over the same docs (integer micro-unit sum ≡
+    * DECIMAL sum — spec-pinned), so the oracle replays the batch
+    * formula: model from even ids, scores for odd ids. Top-k
+    * SELECTION deliberately stays a batch pass downstream (a global
+    * rank is not streamable; the online-score / offline-select split
+    * is how production runs DSIR anyway). */
+  def dsirScoreStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 2 === 0)
+    val ratios = TextAnalysis.dsirBucketRatios(corpus,
+        col("source").isin("src0", "src1"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val scored = TextAnalysis.dsirScoreWith(
+      documentsRaw(spark, dir).where(col("doc_id") % 2 === 1), ratios)
+    runToMemory(scored, "graft_dsirsc_", "append")
+  }
+
   def cmsCells(spark: SparkSession, dir: String): DataFrame =
     runToMemory(graft.ops.Sketch.cmsSketch(documentsRaw(spark, dir)),
       "graft_cms_", "complete")

@@ -84,6 +84,10 @@ class GateSchemaSpec extends SparkTestBase {
     "streaming_asof" -> Set("value"),
     "streaming_incremental_dedup" -> Set("jaccard"),
     "text_bigram_logprob" -> Set("logprob"),
+    // fx-quantized DECIMAL log-ratio sum cast to double
+    "text_dsir_select" -> Set("logw"),
+    // the same 6-dp values via the map-only micro-unit fold
+    "streaming_dsir_score" -> Set("logw"),
     "text_length_trim" -> Set("pct"),
     "text_logprob_trim" -> Set("logprob", "pct"),
     "text_quality" -> Set("quality"),

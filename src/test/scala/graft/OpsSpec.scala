@@ -800,6 +800,36 @@ class OpsSpec extends SparkTestBase {
     assert(sPerQ.length == 5 && sPerQ.forall(_.getLong(1) <= 3))
   }
 
+  test("grouped Lloyd's training decomposes exactly into per-group trainCentroids") {
+    import org.apache.spark.sql.functions._
+    // the PQ encoder's subspace slices, as groups: the ONE-job grouped
+    // trainer must reproduce each subspace's independent training
+    // bit-for-bit (same seeds, same 6-dp assignment, same means)
+    val m = 4; val subDim = 16; val ksub = 8
+    val sub = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("g"),
+          slice(col("emb"), j * subDim + 1, subDim).as("emb"))): _*)).as("s"))
+      .select(col("s.g").as("g"), col("vec_id"), col("s.emb").as("emb"))
+    val grouped = Similarity.trainCentroidsGrouped(sub, ksub, iters = 2,
+        scale = Some(6))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getSeq[Double](2))
+      .toMap
+    assert(grouped.size == m * ksub, s"expected ${m * ksub} centroids")
+    for (j <- 0 until m) {
+      val solo = Similarity.trainCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"),
+            j * subDim + 1, subDim).as("embedding")),
+        ksub, iters = 2, scale = Some(6))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      for ((cid, ce) <- solo)
+        assert(grouped((j.toLong, cid)) == ce,
+          s"subspace $j centroid $cid diverged from the solo training")
+    }
+  }
+
   test("semantic dedup: partition of the corpus, min-id keepers, cell-local dups") {
     import org.apache.spark.sql.functions._
     val out = Similarity.semanticDedup(emb, threshold = 0.25).cache()
@@ -1183,6 +1213,54 @@ class OpsSpec extends SparkTestBase {
     val real = TextAnalysis.bigramLogProb(docs).collect()
     assert(real.nonEmpty && real.length <= docs.count())
     assert(real.forall(r => r.getDouble(1) < 0 && !r.getDouble(1).isNaN))
+  }
+
+  test("dsir selection: target-like docs outrank off-distribution docs; k-th-entry tie rule exact") {
+    import spark.implicits._
+    // two disjoint vocabularies; the target slice speaks vocab A, so
+    // every A-speaking raw doc must outweigh every B-speaking one
+    val corpus = Seq(
+      (0L, "alpha beta gamma alpha"), (1L, "beta alpha gamma"),
+      (2L, "gamma alpha beta beta"), (3L, "alpha gamma beta"),
+      (4L, "delta eps zeta delta"), (5L, "eps delta zeta"),
+      (6L, "zeta delta eps eps"), (7L, "delta zeta eps")).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirSelect(corpus, col("doc_id") < 2, buckets = 64, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == 8)
+    val aW = (0L to 3L).map(got(_)._1)
+    val bW = (4L to 7L).map(got(_)._1)
+    assert(aW.min > bW.max,
+      s"every vocab-A doc must outweigh every vocab-B doc: $got")
+    assert((0L to 3L).forall(got(_)._3) && (4L to 7L).forall(!got(_)._3))
+    // n_feats = unigrams + bigrams = 2·len − 1
+    assert(got(0L)._2 == 7L && got(1L)._2 == 5L)
+    // tie rule: identical docs share lw exactly (decimal sum); k = 3
+    // over 4 identical docs must keep the 3 smallest ids
+    val ties = (0L until 4L).map(i => (i, "same words here")).toDF("doc_id", "text")
+    val sel = TextAnalysis.dsirSelect(ties, col("doc_id") === 0L, buckets = 16, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sel == Map(0L -> true, 1L -> true, 2L -> true, 3L -> false), sel.toString)
+    // k beyond the corpus: everything selected, nothing errors
+    val all = TextAnalysis.dsirSelect(ties, col("doc_id") === 0L, buckets = 16, k = 99)
+      .collect()
+    assert(all.length == 4 && all.forall(_.getBoolean(3)))
+    // the MAP-ONLY scorer (the streaming/serving shape) must reproduce
+    // the batch gate's logw bit-for-bit: integer micro-unit fold ≡
+    // DECIMAL join-sum, on the real corpus
+    val ratios = TextAnalysis.dsirBucketRatios(docs,
+        col("doc_id") % 7 === 0, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    assert(ratios.length == 64, "ratio table must be dense")
+    val fromFold = TextAnalysis.dsirScoreWith(docs, ratios, buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val fromJoin = TextAnalysis.dsirSelect(docs, col("doc_id") % 7 === 0,
+        buckets = 64, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(fromFold == fromJoin,
+      s"map-only fold diverged from the batch scorer on ${
+        fromFold.keySet.union(fromJoin.keySet)
+          .filter(k2 => fromFold.get(k2) != fromJoin.get(k2)).take(3)}")
   }
 
   test("BPE pair stats: hand-computed counts on a tiny corpus, deterministic top-k") {

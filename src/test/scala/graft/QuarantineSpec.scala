@@ -118,6 +118,52 @@ class QuarantineSpec extends SparkTestBase {
       Multimodal.videoPerceptualHash(vidP, "id", "vid").toDF()) == 0)
   }
 
+  test("fused signature passes ≡ the separate ones — strict on clean, safe on poisoned corpora") {
+    // the r14 decode-once fusion: one parse of the corpus emits BOTH
+    // tiers' signatures; each projection must be row-identical to the
+    // separate pass it replaces (the books and the index builders now
+    // compose exclusively from the fused frames)
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.exceptAll(b).count() + b.exceptAll(a).count() == 0,
+        s"fused projection diverged from the separate pass")
+    val img = bin(Multimodal.syntheticBmp, "img")
+    val aud = bin(Multimodal.syntheticWav, "clip")
+    val iSig = Multimodal.imageSignatures(img, "id", "img").toDF()
+    same(iSig.select("id", "width", "height", "ahash"),
+      Multimodal.imageAHash(img, "id", "img").toDF())
+    same(iSig.select("id", "width", "height", "fp"),
+      Multimodal.imagePixelFingerprint(img, "id", "img").toDF())
+    val aSig = Multimodal.audioSignatures(aud, "id", "clip").toDF()
+    same(aSig.select(col("id"), col("channels"), col("n_windows"),
+        col("wfp").as("fp")),
+      Multimodal.audioFingerprint(aud, "id", "clip").toDF())
+    same(aSig.select(col("id"), col("channels"), col("n_samples"),
+        col("sfp").as("fp")),
+      Multimodal.audioSampleFingerprint(aud, "id", "clip").toDF())
+    // SAFE tier over a poisoned corpus: the one fused reason must equal
+    // EACH tier's separate reason (same bytes, same sniffed decode,
+    // same first guard) — including the quarantine rows
+    val pImg = img.unionByName(Seq(
+      (QBase + 0L, Multimodal.poisonTruncated(Multimodal.syntheticBmp(QBase))),
+      (QBase + 5L, Multimodal.poisonPngBomb()),
+      (QBase + 10L, Multimodal.poisonPngBadCrc(QBase + 10L))).toDF("id", "img"))
+    val pAud = aud.unionByName(Seq(
+      (QBase + 0L, Multimodal.poisonTruncated(Multimodal.syntheticWav(QBase))),
+      (QBase + 5L, Multimodal.poisonWavBadMagic(QBase + 5L))).toDF("id", "clip"))
+    val iSafe = Multimodal.imageSignaturesSafe(pImg, "id", "img").toDF()
+    same(iSafe.select("id", "ok", "reason", "width", "height", "ahash"),
+      Multimodal.imageAHashSafe(pImg, "id", "img").toDF())
+    same(iSafe.select("id", "ok", "reason", "width", "height", "fp"),
+      Multimodal.imagePixelFingerprintSafe(pImg, "id", "img").toDF())
+    val aSafe = Multimodal.audioSignaturesSafe(pAud, "id", "clip").toDF()
+    same(aSafe.select(col("id"), col("ok"), col("reason"), col("channels"),
+        col("n_windows"), col("wfp").as("fp")),
+      Multimodal.audioFingerprintSafe(pAud, "id", "clip").toDF())
+    same(aSafe.select(col("id"), col("ok"), col("reason"), col("channels"),
+        col("n_samples"), col("sfp").as("fp")),
+      Multimodal.audioSampleFingerprintSafe(pAud, "id", "clip").toDF())
+  }
+
   // ---- keyframe-less batch posture: counted drop, not a task kill -----
 
   private def dropStss(bytes: Array[Byte]): Array[Byte] = {
