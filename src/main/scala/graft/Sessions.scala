@@ -24,6 +24,16 @@ object Sessions {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Plan STRINGS are diagnostics and must never cost heap: AQE
+      // re-renders explainString on every stage completion
+      // (AdaptiveSparkPlanExec.onUpdatePlan), and a deep-lineage
+      // iterative frame (BPE census at a sparse checkpoint cadence, the
+      // r11 image pair graph) can OOM the driver purely building that
+      // string — the default cap is effectively 2 GB. 1 MB renders
+      // everything a human reads and truncates the rest (measured:
+      // BpeSpec's cadence-1000 property aborted the full suite's JVM
+      // on exactly this allocation).
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
   }
 

@@ -541,9 +541,33 @@ object Dedup {
         // eccentricity — the same contract as GraphX/Pregel connected
         // components — and the bucketCap/candCap pair design is what
         // keeps near-dup component diameters small at scale.
+        // the convergence scalar rides the checkpoint as an observed
+        // metric (r14, same move as starContractLabels): Observation
+        // fires when localCheckpoint(true) materializes, so the probe
+        // costs zero extra jobs; fallback to the aggregation probe if
+        // the metric ever fails to post
+        val obs = org.apache.spark.sql.Observation(
+          "graft-prop-" + java.util.UUID.randomUUID().toString)
         val next = timed(s"iter $it checkpoint")(
-          jump(hop).localCheckpoint(true))
-        val nextSum = timed(s"iter $it")(labelSum(next))
+          jump(hop).observe(obs, sum(col("cluster")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ls"))
+            .localCheckpoint(true))
+        val nextSum = timed(s"iter $it")(
+          try {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration._
+            import scala.concurrent.ExecutionContext.Implicits.global
+            Await.result(Future(obs.get), 60.seconds)("ls") match {
+              case null => BigDecimal(0)
+              case v: java.math.BigDecimal => BigDecimal(v)
+              case v => BigDecimal(v.toString)
+            }
+          } catch { case scala.util.control.NonFatal(e2) =>
+            System.err.println("[dedup] WARNING: checkpoint-observed " +
+              s"probe unavailable (${e2.getMessage}); falling back to an " +
+              "aggregation job")
+            labelSum(next)
+          })
         // Release the PREVIOUS round's materialization NOW (ADVICE r9):
         // after the switch to localCheckpoint, Dataset.unpersist is a
         // no-op on checkpoint-backed frames (cacheManager never saw
@@ -642,16 +666,47 @@ object Dedup {
     // canonical edge (portable integer arithmetic, repo convention) —
     // a false fixpoint now needs a simultaneous coincidence in all
     // four components across a distinct edge set.
-    def edgeProbe(e: DataFrame): (Long, BigDecimal, BigDecimal, BigDecimal) = {
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val probeDec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def probeExprs: Seq[Column] = {
       val edgeHash = conv(substring(
-        md5(concat_ws(":", col("a"), col("b"))), 1, 15), 16, 10).cast(dec)
-      val r = e.agg(count(lit(1)), sum(col("a").cast(dec)),
-        sum(col("b").cast(dec)), sum(edgeHash)).head
+        md5(concat_ws(":", col("a"), col("b"))), 1, 15), 16, 10).cast(probeDec)
+      Seq(count(lit(1)).as("cnt"), sum(col("a").cast(probeDec)).as("sa"),
+        sum(col("b").cast(probeDec)).as("sb"), sum(edgeHash).as("sh"))
+    }
+    def edgeProbe(e: DataFrame): (Long, BigDecimal, BigDecimal, BigDecimal) = {
+      val r = e.agg(probeExprs.head, probeExprs.tail: _*).head
       def d(i: Int): BigDecimal =
         if (r.isNullAt(i)) BigDecimal(0) else BigDecimal(r.getDecimal(i))
       (r.getLong(0), d(1), d(2), d(3))
     }
+    // The per-round probe rides the small-star CHECKPOINT as observed
+    // metrics (r14): `Observation` fires when localCheckpoint(true)
+    // materializes the frame, so convergence detection costs ZERO extra
+    // jobs — previously a separate aggregation job per round, and on
+    // the near-dup subgraphs the per-round fixed job cost (not data)
+    // dominates the cluster gates. Values are the SAME four aggregates
+    // over the same canonical edge rows. Defensive fallback: if the
+    // metrics ever fail to post (a future Spark changing checkpoint
+    // execution paths), fall back LOUDLY to the aggregation probe
+    // rather than hanging on Observation.get.
+    def observedProbe(obs: org.apache.spark.sql.Observation,
+                      e: DataFrame): (Long, BigDecimal, BigDecimal, BigDecimal) =
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val m = Await.result(Future(obs.get), 60.seconds)
+        def d(k: String): BigDecimal = m(k) match {
+          case null => BigDecimal(0)
+          case v: java.math.BigDecimal => BigDecimal(v)
+          case v => BigDecimal(v.toString)
+        }
+        (m("cnt").asInstanceOf[Long], d("sa"), d("sb"), d("sh"))
+      } catch { case scala.util.control.NonFatal(e2) =>
+        System.err.println("[dedup] WARNING: checkpoint-observed probe " +
+          s"unavailable (${e2.getMessage}); falling back to an aggregation job")
+        edgeProbe(e)
+      }
 
     var probe = edgeProbe(edges)
     var it = 0
@@ -667,15 +722,18 @@ object Dedup {
       // SMALL-STAR: (v, m(u)) for every ≤ neighbor v ≠ m, plus (u, m)
       val a2 = adj(large)
       val m2 = mins(a2)
+      val obs = org.apache.spark.sql.Observation(
+        "graft-contract-" + java.util.UUID.randomUUID().toString)
       val small = canonical(
         a2.join(m2, "u")
           .where(col("v") <= col("u") && col("v") =!= col("m"))
           .select(col("v").as("x"), col("m").as("y"))
           .union(m2.select(col("u").as("x"), col("m").as("y"))))
+        .observe(obs, probeExprs.head, probeExprs.tail: _*)
         .localCheckpoint(true)
       releaseLocalCheckpoint(large)
       edges = small
-      val next = edgeProbe(edges)
+      val next = observedProbe(obs, edges)
       converged = next == probe
       probe = next
       it += 1

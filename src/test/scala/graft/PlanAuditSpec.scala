@@ -313,4 +313,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_count") || plan.contains("partial_min"),
       s"no partial aggregation in the sketch build:\n${plan.take(3000)}")
   }
+
+  test("DSIR selection: broadcast ratio table, TakeOrdered threshold, no global sort") {
+    val plan = executedPlan("text_dsir_select")
+    // the bucket-ratio model joins map-side (256 rows broadcast), the
+    // k-th-entry threshold compiles to TakeOrderedAndProject, and the
+    // verdict is a scalar broadcast — a single-partition global Sort
+    // anywhere would be the 100 TB failure mode
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"ratio table / threshold not broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-th-entry selection not a top-k:\n${plan.take(3000)}")
+    assert(!plan.contains("Sort [lw"),
+      s"global sort on the score column:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"bucket/model aggs not partial+final:\n${plan.take(3000)}")
+  }
+
+  test("streaming DSIR scorer is map-only: no exchange, no join, no state") {
+    // audit the BATCH equivalent of the per-micro-batch plan (the
+    // streaming sink table is already materialized by GateFrames): the
+    // scorer folds each row's grams through a LITERAL map — any
+    // Exchange or Join in this plan means the artifact stopped being
+    // a broadcast-shaped literal
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val ratios = graft.ops.TextAnalysis.dsirBucketRatios(
+        graft.sources.Tables(spark, sf, "documents")
+          .where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        org.apache.spark.sql.functions.col("source").isin("src0", "src1"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val qe = graft.ops.TextAnalysis.dsirScoreWith(docs, ratios).queryExecution
+    qe.toRdd.foreach(_ => ())
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"map-only scorer plans a shuffle or join:\n${plan.take(3000)}")
+  }
 }
