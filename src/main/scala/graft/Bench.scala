@@ -83,7 +83,7 @@ object Bench {
     // r14: the quarantine book composed from the persisted safe index,
     // and DSIR importance-resampling selection
     "multimodal_quarantine_from_index", "text_dsir_select",
-    "streaming_dsir_score",
+    "streaming_dsir_score", "multimodal_resample",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

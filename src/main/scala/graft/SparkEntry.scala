@@ -1601,6 +1601,20 @@ object SparkEntry {
     "multimodal_resize" -> ((s, d) =>
       Multimodal.resizePlan(T(s, d, "events"))),
 
+    // --- REAL pixel resample (r14): decode the BMP fixtures, fit
+    //     inside 4px (every fixture actually downsamples), nearest-
+    //     neighbor sample, emit new dims + channel sums + the
+    //     thumbnail's pixelMd5 content fingerprint; the oracle replays
+    //     dims, the sx/sy index map, the fixture pixel formulas, and
+    //     the md5 string from closed form
+    "multimodal_resample" -> ((s, d) => {
+      import s.implicits._
+      val imgs = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img")
+      Multimodal.imageResample(imgs, "id", "img").toDF()
+    }),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -3641,6 +3655,35 @@ object SparkEntry {
         |  length(substr(props, i * 4 + 1, 4))::INT AS frame_len,
         |  md5(substr(props, i * 4 + 1, 4)) AS frame_md5
         |FROM f WHERE i % 2 = 0""".stripMargin,
+    // real nearest-neighbor resample: fixture dims → resizePlan fit →
+    // integer sx/sy index map → closed-form pixels → sums + md5 string
+    "multimodal_resample" ->
+      """WITH imgs AS (SELECT event_id AS id, 4 + event_id % 5 AS w,
+        |    3 + event_id % 4 AS h FROM events),
+        |dims AS (SELECT id, w AS w0, h AS h0,
+        |    CASE WHEN greatest(w, h) <= 4 THEN w
+        |         ELSE greatest(1, (w * 4) // greatest(w, h)) END AS w1,
+        |    CASE WHEN greatest(w, h) <= 4 THEN h
+        |         ELSE greatest(1, (h * 4) // greatest(w, h)) END AS h1
+        |  FROM imgs),
+        |rgbx AS (SELECT d.id, d.w0, d.h0, d.w1, d.h1,
+        |    ys.y * d.w1 + xs.x AS idx,
+        |    (xs.x * d.w0) // d.w1 AS sx, (ys.y * d.h0) // d.h1 AS sy
+        |  FROM dims d, generate_series(0, 7) AS xs(x),
+        |    generate_series(0, 5) AS ys(y)
+        |  WHERE xs.x < d.w1 AND ys.y < d.h1),
+        |pxv AS (SELECT id, w0, h0, w1, h1, idx,
+        |    (id + 7*sx + 13*sy) % 256 AS r,
+        |    (2*id + 3*sx + 5*sy) % 256 AS g,
+        |    (5*id + 11*sx + 17*sy) % 256 AS b
+        |  FROM rgbx)
+        |SELECT id, w0, h0, w1, h1,
+        |  sum(r)::BIGINT AS rsum, sum(g)::BIGINT AS gsum,
+        |  sum(b)::BIGINT AS bsum,
+        |  md5(w1::VARCHAR || ':' || h1::VARCHAR || ':' ||
+        |    string_agg(r::VARCHAR || ',' || g::VARCHAR || ',' || b::VARCHAR,
+        |      ':' ORDER BY idx)) AS rfp
+        |FROM pxv GROUP BY id, w0, h0, w1, h1""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->

@@ -1462,6 +1462,58 @@ object Multimodal {
       .mapPartitions(dec)
   }
 
+  final case class ResampledImage(id: Long, w0: Long, h0: Long,
+                                  w1: Long, h1: Long,
+                                  rsum: Long, gsum: Long, bsum: Long,
+                                  rfp: String)
+
+  /** REAL pixel resample (r14 — upgrades [[resizePlan]]'s stubbed
+    * resample stage): decode the payload (codec-sniffed, BMP or PNG),
+    * fit the dimensions inside `maxDim` with [[resizePlan]]'s integer
+    * contract (aspect preserved, `floor(side·maxDim / maxSide)`, min 1),
+    * and NEAREST-NEIGHBOR sample the raster — target pixel (x, y) reads
+    * source `(x·w0 div w1, y·h0 div h1)`, pure integer arithmetic, so
+    * the DuckDB oracle replays the whole thing from the fixtures'
+    * closed-form pixels with no codec. Output per image: new dims,
+    * per-channel integer sums of the resampled raster, and the
+    * resampled raster's content fingerprint through the ONE
+    * [[pixelMd5]] definition — a thumbnail content-identity a media
+    * pipeline can dedup on. Shape: one mapPartitions decode pass,
+    * embarrassingly parallel, output rows constant-width. */
+  def imageResample(df: DataFrame, idCol: String, binCol: String,
+                    maxDim: Int = 4): Dataset[ResampledImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val (w0, h0, px) = decodeImagePayload(bytes)
+          val m = math.max(w0, h0)
+          val w1 = if (m <= maxDim) w0 else math.max(1L, w0 * maxDim / m)
+          val h1 = if (m <= maxDim) h0 else math.max(1L, h0 * maxDim / m)
+          val out = new Array[Int]((w1 * h1).toInt)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h1) {
+            val sy = (y * h0 / h1).toInt
+            var x = 0
+            while (x < w1) {
+              val sx = (x * w0 / w1).toInt
+              val p = px(sy * w0.toInt + sx)
+              out(y * w1.toInt + x) = p
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ResampledImage(id, w0, h0, w1, h1, rs, gs, bs,
+            pixelMd5(md, w1, h1, out))
+        }
+      }
+  }
+
   /** Resize planning on stub-decoded dimensions: fit (width, height)
     * inside `maxDim` preserving aspect ratio, integer arithmetic only —
     * composes the decode stage with the resize stage of a media

@@ -2150,6 +2150,43 @@ class OpsSpec extends SparkTestBase {
     info(s"graded recall table: ${rows.toSeq.sortBy(_._1).mkString(", ")}")
   }
 
+  test("image resample: identity when it fits, exact nearest-neighbor when it shrinks") {
+    import spark.implicits._
+    import graft.ops.Bmp
+    val imgs = Seq(0L, 3L, 7L, 11L)
+      .map(id => (id, Multimodal.syntheticBmp(id))).toDF("id", "img")
+    // maxDim large enough: dims preserved, thumbnail fp == the full
+    // pixel fingerprint (same pixelMd5 definition, identity index map)
+    val full = Multimodal.imageResample(imgs, "id", "img", maxDim = 64)
+      .collect().map(r => r.id -> r).toMap
+    val fps = Multimodal.imagePixelFingerprint(imgs, "id", "img")
+      .collect().map(r => r.id -> r.fp).toMap
+    for ((id, r) <- full) {
+      assert(r.w1 == r.w0 && r.h1 == r.h0, s"identity resample moved dims: $r")
+      assert(r.rfp == fps(id), s"identity thumbnail fp != pixel fp for $id")
+    }
+    // maxDim 4: every fixture (min side 4, max 8) shrinks; recompute one
+    // image locally from the decoded raster and pin sums + fp exactly
+    val small = Multimodal.imageResample(imgs, "id", "img", maxDim = 4)
+      .collect().map(r => r.id -> r).toMap
+    val img7 = Bmp.decode(Multimodal.syntheticBmp(7L))
+    val (w0, h0) = (img7.width, img7.height)
+    val m = math.max(w0, h0)
+    val w1 = math.max(1, w0 * 4 / m); val h1 = math.max(1, h0 * 4 / m)
+    val out = (0 until h1).flatMap(y => (0 until w1).map { x =>
+      img7.pixels((y * h0 / h1) * w0 + (x * w0 / w1))
+    }).toArray
+    val got = small(7L)
+    assert((got.w1, got.h1) == ((w1.toLong, h1.toLong)), got.toString)
+    assert(got.rsum == out.map(p => ((p >> 16) & 0xff).toLong).sum)
+    assert(got.gsum == out.map(p => ((p >> 8) & 0xff).toLong).sum)
+    assert(got.bsum == out.map(p => (p & 0xff).toLong).sum)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(got.rfp == Multimodal.pixelMd5(md, w1, h1, out))
+    // distinct contents stay distinct through the thumbnail fp at 4px
+    assert(small.values.map(_.rfp).toSet.size == small.size)
+  }
+
   test("exact media fingerprints: container-invariant, content-sensitive; admission is the conjunction") {
     import spark.implicits._
     import graft.ops.{Bmp, Png, Wav}
