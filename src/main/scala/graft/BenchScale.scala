@@ -110,7 +110,7 @@ object BenchScale {
     // fit + broadcast-ratio scoring + TakeOrdered threshold), and its
     // map-only streaming scorer
     "multimodal_quarantine_from_index", "text_dsir_select",
-    "streaming_dsir_score")
+    "streaming_dsir_score", "multimodal_resample")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
