@@ -1615,6 +1615,28 @@ object SparkEntry {
       Multimodal.imageResample(imgs, "id", "img").toDF()
     }),
 
+    // --- scale-invariant image dedup (r14): every 7th asset also
+    //     appears as a nearest-neighbor 2× UPSCALE at id 2·10⁶+e — a
+    //     cross-resolution duplicate the dimension-grouped aHash pairs
+    //     provably cannot see. Fixed 8×8 NN thumbs hash every copy to
+    //     the same signature (floor-composition identity, spec-proven),
+    //     so each rescaled copy pairs with its original at Hamming 0;
+    //     the oracle replays thumbs (double-floor for the upscales),
+    //     the aHash bit rule, 16-bit bands, caps, and confirms
+    "dedup_image_scale_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img")
+      val up = base.filter((e: Long) => e % 7 == 0)
+        .mapPartitions(_.map(e =>
+          (2000000L + e, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
+        .toDF("id", "img")
+      Multimodal.imageScaleInvariantPairs(
+        Multimodal.imageScaleInvariantHash(
+          orig.unionByName(up), "id", "img").toDF())
+    }),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -3655,6 +3677,53 @@ object SparkEntry {
         |  length(substr(props, i * 4 + 1, 4))::INT AS frame_len,
         |  md5(substr(props, i * 4 + 1, 4)) AS frame_md5
         |FROM f WHERE i % 2 = 0""".stripMargin,
+    // scale-invariant image pairs: fixed 8×8 NN thumbs (double-floor
+    // index map for the 2× upscaled copies), shared aHash bit rule,
+    // 16-bit bands, capped buckets, Hamming ≤ 6 confirms, 4 best
+    // partners per asset
+    "dedup_image_scale_invariant" ->
+      """WITH imgs AS (
+        |  SELECT event_id AS id, event_id AS e, 1 AS k,
+        |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
+        |  UNION ALL
+        |  SELECT 2000000 + event_id, event_id, 2,
+        |    4 + event_id % 5, 3 + event_id % 4
+        |  FROM events WHERE event_id % 7 = 0),
+        |px AS (SELECT i.id, i.e, ys.y * 8 + xs.x AS idx,
+        |    ((xs.x * i.k * i.w) // 8) // i.k AS sx,
+        |    ((ys.y * i.k * i.h) // 8) // i.k AS sy
+        |  FROM imgs i, generate_series(0, 7) AS xs(x),
+        |    generate_series(0, 7) AS ys(y)),
+        |g AS (SELECT id, idx,
+        |      (e + 7*sx + 13*sy) % 256
+        |    + (2*e + 3*sx + 5*sy) % 256
+        |    + (5*e + 11*sx + 17*sy) % 256 AS gray
+        |  FROM px),
+        |tt AS (SELECT id, sum(gray) AS total, count(*) AS n FROM g GROUP BY id),
+        |sah AS (SELECT tt.id,
+        |    CAST(coalesce(sum(CASE WHEN g.gray * tt.n > tt.total
+        |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << g.idx::INT END
+        |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
+        |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id),
+        |hb AS (SELECT id, unnest([
+        |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+        |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+        |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+        |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+        |  ]) AS band_key FROM sah),
+        |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+        |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+        |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+        |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
+        |conf AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |  FROM cand JOIN sah a ON id_a = a.id JOIN sah b ON id_b = b.id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+        |WHERE rnk <= 4""".stripMargin,
     // real nearest-neighbor resample: fixture dims → resizePlan fit →
     // integer sx/sy index map → closed-form pixels → sums + md5 string
     "multimodal_resample" ->

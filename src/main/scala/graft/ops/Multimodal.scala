@@ -1462,6 +1462,70 @@ object Multimodal {
       .mapPartitions(dec)
   }
 
+  final case class ScaleInvariantHash(id: Long, ahash: Long)
+
+  /** SCALE-INVARIANT image signature (r14): nearest-neighbor thumb to
+    * a FIXED `thumbW`×`thumbH` grid (classic 8×8 aHash domain; aspect
+    * deliberately ignored — the thumb is a signature space, not a
+    * display artifact), then the ONE shared [[aHashBits]] rule.
+    *
+    * Why it exists: [[imageAHashPairs]] groups candidates by exact
+    * dimensions, so a re-SCALED copy of an image — the most common
+    * image near-duplicate on the web after re-encoding — can never
+    * pair with its original. The fixed-grid thumb removes dimensions
+    * from the key entirely. And nearest-neighbor sampling composes
+    * EXACTLY under integer rescaling: for any integer factor k,
+    * `floor(floor(x·k·w0/t)/k) = floor(x·w0/t)`, so an NN k×-rescaled
+    * copy produces the bit-IDENTICAL thumb and collides at Hamming 0 —
+    * spec-proven, and the gate's oracle replays the double-floor from
+    * closed form. Brightness invariance is inherited from aHash. */
+  def imageScaleInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                              thumbW: Int = 8, thumbH: Int = 8): Dataset[ScaleInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w0, h0, px) = decodeImagePayload(bytes)
+        val out = new Array[Int](thumbW * thumbH)
+        var y = 0
+        while (y < thumbH) {
+          val sy = (y * h0 / thumbH).toInt
+          var x = 0
+          while (x < thumbW) {
+            out(y * thumbW + x) = px(sy * w0.toInt + (x * w0 / thumbW).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        ScaleInvariantHash(id, aHashBits(out))
+      })
+  }
+
+  /** Near-dup pairs over the scale-invariant signatures — the shared
+    * [[bandedHammingPairs]] machinery with ONE corpus-wide group (the
+    * fixed thumb domain replaces the dimensions key) and the video
+    * path's 16-bit × 4 banding over the 64-bit hash. `maxHamming` 6:
+    * ≤3 exhaustive, 4-6 probabilistic — the family posture. */
+  def imageScaleInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                               bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "ahash", group = lit("thumb"),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "img_si")
+
+  /** Nearest-neighbor 2× upscale (decode → re-encode at doubled dims,
+    * target (x, y) reads source (x/2, y/2)) — the cross-resolution
+    * duplicate generator the scale-invariant gate and its spec share. */
+  def nnUpscale2x(bytes: Array[Byte]): Array[Byte] = {
+    val (w0, h0, px) = decodeImagePayload(bytes)
+    val w = w0.toInt; val h = h0.toInt
+    Bmp.encode(2 * w, 2 * h, (x, y) => {
+      val p = px((y / 2) * w + (x / 2))
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    })
+  }
+
   final case class ResampledImage(id: Long, w0: Long, h0: Long,
                                   w1: Long, h1: Long,
                                   rsum: Long, gsum: Long, bsum: Long,

@@ -2150,6 +2150,38 @@ class OpsSpec extends SparkTestBase {
     info(s"graded recall table: ${rows.toSeq.sortBy(_._1).mkString(", ")}")
   }
 
+  test("scale-invariant signature: NN-rescaled copies collide at hamming 0; dimension-grouped pairs cannot see them") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    val orig = ids.map(id => (id, Multimodal.syntheticBmp(id))).toDF("id", "img")
+    val up = ids.map(id =>
+      (1000L + id, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(id))))
+      .toDF("id", "img")
+    val sigs = Multimodal.imageScaleInvariantHash(
+      orig.unionByName(up), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    // the floor-composition identity: thumb(NN-2x(img)) == thumb(img)
+    for (id <- ids)
+      assert(sigs(id) == sigs(1000L + id),
+        s"2x NN upscale of $id changed the scale-invariant signature")
+    // distinct contents stay distinct
+    assert(ids.map(sigs(_)).distinct.size == ids.size)
+    // the pairs gate surfaces each cross-resolution duplicate at 0
+    val pairs = Multimodal.imageScaleInvariantPairs(
+      Multimodal.imageScaleInvariantHash(
+        orig.unionByName(up), "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(pairs.contains((id, 1000L + id, 0L)),
+        s"missing cross-resolution pair for $id: ${pairs.mkString(",")}")
+    // the DIMENSION-GROUPED path provably cannot: dims differ, no pair
+    val dimPairs = Multimodal.imageAHashPairs(
+      Multimodal.imageAHash(orig.unionByName(up), "id", "img").toDF())
+      .collect()
+    assert(!dimPairs.exists(r => r.getLong(1) >= 1000L && r.getLong(0) < 1000L),
+      "dimension-grouped pairs unexpectedly matched across resolutions")
+  }
+
   test("image resample: identity when it fits, exact nearest-neighbor when it shrinks") {
     import spark.implicits._
     import graft.ops.Bmp
