@@ -110,7 +110,8 @@ object BenchScale {
     // fit + broadcast-ratio scoring + TakeOrdered threshold), and its
     // map-only streaming scorer
     "multimodal_quarantine_from_index", "text_dsir_select",
-    "streaming_dsir_score", "multimodal_resample")
+    "streaming_dsir_score", "multimodal_resample",
+    "dedup_image_scale_invariant")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

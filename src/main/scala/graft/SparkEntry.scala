@@ -1615,6 +1615,25 @@ object SparkEntry {
       Multimodal.imageResample(imgs, "id", "img").toDF()
     }),
 
+    // --- the scale-invariant screen, INCREMENTAL (r14): the standing
+    //     corpus's thumb index (the persistable artifact) screens a
+    //     batch of NN-2× rescaled re-uploads — each hits its original
+    //     at Hamming 0; the dimension-grouped incremental screen can
+    //     never see these
+    "dedup_image_scale_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.imageScaleInvariantHash(
+        base.mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img"), "id", "img").toDF()
+        .localCheckpoint(true) // the standing thumb index, read per band
+      val batch = Multimodal.imageScaleInvariantHash(
+        base.filter((e: Long) => e % 7 == 0).mapPartitions(_.map(e =>
+          (2000000L + e, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
+          .toDF("id", "img"), "id", "img").toDF()
+      Multimodal.incrementalScaleInvariantNearDups(corpus, batch)
+    }),
+
     // --- scale-invariant image dedup (r14): every 7th asset also
     //     appears as a nearest-neighbor 2× UPSCALE at id 2·10⁶+e — a
     //     cross-resolution duplicate the dimension-grouped aHash pairs
@@ -3677,6 +3696,63 @@ object SparkEntry {
         |  length(substr(props, i * 4 + 1, 4))::INT AS frame_len,
         |  md5(substr(props, i * 4 + 1, 4)) AS frame_md5
         |FROM f WHERE i % 2 = 0""".stripMargin,
+    // the scale-invariant INCREMENTAL screen: corpus thumb index =
+    // all originals (buckets capped at 64 smallest ids, size-1 kept),
+    // batch = the NN-2× re-uploads, Hamming ≤ 6, 4 best partners
+    "dedup_image_scale_invariant_incremental" ->
+      """WITH imgs AS (
+        |  SELECT event_id AS id, event_id AS e, 1 AS k, 0 AS is_batch,
+        |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
+        |  UNION ALL
+        |  SELECT 2000000 + event_id, event_id, 2, 1,
+        |    4 + event_id % 5, 3 + event_id % 4
+        |  FROM events WHERE event_id % 7 = 0),
+        |px AS (SELECT i.id, i.e, ys.y * 8 + xs.x AS idx,
+        |    ((xs.x * i.k * i.w) // 8) // i.k AS sx,
+        |    ((ys.y * i.k * i.h) // 8) // i.k AS sy
+        |  FROM imgs i, generate_series(0, 7) AS xs(x),
+        |    generate_series(0, 7) AS ys(y)),
+        |g AS (SELECT id, idx,
+        |      (e + 7*sx + 13*sy) % 256
+        |    + (2*e + 3*sx + 5*sy) % 256
+        |    + (5*e + 11*sx + 17*sy) % 256 AS gray
+        |  FROM px),
+        |tt AS (SELECT id, sum(gray) AS total, count(*) AS n FROM g GROUP BY id),
+        |sah AS (SELECT tt.id,
+        |    CAST(coalesce(sum(CASE WHEN g.gray * tt.n > tt.total
+        |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << g.idx::INT END
+        |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
+        |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id),
+        |hc AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
+        |  WHERE i.is_batch = 0),
+        |hbt AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
+        |  WHERE i.is_batch = 1),
+        |ci AS (SELECT id, unnest([
+        |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+        |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+        |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+        |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+        |  ]) AS bk FROM hc),
+        |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+        |  FROM ci GROUP BY bk),
+        |bi AS (SELECT id AS batch_id, unnest([
+        |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+        |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+        |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+        |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+        |  ]) AS bk FROM hbt),
+        |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+        |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+        |conf AS (SELECT batch_id, corpus_id,
+        |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
+        |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+        |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 6)
+        |SELECT batch_id, corpus_id, hamming FROM (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+        |  FROM conf)
+        |WHERE rnk <= 4""".stripMargin,
     // scale-invariant image pairs: fixed 8×8 NN thumbs (double-floor
     // index map for the 2× upscaled copies), shared aHash bit rule,
     // 16-bit bands, capped buckets, Hamming ≤ 6 confirms, 4 best

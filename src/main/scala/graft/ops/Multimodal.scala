@@ -1514,6 +1514,23 @@ object Multimodal {
       bandBits = 16, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "img_si")
 
+  /** [[incrementalBandedHamming]] over the scale-invariant
+    * signatures — the steady-state screen for the CROSS-RESOLUTION
+    * key: a new batch's fixed-grid thumbs against the standing
+    * corpus's persisted thumb index (the artifact), same fixed group
+    * and 16-bit banding as [[imageScaleInvariantPairs]]. A rescaled
+    * re-upload of standing content hits at Hamming 0, which the
+    * dimension-grouped [[incrementalImageNearDups]] can never see. */
+  def incrementalScaleInvariantNearDups(corpusSigs: DataFrame,
+                                        batchSigs: DataFrame,
+                                        maxHamming: Int = 6,
+                                        bucketCap: Int = 64,
+                                        candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "ahash",
+      group = lit("thumb"), bandBits = 16, numBands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
+      metric = "img_si_incr")
+
   /** Nearest-neighbor 2× upscale (decode → re-encode at doubled dims,
     * target (x, y) reads source (x/2, y/2)) — the cross-resolution
     * duplicate generator the scale-invariant gate and its spec share. */

@@ -2180,6 +2180,15 @@ class OpsSpec extends SparkTestBase {
       .collect()
     assert(!dimPairs.exists(r => r.getLong(1) >= 1000L && r.getLong(0) < 1000L),
       "dimension-grouped pairs unexpectedly matched across resolutions")
+    // the INCREMENTAL screen: a batch of rescaled re-uploads hits the
+    // standing corpus's thumb index at hamming 0, one row per upload
+    val screened = Multimodal.incrementalScaleInvariantNearDups(
+        Multimodal.imageScaleInvariantHash(orig, "id", "img").toDF(),
+        Multimodal.imageScaleInvariantHash(up, "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(screened.contains((1000L + id, id, 0L)),
+        s"incremental screen missed re-upload of $id: ${screened.mkString(",")}")
   }
 
   test("image resample: identity when it fits, exact nearest-neighbor when it shrinks") {
