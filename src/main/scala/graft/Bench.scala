@@ -85,6 +85,7 @@ object Bench {
     "multimodal_quarantine_from_index", "text_dsir_select",
     "streaming_dsir_score", "multimodal_resample",
     "dedup_image_scale_invariant", "dedup_image_scale_invariant_incremental",
+    "streaming_scale_invariant_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -1839,6 +1839,12 @@ object SparkEntry {
     //     map-only fold through the broadcast-literal model, no state
     "streaming_dsir_score" -> ((s, d) => StreamingIngest.dsirScoreStream(s, d)),
 
+    // --- the scale-invariant screen as a STREAM: arriving NN-2×
+    //     rescaled re-uploads vs the standing thumb index; stream ≡
+    //     batch hit-for-hit (the oracle replays the uncapped screen)
+    "streaming_scale_invariant_dedup" ->
+      ((s, d) => StreamingIngest.scaleInvariantDedupStream(s, d)),
+
     // --- Bloom membership filter: per-source bit tables over the even
     //     docs' content hashes + the OR-merged ALL rows — the third
     //     mergeable sketch, the artifact itself gated
@@ -3700,59 +3706,17 @@ object SparkEntry {
     // all originals (buckets capped at 64 smallest ids, size-1 kept),
     // batch = the NN-2× re-uploads, Hamming ≤ 6, 4 best partners
     "dedup_image_scale_invariant_incremental" ->
-      """WITH imgs AS (
-        |  SELECT event_id AS id, event_id AS e, 1 AS k, 0 AS is_batch,
-        |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
-        |  UNION ALL
-        |  SELECT 2000000 + event_id, event_id, 2, 1,
-        |    4 + event_id % 5, 3 + event_id % 4
-        |  FROM events WHERE event_id % 7 = 0),
-        |px AS (SELECT i.id, i.e, ys.y * 8 + xs.x AS idx,
-        |    ((xs.x * i.k * i.w) // 8) // i.k AS sx,
-        |    ((ys.y * i.k * i.h) // 8) // i.k AS sy
-        |  FROM imgs i, generate_series(0, 7) AS xs(x),
-        |    generate_series(0, 7) AS ys(y)),
-        |g AS (SELECT id, idx,
-        |      (e + 7*sx + 13*sy) % 256
-        |    + (2*e + 3*sx + 5*sy) % 256
-        |    + (5*e + 11*sx + 17*sy) % 256 AS gray
-        |  FROM px),
-        |tt AS (SELECT id, sum(gray) AS total, count(*) AS n FROM g GROUP BY id),
-        |sah AS (SELECT tt.id,
-        |    CAST(coalesce(sum(CASE WHEN g.gray * tt.n > tt.total
-        |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
-        |           ELSE 1::BIGINT << g.idx::INT END
-        |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
-        |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id),
-        |hc AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
-        |  WHERE i.is_batch = 0),
-        |hbt AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
-        |  WHERE i.is_batch = 1),
-        |ci AS (SELECT id, unnest([
-        |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
-        |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
-        |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
-        |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
-        |  ]) AS bk FROM hc),
-        |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
-        |  FROM ci GROUP BY bk),
-        |bi AS (SELECT id AS batch_id, unnest([
-        |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
-        |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
-        |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
-        |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
-        |  ]) AS bk FROM hbt),
-        |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
-        |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
-        |conf AS (SELECT batch_id, corpus_id,
-        |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
-        |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
-        |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 6)
-        |SELECT batch_id, corpus_id, hamming FROM (
-        |  SELECT *, row_number()
-        |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
-        |  FROM conf)
-        |WHERE rnk <= 4""".stripMargin,
+      s"""WITH $scaleInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit (no candCap —
+    // row_number windows are illegal on streams); same CTE chain
+    "streaming_scale_invariant_dedup" ->
+      s"""WITH $scaleInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
     // scale-invariant image pairs: fixed 8×8 NN thumbs (double-floor
     // index map for the 2× upscaled copies), shared aHash bit rule,
     // 16-bit bands, capped buckets, Hamming ≤ 6 confirms, 4 best
@@ -5208,6 +5172,66 @@ object SparkEntry {
     * Ends defining `conf(batch_id, corpus_id, hamming)` — the batch
     * gate caps at 4 best partners on top; the streaming twin takes
     * `conf` whole. */
+  /** Scale-invariant incremental-screen CTEs (mirrors
+    * `Multimodal.incrementalScaleInvariantNearDups` /
+    * `StreamingIngest.scaleInvariantDedupStream`): corpus = every
+    * original's fixed 8×8 NN thumb aHash (double-floor index map for
+    * the 2× upscaled batch copies; bit 63 as the two's-complement
+    * constant), corpus band buckets capped at 64 smallest ids (size-1
+    * kept), batch = the NN-2× re-uploads at id 2·10⁶+e, Hamming ≤ 6.
+    * Ends defining `conf(batch_id, corpus_id, hamming)` — the batch
+    * gate caps at 4 best partners on top; the streaming twin takes
+    * `conf` whole. */
+  private def scaleInvariantScreenCte: String =
+    """imgs AS (
+      |  SELECT event_id AS id, event_id AS e, 1 AS k, 0 AS is_batch,
+      |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
+      |  UNION ALL
+      |  SELECT 2000000 + event_id, event_id, 2, 1,
+      |    4 + event_id % 5, 3 + event_id % 4
+      |  FROM events WHERE event_id % 7 = 0),
+      |px AS (SELECT i.id, i.e, ys.y * 8 + xs.x AS idx,
+      |    ((xs.x * i.k * i.w) // 8) // i.k AS sx,
+      |    ((ys.y * i.k * i.h) // 8) // i.k AS sy
+      |  FROM imgs i, generate_series(0, 7) AS xs(x),
+      |    generate_series(0, 7) AS ys(y)),
+      |g AS (SELECT id, idx,
+      |      (e + 7*sx + 13*sy) % 256
+      |    + (2*e + 3*sx + 5*sy) % 256
+      |    + (5*e + 11*sx + 17*sy) % 256 AS gray
+      |  FROM px),
+      |tt AS (SELECT id, sum(gray) AS total, count(*) AS n FROM g GROUP BY id),
+      |sah AS (SELECT tt.id,
+      |    CAST(coalesce(sum(CASE WHEN g.gray * tt.n > tt.total
+      |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+      |           ELSE 1::BIGINT << g.idx::INT END
+      |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
+      |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id),
+      |hc AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
+      |  WHERE i.is_batch = 0),
+      |hbt AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
+      |  WHERE i.is_batch = 1),
+      |ci AS (SELECT id, unnest([
+      |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hc),
+      |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM ci GROUP BY bk),
+      |bi AS (SELECT id AS batch_id, unnest([
+      |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hbt),
+      |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+      |conf AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
+      |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 6)""".stripMargin
+
   private def imageIncrementalCte: String =
     """hc AS (SELECT * FROM ah WHERE (id // 20) % 2 = 0),
       |hbt AS (SELECT * FROM ah WHERE (id // 20) % 2 = 1),
