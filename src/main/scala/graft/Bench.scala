@@ -183,7 +183,11 @@ object Bench {
     // gates measure what they claim to: composing from a persisted index.
     locally {
       val artifactReaders = Set("pipeline_media_admission_from_index",
-        "pipeline_multimodal_admission", "multimodal_quarantine_from_index")
+        "pipeline_multimodal_admission", "multimodal_quarantine_from_index",
+        // r15: the report + both streaming quarantines now compose from
+        // the persisted safe index too
+        "multimodal_quarantine_report", "streaming_media_quarantine",
+        "streaming_video_quarantine")
       if (only.forall(_.exists(artifactReaders.contains))) {
         def timed(name: String)(body: => Unit): Unit =
           results(name) = try time(body) catch { case e: Throwable =>

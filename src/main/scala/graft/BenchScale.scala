@@ -111,7 +111,10 @@ object BenchScale {
     // map-only streaming scorer
     "multimodal_quarantine_from_index", "text_dsir_select",
     "streaming_dsir_score", "multimodal_resample",
-    "dedup_image_scale_invariant")
+    // r15: the full scale-invariant triple (VERDICT r14 #4 — the
+    // incremental screen and streaming twin landed after the r14 sweep)
+    "dedup_image_scale_invariant", "dedup_image_scale_invariant_incremental",
+    "streaming_scale_invariant_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -312,7 +315,11 @@ object BenchScale {
         "pipeline_media_admission_from_index" -> Seq("scaled_media_index_build"),
         "pipeline_multimodal_admission" ->
           Seq("scaled_media_index_build", "scaled_text_admit_build"),
-        "multimodal_quarantine_from_index" -> Seq("scaled_quarantine_index_build"))
+        "multimodal_quarantine_from_index" -> Seq("scaled_quarantine_index_build"),
+        // r15: report + streaming quarantines read the safe index too
+        "multimodal_quarantine_report" -> Seq("scaled_quarantine_index_build"),
+        "streaming_media_quarantine" -> Seq("scaled_quarantine_index_build"),
+        "streaming_video_quarantine" -> Seq("scaled_quarantine_index_build"))
       val needed = selected.flatMap(readers.get).flatten.distinct
       def timed(nm: String)(body: => Unit): Unit =
         results(nm) = try time(body) catch { case e: Throwable =>

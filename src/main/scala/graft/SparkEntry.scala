@@ -935,43 +935,21 @@ object SparkEntry {
 
     // --- the quarantine REPORT (the monitoring view an ingest operator
     //     actually watches): per-(modality, reason) asset counts over
-    //     the poisoned corpus, decode tier only — cheap (one decode
-    //     pass per modality, one tiny groupBy), and the reason volumes
-    //     hash-gated so a classification regression is caught by count,
-    //     not only by per-asset row diffs.
+    //     the poisoned corpus. Composed from the PERSISTED safe index
+    //     (r15, VERDICT r14 #7): the report reads the same parquet
+    //     artifacts the quarantine book composes from — the per-asset
+    //     (ok, reason) rows of the fused safe passes, spec-pinned equal
+    //     to the standalone decode's — so the monitoring view costs one
+    //     columnar scan + one tiny groupBy, never a corpus re-decode.
+    //     Oracle unchanged; reason volumes stay hash-gated.
     "multimodal_quarantine_report" -> ((s, d) => {
-      import s.implicits._
-      val QBase = 10000000L
-      def assets(gen: Long => Array[Byte], c: String) =
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
-          .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
-      def poisoned(gen: (Long, Int) => Array[Byte], c: String, k: Int) =
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
-          .filter((e: Long) => e % 5 == 0)
-          .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
-          .toDF("id", c)
-      import graft.ops.Multimodal._
-      val img = imageAHashSafe(assets(syntheticBmp, "img").unionByName(
-        poisoned((e, kind) => kind match {
-          case 0 => poisonTruncated(syntheticBmp(QBase + e))
-          case 1 => poisonPngBomb()
-          case _ => poisonPngBadCrc(QBase + e)
-        }, "img", 3)), "id", "img").toDF()
-        .select(lit("image").as("modality"), col("reason"))
-      val aud = audioFingerprintSafe(assets(syntheticWav, "clip").unionByName(
-        poisoned((e, kind) => kind match {
-          case 0 => poisonTruncated(syntheticWav(QBase + e))
-          case _ => poisonWavBadMagic(QBase + e)
-        }, "clip", 2)), "id", "clip").toDF()
-        .select(lit("audio").as("modality"), col("reason"))
-      val vid = videoPerceptualHashSafe(assets(syntheticVideoMp4, "vid").unionByName(
-        poisoned((e, kind) => kind match {
-          case 0 => poisonTruncated(syntheticVideoMp4(QBase + e), 16)
-          case 1 => poisonMp4Bomb(syntheticVideoMp4(QBase + e))
-          case _ => poisonMp4Keyframe(syntheticVideoMp4(QBase + e))
-        }, "vid", 3)), "id", "vid").toDF()
-        .select(lit("video").as("modality"), col("reason"))
-      img.unionByName(aud).unionByName(vid)
+      val ix = quarantineSignatureIndex(s, d)
+      def tier(modality: String, artifact: String) =
+        s.read.parquet(s"$ix/$artifact")
+          .select(lit(modality).as("modality"), col("reason"))
+      tier("image", "img_ahash_safe")
+        .unionByName(tier("audio", "aud_fp_perceptual_safe"))
+        .unionByName(tier("video", "vid_phash_safe"))
         .groupBy("modality", "reason")
         .agg(count(lit(1)).as("n"))
     }),
@@ -1631,7 +1609,14 @@ object SparkEntry {
         base.filter((e: Long) => e % 7 == 0).mapPartitions(_.map(e =>
           (2000000L + e, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
           .toDF("id", "img"), "id", "img").toDF()
-      Multimodal.incrementalScaleInvariantNearDups(corpus, batch)
+      // materialize the screen result so the corpus thumb index's
+      // checkpoint blocks can be released NOW instead of squatting in
+      // executor storage for the JVM's remaining gates (ADVICE r14 —
+      // same release discipline as the books and the streaming twin)
+      val out = Multimodal.incrementalScaleInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
     }),
 
     // --- scale-invariant image dedup (r14): every 7th asset also
@@ -1706,13 +1691,21 @@ object SparkEntry {
     //     watermark-bounded state both sides) == batch interval join
     "streaming_stream_join" -> ((s, d) => StreamingIngest.streamStreamJoin(s, d)),
 
-    // --- multimodal frame sampling: video-payload analog — per-partition
-    //     batch "codec" chunks the payload and samples every 2nd frame,
-    //     one typed row per sampled frame
-    "multimodal_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(T(s, d, "events"), "event_id", "props")
+    // --- multimodal frame sampling, REAL (r15): MP4 fixtures through
+    //     the container codec — one typed row per stss SYNC sample with
+    //     its stts decode timestamp, stsz length, and the exact mdat
+    //     payload byte sum; the oracle replays the sample-table walk
+    //     (keyframes f%2=0 under the fixture's keyStride) in closed form
+    "multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.sampleKeyframes(
+        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+          .toDF("id", "vid"), "id", "vid")
         .toDF().select(col("id"), col("frameIdx").as("frame_idx"),
-          col("frameLen").as("frame_len"), col("frameMd5").as("frame_md5"))),
+          col("dts"), col("frameLen").as("frame_len"),
+          col("byteSum").as("byte_sum"))
+    }),
 
     // --- skew-safe salted aggregation — result equals the plain groupBy
     "agg_salted_count" -> ((s, d) =>
@@ -3695,13 +3688,23 @@ object SparkEntry {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // the real keyframe sample replayed in closed form: nf = 2+id%5
+    // samples, keyframes every 2nd (stss), dts = 40f (stts one-run),
+    // len = 10+(id+3f)%7 (stsz), byte j of frame f = (5id+7f+11j)%256
     "multimodal_frames" ->
-      """WITH f AS (SELECT event_id, props, unnest(range(0,
-        |    CAST(ceil(length(props) / 4.0) AS INT))) AS i FROM events)
-        |SELECT event_id AS id, i::INT AS frame_idx,
-        |  length(substr(props, i * 4 + 1, 4))::INT AS frame_len,
-        |  md5(substr(props, i * 4 + 1, 4)) AS frame_md5
-        |FROM f WHERE i % 2 = 0""".stripMargin,
+      """WITH vids AS (
+        |  SELECT event_id AS id, 2 + event_id % 5 AS nf FROM events),
+        |keys AS (
+        |  SELECT id, CAST(fs.f AS INT) AS frame_idx,
+        |    CAST(40 * fs.f AS BIGINT) AS dts,
+        |    CAST(10 + ((id + 3*fs.f) % 7) AS INT) AS frame_len
+        |  FROM vids, generate_series(0, 6) AS fs(f)
+        |  WHERE fs.f < nf AND fs.f % 2 = 0)
+        |SELECT id, frame_idx, dts, frame_len,
+        |  CAST(sum((5*id + 7*frame_idx + 11*js.j) % 256) AS BIGINT) AS byte_sum
+        |FROM keys, generate_series(0, 16) AS js(j)
+        |WHERE js.j < frame_len
+        |GROUP BY id, frame_idx, dts, frame_len""".stripMargin,
     // the scale-invariant INCREMENTAL screen: corpus thumb index =
     // all originals (buckets capped at 64 smallest ids, size-1 kept),
     // batch = the NN-2× re-uploads, Hamming ≤ 6, 4 best partners

@@ -554,10 +554,7 @@ object Dedup {
             .localCheckpoint(true))
         val nextSum = timed(s"iter $it")(
           try {
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.duration._
-            import scala.concurrent.ExecutionContext.Implicits.global
-            Await.result(Future(obs.get), 60.seconds)("ls") match {
+            observationGet(obs)("ls") match {
               case null => BigDecimal(0)
               case v: java.math.BigDecimal => BigDecimal(v)
               case v => BigDecimal(v.toString)
@@ -692,10 +689,7 @@ object Dedup {
     def observedProbe(obs: org.apache.spark.sql.Observation,
                       e: DataFrame): (Long, BigDecimal, BigDecimal, BigDecimal) =
       try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val m = Await.result(Future(obs.get), 60.seconds)
+        val m = observationGet(obs)
         def d(k: String): BigDecimal = m(k) match {
           case null => BigDecimal(0)
           case v: java.math.BigDecimal => BigDecimal(v)
@@ -842,6 +836,33 @@ object Dedup {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+  }
+
+  /** Bounded, INTERRUPTIBLE `Observation.get`: runs the blocking get on
+    * a fresh single-thread DAEMON executor and `shutdownNow()`s it in
+    * `finally`. `Observation.get` parks in an interruptible
+    * `Object.wait()`, so on timeout the interrupt actually RELEASES the
+    * worker thread — the previous `Await(Future(obs.get))` on the global
+    * `ExecutionContext` left one permanently parked pool thread behind
+    * every time the 60 s fallback fired (ADVICE r14 #1: in the
+    * pathological metrics-never-post scenario this code defends against,
+    * each propagation/contraction round leaked a thread). Throws
+    * `TimeoutException` (or whatever the get threw) so callers keep
+    * their loud aggregation-job fallback. */
+  private[graft] def observationGet(obs: org.apache.spark.sql.Observation,
+                                    timeoutSec: Long = 60L): Map[String, Any] = {
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-observation-probe")
+        t.setDaemon(true)
+        t
+      })
+    try {
+      val fut = exec.submit(new java.util.concurrent.Callable[Map[String, Any]] {
+        def call(): Map[String, Any] = obs.get
+      })
+      fut.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    } finally exec.shutdownNow()
   }
 
   /** 64-bit SimHash carried as FOUR 16-bit band integers (VERDICT r2

@@ -256,12 +256,16 @@ object Similarity {
     * `g`), so results decompose EXACTLY into the per-group
     * [[trainCentroids]] outputs — spec-pinned. Returns `(g, cid, ce)`. */
   def trainCentroidsGrouped(sub: DataFrame, k: Int = 16, iters: Int = 2,
-                            scale: Option[Int] = None): DataFrame = {
+                            scale: Option[Int] = None,
+                            initMaxId: Option[Long] = None): DataFrame = {
     def r(c: Column): Column = scale.map(s => fx(c, s)).getOrElse(c)
     val e = sub.select(col("g"), col("vec_id"),
       col("emb").cast("array<double>").as("emb")).persist()
     try {
-      var cents = e.where(col("vec_id") < k.toLong)
+      // `initMaxId`: seed-id bound, [[trainCentroids]] parity (defaults
+      // to k — the first k vectors of each group seed its quantizer).
+      val seedBound = initMaxId.getOrElse(k.toLong)
+      var cents = e.where(col("vec_id") < seedBound)
         .select(col("g"), col("vec_id").as("cid"), col("emb").as("ce"))
       for (_ <- 1 to iters) {
         val w = Window.partitionBy(col("g"), col("vec_id"))
@@ -283,7 +287,22 @@ object Similarity {
             Seq("g", "cid"), "right_outer")
           .select(col("g"), col("cid"), coalesce(col("ce"), col("prev")).as("ce"))
       }
-      cents.localCheckpoint(true)
+      val out = cents.localCheckpoint(true)
+      // LOUD unseeded-group guard (ADVICE r14): a group whose members all
+      // have vec_id >= seedBound seeds ZERO centroids and would silently
+      // train an empty quantizer (its vectors then vanish from every
+      // downstream assignment). One tiny job — a left-anti of the input
+      // group set (persisted training frame) against the materialized
+      // ≤ k·groups output — fails fast instead.
+      val unseeded = e.select(col("g")).distinct()
+        .join(out.select(col("g")).distinct(), Seq("g"), "left_anti")
+        .limit(1).collect()
+      require(unseeded.isEmpty,
+        s"trainCentroidsGrouped: group ${unseeded.headOption.map(_.get(0))
+          .getOrElse("?")} has no members with vec_id < $seedBound — it " +
+          "would train zero centroids; every group must contain the seed " +
+          "id range (pass initMaxId for sampled/renumbered collections)")
+      out
     } finally e.unpersist()
   }
 

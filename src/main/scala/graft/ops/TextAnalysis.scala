@@ -401,17 +401,23 @@ object TextAnalysis {
     // tokenizer artifact and vocabulary-sized BY CONTRACT (10⁴-10⁵
     // rules). Wiring a corpus-sized frame here would OOM the driver in
     // collect() with an opaque heap error; refuse with an attributable
-    // message first. limit(cap+1).count() bounds the check itself — it
-    // never scans past cap+1 rows.
-    val overCap = merges.limit(MaxMergeRules + 1).count()
-    require(overCap <= MaxMergeRules,
+    // message first. ONE action does both the guard and the fetch:
+    // limit(cap+1) bounds what can ever reach the driver (at most cap+1
+    // vocabulary-sized rows, never the corpus), and a returned length of
+    // cap+1 proves the input exceeded the cap — refusal still precedes
+    // any unbounded materialization. (r14 shipped count()-then-collect(),
+    // a second full action per encode that 2.4×'d the pretrained-encode
+    // gate; VERDICT r14 #2.)
+    val capped = merges.select(col("rank").cast("long"),
+        col("lhs").cast("string"), col("rhs").cast("string"))
+      .limit(MaxMergeRules + 1)
+      .collect()
+    require(capped.length <= MaxMergeRules,
       s"bpeEncodeWith: merge table exceeds $MaxMergeRules rules — a BPE " +
         "merge artifact is vocabulary-sized (10^4-10^5 rules); a frame " +
         "this large here is a wiring bug (corpus passed where the " +
         "trained artifact belongs), and collecting it would OOM the driver")
-    val rules = merges.select(col("rank").cast("long"),
-        col("lhs").cast("string"), col("rhs").cast("string"))
-      .collect().sortBy(_.getLong(0))
+    val rules = capped.sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2)))
     val bc = spark.sparkContext.broadcast(rules)
     val perWord = docs.select(explode(words).as("word"))

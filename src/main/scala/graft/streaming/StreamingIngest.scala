@@ -64,7 +64,7 @@ object StreamingIngest {
   private[graft] val WorkDirPurposes =
     Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
       "stream_span_index", "stream_media_quarantine", "stream_ann_index",
-      "stream_vid_quarantine")
+      "stream_vid_quarantine", "stream_si_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -390,13 +390,17 @@ object StreamingIngest {
     import spark.implicits._
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val QBase = 10000000L
-    val corpus = Multimodal.imageAHash(
-      spark.read.parquet(s"$dir/events.parquet")
-        .where(expr("event_id div 20") % 2 === 0)
-        .select(col("event_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
-        .toDF("id", "img"), "id", "img").toDF()
-      .localCheckpoint(true) // decode once; conservative stats → shuffle joins
+    // The standing corpus index is the PERSISTED safe-signature artifact
+    // (r15, VERDICT r14 #7): ok rows of img_ahash_safe carry exactly the
+    // strict decode's signatures (spec-pinned; the from-index book's
+    // hash gate is the proof), so the stream reads a columnar parquet
+    // artifact instead of re-decoding half the corpus per run — the
+    // production shape (incoming bytes decode in-batch; the standing
+    // index never does).
+    val corpus = spark.read
+      .parquet(s"${graft.SparkEntry.quarantineSignatureIndex(spark, dir)}/img_ahash_safe")
+      .where(col("ok") && col("id") < QBase && (expr("id div 20") % 2 === 0))
+      .select("id", "width", "height", "ahash")
     val work = workDir("stream_media_quarantine", dir)
     val incoming = spark.readStream.schema(evSchema)
       .option("maxFilesPerTrigger", "4")
@@ -445,7 +449,6 @@ object StreamingIngest {
       .option("checkpointLocation", s"$work/checkpoint")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
     spark.read.parquet(s"$work/out/*")
   }
 
@@ -789,13 +792,15 @@ object StreamingIngest {
     import spark.implicits._
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val QBase = 10000000L
-    val corpus = Multimodal.videoPerceptualHash(
-      spark.read.parquet(s"$dir/events.parquet")
-        .where(expr("event_id div 2") % 2 === 0)
-        .select(col("event_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
-        .toDF("id", "vid"), "id", "vid").toDF()
-      .localCheckpoint(true)
+    // standing clip index from the persisted safe artifact — same move
+    // as [[mediaQuarantineStream]] (r15, VERDICT r14 #7): parse + decode
+    // of half the clip corpus per run replaced by a parquet scan of
+    // vid_phash_safe's ok rows (≡ the strict videoPerceptualHash,
+    // spec-pinned via the from-index book's shared oracle)
+    val corpus = spark.read
+      .parquet(s"${graft.SparkEntry.quarantineSignatureIndex(spark, dir)}/vid_phash_safe")
+      .where(col("ok") && col("id") < QBase && (expr("id div 2") % 2 === 0))
+      .select("id", "width", "height", "n_key", "sig")
     val work = workDir("stream_vid_quarantine", dir)
     val incoming = spark.readStream.schema(evSchema)
       .option("maxFilesPerTrigger", "4")
@@ -843,7 +848,6 @@ object StreamingIngest {
       .option("checkpointLocation", s"$work/checkpoint")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
     spark.read.parquet(s"$work/out/*")
   }
 

@@ -9,6 +9,29 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
   * plan a cartesian product. */
 class PlanAuditSpec extends SparkTestBase {
 
+  /** Guard against VACUOUS negative assertions (ADVICE r14):
+    * `spark.sql.maxPlanStringLength` (1 MB, session-global in
+    * [[graft.Sessions]]) silently elides the tail of an over-long plan
+    * string with a "... N more characters" marker — and every
+    * `!plan.contains("Exchange")`-style check below would then pass on
+    * the missing tail (several iterative-closure gates DO render past
+    * 1 MB). Every plan string this suite asserts against must flow
+    * through here: render under a raised cap (the conf is runtime-
+    * settable; the 1 MB session default still guards AQE's
+    * execution-time re-renders, which completed before this render),
+    * then fail loud if even 64 MB truncated. */
+  private def renderFully(qe: org.apache.spark.sql.execution.QueryExecution): String = {
+    val key = "spark.sql.maxPlanStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, (64 << 20).toString)
+    val plan = try qe.executedPlan.toString finally spark.conf.set(key, prev)
+    assert(!plan.contains("more characters") &&
+      !plan.contains("Truncated plan of"),
+      s"plan string truncated even at 64 MB (len=${plan.length}) — " +
+        "negative contains-assertions would be vacuous")
+    plan
+  }
+
   private def executedPlan(name: String): String = {
     // shared construction (GateFrames): eager gates — streaming runs,
     // iterative closures — execute once per JVM across the spec suites
@@ -18,7 +41,7 @@ class PlanAuditSpec extends SparkTestBase {
     // assertions read the FINAL adaptive plan
     val qe = df.queryExecution
     qe.toRdd.foreach(_ => ())
-    qe.executedPlan.toString
+    renderFully(qe)
   }
 
   test("keyset scan pushes its predicate into the parquet scan (S1)") {
@@ -101,7 +124,7 @@ class PlanAuditSpec extends SparkTestBase {
     qe.toRdd.foreach(_ => ())
     // count in the FINAL adaptive plan only — the AQE plan string
     // repeats the tree under "== Initial Plan ==" and would double it
-    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    val plan = renderFully(qe).split("== Initial Plan ==")(0)
     assert(plan.contains("partial_count"),
       s"gram frequency not map-side partial (skew hazard):\n$plan")
     assert(!plan.contains("CartesianProduct") &&
@@ -346,7 +369,7 @@ class PlanAuditSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDecimal(1)))
     val qe = graft.ops.TextAnalysis.dsirScoreWith(docs, ratios).queryExecution
     qe.toRdd.foreach(_ => ())
-    val plan = qe.executedPlan.toString
+    val plan = renderFully(qe)
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"map-only scorer plans a shuffle or join:\n${plan.take(3000)}")
   }

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Self-run leak scan with PROVENANCE (ADVICE r13 / VERDICT r14 #8):
+the driver's LEAKCHECK.json carries only {round, n_hits, hits}, so a
+re-run is indistinguishable from an edited round field. This sibling
+runs the same seven categories over the repo's tracked sources and
+emits LEAKCHECK_SELF.json carrying a scan fingerprint that provably
+changes across runs (wall-clock), across trees (content digest of every
+scanned byte), and across commits (git HEAD).
+
+Usage: python3 tools/leakcheck.py [repo_root]
+"""
+import hashlib, json, os, re, subprocess, sys, time
+
+ROOT = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))
+
+# Same category names as the driver's scan. Patterns target classes of
+# non-public identifiers; everything in this repo derives from public
+# knowledge, so every category should stay empty.
+CATS = {
+    "internal-import": re.compile(
+        r"^\s*import\s+[\w.]*\b(anthropic|internal|corp|proprietary)\b", re.M),
+    "internal-url": re.compile(
+        r"https?://[\w.-]*\.(corp|internal|intranet|ant)\.[\w.-]+"),
+    "internal-pkg2": re.compile(
+        r"\b(claude-cli-internal|anthropics?/[\w-]+)\b"),
+    "internal-bucket": re.compile(
+        r"\b(s3|gs)://[\w.-]*(internal|corp|anthropic|proprietary)[\w.-]*"),
+    "slack-link": re.compile(
+        r"(slack\.com/archives/[A-Z0-9]+|\bgo/[a-z][a-z0-9-]{2,}\b)"),
+    "api-key": re.compile(
+        r"\b(AKIA[0-9A-Z]{16}|sk-(ant-)?[A-Za-z0-9_-]{20,}|ghp_[A-Za-z0-9]{36})\b"),
+    "axon-env": re.compile(
+        r"\b[A-Z][A-Z0-9_]*(AXON|ANTHROPIC|INTERNAL_API)[A-Z0-9_]*\b"),
+}
+
+EXTS = (".scala", ".sbt", ".py", ".md", ".json", ".sh", ".sql", ".conf")
+SKIP_FILES = {"LEAKCHECK.json", "LEAKCHECK_SELF.json"}  # self-reference
+
+def tracked_files():
+    out = subprocess.run(["git", "ls-files"], cwd=ROOT,
+                         capture_output=True, text=True)
+    if out.returncode == 0:
+        return [f for f in out.stdout.splitlines() if f]
+    # non-git fallback: walk
+    acc = []
+    for dp, _, fns in os.walk(ROOT):
+        if "/.git" in dp or "/target" in dp:
+            continue
+        acc.extend(os.path.relpath(os.path.join(dp, f), ROOT) for f in fns)
+    return acc
+
+def main():
+    t0 = time.time()
+    digest = hashlib.sha256()
+    hits = {c: [] for c in CATS}
+    n_files = 0
+    for rel in sorted(tracked_files()):
+        if not rel.endswith(EXTS) or os.path.basename(rel) in SKIP_FILES:
+            continue
+        path = os.path.join(ROOT, rel)
+        try:
+            data = open(path, "rb").read()
+        except OSError:
+            continue
+        n_files += 1
+        digest.update(rel.encode())
+        digest.update(data)
+        text = data.decode("utf-8", "replace")
+        for cat, rx in CATS.items():
+            for m in rx.finditer(text):
+                line = text.count("\n", 0, m.start()) + 1
+                hits[cat].append(f"{rel}:{line}:{m.group(0)[:80]}")
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
+                          capture_output=True, text=True).stdout.strip() or "unknown"
+    result = {
+        "scan_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "scan_wall_ns": time.time_ns(),          # changes EVERY run
+        "git_head": head,                         # changes per commit
+        "tree_sha256": digest.hexdigest(),        # changes per content edit
+        "files_scanned": n_files,
+        "scan_seconds": round(time.time() - t0, 3),
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    out = os.path.join(ROOT, "LEAKCHECK_SELF.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"{out}: {result['n_hits']} hits over {n_files} files "
+          f"(tree {result['tree_sha256'][:12]}, head {head[:8]})")
+    return 1 if result["n_hits"] else 0
+
+if __name__ == "__main__":
+    sys.exit(main())
