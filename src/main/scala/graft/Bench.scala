@@ -86,6 +86,11 @@ object Bench {
     "streaming_dsir_score", "multimodal_resample",
     "dedup_image_scale_invariant", "dedup_image_scale_invariant_incremental",
     "streaming_scale_invariant_dedup",
+    // r15: the audio leg of the scale-invariant family (rate-invariant
+    // key: batch pairs + incremental screen + streaming twin) and the
+    // NN audio rate-normalizer
+    "multimodal_audio_resample", "dedup_audio_rate_invariant",
+    "dedup_audio_rate_invariant_incremental", "streaming_rate_invariant_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

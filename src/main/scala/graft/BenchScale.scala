@@ -114,7 +114,14 @@ object BenchScale {
     // r15: the full scale-invariant triple (VERDICT r14 #4 — the
     // incremental screen and streaming twin landed after the r14 sweep)
     "dedup_image_scale_invariant", "dedup_image_scale_invariant_incremental",
-    "streaming_scale_invariant_dedup")
+    "streaming_scale_invariant_dedup",
+    // r15: the audio leg of the scale-invariant family (rate-invariant
+    // batch pairs + incremental screen + streaming twin) and the NN
+    // rate-normalizer — same claims as the image triple: decode-bound
+    // signature pass, caps keep the pair stage output-linear, screen
+    // cost ∝ batch
+    "multimodal_audio_resample", "dedup_audio_rate_invariant",
+    "dedup_audio_rate_invariant_incremental", "streaming_rate_invariant_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

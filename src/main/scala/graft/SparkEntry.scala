@@ -1641,6 +1641,68 @@ object SparkEntry {
           orig.unionByName(up), "id", "img").toDF())
     }),
 
+    // --- real nearest-neighbor audio resample (r15, the audio sibling
+    //     of multimodal_resample): rate-normalize every clip to 16 kHz —
+    //     integer frame map f·nf0 div nf1, exact resampled sums, content
+    //     identity through the one sampleMd5 definition; oracle replays
+    //     the closed-form samples through the same index map
+    "multimodal_audio_resample" -> ((s, d) => {
+      import s.implicits._
+      val clips = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("id", "clip")
+      Multimodal.audioResample(clips, "id", "clip").toDF()
+    }),
+
+    // --- rate-invariant audio dedup (r15): every 7th clip also appears
+    //     as a zero-order-hold 2× UPSAMPLE at id 3·10⁶+e — a cross-rate
+    //     duplicate the (channels, n_windows)-grouped audio pairs
+    //     provably cannot see. Fixed 64-slot NN-sampled energy delta
+    //     signs hash every copy to the same signature (floor-composition
+    //     identity, spec-proven), so each resampled copy pairs with its
+    //     original at Hamming 0; the oracle replays the double-floor
+    //     slot map, the delta-sign rule, 16-bit bands, caps, and confirms
+    "dedup_audio_rate_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+        .toDF("id", "clip")
+      val up = base.filter((e: Long) => e % 7 == 0)
+        .mapPartitions(_.map(e =>
+          (3000000L + e, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
+        .toDF("id", "clip")
+      Multimodal.audioRateInvariantPairs(
+        Multimodal.audioRateInvariantHash(
+          orig.unionByName(up), "id", "clip").toDF())
+    }),
+
+    // --- the rate-invariant screen, INCREMENTAL (r15): the standing
+    //     corpus's signature index screens a batch of ZOH-2× resampled
+    //     re-uploads — each hits its original at Hamming 0; the
+    //     rate-grouped incremental audio screen can never see these
+    "dedup_audio_rate_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.audioRateInvariantHash(
+        base.mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+          .toDF("id", "clip"), "id", "clip").toDF()
+        .localCheckpoint(true) // the standing signature index, read per band
+      val batch = Multimodal.audioRateInvariantHash(
+        base.filter((e: Long) => e % 7 == 0).mapPartitions(_.map(e =>
+          (3000000L + e, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
+          .toDF("id", "clip"), "id", "clip").toDF()
+      // materialize before releasing the corpus checkpoint — the same
+      // release discipline as the image screen (ADVICE r14)
+      val out = Multimodal.incrementalRateInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the rate-invariant screen (r15)
+    "streaming_rate_invariant_dedup" ->
+      ((s, d) => StreamingIngest.rateInvariantDedupStream(s, d)),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -3796,6 +3858,68 @@ object SparkEntry {
         |    string_agg(r::VARCHAR || ',' || g::VARCHAR || ',' || b::VARCHAR,
         |      ':' ORDER BY idx)) AS rfp
         |FROM pxv GROUP BY id, w0, h0, w1, h1""".stripMargin,
+    // real nearest-neighbor audio resample: fixture rates → integer
+    // frame map → closed-form samples → exact sums + md5 through the
+    // sampleMd5 string shape ("ch:v0:v1:…" over interleaved order)
+    "multimodal_audio_resample" ->
+      """WITH clips AS (SELECT event_id AS id, 1 + event_id % 2 AS ch,
+        |    8000 + (event_id % 3) * 4000 AS sr, 32 + event_id % 33 AS nf
+        |  FROM events),
+        |dims AS (SELECT id, ch, sr, nf AS nf0,
+        |    greatest(1, (nf * 16000) // sr) AS nf1 FROM clips),
+        |sm AS (SELECT d.id, d.ch, d.sr, d.nf0, d.nf1,
+        |    f.f * d.ch + cc.c AS i,
+        |    ((31*d.id + 17*((f.f * d.nf0) // d.nf1) + 29*cc.c) % 65536)
+        |      - 32768 AS v
+        |  FROM dims d, generate_series(0, 127) AS f(f),
+        |    generate_series(0, 1) AS cc(c)
+        |  WHERE f.f < d.nf1 AND cc.c < d.ch)
+        |SELECT id, CAST(ch AS BIGINT) AS channels, CAST(sr AS BIGINT) AS sr0,
+        |  CAST(nf0 AS BIGINT) AS nf0, CAST(nf1 AS BIGINT) AS nf1,
+        |  CAST(sum(v) AS BIGINT) AS sum_s,
+        |  md5(ch::VARCHAR || ':' ||
+        |    string_agg(v::VARCHAR, ':' ORDER BY i)) AS rfp
+        |FROM sm GROUP BY id, ch, sr, nf0, nf1""".stripMargin,
+    // rate-invariant audio pairs: fixed 64-slot NN energy sampling
+    // (double-floor slot map for the ZOH-2× copies), strict delta-sign
+    // bits, 16-bit bands, capped buckets, Hamming ≤ 6 confirms, 4 best
+    // partners per clip
+    "dedup_audio_rate_invariant" ->
+      s"""WITH $rateInvariantFpCte,
+         |hb AS (SELECT id, unnest([
+         |    'rate:0:' || ((h >> 0) & 65535)::VARCHAR,
+         |    'rate:1:' || ((h >> 16) & 65535)::VARCHAR,
+         |    'rate:2:' || ((h >> 32) & 65535)::VARCHAR,
+         |    'rate:3:' || ((h >> 48) & 65535)::VARCHAR
+         |  ]) AS band_key FROM rfp),
+         |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+         |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+         |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+         |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+         |  WHERE x.a < y.b),
+         |conf AS (SELECT id_a, id_b,
+         |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |  FROM cand JOIN rfp a ON id_a = a.id JOIN rfp b ON id_b = b.id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 6)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
+    // the rate-invariant INCREMENTAL screen: corpus signature index =
+    // all originals (buckets capped at 64 smallest ids, size-1 kept),
+    // batch = the ZOH-2× re-uploads, Hamming ≤ 6, 4 best partners
+    "dedup_audio_rate_invariant_incremental" ->
+      s"""WITH $rateInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit (no candCap —
+    // row_number windows are illegal on streams); same CTE chain
+    "streaming_rate_invariant_dedup" ->
+      s"""WITH $rateInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->
@@ -5185,6 +5309,74 @@ object SparkEntry {
     * Ends defining `conf(batch_id, corpus_id, hamming)` — the batch
     * gate caps at 4 best partners on top; the streaming twin takes
     * `conf` whole. */
+  /** Rate-invariant audio fingerprint CTEs (mirrors
+    * `Multimodal.audioRateInvariantHash` over the closed-form WAV
+    * fixtures): corpus = every original clip plus a ZOH-2× upsampled
+    * copy of every 7th at id 3·10⁶+e (k = 2 rows read source frames
+    * through the double-floor `((w·k·nf // 64) // k)` — the
+    * floor-composition identity makes them collide with their
+    * originals), per-slot channel-folded exact energies, strict
+    * delta-sign bits (≤62, sign-safe). Ends defining `rfp(id, h)` and
+    * `clips(id, …, is_batch)`. */
+  private def rateInvariantFpCte: String =
+    """clips AS (
+      |  SELECT event_id AS id, event_id AS e, 1 AS k, 0 AS is_batch,
+      |    1 + event_id % 2 AS ch, 32 + event_id % 33 AS nf FROM events
+      |  UNION ALL
+      |  SELECT 3000000 + event_id, event_id, 2, 1,
+      |    1 + event_id % 2, 32 + event_id % 33
+      |  FROM events WHERE event_id % 7 = 0),
+      |se AS (SELECT c.id, c.e, c.ch, ws.w,
+      |    ((ws.w * c.k * c.nf) // 64) // c.k AS sf
+      |  FROM clips c, generate_series(0, 63) AS ws(w)),
+      |en AS (SELECT s.id, s.w,
+      |    sum((((31*s.e + 17*s.sf + 29*cc.c) % 181)
+      |         * ((7*s.e + 13*s.sf + 11*cc.c) % 179) - 16000)
+      |      * (((31*s.e + 17*s.sf + 29*cc.c) % 181)
+      |         * ((7*s.e + 13*s.sf + 11*cc.c) % 179) - 16000)) AS energy
+      |  FROM se s, generate_series(0, 1) AS cc(c) WHERE cc.c < s.ch
+      |  GROUP BY s.id, s.w),
+      |dd AS (SELECT id, w, energy,
+      |    lead(energy) OVER (PARTITION BY id ORDER BY w) AS nxt FROM en),
+      |rfp AS (SELECT id, CAST(coalesce(sum(CASE WHEN nxt > energy
+      |    THEN 1::BIGINT << w::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS h
+      |  FROM dd GROUP BY id)""".stripMargin
+
+  /** Rate-invariant incremental-screen CTEs over [[rateInvariantFpCte]]
+    * (mirrors `Multimodal.incrementalRateInvariantNearDups` /
+    * `StreamingIngest.rateInvariantDedupStream`): corpus = the
+    * originals' signatures, batch = the ZOH-2× re-uploads, corpus band
+    * buckets capped at 64 smallest ids (size-1 kept), Hamming ≤ 6.
+    * Ends defining `conf(batch_id, corpus_id, hamming)` — the batch
+    * gate caps at 4 best partners on top; the streaming twin takes
+    * `conf` whole. */
+  private def rateInvariantScreenCte: String =
+    s"""$rateInvariantFpCte,
+      |hc AS (SELECT r.id, r.h FROM rfp r JOIN clips c USING (id)
+      |  WHERE c.is_batch = 0),
+      |hbt AS (SELECT r.id, r.h FROM rfp r JOIN clips c USING (id)
+      |  WHERE c.is_batch = 1),
+      |ci AS (SELECT id, unnest([
+      |    'rate:0:' || ((h >> 0) & 65535)::VARCHAR,
+      |    'rate:1:' || ((h >> 16) & 65535)::VARCHAR,
+      |    'rate:2:' || ((h >> 32) & 65535)::VARCHAR,
+      |    'rate:3:' || ((h >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hc),
+      |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM ci GROUP BY bk),
+      |bi AS (SELECT id AS batch_id, unnest([
+      |    'rate:0:' || ((h >> 0) & 65535)::VARCHAR,
+      |    'rate:1:' || ((h >> 16) & 65535)::VARCHAR,
+      |    'rate:2:' || ((h >> 32) & 65535)::VARCHAR,
+      |    'rate:3:' || ((h >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hbt),
+      |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+      |conf AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.h, c.h)) AS BIGINT) AS hamming
+      |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.h, c.h)) <= 6)""".stripMargin
+
   private def scaleInvariantScreenCte: String =
     """imgs AS (
       |  SELECT event_id AS id, event_id AS e, 1 AS k, 0 AS is_batch,

@@ -1082,6 +1082,29 @@ object Multimodal {
       (((31L * id + 17L * f + 29L * c) % 65536) - 32768).toShort)
   }
 
+  /** Deterministic HIGH-ENTROPY WAV fixture for row `id` — the
+    * rate-invariant gates' generator (same header plan as
+    * [[syntheticWav]]): sample(f, c) =
+    * ((31·id + 17·f + 29·c) mod 181) · ((7·id + 13·f + 11·c) mod 179)
+    * − 16000, a product of two co-prime sawtooths. Why a second
+    * formula: [[syntheticWav]]'s samples are LINEAR in f, so frame
+    * energies form one parabola per clip and a delta-sign key over
+    * them collapses to ~64 `0^a 1^b` patterns — at gate scale the
+    * capped band buckets then evict every true cross-rate partner
+    * (measured: 0 of 143 surviving at sf0.001). The sawtooth product
+    * has no such ramp (measured: 9991/10000 distinct keys at sf0.01,
+    * every ZOH copy confirmed), while staying closed-form replayable
+    * in the oracle — the audio analog of [[syntheticBmp]]'s
+    * three-multiplier gray. */
+  def syntheticWavMixed(id: Long): Array[Byte] = {
+    val ch = 1 + (id % 2).toInt
+    val sr = 8000 + (id % 3).toInt * 4000
+    val nf = 32 + (id % 33).toInt
+    Wav.encode(ch, sr, nf, (f, c) =>
+      (((31L * id + 17L * f + 29L * c) % 181) *
+        ((7L * id + 13L * f + 11L * c) % 179) - 16000).toShort)
+  }
+
   /** One fixed window of decoded audio: `energy` is the exact integer
     * sum of squared samples across all channels in the window — the
     * standard framed-feature shape (VAD, loudness normalization, clip
@@ -1536,6 +1559,157 @@ object Multimodal {
       val p = px((y / 2) * w + (x / 2))
       ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
     })
+  }
+
+  final case class RateInvariantHash(id: Long, rfp: Long)
+
+  /** RATE-INVARIANT audio signature (r15) — the audio leg of the
+    * scale-invariant family, completing it across modalities (image:
+    * [[imageScaleInvariantHash]], r14; video's timescale invariance is
+    * the time-aligned sampler, `multimodal_video_phash_aligned`):
+    * nearest-neighbor-sample the per-frame exact integer energy
+    * sequence (Σ_c v², channel-folded) onto a FIXED `slots`-slot grid,
+    * then delta-sign bits across the grid — slot w sets bit w iff
+    * slot w+1's energy strictly exceeds slot w's (≤63 bits, sign-safe).
+    *
+    * Why it exists: [[audioFingerprintPairs]] groups candidates by
+    * exact (channels, n_windows), so a RESAMPLED copy of a clip — the
+    * most common audio near-duplicate after re-encoding — can never
+    * pair with its original. The fixed grid removes the frame count
+    * (and with it the sample rate) from the key entirely, and NN frame
+    * sampling composes EXACTLY under integer zero-order-hold
+    * upsampling: `floor(floor(w·k·nf/slots)/k) = floor(w·nf/slots)`,
+    * so a ZOH k×-upsampled copy produces the bit-IDENTICAL signature
+    * and collides at Hamming 0 — spec-proven, oracle-replayed via the
+    * double-floor. Invariances inherited from the energy delta-sign
+    * rule: uniform gain (energies scale by g², no comparison flips)
+    * and channel duplication (mono→L=R stereo doubles every frame
+    * energy) — both spec-proven. */
+  def audioRateInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                             slots: Int = 64): Dataset[RateInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(slots <= 64, "delta bits must fit one 64-bit hash")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        RateInvariantHash(id, rateInvariantBits(Wav.decode(bytes), slots))
+      })
+  }
+
+  /** Per-clip body of [[audioRateInvariantHash]] (factored for the
+    * spec's invariance proofs): per-original-frame exact energy, NN
+    * slot map `floor(w·nf/slots)`, strict-greater delta-sign bits. */
+  private[graft] def rateInvariantBits(clip: Wav.Clip, slots: Int): Long = {
+    val ch = math.max(clip.channels, 1)
+    val nf = clip.samples.length / ch
+    if (nf == 0) return 0L // headers-only clip: empty signature
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var s = 0L; var c = 0
+      while (c < ch) { val v = clip.samples(f * ch + c).toLong; s += v * v; c += 1 }
+      e(f) = s; f += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w + 1 < slots) {
+      if (e(((w + 1).toLong * nf / slots).toInt) > e((w.toLong * nf / slots).toInt))
+        fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
+  /** Near-dup pairs over the rate-invariant signatures — the shared
+    * [[bandedHammingPairs]] machinery with ONE corpus-wide group (the
+    * fixed slot grid replaces the (channels, n_windows) key) and the
+    * scale-invariant image path's 16-bit × 4 banding. `maxHamming` 6:
+    * ≤3 exhaustive, 4-6 probabilistic — the family posture. */
+  def audioRateInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                              bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "rfp", group = lit("rate"),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "aud_ri")
+
+  /** [[incrementalBandedHamming]] over the rate-invariant signatures —
+    * the steady-state screen for the CROSS-RATE key: a new batch's
+    * fixed-grid signatures against the standing corpus's persisted
+    * index, same fixed group and banding as
+    * [[audioRateInvariantPairs]]. A ZOH-resampled re-upload of
+    * standing content hits at Hamming 0, which the rate-grouped
+    * [[incrementalAudioNearDups]] can never see. */
+  def incrementalRateInvariantNearDups(corpusSigs: DataFrame,
+                                       batchSigs: DataFrame,
+                                       maxHamming: Int = 6,
+                                       bucketCap: Int = 64,
+                                       candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "rfp",
+      group = lit("rate"), bandBits = 16, numBands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
+      metric = "aud_ri_incr")
+
+  /** Zero-order-hold 2× upsample (decode → re-encode at doubled rate,
+    * frame f reads source frame f/2 — the cheap sample-and-hold
+    * resample) — the cross-rate duplicate generator the rate-invariant
+    * gates and spec share, the audio sibling of [[nnUpscale2x]]. */
+  def zohUpsample2x(bytes: Array[Byte]): Array[Byte] = {
+    val clip = Wav.decode(bytes)
+    val ch = math.max(clip.channels, 1)
+    val nf = clip.samples.length / ch
+    Wav.encode(clip.channels, clip.sampleRate * 2, nf * 2,
+      (f, c) => clip.samples((f / 2) * ch + c))
+  }
+
+  final case class ResampledAudio(id: Long, channels: Long, sr0: Long,
+                                  nf0: Long, nf1: Long, sum_s: Long,
+                                  rfp: String)
+
+  /** REAL audio resample (r15 — the audio sibling of [[imageResample]]):
+    * decode the WAV payload and NEAREST-NEIGHBOR resample the frame
+    * sequence to `targetRate` — new frame count
+    * `nf1 = max(1, nf0·targetRate div sr0)`, target frame f reads
+    * source frame `f·nf0 div nf1`, pure integer arithmetic, so the
+    * DuckDB oracle replays the whole thing from the fixtures'
+    * closed-form samples with no codec. Output per clip: the rate
+    * plan, the exact integer sum of the resampled samples, and the
+    * resampled stream's content fingerprint through the ONE
+    * [[sampleMd5]] definition — a normalized-rate content identity a
+    * media pipeline can dedup on (rate normalization is the standard
+    * first stage of any audio featurizer). Shape: one mapPartitions
+    * decode pass, embarrassingly parallel, constant-width rows. */
+  def audioResample(df: DataFrame, idCol: String, binCol: String,
+                    targetRate: Int = 16000): Dataset[ResampledAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(targetRate > 0, "targetRate must be positive")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val clip = Wav.decode(bytes)
+          val ch = math.max(clip.channels, 1)
+          val nf0 = clip.samples.length / ch
+          // headers-only clip resamples to the empty clip (nf1 = 0);
+          // any real content lands at least one frame
+          val nf1 = if (nf0 == 0) 0
+            else math.max(1L, nf0.toLong * targetRate / clip.sampleRate).toInt
+          val out = new Array[Short](nf1 * ch)
+          var f = 0
+          while (f < nf1) {
+            val sf = (f.toLong * nf0 / nf1).toInt
+            var c = 0
+            while (c < ch) { out(f * ch + c) = clip.samples(sf * ch + c); c += 1 }
+            f += 1
+          }
+          var sum = 0L; var i = 0
+          while (i < out.length) { sum += out(i); i += 1 }
+          ResampledAudio(id, clip.channels.toLong, clip.sampleRate.toLong,
+            nf0.toLong, nf1.toLong, sum,
+            sampleMd5(md, Wav.Clip(clip.channels, targetRate, out)))
+        }
+      }
   }
 
   final case class ResampledImage(id: Long, w0: Long, h0: Long,

@@ -64,7 +64,7 @@ object StreamingIngest {
   private[graft] val WorkDirPurposes =
     Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
       "stream_span_index", "stream_media_quarantine", "stream_ann_index",
-      "stream_vid_quarantine", "stream_si_dedup")
+      "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -359,6 +359,54 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .drop("arr_ts")
     val work = workDir("stream_si_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The RATE-INVARIANT screen as a stream (r15) — the audio leg of
+    * the scale-invariant streaming family, completing the cross-rate
+    * key's batch / incremental / streaming triple exactly as
+    * [[scaleInvariantDedupStream]] did for images: the standing
+    * corpus's fixed-grid signature index (checkpointed static side,
+    * shuffle-join shape) screens arriving ZOH-2× resampled re-uploads;
+    * each hits its original at Hamming 0 — invisible to the
+    * rate-grouped audio screen. Same bounded-micro-batch +
+    * watermark-aged co-batch dedup posture; oracle = the batch screen
+    * without the candCap (stream ≡ batch hit-for-hit). */
+  def rateInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.audioRateInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+        .toDF("id", "clip"), "id", "clip").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.audioRateInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 7 == 0)
+        .mapPartitions(_.map(e =>
+          (3000000L + e, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
+        .toDF("id", "clip"), "id", "clip").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "rfp", group = lit("rate"),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "aud_ri_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_ri_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
       .option("path", s"$work/out")

@@ -2191,6 +2191,115 @@ class OpsSpec extends SparkTestBase {
         s"incremental screen missed re-upload of $id: ${screened.mkString(",")}")
   }
 
+  test("rate-invariant audio signature: ZOH-resampled, gain-scaled, and channel-duplicated copies collide; rate-grouped pairs cannot see them") {
+    import spark.implicits._
+    import graft.ops.Wav
+    val ids = Seq(1L, 2L, 9L, 14L)
+    def bits(clip: Wav.Clip): Long = Multimodal.rateInvariantBits(clip, 64)
+    // 1) floor-composition identity: ZOH k× upsampling (for any integer
+    //    k, not just the gate's 2×) leaves the signature bit-identical
+    for (id <- ids; k <- Seq(2, 3, 5)) {
+      val c = Wav.decode(Multimodal.syntheticWav(id))
+      val nf = c.samples.length / c.channels
+      val up = Wav.Clip(c.channels, c.sampleRate * k,
+        Array.tabulate[Short](nf * k * c.channels) { i =>
+          val f = i / c.channels; val ch = i % c.channels
+          c.samples((f / k) * c.channels + ch)
+        })
+      assert(bits(c) == bits(up), s"ZOH ${k}x upsample of $id moved the key")
+    }
+    // 2) gain invariance: scaling every sample by g scales every frame
+    //    energy by g² and flips no strict comparison (samples built
+    //    small so g× stays in Short range)
+    val base = Wav.Clip(1, 8000,
+      Array.tabulate[Short](40)(f => ((f * 37 + 11) % 200 - 100).toShort))
+    val gained = Wav.Clip(1, 8000, base.samples.map(v => (v * 3).toShort))
+    assert(bits(base) == bits(gained), "uniform gain moved the key")
+    // 3) channel-duplication invariance: mono → L=R stereo doubles
+    //    every frame energy, same delta signs
+    val stereo = Wav.Clip(2, 8000,
+      base.samples.flatMap(v => Array(v, v)))
+    assert(bits(base) == bits(stereo), "mono→L=R stereo moved the key")
+    // 4) the gate's shape (on the gate's HIGH-ENTROPY mixed fixture —
+    //    syntheticWav's linear ramp degenerates the delta-sign key, the
+    //    reason syntheticWavMixed exists): cross-rate copies pair at
+    //    Hamming 0, the rate-grouped path provably cannot see them
+    val orig = ids.map(id => (id, Multimodal.syntheticWavMixed(id))).toDF("id", "clip")
+    val up = ids.map(id =>
+      (1000L + id, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(id))))
+      .toDF("id", "clip")
+    val sigs = Multimodal.audioRateInvariantHash(
+      orig.unionByName(up), "id", "clip").collect()
+      .map(r => r.id -> r.rfp).toMap
+    for (id <- ids)
+      assert(sigs(id) == sigs(1000L + id),
+        s"ZOH 2x upsample of $id changed the rate-invariant signature")
+    assert(ids.map(sigs(_)).distinct.size == ids.size,
+      "distinct clips should keep distinct signatures")
+    val pairs = Multimodal.audioRateInvariantPairs(
+      Multimodal.audioRateInvariantHash(
+        orig.unionByName(up), "id", "clip").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(pairs.contains((id, 1000L + id, 0L)),
+        s"missing cross-rate pair for $id: ${pairs.mkString(",")}")
+    // the (channels, n_windows)-grouped path: frame counts differ 2×,
+    // so original and copy never share a group → no cross pair
+    val ratePairs = Multimodal.audioFingerprintPairs(
+      Multimodal.audioFingerprint(orig.unionByName(up), "id", "clip").toDF())
+      .collect()
+    assert(!ratePairs.exists(r => r.getLong(1) >= 1000L && r.getLong(0) < 1000L),
+      "rate-grouped pairs unexpectedly matched across sample rates")
+    // 5) the INCREMENTAL screen: a batch of resampled re-uploads hits
+    //    the standing corpus index at hamming 0, one row per upload
+    val screened = Multimodal.incrementalRateInvariantNearDups(
+        Multimodal.audioRateInvariantHash(orig, "id", "clip").toDF(),
+        Multimodal.audioRateInvariantHash(up, "id", "clip").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(screened.contains((1000L + id, id, 0L)),
+        s"incremental screen missed re-upload of $id: ${screened.mkString(",")}")
+  }
+
+  test("audio resample: identity at the source rate, exact NN frame map otherwise, md5 through the one sampleMd5 definition") {
+    import spark.implicits._
+    import graft.ops.Wav
+    // fixtures at sr 16000 (id % 3 == 2) resample to themselves: the
+    // frame map is the identity and rfp equals the SAMPLE fingerprint
+    // (same sampleMd5 definition, rate header excluded by design)
+    val idAt16k = Seq(2L, 5L, 8L)
+    val clips = (idAt16k ++ Seq(0L, 1L, 3L))
+      .map(id => (id, Multimodal.syntheticWav(id))).toDF("id", "clip")
+    val rs = Multimodal.audioResample(clips, "id", "clip")
+      .collect().map(r => r.id -> r).toMap
+    val sfps = Multimodal.audioSampleFingerprint(clips, "id", "clip")
+      .collect().map(r => r.id -> r.fp).toMap
+    for (id <- idAt16k) {
+      assert(rs(id).nf1 == rs(id).nf0, s"identity resample moved frames: ${rs(id)}")
+      assert(rs(id).rfp == sfps(id), s"identity resample fp != sample fp for $id")
+    }
+    // an 8 kHz fixture (id % 3 == 0) doubles its frames; recompute one
+    // by hand through the closed form
+    val r0 = rs(0L)
+    assert(r0.sr0 == 8000L && r0.nf1 == 2 * r0.nf0, s"8k clip should double: $r0")
+    val c0 = Wav.decode(Multimodal.syntheticWav(0L))
+    val nf0 = c0.samples.length / c0.channels
+    val expected = (0 until r0.nf1.toInt).flatMap { f =>
+      val sf = (f.toLong * nf0 / r0.nf1).toInt
+      (0 until c0.channels).map(c => c0.samples(sf * c0.channels + c).toLong)
+    }
+    assert(r0.sum_s == expected.sum, s"resampled sum mismatch: $r0")
+    // ZOH-2× then resample ≡ resample of the original (the composition
+    // identity in operator form): same target rate ⇒ same frame count
+    // and the double-floor collapses ⇒ identical content md5
+    val both = Multimodal.audioResample(
+      Seq((1L, Multimodal.syntheticWav(7L)),
+          (2L, Multimodal.zohUpsample2x(Multimodal.syntheticWav(7L))))
+        .toDF("id", "clip"), "id", "clip").collect().map(r => r.id -> r).toMap
+    assert(both(1L).rfp == both(2L).rfp && both(1L).nf1 == both(2L).nf1,
+      s"resample does not collapse the ZOH copy: ${both.values.mkString(" | ")}")
+  }
+
   test("image resample: identity when it fits, exact nearest-neighbor when it shrinks") {
     import spark.implicits._
     import graft.ops.Bmp

@@ -111,6 +111,23 @@ class PlanAuditSpec extends SparkTestBase {
       s"incremental screen must stay equi-join:\n$plan")
   }
 
+  test("rate-invariant audio pairs keep the one-scan carry shape; the incremental screen stays equi-join") {
+    // the audio leg of the scale-invariant family rides the SAME
+    // banded-Hamming machinery — assert it inherits the r10 carry
+    // shape (decode once) and the screen's equi-join-only contract
+    val pairs = executedPlan("dedup_audio_rate_invariant").split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(pairs).size
+    assert(scans <= 2, // originals + the 7th-multiples side of the union
+      s"expected <=2 scans of the signature frame, got $scans:\n$pairs")
+    assert(!pairs.contains("CartesianProduct") &&
+      !pairs.contains("BroadcastNestedLoopJoin"),
+      s"rate-invariant pairs must stay equi-join:\n$pairs")
+    val screen = executedPlan("dedup_audio_rate_invariant_incremental")
+    assert(!screen.contains("CartesianProduct") &&
+      !screen.contains("BroadcastNestedLoopJoin"),
+      s"rate-invariant screen must stay equi-join:\n$screen")
+  }
+
   test("span dedup frequency stage is partial-aggregated; join-back equi; islands reuse doc_id") {
     // audit the LAZY core (the public spanDedup checkpoints its output,
     // collapsing the visible plan to a LogicalRDD scan). VERDICT r10 #1:
