@@ -91,6 +91,7 @@ object Bench {
     // NN audio rate-normalizer
     "multimodal_audio_resample", "dedup_audio_rate_invariant",
     "dedup_audio_rate_invariant_incremental", "streaming_rate_invariant_dedup",
+    "dedup_audio_rate_invariant_keep",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

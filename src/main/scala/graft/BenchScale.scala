@@ -121,7 +121,8 @@ object BenchScale {
     // signature pass, caps keep the pair stage output-linear, screen
     // cost ∝ batch
     "multimodal_audio_resample", "dedup_audio_rate_invariant",
-    "dedup_audio_rate_invariant_incremental", "streaming_rate_invariant_dedup")
+    "dedup_audio_rate_invariant_incremental", "streaming_rate_invariant_dedup",
+    "dedup_audio_rate_invariant_keep")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

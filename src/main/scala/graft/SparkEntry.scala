@@ -1676,6 +1676,25 @@ object SparkEntry {
           orig.unionByName(up), "id", "clip").toDF())
     }),
 
+    // --- and the rate-invariant pair graph through the shared closure
+    //     to a keep/drop decision (r15): every ZOH re-upload clusters
+    //     with its original at Hamming 0 — the smaller original id is
+    //     the representative, so re-uploads DROP and originals keep
+    "dedup_audio_rate_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.audioRateInvariantHash(
+        base.mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+          .toDF("id", "clip")
+          .unionByName(base.filter((e: Long) => e % 7 == 0)
+            .mapPartitions(_.map(e => (3000000L + e,
+              Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
+            .toDF("id", "clip")), "id", "clip").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.audioRateInvariantPairs(sigs))
+    }),
+
     // --- the rate-invariant screen, INCREMENTAL (r15): the standing
     //     corpus's signature index screens a batch of ZOH-2× resampled
     //     re-uploads — each hits its original at Hamming 0; the
@@ -3885,26 +3904,25 @@ object SparkEntry {
     // bits, 16-bit bands, capped buckets, Hamming ≤ 6 confirms, 4 best
     // partners per clip
     "dedup_audio_rate_invariant" ->
-      s"""WITH $rateInvariantFpCte,
-         |hb AS (SELECT id, unnest([
-         |    'rate:0:' || ((h >> 0) & 65535)::VARCHAR,
-         |    'rate:1:' || ((h >> 16) & 65535)::VARCHAR,
-         |    'rate:2:' || ((h >> 32) & 65535)::VARCHAR,
-         |    'rate:3:' || ((h >> 48) & 65535)::VARCHAR
-         |  ]) AS band_key FROM rfp),
-         |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
-         |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
-         |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
-         |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
-         |  WHERE x.a < y.b),
-         |conf AS (SELECT id_a, id_b,
-         |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-         |  FROM cand JOIN rfp a ON id_a = a.id JOIN rfp b ON id_b = b.id
-         |  WHERE bit_count(xor(a.h, b.h)) <= 6)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT *, row_number()
-         |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
-         |WHERE rnk <= 4""".stripMargin,
+      s"""WITH $rateInvariantPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // min-label closure over the rate-invariant pair graph → per-clip
+    // keep/drop (Multimodal.mediaNearDupClusters over
+    // audioRateInvariantPairs): every ZOH re-upload lands in its
+    // original's cluster (Hamming 0), the smaller original id is the
+    // representative, so re-uploads DROP and originals keep —
+    // recursive-CTE closure like dedup_audio_clusters
+    "dedup_audio_rate_invariant_keep" ->
+      s"""WITH RECURSIVE $rateInvariantPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM rfp a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
     // the rate-invariant INCREMENTAL screen: corpus signature index =
     // all originals (buckets capped at 64 smallest ids, size-1 kept),
     // batch = the ZOH-2× re-uploads, Hamming ≤ 6, 4 best partners
@@ -5341,6 +5359,34 @@ object SparkEntry {
       |rfp AS (SELECT id, CAST(coalesce(sum(CASE WHEN nxt > energy
       |    THEN 1::BIGINT << w::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS h
       |  FROM dd GROUP BY id)""".stripMargin
+
+  /** Rate-invariant capped-pair CTEs over [[rateInvariantFpCte]]
+    * (mirrors `Multimodal.audioRateInvariantPairs`): one corpus-wide
+    * 'rate' group, 4×16-bit bands, buckets capped at 64 smallest ids,
+    * exact Hamming ≤ 6 confirms, 4 best partners per id_a. Ends
+    * defining `pairs(id_a, id_b, hamming)` — shared by the pairs gate
+    * and the keep gate's closure. */
+  private def rateInvariantPairsCte: String =
+    s"""$rateInvariantFpCte,
+      |hb AS (SELECT id, unnest([
+      |    'rate:0:' || ((h >> 0) & 65535)::VARCHAR,
+      |    'rate:1:' || ((h >> 16) & 65535)::VARCHAR,
+      |    'rate:2:' || ((h >> 32) & 65535)::VARCHAR,
+      |    'rate:3:' || ((h >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM rfp),
+      |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+      |  WHERE x.a < y.b),
+      |conf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |  FROM cand JOIN rfp a ON id_a = a.id JOIN rfp b ON id_b = b.id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+      |pairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+      |  WHERE rnk <= 4)""".stripMargin
 
   /** Rate-invariant incremental-screen CTEs over [[rateInvariantFpCte]]
     * (mirrors `Multimodal.incrementalRateInvariantNearDups` /
