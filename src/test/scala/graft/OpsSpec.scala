@@ -2261,6 +2261,34 @@ class OpsSpec extends SparkTestBase {
         s"incremental screen missed re-upload of $id: ${screened.mkString(",")}")
   }
 
+  test("mixed WAV fixture keeps the rate-invariant key high-entropy (the ramp fixture provably does not)") {
+    import graft.ops.Wav
+    // syntheticWav's samples are LINEAR in f → frame energies form one
+    // parabola per clip → delta-sign keys collapse to ~64 `0^a 1^b`
+    // patterns and the capped buckets evict every true cross-rate
+    // partner at gate scale (measured 0/143 at sf0.001). This guard
+    // pins BOTH facts so a future "simplification" of the fixture back
+    // to a ramp fails loudly instead of silently degrading the gate.
+    def keys(gen: Long => Array[Byte], n: Int): Seq[Long] =
+      (0 until n).map(id =>
+        Multimodal.rateInvariantBits(Wav.decode(gen(id.toLong)), 64))
+    val mixed = keys(Multimodal.syntheticWavMixed, 500)
+    val ramp = keys(Multimodal.syntheticWav, 500)
+    assert(mixed.distinct.size >= (mixed.size * 95) / 100,
+      s"mixed fixture entropy collapsed: ${mixed.distinct.size}/500 distinct keys")
+    // the ramp's degeneracy is structural, not an accident of 500 ids
+    assert(ramp.distinct.size < 200,
+      s"ramp fixture unexpectedly high-entropy (${ramp.distinct.size}/500) — " +
+        "if the fixture changed, revisit whether syntheticWavMixed is still needed")
+    // and every ZOH copy still collides exactly (the gate's core claim)
+    for (id <- 0L until 100L)
+      assert(Multimodal.rateInvariantBits(
+          Wav.decode(Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(id))), 64)
+        == Multimodal.rateInvariantBits(
+          Wav.decode(Multimodal.syntheticWavMixed(id)), 64),
+        s"ZOH copy of $id broke the composition identity")
+  }
+
   test("audio resample: identity at the source rate, exact NN frame map otherwise, md5 through the one sampleMd5 definition") {
     import spark.implicits._
     import graft.ops.Wav
