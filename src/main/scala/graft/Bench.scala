@@ -92,6 +92,13 @@ object Bench {
     "multimodal_audio_resample", "dedup_audio_rate_invariant",
     "dedup_audio_rate_invariant_incremental", "streaming_rate_invariant_dedup",
     "dedup_audio_rate_invariant_keep",
+    // r16: the video leg of the scale-invariant family (fixed-grid
+    // keyframe thumbs: batch pairs + keep closure + incremental screen
+    // + streaming twin) and the image leg's keep closure
+    "dedup_video_scale_invariant", "dedup_video_scale_invariant_keep",
+    "dedup_video_scale_invariant_incremental",
+    "streaming_video_scale_invariant_dedup",
+    "dedup_image_scale_invariant_keep",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

@@ -122,7 +122,15 @@ object BenchScale {
     // cost ∝ batch
     "multimodal_audio_resample", "dedup_audio_rate_invariant",
     "dedup_audio_rate_invariant_incremental", "streaming_rate_invariant_dedup",
-    "dedup_audio_rate_invariant_keep")
+    "dedup_audio_rate_invariant_keep",
+    // r16: the video leg of the scale-invariant family + both keep
+    // closures — same claims as the image/audio triples (decode-bound
+    // signature pass, caps keep pairs output-linear, screen ∝ batch,
+    // closure rounds×participants)
+    "dedup_video_scale_invariant", "dedup_video_scale_invariant_keep",
+    "dedup_video_scale_invariant_incremental",
+    "streaming_video_scale_invariant_dedup",
+    "dedup_image_scale_invariant_keep")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

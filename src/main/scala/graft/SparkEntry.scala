@@ -1600,14 +1600,19 @@ object SparkEntry {
     //     never see these
     "dedup_image_scale_invariant_incremental" -> ((s, d) => {
       import s.implicits._
+      // id scheme (ADVICE r15 #1): original e → 2e, re-upload → 2e+1 —
+      // the id spaces provably cannot overlap at ANY sweep scale (the
+      // old fixed 2·10⁶ offset collided with original ids once the
+      // 100× sweep reached 2M events), and 2e < 2e+1 keeps the min-id
+      // keeper semantics (originals keep, re-uploads drop)
       val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
       val corpus = Multimodal.imageScaleInvariantHash(
-        base.mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
         .localCheckpoint(true) // the standing thumb index, read per band
       val batch = Multimodal.imageScaleInvariantHash(
         base.filter((e: Long) => e % 7 == 0).mapPartitions(_.map(e =>
-          (2000000L + e, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
           .toDF("id", "img"), "id", "img").toDF()
       // materialize the screen result so the corpus thumb index's
       // checkpoint blocks can be released NOW instead of squatting in
@@ -1620,7 +1625,8 @@ object SparkEntry {
     }),
 
     // --- scale-invariant image dedup (r14): every 7th asset also
-    //     appears as a nearest-neighbor 2× UPSCALE at id 2·10⁶+e — a
+    //     appears as a nearest-neighbor 2× UPSCALE at id 2e+1
+    //     (originals at 2e — disjoint at any scale, ADVICE r15 #1) — a
     //     cross-resolution duplicate the dimension-grouped aHash pairs
     //     provably cannot see. Fixed 8×8 NN thumbs hash every copy to
     //     the same signature (floor-composition identity, spec-proven),
@@ -1630,15 +1636,36 @@ object SparkEntry {
     "dedup_image_scale_invariant" -> ((s, d) => {
       import s.implicits._
       val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
-      val orig = base.mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+      val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img")
       val up = base.filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
-          (2000000L + e, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
         .toDF("id", "img")
       Multimodal.imageScaleInvariantPairs(
         Multimodal.imageScaleInvariantHash(
           orig.unionByName(up), "id", "img").toDF())
+    }),
+
+    // --- and the scale-invariant pair graph through the shared closure
+    //     to a keep/drop decision (r16, VERDICT r15 #4 — symmetry with
+    //     dedup_audio_rate_invariant_keep): every NN re-upload clusters
+    //     with its original at Hamming 0 — the even original id 2e is
+    //     smaller than its re-upload 2e+1, so re-uploads DROP and
+    //     originals keep
+    "dedup_image_scale_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.imageScaleInvariantHash(
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img")
+          .unionByName(base.filter((e: Long) => e % 7 == 0)
+            .mapPartitions(_.map(e =>
+              (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
+            .toDF("id", "img")), "id", "img").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.imageScaleInvariantPairs(sigs))
     }),
 
     // --- real nearest-neighbor audio resample (r15, the audio sibling
@@ -1655,7 +1682,8 @@ object SparkEntry {
     }),
 
     // --- rate-invariant audio dedup (r15): every 7th clip also appears
-    //     as a zero-order-hold 2× UPSAMPLE at id 3·10⁶+e — a cross-rate
+    //     as a zero-order-hold 2× UPSAMPLE at id 2e+1 (originals at
+    //     2e — disjoint at any scale, ADVICE r15 #1) — a cross-rate
     //     duplicate the (channels, n_windows)-grouped audio pairs
     //     provably cannot see. Fixed 64-slot NN-sampled energy delta
     //     signs hash every copy to the same signature (floor-composition
@@ -1665,11 +1693,11 @@ object SparkEntry {
     "dedup_audio_rate_invariant" -> ((s, d) => {
       import s.implicits._
       val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
-      val orig = base.mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+      val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
         .toDF("id", "clip")
       val up = base.filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
-          (3000000L + e, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
+          (2 * e + 1, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
         .toDF("id", "clip")
       Multimodal.audioRateInvariantPairs(
         Multimodal.audioRateInvariantHash(
@@ -1678,16 +1706,17 @@ object SparkEntry {
 
     // --- and the rate-invariant pair graph through the shared closure
     //     to a keep/drop decision (r15): every ZOH re-upload clusters
-    //     with its original at Hamming 0 — the smaller original id is
-    //     the representative, so re-uploads DROP and originals keep
+    //     with its original at Hamming 0 — the even original id 2e is
+    //     smaller than its re-upload 2e+1, so re-uploads DROP and
+    //     originals keep
     "dedup_audio_rate_invariant_keep" -> ((s, d) => {
       import s.implicits._
       val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
       val sigs = Multimodal.audioRateInvariantHash(
-        base.mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
           .toDF("id", "clip")
           .unionByName(base.filter((e: Long) => e % 7 == 0)
-            .mapPartitions(_.map(e => (3000000L + e,
+            .mapPartitions(_.map(e => (2 * e + 1,
               Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
             .toDF("id", "clip")), "id", "clip").toDF()
         .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
@@ -1703,12 +1732,12 @@ object SparkEntry {
       import s.implicits._
       val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
       val corpus = Multimodal.audioRateInvariantHash(
-        base.mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
           .toDF("id", "clip"), "id", "clip").toDF()
         .localCheckpoint(true) // the standing signature index, read per band
       val batch = Multimodal.audioRateInvariantHash(
         base.filter((e: Long) => e % 7 == 0).mapPartitions(_.map(e =>
-          (3000000L + e, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
+          (2 * e + 1, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
           .toDF("id", "clip"), "id", "clip").toDF()
       // materialize before releasing the corpus checkpoint — the same
       // release discipline as the image screen (ADVICE r14)
@@ -1721,6 +1750,80 @@ object SparkEntry {
     // --- streaming twin of the rate-invariant screen (r15)
     "streaming_rate_invariant_dedup" ->
       ((s, d) => StreamingIngest.rateInvariantDedupStream(s, d)),
+
+    // --- scale-invariant VIDEO dedup (r16, VERDICT r15 #1 — the last
+    //     missing member of the invariant-key family): every 7th clip
+    //     also appears as a nearest-neighbor 2× UPSCALED transcode at
+    //     id 2e+1 (originals at 2e) — a re-scaled re-encode the
+    //     width×height-grouped perceptual pairs provably cannot see.
+    //     Each stss keyframe routes through the fixed 8×8 NN thumb
+    //     BEFORE aHash, so dimensions drop out of the signature and
+    //     every rescaled copy pairs with its original at Hamming 0
+    //     (floor-composition identity, spec-proven both directions);
+    //     the oracle replays thumbs (double-floor for the upscales),
+    //     the aHash rule, per-keyframe 16-bit folds, bands, caps,
+    //     and confirms
+    "dedup_video_scale_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(e =>
+        (2 * e, Multimodal.syntheticVideoMp4(e)))).toDF("id", "vid")
+      val up = base.filter((e: Long) => e % 7 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4(e)))))
+        .toDF("id", "vid")
+      Multimodal.videoScaleInvariantPairs(
+        Multimodal.videoScaleInvariantHash(
+          orig.unionByName(up), "id", "vid").toDF())
+    }),
+
+    // --- and the scale-invariant video pair graph through the shared
+    //     closure to a keep/drop decision: every rescaled transcode
+    //     clusters with its original at Hamming 0 — the even original
+    //     id 2e is smaller than its re-upload 2e+1, so transcodes DROP
+    //     and originals keep
+    "dedup_video_scale_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.videoScaleInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+          .toDF("id", "vid")
+          .unionByName(base.filter((e: Long) => e % 7 == 0)
+            .mapPartitions(_.map(e => (2 * e + 1,
+              Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4(e)))))
+            .toDF("id", "vid")), "id", "vid").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.videoScaleInvariantPairs(sigs))
+    }),
+
+    // --- the scale-invariant video screen, INCREMENTAL: the standing
+    //     corpus's thumb-signature index screens a batch of NN-2×
+    //     rescaled transcodes — each hits its original at Hamming 0;
+    //     the dimension-grouped incremental video screen can never see
+    //     these
+    "dedup_video_scale_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.videoScaleInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+        .localCheckpoint(true) // the standing signature index, read per band
+      val batch = Multimodal.videoScaleInvariantHash(
+        base.filter((e: Long) => e % 7 == 0).mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4(e)))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      // materialize before releasing the corpus checkpoint — the same
+      // release discipline as the image/audio screens (ADVICE r14)
+      val out = Multimodal.incrementalVideoScaleInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the scale-invariant video screen (r16)
+    "streaming_video_scale_invariant_dedup" ->
+      ((s, d) => StreamingIngest.videoScaleInvariantDedupStream(s, d)),
 
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
@@ -3806,48 +3909,25 @@ object SparkEntry {
     // 16-bit bands, capped buckets, Hamming ≤ 6 confirms, 4 best
     // partners per asset
     "dedup_image_scale_invariant" ->
-      """WITH imgs AS (
-        |  SELECT event_id AS id, event_id AS e, 1 AS k,
-        |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
-        |  UNION ALL
-        |  SELECT 2000000 + event_id, event_id, 2,
-        |    4 + event_id % 5, 3 + event_id % 4
-        |  FROM events WHERE event_id % 7 = 0),
-        |px AS (SELECT i.id, i.e, ys.y * 8 + xs.x AS idx,
-        |    ((xs.x * i.k * i.w) // 8) // i.k AS sx,
-        |    ((ys.y * i.k * i.h) // 8) // i.k AS sy
-        |  FROM imgs i, generate_series(0, 7) AS xs(x),
-        |    generate_series(0, 7) AS ys(y)),
-        |g AS (SELECT id, idx,
-        |      (e + 7*sx + 13*sy) % 256
-        |    + (2*e + 3*sx + 5*sy) % 256
-        |    + (5*e + 11*sx + 17*sy) % 256 AS gray
-        |  FROM px),
-        |tt AS (SELECT id, sum(gray) AS total, count(*) AS n FROM g GROUP BY id),
-        |sah AS (SELECT tt.id,
-        |    CAST(coalesce(sum(CASE WHEN g.gray * tt.n > tt.total
-        |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
-        |           ELSE 1::BIGINT << g.idx::INT END
-        |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
-        |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id),
-        |hb AS (SELECT id, unnest([
-        |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
-        |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
-        |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
-        |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
-        |  ]) AS band_key FROM sah),
-        |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
-        |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
-        |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
-        |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
-        |conf AS (SELECT id_a, id_b,
-        |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-        |  FROM cand JOIN sah a ON id_a = a.id JOIN sah b ON id_b = b.id
-        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6)
-        |SELECT id_a, id_b, hamming FROM (
-        |  SELECT *, row_number()
-        |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
-        |WHERE rnk <= 4""".stripMargin,
+      s"""WITH $scaleInvariantPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // min-label closure over the scale-invariant pair graph → per-asset
+    // keep/drop (Multimodal.mediaNearDupClusters over
+    // imageScaleInvariantPairs): every NN re-upload lands in its
+    // original's cluster (Hamming 0), the even original id 2e is the
+    // representative, so re-uploads DROP and originals keep —
+    // recursive-CTE closure like dedup_audio_rate_invariant_keep
+    "dedup_image_scale_invariant_keep" ->
+      s"""WITH RECURSIVE $scaleInvariantPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM sah a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
     // real nearest-neighbor resample: fixture dims → resizePlan fit →
     // integer sx/sy index map → closed-form pixels → sums + md5 string
     "multimodal_resample" ->
@@ -3938,6 +4018,44 @@ object SparkEntry {
     "streaming_rate_invariant_dedup" ->
       s"""WITH $rateInvariantScreenCte
          |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
+    // scale-invariant VIDEO pairs: fixed 8×8 NN thumbs per keyframe
+    // (double-floor index map for the 2× rescaled transcodes), shared
+    // aHash rule, per-keyframe 16-bit folds, dimension-free band group,
+    // capped buckets, Hamming ≤ 6 confirms, 4 best partners per clip
+    "dedup_video_scale_invariant" ->
+      s"""WITH $videoSiPairsCte
+         |SELECT id_a, id_b, hamming FROM svpairs""".stripMargin,
+    // min-label closure over the scale-invariant video pair graph →
+    // per-clip keep/drop: every rescaled transcode lands in its
+    // original's cluster (Hamming 0), the even original id 2e is the
+    // representative, so transcodes DROP and originals keep
+    "dedup_video_scale_invariant_keep" ->
+      s"""WITH RECURSIVE $videoSiPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM svpairs
+         |  UNION SELECT id_b, id_a FROM svpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM vssig a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // the scale-invariant video INCREMENTAL screen: corpus signature
+    // index = all originals (buckets capped at 64 smallest ids, size-1
+    // kept), batch = the NN-2× rescaled transcodes, Hamming ≤ 6,
+    // 4 best partners
+    "dedup_video_scale_invariant_incremental" ->
+      s"""WITH $videoSiScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM svconf2)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit (no candCap —
+    // row_number windows are illegal on streams); same CTE chain
+    "streaming_video_scale_invariant_dedup" ->
+      s"""WITH $videoSiScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM svconf2""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->
@@ -5310,6 +5428,123 @@ object SparkEntry {
       |           * 281474976710656 END) AS BIGINT) AS sig
       |  FROM tfold GROUP BY id, w, h)""".stripMargin
 
+  /** Scale-invariant VIDEO thumb-signature CTEs (mirrors
+    * `Multimodal.videoScaleInvariantHash` over the closed-form
+    * transcode fixtures of `Multimodal.syntheticVideoMp4`): originals
+    * at id 2e (kk = 1), NN-2× rescaled transcodes of every 7th at id
+    * 2e+1 (kk = 2 rows read source pixels through the double-floor
+    * `((x·kk·w // 8) // kk)` — the floor-composition identity makes
+    * them collide with their originals; id spaces provably disjoint at
+    * any sweep scale). Per keyframe f ∈ {0,2,4} below nf: fixed 8×8 NN
+    * thumb over the three coprime-moduli channel formulas (+16v
+    * brightness, +30·3 one-pixel edit for v ≥ 2 — the perturbation
+    * keys on the SOURCE pixel (c mod w, 0), which the thumb may or may
+    * not sample), the shared `gray·64 > Σgray` aHash rule (bit 63 as
+    * the two's-complement constant), 16-bit XOR folds packed by
+    * keyframe order (n_key ≤ 3 here, so the sign slot never packs).
+    * Ends defining `vssig(id, nk, sig)`. */
+  private def videoSiCte: String =
+    """svids AS (
+      |  SELECT event_id * 2 AS id, event_id AS e, 1 AS kk FROM events
+      |  UNION ALL
+      |  SELECT 2 * event_id + 1, event_id, 2
+      |  FROM events WHERE event_id % 7 = 0),
+      |svdims AS (SELECT id, kk, e // 4 AS c, e % 4 AS v,
+      |    4 + (e // 4) % 5 AS w, 3 + (e // 4) % 4 AS h,
+      |    3 + (e // 4) % 3 AS nf FROM svids),
+      |svkf AS (SELECT id, kk, c, v, w, h, fs.f, fs.f // 2 AS k
+      |  FROM svdims, (SELECT unnest([0, 2, 4]) AS f) AS fs WHERE fs.f < nf),
+      |svpx AS (SELECT id, f, k, c, v, w, ys.y * 8 + xs.x AS idx,
+      |    ((xs.x * kk * w) // 8) // kk AS sx,
+      |    ((ys.y * kk * h) // 8) // kk AS sy
+      |  FROM svkf, generate_series(0, 7) AS xs(x), generate_series(0, 7) AS ys(y)),
+      |svg AS (SELECT id, f, k, idx,
+      |    (20 + (c + 7*sx + 13*sy + 19*f) % 149 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (2*c + 3*sx + 5*sy + 23*f) % 151 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (5*c + 11*sx + 17*sy + 29*f) % 150 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |    AS gray
+      |  FROM svpx),
+      |svtt AS (SELECT id, f, sum(gray) AS total FROM svg GROUP BY id, f),
+      |svfh AS (SELECT g.id, g.k,
+      |  CAST(coalesce(sum(CASE WHEN g.gray * 64 > t.total
+      |    THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << g.idx::INT END
+      |    ELSE 0::BIGINT END), 0) AS BIGINT) AS fhash
+      |  FROM svg g JOIN svtt t ON g.id = t.id AND g.f = t.f
+      |  GROUP BY g.id, g.k),
+      |vssig AS (SELECT id, count(*) AS nk,
+      |  CAST(sum(xor(xor(fhash & 65535, (fhash >> 16) & 65535),
+      |      xor((fhash >> 32) & 65535, (fhash >> 48) & 65535))
+      |    << (16 * k::INT)) AS BIGINT) AS sig
+      |  FROM svfh GROUP BY id)""".stripMargin
+
+  /** Scale-invariant video capped-pair CTEs over [[videoSiCte]]
+    * (mirrors `Multimodal.videoScaleInvariantPairs`): dimensions
+    * dropped from the group ('vthumb:' + n_key), 4×16-bit bands,
+    * buckets capped at 64 smallest ids, exact Hamming ≤ 6 confirms,
+    * 4 best partners per id_a. Ends defining
+    * `svpairs(id_a, id_b, hamming)` — shared by the pairs gate and the
+    * keep gate's closure. */
+  private def videoSiPairsCte: String =
+    s"""$videoSiCte,
+      |svhb AS (SELECT id, unnest([
+      |    'vthumb:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM vssig),
+      |svbuckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM svhb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |svcand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM svbuckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+      |  WHERE x.a < y.b),
+      |svconf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |  FROM svcand JOIN vssig a ON id_a = a.id JOIN vssig b ON id_b = b.id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+      |svpairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM svconf)
+      |  WHERE rnk <= 4)""".stripMargin
+
+  /** Scale-invariant video incremental-screen CTEs over [[videoSiCte]]
+    * (mirrors `Multimodal.incrementalVideoScaleInvariantNearDups` /
+    * `StreamingIngest.videoScaleInvariantDedupStream`): corpus = the
+    * originals' signatures (even ids), batch = the rescaled transcodes
+    * (odd ids), corpus band buckets capped at 64 smallest ids (size-1
+    * kept), Hamming ≤ 6. Ends defining
+    * `svconf2(batch_id, corpus_id, hamming)` — the batch gate caps at
+    * 4 best partners on top; the streaming twin takes `svconf2`
+    * whole. */
+  private def videoSiScreenCte: String =
+    s"""$videoSiCte,
+      |svhc AS (SELECT * FROM vssig WHERE id % 2 = 0),
+      |svhbt AS (SELECT * FROM vssig WHERE id % 2 = 1),
+      |svci AS (SELECT id, unnest([
+      |    'vthumb:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM svhc),
+      |svcb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM svci GROUP BY bk),
+      |svbi AS (SELECT id AS batch_id, unnest([
+      |    'vthumb:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vthumb:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM svhbt),
+      |svcand2 AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM svbi JOIN svcb USING (bk), unnest(ids) AS u(cid)),
+      |svconf2 AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.sig, c.sig)) AS BIGINT) AS hamming
+      |  FROM svcand2 JOIN svhbt b ON batch_id = b.id
+      |    JOIN svhc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.sig, c.sig)) <= 6)""".stripMargin
+
   /** Incremental image screen CTEs over the `ah` fingerprint CTE:
     * corpus = even id-blocks of 20, batch = odd blocks, corpus band
     * buckets capped at 64 smallest ids (size-1 buckets KEPT — a lone
@@ -5323,14 +5558,14 @@ object SparkEntry {
     * original's fixed 8×8 NN thumb aHash (double-floor index map for
     * the 2× upscaled batch copies; bit 63 as the two's-complement
     * constant), corpus band buckets capped at 64 smallest ids (size-1
-    * kept), batch = the NN-2× re-uploads at id 2·10⁶+e, Hamming ≤ 6.
+    * kept), batch = the NN-2× re-uploads at id 2e+1, Hamming ≤ 6.
     * Ends defining `conf(batch_id, corpus_id, hamming)` — the batch
     * gate caps at 4 best partners on top; the streaming twin takes
     * `conf` whole. */
   /** Rate-invariant audio fingerprint CTEs (mirrors
     * `Multimodal.audioRateInvariantHash` over the closed-form WAV
-    * fixtures): corpus = every original clip plus a ZOH-2× upsampled
-    * copy of every 7th at id 3·10⁶+e (k = 2 rows read source frames
+    * fixtures): originals at id 2e; a ZOH-2× upsampled
+    * copy of every 7th at id 2e+1 (k = 2 rows read source frames
     * through the double-floor `((w·k·nf // 64) // k)` — the
     * floor-composition identity makes them collide with their
     * originals), per-slot channel-folded exact energies, strict
@@ -5338,10 +5573,10 @@ object SparkEntry {
     * `clips(id, …, is_batch)`. */
   private def rateInvariantFpCte: String =
     """clips AS (
-      |  SELECT event_id AS id, event_id AS e, 1 AS k, 0 AS is_batch,
+      |  SELECT event_id * 2 AS id, event_id AS e, 1 AS k, 0 AS is_batch,
       |    1 + event_id % 2 AS ch, 32 + event_id % 33 AS nf FROM events
       |  UNION ALL
-      |  SELECT 3000000 + event_id, event_id, 2, 1,
+      |  SELECT 2 * event_id + 1, event_id, 2, 1,
       |    1 + event_id % 2, 32 + event_id % 33
       |  FROM events WHERE event_id % 7 = 0),
       |se AS (SELECT c.id, c.e, c.ch, ws.w,
@@ -5423,12 +5658,22 @@ object SparkEntry {
       |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
       |  WHERE bit_count(xor(b.h, c.h)) <= 6)""".stripMargin
 
-  private def scaleInvariantScreenCte: String =
+  /** Scale-invariant thumb-fingerprint CTEs (mirrors
+    * `Multimodal.imageScaleInvariantHash` over the closed-form BMP
+    * fixtures): originals at id 2e (k = 1), NN-2× re-uploads of every
+    * 7th at id 2e+1 (k = 2 rows read source pixels through the
+    * double-floor `((x·k·w // 8) // k)` — the floor-composition
+    * identity makes them collide with their originals; id spaces
+    * provably disjoint at any sweep scale, ADVICE r15 #1), fixed 8×8
+    * NN thumbs, the shared integer aHash threshold rule (bit 63 as the
+    * two's-complement constant). Ends defining `sah(id, ahash)` and
+    * `imgs(id, …, is_batch)`. */
+  private def scaleInvariantFpCte: String =
     """imgs AS (
-      |  SELECT event_id AS id, event_id AS e, 1 AS k, 0 AS is_batch,
+      |  SELECT event_id * 2 AS id, event_id AS e, 1 AS k, 0 AS is_batch,
       |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
       |  UNION ALL
-      |  SELECT 2000000 + event_id, event_id, 2, 1,
+      |  SELECT 2 * event_id + 1, event_id, 2, 1,
       |    4 + event_id % 5, 3 + event_id % 4
       |  FROM events WHERE event_id % 7 = 0),
       |px AS (SELECT i.id, i.e, ys.y * 8 + xs.x AS idx,
@@ -5447,7 +5692,37 @@ object SparkEntry {
       |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
       |           ELSE 1::BIGINT << g.idx::INT END
       |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
-      |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id),
+      |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id)""".stripMargin
+
+  /** Scale-invariant capped-pair CTEs over [[scaleInvariantFpCte]]
+    * (mirrors `Multimodal.imageScaleInvariantPairs`): one corpus-wide
+    * 'thumb' group, 4×16-bit bands, buckets capped at 64 smallest ids,
+    * exact Hamming ≤ 6 confirms, 4 best partners per id_a. Ends
+    * defining `pairs(id_a, id_b, hamming)` — shared by the pairs gate
+    * and the keep gate's closure. */
+  private def scaleInvariantPairsCte: String =
+    s"""$scaleInvariantFpCte,
+      |hb AS (SELECT id, unnest([
+      |    'thumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'thumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'thumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'thumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM sah),
+      |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
+      |conf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      |  FROM cand JOIN sah a ON id_a = a.id JOIN sah b ON id_b = b.id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
+      |pairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+      |  WHERE rnk <= 4)""".stripMargin
+
+  private def scaleInvariantScreenCte: String =
+    s"""$scaleInvariantFpCte,
       |hc AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
       |  WHERE i.is_batch = 0),
       |hbt AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)

@@ -335,10 +335,12 @@ object StreamingIngest {
     import graft.ops.Multimodal
     import spark.implicits._
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // id scheme (ADVICE r15 #1): original e → 2e, re-upload → 2e+1 —
+    // provably disjoint at any sweep scale (matches the batch gates)
     val corpus = Multimodal.imageScaleInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
+        .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img"), "id", "img").toDF()
       .localCheckpoint(true)
     val batch = Multimodal.imageScaleInvariantHash(
@@ -348,7 +350,7 @@ object StreamingIngest {
         .select(col("event_id").cast("long")).as[Long]
         .filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
-          (2000000L + e, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
         .toDF("id", "img"), "id", "img").toDF()
     val confirmed = Multimodal.incrementalScreen(corpus, batch,
         hashCol = "ahash", group = lit("thumb"),
@@ -383,10 +385,12 @@ object StreamingIngest {
     import graft.ops.Multimodal
     import spark.implicits._
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // id scheme (ADVICE r15 #1): original e → 2e, re-upload → 2e+1 —
+    // provably disjoint at any sweep scale (matches the batch gates)
     val corpus = Multimodal.audioRateInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.syntheticWavMixed(id))))
+        .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
         .toDF("id", "clip"), "id", "clip").toDF()
       .localCheckpoint(true)
     val batch = Multimodal.audioRateInvariantHash(
@@ -396,7 +400,7 @@ object StreamingIngest {
         .select(col("event_id").cast("long")).as[Long]
         .filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
-          (3000000L + e, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
+          (2 * e + 1, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
         .toDF("id", "clip"), "id", "clip").toDF()
     val confirmed = Multimodal.incrementalScreen(corpus, batch,
         hashCol = "rfp", group = lit("rate"),
@@ -407,6 +411,57 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .drop("arr_ts")
     val work = workDir("stream_ri_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The SCALE-INVARIANT VIDEO screen as a stream (r16) — the video
+    * leg of the invariant-key streaming family, completing the
+    * cross-resolution video key's batch / incremental / streaming
+    * triple exactly as [[scaleInvariantDedupStream]] did for images:
+    * the standing corpus's fixed-grid thumb-signature index
+    * (checkpointed static side, shuffle-join shape) screens arriving
+    * NN-2× rescaled transcodes; each hits its original at Hamming 0 —
+    * invisible to [[videoDedupStream]]'s dimension-grouped key. Same
+    * bounded-micro-batch + watermark-aged co-batch dedup posture;
+    * oracle = the batch screen without the candCap (stream ≡ batch
+    * hit-for-hit). Ids: original e → 2e, transcode → 2e+1 (disjoint
+    * at any sweep scale). */
+  def videoScaleInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.videoScaleInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.videoScaleInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 7 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4(e)))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "sig",
+        group = concat(lit("vthumb:"), col("n_key").cast("string")),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "vid_si_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_vsi_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
       .option("path", s"$work/out")

@@ -2191,6 +2191,60 @@ class OpsSpec extends SparkTestBase {
         s"incremental screen missed re-upload of $id: ${screened.mkString(",")}")
   }
 
+  test("scale-invariant video signature: NN-rescaled transcodes collide at hamming 0; dimension-grouped perceptual pairs cannot see them") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    val orig = ids.map(id => (2 * id, Multimodal.syntheticVideoMp4(id)))
+      .toDF("id", "vid")
+    val up = ids.map(id =>
+      (2 * id + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4(id))))
+      .toDF("id", "vid")
+    val sigs = Multimodal.videoScaleInvariantHash(
+      orig.unionByName(up), "id", "vid").collect()
+      .map(r => r.id -> (r.n_key, r.sig)).toMap
+    // the floor-composition identity per keyframe: thumb(NN-2x(frame))
+    // == thumb(frame), so the packed clip signature is bit-identical
+    for (id <- ids)
+      assert(sigs(2 * id) == sigs(2 * id + 1),
+        s"2x NN upscale of $id changed the scale-invariant video signature")
+    // distinct contents stay distinct
+    assert(ids.map(id => sigs(2 * id)).distinct.size == ids.size)
+    // the pairs gate surfaces each cross-resolution transcode at 0
+    val pairs = Multimodal.videoScaleInvariantPairs(
+      Multimodal.videoScaleInvariantHash(
+        orig.unionByName(up), "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(pairs.contains((2 * id, 2 * id + 1, 0L)),
+        s"missing cross-resolution pair for $id: ${pairs.mkString(",")}")
+    // the DIMENSION-GROUPED perceptual path provably cannot: the
+    // rescaled transcode doubles width×height, so original and copy
+    // never share a band group → no cross pair
+    val dimPairs = Multimodal.videoPerceptualPairs(
+      Multimodal.videoPerceptualHash(orig.unionByName(up), "id", "vid").toDF())
+      .collect()
+    assert(!dimPairs.exists(r => r.getLong(0) % 2 == 0 && r.getLong(1) == r.getLong(0) + 1),
+      "dimension-grouped perceptual pairs unexpectedly matched across resolutions")
+    // the INCREMENTAL screen: a batch of rescaled transcodes hits the
+    // standing corpus's signature index at hamming 0, one row per clip
+    val screened = Multimodal.incrementalVideoScaleInvariantNearDups(
+        Multimodal.videoScaleInvariantHash(orig, "id", "vid").toDF(),
+        Multimodal.videoScaleInvariantHash(up, "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(screened.contains((2 * id + 1, 2 * id, 0L)),
+        s"incremental screen missed transcode of $id: ${screened.mkString(",")}")
+    // the upscaler preserves keyframe placement and frame count — the
+    // invariance claim samples the same frame indices on both sides
+    val m0 = graft.ops.Mp4.parse(Multimodal.syntheticVideoMp4(9L))
+    val m1 = graft.ops.Mp4.parse(
+      Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4(9L)))
+    assert(m0.samples.map(_.keyframe) == m1.samples.map(_.keyframe),
+      "nnUpscaleVideo2x moved the keyframe set")
+    // (the upscaler's non-uniform-stss refusal is defensive only: the
+    // uniform-stride encoder cannot produce a violating fixture)
+  }
+
   test("rate-invariant audio signature: ZOH-resampled, gain-scaled, and channel-duplicated copies collide; rate-grouped pairs cannot see them") {
     import spark.implicits._
     import graft.ops.Wav
@@ -2259,6 +2313,23 @@ class OpsSpec extends SparkTestBase {
     for (id <- ids)
       assert(screened.contains((1000L + id, id, 0L)),
         s"incremental screen missed re-upload of $id: ${screened.mkString(",")}")
+  }
+
+  test("zohUpsample2x refuses a sample rate that would overflow when doubled, naming the upsample") {
+    import graft.ops.Wav
+    // Wav.decode only requires sampleRate > 0 (ADVICE r15 #2): a rate
+    // above 2^30 would overflow the doubling negative and die inside
+    // Wav.encode with a generic shape error — the guard must name the
+    // resample instead
+    val hostile = Wav.encode(1, Int.MaxValue / 2 + 1, 4, (f, _) => f.toShort)
+    val ex = intercept[graft.ops.DecodeException] {
+      Multimodal.zohUpsample2x(hostile)
+    }
+    assert(ex.kind == "malformed" && ex.getMessage.contains("zohUpsample2x"),
+      s"wrong refusal: ${ex.getMessage}")
+    // the boundary rate itself still doubles fine
+    val ok = Wav.encode(1, Int.MaxValue / 2, 4, (f, _) => f.toShort)
+    assert(Wav.decode(Multimodal.zohUpsample2x(ok)).sampleRate == Int.MaxValue - 1)
   }
 
   test("mixed WAV fixture keeps the rate-invariant key high-entropy (the ramp fixture provably does not)") {
