@@ -1825,6 +1825,32 @@ object SparkEntry {
     "streaming_video_scale_invariant_dedup" ->
       ((s, d) => StreamingIngest.videoScaleInvariantDedupStream(s, d)),
 
+    // --- scale+stride-invariant video dedup (r16): the composition key
+    //     for the transcode BOTH parents miss — rescaled AND
+    //     keyframe-re-placed. Fixtures are the keyStride-varying
+    //     syntheticVideoMp4T family (stride 1..4 across variants, which
+    //     provably breaks the stss-sampled thumb key) with NN-2×
+    //     rescaled re-muxed copies of every 7th at 2e+1 (which provably
+    //     break the dimension-grouped aligned key); slots sample the
+    //     content timeline, frames route through the fixed 8×8 thumb —
+    //     copies and cross-stride variants collide at Hamming 0; oracle
+    //     replays the slot rule (k·nf div 4 — uniform deltas cancel),
+    //     the double-floor thumbs, folds, signed slot-3 pack, bands,
+    //     caps, and confirms
+    "dedup_video_scale_time_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(e =>
+        (2 * e, Multimodal.syntheticVideoMp4T(e)))).toDF("id", "vid")
+      val up = base.filter((e: Long) => e % 7 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4T(e)))))
+        .toDF("id", "vid")
+      Multimodal.videoScaleTimeInvariantPairs(
+        Multimodal.videoScaleInvariantHashTimeAligned(
+          orig.unionByName(up), "id", "vid").toDF())
+    }),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -4056,6 +4082,14 @@ object SparkEntry {
     "streaming_video_scale_invariant_dedup" ->
       s"""WITH $videoSiScreenCte
          |SELECT batch_id, corpus_id, hamming FROM svconf2""".stripMargin,
+    // scale+stride-invariant video pairs: content-timeline slot
+    // sampling ((k·nf) // 4 — uniform deltas cancel) + fixed 8×8 NN
+    // thumbs (double-floor for the rescaled copies), signed slot-3
+    // pack, one corpus-wide group, capped buckets, Hamming ≤ 6,
+    // 4 best partners
+    "dedup_video_scale_time_invariant" ->
+      s"""WITH $videoStiPairsCte
+         |SELECT id_a, id_b, hamming FROM stpairs""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->
@@ -5544,6 +5578,85 @@ object SparkEntry {
       |  FROM svcand2 JOIN svhbt b ON batch_id = b.id
       |    JOIN svhc c ON corpus_id = c.id
       |  WHERE bit_count(xor(b.sig, c.sig)) <= 6)""".stripMargin
+
+  /** Scale+stride-invariant video signature + capped-pair CTEs (mirrors
+    * `Multimodal.videoScaleInvariantHashTimeAligned` →
+    * `videoScaleTimeInvariantPairs` over the keyStride-varying
+    * `syntheticVideoMp4T` fixtures): originals at 2e (kk = 1), NN-2×
+    * re-muxed rescales of every 7th at 2e+1 (kk = 2, double-floor
+    * thumb index map). Slot k of 4 samples frame `(k·nf) // 4` — the
+    * dts-fraction rule with uniform frame durations cancelled, valid
+    * for BOTH the stride-varying originals and the timing-normalized
+    * copies — then the fixed 8×8 NN thumb, the `gray·64 > Σgray` rule,
+    * per-slot 16-bit folds with the aligned key's SIGNED slot-3 pack
+    * (bits 48-63 wrap the sign; DuckDB's << raises on signed overflow,
+    * so the replay multiplies a sign-adjusted fold by 2^48 — exact in
+    * HUGEINT, in-range by construction). One corpus-wide 'vthumb_t'
+    * group. Ends defining `stpairs(id_a, id_b, hamming)`. */
+  private def videoStiPairsCte: String =
+    """stvids AS (
+      |  SELECT event_id * 2 AS id, event_id AS e, 1 AS kk FROM events
+      |  UNION ALL
+      |  SELECT 2 * event_id + 1, event_id, 2
+      |  FROM events WHERE event_id % 7 = 0),
+      |stdims AS (SELECT id, kk, e // 4 AS c, e % 4 AS v,
+      |    4 + (e // 4) % 5 AS w, 3 + (e // 4) % 4 AS h,
+      |    3 + (e // 4) % 3 AS nf FROM stvids),
+      |stslots AS (SELECT id, kk, c, v, w, h, ks.k, (ks.k * nf) // 4 AS f
+      |  FROM stdims, generate_series(0, 3) AS ks(k)),
+      |stfr AS (SELECT DISTINCT id, kk, c, v, w, h, f FROM stslots),
+      |stpx AS (SELECT id, f, c, v, w, ys.y * 8 + xs.x AS idx,
+      |    ((xs.x * kk * w) // 8) // kk AS sx,
+      |    ((ys.y * kk * h) // 8) // kk AS sy
+      |  FROM stfr, generate_series(0, 7) AS xs(x), generate_series(0, 7) AS ys(y)),
+      |stg AS (SELECT id, f, idx,
+      |    (20 + (c + 7*sx + 13*sy + 19*f) % 149 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (2*c + 3*sx + 5*sy + 23*f) % 151 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (5*c + 11*sx + 17*sy + 29*f) % 150 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |    AS gray
+      |  FROM stpx),
+      |sttt AS (SELECT id, f, sum(gray) AS total FROM stg GROUP BY id, f),
+      |stfh AS (SELECT g.id, g.f,
+      |  CAST(coalesce(sum(CASE WHEN g.gray * 64 > t.total
+      |    THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << g.idx::INT END
+      |    ELSE 0::BIGINT END), 0) AS BIGINT) AS fhash
+      |  FROM stg g JOIN sttt t ON g.id = t.id AND g.f = t.f
+      |  GROUP BY g.id, g.f),
+      |stfold AS (SELECT s.id, s.k,
+      |    xor(xor(fh.fhash & 65535, (fh.fhash >> 16) & 65535),
+      |        xor((fh.fhash >> 32) & 65535, (fh.fhash >> 48) & 65535)) AS fold
+      |  FROM stslots s JOIN stfh fh ON s.id = fh.id AND s.f = fh.f),
+      |stsig AS (SELECT id,
+      |  CAST(sum(CASE k
+      |    WHEN 0 THEN fold
+      |    WHEN 1 THEN fold * 65536
+      |    WHEN 2 THEN fold * 4294967296
+      |    ELSE (CASE WHEN fold >= 32768 THEN fold - 65536 ELSE fold END)
+      |           * 281474976710656 END) AS BIGINT) AS sig
+      |  FROM stfold GROUP BY id),
+      |sthb AS (SELECT id, unnest([
+      |    'vthumb_t:0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vthumb_t:1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vthumb_t:2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vthumb_t:3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM stsig),
+      |stbuckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM sthb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |stcand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM stbuckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+      |  WHERE x.a < y.b),
+      |stconf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |  FROM stcand JOIN stsig a ON id_a = a.id JOIN stsig b ON id_b = b.id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+      |stpairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM stconf)
+      |  WHERE rnk <= 4)""".stripMargin
 
   /** Incremental image screen CTEs over the `ah` fingerprint CTE:
     * corpus = even id-blocks of 20, batch = odd blocks, corpus band

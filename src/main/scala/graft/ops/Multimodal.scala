@@ -1688,6 +1688,81 @@ object Multimodal {
       bandBits = 16, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "vid_si_incr")
 
+  /** SCALE- AND STRIDE-INVARIANT video signature (r16) — the
+    * composition of [[videoScaleInvariantHash]]'s fixed-grid thumb with
+    * [[videoPerceptualHashTimeAligned]]'s content-timeline sampling: a
+    * transcode that RESCALES and RE-PLACES KEYFRAMES evades both
+    * parents (the thumb key samples the `stss` set, which a different
+    * keyStride moves; the time-aligned key groups by dimensions, which
+    * a rescale changes) — this key samples slot k of `nSamples` at the
+    * last frame whose dts ≤ k/nSamples of the presentation extent
+    * (elst-aware, the aligned sampler's exact rule) and routes each
+    * sampled frame through the fixed `thumbW`×`thumbH` NN thumb before
+    * [[aHashBits]]. Invariant to container timing, keyframe placement,
+    * AND spatial resolution at once; 16-bit folds pack by slot (slot 3
+    * wraps into the sign bit — the aligned key's oracle precedent).
+    * `n_key` is always `nSamples`, so the one corpus-wide group needs
+    * no dimension key at all. */
+  def videoScaleInvariantHashTimeAligned(df: DataFrame, idCol: String,
+                                         binCol: String, nSamples: Int = 4,
+                                         thumbW: Int = 8, thumbH: Int = 8)
+      : Dataset[VideoScaleInvariantHash] = {
+    require(nSamples >= 1 && nSamples <= 4,
+      s"nSamples must be in [1, 4] (16-bit folds in one BIGINT), got $nSamples")
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = Mp4.parse(bytes)
+        Decode.req(m.samples.nonEmpty, "malformed", s"video $id has no samples")
+        val presDur = if (m.editDuration > 0) m.editDuration else m.duration
+        var sig = 0L
+        // decode+thumb once per distinct frame: slots repeat frames on
+        // short clips and decode is the expensive step (the aligned
+        // sampler's cache shape)
+        val foldCache = scala.collection.mutable.Map.empty[Int, Long]
+        var k = 0
+        while (k < nSamples) {
+          val target = m.editMediaTime + k.toLong * presDur / nSamples
+          val s = m.samples.takeWhile(_.dts <= target).lastOption
+            .getOrElse(m.samples.head)
+          val fold = foldCache.getOrElseUpdate(s.index, {
+            val (w0, h0, px) = decodeImagePayload(m.sampleBytes(bytes, s))
+            val out = new Array[Int](thumbW * thumbH)
+            var y = 0
+            while (y < thumbH) {
+              val sy = (y * h0 / thumbH).toInt
+              var x = 0
+              while (x < thumbW) {
+                out(y * thumbW + x) = px(sy * w0.toInt + (x * w0 / thumbW).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val hash = aHashBits(out)
+            (hash ^ (hash >>> 16) ^ (hash >>> 32) ^ (hash >>> 48)) & 0xFFFFL
+          })
+          sig |= fold << (16 * k)
+          k += 1
+        }
+        VideoScaleInvariantHash(id, nSamples.toLong, sig)
+      })
+  }
+
+  /** Near-dup pairs over the scale+stride-invariant signatures — the
+    * shared [[bandedHammingPairs]] machinery with ONE corpus-wide
+    * group (`n_key` is the constant slot count and dimensions are
+    * thumbed away, so nothing distinguishes comparable clips) and the
+    * family's 16-bit × 4 banding. */
+  def videoScaleTimeInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                                   bucketCap: Int = 64,
+                                   candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "sig", group = lit("vthumb_t"),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "vid_sti")
+
   /** Nearest-neighbor 2× video upscale: parse the container, decode
     * every sample payload, NN 2× upscale each frame ([[nnUpscale2x]]'s
     * pixel rule — target (x, y) reads source (x/2, y/2)), and

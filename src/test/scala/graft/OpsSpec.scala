@@ -2245,6 +2245,52 @@ class OpsSpec extends SparkTestBase {
     // uniform-stride encoder cannot produce a violating fixture)
   }
 
+  test("scale+stride-invariant video signature: invariant to rescale AND keyframe re-placement; both parents provably miss one axis") {
+    import spark.implicits._
+    // contents whose four variants vary keyStride 1..4 (the T fixtures)
+    val ids = Seq(4L, 5L, 8L, 9L, 36L, 37L)
+    val orig = ids.map(id => (2 * id, Multimodal.syntheticVideoMp4T(id)))
+      .toDF("id", "vid")
+    val up = ids.map(id =>
+      (2 * id + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4T(id))))
+      .toDF("id", "vid")
+    val sigs = Multimodal.videoScaleInvariantHashTimeAligned(
+      orig.unionByName(up), "id", "vid").collect()
+      .map(r => r.id -> r.sig).toMap
+    // axis 1 — rescale+re-mux: the NN-2× copy (timing normalized, PNG
+    // frames re-encoded BMP) signatures identically
+    for (id <- ids)
+      assert(sigs(2 * id) == sigs(2 * id + 1),
+        s"rescaled re-mux of $id changed the scale+stride-invariant signature")
+    // axis 2 — keyframe re-placement: v0 (stride 1) and v1 (stride 2)
+    // of one content signature identically under the combo key…
+    assert(sigs(2 * 4L) == sigs(2 * 5L) && sigs(2 * 36L) == sigs(2 * 37L),
+      "cross-stride variants should collide under the combo key")
+    // …which the stss-sampled THUMB key provably cannot do (different
+    // stss sets hash different frames / different n_key groups)
+    val stssSigs = Multimodal.videoScaleInvariantHash(orig, "id", "vid")
+      .collect().map(r => r.id -> (r.n_key, r.sig)).toMap
+    assert(stssSigs(2 * 4L) != stssSigs(2 * 5L),
+      "stss-sampled thumb key unexpectedly absorbed keyframe re-placement")
+    // …and the dimension-grouped ALIGNED key provably cannot absorb the
+    // rescale (width×height differ → no shared band group → no pair)
+    val alignedPairs = Multimodal.videoPerceptualPairs(
+      Multimodal.videoPerceptualHashTimeAligned(
+        orig.unionByName(up), "id", "vid").toDF())
+      .collect()
+    assert(!alignedPairs.exists(r =>
+        r.getLong(0) % 2 == 0 && r.getLong(1) == r.getLong(0) + 1),
+      "dimension-grouped aligned pairs unexpectedly matched across resolutions")
+    // the combo pairs gate surfaces every rescaled copy at Hamming 0
+    val pairs = Multimodal.videoScaleTimeInvariantPairs(
+      Multimodal.videoScaleInvariantHashTimeAligned(
+        orig.unionByName(up), "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(pairs.contains((2 * id, 2 * id + 1, 0L)),
+        s"missing rescale+re-mux pair for $id: ${pairs.mkString(",")}")
+  }
+
   test("rate-invariant audio signature: ZOH-resampled, gain-scaled, and channel-duplicated copies collide; rate-grouped pairs cannot see them") {
     import spark.implicits._
     import graft.ops.Wav
