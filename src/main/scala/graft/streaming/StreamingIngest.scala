@@ -64,7 +64,8 @@ object StreamingIngest {
   private[graft] val WorkDirPurposes =
     Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
       "stream_span_index", "stream_media_quarantine", "stream_ann_index",
-      "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup")
+      "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup",
+      "stream_vsi_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
