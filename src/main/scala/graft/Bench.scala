@@ -99,6 +99,9 @@ object Bench {
     "dedup_video_scale_invariant_incremental",
     "streaming_video_scale_invariant_dedup",
     "dedup_image_scale_invariant_keep", "dedup_video_scale_time_invariant",
+    "dedup_video_scale_time_invariant_keep",
+    "dedup_video_scale_time_invariant_incremental",
+    "streaming_video_scale_time_invariant_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

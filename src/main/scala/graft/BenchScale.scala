@@ -130,7 +130,10 @@ object BenchScale {
     "dedup_video_scale_invariant", "dedup_video_scale_invariant_keep",
     "dedup_video_scale_invariant_incremental",
     "streaming_video_scale_invariant_dedup",
-    "dedup_image_scale_invariant_keep", "dedup_video_scale_time_invariant")
+    "dedup_image_scale_invariant_keep", "dedup_video_scale_time_invariant",
+    "dedup_video_scale_time_invariant_keep",
+    "dedup_video_scale_time_invariant_incremental",
+    "streaming_video_scale_time_invariant_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1851,6 +1851,52 @@ object SparkEntry {
           orig.unionByName(up), "id", "vid").toDF())
     }),
 
+    // --- and the composition pair graph through the shared closure to
+    //     keep/drop: every rescaled+re-muxed copy clusters with its
+    //     original at Hamming 0 (and cross-stride variants with their
+    //     content siblings); the smallest id keeps
+    "dedup_video_scale_time_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.videoScaleInvariantHashTimeAligned(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4T(e))))
+          .toDF("id", "vid")
+          .unionByName(base.filter((e: Long) => e % 7 == 0)
+            .mapPartitions(_.map(e => (2 * e + 1,
+              Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4T(e)))))
+            .toDF("id", "vid")), "id", "vid").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.videoScaleTimeInvariantPairs(sigs))
+    }),
+
+    // --- the composition screen, INCREMENTAL: the standing corpus's
+    //     slot-sampled thumb index screens a batch of rescaled+re-muxed
+    //     transcodes — each hits its original at Hamming 0; neither
+    //     parent's incremental screen can see these
+    "dedup_video_scale_time_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.videoScaleInvariantHashTimeAligned(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4T(e))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+        .localCheckpoint(true) // the standing signature index, read per band
+      val batch = Multimodal.videoScaleInvariantHashTimeAligned(
+        base.filter((e: Long) => e % 7 == 0).mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4T(e)))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      // materialize before releasing the corpus checkpoint — the same
+      // release discipline as the other invariant screens (ADVICE r14)
+      val out = Multimodal.incrementalVideoScaleTimeInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the composition screen (r16)
+    "streaming_video_scale_time_invariant_dedup" ->
+      ((s, d) => StreamingIngest.videoScaleTimeInvariantDedupStream(s, d)),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -4090,6 +4136,35 @@ object SparkEntry {
     "dedup_video_scale_time_invariant" ->
       s"""WITH $videoStiPairsCte
          |SELECT id_a, id_b, hamming FROM stpairs""".stripMargin,
+    // min-label closure over the composition pair graph → per-clip
+    // keep/drop: rescaled+re-muxed copies AND cross-stride variants
+    // land in one cluster; the smallest id is the representative
+    "dedup_video_scale_time_invariant_keep" ->
+      s"""WITH RECURSIVE $videoStiPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM stpairs
+         |  UNION SELECT id_b, id_a FROM stpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM stsig a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // the composition INCREMENTAL screen: corpus signature index = all
+    // originals (buckets capped at 64 smallest ids, size-1 kept),
+    // batch = the rescaled re-muxed transcodes, Hamming ≤ 6, 4 best
+    "dedup_video_scale_time_invariant_incremental" ->
+      s"""WITH $videoStiScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM stconf2)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit (no candCap —
+    // row_number windows are illegal on streams); same CTE chain
+    "streaming_video_scale_time_invariant_dedup" ->
+      s"""WITH $videoStiScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM stconf2""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->
@@ -5592,8 +5667,9 @@ object SparkEntry {
     * (bits 48-63 wrap the sign; DuckDB's << raises on signed overflow,
     * so the replay multiplies a sign-adjusted fold by 2^48 — exact in
     * HUGEINT, in-range by construction). One corpus-wide 'vthumb_t'
-    * group. Ends defining `stpairs(id_a, id_b, hamming)`. */
-  private def videoStiPairsCte: String =
+    * group. Ends defining `stsig(id, sig)`; [[videoStiPairsCte]] /
+    * [[videoStiScreenCte]] build the consumers. */
+  private def videoStiCte: String =
     """stvids AS (
       |  SELECT event_id * 2 AS id, event_id AS e, 1 AS kk FROM events
       |  UNION ALL
@@ -5637,7 +5713,16 @@ object SparkEntry {
       |    WHEN 2 THEN fold * 4294967296
       |    ELSE (CASE WHEN fold >= 32768 THEN fold - 65536 ELSE fold END)
       |           * 281474976710656 END) AS BIGINT) AS sig
-      |  FROM stfold GROUP BY id),
+      |  FROM stfold GROUP BY id)""".stripMargin
+
+  /** Capped-pair CTEs over [[videoStiCte]] (mirrors
+    * `Multimodal.videoScaleTimeInvariantPairs`): one corpus-wide
+    * 'vthumb_t' group, 4×16-bit bands, buckets capped at 64 smallest
+    * ids, exact Hamming ≤ 6 confirms, 4 best partners per id_a. Ends
+    * defining `stpairs(id_a, id_b, hamming)` — shared by the pairs
+    * gate and the keep gate's closure. */
+  private def videoStiPairsCte: String =
+    s"""$videoStiCte,
       |sthb AS (SELECT id, unnest([
       |    'vthumb_t:0:' || ((sig >> 0) & 65535)::VARCHAR,
       |    'vthumb_t:1:' || ((sig >> 16) & 65535)::VARCHAR,
@@ -5657,6 +5742,39 @@ object SparkEntry {
       |  SELECT *, row_number()
       |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM stconf)
       |  WHERE rnk <= 4)""".stripMargin
+
+  /** Incremental-screen CTEs over [[videoStiCte]] (mirrors
+    * `Multimodal.incrementalVideoScaleTimeInvariantNearDups` /
+    * `StreamingIngest.videoScaleTimeInvariantDedupStream`): corpus =
+    * the originals' signatures (even ids), batch = the rescaled
+    * re-muxed transcodes (odd ids), corpus band buckets capped at 64
+    * smallest ids (size-1 kept), Hamming ≤ 6. Ends defining
+    * `stconf2(batch_id, corpus_id, hamming)`. */
+  private def videoStiScreenCte: String =
+    s"""$videoStiCte,
+      |sthc AS (SELECT * FROM stsig WHERE id % 2 = 0),
+      |sthbt AS (SELECT * FROM stsig WHERE id % 2 = 1),
+      |stci AS (SELECT id, unnest([
+      |    'vthumb_t:0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vthumb_t:1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vthumb_t:2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vthumb_t:3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM sthc),
+      |stcb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM stci GROUP BY bk),
+      |stbi AS (SELECT id AS batch_id, unnest([
+      |    'vthumb_t:0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vthumb_t:1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vthumb_t:2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vthumb_t:3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM sthbt),
+      |stcand2 AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM stbi JOIN stcb USING (bk), unnest(ids) AS u(cid)),
+      |stconf2 AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.sig, c.sig)) AS BIGINT) AS hamming
+      |  FROM stcand2 JOIN sthbt b ON batch_id = b.id
+      |    JOIN sthc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.sig, c.sig)) <= 6)""".stripMargin
 
   /** Incremental image screen CTEs over the `ah` fingerprint CTE:
     * corpus = even id-blocks of 20, batch = odd blocks, corpus band

@@ -1763,6 +1763,23 @@ object Multimodal {
       bandBits = 16, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "vid_sti")
 
+  /** [[incrementalBandedHamming]] over the scale+stride-invariant
+    * signatures — the steady-state screen for the composition key: a
+    * new batch's slot-sampled thumb signatures against the standing
+    * corpus's persisted index, same corpus-wide group and banding as
+    * [[videoScaleTimeInvariantPairs]]. A rescaled AND
+    * keyframe-re-placed transcode of standing content hits at
+    * Hamming 0, which neither parent's screen can see. */
+  def incrementalVideoScaleTimeInvariantNearDups(corpusSigs: DataFrame,
+                                                 batchSigs: DataFrame,
+                                                 maxHamming: Int = 6,
+                                                 bucketCap: Int = 64,
+                                                 candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "sig",
+      group = lit("vthumb_t"), bandBits = 16, numBands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
+      metric = "vid_sti_incr")
+
   /** Nearest-neighbor 2× video upscale: parse the container, decode
     * every sample payload, NN 2× upscale each frame ([[nnUpscale2x]]'s
     * pixel rule — target (x, y) reads source (x/2, y/2)), and

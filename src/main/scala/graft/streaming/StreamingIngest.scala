@@ -65,7 +65,7 @@ object StreamingIngest {
     Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
       "stream_span_index", "stream_media_quarantine", "stream_ann_index",
       "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup",
-      "stream_vsi_dedup")
+      "stream_vsi_dedup", "stream_vsti_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -463,6 +463,53 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .drop("arr_ts")
     val work = workDir("stream_vsi_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The SCALE+STRIDE-INVARIANT video screen as a stream (r16) — the
+    * composition key's streaming leg, completing its batch /
+    * incremental / streaming triple: the standing corpus's
+    * slot-sampled thumb-signature index (checkpointed static side,
+    * shuffle-join shape) screens arriving NN-2× re-muxed rescales of
+    * the keyStride-varying fixtures; each hits its original at
+    * Hamming 0 — invisible to both parent keys' streams. Same
+    * bounded-micro-batch + watermark-aged co-batch dedup posture;
+    * oracle = the batch screen without the candCap. */
+  def videoScaleTimeInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.videoScaleInvariantHashTimeAligned(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4T(e))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.videoScaleInvariantHashTimeAligned(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 7 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4T(e)))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "sig", group = lit("vthumb_t"),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "vid_sti_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_vsti_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
       .option("path", s"$work/out")

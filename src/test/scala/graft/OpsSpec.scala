@@ -2289,6 +2289,15 @@ class OpsSpec extends SparkTestBase {
     for (id <- ids)
       assert(pairs.contains((2 * id, 2 * id + 1, 0L)),
         s"missing rescale+re-mux pair for $id: ${pairs.mkString(",")}")
+    // the INCREMENTAL screen: a batch of rescaled+re-muxed transcodes
+    // hits the standing corpus index at hamming 0, one row per clip
+    val screened = Multimodal.incrementalVideoScaleTimeInvariantNearDups(
+        Multimodal.videoScaleInvariantHashTimeAligned(orig, "id", "vid").toDF(),
+        Multimodal.videoScaleInvariantHashTimeAligned(up, "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(screened.contains((2 * id + 1, 2 * id, 0L)),
+        s"incremental screen missed transcode of $id: ${screened.mkString(",")}")
   }
 
   test("rate-invariant audio signature: ZOH-resampled, gain-scaled, and channel-duplicated copies collide; rate-grouped pairs cannot see them") {
