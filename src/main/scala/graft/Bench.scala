@@ -102,6 +102,17 @@ object Bench {
     "dedup_video_scale_time_invariant_keep",
     "dedup_video_scale_time_invariant_incremental",
     "streaming_video_scale_time_invariant_dedup",
+    // r17: the crop/letterbox-invariant image+video families and the
+    // trim-invariant audio family (VERDICT r16 #3/#4) — content-box /
+    // energy-onset anchored keys, each with pairs + keep + incremental
+    // + streaming legs
+    "dedup_image_crop_invariant", "dedup_image_crop_invariant_keep",
+    "dedup_image_crop_invariant_incremental", "streaming_crop_invariant_dedup",
+    "dedup_video_crop_invariant", "dedup_video_crop_invariant_keep",
+    "dedup_video_crop_invariant_incremental",
+    "streaming_video_crop_invariant_dedup",
+    "dedup_audio_trim_invariant", "dedup_audio_trim_invariant_keep",
+    "dedup_audio_trim_invariant_incremental", "streaming_trim_invariant_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",
@@ -128,6 +139,20 @@ object Bench {
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // per-gate Spark job counts (VERDICT r16 #2): the r15/r16
+    // driver-over-self spikes land exactly on the many-short-jobs
+    // iterative closure gates, so the ledger records the jobs each gate
+    // submits — jobs × scheduler-round-trip contention becomes a
+    // testable attribution instead of prose
+    val jobCounter = graft.util.JobCounter.install(spark.sparkContext)
+    val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def countingJobs(name: String)(body: => Double): Double = {
+      val j0 = jobCounter.count
+      val sec = body
+      jobCounts(name) = jobCounter.count - j0
+      sec
+    }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -227,7 +252,8 @@ object Bench {
       System.err.println(s"[bench] WARNING: headline '$n' is not a declared query"))
     headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n))).foreach { name =>
-      val sec = try time(force(SparkEntry.queries(name)(spark, sfDir)))
+      val sec = try countingJobs(name)(
+        time(force(SparkEntry.queries(name)(spark, sfDir))))
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
@@ -308,9 +334,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val jc = jobCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"job_counts":$jc,"sf":"$sfDir"}"""
     println(json)
     // The stdout line alone is fragile: the driver's log capture
     // truncated BENCH_r07's tail before the total ever appeared

@@ -133,7 +133,18 @@ object BenchScale {
     "dedup_image_scale_invariant_keep", "dedup_video_scale_time_invariant",
     "dedup_video_scale_time_invariant_keep",
     "dedup_video_scale_time_invariant_incremental",
-    "streaming_video_scale_time_invariant_dedup")
+    "streaming_video_scale_time_invariant_dedup",
+    // r17: the crop/letterbox-invariant image+video families and the
+    // trim-invariant audio family — same claims as their scale/rate
+    // siblings (decode+trim signature pass linear, caps keep pairs
+    // output-linear, screen ∝ batch, closure rounds×participants)
+    "dedup_image_crop_invariant", "dedup_image_crop_invariant_keep",
+    "dedup_image_crop_invariant_incremental", "streaming_crop_invariant_dedup",
+    "dedup_video_crop_invariant", "dedup_video_crop_invariant_keep",
+    "dedup_video_crop_invariant_incremental",
+    "streaming_video_crop_invariant_dedup",
+    "dedup_audio_trim_invariant", "dedup_audio_trim_invariant_keep",
+    "dedup_audio_trim_invariant_incremental", "streaming_trim_invariant_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

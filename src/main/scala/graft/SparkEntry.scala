@@ -1897,6 +1897,220 @@ object SparkEntry {
     "streaming_video_scale_time_invariant_dedup" ->
       ((s, d) => StreamingIngest.videoScaleTimeInvariantDedupStream(s, d)),
 
+    // --- CROP/LETTERBOX-invariant image dedup (r17, VERDICT r16 #3):
+    //     every 5th asset also appears LETTERBOXED (uniform border,
+    //     pads 1+e%3/1+e%2/2/1) AND NN-2×-upscaled at id 2e+1 — a
+    //     layout transcode BOTH the dimension-grouped aHash pairs and
+    //     the full-frame scale-invariant key provably cannot see.
+    //     contentBox trims the border before the fixed 8×8 NN thumb,
+    //     so every copy collides with its original at Hamming 0 (trim
+    //     recovery + floor composition, spec-proven both directions);
+    //     the oracle replays the double-floor thumb over the ORIGINAL
+    //     pixel formulas (the trim provably cancels the pads entirely),
+    //     the aHash rule, 16-bit bands, caps, and confirms
+    "dedup_image_crop_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img")
+      val boxed = base.filter((e: Long) => e % 5 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.letterbox(
+            Multimodal.syntheticBmp(e),
+            1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+        .toDF("id", "img")
+      Multimodal.imageCropInvariantPairs(
+        Multimodal.imageCropInvariantHash(
+          orig.unionByName(boxed), "id", "img").toDF())
+    }),
+
+    // --- and the crop-invariant pair graph through the shared closure
+    //     to keep/drop: every letterboxed re-upload clusters with its
+    //     original at Hamming 0 — the even original id 2e keeps
+    "dedup_image_crop_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.imageCropInvariantHash(
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img")
+          .unionByName(base.filter((e: Long) => e % 5 == 0)
+            .mapPartitions(_.map(e =>
+              (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.letterbox(
+                Multimodal.syntheticBmp(e),
+                1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+            .toDF("id", "img")), "id", "img").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.imageCropInvariantPairs(sigs))
+    }),
+
+    // --- the crop-invariant screen, INCREMENTAL: the standing corpus's
+    //     content-box thumb index screens a batch of letterboxed
+    //     upscaled re-uploads — each hits its original at Hamming 0;
+    //     neither the dimension-grouped nor the full-frame
+    //     scale-invariant incremental screen can see these
+    "dedup_image_crop_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.imageCropInvariantHash(
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img"), "id", "img").toDF()
+        .localCheckpoint(true) // the standing thumb index, read per band
+      val batch = Multimodal.imageCropInvariantHash(
+        base.filter((e: Long) => e % 5 == 0).mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.letterbox(
+            Multimodal.syntheticBmp(e),
+            1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+          .toDF("id", "img"), "id", "img").toDF()
+      // materialize before releasing the corpus checkpoint — the same
+      // release discipline as the other invariant screens (ADVICE r14)
+      val out = Multimodal.incrementalCropInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the crop-invariant screen (r17)
+    "streaming_crop_invariant_dedup" ->
+      ((s, d) => StreamingIngest.cropInvariantDedupStream(s, d)),
+
+    // --- CROP/LETTERBOX-invariant VIDEO dedup (r17): every 5th clip
+    //     also appears letterboxed per frame AND NN-2×-rescaled at id
+    //     2e+1 — a layout transcode invisible to the dimension-grouped
+    //     perceptual pairs AND the full-frame scale-invariant thumb
+    //     key. Per-keyframe contentBox trim before the fixed 8×8 thumb
+    //     makes every copy collide with its original at Hamming 0; the
+    //     oracle replays the double-floor thumb over the original
+    //     frame formulas (trim cancels the pads), folds, bands, caps
+    "dedup_video_crop_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(e =>
+        (2 * e, Multimodal.syntheticVideoMp4(e)))).toDF("id", "vid")
+      val boxed = base.filter((e: Long) => e % 5 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.letterboxVideo(
+            Multimodal.syntheticVideoMp4(e),
+            1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+        .toDF("id", "vid")
+      Multimodal.videoCropInvariantPairs(
+        Multimodal.videoCropInvariantHash(
+          orig.unionByName(boxed), "id", "vid").toDF())
+    }),
+
+    // --- and the crop-invariant video pair graph through the shared
+    //     closure to keep/drop: every letterboxed transcode clusters
+    //     with its original at Hamming 0 — the even original id keeps
+    "dedup_video_crop_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.videoCropInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+          .toDF("id", "vid")
+          .unionByName(base.filter((e: Long) => e % 5 == 0)
+            .mapPartitions(_.map(e => (2 * e + 1,
+              Multimodal.nnUpscaleVideo2x(Multimodal.letterboxVideo(
+                Multimodal.syntheticVideoMp4(e),
+                1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+            .toDF("id", "vid")), "id", "vid").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.videoCropInvariantPairs(sigs))
+    }),
+
+    // --- the crop-invariant video screen, INCREMENTAL
+    "dedup_video_crop_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.videoCropInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+        .localCheckpoint(true) // the standing signature index, read per band
+      val batch = Multimodal.videoCropInvariantHash(
+        base.filter((e: Long) => e % 5 == 0).mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.letterboxVideo(
+            Multimodal.syntheticVideoMp4(e),
+            1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      val out = Multimodal.incrementalVideoCropInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the crop-invariant video screen (r17)
+    "streaming_video_crop_invariant_dedup" ->
+      ((s, d) => StreamingIngest.videoCropInvariantDedupStream(s, d)),
+
+    // --- TRIM-invariant audio dedup (r17, VERDICT r16 #4): every 5th
+    //     clip also appears ZOH-2×-upsampled AND silence-padded
+    //     (lead 1+e%5, trail 1+e%3 frames) at id 2e+1 — an edit BOTH
+    //     the (channels, n_windows)-grouped audio pairs and the
+    //     fixed-grid rate-invariant key provably cannot see (padding
+    //     shifts every fixed slot). The energy-onset anchor removes
+    //     the padding from the key; the oracle replays the onset/span
+    //     scan over the closed-form energies, the double-floor slot
+    //     map, delta-sign bits, bands, caps, and confirms
+    "dedup_audio_trim_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
+        .toDF("id", "clip")
+      val padded = base.filter((e: Long) => e % 5 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.padSilence(
+            Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)),
+            1 + (e % 5).toInt, 1 + (e % 3).toInt))))
+        .toDF("id", "clip")
+      Multimodal.audioTrimInvariantPairs(
+        Multimodal.audioTrimInvariantHash(
+          orig.unionByName(padded), "id", "clip").toDF())
+    }),
+
+    // --- and the trim-invariant pair graph through the shared closure
+    //     to keep/drop: every padded re-upload clusters with its
+    //     original at Hamming 0 — the even original id keeps
+    "dedup_audio_trim_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.audioTrimInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
+          .toDF("id", "clip")
+          .unionByName(base.filter((e: Long) => e % 5 == 0)
+            .mapPartitions(_.map(e => (2 * e + 1,
+              Multimodal.padSilence(
+                Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)),
+                1 + (e % 5).toInt, 1 + (e % 3).toInt))))
+            .toDF("id", "clip")), "id", "clip").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.audioTrimInvariantPairs(sigs))
+    }),
+
+    // --- the trim-invariant screen, INCREMENTAL
+    "dedup_audio_trim_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.audioTrimInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
+          .toDF("id", "clip"), "id", "clip").toDF()
+        .localCheckpoint(true) // the standing signature index, read per band
+      val batch = Multimodal.audioTrimInvariantHash(
+        base.filter((e: Long) => e % 5 == 0).mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.padSilence(
+            Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)),
+            1 + (e % 5).toInt, 1 + (e % 3).toInt))))
+          .toDF("id", "clip"), "id", "clip").toDF()
+      val out = Multimodal.incrementalTrimInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the trim-invariant screen (r17)
+    "streaming_trim_invariant_dedup" ->
+      ((s, d) => StreamingIngest.trimInvariantDedupStream(s, d)),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -4165,6 +4379,106 @@ object SparkEntry {
     "streaming_video_scale_time_invariant_dedup" ->
       s"""WITH $videoStiScreenCte
          |SELECT batch_id, corpus_id, hamming FROM stconf2""".stripMargin,
+    // crop/letterbox-invariant image pairs (r17): the contentBox trim
+    // provably recovers the exact original rectangle and the NN box
+    // thumb composes under the 2× upscale (double-floor), so the
+    // replay needs NO border arithmetic — the copies' thumbs replay
+    // through the same k=2 double-floor over the ORIGINAL pixel
+    // formulas; 'cbox' corpus-wide group, 16-bit bands, caps, confirms
+    "dedup_image_crop_invariant" ->
+      s"""WITH $cropInvariantPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // min-label closure over the crop-invariant pair graph → per-asset
+    // keep/drop: every letterboxed re-upload lands in its original's
+    // cluster (Hamming 0), the even original id 2e keeps
+    "dedup_image_crop_invariant_keep" ->
+      s"""WITH RECURSIVE $cropInvariantPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM sah a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // the crop-invariant INCREMENTAL screen: corpus thumb index = all
+    // originals (buckets capped at 64 smallest ids, size-1 kept),
+    // batch = the letterboxed upscaled re-uploads, Hamming ≤ 6, 4 best
+    "dedup_image_crop_invariant_incremental" ->
+      s"""WITH $cropInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit (no candCap —
+    // row_number windows are illegal on streams); same CTE chain
+    "streaming_crop_invariant_dedup" ->
+      s"""WITH $cropInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
+    // crop/letterbox-invariant VIDEO pairs (r17): per-keyframe
+    // contentBox trim + fixed 8×8 NN thumbs (double-floor for the 2×
+    // rescales — the letterbox pads cancel through the trim), shared
+    // aHash rule, per-keyframe 16-bit folds, 'vcbox' group
+    "dedup_video_crop_invariant" ->
+      s"""WITH $videoCiPairsCte
+         |SELECT id_a, id_b, hamming FROM svpairs""".stripMargin,
+    // min-label closure over the crop-invariant video pair graph
+    "dedup_video_crop_invariant_keep" ->
+      s"""WITH RECURSIVE $videoCiPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM svpairs
+         |  UNION SELECT id_b, id_a FROM svpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM vssig a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // the crop-invariant video INCREMENTAL screen
+    "dedup_video_crop_invariant_incremental" ->
+      s"""WITH $videoCiScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM svconf2)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit; same CTE chain
+    "streaming_video_crop_invariant_dedup" ->
+      s"""WITH $videoCiScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM svconf2""".stripMargin,
+    // trim-invariant audio pairs (r17): onset/span scan over the
+    // closed-form frame energies, span-anchored double-floor slot map
+    // (the ZOH-2× AND the silence pads cancel: the copy's slot energy
+    // is e(f0 + ⌊⌊2wn/64⌋/2⌋)), strict delta-sign bits, 'trim' group
+    "dedup_audio_trim_invariant" ->
+      s"""WITH $trimInvariantPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // min-label closure over the trim-invariant pair graph
+    "dedup_audio_trim_invariant_keep" ->
+      s"""WITH RECURSIVE $trimInvariantPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM trfp a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // the trim-invariant INCREMENTAL screen
+    "dedup_audio_trim_invariant_incremental" ->
+      s"""WITH $trimInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit; same CTE chain
+    "streaming_trim_invariant_dedup" ->
+      s"""WITH $trimInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->
@@ -5978,6 +6292,315 @@ object SparkEntry {
       |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
       |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
       |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 6)""".stripMargin
+
+  /** Crop/letterbox-invariant thumb-fingerprint CTEs (r17, mirrors
+    * `Multimodal.imageCropInvariantHash` over the letterboxed-then-
+    * NN-2×-upscaled fixtures): originals at 2e (k = 1), composed
+    * copies of every FIFTH at 2e+1 (k = 2). The contentBox trim
+    * provably recovers the exact original rectangle (no content row or
+    * column of the coprime-stride formulas is uniform — spec-proven),
+    * and the NN box thumb's offsets cancel under the trim+2×-upscale
+    * composition (⌊(2bx + ⌊x·2bw/8⌋)/2⌋ = bx + ⌊x·bw/8⌋), so the
+    * replay is the scale family's double-floor over the ORIGINAL pixel
+    * formulas with NO border arithmetic at all. Ends defining
+    * `sah(id, ahash)` and `imgs(id, …, is_batch)`. */
+  private def cropInvariantFpCte: String =
+    """imgs AS (
+      |  SELECT event_id * 2 AS id, event_id AS e, 1 AS k, 0 AS is_batch,
+      |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
+      |  UNION ALL
+      |  SELECT 2 * event_id + 1, event_id, 2, 1,
+      |    4 + event_id % 5, 3 + event_id % 4
+      |  FROM events WHERE event_id % 5 = 0),
+      |px AS (SELECT i.id, i.e, ys.y * 8 + xs.x AS idx,
+      |    ((xs.x * i.k * i.w) // 8) // i.k AS sx,
+      |    ((ys.y * i.k * i.h) // 8) // i.k AS sy
+      |  FROM imgs i, generate_series(0, 7) AS xs(x),
+      |    generate_series(0, 7) AS ys(y)),
+      |g AS (SELECT id, idx,
+      |      (e + 7*sx + 13*sy) % 256
+      |    + (2*e + 3*sx + 5*sy) % 256
+      |    + (5*e + 11*sx + 17*sy) % 256 AS gray
+      |  FROM px),
+      |tt AS (SELECT id, sum(gray) AS total, count(*) AS n FROM g GROUP BY id),
+      |sah AS (SELECT tt.id,
+      |    CAST(coalesce(sum(CASE WHEN g.gray * tt.n > tt.total
+      |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+      |           ELSE 1::BIGINT << g.idx::INT END
+      |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
+      |  FROM g JOIN tt ON g.id = tt.id GROUP BY tt.id)""".stripMargin
+
+  /** Capped-pair CTEs over [[cropInvariantFpCte]] (mirrors
+    * `Multimodal.imageCropInvariantPairs`): one corpus-wide 'cbox'
+    * group, 4×16-bit bands, buckets capped at 64 smallest ids, exact
+    * Hamming ≤ 6 confirms, 4 best partners per id_a. Ends defining
+    * `pairs(id_a, id_b, hamming)`. */
+  private def cropInvariantPairsCte: String =
+    s"""$cropInvariantFpCte,
+      |hb AS (SELECT id, unnest([
+      |    'cbox:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'cbox:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'cbox:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'cbox:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM sah),
+      |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
+      |conf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      |  FROM cand JOIN sah a ON id_a = a.id JOIN sah b ON id_b = b.id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
+      |pairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+      |  WHERE rnk <= 4)""".stripMargin
+
+  /** Incremental-screen CTEs over [[cropInvariantFpCte]] (mirrors
+    * `Multimodal.incrementalCropInvariantNearDups` /
+    * `StreamingIngest.cropInvariantDedupStream`): corpus = the
+    * originals' signatures, batch = the letterboxed upscaled
+    * re-uploads, corpus band buckets capped at 64 smallest ids (size-1
+    * kept), Hamming ≤ 6. Ends defining
+    * `conf(batch_id, corpus_id, hamming)`. */
+  private def cropInvariantScreenCte: String =
+    s"""$cropInvariantFpCte,
+      |hc AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
+      |  WHERE i.is_batch = 0),
+      |hbt AS (SELECT s.id, s.ahash FROM sah s JOIN imgs i USING (id)
+      |  WHERE i.is_batch = 1),
+      |ci AS (SELECT id, unnest([
+      |    'cbox:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'cbox:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'cbox:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'cbox:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hc),
+      |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM ci GROUP BY bk),
+      |bi AS (SELECT id AS batch_id, unnest([
+      |    'cbox:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'cbox:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'cbox:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'cbox:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hbt),
+      |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+      |conf AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
+      |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 6)""".stripMargin
+
+  /** Crop/letterbox-invariant VIDEO thumb-signature CTEs (r17, mirrors
+    * `Multimodal.videoCropInvariantHash` over the letterboxed-then-
+    * NN-2×-rescaled `syntheticVideoMp4` fixtures): originals at 2e
+    * (kk = 1), composed copies of every FIFTH at 2e+1 (kk = 2). The
+    * per-keyframe contentBox trim cancels the pads and the box thumb's
+    * offsets cancel under the 2× upscale, so the replay is the scale
+    * family's double-floor over the original frame formulas. Ends
+    * defining `vssig(id, nk, sig)`. */
+  private def videoCiCte: String =
+    """svids AS (
+      |  SELECT event_id * 2 AS id, event_id AS e, 1 AS kk FROM events
+      |  UNION ALL
+      |  SELECT 2 * event_id + 1, event_id, 2
+      |  FROM events WHERE event_id % 5 = 0),
+      |svdims AS (SELECT id, kk, e // 4 AS c, e % 4 AS v,
+      |    4 + (e // 4) % 5 AS w, 3 + (e // 4) % 4 AS h,
+      |    3 + (e // 4) % 3 AS nf FROM svids),
+      |svkf AS (SELECT id, kk, c, v, w, h, fs.f, fs.f // 2 AS k
+      |  FROM svdims, (SELECT unnest([0, 2, 4]) AS f) AS fs WHERE fs.f < nf),
+      |svpx AS (SELECT id, f, k, c, v, w, ys.y * 8 + xs.x AS idx,
+      |    ((xs.x * kk * w) // 8) // kk AS sx,
+      |    ((ys.y * kk * h) // 8) // kk AS sy
+      |  FROM svkf, generate_series(0, 7) AS xs(x), generate_series(0, 7) AS ys(y)),
+      |svg AS (SELECT id, f, k, idx,
+      |    (20 + (c + 7*sx + 13*sy + 19*f) % 149 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (2*c + 3*sx + 5*sy + 23*f) % 151 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (5*c + 11*sx + 17*sy + 29*f) % 150 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |    AS gray
+      |  FROM svpx),
+      |svtt AS (SELECT id, f, sum(gray) AS total FROM svg GROUP BY id, f),
+      |svfh AS (SELECT g.id, g.k,
+      |  CAST(coalesce(sum(CASE WHEN g.gray * 64 > t.total
+      |    THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << g.idx::INT END
+      |    ELSE 0::BIGINT END), 0) AS BIGINT) AS fhash
+      |  FROM svg g JOIN svtt t ON g.id = t.id AND g.f = t.f
+      |  GROUP BY g.id, g.k),
+      |vssig AS (SELECT id, count(*) AS nk,
+      |  CAST(sum(xor(xor(fhash & 65535, (fhash >> 16) & 65535),
+      |      xor((fhash >> 32) & 65535, (fhash >> 48) & 65535))
+      |    << (16 * k::INT)) AS BIGINT) AS sig
+      |  FROM svfh GROUP BY id)""".stripMargin
+
+  /** Capped-pair CTEs over [[videoCiCte]] (mirrors
+    * `Multimodal.videoCropInvariantPairs`): 'vcbox:'+n_key group,
+    * 4×16-bit bands, buckets capped at 64 smallest ids, Hamming ≤ 6,
+    * 4 best partners. Ends defining `svpairs(id_a, id_b, hamming)`. */
+  private def videoCiPairsCte: String =
+    s"""$videoCiCte,
+      |svhb AS (SELECT id, unnest([
+      |    'vcbox:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM vssig),
+      |svbuckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM svhb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |svcand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM svbuckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+      |  WHERE x.a < y.b),
+      |svconf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |  FROM svcand JOIN vssig a ON id_a = a.id JOIN vssig b ON id_b = b.id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+      |svpairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM svconf)
+      |  WHERE rnk <= 4)""".stripMargin
+
+  /** Incremental-screen CTEs over [[videoCiCte]] (mirrors
+    * `Multimodal.incrementalVideoCropInvariantNearDups` /
+    * `StreamingIngest.videoCropInvariantDedupStream`): corpus = even
+    * ids, batch = odd, buckets capped at 64 smallest ids (size-1
+    * kept), Hamming ≤ 6. Ends defining
+    * `svconf2(batch_id, corpus_id, hamming)`. */
+  private def videoCiScreenCte: String =
+    s"""$videoCiCte,
+      |svhc AS (SELECT * FROM vssig WHERE id % 2 = 0),
+      |svhbt AS (SELECT * FROM vssig WHERE id % 2 = 1),
+      |svci AS (SELECT id, unnest([
+      |    'vcbox:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM svhc),
+      |svcb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM svci GROUP BY bk),
+      |svbi AS (SELECT id AS batch_id, unnest([
+      |    'vcbox:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vcbox:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM svhbt),
+      |svcand2 AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM svbi JOIN svcb USING (bk), unnest(ids) AS u(cid)),
+      |svconf2 AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.sig, c.sig)) AS BIGINT) AS hamming
+      |  FROM svcand2 JOIN svhbt b ON batch_id = b.id
+      |    JOIN svhc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.sig, c.sig)) <= 6)""".stripMargin
+
+  /** Trim-invariant audio fingerprint CTEs (r17, mirrors
+    * `Multimodal.audioTrimInvariantHash` over the ZOH-2×-upsampled-
+    * then-silence-padded `syntheticWavMixed` fixtures): originals at
+    * 2e (k = 1), composed copies of every FIFTH at 2e+1 (k = 2).
+    * Onset/tail scan over the closed-form per-frame energies
+    * (f0 = first frame with energy > 0, f1 = last), span-anchored
+    * double-floor slot map `f0 + ((w·k·n) // 64) // k` — the silence
+    * pads AND the ZOH doubling both cancel (the copy's slot energy is
+    * e(f0 + ⌊⌊2wn/64⌋/2⌋), spec-proven) — then strict delta-sign bits.
+    * A clip with no positive-energy frame gets the empty signature 0
+    * (the LEFT JOIN). Ends defining `trfp(id, h)` and
+    * `tclips(id, …, is_batch)`. */
+  private def trimInvariantFpCte: String =
+    """tclips AS (
+      |  SELECT event_id * 2 AS id, event_id AS e, 1 AS k, 0 AS is_batch,
+      |    1 + event_id % 2 AS ch, 32 + event_id % 33 AS nf FROM events
+      |  UNION ALL
+      |  SELECT 2 * event_id + 1, event_id, 2, 1,
+      |    1 + event_id % 2, 32 + event_id % 33
+      |  FROM events WHERE event_id % 5 = 0),
+      |ten AS (SELECT c.id, c.e, c.k, c.nf, fs.f,
+      |    sum((((31*c.e + 17*fs.f + 29*cc.c) % 181)
+      |         * ((7*c.e + 13*fs.f + 11*cc.c) % 179) - 16000)
+      |      * (((31*c.e + 17*fs.f + 29*cc.c) % 181)
+      |         * ((7*c.e + 13*fs.f + 11*cc.c) % 179) - 16000)) AS energy
+      |  FROM tclips c, generate_series(0, 64) AS fs(f),
+      |    generate_series(0, 1) AS cc(c)
+      |  WHERE fs.f < c.nf AND cc.c < c.ch
+      |  GROUP BY c.id, c.e, c.k, c.nf, fs.f),
+      |tspan AS (SELECT id, min(f) FILTER (WHERE energy > 0) AS f0,
+      |    max(f) FILTER (WHERE energy > 0) AS f1
+      |  FROM ten GROUP BY id),
+      |tse AS (SELECT t.id, ws.w,
+      |    s.f0 + ((ws.w * t2.k * (s.f1 - s.f0 + 1)) // 64) // t2.k AS sf
+      |  FROM (SELECT DISTINCT id FROM ten) t
+      |    JOIN tspan s ON t.id = s.id
+      |    JOIN tclips t2 ON t.id = t2.id,
+      |    generate_series(0, 63) AS ws(w)
+      |  WHERE s.f0 IS NOT NULL),
+      |tde AS (SELECT se.id, se.w, en.energy,
+      |    lead(en.energy) OVER (PARTITION BY se.id ORDER BY se.w) AS nxt
+      |  FROM tse se JOIN ten en ON se.id = en.id AND se.sf = en.f),
+      |trfp AS (
+      |  SELECT c.id, CAST(coalesce(sum(CASE WHEN d.nxt > d.energy
+      |      THEN 1::BIGINT << d.w::INT ELSE 0::BIGINT END), 0) AS BIGINT) AS h
+      |  FROM tclips c LEFT JOIN tde d ON c.id = d.id
+      |  GROUP BY c.id)""".stripMargin
+
+  /** Capped-pair CTEs over [[trimInvariantFpCte]] (mirrors
+    * `Multimodal.audioTrimInvariantPairs`): one corpus-wide 'trim'
+    * group, 4×16-bit bands, buckets capped at 64 smallest ids,
+    * Hamming ≤ 6, 4 best partners. Ends defining
+    * `pairs(id_a, id_b, hamming)`. */
+  private def trimInvariantPairsCte: String =
+    s"""$trimInvariantFpCte,
+      |hb AS (SELECT id, unnest([
+      |    'trim:0:' || ((h >> 0) & 65535)::VARCHAR,
+      |    'trim:1:' || ((h >> 16) & 65535)::VARCHAR,
+      |    'trim:2:' || ((h >> 32) & 65535)::VARCHAR,
+      |    'trim:3:' || ((h >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM trfp),
+      |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+      |  WHERE x.a < y.b),
+      |conf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |  FROM cand JOIN trfp a ON id_a = a.id JOIN trfp b ON id_b = b.id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+      |pairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+      |  WHERE rnk <= 4)""".stripMargin
+
+  /** Incremental-screen CTEs over [[trimInvariantFpCte]] (mirrors
+    * `Multimodal.incrementalTrimInvariantNearDups` /
+    * `StreamingIngest.trimInvariantDedupStream`): corpus = the
+    * originals' signatures, batch = the padded ZOH re-uploads, corpus
+    * band buckets capped at 64 smallest ids (size-1 kept), Hamming
+    * ≤ 6. Ends defining `conf(batch_id, corpus_id, hamming)`. */
+  private def trimInvariantScreenCte: String =
+    s"""$trimInvariantFpCte,
+      |hc AS (SELECT r.id, r.h FROM trfp r JOIN tclips c USING (id)
+      |  WHERE c.is_batch = 0),
+      |hbt AS (SELECT r.id, r.h FROM trfp r JOIN tclips c USING (id)
+      |  WHERE c.is_batch = 1),
+      |ci AS (SELECT id, unnest([
+      |    'trim:0:' || ((h >> 0) & 65535)::VARCHAR,
+      |    'trim:1:' || ((h >> 16) & 65535)::VARCHAR,
+      |    'trim:2:' || ((h >> 32) & 65535)::VARCHAR,
+      |    'trim:3:' || ((h >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hc),
+      |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM ci GROUP BY bk),
+      |bi AS (SELECT id AS batch_id, unnest([
+      |    'trim:0:' || ((h >> 0) & 65535)::VARCHAR,
+      |    'trim:1:' || ((h >> 16) & 65535)::VARCHAR,
+      |    'trim:2:' || ((h >> 32) & 65535)::VARCHAR,
+      |    'trim:3:' || ((h >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hbt),
+      |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+      |conf AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.h, c.h)) AS BIGINT) AS hamming
+      |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.h, c.h)) <= 6)""".stripMargin
 
   private def imageIncrementalCte: String =
     """hc AS (SELECT * FROM ah WHERE (id // 20) % 2 = 0),

@@ -1497,6 +1497,44 @@ object Multimodal {
 
   final case class ScaleInvariantHash(id: Long, ahash: Long)
 
+  /** The invariant-key family's ONE fixed-grid thumb rule (factored
+    * per ADVICE r16 #3 — previously duplicated across the image, video
+    * and time-aligned keys, where a drift would silently desynchronize
+    * the keys from each other and from the shared oracle CTEs):
+    * nearest-neighbor-sample the `bw`×`bh` region of `px` anchored at
+    * (`bx`, `by`) onto the fixed `thumbW`×`thumbH` grid, then the ONE
+    * shared [[aHashBits]] rule. The NN index map `bx + x·bw/thumbW`
+    * composes exactly under integer rescaling (double-floor identity)
+    * AND under border offsets (the crop-invariant keys pass the
+    * content box; the scale keys pass the full frame: bx=by=0,
+    * bw=w0, bh=h0). */
+  private[graft] def nnThumbAHash(w0: Long, px: Array[Int],
+                                  bx: Long, by: Long, bw: Long, bh: Long,
+                                  thumbW: Int, thumbH: Int): Long = {
+    val out = new Array[Int](thumbW * thumbH)
+    var y = 0
+    while (y < thumbH) {
+      val sy = (by + y * bh / thumbH).toInt
+      var x = 0
+      while (x < thumbW) {
+        out(y * thumbW + x) = px(sy * w0.toInt + (bx + x * bw / thumbW).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    aHashBits(out)
+  }
+
+  /** [[nnThumbAHash]] XOR-folded to the video family's 16-bit per-frame
+    * signature field — the second half of the shared rule (ADVICE
+    * r16 #3). */
+  private[graft] def thumbFold(w0: Long, px: Array[Int],
+                               bx: Long, by: Long, bw: Long, bh: Long,
+                               thumbW: Int, thumbH: Int): Long = {
+    val hash = nnThumbAHash(w0, px, bx, by, bw, bh, thumbW, thumbH)
+    (hash ^ (hash >>> 16) ^ (hash >>> 32) ^ (hash >>> 48)) & 0xFFFFL
+  }
+
   /** SCALE-INVARIANT image signature (r14): nearest-neighbor thumb to
     * a FIXED `thumbW`×`thumbH` grid (classic 8×8 aHash domain; aspect
     * deliberately ignored — the thumb is a signature space, not a
@@ -1521,18 +1559,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val (w0, h0, px) = decodeImagePayload(bytes)
-        val out = new Array[Int](thumbW * thumbH)
-        var y = 0
-        while (y < thumbH) {
-          val sy = (y * h0 / thumbH).toInt
-          var x = 0
-          while (x < thumbW) {
-            out(y * thumbW + x) = px(sy * w0.toInt + (x * w0 / thumbW).toInt)
-            x += 1
-          }
-          y += 1
-        }
-        ScaleInvariantHash(id, aHashBits(out))
+        ScaleInvariantHash(id, nnThumbAHash(w0, px, 0, 0, w0, h0, thumbW, thumbH))
       })
   }
 
@@ -1574,6 +1601,125 @@ object Multimodal {
       val p = px((y / 2) * w + (x / 2))
       ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
     })
+  }
+
+  /** Content box of a decoded frame — the integer-exact
+    * letterbox/pillarbox detector (r17, VERDICT r16 #3): trim rows,
+    * then columns, that are UNIFORMLY equal to the corner pixel
+    * px(0, 0) (the border reference). Returns (bx, by, bw, bh); a
+    * fully-uniform frame keeps the whole frame (a flat image's content
+    * IS its border color — trimming it to nothing would leave no
+    * signature domain). Integer-exact and oracle-replayable: on the
+    * gate fixtures the trim provably recovers the EXACT original pixel
+    * rectangle (no content row or column of the coprime-moduli
+    * formulas can be uniform — spec-proven), so the oracle replays the
+    * key with no border arithmetic at all. */
+  private[graft] def contentBox(w: Int, h: Int, px: Array[Int]): (Int, Int, Int, Int) = {
+    val border = px(0)
+    def rowAllBorder(y: Int): Boolean = {
+      var x = 0
+      while (x < w && px(y * w + x) == border) x += 1
+      x == w
+    }
+    def colAllBorder(x: Int, y0: Int, y1: Int): Boolean = {
+      var y = y0
+      while (y < y1 && px(y * w + x) == border) y += 1
+      y == y1
+    }
+    var top = 0
+    while (top < h && rowAllBorder(top)) top += 1
+    if (top == h) (0, 0, w, h)
+    else {
+      var bot = h
+      while (bot > top && rowAllBorder(bot - 1)) bot -= 1
+      var left = 0
+      while (left < w && colAllBorder(left, top, bot)) left += 1
+      var right = w
+      while (right > left && colAllBorder(right - 1, top, bot)) right -= 1
+      (left, top, right - left, bot - top)
+    }
+  }
+
+  /** CROP/LETTERBOX-INVARIANT image signature (r17, VERDICT r16 #3):
+    * [[contentBox]] trim, then the family's fixed-grid NN thumb +
+    * shared aHash rule over the BOX ([[nnThumbAHash]] with box
+    * anchors). Why it exists: a letterboxed or pillarboxed re-upload —
+    * the most common layout transcode after rescaling — changes EVERY
+    * fixed-grid thumb cell, so [[imageScaleInvariantHash]] provably
+    * misses it (border pixels enter the thumb), and the
+    * dimension-grouped [[imageAHashPairs]] cannot even compare the
+    * pair (the canvas dims differ). The trim removes the border BEFORE
+    * the thumb, so a letterboxed copy's signature is bit-IDENTICAL to
+    * its original's (the box recovers the exact source rectangle —
+    * content rows of the fixtures are never uniform, so the trim stops
+    * exactly at the border). And the NN box thumb composes under
+    * integer rescaling exactly like the full-frame thumb (floor
+    * identity with box offsets: an NN k×-upscale maps the box to
+    * (k·bx, k·by, k·bw, k·bh) and ⌊(k·bx + ⌊x·k·bw/t⌋)/k⌋ =
+    * bx + ⌊x·bw/t⌋), so the key absorbs letterbox AND rescale
+    * COMPOSED — the gate fixtures are NN-2×-upscaled letterboxes, and
+    * both invariances are spec-proven both directions. */
+  def imageCropInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                             thumbW: Int = 8, thumbH: Int = 8): Dataset[ScaleInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w0, h0, px) = decodeImagePayload(bytes)
+        val (bx, by, bw, bh) = contentBox(w0.toInt, h0.toInt, px)
+        ScaleInvariantHash(id, nnThumbAHash(w0, px, bx, by, bw, bh, thumbW, thumbH))
+      })
+  }
+
+  /** Near-dup pairs over the crop-invariant signatures — the shared
+    * [[bandedHammingPairs]] machinery with ONE corpus-wide group (the
+    * content-box thumb domain carries no dimensions) and the family's
+    * 16-bit × 4 banding. `maxHamming` 6: ≤3 exhaustive, 4-6
+    * probabilistic — the family posture. */
+  def imageCropInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                              bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "ahash", group = lit("cbox"),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "img_ci")
+
+  /** [[incrementalBandedHamming]] over the crop-invariant signatures —
+    * the steady-state screen for the CROSS-LAYOUT key: a new batch's
+    * content-box thumbs against the standing corpus's persisted index,
+    * same fixed group and banding as [[imageCropInvariantPairs]]. A
+    * letterboxed (even letterboxed-and-rescaled) re-upload of standing
+    * content hits at Hamming 0, which neither the dimension-grouped
+    * NOR the full-frame scale-invariant screen can see. */
+  def incrementalCropInvariantNearDups(corpusSigs: DataFrame,
+                                       batchSigs: DataFrame,
+                                       maxHamming: Int = 6,
+                                       bucketCap: Int = 64,
+                                       candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "ahash",
+      group = lit("cbox"), bandBits = 16, numBands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
+      metric = "img_ci_incr")
+
+  /** Letterbox generator: place the decoded frame at offset
+    * (padL, padT) inside a larger canvas filled with a uniform border
+    * color — the cross-layout duplicate generator the crop-invariant
+    * gates and spec share (the layout sibling of [[nnUpscale2x]]).
+    * Comes back as BMP (a frame-codec transcode axis, pixels exact). */
+  def letterbox(bytes: Array[Byte], padL: Int, padT: Int, padR: Int,
+                padB: Int, borderR: Int = 0, borderG: Int = 0,
+                borderB: Int = 0): Array[Byte] = {
+    require(padL >= 0 && padT >= 0 && padR >= 0 && padB >= 0,
+      "letterbox pads must be non-negative")
+    val (w0, h0, px) = decodeImagePayload(bytes)
+    val w = w0.toInt; val h = h0.toInt
+    Bmp.encode(w + padL + padR, h + padT + padB, (x, y) =>
+      if (x < padL || x >= padL + w || y < padT || y >= padT + h)
+        (borderR, borderG, borderB)
+      else {
+        val p = px((y - padT) * w + (x - padL))
+        ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      })
   }
 
   final case class VideoScaleInvariantHash(id: Long, n_key: Long, sig: Long)
@@ -1637,20 +1783,7 @@ object Multimodal {
       var k = 0
       while (k < keys.length) {
         val (w0, h0, px) = decodeImagePayload(m.sampleBytes(bytes, keys(k)))
-        val out = new Array[Int](thumbW * thumbH)
-        var y = 0
-        while (y < thumbH) {
-          val sy = (y * h0 / thumbH).toInt
-          var x = 0
-          while (x < thumbW) {
-            out(y * thumbW + x) = px(sy * w0.toInt + (x * w0 / thumbW).toInt)
-            x += 1
-          }
-          y += 1
-        }
-        val hash = aHashBits(out)
-        val fold = (hash ^ (hash >>> 16) ^ (hash >>> 32) ^ (hash >>> 48)) & 0xFFFFL
-        sig |= fold << (16 * k)
+        sig |= thumbFold(w0, px, 0, 0, w0, h0, thumbW, thumbH) << (16 * k)
         k += 1
       }
       Some(VideoScaleInvariantHash(id, keys.length.toLong, sig))
@@ -1702,7 +1835,11 @@ object Multimodal {
     * AND spatial resolution at once; 16-bit folds pack by slot (slot 3
     * wraps into the sign bit — the aligned key's oracle precedent).
     * `n_key` is always `nSamples`, so the one corpus-wide group needs
-    * no dimension key at all. */
+    * no dimension key at all. Sample-less clips DROP with an
+    * observable counter (ADVICE r16 #2 — the [[videoScaleInvariantHash]]
+    * posture; the old throw would poison-retry a micro-batch forever
+    * in [[graft.streaming.StreamingIngest.videoScaleTimeInvariantDedupStream]],
+    * the exact hazard the r12 quarantine tier was built for). */
   def videoScaleInvariantHashTimeAligned(df: DataFrame, idCol: String,
                                          binCol: String, nSamples: Int = 4,
                                          thumbW: Int = 8, thumbH: Int = 8)
@@ -1715,40 +1852,49 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val m = Mp4.parse(bytes)
-        Decode.req(m.samples.nonEmpty, "malformed", s"video $id has no samples")
-        val presDur = if (m.editDuration > 0) m.editDuration else m.duration
-        var sig = 0L
-        // decode+thumb once per distinct frame: slots repeat frames on
-        // short clips and decode is the expensive step (the aligned
-        // sampler's cache shape)
-        val foldCache = scala.collection.mutable.Map.empty[Int, Long]
-        var k = 0
-        while (k < nSamples) {
-          val target = m.editMediaTime + k.toLong * presDur / nSamples
-          val s = m.samples.takeWhile(_.dts <= target).lastOption
-            .getOrElse(m.samples.head)
-          val fold = foldCache.getOrElseUpdate(s.index, {
-            val (w0, h0, px) = decodeImagePayload(m.sampleBytes(bytes, s))
-            val out = new Array[Int](thumbW * thumbH)
-            var y = 0
-            while (y < thumbH) {
-              val sy = (y * h0 / thumbH).toInt
-              var x = 0
-              while (x < thumbW) {
-                out(y * thumbW + x) = px(sy * w0.toInt + (x * w0 / thumbW).toInt)
-                x += 1
-              }
-              y += 1
-            }
-            val hash = aHashBits(out)
-            (hash ^ (hash >>> 16) ^ (hash >>> 32) ^ (hash >>> 48)) & 0xFFFFL
-          })
-          sig |= fold << (16 * k)
-          k += 1
-        }
-        VideoScaleInvariantHash(id, nSamples.toLong, sig)
+        (id, videoStiOne(id, bytes, nSamples, thumbW, thumbH))
       })
+      .toDF("id", "v")
+      .observe("video_sti_drops_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("sampleless_dropped"))
+      .where(col("v").isNotNull)
+      .select(col("v.id").as("id"), col("v.n_key").as("n_key"),
+        col("v.sig").as("sig"))
+      .as[VideoScaleInvariantHash]
+  }
+
+  /** Per-clip body of [[videoScaleInvariantHashTimeAligned]] (factored
+    * for the spec's invariance proofs — the [[videoSiOne]] shape): real
+    * container parse, elst-aware slot targets, per-sampled-frame
+    * decode → fixed-grid NN thumb → shared fold. None for a clip with
+    * no samples (no perceptual identity here — same contract as
+    * [[videoSiOne]], ADVICE r16 #2). */
+  private[graft] def videoStiOne(id: Long, bytes: Array[Byte], nSamples: Int,
+                                 thumbW: Int, thumbH: Int): Option[VideoScaleInvariantHash] = {
+    val m = Mp4.parse(bytes)
+    if (m.samples.isEmpty) None
+    else {
+      val presDur = if (m.editDuration > 0) m.editDuration else m.duration
+      var sig = 0L
+      // decode+thumb once per distinct frame: slots repeat frames on
+      // short clips and decode is the expensive step (the aligned
+      // sampler's cache shape)
+      val foldCache = scala.collection.mutable.Map.empty[Int, Long]
+      var k = 0
+      while (k < nSamples) {
+        val target = m.editMediaTime + k.toLong * presDur / nSamples
+        val s = m.samples.takeWhile(_.dts <= target).lastOption
+          .getOrElse(m.samples.head)
+        val fold = foldCache.getOrElseUpdate(s.index, {
+          val (w0, h0, px) = decodeImagePayload(m.sampleBytes(bytes, s))
+          thumbFold(w0, px, 0, 0, w0, h0, thumbW, thumbH)
+        })
+        sig |= fold << (16 * k)
+        k += 1
+      }
+      Some(VideoScaleInvariantHash(id, nSamples.toLong, sig))
+    }
   }
 
   /** Near-dup pairs over the scale+stride-invariant signatures — the
@@ -1807,6 +1953,122 @@ object Multimodal {
       "nnUpscaleVideo2x: source stss is not a uniform stride pattern — " +
         "the re-encoder cannot preserve keyframe placement")
     val frames = m.samples.map(s => nnUpscale2x(m.sampleBytes(bytes, s)))
+    Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = stride)
+  }
+
+  /** CROP/LETTERBOX-INVARIANT video signature (r17, VERDICT r16 #3 —
+    * the video leg): per `stss` keyframe, [[contentBox]] trim THEN the
+    * fixed-grid NN thumb before [[aHashBits]], 16-bit folds packed by
+    * keyframe order (the [[videoScaleInvariantHash]] shape with the
+    * box anchors). A letterboxed re-encode changes every cell of the
+    * full-frame thumb, so the scale-invariant key provably misses it,
+    * and the dimension-grouped perceptual key cannot even compare the
+    * pair; the per-frame trim recovers the exact source rectangle, so
+    * a letterboxed AND NN-rescaled transcode (the gate fixtures
+    * compose both) collides with its original at Hamming 0 —
+    * spec-proven both directions. Keyframe-less clips DROP with an
+    * observable counter (the family posture). */
+  def videoCropInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                             maxKeyframes: Int = 4, thumbW: Int = 8,
+                             thumbH: Int = 8): Dataset[VideoScaleInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    require(maxKeyframes >= 1 && maxKeyframes <= 4,
+      s"maxKeyframes must be in [1, 4] (16-bit folds in one BIGINT), got $maxKeyframes")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, videoCiOne(id, bytes, maxKeyframes, thumbW, thumbH))
+      })
+      .toDF("id", "v")
+      .observe("video_ci_drops_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("keyframeless_dropped"))
+      .where(col("v").isNotNull)
+      .select(col("v.id").as("id"), col("v.n_key").as("n_key"),
+        col("v.sig").as("sig"))
+      .as[VideoScaleInvariantHash]
+  }
+
+  /** Per-clip body of [[videoCropInvariantHash]] (factored for the
+    * spec's invariance proofs): real container parse, per-keyframe
+    * decode → [[contentBox]] trim → fixed-grid NN box thumb → shared
+    * fold. None for a clip with no `stss` keyframes (same contract as
+    * [[videoSiOne]]). */
+  private[graft] def videoCiOne(id: Long, bytes: Array[Byte], maxKeyframes: Int,
+                                thumbW: Int, thumbH: Int): Option[VideoScaleInvariantHash] = {
+    val m = Mp4.parse(bytes)
+    val keys = m.samples.filter(_.keyframe).take(maxKeyframes)
+    if (keys.isEmpty) None
+    else {
+      var sig = 0L
+      var k = 0
+      while (k < keys.length) {
+        val (w0, h0, px) = decodeImagePayload(m.sampleBytes(bytes, keys(k)))
+        val (bx, by, bw, bh) = contentBox(w0.toInt, h0.toInt, px)
+        sig |= thumbFold(w0, px, bx, by, bw, bh, thumbW, thumbH) << (16 * k)
+        k += 1
+      }
+      Some(VideoScaleInvariantHash(id, keys.length.toLong, sig))
+    }
+  }
+
+  /** Near-dup pairs over the crop-invariant video signatures — the
+    * shared [[bandedHammingPairs]] machinery with dimensions dropped
+    * from the group (the content-box thumb domain replaces them;
+    * `n_key` stays — different keyframe counts occupy different bit
+    * ranges) and the family's 16-bit × 4 banding. */
+  def videoCropInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                              bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "sig",
+      group = concat(lit("vcbox:"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "vid_ci")
+
+  /** [[incrementalBandedHamming]] over the crop-invariant video
+    * signatures — the steady-state screen for the CROSS-LAYOUT video
+    * key: a new batch's content-box clip signatures against the
+    * standing corpus's persisted index, same group and banding as
+    * [[videoCropInvariantPairs]]. A letterboxed-and-rescaled transcode
+    * of standing content hits at Hamming 0, which neither the
+    * dimension-grouped NOR the full-frame scale-invariant screen can
+    * see. */
+  def incrementalVideoCropInvariantNearDups(corpusSigs: DataFrame,
+                                            batchSigs: DataFrame,
+                                            maxHamming: Int = 6,
+                                            bucketCap: Int = 64,
+                                            candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "sig",
+      group = concat(lit("vcbox:"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "vid_ci_incr")
+
+  /** Letterbox every frame and re-encode — the cross-layout duplicate
+    * generator the video crop-invariant gates and spec share (the
+    * video sibling of [[letterbox]]). Keyframe PLACEMENT is preserved
+    * under the same uniform-stride requirement as [[nnUpscaleVideo2x]]
+    * (the invariance claim samples the same frame indices on both
+    * sides); container timing is normalized in the re-encode and PNG
+    * frames come back as BMP — both additional transcode axes the
+    * crop key never reads. */
+  def letterboxVideo(bytes: Array[Byte], padL: Int, padT: Int, padR: Int,
+                     padB: Int): Array[Byte] = {
+    val m = Mp4.parse(bytes)
+    Decode.req(m.samples.nonEmpty, "malformed",
+      "letterboxVideo: clip has no samples")
+    val keyIdx = m.samples.filter(_.keyframe).map(_.index)
+    Decode.req(keyIdx.headOption.contains(0), "malformed",
+      "letterboxVideo: first sample is not a sync sample — the " +
+        "uniform-stride re-encoder cannot preserve keyframe placement")
+    val stride = if (keyIdx.length > 1) keyIdx(1) - keyIdx(0)
+                 else m.samples.length
+    Decode.req(keyIdx == (0 until m.samples.length by stride).toVector,
+      "malformed",
+      "letterboxVideo: source stss is not a uniform stride pattern — " +
+        "the re-encoder cannot preserve keyframe placement")
+    val frames = m.samples.map(s =>
+      letterbox(m.sampleBytes(bytes, s), padL, padT, padR, padB))
     Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = stride)
   }
 
@@ -1914,6 +2176,117 @@ object Multimodal {
     val nf = clip.samples.length / ch
     Wav.encode(clip.channels, clip.sampleRate * 2, nf * 2,
       (f, c) => clip.samples((f / 2) * ch + c))
+  }
+
+  /** TRIM-INVARIANT audio signature (r17, VERDICT r16 #4 — the audio
+    * analog of the crop key): anchor the fixed slot grid at the ENERGY
+    * ONSET instead of frame 0. Per-frame exact integer energies
+    * (Σ_c v², channel-folded — the [[audioRateInvariantHash]] rule),
+    * then f0 = first frame with energy > 0, f1 = last, span
+    * n = f1−f0+1; slot w samples frame `f0 + ⌊w·n/slots⌋` and bit w is
+    * the strict delta-sign to slot w+1. Why it exists: leading or
+    * trailing silence — the most common audio re-upload edit after
+    * rate change — shifts every fixed 64-slot window, so
+    * [[audioRateInvariantHash]] provably misses the padded copy, and
+    * the (channels, n_windows)-grouped [[audioFingerprintPairs]]
+    * cannot even compare it (the frame count changes). The onset
+    * anchor removes the padding from the key entirely; silence frames
+    * have EXACTLY zero energy (an integer rule, no threshold tuning),
+    * and the NN slot map composes under ZOH upsampling exactly as the
+    * rate key's (a ZOH-k× copy has onset k·f0 + lead and span k·n, and
+    * ⌊⌊w·k·n/slots⌋/k⌋ = ⌊w·n/slots⌋), so a SILENCE-PADDED ZOH-k×
+    * re-upload — the gate fixtures compose both — produces the
+    * bit-IDENTICAL signature, spec-proven both directions. Gain and
+    * channel-duplication invariance inherited from the energy
+    * delta-sign rule. A silence-only (or empty) clip gets the empty
+    * signature 0. */
+  def audioTrimInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                             slots: Int = 64): Dataset[RateInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(slots <= 64, "delta bits must fit one 64-bit hash")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        RateInvariantHash(id, trimInvariantBits(Wav.decode(bytes), slots))
+      })
+  }
+
+  /** Per-clip body of [[audioTrimInvariantHash]] (factored for the
+    * spec's invariance proofs): exact frame energies, onset/tail scan,
+    * span-anchored NN slot map, strict-greater delta-sign bits. */
+  private[graft] def trimInvariantBits(clip: Wav.Clip, slots: Int): Long = {
+    val ch = math.max(clip.channels, 1)
+    val nf = clip.samples.length / ch
+    if (nf == 0) return 0L // headers-only clip: empty signature
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var s = 0L; var c = 0
+      while (c < ch) { val v = clip.samples(f * ch + c).toLong; s += v * v; c += 1 }
+      e(f) = s; f += 1
+    }
+    var f0 = 0
+    while (f0 < nf && e(f0) == 0L) f0 += 1
+    if (f0 == nf) return 0L // silence-only clip: empty signature
+    var f1 = nf - 1
+    while (e(f1) == 0L) f1 -= 1
+    val n = (f1 - f0 + 1).toLong
+    var fp = 0L
+    var w = 0
+    while (w + 1 < slots) {
+      if (e(f0 + ((w + 1).toLong * n / slots).toInt) >
+          e(f0 + (w.toLong * n / slots).toInt))
+        fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
+  /** Near-dup pairs over the trim-invariant signatures — the shared
+    * [[bandedHammingPairs]] machinery with ONE corpus-wide group (the
+    * onset-anchored fixed grid carries neither frame count nor rate)
+    * and the family's 16-bit × 4 banding. */
+  def audioTrimInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                              bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "rfp", group = lit("trim"),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "aud_ti")
+
+  /** [[incrementalBandedHamming]] over the trim-invariant signatures —
+    * the steady-state screen for the CROSS-TRIM key: a new batch's
+    * onset-anchored signatures against the standing corpus's persisted
+    * index, same fixed group and banding as
+    * [[audioTrimInvariantPairs]]. A silence-padded (even
+    * padded-and-resampled) re-upload of standing content hits at
+    * Hamming 0, which neither the frame-count-grouped NOR the
+    * fixed-grid rate-invariant screen can see. */
+  def incrementalTrimInvariantNearDups(corpusSigs: DataFrame,
+                                       batchSigs: DataFrame,
+                                       maxHamming: Int = 6,
+                                       bucketCap: Int = 64,
+                                       candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "rfp",
+      group = lit("trim"), bandBits = 16, numBands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
+      metric = "aud_ti_incr")
+
+  /** Silence-pad generator: re-encode with `leadFrames` zero frames
+    * before and `trailFrames` after the decoded content, same rate and
+    * channel plan — the cross-trim duplicate generator the
+    * trim-invariant gates and spec share (the audio sibling of
+    * [[letterbox]]). */
+  def padSilence(bytes: Array[Byte], leadFrames: Int,
+                 trailFrames: Int): Array[Byte] = {
+    require(leadFrames >= 0 && trailFrames >= 0,
+      "padSilence pads must be non-negative")
+    val clip = Wav.decode(bytes)
+    val ch = math.max(clip.channels, 1)
+    val nf = clip.samples.length / ch
+    Wav.encode(clip.channels, clip.sampleRate, nf + leadFrames + trailFrames,
+      (f, c) =>
+        if (f < leadFrames || f >= leadFrames + nf) 0.toShort
+        else clip.samples((f - leadFrames) * ch + c))
   }
 
   final case class ResampledAudio(id: Long, channels: Long, sr0: Long,

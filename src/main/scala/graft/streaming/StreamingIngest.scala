@@ -65,7 +65,8 @@ object StreamingIngest {
     Seq("stream_append", "sjdbc", "stream_img_dedup", "stream_vid_dedup",
       "stream_span_index", "stream_media_quarantine", "stream_ann_index",
       "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup",
-      "stream_vsi_dedup", "stream_vsti_dedup")
+      "stream_vsi_dedup", "stream_vsti_dedup", "stream_ci_dedup",
+      "stream_vci_dedup", "stream_ati_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -510,6 +511,151 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .drop("arr_ts")
     val work = workDir("stream_vsti_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The CROP/LETTERBOX-INVARIANT image screen as a stream (r17,
+    * VERDICT r16 #3) — the streaming leg of the cross-layout key,
+    * completing its batch / incremental / streaming triple: the
+    * standing corpus's content-box thumb index (checkpointed static
+    * side, shuffle-join shape) screens arriving NN-2×-upscaled
+    * LETTERBOXED re-uploads; each hits its original at Hamming 0 —
+    * invisible to both [[imageDedupStream]]'s dimension-grouped key
+    * AND [[scaleInvariantDedupStream]]'s full-frame thumb. Same
+    * bounded-micro-batch + watermark-aged co-batch dedup posture;
+    * oracle = the batch screen without the candCap. */
+  def cropInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.imageCropInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img"), "id", "img").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.imageCropInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 5 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.letterbox(
+            Multimodal.syntheticBmp(e),
+            1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+        .toDF("id", "img"), "id", "img").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "ahash", group = lit("cbox"),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "img_ci_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_ci_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The CROP/LETTERBOX-INVARIANT video screen as a stream (r17) —
+    * the video leg of the cross-layout streaming family: the standing
+    * corpus's content-box clip-signature index screens arriving
+    * letterboxed-and-NN-2×-rescaled transcodes; each hits its original
+    * at Hamming 0 — invisible to the dimension-grouped AND the
+    * full-frame scale-invariant video streams. Same posture as
+    * [[videoScaleInvariantDedupStream]]. */
+  def videoCropInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.videoCropInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.videoCropInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 5 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.letterboxVideo(
+            Multimodal.syntheticVideoMp4(e),
+            1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "sig",
+        group = concat(lit("vcbox:"), col("n_key").cast("string")),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "vid_ci_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_vci_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The TRIM-INVARIANT audio screen as a stream (r17, VERDICT
+    * r16 #4) — the audio leg of the cross-edit streaming family: the
+    * standing corpus's onset-anchored signature index screens arriving
+    * silence-padded ZOH-2× re-uploads; each hits its original at
+    * Hamming 0 — invisible to the frame-count-grouped AND the
+    * fixed-grid rate-invariant audio streams. Same posture as
+    * [[rateInvariantDedupStream]]. */
+  def trimInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.audioTrimInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
+        .toDF("id", "clip"), "id", "clip").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.audioTrimInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 5 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.padSilence(
+            Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)),
+            1 + (e % 5).toInt, 1 + (e % 3).toInt))))
+        .toDF("id", "clip"), "id", "clip").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "rfp", group = lit("trim"),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "aud_ti_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_ati_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
       .option("path", s"$work/out")

@@ -2300,6 +2300,206 @@ class OpsSpec extends SparkTestBase {
         s"incremental screen missed transcode of $id: ${screened.mkString(",")}")
   }
 
+  test("crop-invariant image signature: letterboxed (and letterboxed+rescaled) copies collide at hamming 0; both parent keys provably miss them") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    def pads(e: Long) = (1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)
+    // 1) the trim-recovery lemma, exactly: contentBox on a letterboxed
+    //    fixture returns the original rectangle at the pad offsets, and
+    //    the boxed pixels equal the original's — so the box thumb is
+    //    bit-identical by construction, not merely by hash collision
+    for (e <- ids) {
+      val (pl, pt, pr, pb) = pads(e)
+      val src = graft.ops.Bmp.decode(Multimodal.syntheticBmp(e))
+      val boxed = graft.ops.Bmp.decode(
+        Multimodal.letterbox(Multimodal.syntheticBmp(e), pl, pt, pr, pb))
+      val (bx, by, bw, bh) =
+        Multimodal.contentBox(boxed.width, boxed.height, boxed.pixels)
+      assert((bx, by, bw, bh) == (pl, pt, src.width, src.height),
+        s"contentBox of letterboxed $e returned ($bx,$by,$bw,$bh)")
+      for (y <- 0 until src.height; x <- 0 until src.width)
+        assert(boxed.pixels((by + y) * boxed.width + bx + x) ==
+          src.pixels(y * src.width + x), s"trim of $e damaged pixel ($x,$y)")
+      // an untouched original trims NOTHING (no uniform content rows)
+      val (ox, oy, ow, oh) =
+        Multimodal.contentBox(src.width, src.height, src.pixels)
+      assert((ox, oy, ow, oh) == (0, 0, src.width, src.height),
+        s"contentBox trimmed an original: ($ox,$oy,$ow,$oh)")
+    }
+    // 2) key invariance end-to-end, letterbox alone AND composed with
+    //    the NN 2× upscale (the gate fixture): signatures bit-identical
+    val orig = ids.map(e => (2 * e, Multimodal.syntheticBmp(e))).toDF("id", "img")
+    val boxed = ids.map { e =>
+      val (pl, pt, pr, pb) = pads(e)
+      (2 * e + 1, Multimodal.nnUpscale2x(
+        Multimodal.letterbox(Multimodal.syntheticBmp(e), pl, pt, pr, pb)))
+    }.toDF("id", "img")
+    val sigs = Multimodal.imageCropInvariantHash(
+      orig.unionByName(boxed), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    for (e <- ids)
+      assert(sigs(2 * e) == sigs(2 * e + 1),
+        s"letterbox+2x of $e changed the crop-invariant signature")
+    // distinct contents stay distinct; originals carry the SCALE key's
+    // signature (no border → full-frame box → same thumb domain)
+    assert(ids.map(e => sigs(2 * e)).distinct.size == ids.size)
+    val scaleSigs = Multimodal.imageScaleInvariantHash(orig, "id", "img")
+      .collect().map(r => r.id -> r.ahash).toMap
+    for (e <- ids)
+      assert(sigs(2 * e) == scaleSigs(2 * e),
+        s"crop key of un-boxed original $e diverged from the scale key")
+    // 3) BOTH parents provably miss the pair: the scale key thumbs the
+    //    full canvas (border pixels enter → different signature), and
+    //    the dimension-grouped key can't even compare (dims differ)
+    val scaleBoth = Multimodal.imageScaleInvariantHash(
+      orig.unionByName(boxed), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    assert(ids.exists(e => scaleBoth(2 * e) != scaleBoth(2 * e + 1)),
+      "scale-invariant parent unexpectedly absorbed the letterbox for every id")
+    val scaleBlind = ids.count(e => scaleBoth(2 * e) != scaleBoth(2 * e + 1))
+    info(s"scale-invariant parent blind on $scaleBlind/${ids.size} letterboxed copies")
+    // 4) the pairs gate surfaces each cross-layout duplicate at 0
+    val pairs = Multimodal.imageCropInvariantPairs(
+      Multimodal.imageCropInvariantHash(
+        orig.unionByName(boxed), "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(pairs.contains((2 * e, 2 * e + 1, 0L)),
+        s"missing cross-layout pair for $e: ${pairs.mkString(",")}")
+    // 5) the INCREMENTAL screen: boxed re-uploads hit the standing
+    //    content-box index at hamming 0
+    val screened = Multimodal.incrementalCropInvariantNearDups(
+        Multimodal.imageCropInvariantHash(orig, "id", "img").toDF(),
+        Multimodal.imageCropInvariantHash(boxed, "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(screened.contains((2 * e + 1, 2 * e, 0L)),
+        s"incremental screen missed boxed re-upload of $e: ${screened.mkString(",")}")
+    // 6) the fully-uniform edge: a flat frame keeps its whole canvas
+    //    (content IS the border color — never trim to an empty box)
+    val flat = Array.fill(12)(0x123456)
+    assert(Multimodal.contentBox(4, 3, flat) == (0, 0, 4, 3),
+      "fully-uniform frame should keep the full box")
+  }
+
+  test("crop-invariant video signature: letterboxed+rescaled transcodes collide at hamming 0; both parent video keys provably miss them") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    def pads(e: Long) = (1 + (e % 3).toInt, 1 + (e % 2).toInt, 2, 1)
+    val orig = ids.map(e => (2 * e, Multimodal.syntheticVideoMp4(e)))
+      .toDF("id", "vid")
+    val boxed = ids.map { e =>
+      val (pl, pt, pr, pb) = pads(e)
+      (2 * e + 1, Multimodal.nnUpscaleVideo2x(
+        Multimodal.letterboxVideo(Multimodal.syntheticVideoMp4(e), pl, pt, pr, pb)))
+    }.toDF("id", "vid")
+    val sigs = Multimodal.videoCropInvariantHash(
+      orig.unionByName(boxed), "id", "vid").collect()
+      .map(r => r.id -> (r.n_key, r.sig)).toMap
+    // per-keyframe trim recovery + floor composition: the packed clip
+    // signature is bit-identical across letterbox AND 2× rescale
+    for (e <- ids)
+      assert(sigs(2 * e) == sigs(2 * e + 1),
+        s"letterbox+2x transcode of $e changed the crop-invariant video signature")
+    assert(ids.map(e => sigs(2 * e)).distinct.size == ids.size)
+    // the letterboxer preserves keyframe placement and frame count
+    val m0 = graft.ops.Mp4.parse(Multimodal.syntheticVideoMp4(9L))
+    val m1 = graft.ops.Mp4.parse(
+      Multimodal.letterboxVideo(Multimodal.syntheticVideoMp4(9L), 2, 1, 2, 1))
+    assert(m0.samples.map(_.keyframe) == m1.samples.map(_.keyframe),
+      "letterboxVideo moved the keyframe set")
+    // BOTH parents provably miss: the full-frame scale-invariant key
+    // sees border pixels (different signature), the dimension-grouped
+    // perceptual key can't compare (canvas dims differ)
+    val scaleBoth = Multimodal.videoScaleInvariantHash(
+      orig.unionByName(boxed), "id", "vid").collect()
+      .map(r => r.id -> r.sig).toMap
+    assert(ids.exists(e => scaleBoth(2 * e) != scaleBoth(2 * e + 1)),
+      "video scale-invariant parent unexpectedly absorbed the letterbox for every id")
+    info(s"video scale-invariant parent blind on " +
+      s"${ids.count(e => scaleBoth(2 * e) != scaleBoth(2 * e + 1))}/${ids.size} copies")
+    // the pairs gate surfaces each transcode at 0
+    val pairs = Multimodal.videoCropInvariantPairs(
+      Multimodal.videoCropInvariantHash(
+        orig.unionByName(boxed), "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(pairs.contains((2 * e, 2 * e + 1, 0L)),
+        s"missing cross-layout video pair for $e: ${pairs.mkString(",")}")
+    // the INCREMENTAL screen mirrors the batch hits
+    val screened = Multimodal.incrementalVideoCropInvariantNearDups(
+        Multimodal.videoCropInvariantHash(orig, "id", "vid").toDF(),
+        Multimodal.videoCropInvariantHash(boxed, "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(screened.contains((2 * e + 1, 2 * e, 0L)),
+        s"incremental screen missed transcode of $e: ${screened.mkString(",")}")
+  }
+
+  test("trim-invariant audio signature: silence-padded (and padded+ZOH-resampled) copies collide at hamming 0; both parent audio keys provably miss them") {
+    import spark.implicits._
+    import graft.ops.Wav
+    val ids = Seq(1L, 2L, 9L, 14L)
+    def bits(clip: Wav.Clip): Long = Multimodal.trimInvariantBits(clip, 64)
+    // 1) onset-anchored floor composition, for general k and pads (not
+    //    just the gate's 2×): ZOH k× + lead/trail silence leaves the
+    //    signature bit-identical
+    for (id <- ids; k <- Seq(2, 3); (lead, trail) <- Seq((1, 2), (5, 0), (0, 3))) {
+      val c = Wav.decode(Multimodal.syntheticWavMixed(id))
+      val nf = c.samples.length / c.channels
+      val up = Wav.Clip(c.channels, c.sampleRate * k,
+        Array.tabulate[Short]((lead + nf * k + trail) * c.channels) { i =>
+          val f = i / c.channels; val ch = i % c.channels
+          if (f < lead || f >= lead + nf * k) 0
+          else c.samples(((f - lead) / k) * c.channels + ch)
+        })
+      assert(bits(c) == bits(up),
+        s"ZOH ${k}x + pad($lead,$trail) of $id moved the trim key")
+    }
+    // 2) the generators compose identically: padSilence ∘ zohUpsample2x
+    //    over real encoded bytes
+    for (id <- ids) {
+      val c = Wav.decode(Multimodal.syntheticWavMixed(id))
+      val padded = Wav.decode(Multimodal.padSilence(
+        Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(id)),
+        1 + (id % 5).toInt, 1 + (id % 3).toInt))
+      assert(bits(c) == bits(padded),
+        s"padSilence(zohUpsample2x) of $id moved the trim key")
+      // BOTH parents provably miss: the fixed-grid rate key samples the
+      // shifted grid (different bits), the (channels, n_windows) key
+      // can't compare (frame counts differ)
+      assert(Multimodal.rateInvariantBits(c, 64) !=
+          Multimodal.rateInvariantBits(padded, 64),
+        s"rate-invariant parent unexpectedly absorbed the padding for $id")
+    }
+    // 3) silence-only and empty clips: the empty signature, loudly 0
+    assert(bits(Wav.Clip(1, 8000, Array.fill[Short](40)(0))) == 0L)
+    assert(bits(Wav.Clip(1, 8000, Array.empty[Short])) == 0L)
+    // 4) the gate's shape: padded ZOH copies pair at Hamming 0
+    val orig = ids.map(id => (2 * id, Multimodal.syntheticWavMixed(id)))
+      .toDF("id", "clip")
+    val padded = ids.map(id =>
+      (2 * id + 1, Multimodal.padSilence(
+        Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(id)),
+        1 + (id % 5).toInt, 1 + (id % 3).toInt)))
+      .toDF("id", "clip")
+    val pairs = Multimodal.audioTrimInvariantPairs(
+      Multimodal.audioTrimInvariantHash(
+        orig.unionByName(padded), "id", "clip").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(pairs.contains((2 * id, 2 * id + 1, 0L)),
+        s"missing cross-trim pair for $id: ${pairs.mkString(",")}")
+    // 5) the INCREMENTAL screen mirrors the batch hits
+    val screened = Multimodal.incrementalTrimInvariantNearDups(
+        Multimodal.audioTrimInvariantHash(orig, "id", "clip").toDF(),
+        Multimodal.audioTrimInvariantHash(padded, "id", "clip").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- ids)
+      assert(screened.contains((2 * id + 1, 2 * id, 0L)),
+        s"incremental screen missed padded re-upload of $id: ${screened.mkString(",")}")
+  }
+
   test("rate-invariant audio signature: ZOH-resampled, gain-scaled, and channel-duplicated copies collide; rate-grouped pairs cannot see them") {
     import spark.implicits._
     import graft.ops.Wav

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Committed, provenance-stamped correctness SELF-artifact (VERDICT
+r16 #1): `CORRECTNESS_r16.json` arrived from the driver literally empty
+(`{}`), and only a judge re-run of the full contract distinguished a
+harness failure from a real regression. This sibling mirrors
+`LEAKCHECK_SELF.json`: it runs the exact t2 comparison (DuckDB oracle SQL
+vs the `graft.Verify` parquet dumps, canonicalize + hash) and writes
+`CORRECTNESS_SELF.json` with per-gate
+{rows_match, schema_match, hash_match, err} plus a fingerprint that
+provably changes across runs (wall-clock), trees (content digest of every
+tracked source byte) and commits (git HEAD) — so any future empty/failed
+driver artifact is diagnosable in one diff.
+
+Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 tools/correctness_self.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import glob, hashlib, json, os, subprocess, sys, time
+
+import duckdb
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+EXTS = (".scala", ".sbt", ".py", ".md", ".json", ".sh", ".sql", ".conf")
+SKIP_FILES = {"LEAKCHECK.json", "LEAKCHECK_SELF.json",
+              "CORRECTNESS_SELF.json"}  # self-reference
+
+
+def canon(df):
+    """Identical canonicalization to tools/oracle_compare.py (the t2
+    replica): columns sorted by name, floats rounded, objects
+    stringified, rows sorted."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == "float64" or df[c].dtype == "float32":
+            df[c] = df[c].astype("float64").round(6)
+        elif df[c].dtype == "object":
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def frame_hash(df):
+    h = hashlib.md5()
+    h.update(",".join(df.columns).encode())
+    h.update(df.to_csv(index=False).encode())
+    return h.hexdigest()
+
+
+def tree_sha256():
+    out = subprocess.run(["git", "ls-files"], cwd=ROOT,
+                         capture_output=True, text=True)
+    files = [f for f in out.stdout.splitlines() if f] if out.returncode == 0 else []
+    digest = hashlib.sha256()
+    for rel in sorted(files):
+        if not rel.endswith(EXTS) or os.path.basename(rel) in SKIP_FILES:
+            continue
+        path = os.path.join(ROOT, rel)
+        try:
+            data = open(path, "rb").read()
+        except OSError:
+            continue
+        digest.update(rel.encode())
+        digest.update(data)
+    return digest.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    t0 = time.time()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    gates, n_pass, n_fail = {}, 0, 0
+    for name in sorted(oracle):
+        g = {"rows_match": False, "schema_match": False,
+             "hash_match": False, "err": None}
+        try:
+            files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+            if not files:
+                raise RuntimeError("no spark dump")
+            spark_df = canon(con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            ora_df = canon(con.execute(oracle[name]).fetchdf())
+            g["schema_match"] = list(spark_df.columns) == list(ora_df.columns)
+            g["rows_match"] = len(spark_df) == len(ora_df)
+            g["hash_match"] = (g["schema_match"] and g["rows_match"]
+                               and frame_hash(spark_df) == frame_hash(ora_df)
+                               and spark_df.equals(ora_df))
+        except Exception as e:
+            g["err"] = f"{type(e).__name__}: {e}"[:200]
+        gates[name] = g
+        ok = g["hash_match"] and g["err"] is None
+        n_pass += ok
+        n_fail += not ok
+        if not ok:
+            print(f"FAIL {name}: {g}")
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
+                          capture_output=True, text=True).stdout.strip() or "unknown"
+    result = {
+        "scan_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "scan_wall_ns": time.time_ns(),          # changes EVERY run
+        "git_head": head,                         # changes per commit
+        "tree_sha256": tree_sha256(),             # changes per content edit
+        "sf_dir": sf_dir,
+        "gate_count": len(oracle),
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "compare_seconds": round(time.time() - t0, 3),
+        "gates": gates,
+    }
+    out = os.path.join(ROOT, "CORRECTNESS_SELF.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"{out}: {n_pass} pass / {n_fail} fail / {len(oracle)} total "
+          f"(tree {result['tree_sha256'][:12]}, head {head[:8]})")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
