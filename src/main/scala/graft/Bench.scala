@@ -113,6 +113,10 @@ object Bench {
     "streaming_video_crop_invariant_dedup",
     "dedup_audio_trim_invariant", "dedup_audio_trim_invariant_keep",
     "dedup_audio_trim_invariant_incremental", "streaming_trim_invariant_dedup",
+    // r17: the mirror-invariant image family (orbit-canonical thumb)
+    "dedup_image_mirror_invariant", "dedup_image_mirror_invariant_keep",
+    "dedup_image_mirror_invariant_incremental",
+    "streaming_mirror_invariant_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

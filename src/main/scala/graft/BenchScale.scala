@@ -144,7 +144,10 @@ object BenchScale {
     "dedup_video_crop_invariant_incremental",
     "streaming_video_crop_invariant_dedup",
     "dedup_audio_trim_invariant", "dedup_audio_trim_invariant_keep",
-    "dedup_audio_trim_invariant_incremental", "streaming_trim_invariant_dedup")
+    "dedup_audio_trim_invariant_incremental", "streaming_trim_invariant_dedup",
+    "dedup_image_mirror_invariant", "dedup_image_mirror_invariant_keep",
+    "dedup_image_mirror_invariant_incremental",
+    "streaming_mirror_invariant_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

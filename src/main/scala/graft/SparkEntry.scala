@@ -2111,6 +2111,73 @@ object SparkEntry {
     "streaming_trim_invariant_dedup" ->
       ((s, d) => StreamingIngest.trimInvariantDedupStream(s, d)),
 
+    // --- MIRROR-invariant image dedup (r17): every 3rd asset also
+    //     appears horizontally MIRRORED and NN-2×-upscaled at id
+    //     2e+1 — an orientation transcode every current key misses
+    //     (the scale/crop keys hash the uploaded orientation; the
+    //     dimension-grouped key compares but at a large Hamming
+    //     distance). The key hashes BOTH physical orientations and
+    //     keeps the signed min — exact by orbit-set equality (mirror
+    //     is an involution) and composing with the NN 2× upscale
+    //     (mirror∘upscale = upscale∘mirror, spec-proven); the oracle
+    //     replays both orientations' thumbs and takes least()
+    "dedup_image_mirror_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img")
+      val flipped = base.filter((e: Long) => e % 3 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.mirrorBmp(
+            Multimodal.syntheticBmp(e))))))
+        .toDF("id", "img")
+      Multimodal.imageMirrorInvariantPairs(
+        Multimodal.imageMirrorInvariantHash(
+          orig.unionByName(flipped), "id", "img").toDF())
+    }),
+
+    // --- and the mirror-invariant pair graph through the shared
+    //     closure to keep/drop: every mirrored re-upload clusters with
+    //     its original at Hamming 0 — the even original id keeps
+    "dedup_image_mirror_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.imageMirrorInvariantHash(
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img")
+          .unionByName(base.filter((e: Long) => e % 3 == 0)
+            .mapPartitions(_.map(e =>
+              (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.mirrorBmp(
+                Multimodal.syntheticBmp(e))))))
+            .toDF("id", "img")), "id", "img").toDF()
+        .localCheckpoint(true) // two consumers — decode once (see dedup_audio_clusters)
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.imageMirrorInvariantPairs(sigs))
+    }),
+
+    // --- the mirror-invariant screen, INCREMENTAL
+    "dedup_image_mirror_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.imageMirrorInvariantHash(
+        base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+          .toDF("id", "img"), "id", "img").toDF()
+        .localCheckpoint(true) // the standing canonical-thumb index, read per band
+      val batch = Multimodal.imageMirrorInvariantHash(
+        base.filter((e: Long) => e % 3 == 0).mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.mirrorBmp(
+            Multimodal.syntheticBmp(e))))))
+          .toDF("id", "img"), "id", "img").toDF()
+      val out = Multimodal.incrementalMirrorInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the mirror-invariant screen (r17)
+    "streaming_mirror_invariant_dedup" ->
+      ((s, d) => StreamingIngest.mirrorInvariantDedupStream(s, d)),
+
     // --- streaming: bounded Structured Streaming run == batch oracle
     "streaming_window_counts" -> ((s, d) => StreamingIngest.windowCounts(s, d)),
 
@@ -4479,6 +4546,39 @@ object SparkEntry {
     "streaming_trim_invariant_dedup" ->
       s"""WITH $trimInvariantScreenCte
          |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
+    // mirror-invariant image pairs (r17): both orientations' thumbs
+    // (sx and its reflection w−1−sx) through the shared aHash rule,
+    // signed least() canonicalization — mirrored+2×-upscaled copies
+    // replay to the same canonical hash by orbit-set equality, so the
+    // copy rows carry the original's formulas; 'mthumb' group, bands,
+    // caps, confirms
+    "dedup_image_mirror_invariant" ->
+      s"""WITH $mirrorInvariantPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // min-label closure over the mirror-invariant pair graph
+    "dedup_image_mirror_invariant_keep" ->
+      s"""WITH RECURSIVE $mirrorInvariantPairsCte,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT a.id, least(a.id, coalesce(min(r.dst), a.id)) AS cluster
+         |  FROM mah a LEFT JOIN reach r ON a.id = r.src GROUP BY a.id)
+         |SELECT id, cluster, cluster = id AS keep FROM lab""".stripMargin,
+    // the mirror-invariant INCREMENTAL screen
+    "dedup_image_mirror_invariant_incremental" ->
+      s"""WITH $mirrorInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM conf)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit; same CTE chain
+    "streaming_mirror_invariant_dedup" ->
+      s"""WITH $mirrorInvariantScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM conf""".stripMargin,
     "agg_salted_count" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "k4_ttl_preserve" ->
@@ -6382,6 +6482,107 @@ object SparkEntry {
       |    'cbox:1:' || ((ahash >> 16) & 65535)::VARCHAR,
       |    'cbox:2:' || ((ahash >> 32) & 65535)::VARCHAR,
       |    'cbox:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hbt),
+      |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),
+      |conf AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.ahash, c.ahash)) AS BIGINT) AS hamming
+      |  FROM cand JOIN hbt b ON batch_id = b.id JOIN hc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.ahash, c.ahash)) <= 6)""".stripMargin
+
+  /** Mirror-invariant canonical-thumb CTEs (r17, mirrors
+    * `Multimodal.imageMirrorInvariantHash` over the mirrored-then-
+    * NN-2×-upscaled fixtures): originals at 2e, composed copies of
+    * every THIRD at 2e+1. Both orientations' thumbs replay over the
+    * ORIGINAL pixel formulas — orientation 0 samples sx = ⌊x·w/8⌋,
+    * orientation 1 its reflection w−1−sx — and the canonical hash is
+    * the signed least() of the two (the engine's `math.min` over
+    * Long). The copy rows carry the SAME formulas: mirror is an
+    * involution, so the copy's orientation set equals the original's
+    * (orbit lemma), and the NN 2× upscale cancels through the
+    * double-floor inside each orientation (mirror∘upscale =
+    * upscale∘mirror, spec-proven) — no per-copy arithmetic survives.
+    * Ends defining `mah(id, ahash)` and `imgs(id, …, is_batch)`. */
+  private def mirrorInvariantFpCte: String =
+    """imgs AS (
+      |  SELECT event_id * 2 AS id, event_id AS e, 0 AS is_batch,
+      |    4 + event_id % 5 AS w, 3 + event_id % 4 AS h FROM events
+      |  UNION ALL
+      |  SELECT 2 * event_id + 1, event_id, 1,
+      |    4 + event_id % 5, 3 + event_id % 4
+      |  FROM events WHERE event_id % 3 = 0),
+      |px AS (SELECT i.id, i.e, orient.o, ys.y * 8 + xs.x AS idx,
+      |    CASE WHEN orient.o = 0 THEN (xs.x * i.w) // 8
+      |         ELSE i.w - 1 - ((xs.x * i.w) // 8) END AS sx,
+      |    (ys.y * i.h) // 8 AS sy
+      |  FROM imgs i, generate_series(0, 7) AS xs(x),
+      |    generate_series(0, 7) AS ys(y), generate_series(0, 1) AS orient(o)),
+      |g AS (SELECT id, o, idx,
+      |      (e + 7*sx + 13*sy) % 256
+      |    + (2*e + 3*sx + 5*sy) % 256
+      |    + (5*e + 11*sx + 17*sy) % 256 AS gray
+      |  FROM px),
+      |tt AS (SELECT id, o, sum(gray) AS total, count(*) AS n FROM g GROUP BY id, o),
+      |oah AS (SELECT tt.id, tt.o,
+      |    CAST(coalesce(sum(CASE WHEN g.gray * tt.n > tt.total
+      |      THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+      |           ELSE 1::BIGINT << g.idx::INT END
+      |      ELSE 0::BIGINT END), 0) AS BIGINT) AS ahash
+      |  FROM g JOIN tt ON g.id = tt.id AND g.o = tt.o GROUP BY tt.id, tt.o),
+      |mah AS (SELECT id, min(ahash) AS ahash FROM oah GROUP BY id)""".stripMargin
+
+  /** Capped-pair CTEs over [[mirrorInvariantFpCte]] (mirrors
+    * `Multimodal.imageMirrorInvariantPairs`): one corpus-wide 'mthumb'
+    * group, 4×16-bit bands, buckets capped at 64 smallest ids, exact
+    * Hamming ≤ 6 confirms, 4 best partners per id_a. Ends defining
+    * `pairs(id_a, id_b, hamming)`. */
+  private def mirrorInvariantPairsCte: String =
+    s"""$mirrorInvariantFpCte,
+      |hb AS (SELECT id, unnest([
+      |    'mthumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'mthumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'mthumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'mthumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM mah),
+      |buckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM hb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |cand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM buckets, unnest(ids) AS x(a), unnest(ids) AS y(b) WHERE x.a < y.b),
+      |conf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      |  FROM cand JOIN mah a ON id_a = a.id JOIN mah b ON id_b = b.id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
+      |pairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM conf)
+      |  WHERE rnk <= 4)""".stripMargin
+
+  /** Incremental-screen CTEs over [[mirrorInvariantFpCte]] (mirrors
+    * `Multimodal.incrementalMirrorInvariantNearDups` /
+    * `StreamingIngest.mirrorInvariantDedupStream`): corpus = the
+    * originals' canonical signatures, batch = the mirrored upscaled
+    * re-uploads, corpus band buckets capped at 64 smallest ids (size-1
+    * kept), Hamming ≤ 6. Ends defining
+    * `conf(batch_id, corpus_id, hamming)`. */
+  private def mirrorInvariantScreenCte: String =
+    s"""$mirrorInvariantFpCte,
+      |hc AS (SELECT m.id, m.ahash FROM mah m JOIN imgs i USING (id)
+      |  WHERE i.is_batch = 0),
+      |hbt AS (SELECT m.id, m.ahash FROM mah m JOIN imgs i USING (id)
+      |  WHERE i.is_batch = 1),
+      |ci AS (SELECT id, unnest([
+      |    'mthumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'mthumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'mthumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'mthumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM hc),
+      |cb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM ci GROUP BY bk),
+      |bi AS (SELECT id AS batch_id, unnest([
+      |    'mthumb:0:' || ((ahash >> 0) & 65535)::VARCHAR,
+      |    'mthumb:1:' || ((ahash >> 16) & 65535)::VARCHAR,
+      |    'mthumb:2:' || ((ahash >> 32) & 65535)::VARCHAR,
+      |    'mthumb:3:' || ((ahash >> 48) & 65535)::VARCHAR
       |  ]) AS bk FROM hbt),
       |cand AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
       |  FROM bi JOIN cb USING (bk), unnest(ids) AS u(cid)),

@@ -1701,6 +1701,92 @@ object Multimodal {
       maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
       metric = "img_ci_incr")
 
+  /** Horizontal mirror of a decoded pixel array — the orbit element
+    * the mirror-invariant key canonicalizes over. */
+  private[graft] def mirrorH(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val out = new Array[Int](px.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = px(y * w + (w - 1 - x)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** MIRROR-INVARIANT image signature (r17): the minimum of the
+    * fixed-grid thumb hash over BOTH horizontal orientations of the
+    * decoded array — orbit canonicalization, the only exact route. Why
+    * not "thumb then flip the cells": NN sampling does NOT commute
+    * with reflection (w−1−⌊x·w/t⌋ ≠ ⌊(t−1−x)·w/t⌋ in general), so a
+    * cell-permuted hash would drift by a bit or two and the invariance
+    * claim would be approximate. Hashing each PHYSICAL orientation and
+    * taking the signed min is exact by set equality: mirror is an
+    * involution, so the copy's orientation set {H(m(px)), H(m(m(px)))}
+    * IS the original's {H(px), H(m(px))} — identical min, Hamming 0.
+    * And it composes with the scale key's axis: NN 2× upscale commutes
+    * with mirror EXACTLY (⌊(2w−1−x)/2⌋ = w−1−⌊x/2⌋ for both parities),
+    * so a mirrored-AND-rescaled re-upload (the gate fixture) still
+    * collides — spec-proven both directions. Why it exists: a mirrored
+    * re-upload preserves dimensions AND brightness statistics, so the
+    * dimension-grouped key compares it but at a large Hamming
+    * distance, and the scale/crop keys hash different bits — every
+    * current key provably misses it. */
+  def imageMirrorInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                               thumbW: Int = 8, thumbH: Int = 8): Dataset[ScaleInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w0, h0, px) = decodeImagePayload(bytes)
+        val plain = nnThumbAHash(w0, px, 0, 0, w0, h0, thumbW, thumbH)
+        val flipped = nnThumbAHash(w0, mirrorH(w0.toInt, h0.toInt, px),
+          0, 0, w0, h0, thumbW, thumbH)
+        ScaleInvariantHash(id, math.min(plain, flipped))
+      })
+  }
+
+  /** Near-dup pairs over the mirror-invariant signatures — the shared
+    * [[bandedHammingPairs]] machinery with ONE corpus-wide group (the
+    * canonical orientation carries no dimensions) and the family's
+    * 16-bit × 4 banding. */
+  def imageMirrorInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                                bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "ahash", group = lit("mthumb"),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "img_mi")
+
+  /** [[incrementalBandedHamming]] over the mirror-invariant
+    * signatures — the steady-state screen for the CROSS-ORIENTATION
+    * key: a new batch's canonical thumbs against the standing corpus's
+    * persisted index, same fixed group and banding as
+    * [[imageMirrorInvariantPairs]]. A mirrored (even
+    * mirrored-and-rescaled) re-upload of standing content hits at
+    * Hamming 0, which no other image screen can see. */
+  def incrementalMirrorInvariantNearDups(corpusSigs: DataFrame,
+                                         batchSigs: DataFrame,
+                                         maxHamming: Int = 6,
+                                         bucketCap: Int = 64,
+                                         candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "ahash",
+      group = lit("mthumb"), bandBits = 16, numBands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
+      metric = "img_mi_incr")
+
+  /** Horizontal-mirror generator (decode → flip each row → re-encode) —
+    * the cross-orientation duplicate generator the mirror-invariant
+    * gates and spec share. */
+  def mirrorBmp(bytes: Array[Byte]): Array[Byte] = {
+    val (w0, h0, px) = decodeImagePayload(bytes)
+    val w = w0.toInt; val h = h0.toInt
+    Bmp.encode(w, h, (x, y) => {
+      val p = px(y * w + (w - 1 - x))
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    })
+  }
+
   /** Letterbox generator: place the decoded frame at offset
     * (padL, padT) inside a larger canvas filled with a uniform border
     * color — the cross-layout duplicate generator the crop-invariant

@@ -66,7 +66,7 @@ object StreamingIngest {
       "stream_span_index", "stream_media_quarantine", "stream_ann_index",
       "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup",
       "stream_vsi_dedup", "stream_vsti_dedup", "stream_ci_dedup",
-      "stream_vci_dedup", "stream_ati_dedup")
+      "stream_vci_dedup", "stream_ati_dedup", "stream_mi_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -609,6 +609,52 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .drop("arr_ts")
     val work = workDir("stream_vci_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The MIRROR-INVARIANT image screen as a stream (r17) — the
+    * orientation leg of the invariant-key streaming family: the
+    * standing corpus's canonical-orientation thumb index screens
+    * arriving mirrored-and-NN-2×-upscaled re-uploads; each hits its
+    * original at Hamming 0 — invisible to every other image stream
+    * (the scale/crop keys hash the uploaded orientation only). Same
+    * posture as [[scaleInvariantDedupStream]]. */
+  def mirrorInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.imageMirrorInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img"), "id", "img").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.imageMirrorInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 3 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.mirrorBmp(
+            Multimodal.syntheticBmp(e))))))
+        .toDF("id", "img"), "id", "img").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "ahash", group = lit("mthumb"),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "img_mi_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_mi_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
       .option("path", s"$work/out")

@@ -2436,6 +2436,65 @@ class OpsSpec extends SparkTestBase {
         s"incremental screen missed transcode of $e: ${screened.mkString(",")}")
   }
 
+  test("mirror-invariant image signature: mirrored (and mirrored+rescaled) copies collide at hamming 0; every other image key provably misses them") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    // 1) the orbit lemma on real encoded bytes: the canonical hash of a
+    //    mirrored copy — and of a mirrored-then-NN-2×-upscaled copy
+    //    (mirror∘upscale = upscale∘mirror) — is bit-identical
+    val orig = ids.map(e => (2 * e, Multimodal.syntheticBmp(e))).toDF("id", "img")
+    val flipped = ids.map(e =>
+      (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.mirrorBmp(
+        Multimodal.syntheticBmp(e))))).toDF("id", "img")
+    val sigs = Multimodal.imageMirrorInvariantHash(
+      orig.unionByName(flipped), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    for (e <- ids)
+      assert(sigs(2 * e) == sigs(2 * e + 1),
+        s"mirror+2x of $e changed the mirror-invariant signature")
+    assert(ids.map(e => sigs(2 * e)).distinct.size == ids.size)
+    // mirror alone (no upscale) also collides — the involution case
+    val mirrorOnly = ids.map(e =>
+      (3000L + e, Multimodal.mirrorBmp(Multimodal.syntheticBmp(e))))
+      .toDF("id", "img")
+    val sigsM = Multimodal.imageMirrorInvariantHash(
+      orig.unionByName(mirrorOnly), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    for (e <- ids)
+      assert(sigsM(2 * e) == sigsM(3000L + e),
+        s"plain mirror of $e changed the mirror-invariant signature")
+    // 2) every OTHER image key provably misses: the scale and crop keys
+    //    hash the uploaded orientation only (different bits)
+    val scaleBoth = Multimodal.imageScaleInvariantHash(
+      orig.unionByName(mirrorOnly), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    assert(ids.exists(e => scaleBoth(2 * e) != scaleBoth(3000L + e)),
+      "scale-invariant key unexpectedly absorbed the mirror for every id")
+    val cropBoth = Multimodal.imageCropInvariantHash(
+      orig.unionByName(mirrorOnly), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    assert(ids.exists(e => cropBoth(2 * e) != cropBoth(3000L + e)),
+      "crop-invariant key unexpectedly absorbed the mirror for every id")
+    info(s"scale key blind on ${ids.count(e => scaleBoth(2 * e) != scaleBoth(3000L + e))}/" +
+      s"${ids.size}, crop key blind on ${ids.count(e => cropBoth(2 * e) != cropBoth(3000L + e))}/${ids.size}")
+    // 3) the pairs gate surfaces each cross-orientation duplicate at 0
+    val pairs = Multimodal.imageMirrorInvariantPairs(
+      Multimodal.imageMirrorInvariantHash(
+        orig.unionByName(flipped), "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(pairs.contains((2 * e, 2 * e + 1, 0L)),
+        s"missing cross-orientation pair for $e: ${pairs.mkString(",")}")
+    // 4) the INCREMENTAL screen mirrors the batch hits
+    val screened = Multimodal.incrementalMirrorInvariantNearDups(
+        Multimodal.imageMirrorInvariantHash(orig, "id", "img").toDF(),
+        Multimodal.imageMirrorInvariantHash(flipped, "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(screened.contains((2 * e + 1, 2 * e, 0L)),
+        s"incremental screen missed mirrored re-upload of $e: ${screened.mkString(",")}")
+  }
+
   test("trim-invariant audio signature: silence-padded (and padded+ZOH-resampled) copies collide at hamming 0; both parent audio keys provably miss them") {
     import spark.implicits._
     import graft.ops.Wav
