@@ -117,6 +117,19 @@ object Bench {
     "dedup_image_mirror_invariant", "dedup_image_mirror_invariant_keep",
     "dedup_image_mirror_invariant_incremental",
     "streaming_mirror_invariant_dedup",
+    // r18: the rotation-invariant image family (full D4 orbit), the
+    // mirror-invariant video family (per-frame orbit-min), and the
+    // channel-swap axis gated through the rate key (VERDICT r17 #3/#4)
+    "dedup_image_rotation_invariant", "dedup_image_rotation_invariant_keep",
+    "dedup_image_rotation_invariant_incremental",
+    "streaming_rotation_invariant_dedup",
+    "dedup_video_mirror_invariant", "dedup_video_mirror_invariant_keep",
+    "dedup_video_mirror_invariant_incremental",
+    "streaming_video_mirror_invariant_dedup",
+    "dedup_audio_channel_swap_invariant",
+    "dedup_audio_channel_swap_invariant_keep",
+    "dedup_audio_channel_swap_invariant_incremental",
+    "streaming_channel_swap_invariant_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",
@@ -151,7 +164,19 @@ object Bench {
     // testable attribution instead of prose
     val jobCounter = graft.util.JobCounter.install(spark.sparkContext)
     val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // per-gate ledger START offsets (VERDICT r17 #2): the r17 driver
+    // spikes sat in one contiguous stretch of the run — consistent with
+    // a contended window on the driver machine but unprovable from the
+    // ledger. Record each gate's start as seconds since bench start
+    // (plus the absolute bench_start_utc below), so position-in-run /
+    // co-tenancy attribution is a diffable number.
+    val benchStartNs = System.nanoTime()
+    val benchStartUtc = java.time.Instant.now().toString
+    val startOffsets = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def markStart(name: String): Unit =
+      startOffsets(name) = (System.nanoTime() - benchStartNs) / 1e9
     def countingJobs(name: String)(body: => Double): Double = {
+      markStart(name)
       val j0 = jobCounter.count
       val sec = body
       jobCounts(name) = jobCounter.count - j0
@@ -234,10 +259,12 @@ object Bench {
         "multimodal_quarantine_report", "streaming_media_quarantine",
         "streaming_video_quarantine")
       if (only.forall(_.exists(artifactReaders.contains))) {
-        def timed(name: String)(body: => Unit): Unit =
+        def timed(name: String)(body: => Unit): Unit = {
+          markStart(name)
           results(name) = try time(body) catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
           }
+        }
         timed("media_index_build") {
           SparkEntry.mediaSignatureIndex(spark, sfDir); ()
         }
@@ -266,10 +293,12 @@ object Bench {
 
     // One failure in a transfer section must not abort Bench before the
     // JSON line prints — the driver would lose EVERY timing for the round
-    def guarded(name: String)(body: => Double): Unit =
+    def guarded(name: String)(body: => Double): Unit = {
+      markStart(name)
       results(name) = try body catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
+    }
 
     // Transfer benchmark: the reference's core workload — full lineitem
     // read → transforms → write (BASELINE.md: ≤60 s incl. startup).
@@ -340,9 +369,12 @@ object Bench {
       .mkString("{", ",", "}")
     val jc = jobCounts.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def f1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    val so = startOffsets.map { case (k, v) => "\"" + k + "\":" + f1(v) }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"job_counts":$jc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"job_counts":$jc,"start_offsets":$so,"bench_start_utc":"$benchStartUtc","sf":"$sfDir"}"""
     println(json)
     // The stdout line alone is fragile: the driver's log capture
     // truncated BENCH_r07's tail before the total ever appeared

@@ -41,7 +41,12 @@ object BenchPairs {
     // r17 (VERDICT r16 #2): the two r16 driver spikes that had no
     // cold/warm envelope — bracketed so a >2× driver number is
     // classifiable by diff instead of judge re-run
-    "dedup_video_scale_invariant_keep", "dedup_video_incremental")
+    "dedup_video_scale_invariant_keep", "dedup_video_incremental",
+    // r18 (VERDICT r17 #2): the four r17 driver spikes — three
+    // unbracketed, one (multimodal_video_fingerprint, already above)
+    // bracketed-but-unattributed and re-probed at HEAD
+    "dedup_audio_rate_invariant_keep", "dedup_video_scale_invariant",
+    "multimodal_video_phash_aligned")
 
   // gates that read standing artifacts: build them UNTIMED first, the
   // driver's de-confounded shape (Bench.scala artifactReaders)
@@ -81,6 +86,13 @@ object BenchPairs {
       val j0 = jobs.count
       val g0 = gcSec
       val t0 = System.nanoTime()
+      // timing is read the moment the gate's WORK completes — cleanup
+      // (temp-tree deletion below) must not leak into the envelope
+      // (ADVICE r17 #1: r17's transfer numbers included a recursive
+      // delete of the full copied dataset)
+      var elapsed = (0.0, 0.0, 0L)
+      def stopClock(): Unit =
+        elapsed = ((System.nanoTime() - t0) / 1e9, gcSec - g0, jobs.count - j0)
       gate match {
         case "transfer_all_tables" =>
           // Bench-only gate (not in SparkEntry.queries): mirror
@@ -102,17 +114,20 @@ object BenchPairs {
             val res = graft.engine.TransferRunner.run(spark, spec, log = _ => ())
             require(graft.engine.TransferRunner.allCompleted(res),
               graft.engine.TransferRunner.summarize(res))
-          } finally
+          } finally {
+            stopClock()
             // delete the per-repetition temp tree (full copy of all
             // tables + checkpoints) — 3 accumulate per child JVM and
             // repeated bench runs would grow /tmp unbounded (ADVICE
             // r16 #1; the work-dir pruning discipline used elsewhere)
             graft.util.Fs.deleteRecursive(new java.io.File(tmp))
+          }
         case g =>
           SparkEntry.queries(g)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
+          stopClock()
       }
-      ((System.nanoTime() - t0) / 1e9, gcSec - g0, jobs.count - j0)
+      elapsed
     }
     // Bench's standard warmup query — session/codegen bootstrap, not
     // gate warmth

@@ -1525,15 +1525,19 @@ object Multimodal {
     aHashBits(out)
   }
 
+  /** The video family's ONE 64→16-bit XOR fold (r18: factored from
+    * [[thumbFold]] so the orbit-canonical video keys can fold a
+    * min-over-orientations hash through the SAME rule). */
+  private[graft] def fold16(hash: Long): Long =
+    (hash ^ (hash >>> 16) ^ (hash >>> 32) ^ (hash >>> 48)) & 0xFFFFL
+
   /** [[nnThumbAHash]] XOR-folded to the video family's 16-bit per-frame
     * signature field — the second half of the shared rule (ADVICE
     * r16 #3). */
   private[graft] def thumbFold(w0: Long, px: Array[Int],
                                bx: Long, by: Long, bw: Long, bh: Long,
-                               thumbW: Int, thumbH: Int): Long = {
-    val hash = nnThumbAHash(w0, px, bx, by, bw, bh, thumbW, thumbH)
-    (hash ^ (hash >>> 16) ^ (hash >>> 32) ^ (hash >>> 48)) & 0xFFFFL
-  }
+                               thumbW: Int, thumbH: Int): Long =
+    fold16(nnThumbAHash(w0, px, bx, by, bw, bh, thumbW, thumbH))
 
   /** SCALE-INVARIANT image signature (r14): nearest-neighbor thumb to
     * a FIXED `thumbW`×`thumbH` grid (classic 8×8 aHash domain; aspect
@@ -1658,7 +1662,19 @@ object Multimodal {
     * (k·bx, k·by, k·bw, k·bh) and ⌊(k·bx + ⌊x·k·bw/t⌋)/k⌋ =
     * bx + ⌊x·bw/t⌋), so the key absorbs letterbox AND rescale
     * COMPOSED — the gate fixtures are NN-2×-upscaled letterboxes, and
-    * both invariances are spec-proven both directions. */
+    * both invariances are spec-proven both directions.
+    *
+    * LIMITATION (ADVICE r17 #3): [[contentBox]] trims rows/columns
+    * EXACTLY equal to the corner pixel px(0,0), so the Hamming-0
+    * letterbox invariance holds for clean (bit-uniform) borders — the
+    * fixture class and the common hard-matte transcode. On lossy
+    * real-world corpora a corner watermark, JPEG-noisy borders, or
+    * content edge rows that happen to match the corner color can trim
+    * the original and the copy ASYMMETRICALLY, degrading this key to a
+    * miss (never a false merge — a wrong box only moves the thumb
+    * domain). Point this key at such corpora with a majority-border or
+    * tolerance-based trim in front; the signature/banding machinery is
+    * unchanged by the box rule. */
   def imageCropInvariantHash(df: DataFrame, idCol: String, binCol: String,
                              thumbW: Int = 8, thumbH: Int = 8): Dataset[ScaleInvariantHash] = {
     val spark = df.sparkSession
@@ -1783,6 +1799,124 @@ object Multimodal {
     val w = w0.toInt; val h = h0.toInt
     Bmp.encode(w, h, (x, y) => {
       val p = px(y * w + (w - 1 - x))
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    })
+  }
+
+  /** 90°-clockwise rotation of a decoded pixel array — the second
+    * generator of the dihedral orbit (r18, VERDICT r17 #4). Output
+    * dims are (h, w); out(x, y) = in(y, h−1−x). */
+  private[graft] def rot90(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val out = new Array[Int](px.length)
+    var y = 0
+    while (y < w) {
+      var x = 0
+      while (x < h) { out(y * h + x) = px((h - 1 - x) * w + y); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** ROTATION-INVARIANT image signature (r18, VERDICT r17 #4 — the D4
+    * completion of [[imageMirrorInvariantHash]]): the signed minimum of
+    * the fixed-grid thumb hash over ALL EIGHT orientations of the
+    * decoded array — the four rotations and their mirrors, the full
+    * dihedral orbit. Why it exists: a 90°-rotated re-upload SWAPS the
+    * dimensions, so every prior key misses it — the dimension-grouped
+    * key can't even compare the pair, the scale/crop keys hash the
+    * uploaded orientation's bits, and the mirror key canonicalizes
+    * only over {identity, mirror}, which doesn't contain any rotation
+    * (spec-asserted per key). Exactness is the mirror key's orbit
+    * argument lifted to the whole group: D4 is a group, so a copy
+    * rotated/mirrored by any element has the SAME orientation SET as
+    * its original — identical min, Hamming 0. Each orientation is
+    * hashed as a PHYSICAL array (iterated [[rot90]] + [[mirrorH]]),
+    * never by permuting thumb cells: NN sampling commutes with neither
+    * reflection NOR transpose, so a cell-permuted shortcut would be
+    * approximate (the mirror key's lesson, squared). And the orbit
+    * composes with the scale axis: NN 2× upscale commutes EXACTLY with
+    * mirror (r17) and with rot90 (⌊(2h−1−x)/2⌋ = h−1−⌊x/2⌋ — the same
+    * parity identity on the swapped coordinate), so a
+    * rotated-AND-rescaled re-upload still collides — the gate fixtures
+    * compose both, spec-proven both directions. Requires a SQUARE
+    * thumb (odd rotations swap dims; an 8×6 thumb would compare
+    * incomparable grids). */
+  def imageRotationInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                                 thumbW: Int = 8, thumbH: Int = 8): Dataset[ScaleInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(thumbW == thumbH, "rotation orbit needs a square thumb grid")
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w0, h0, px) = decodeImagePayload(bytes)
+        var arr = px
+        var w = w0.toInt
+        var h = h0.toInt
+        var best = Long.MaxValue
+        var r = 0
+        while (r < 4) {
+          val plain = nnThumbAHash(w, arr, 0, 0, w, h, thumbW, thumbH)
+          val mirrored = nnThumbAHash(w, mirrorH(w, h, arr), 0, 0, w, h,
+            thumbW, thumbH)
+          if (plain < best) best = plain
+          if (mirrored < best) best = mirrored
+          arr = rot90(w, h, arr)
+          val t = w; w = h; h = t
+          r += 1
+        }
+        ScaleInvariantHash(id, best)
+      })
+  }
+
+  /** Near-dup pairs over the rotation-invariant signatures — the
+    * shared [[bandedHammingPairs]] machinery with ONE corpus-wide
+    * group (the canonical orientation carries no dimensions) and the
+    * family's 16-bit × 4 banding. */
+  def imageRotationInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                                  bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "ahash", group = lit("rthumb"),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "img_ri")
+
+  /** [[incrementalBandedHamming]] over the rotation-invariant
+    * signatures — the steady-state screen for the CROSS-ORIENTATION
+    * key's full dihedral orbit: a new batch's canonical thumbs against
+    * the standing corpus's persisted index, same fixed group and
+    * banding as [[imageRotationInvariantPairs]]. A rotated (even
+    * rotated-and-rescaled, or rotated-and-mirrored) re-upload of
+    * standing content hits at Hamming 0, which no other image screen —
+    * including the mirror screen — can see. */
+  def incrementalRotationInvariantNearDups(corpusSigs: DataFrame,
+                                           batchSigs: DataFrame,
+                                           maxHamming: Int = 6,
+                                           bucketCap: Int = 64,
+                                           candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "ahash",
+      group = lit("rthumb"), bandBits = 16, numBands = 4,
+      maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
+      metric = "img_ri_incr")
+
+  /** 90°-clockwise-rotation generator over encoded bytes (decode →
+    * [[rot90]] → re-encode, applied `turns` times mod 4) — the
+    * cross-rotation duplicate generator the rotation-invariant gates
+    * and spec share. */
+  def rotateBmp(bytes: Array[Byte], turns: Int): Array[Byte] = {
+    val (w0, h0, px) = decodeImagePayload(bytes)
+    var arr = px
+    var w = w0.toInt
+    var h = h0.toInt
+    var r = ((turns % 4) + 4) % 4
+    while (r > 0) {
+      arr = rot90(w, h, arr)
+      val t = w; w = h; h = t
+      r -= 1
+    }
+    val out = arr
+    val ow = w
+    Bmp.encode(w, h, (x, y) => {
+      val p = out(y * ow + x)
       ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
     })
   }
@@ -2053,7 +2187,11 @@ object Multimodal {
     * a letterboxed AND NN-rescaled transcode (the gate fixtures
     * compose both) collides with its original at Hamming 0 —
     * spec-proven both directions. Keyframe-less clips DROP with an
-    * observable counter (the family posture). */
+    * observable counter (the family posture). Shares
+    * [[imageCropInvariantHash]]'s LIMITATION (ADVICE r17 #3): the
+    * corner-pixel-equality border rule is exact for clean mattes, and
+    * asymmetric trims on noisy real-world borders degrade the key to a
+    * miss, never a false merge. */
   def videoCropInvariantHash(df: DataFrame, idCol: String, binCol: String,
                              maxKeyframes: Int = 4, thumbW: Int = 8,
                              thumbH: Int = 8): Dataset[VideoScaleInvariantHash] = {
@@ -2155,6 +2293,132 @@ object Multimodal {
         "the re-encoder cannot preserve keyframe placement")
     val frames = m.samples.map(s =>
       letterbox(m.sampleBytes(bytes, s), padL, padT, padR, padB))
+    Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = stride)
+  }
+
+  /** MIRROR-INVARIANT video signature (r18, VERDICT r17 #3 — the video
+    * orientation leg): per `stss` keyframe, hash BOTH horizontal
+    * orientations of the decoded frame through the fixed-grid NN thumb
+    * ([[nnThumbAHash]] on the physical array and on its [[mirrorH]]),
+    * keep the signed min, THEN [[fold16]] — 16-bit folds packed by
+    * keyframe order (the [[videoScaleInvariantHash]] shape with the
+    * orbit-min inserted before the fold). A frame-mirrored re-upload
+    * preserves dimensions, brightness statistics, frame count and
+    * keyframe placement, so EVERY existing video key provably misses
+    * it: the dimension-grouped perceptual key compares the pair only
+    * at a large Hamming distance, and the scale/crop/time-aligned keys
+    * hash the uploaded orientation's bits (spec-asserted per key).
+    * Mirroring a video mirrors every frame and moves nothing in time,
+    * so per-frame orbit canonicalization is exact by the image key's
+    * orbit-set argument applied frame-wise — and it composes with the
+    * scale axis (mirror∘NN-2× = NN-2×∘mirror, the r17 parity
+    * identity), so a mirrored-AND-rescaled transcode (the gate
+    * fixtures compose both) collides at Hamming 0, spec-proven both
+    * directions. The min is taken over the 64-bit hashes BEFORE the
+    * fold (folding first would canonicalize 16-bit projections of
+    * DIFFERENT orientations into one value only by accident).
+    * Keyframe-less clips DROP with an observable counter (the family
+    * posture). */
+  def videoMirrorInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                               maxKeyframes: Int = 4, thumbW: Int = 8,
+                               thumbH: Int = 8): Dataset[VideoScaleInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    require(maxKeyframes >= 1 && maxKeyframes <= 4,
+      s"maxKeyframes must be in [1, 4] (16-bit folds in one BIGINT), got $maxKeyframes")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, videoMiOne(id, bytes, maxKeyframes, thumbW, thumbH))
+      })
+      .toDF("id", "v")
+      .observe("video_mi_drops_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("keyframeless_dropped"))
+      .where(col("v").isNotNull)
+      .select(col("v.id").as("id"), col("v.n_key").as("n_key"),
+        col("v.sig").as("sig"))
+      .as[VideoScaleInvariantHash]
+  }
+
+  /** Per-clip body of [[videoMirrorInvariantHash]] (factored for the
+    * spec's invariance proofs): real container parse, per-keyframe
+    * decode → orbit-min of the two orientations' fixed-grid thumbs →
+    * shared fold. None for a clip with no `stss` keyframes (same
+    * contract as [[videoSiOne]]). */
+  private[graft] def videoMiOne(id: Long, bytes: Array[Byte], maxKeyframes: Int,
+                                thumbW: Int, thumbH: Int): Option[VideoScaleInvariantHash] = {
+    val m = Mp4.parse(bytes)
+    val keys = m.samples.filter(_.keyframe).take(maxKeyframes)
+    if (keys.isEmpty) None
+    else {
+      var sig = 0L
+      var k = 0
+      while (k < keys.length) {
+        val (w0, h0, px) = decodeImagePayload(m.sampleBytes(bytes, keys(k)))
+        val plain = nnThumbAHash(w0, px, 0, 0, w0, h0, thumbW, thumbH)
+        val mirrored = nnThumbAHash(w0, mirrorH(w0.toInt, h0.toInt, px),
+          0, 0, w0, h0, thumbW, thumbH)
+        sig |= fold16(math.min(plain, mirrored)) << (16 * k)
+        k += 1
+      }
+      Some(VideoScaleInvariantHash(id, keys.length.toLong, sig))
+    }
+  }
+
+  /** Near-dup pairs over the mirror-invariant video signatures — the
+    * shared [[bandedHammingPairs]] machinery with dimensions dropped
+    * from the group (the canonical-orientation thumb domain carries
+    * none; `n_key` stays — different keyframe counts occupy different
+    * bit ranges) and the family's 16-bit × 4 banding. */
+  def videoMirrorInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                                bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "sig",
+      group = concat(lit("vmthumb:"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "vid_mi")
+
+  /** [[incrementalBandedHamming]] over the mirror-invariant video
+    * signatures — the steady-state screen for the CROSS-ORIENTATION
+    * video key: a new batch's canonical clip signatures against the
+    * standing corpus's persisted index, same group and banding as
+    * [[videoMirrorInvariantPairs]]. A frame-mirrored (even
+    * mirrored-and-rescaled) transcode of standing content hits at
+    * Hamming 0, which no other video screen can see. */
+  def incrementalVideoMirrorInvariantNearDups(corpusSigs: DataFrame,
+                                              batchSigs: DataFrame,
+                                              maxHamming: Int = 6,
+                                              bucketCap: Int = 64,
+                                              candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "sig",
+      group = concat(lit("vmthumb:"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "vid_mi_incr")
+
+  /** Mirror every frame and re-encode — the cross-orientation
+    * duplicate generator the video mirror-invariant gates and spec
+    * share (the video sibling of [[mirrorBmp]]). Keyframe PLACEMENT is
+    * preserved under the same uniform-stride requirement as
+    * [[nnUpscaleVideo2x]] (the invariance claim samples the same frame
+    * indices on both sides); container timing is normalized in the
+    * re-encode and PNG frames come back as BMP — both additional
+    * transcode axes the mirror key never reads. */
+  def mirrorVideoMp4(bytes: Array[Byte]): Array[Byte] = {
+    val m = Mp4.parse(bytes)
+    Decode.req(m.samples.nonEmpty, "malformed",
+      "mirrorVideoMp4: clip has no samples")
+    val keyIdx = m.samples.filter(_.keyframe).map(_.index)
+    Decode.req(keyIdx.headOption.contains(0), "malformed",
+      "mirrorVideoMp4: first sample is not a sync sample — the " +
+        "uniform-stride re-encoder cannot preserve keyframe placement")
+    val stride = if (keyIdx.length > 1) keyIdx(1) - keyIdx(0)
+                 else m.samples.length
+    Decode.req(keyIdx == (0 until m.samples.length by stride).toVector,
+      "malformed",
+      "mirrorVideoMp4: source stss is not a uniform stride pattern — " +
+        "the re-encoder cannot preserve keyframe placement")
+    val frames = m.samples.map(s => mirrorBmp(m.sampleBytes(bytes, s)))
     Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = stride)
   }
 
@@ -2332,10 +2596,18 @@ object Multimodal {
   /** Near-dup pairs over the trim-invariant signatures — the shared
     * [[bandedHammingPairs]] machinery with ONE corpus-wide group (the
     * onset-anchored fixed grid carries neither frame count nor rate)
-    * and the family's 16-bit × 4 banding. */
+    * and the family's 16-bit × 4 banding. Signature-0 clips are
+    * EXCLUDED from pairing (ADVICE r17 #2): 0 is both the degenerate
+    * sentinel (silence-only / headers-only clips, which have no onset
+    * and hence no trim key) and the contentless all-flat profile —
+    * either way the signature carries no discriminative bits, and in
+    * the single corpus-wide 'trim' group every such clip would pair
+    * with every other at Hamming 0 and the keep closure would collapse
+    * all degenerate clips into one cluster. */
   def audioTrimInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
                               bucketCap: Int = 64, candCap: Int = 4): DataFrame =
-    bandedHammingPairs(sigs, hashCol = "rfp", group = lit("trim"),
+    bandedHammingPairs(sigs.filter(col("rfp") =!= 0L), hashCol = "rfp",
+      group = lit("trim"),
       bandBits = 16, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "aud_ti")
 
@@ -2352,7 +2624,10 @@ object Multimodal {
                                        maxHamming: Int = 6,
                                        bucketCap: Int = 64,
                                        candCap: Int = 4): DataFrame =
-    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "rfp",
+    // signature-0 clips (degenerate: no energy onset) never screen —
+    // same exclusion as audioTrimInvariantPairs (ADVICE r17 #2)
+    incrementalBandedHamming(corpusSigs.filter(col("rfp") =!= 0L),
+      batchSigs.filter(col("rfp") =!= 0L), hashCol = "rfp",
       group = lit("trim"), bandBits = 16, numBands = 4,
       maxHamming = maxHamming, bucketCap = bucketCap, candCap = candCap,
       metric = "aud_ti_incr")
@@ -2373,6 +2648,28 @@ object Multimodal {
       (f, c) =>
         if (f < leadFrames || f >= leadFrames + nf) 0.toShort
         else clip.samples((f - leadFrames) * ch + c))
+  }
+
+  /** Channel-swap generator (r18, VERDICT r17 #3 — the audio
+    * orientation axis): re-encode with the channel assignment
+    * REVERSED (frame f, channel c reads source channel ch−1−c) —
+    * a stereo L/R swap, the audio analog of [[mirrorBmp]]. The
+    * per-frame energy Σ_c v² sums over ALL channels, so EVERY
+    * energy-derived key ([[rateInvariantBits]], [[trimInvariantBits]],
+    * [[windowFpOf]]) absorbs this edit by construction (spec-proven) —
+    * which is exactly why the gates compose it with a ZOH resample:
+    * the composed copy defeats the (channels, n_windows)-grouped exact
+    * window key (frame count changes) AND the byte-exact sample
+    * fingerprint (interleaved order changes, spec-asserted), leaving
+    * the fixed-grid energy keys as the only catchers. Swap commutes
+    * with ZOH upsampling exactly (both act per-frame on disjoint
+    * axes). */
+  def swapChannels(bytes: Array[Byte]): Array[Byte] = {
+    val clip = Wav.decode(bytes)
+    val ch = math.max(clip.channels, 1)
+    val nf = clip.samples.length / ch
+    Wav.encode(clip.channels, clip.sampleRate, nf,
+      (f, c) => clip.samples(f * ch + (ch - 1 - c)))
   }
 
   final case class ResampledAudio(id: Long, channels: Long, sr0: Long,

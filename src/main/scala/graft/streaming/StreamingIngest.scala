@@ -676,11 +676,16 @@ object StreamingIngest {
     import graft.ops.Multimodal
     import spark.implicits._
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // signature-0 clips (degenerate: no energy onset) are excluded
+    // from both sides, mirroring audioTrimInvariantPairs (ADVICE
+    // r17 #2) — in the single 'trim' group two distinct silent clips
+    // would otherwise confirm against each other at Hamming 0
     val corpus = Multimodal.audioTrimInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id").cast("long")).as[Long]
         .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
         .toDF("id", "clip"), "id", "clip").toDF()
+      .filter(col("rfp") =!= 0L)
       .localCheckpoint(true)
     val batch = Multimodal.audioTrimInvariantHash(
       spark.readStream.schema(evSchema)
@@ -693,6 +698,7 @@ object StreamingIngest {
             Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)),
             1 + (e % 5).toInt, 1 + (e % 3).toInt))))
         .toDF("id", "clip"), "id", "clip").toDF()
+      .filter(col("rfp") =!= 0L)
     val confirmed = Multimodal.incrementalScreen(corpus, batch,
         hashCol = "rfp", group = lit("trim"),
         bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
@@ -702,6 +708,153 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .drop("arr_ts")
     val work = workDir("stream_ati_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The ROTATION-INVARIANT image screen as a stream (r18, VERDICT
+    * r17 #4) — the dihedral-orbit leg of the invariant-key streaming
+    * family: the standing corpus's D4-canonical thumb index screens
+    * arriving rotated-and-NN-2×-upscaled re-uploads; each hits its
+    * original at Hamming 0 — invisible to every other image stream
+    * including the mirror stream (whose orbit contains no rotation).
+    * Same posture as [[mirrorInvariantDedupStream]]. */
+  def rotationInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.imageRotationInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
+        .toDF("id", "img"), "id", "img").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.imageRotationInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 4 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.rotateBmp(
+            Multimodal.syntheticBmp(e), 1 + (e % 3).toInt)))))
+        .toDF("id", "img"), "id", "img").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "ahash", group = lit("rthumb"),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "img_roti_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_roti_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The MIRROR-INVARIANT video screen as a stream (r18, VERDICT
+    * r17 #3) — the orientation leg of the video streaming family: the
+    * standing corpus's per-frame-orbit-canonical clip-signature index
+    * screens arriving frame-mirrored-and-NN-2×-rescaled transcodes;
+    * each hits its original at Hamming 0 — invisible to the
+    * dimension-grouped, scale-invariant AND crop-invariant video
+    * streams (all hash the uploaded orientation). Same posture as
+    * [[videoScaleInvariantDedupStream]]. */
+  def videoMirrorInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.videoMirrorInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.videoMirrorInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 3 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.mirrorVideoMp4(
+            Multimodal.syntheticVideoMp4(e))))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "sig",
+        group = concat(lit("vmthumb:"), col("n_key").cast("string")),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "vid_mi_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_vmi_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The CHANNEL-SWAP axis at the STREAM boundary (r18, VERDICT
+    * r17 #3 — the audio orientation leg): arriving L/R-swapped AND
+    * ZOH-2×-resampled re-uploads screen against the standing corpus's
+    * rate-invariant signature index and hit their originals at
+    * Hamming 0 — the energy key folds channels, so the swap vanishes
+    * from the signature by construction (spec-proven), while the
+    * composed copy is invisible to both the (channels, n_windows)-
+    * grouped exact window screen (frame count changes) and the
+    * byte-exact sample fingerprint (interleaved order changes). Same
+    * machinery as [[rateInvariantDedupStream]] — deliberately: the
+    * gate demonstrates the EXISTING key absorbing a new edit axis, not
+    * a new key. */
+  def channelSwapInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.audioRateInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
+        .toDF("id", "clip"), "id", "clip").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.audioRateInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        // stereo rows only: swap on mono is the identity, and the
+        // fixture plan gives odd events two channels
+        .filter((e: Long) => e % 4 == 1)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.swapChannels(Multimodal.zohUpsample2x(
+            Multimodal.syntheticWavMixed(e))))))
+        .toDF("id", "clip"), "id", "clip").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "rfp", group = lit("rate"),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "aud_cs_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_acs_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
       .option("path", s"$work/out")
@@ -1234,7 +1387,16 @@ object StreamingIngest {
       .option("checkpointLocation", s"$work/checkpoint")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val index = spark.read.parquet(s"$work/increments/*")
+    // enumerate the increment dirs instead of globbing (VERDICT r17
+    // #6): a glob path makes FileStreamSink probe `*/_spark_metadata`
+    // and log a fatal-looking FileNotFoundException stack trace on
+    // every passing run
+    val incrementDirs = Option(new java.io.File(s"$work/increments")
+        .listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.getAbsolutePath).sorted
+    require(incrementDirs.nonEmpty, s"no index increments under $work/increments")
+    val index = spark.read.parquet(incrementDirs.toIndexedSeq: _*)
     val out = Similarity.ivfProbe(index, all, cents).localCheckpoint(true)
     graft.ops.Dedup.releaseOwnCheckpoint(cents)
     out

@@ -2495,6 +2495,222 @@ class OpsSpec extends SparkTestBase {
         s"incremental screen missed mirrored re-upload of $e: ${screened.mkString(",")}")
   }
 
+  test("rotation-invariant image signature: the full dihedral orbit collides at hamming 0; every other image key, including the mirror key, provably misses a 90-degree rotation") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    // 1) the group-orbit lemma on real encoded bytes: every element of
+    //    the D4 orbit — each rotation, each rotation+mirror, and each
+    //    composed with an NN 2× upscale (rot90∘upscale = upscale∘rot90,
+    //    the parity identity on the swapped coordinate) — canonicalizes
+    //    to the same signature
+    def key(rows: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+      Multimodal.imageRotationInvariantHash(
+        rows.toDF("id", "img"), "id", "img").collect()
+        .map(r => r.id -> r.ahash).toMap
+    val origRows = ids.map(e => (2 * e, Multimodal.syntheticBmp(e)))
+    for (turns <- 1 to 3; up <- Seq(false, true)) {
+      val copies = ids.map { e =>
+        val r = Multimodal.rotateBmp(Multimodal.syntheticBmp(e), turns)
+        (2 * e + 1, if (up) Multimodal.nnUpscale2x(r) else r)
+      }
+      val sigs = key(origRows ++ copies)
+      for (e <- ids)
+        assert(sigs(2 * e) == sigs(2 * e + 1),
+          s"rot${90 * turns}${if (up) "+2x" else ""} of $e changed the rotation-invariant signature")
+    }
+    // mirror and mirror∘rotation are in the orbit too — the rotation
+    // key SUBSUMES the mirror axis
+    val mixedCopies = ids.map(e => (2 * e + 1, Multimodal.rotateBmp(
+      Multimodal.mirrorBmp(Multimodal.syntheticBmp(e)), 1 + (e % 3).toInt)))
+    val sigsMix = key(origRows ++ mixedCopies)
+    for (e <- ids)
+      assert(sigsMix(2 * e) == sigsMix(2 * e + 1),
+        s"mirror+rotation of $e escaped the dihedral orbit")
+    assert(ids.map(e => sigsMix(2 * e)).distinct.size == ids.size)
+    // 2) generator-level commutation: upscale-then-rotate and
+    //    rotate-then-upscale produce byte-identical pixels
+    for (e <- ids) {
+      val a = Multimodal.rotateBmp(Multimodal.nnUpscale2x(
+        Multimodal.syntheticBmp(e)), 1)
+      val b = Multimodal.nnUpscale2x(Multimodal.rotateBmp(
+        Multimodal.syntheticBmp(e), 1))
+      assert(java.util.Arrays.equals(a, b),
+        s"rot90 and NN-2x upscale do not commute on $e")
+    }
+    // 3) every OTHER image key provably misses a 90° rotation: the
+    //    MIRROR key canonicalizes only over {id, mirror} — no rotation
+    //    in that orbit — and the scale/crop keys hash the uploaded
+    //    orientation
+    val rotOnly = ids.map(e =>
+      (3000L + e, Multimodal.rotateBmp(Multimodal.syntheticBmp(e), 1)))
+    def blind(keyed: Map[Long, Long]): Int =
+      ids.count(e => keyed(2 * e) != keyed(3000L + e))
+    val mirrorBoth = Multimodal.imageMirrorInvariantHash(
+      (origRows ++ rotOnly).toDF("id", "img"), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    assert(blind(mirrorBoth) > 0,
+      "mirror key unexpectedly absorbed the rotation for every id")
+    val scaleBoth = Multimodal.imageScaleInvariantHash(
+      (origRows ++ rotOnly).toDF("id", "img"), "id", "img").collect()
+      .map(r => r.id -> r.ahash).toMap
+    assert(blind(scaleBoth) > 0,
+      "scale key unexpectedly absorbed the rotation for every id")
+    info(s"mirror key blind on ${blind(mirrorBoth)}/${ids.size}, " +
+      s"scale key blind on ${blind(scaleBoth)}/${ids.size} rotated copies")
+    // 4) the pairs gate surfaces each cross-rotation duplicate at 0
+    val upRot = ids.map(e => (2 * e + 1, Multimodal.nnUpscale2x(
+      Multimodal.rotateBmp(Multimodal.syntheticBmp(e), 1 + (e % 3).toInt))))
+    val pairs = Multimodal.imageRotationInvariantPairs(
+      Multimodal.imageRotationInvariantHash(
+        (origRows ++ upRot).toDF("id", "img"), "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(pairs.contains((2 * e, 2 * e + 1, 0L)),
+        s"missing cross-rotation pair for $e: ${pairs.mkString(",")}")
+    // 5) the INCREMENTAL screen mirrors the batch hits
+    val screened = Multimodal.incrementalRotationInvariantNearDups(
+        Multimodal.imageRotationInvariantHash(
+          origRows.toDF("id", "img"), "id", "img").toDF(),
+        Multimodal.imageRotationInvariantHash(
+          upRot.toDF("id", "img"), "id", "img").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(screened.contains((2 * e + 1, 2 * e, 0L)),
+        s"incremental screen missed rotated re-upload of $e: ${screened.mkString(",")}")
+  }
+
+  test("mirror-invariant video signature: frame-mirrored (and mirrored+rescaled) transcodes collide at hamming 0; every other video key provably misses them") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    def vkey(rows: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+      Multimodal.videoMirrorInvariantHash(
+        rows.toDF("id", "vid"), "id", "vid").collect()
+        .map(r => r.id -> r.sig).toMap
+    val origRows = ids.map(e => (2 * e, Multimodal.syntheticVideoMp4(e)))
+    // 1) per-frame orbit canonicalization on real containers: mirrored
+    //    and mirrored-then-NN-2×-rescaled transcodes are bit-identical
+    val mirrored = ids.map(e =>
+      (2 * e + 1, Multimodal.mirrorVideoMp4(Multimodal.syntheticVideoMp4(e))))
+    val sigsM = vkey(origRows ++ mirrored)
+    for (e <- ids)
+      assert(sigsM(2 * e) == sigsM(2 * e + 1),
+        s"frame mirror of $e changed the mirror-invariant video signature")
+    val mirUp = ids.map(e => (2 * e + 1, Multimodal.nnUpscaleVideo2x(
+      Multimodal.mirrorVideoMp4(Multimodal.syntheticVideoMp4(e)))))
+    val sigsU = vkey(origRows ++ mirUp)
+    for (e <- ids)
+      assert(sigsU(2 * e) == sigsU(2 * e + 1),
+        s"mirror+2x transcode of $e changed the mirror-invariant video signature")
+    assert(ids.map(e => sigsU(2 * e)).distinct.size == ids.size)
+    // the mirror re-encoder preserves keyframe placement
+    val m0 = graft.ops.Mp4.parse(Multimodal.syntheticVideoMp4(9L))
+    val m1 = graft.ops.Mp4.parse(
+      Multimodal.mirrorVideoMp4(Multimodal.syntheticVideoMp4(9L)))
+    assert(m0.samples.map(_.keyframe) == m1.samples.map(_.keyframe),
+      "mirrorVideoMp4 moved the keyframe set")
+    // 2) every OTHER video key provably misses: scale and crop keys
+    //    hash the uploaded orientation's thumb bits
+    def blind(keyed: Map[Long, Long]): Int =
+      ids.count(e => keyed(2 * e) != keyed(2 * e + 1))
+    val scaleBoth = Multimodal.videoScaleInvariantHash(
+      (origRows ++ mirrored).toDF("id", "vid"), "id", "vid").collect()
+      .map(r => r.id -> r.sig).toMap
+    assert(blind(scaleBoth) > 0,
+      "video scale key unexpectedly absorbed the frame mirror for every id")
+    val cropBoth = Multimodal.videoCropInvariantHash(
+      (origRows ++ mirrored).toDF("id", "vid"), "id", "vid").collect()
+      .map(r => r.id -> r.sig).toMap
+    assert(blind(cropBoth) > 0,
+      "video crop key unexpectedly absorbed the frame mirror for every id")
+    info(s"video scale key blind on ${blind(scaleBoth)}/${ids.size}, " +
+      s"crop key blind on ${blind(cropBoth)}/${ids.size} mirrored transcodes")
+    // 3) the pairs gate surfaces each cross-orientation transcode at 0
+    val pairs = Multimodal.videoMirrorInvariantPairs(
+      Multimodal.videoMirrorInvariantHash(
+        (origRows ++ mirUp).toDF("id", "vid"), "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(pairs.contains((2 * e, 2 * e + 1, 0L)),
+        s"missing cross-orientation video pair for $e: ${pairs.mkString(",")}")
+    // 4) the INCREMENTAL screen mirrors the batch hits
+    val screened = Multimodal.incrementalVideoMirrorInvariantNearDups(
+        Multimodal.videoMirrorInvariantHash(
+          origRows.toDF("id", "vid"), "id", "vid").toDF(),
+        Multimodal.videoMirrorInvariantHash(
+          mirUp.toDF("id", "vid"), "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(screened.contains((2 * e + 1, 2 * e, 0L)),
+        s"incremental screen missed mirrored transcode of $e: ${screened.mkString(",")}")
+  }
+
+  test("channel-swap invariance: every energy-folded audio key absorbs an L/R swap; the exact sample fingerprint provably misses it; swapped+ZOH copies pair via the rate key") {
+    import spark.implicits._
+    import graft.ops.Wav
+    // stereo fixtures only (odd ids → 2 channels; swap on mono is the
+    // identity and proves nothing)
+    val ids = Seq(1L, 3L, 9L, 15L)
+    // 1) all three energy-derived keys are channel-swap invariant by
+    //    construction (energy sums over channels)
+    for (e <- ids) {
+      val c = Wav.decode(Multimodal.syntheticWav(e))
+      assert(c.channels == 2, s"fixture $e is not stereo")
+      val s = Wav.decode(Multimodal.swapChannels(Multimodal.syntheticWav(e)))
+      assert(Multimodal.rateInvariantBits(c, 64) ==
+        Multimodal.rateInvariantBits(s, 64),
+        s"rate key moved under channel swap for $e")
+      assert(Multimodal.trimInvariantBits(c, 64) ==
+        Multimodal.trimInvariantBits(s, 64),
+        s"trim key moved under channel swap for $e")
+      assert(Multimodal.windowFpOf(c, 4) == Multimodal.windowFpOf(s, 4),
+        s"window fingerprint moved under channel swap for $e")
+      // the byte-exact sample fingerprint misses: interleaved order
+      // changed, and the two channels differ on the fixtures
+      assert(!java.util.Arrays.equals(c.samples, s.samples),
+        s"swap was a no-op on $e — fixture channels are identical")
+    }
+    // 2) swap commutes with ZOH upsampling on real encoded bytes
+    for (e <- ids) {
+      val a = Multimodal.swapChannels(Multimodal.zohUpsample2x(
+        Multimodal.syntheticWav(e)))
+      val b = Multimodal.zohUpsample2x(Multimodal.swapChannels(
+        Multimodal.syntheticWav(e)))
+      assert(java.util.Arrays.equals(a, b),
+        s"swapChannels and zohUpsample2x do not commute on $e")
+    }
+    // 3) the gate's shape: swapped+ZOH copies pair with their originals
+    //    at Hamming 0 via the rate-invariant key — while the
+    //    (channels, n_windows)-grouped window key cannot even compare
+    //    the pair (frame counts differ)
+    val orig = ids.map(e => (2 * e, Multimodal.syntheticWav(e)))
+      .toDF("id", "clip")
+    val swapped = ids.map(e =>
+      (2 * e + 1, Multimodal.swapChannels(Multimodal.zohUpsample2x(
+        Multimodal.syntheticWav(e)))))
+      .toDF("id", "clip")
+    val pairs = Multimodal.audioRateInvariantPairs(
+      Multimodal.audioRateInvariantHash(
+        orig.unionByName(swapped), "id", "clip").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(pairs.contains((2 * e, 2 * e + 1, 0L)),
+        s"missing channel-swap pair for $e: ${pairs.mkString(",")}")
+    val fps = Multimodal.audioFingerprint(
+      orig.unionByName(swapped), "id", "clip").collect()
+      .map(f => f.id -> f.n_windows).toMap
+    for (e <- ids)
+      assert(fps(2 * e) != fps(2 * e + 1),
+        s"window-grouped parent could compare the swapped+ZOH pair for $e")
+    // 4) the INCREMENTAL rate screen catches the composed copies too
+    val screened = Multimodal.incrementalRateInvariantNearDups(
+        Multimodal.audioRateInvariantHash(orig, "id", "clip").toDF(),
+        Multimodal.audioRateInvariantHash(swapped, "id", "clip").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(screened.contains((2 * e + 1, 2 * e, 0L)),
+        s"incremental rate screen missed swapped+ZOH re-upload of $e: ${screened.mkString(",")}")
+  }
+
   test("trim-invariant audio signature: silence-padded (and padded+ZOH-resampled) copies collide at hamming 0; both parent audio keys provably miss them") {
     import spark.implicits._
     import graft.ops.Wav
@@ -2557,6 +2773,24 @@ class OpsSpec extends SparkTestBase {
     for (id <- ids)
       assert(screened.contains((2 * id + 1, 2 * id, 0L)),
         s"incremental screen missed padded re-upload of $id: ${screened.mkString(",")}")
+    // 6) degenerate (signature-0) clips never pair or screen (ADVICE
+    //    r17 #2): two DISTINCT silence-only clips share signature 0 in
+    //    the single 'trim' group and would otherwise collapse into one
+    //    keep-closure cluster
+    def silentWav(nf: Int): Array[Byte] =
+      graft.ops.Wav.encode(1, 8000, nf, (_, _) => 0.toShort)
+    val silents = Seq((100L, silentWav(40)), (101L, silentWav(64)))
+      .toDF("id", "clip")
+    val mixed = Multimodal.audioTrimInvariantHash(
+      orig.unionByName(silents), "id", "clip").toDF()
+    val silentPairs = Multimodal.audioTrimInvariantPairs(mixed)
+      .filter(col("id_a") >= 100L || col("id_b") >= 100L).count()
+    assert(silentPairs == 0L, "silence-only clips paired with each other")
+    val silentScreen = Multimodal.incrementalTrimInvariantNearDups(
+        Multimodal.audioTrimInvariantHash(silents, "id", "clip").toDF(),
+        Multimodal.audioTrimInvariantHash(silents, "id", "clip").toDF())
+      .count()
+    assert(silentScreen == 0L, "silence-only clips screened against each other")
   }
 
   test("rate-invariant audio signature: ZOH-resampled, gain-scaled, and channel-duplicated copies collide; rate-grouped pairs cannot see them") {

@@ -76,15 +76,23 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     gates, n_pass, n_fail = {}, 0, 0
     for name in sorted(oracle):
+        # per-gate compare cost (VERDICT r17 #1): the r16/r17 driver
+        # correctness artifacts came back empty and only a judge
+        # re-profiling localized the 761 s oracle wall to six closure
+        # CTEs — record oracle_ms per gate so the NEXT compare-side
+        # regression is attributable from this artifact alone
         g = {"rows_match": False, "schema_match": False,
-             "hash_match": False, "err": None}
+             "hash_match": False, "err": None, "oracle_ms": None}
         try:
             files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
             if not files:
                 raise RuntimeError("no spark dump")
             spark_df = canon(con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf())
-            ora_df = canon(con.execute(oracle[name]).fetchdf())
+            t_ora = time.time()
+            ora_raw = con.execute(oracle[name]).fetchdf()
+            g["oracle_ms"] = int((time.time() - t_ora) * 1000)
+            ora_df = canon(ora_raw)
             g["schema_match"] = list(spark_df.columns) == list(ora_df.columns)
             g["rows_match"] = len(spark_df) == len(ora_df)
             g["hash_match"] = (g["schema_match"] and g["rows_match"]
