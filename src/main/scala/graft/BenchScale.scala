@@ -147,7 +147,23 @@ object BenchScale {
     "dedup_audio_trim_invariant_incremental", "streaming_trim_invariant_dedup",
     "dedup_image_mirror_invariant", "dedup_image_mirror_invariant_keep",
     "dedup_image_mirror_invariant_incremental",
-    "streaming_mirror_invariant_dedup")
+    "streaming_mirror_invariant_dedup",
+    // r18: the rotation (D4 orbit), video-mirror and channel-swap
+    // families — same claims as their orientation siblings (the orbit
+    // work is per-row integer-only: 8 thumb passes for rotation, 2 per
+    // keyframe for video mirror, zero extra for channel swap; caps
+    // keep pairs output-linear, screens ∝ batch, closures
+    // rounds×participants)
+    "dedup_image_rotation_invariant", "dedup_image_rotation_invariant_keep",
+    "dedup_image_rotation_invariant_incremental",
+    "streaming_rotation_invariant_dedup",
+    "dedup_video_mirror_invariant", "dedup_video_mirror_invariant_keep",
+    "dedup_video_mirror_invariant_incremental",
+    "streaming_video_mirror_invariant_dedup",
+    "dedup_audio_channel_swap_invariant",
+    "dedup_audio_channel_swap_invariant_keep",
+    "dedup_audio_channel_swap_invariant_incremental",
+    "streaming_channel_swap_invariant_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

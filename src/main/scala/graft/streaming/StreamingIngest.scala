@@ -66,7 +66,8 @@ object StreamingIngest {
       "stream_span_index", "stream_media_quarantine", "stream_ann_index",
       "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup",
       "stream_vsi_dedup", "stream_vsti_dedup", "stream_ci_dedup",
-      "stream_vci_dedup", "stream_ati_dedup", "stream_mi_dedup")
+      "stream_vci_dedup", "stream_ati_dedup", "stream_mi_dedup",
+      "stream_roti_dedup", "stream_vmi_dedup", "stream_acs_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
