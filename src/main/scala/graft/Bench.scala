@@ -130,6 +130,10 @@ object Bench {
     "dedup_audio_channel_swap_invariant_keep",
     "dedup_audio_channel_swap_invariant_incremental",
     "streaming_channel_swap_invariant_dedup",
+    // r18: the rotation-invariant video family (per-frame D4 orbit)
+    "dedup_video_rotation_invariant", "dedup_video_rotation_invariant_keep",
+    "dedup_video_rotation_invariant_incremental",
+    "streaming_video_rotation_invariant_dedup",
     // the product pipeline end-to-end (parquet engine + live Derby JDBC,
     // including the chunked checkpoint/resume live path)
     "transfer_config_multi", "transfer_jdbc_roundtrip",

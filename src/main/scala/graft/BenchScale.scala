@@ -163,7 +163,10 @@ object BenchScale {
     "dedup_audio_channel_swap_invariant",
     "dedup_audio_channel_swap_invariant_keep",
     "dedup_audio_channel_swap_invariant_incremental",
-    "streaming_channel_swap_invariant_dedup")
+    "streaming_channel_swap_invariant_dedup",
+    "dedup_video_rotation_invariant", "dedup_video_rotation_invariant_keep",
+    "dedup_video_rotation_invariant_incremental",
+    "streaming_video_rotation_invariant_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

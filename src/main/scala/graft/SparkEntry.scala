@@ -2311,6 +2311,71 @@ object SparkEntry {
     "streaming_video_mirror_invariant_dedup" ->
       ((s, d) => StreamingIngest.videoMirrorInvariantDedupStream(s, d)),
 
+    // --- ROTATION-invariant VIDEO dedup (r18 — the D4 completion for
+    //     clips): every 4th clip also appears rotated by 90°·(1 + e%3)
+    //     per frame AND NN-2×-rescaled at id 2e+1 — the portrait/
+    //     landscape phone transcode, which swaps frame dims and so
+    //     escapes every other video key including the mirror key
+    //     (spec-asserted). Per keyframe the key hashes all EIGHT
+    //     physical orientations and folds the signed min; the oracle
+    //     replays the eight orientations per frame and takes least()
+    //     before the fold
+    "dedup_video_rotation_invariant" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val orig = base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+        .toDF("id", "vid")
+      val rotated = base.filter((e: Long) => e % 4 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.rotateVideoMp4(
+            Multimodal.syntheticVideoMp4(e), 1 + (e % 3).toInt)))))
+        .toDF("id", "vid")
+      Multimodal.videoRotationInvariantPairs(
+        Multimodal.videoRotationInvariantHash(
+          orig.unionByName(rotated), "id", "vid").toDF())
+    }),
+
+    // --- and the rotation-invariant video pair graph through the
+    //     shared closure to keep/drop
+    "dedup_video_rotation_invariant_keep" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val sigs = Multimodal.videoRotationInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+          .toDF("id", "vid")
+          .unionByName(base.filter((e: Long) => e % 4 == 0)
+            .mapPartitions(_.map(e =>
+              (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.rotateVideoMp4(
+                Multimodal.syntheticVideoMp4(e), 1 + (e % 3).toInt)))))
+            .toDF("id", "vid")), "id", "vid").toDF()
+        .localCheckpoint(true) // two consumers — decode once
+      Multimodal.mediaNearDupClusters(sigs.select("id"),
+        Multimodal.videoRotationInvariantPairs(sigs))
+    }),
+
+    // --- the rotation-invariant video screen, INCREMENTAL
+    "dedup_video_rotation_invariant_incremental" -> ((s, d) => {
+      import s.implicits._
+      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val corpus = Multimodal.videoRotationInvariantHash(
+        base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+        .localCheckpoint(true) // the standing clip-signature index, read per band
+      val batch = Multimodal.videoRotationInvariantHash(
+        base.filter((e: Long) => e % 4 == 0).mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.rotateVideoMp4(
+            Multimodal.syntheticVideoMp4(e), 1 + (e % 3).toInt)))))
+          .toDF("id", "vid"), "id", "vid").toDF()
+      val out = Multimodal.incrementalVideoRotationInvariantNearDups(corpus, batch)
+        .localCheckpoint(true)
+      Dedup.releaseOwnCheckpoint(corpus)
+      out
+    }),
+
+    // --- streaming twin of the rotation-invariant video screen (r18)
+    "streaming_video_rotation_invariant_dedup" ->
+      ((s, d) => StreamingIngest.videoRotationInvariantDedupStream(s, d)),
+
     // --- CHANNEL-SWAP invariance gated through the RATE key (r18,
     //     VERDICT r17 #3 — the audio orientation axis): every 4th
     //     (stereo — odd events carry two channels) clip also appears
@@ -4735,6 +4800,31 @@ object SparkEntry {
     "streaming_video_mirror_invariant_dedup" ->
       s"""WITH $videoMiScreenCte
          |SELECT batch_id, corpus_id, hamming FROM svconf2""".stripMargin,
+    // rotation-invariant VIDEO pairs (r18): per keyframe all EIGHT
+    // orientations' thumbs (the per-frame D4 orbit, dims swapping on
+    // odd turns), per-frame signed least() BEFORE the fold, packed by
+    // keyframe order — frame-rotated+2×-rescaled transcodes replay to
+    // the same signature by the frame-wise group-orbit lemma;
+    // 'vrthumb:' + n_key group, bands, caps, confirms
+    "dedup_video_rotation_invariant" ->
+      s"""WITH $videoRotPairsCte
+         |SELECT id_a, id_b, hamming FROM svpairs""".stripMargin,
+    // min-label closure over the rotation-invariant video pair graph
+    "dedup_video_rotation_invariant_keep" ->
+      s"""WITH RECURSIVE $videoRotPairsCte,
+         |${minLabelClosureSql("svpairs", "vrsig")}""".stripMargin,
+    // the rotation-invariant video INCREMENTAL screen
+    "dedup_video_rotation_invariant_incremental" ->
+      s"""WITH $videoRotScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY batch_id ORDER BY hamming, corpus_id) AS rnk
+         |  FROM svconf2)
+         |WHERE rnk <= 4""".stripMargin,
+    // the streaming twin emits every confirmed hit; same CTE chain
+    "streaming_video_rotation_invariant_dedup" ->
+      s"""WITH $videoRotScreenCte
+         |SELECT batch_id, corpus_id, hamming FROM svconf2""".stripMargin,
     // channel-swap pairs through the RATE key (r18, VERDICT r17 #3):
     // the oracle replays the channel-SUMMED energies — the L/R swap
     // cancels inside the sum in closed form, so the replay is the rate
@@ -6997,6 +7087,130 @@ object SparkEntry {
       |    'vmthumb:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
       |    'vmthumb:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
       |    'vmthumb:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM svhbt),
+      |svcand2 AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
+      |  FROM svbi JOIN svcb USING (bk), unnest(ids) AS u(cid)),
+      |svconf2 AS (SELECT batch_id, corpus_id,
+      |    CAST(bit_count(xor(b.sig, c.sig)) AS BIGINT) AS hamming
+      |  FROM svcand2 JOIN svhbt b ON batch_id = b.id
+      |    JOIN svhc c ON corpus_id = c.id
+      |  WHERE bit_count(xor(b.sig, c.sig)) <= 6)""".stripMargin
+
+  /** Rotation-invariant VIDEO clip-signature CTEs (r18 — mirrors
+    * `Multimodal.videoRotationInvariantHash` over the frame-rotated-
+    * then-NN-2×-rescaled `syntheticVideoMp4` fixtures): originals at
+    * 2e, composed copies of every FOURTH at 2e+1. Per keyframe
+    * f ∈ {0,2,4} below nf, all EIGHT orientations' fixed 8×8 NN thumbs
+    * replay over the original frame formulas — the
+    * [[rotationInvariantFpCte]] CASE table per frame (oriented dims
+    * swap on odd turns) — each through the shared `gray·64 > Σgray`
+    * rule with the bit-63 constant; per-frame canonical hash = SIGNED
+    * least() of the eight BEFORE the 16-bit fold, folds packed by
+    * keyframe order. Copy rows carry the original's formulas (the
+    * group-orbit lemma frame-wise; the upscale cancels inside each
+    * orientation). Ends defining `vrsig(id, nk, sig)` and
+    * `vrvids(id, …, is_batch)`. */
+  private def videoRotCte: String =
+    """vrvids AS (
+      |  SELECT event_id * 2 AS id, event_id AS e, 0 AS is_batch FROM events
+      |  UNION ALL
+      |  SELECT 2 * event_id + 1, event_id, 1
+      |  FROM events WHERE event_id % 4 = 0),
+      |vrdims AS (SELECT id, e // 4 AS c, e % 4 AS v,
+      |    4 + (e // 4) % 5 AS w, 3 + (e // 4) % 4 AS h,
+      |    3 + (e // 4) % 3 AS nf FROM vrvids),
+      |vrkf AS (SELECT id, c, v, w, h, fs.f, fs.f // 2 AS k
+      |  FROM vrdims, (SELECT unnest([0, 2, 4]) AS f) AS fs WHERE fs.f < nf),
+      |vrpx0 AS (SELECT id, f, k, c, v, w, h, oo.o, ys.y * 8 + xs.x AS idx,
+      |    (xs.x * (CASE WHEN oo.o % 2 = 0 THEN w ELSE h END)) // 8 AS sx0,
+      |    (ys.y * (CASE WHEN oo.o % 2 = 0 THEN h ELSE w END)) // 8 AS sy0
+      |  FROM vrkf, generate_series(0, 7) AS xs(x),
+      |    generate_series(0, 7) AS ys(y), generate_series(0, 7) AS oo(o)),
+      |vrpx AS (SELECT id, f, k, c, v, w, o, idx,
+      |    CASE o WHEN 0 THEN sx0 WHEN 1 THEN sy0
+      |           WHEN 2 THEN w - 1 - sx0 WHEN 3 THEN w - 1 - sy0
+      |           WHEN 4 THEN w - 1 - sx0 WHEN 5 THEN sy0
+      |           WHEN 6 THEN sx0 ELSE w - 1 - sy0 END AS sx,
+      |    CASE o WHEN 0 THEN sy0 WHEN 1 THEN h - 1 - sx0
+      |           WHEN 2 THEN h - 1 - sy0 WHEN 3 THEN sx0
+      |           WHEN 4 THEN sy0 WHEN 5 THEN sx0
+      |           WHEN 6 THEN h - 1 - sy0 ELSE h - 1 - sx0 END AS sy
+      |  FROM vrpx0),
+      |vrg AS (SELECT id, f, k, o, idx,
+      |    (20 + (c + 7*sx + 13*sy + 19*f) % 149 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (2*c + 3*sx + 5*sy + 23*f) % 151 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |  + (20 + (5*c + 11*sx + 17*sy + 29*f) % 150 + 16*v
+      |       + CASE WHEN v >= 2 AND sx = c % w AND sy = 0 THEN 30 ELSE 0 END)
+      |    AS gray
+      |  FROM vrpx),
+      |vrtt AS (SELECT id, f, o, sum(gray) AS total FROM vrg GROUP BY id, f, o),
+      |vrfh AS (SELECT g.id, g.k, g.o,
+      |  CAST(coalesce(sum(CASE WHEN g.gray * 64 > t.total
+      |    THEN CASE WHEN g.idx = 63 THEN -9223372036854775808
+      |         ELSE 1::BIGINT << g.idx::INT END
+      |    ELSE 0::BIGINT END), 0) AS BIGINT) AS fhash
+      |  FROM vrg g JOIN vrtt t ON g.id = t.id AND g.f = t.f AND g.o = t.o
+      |  GROUP BY g.id, g.k, g.o),
+      |vrmin AS (SELECT id, k, min(fhash) AS mh FROM vrfh GROUP BY id, k),
+      |vrsig AS (SELECT id, count(*) AS nk,
+      |  CAST(sum(xor(xor(mh & 65535, (mh >> 16) & 65535),
+      |      xor((mh >> 32) & 65535, (mh >> 48) & 65535))
+      |    << (16 * k::INT)) AS BIGINT) AS sig
+      |  FROM vrmin GROUP BY id)""".stripMargin
+
+  /** Rotation-invariant video capped-pair CTEs over [[videoRotCte]]
+    * (mirrors `Multimodal.videoRotationInvariantPairs`): 'vrthumb:' +
+    * n_key group, 4×16-bit bands, buckets capped at 64 smallest ids,
+    * Hamming ≤ 6, 4 best partners. Ends defining
+    * `svpairs(id_a, id_b, hamming)`. */
+  private def videoRotPairsCte: String =
+    s"""$videoRotCte,
+      |svhb AS (SELECT id, unnest([
+      |    'vrthumb:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS band_key FROM vrsig),
+      |svbuckets AS (SELECT band_key, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM svhb GROUP BY band_key HAVING count(DISTINCT id) > 1),
+      |svcand AS (SELECT DISTINCT x.a AS id_a, y.b AS id_b
+      |  FROM svbuckets, unnest(ids) AS x(a), unnest(ids) AS y(b)
+      |  WHERE x.a < y.b),
+      |svconf AS (SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |  FROM svcand JOIN vrsig a ON id_a = a.id JOIN vrsig b ON id_b = b.id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+      |svpairs AS (SELECT id_a, id_b, hamming FROM (
+      |  SELECT *, row_number()
+      |    OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rnk FROM svconf)
+      |  WHERE rnk <= 4)""".stripMargin
+
+  /** Rotation-invariant video incremental-screen CTEs over
+    * [[videoRotCte]] (mirrors
+    * `Multimodal.incrementalVideoRotationInvariantNearDups` /
+    * `StreamingIngest.videoRotationInvariantDedupStream`): corpus =
+    * even ids, batch = odd ids, corpus band buckets capped at 64
+    * smallest ids (size-1 kept), Hamming ≤ 6. Ends defining
+    * `svconf2(batch_id, corpus_id, hamming)`. */
+  private def videoRotScreenCte: String =
+    s"""$videoRotCte,
+      |svhc AS (SELECT * FROM vrsig WHERE id % 2 = 0),
+      |svhbt AS (SELECT * FROM vrsig WHERE id % 2 = 1),
+      |svci AS (SELECT id, unnest([
+      |    'vrthumb:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
+      |  ]) AS bk FROM svhc),
+      |svcb AS (SELECT bk, list_sort(list(DISTINCT id))[1:64] AS ids
+      |  FROM svci GROUP BY bk),
+      |svbi AS (SELECT id AS batch_id, unnest([
+      |    'vrthumb:' || nk::VARCHAR || ':0:' || ((sig >> 0) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':1:' || ((sig >> 16) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':2:' || ((sig >> 32) & 65535)::VARCHAR,
+      |    'vrthumb:' || nk::VARCHAR || ':3:' || ((sig >> 48) & 65535)::VARCHAR
       |  ]) AS bk FROM svhbt),
       |svcand2 AS (SELECT DISTINCT batch_id, u.cid AS corpus_id
       |  FROM svbi JOIN svcb USING (bk), unnest(ids) AS u(cid)),

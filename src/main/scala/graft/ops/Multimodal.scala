@@ -2396,6 +2396,136 @@ object Multimodal {
       bandBits = 16, numBands = 4, maxHamming = maxHamming,
       bucketCap = bucketCap, candCap = candCap, metric = "vid_mi_incr")
 
+  /** ROTATION-INVARIANT video signature (r18 — the D4 completion for
+    * clips, pairing [[imageRotationInvariantHash]] with
+    * [[videoMirrorInvariantHash]]): per `stss` keyframe, hash ALL
+    * EIGHT physical orientations of the decoded frame (iterated
+    * [[rot90]] + [[mirrorH]] — the full dihedral orbit) through the
+    * fixed-grid NN thumb, keep the signed min, THEN [[fold16]]; 16-bit
+    * folds packed by keyframe order. Why it exists: a 90°-rotated
+    * re-upload — the portrait/landscape phone transcode — swaps the
+    * frame dimensions, so every other video key misses it: the
+    * dimension-grouped key can't compare, the scale/crop keys hash the
+    * uploaded orientation, and the mirror key's {id, mirror} orbit
+    * contains no rotation. Rotating a clip rotates every frame and
+    * moves nothing in time, so per-frame orbit canonicalization is
+    * exact by the image key's group-orbit argument applied frame-wise,
+    * and composes with NN 2× rescaling (rot90 and mirror both commute
+    * with the upscale — the parity identities, spec-proven). Requires
+    * a SQUARE thumb; keyframe-less clips DROP with an observable
+    * counter (the family posture). */
+  def videoRotationInvariantHash(df: DataFrame, idCol: String, binCol: String,
+                                 maxKeyframes: Int = 4, thumbW: Int = 8,
+                                 thumbH: Int = 8): Dataset[VideoScaleInvariantHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(thumbW == thumbH, "rotation orbit needs a square thumb grid")
+    require(thumbW * thumbH <= 64, "thumb must fit one 64-bit hash")
+    require(maxKeyframes >= 1 && maxKeyframes <= 4,
+      s"maxKeyframes must be in [1, 4] (16-bit folds in one BIGINT), got $maxKeyframes")
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, videoRoOne(id, bytes, maxKeyframes, thumbW, thumbH))
+      })
+      .toDF("id", "v")
+      .observe("video_roti_drops_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("keyframeless_dropped"))
+      .where(col("v").isNotNull)
+      .select(col("v.id").as("id"), col("v.n_key").as("n_key"),
+        col("v.sig").as("sig"))
+      .as[VideoScaleInvariantHash]
+  }
+
+  /** Per-clip body of [[videoRotationInvariantHash]] (factored for the
+    * spec's invariance proofs): real container parse, per-keyframe
+    * decode → signed min over the eight orientations' fixed-grid
+    * thumbs → shared fold. None for a clip with no `stss` keyframes
+    * (same contract as [[videoSiOne]]). */
+  private[graft] def videoRoOne(id: Long, bytes: Array[Byte], maxKeyframes: Int,
+                                thumbW: Int, thumbH: Int): Option[VideoScaleInvariantHash] = {
+    val m = Mp4.parse(bytes)
+    val keys = m.samples.filter(_.keyframe).take(maxKeyframes)
+    if (keys.isEmpty) None
+    else {
+      var sig = 0L
+      var k = 0
+      while (k < keys.length) {
+        val (w0, h0, px) = decodeImagePayload(m.sampleBytes(bytes, keys(k)))
+        var arr = px
+        var w = w0.toInt
+        var h = h0.toInt
+        var best = Long.MaxValue
+        var r = 0
+        while (r < 4) {
+          val plain = nnThumbAHash(w, arr, 0, 0, w, h, thumbW, thumbH)
+          val mirrored = nnThumbAHash(w, mirrorH(w, h, arr), 0, 0, w, h,
+            thumbW, thumbH)
+          if (plain < best) best = plain
+          if (mirrored < best) best = mirrored
+          arr = rot90(w, h, arr)
+          val t = w; w = h; h = t
+          r += 1
+        }
+        sig |= fold16(best) << (16 * k)
+        k += 1
+      }
+      Some(VideoScaleInvariantHash(id, keys.length.toLong, sig))
+    }
+  }
+
+  /** Near-dup pairs over the rotation-invariant video signatures — the
+    * shared [[bandedHammingPairs]] machinery with dimensions dropped
+    * from the group (the orbit-canonical thumb domain carries none;
+    * `n_key` stays) and the family's 16-bit × 4 banding. */
+  def videoRotationInvariantPairs(sigs: DataFrame, maxHamming: Int = 6,
+                                  bucketCap: Int = 64, candCap: Int = 4): DataFrame =
+    bandedHammingPairs(sigs, hashCol = "sig",
+      group = concat(lit("vrthumb:"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "vid_roti")
+
+  /** [[incrementalBandedHamming]] over the rotation-invariant video
+    * signatures — the steady-state screen for the full dihedral video
+    * orbit: a rotated (even rotated-and-rescaled, or rotated-and-
+    * mirrored) transcode of standing content hits at Hamming 0, which
+    * no other video screen — including the mirror screen — can see. */
+  def incrementalVideoRotationInvariantNearDups(corpusSigs: DataFrame,
+                                                batchSigs: DataFrame,
+                                                maxHamming: Int = 6,
+                                                bucketCap: Int = 64,
+                                                candCap: Int = 4): DataFrame =
+    incrementalBandedHamming(corpusSigs, batchSigs, hashCol = "sig",
+      group = concat(lit("vrthumb:"), col("n_key").cast("string")),
+      bandBits = 16, numBands = 4, maxHamming = maxHamming,
+      bucketCap = bucketCap, candCap = candCap, metric = "vid_roti_incr")
+
+  /** Rotate every frame by `turns`×90° clockwise and re-encode — the
+    * cross-rotation duplicate generator the video rotation-invariant
+    * gates and spec share (the video sibling of [[rotateBmp]]).
+    * Keyframe PLACEMENT is preserved under the same uniform-stride
+    * requirement as [[nnUpscaleVideo2x]]; container timing is
+    * normalized and PNG frames come back as BMP — both additional
+    * transcode axes the rotation key never reads. */
+  def rotateVideoMp4(bytes: Array[Byte], turns: Int): Array[Byte] = {
+    val m = Mp4.parse(bytes)
+    Decode.req(m.samples.nonEmpty, "malformed",
+      "rotateVideoMp4: clip has no samples")
+    val keyIdx = m.samples.filter(_.keyframe).map(_.index)
+    Decode.req(keyIdx.headOption.contains(0), "malformed",
+      "rotateVideoMp4: first sample is not a sync sample — the " +
+        "uniform-stride re-encoder cannot preserve keyframe placement")
+    val stride = if (keyIdx.length > 1) keyIdx(1) - keyIdx(0)
+                 else m.samples.length
+    Decode.req(keyIdx == (0 until m.samples.length by stride).toVector,
+      "malformed",
+      "rotateVideoMp4: source stss is not a uniform stride pattern — " +
+        "the re-encoder cannot preserve keyframe placement")
+    val frames = m.samples.map(s => rotateBmp(m.sampleBytes(bytes, s), turns))
+    Mp4.encode(frames, timescale = 1000, delta = 40, keyStride = stride)
+  }
+
   /** Mirror every frame and re-encode — the cross-orientation
     * duplicate generator the video mirror-invariant gates and spec
     * share (the video sibling of [[mirrorBmp]]). Keyframe PLACEMENT is

@@ -67,7 +67,8 @@ object StreamingIngest {
       "stream_vid_quarantine", "stream_si_dedup", "stream_ri_dedup",
       "stream_vsi_dedup", "stream_vsti_dedup", "stream_ci_dedup",
       "stream_vci_dedup", "stream_ati_dedup", "stream_mi_dedup",
-      "stream_roti_dedup", "stream_vmi_dedup", "stream_acs_dedup")
+      "stream_roti_dedup", "stream_vmi_dedup", "stream_acs_dedup",
+      "stream_vroti_dedup")
 
   /** GC terminated streaming work dirs (VERDICT r6 #7): the durable
     * sinks key scratch space (checkpoints + parquet out dirs) by
@@ -803,6 +804,53 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .drop("arr_ts")
     val work = workDir("stream_vmi_dedup", dir)
+    val q = confirmed.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.ops.Dedup.releaseLocalCheckpoint(corpus)
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** The ROTATION-INVARIANT video screen as a stream (r18) — the
+    * dihedral-orbit video leg: the standing corpus's per-frame
+    * D4-canonical clip-signature index screens arriving
+    * rotated-and-NN-2×-rescaled transcodes; each hits its original at
+    * Hamming 0 — invisible to every other video stream including the
+    * mirror stream. Same posture as
+    * [[videoMirrorInvariantDedupStream]]. */
+  def videoRotationInvariantDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val corpus = Multimodal.videoRotationInvariantHash(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long")).as[Long]
+        .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+      .localCheckpoint(true)
+    val batch = Multimodal.videoRotationInvariantHash(
+      spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$dir/events.*")
+        .select(col("event_id").cast("long")).as[Long]
+        .filter((e: Long) => e % 4 == 0)
+        .mapPartitions(_.map(e =>
+          (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.rotateVideoMp4(
+            Multimodal.syntheticVideoMp4(e), 1 + (e % 3).toInt)))))
+        .toDF("id", "vid"), "id", "vid").toDF()
+    val confirmed = Multimodal.incrementalScreen(corpus, batch,
+        hashCol = "sig",
+        group = concat(lit("vrthumb:"), col("n_key").cast("string")),
+        bandBits = 16, numBands = 4, maxHamming = 6, bucketCap = 64,
+        metric = "vid_roti_stream", observed = false, noBroadcast = true)
+      .withColumn("arr_ts", current_timestamp())
+      .withWatermark("arr_ts", "1 second")
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .drop("arr_ts")
+    val work = workDir("stream_vroti_dedup", dir)
     val q = confirmed.writeStream
       .format("parquet")
       .option("path", s"$work/out")

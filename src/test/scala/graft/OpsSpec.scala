@@ -2644,6 +2644,77 @@ class OpsSpec extends SparkTestBase {
         s"incremental screen missed mirrored transcode of $e: ${screened.mkString(",")}")
   }
 
+  test("rotation-invariant video signature: the per-frame dihedral orbit collides at hamming 0; every other video key, including the mirror key, provably misses a 90-degree rotation") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 9L, 14L)
+    def vkey(rows: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+      Multimodal.videoRotationInvariantHash(
+        rows.toDF("id", "vid"), "id", "vid").collect()
+        .map(r => r.id -> r.sig).toMap
+    val origRows = ids.map(e => (2 * e, Multimodal.syntheticVideoMp4(e)))
+    // 1) the group-orbit lemma frame-wise on real containers: every
+    //    rotation count, with and without the NN 2× rescale, and
+    //    composed with the frame mirror, canonicalizes identically
+    for (turns <- 1 to 3; up <- Seq(false, true)) {
+      val copies = ids.map { e =>
+        val r = Multimodal.rotateVideoMp4(Multimodal.syntheticVideoMp4(e), turns)
+        (2 * e + 1, if (up) Multimodal.nnUpscaleVideo2x(r) else r)
+      }
+      val sigs = vkey(origRows ++ copies)
+      for (e <- ids)
+        assert(sigs(2 * e) == sigs(2 * e + 1),
+          s"rot${90 * turns}${if (up) "+2x" else ""} of clip $e changed the rotation-invariant signature")
+    }
+    val mixed = ids.map(e => (2 * e + 1, Multimodal.rotateVideoMp4(
+      Multimodal.mirrorVideoMp4(Multimodal.syntheticVideoMp4(e)),
+      1 + (e % 3).toInt)))
+    val sigsMix = vkey(origRows ++ mixed)
+    for (e <- ids)
+      assert(sigsMix(2 * e) == sigsMix(2 * e + 1),
+        s"mirror+rotation of clip $e escaped the dihedral orbit")
+    assert(ids.map(e => sigsMix(2 * e)).distinct.size == ids.size)
+    // 2) every OTHER video key provably misses a 90° rotation —
+    //    including the MIRROR video key ({id, mirror} contains no
+    //    rotation; the dims also swap)
+    val rotOnly = ids.map(e => (2 * e + 1, Multimodal.rotateVideoMp4(
+      Multimodal.syntheticVideoMp4(e), 1)))
+    def blind(keyed: Map[Long, Long]): Int =
+      ids.count(e => keyed(2 * e) != keyed(2 * e + 1))
+    val mirrorBoth = Multimodal.videoMirrorInvariantHash(
+      (origRows ++ rotOnly).toDF("id", "vid"), "id", "vid").collect()
+      .map(r => r.id -> r.sig).toMap
+    assert(blind(mirrorBoth) > 0,
+      "video mirror key unexpectedly absorbed the rotation for every clip")
+    val scaleBoth = Multimodal.videoScaleInvariantHash(
+      (origRows ++ rotOnly).toDF("id", "vid"), "id", "vid").collect()
+      .map(r => r.id -> r.sig).toMap
+    assert(blind(scaleBoth) > 0,
+      "video scale key unexpectedly absorbed the rotation for every clip")
+    info(s"video mirror key blind on ${blind(mirrorBoth)}/${ids.size}, " +
+      s"scale key blind on ${blind(scaleBoth)}/${ids.size} rotated clips")
+    // 3) the pairs gate surfaces each cross-rotation transcode at 0
+    val upRot = ids.map(e => (2 * e + 1, Multimodal.nnUpscaleVideo2x(
+      Multimodal.rotateVideoMp4(Multimodal.syntheticVideoMp4(e),
+        1 + (e % 3).toInt))))
+    val pairs = Multimodal.videoRotationInvariantPairs(
+      Multimodal.videoRotationInvariantHash(
+        (origRows ++ upRot).toDF("id", "vid"), "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(pairs.contains((2 * e, 2 * e + 1, 0L)),
+        s"missing cross-rotation video pair for $e: ${pairs.mkString(",")}")
+    // 4) the INCREMENTAL screen mirrors the batch hits
+    val screened = Multimodal.incrementalVideoRotationInvariantNearDups(
+        Multimodal.videoRotationInvariantHash(
+          origRows.toDF("id", "vid"), "id", "vid").toDF(),
+        Multimodal.videoRotationInvariantHash(
+          upRot.toDF("id", "vid"), "id", "vid").toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (e <- ids)
+      assert(screened.contains((2 * e + 1, 2 * e, 0L)),
+        s"incremental screen missed rotated transcode of $e: ${screened.mkString(",")}")
+  }
+
   test("channel-swap invariance: every energy-folded audio key absorbs an L/R swap; the exact sample fingerprint provably misses it; swapped+ZOH copies pair via the rate key") {
     import spark.implicits._
     import graft.ops.Wav
