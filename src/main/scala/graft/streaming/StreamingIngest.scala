@@ -1442,7 +1442,7 @@ object StreamingIngest {
     // every passing run
     val incrementDirs = Option(new java.io.File(s"$work/increments")
         .listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .filter(_.isDirectory) // every generation: gen_0 AND batch_* dirs
       .map(_.getAbsolutePath).sorted
     require(incrementDirs.nonEmpty, s"no index increments under $work/increments")
     val index = spark.read.parquet(incrementDirs.toIndexedSeq: _*)
