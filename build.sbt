@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // opt-in per-round closure timers (forked JVMs don't inherit -D flags
+  // from the sbt command line): GRAFT_TIMERS=1 sbt "Test/runMain ..."
+  sys.env.get("GRAFT_TIMERS").map(v => s"-Dgraft.dedup.timers=$v").toSeq

@@ -31,6 +31,27 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Event-id scan for the synthetic-media gates, SPREAD before the
+    * generate/decode `mapPartitions` (r18 optimization round, guide
+    * §2.5 "input skew"): the events fixture is ONE parquet file with
+    * ONE row group, so every media gate's expensive per-row stage —
+    * synthetic gen + codec encode + real decode — inherited a
+    * single-task scan and ran on one core of 32 (measured: the decode
+    * stage of every video gate was a 1-task stage; spreading it cut
+    * `multimodal_video_fingerprint` 4.5 s → sub-second and every
+    * video family leg proportionally). The exchange moves 100k longs
+    * (~1 MB) — three orders of magnitude cheaper than the work it
+    * parallelizes — and hash-partitions on the deterministic id (never
+    * round-robin: guide §2.5's retry-safety rule), so results are
+    * byte-identical. The same spread-single-split move `shingleSets`
+    * has always used for the text side. */
+  private def eventIds(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    T(s, d, "events").select(col("event_id").cast("long"))
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+      .as[Long]
+  }
+
   /** Flagship: the product itself — a config-driven multi-table transfer
     * (YAML-shaped spec → chunked keyset read → validated expr transforms →
     * idempotent chunk writes → checkpoint complete), then read the target
@@ -966,10 +987,10 @@ object SparkEntry {
       import s.implicits._
       val QBase = 10000000L
       def assets(gen: Long => Array[Byte]) =
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", "img")
       def poisoned(gen: (Long, Int) => Array[Byte], k: Int) =
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .filter((e: Long) => e % 5 == 0)
           .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
           .toDF("id", "img")
@@ -1186,7 +1207,7 @@ object SparkEntry {
     //     row order, BGR layout, or padding breaks the hash.
     "multimodal_decode" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img")
         .transform(df => Multimodal.imageStats(df, "id", "img").toDF())
@@ -1198,7 +1219,7 @@ object SparkEntry {
     "multimodal_ahash" -> ((s, d) => {
       import s.implicits._
       Multimodal.imageAHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
     }),
@@ -1209,7 +1230,7 @@ object SparkEntry {
     "dedup_image_pairs" -> ((s, d) => {
       import s.implicits._
       val hashes = Multimodal.imageAHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
       Multimodal.imageAHashPairs(hashes)
@@ -1230,7 +1251,7 @@ object SparkEntry {
       // gate). At 100 TB this frame IS the persisted index artifact
       // the *_index_lifecycle ops maintain — decode runs once.
       val hashes = Multimodal.imageAHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
         .localCheckpoint(true)
@@ -1249,7 +1270,7 @@ object SparkEntry {
       // checkpointed: corpus and batch sides filter the SAME signature
       // frame — decode once (see dedup_image_clusters)
       val hashes = Multimodal.imageAHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
         .localCheckpoint(true)
@@ -1294,7 +1315,7 @@ object SparkEntry {
     //     filter reconstruction, or channel order breaks the hash.
     "multimodal_png" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id))))
         .toDF("id", "img")
         .transform(df => Multimodal.pngStats(df, "id", "img").toDF())
@@ -1307,7 +1328,7 @@ object SparkEntry {
     //     fixed-point YCbCr→RGB integers.
     "multimodal_jpeg" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticJpeg(id))))
         .toDF("id", "img")
         .transform(df => Multimodal.jpegStats(df, "id", "img").toDF())
@@ -1319,7 +1340,7 @@ object SparkEntry {
     //     the oracle recomputes sample layout + byte sums in closed form.
     "multimodal_mp4" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
         .toDF("id", "vid")
         .transform(df => Multimodal.mp4Stats(df, "id", "vid").toDF())
@@ -1332,7 +1353,7 @@ object SparkEntry {
     "multimodal_video_fingerprint" -> ((s, d) => {
       import s.implicits._
       Multimodal.videoFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
     }),
@@ -1342,7 +1363,7 @@ object SparkEntry {
     "dedup_video_pairs" -> ((s, d) => {
       import s.implicits._
       val fps = Multimodal.videoFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
       Multimodal.videoNearDupPairs(fps)
@@ -1359,7 +1380,7 @@ object SparkEntry {
     "dedup_video_clusters" -> ((s, d) => {
       import s.implicits._
       val fps = Multimodal.videoFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
         .localCheckpoint(true) // two consumers — decode once (see dedup_image_clusters)
@@ -1376,7 +1397,7 @@ object SparkEntry {
     "dedup_video_incremental" -> ((s, d) => {
       import s.implicits._
       val fps = Multimodal.videoFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
         .localCheckpoint(true) // both split sides — decode once (see dedup_image_clusters)
@@ -1392,7 +1413,7 @@ object SparkEntry {
     "multimodal_video_phash" -> ((s, d) => {
       import s.implicits._
       Multimodal.videoPerceptualHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
     }),
@@ -1404,7 +1425,7 @@ object SparkEntry {
     "dedup_video_perceptual" -> ((s, d) => {
       import s.implicits._
       val sigs = Multimodal.videoPerceptualHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
       Multimodal.videoPerceptualPairs(sigs)
@@ -1416,7 +1437,7 @@ object SparkEntry {
     "dedup_video_perceptual_clusters" -> ((s, d) => {
       import s.implicits._
       val sigs = Multimodal.videoPerceptualHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
         .localCheckpoint(true) // two consumers — decode once (see dedup_image_clusters)
@@ -1432,7 +1453,7 @@ object SparkEntry {
     "dedup_video_perceptual_incremental" -> ((s, d) => {
       import s.implicits._
       val sigs = Multimodal.videoPerceptualHash(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
         .localCheckpoint(true) // both split sides — decode once (see dedup_image_clusters)
@@ -1471,7 +1492,7 @@ object SparkEntry {
     "multimodal_video_phash_aligned" -> ((s, d) => {
       import s.implicits._
       Multimodal.videoPerceptualHashTimeAligned(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4T(id))))
           .toDF("id", "vid"), "id", "vid").toDF()
     }),
@@ -1483,7 +1504,7 @@ object SparkEntry {
     //     formulas in closed form.
     "multimodal_gif" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticGif(id))))
         .toDF("id", "img")
         .transform(df => Multimodal.gifStats(df, "id", "img").toDF())
@@ -1493,7 +1514,7 @@ object SparkEntry {
     //     GIF fixtures, every 2nd frame kept (video keyframe shape)
     "multimodal_gif_frames" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticGifAnim(id))))
         .toDF("id", "img")
         .transform(df => Multimodal.gifFrameSample(df, "id", "img").toDF())
@@ -1504,7 +1525,7 @@ object SparkEntry {
     //     recomputes from the fixture formula.
     "multimodal_audio" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
         .toDF("id", "clip")
         .transform(df => Multimodal.audioStats(df, "id", "clip").toDF())
@@ -1514,7 +1535,7 @@ object SparkEntry {
     //     (16-frame windows, all channels) — the VAD/loudness shape
     "multimodal_audio_energy" -> ((s, d) => {
       import s.implicits._
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
         .toDF("id", "clip")
         .transform(df => Multimodal.audioEnergyWindows(df, "id", "clip").toDF())
@@ -1526,7 +1547,7 @@ object SparkEntry {
     "multimodal_audio_fingerprint" -> ((s, d) => {
       import s.implicits._
       Multimodal.audioFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
           .toDF("id", "clip"), "id", "clip").toDF()
     }),
@@ -1538,7 +1559,7 @@ object SparkEntry {
     "dedup_audio_pairs" -> ((s, d) => {
       import s.implicits._
       val fps = Multimodal.audioFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
           .toDF("id", "clip"), "id", "clip").toDF()
       Multimodal.audioFingerprintPairs(fps)
@@ -1552,7 +1573,7 @@ object SparkEntry {
       import s.implicits._
       // checkpointed: both split sides — decode once (see dedup_image_clusters)
       val fps = Multimodal.audioFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
           .toDF("id", "clip"), "id", "clip").toDF()
         .localCheckpoint(true)
@@ -1566,7 +1587,7 @@ object SparkEntry {
     "dedup_audio_clusters" -> ((s, d) => {
       import s.implicits._
       val fps = Multimodal.audioFingerprint(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
           .toDF("id", "clip"), "id", "clip").toDF()
         .localCheckpoint(true) // two consumers — decode once (see dedup_image_clusters)
@@ -1587,7 +1608,7 @@ object SparkEntry {
     //     the md5 string from closed form
     "multimodal_resample" -> ((s, d) => {
       import s.implicits._
-      val imgs = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val imgs = eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img")
       Multimodal.imageResample(imgs, "id", "img").toDF()
@@ -1605,7 +1626,7 @@ object SparkEntry {
       // old fixed 2·10⁶ offset collided with original ids once the
       // 100× sweep reached 2M events), and 2e < 2e+1 keeps the min-id
       // keeper semantics (originals keep, re-uploads drop)
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.imageScaleInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
@@ -1635,7 +1656,7 @@ object SparkEntry {
     //     the aHash bit rule, 16-bit bands, caps, and confirms
     "dedup_image_scale_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img")
       val up = base.filter((e: Long) => e % 7 == 0)
@@ -1655,7 +1676,7 @@ object SparkEntry {
     //     originals keep
     "dedup_image_scale_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.imageScaleInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img")
@@ -1675,7 +1696,7 @@ object SparkEntry {
     //     the closed-form samples through the same index map
     "multimodal_audio_resample" -> ((s, d) => {
       import s.implicits._
-      val clips = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val clips = eventIds(s, d)
         .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
         .toDF("id", "clip")
       Multimodal.audioResample(clips, "id", "clip").toDF()
@@ -1692,7 +1713,7 @@ object SparkEntry {
     //     slot map, the delta-sign rule, 16-bit bands, caps, and confirms
     "dedup_audio_rate_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
         .toDF("id", "clip")
       val up = base.filter((e: Long) => e % 7 == 0)
@@ -1711,7 +1732,7 @@ object SparkEntry {
     //     originals keep
     "dedup_audio_rate_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.audioRateInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
           .toDF("id", "clip")
@@ -1730,7 +1751,7 @@ object SparkEntry {
     //     rate-grouped incremental audio screen can never see these
     "dedup_audio_rate_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.audioRateInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
           .toDF("id", "clip"), "id", "clip").toDF()
@@ -1765,7 +1786,7 @@ object SparkEntry {
     //     and confirms
     "dedup_video_scale_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(e =>
         (2 * e, Multimodal.syntheticVideoMp4(e)))).toDF("id", "vid")
       val up = base.filter((e: Long) => e % 7 == 0)
@@ -1784,7 +1805,7 @@ object SparkEntry {
     //     and originals keep
     "dedup_video_scale_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.videoScaleInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid")
@@ -1804,7 +1825,7 @@ object SparkEntry {
     //     these
     "dedup_video_scale_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.videoScaleInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid"), "id", "vid").toDF()
@@ -1839,7 +1860,7 @@ object SparkEntry {
     //     caps, and confirms
     "dedup_video_scale_time_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(e =>
         (2 * e, Multimodal.syntheticVideoMp4T(e)))).toDF("id", "vid")
       val up = base.filter((e: Long) => e % 7 == 0)
@@ -1857,7 +1878,7 @@ object SparkEntry {
     //     content siblings); the smallest id keeps
     "dedup_video_scale_time_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.videoScaleInvariantHashTimeAligned(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4T(e))))
           .toDF("id", "vid")
@@ -1876,7 +1897,7 @@ object SparkEntry {
     //     parent's incremental screen can see these
     "dedup_video_scale_time_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.videoScaleInvariantHashTimeAligned(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4T(e))))
           .toDF("id", "vid"), "id", "vid").toDF()
@@ -1910,7 +1931,7 @@ object SparkEntry {
     //     the aHash rule, 16-bit bands, caps, and confirms
     "dedup_image_crop_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img")
       val boxed = base.filter((e: Long) => e % 5 == 0)
@@ -1929,7 +1950,7 @@ object SparkEntry {
     //     original at Hamming 0 — the even original id 2e keeps
     "dedup_image_crop_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.imageCropInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img")
@@ -1951,7 +1972,7 @@ object SparkEntry {
     //     scale-invariant incremental screen can see these
     "dedup_image_crop_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.imageCropInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
@@ -1984,7 +2005,7 @@ object SparkEntry {
     //     frame formulas (trim cancels the pads), folds, bands, caps
     "dedup_video_crop_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(e =>
         (2 * e, Multimodal.syntheticVideoMp4(e)))).toDF("id", "vid")
       val boxed = base.filter((e: Long) => e % 5 == 0)
@@ -2003,7 +2024,7 @@ object SparkEntry {
     //     with its original at Hamming 0 — the even original id keeps
     "dedup_video_crop_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.videoCropInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid")
@@ -2021,7 +2042,7 @@ object SparkEntry {
     // --- the crop-invariant video screen, INCREMENTAL
     "dedup_video_crop_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.videoCropInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid"), "id", "vid").toDF()
@@ -2053,7 +2074,7 @@ object SparkEntry {
     //     map, delta-sign bits, bands, caps, and confirms
     "dedup_audio_trim_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
         .toDF("id", "clip")
       val padded = base.filter((e: Long) => e % 5 == 0)
@@ -2072,7 +2093,7 @@ object SparkEntry {
     //     original at Hamming 0 — the even original id keeps
     "dedup_audio_trim_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.audioTrimInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
           .toDF("id", "clip")
@@ -2090,7 +2111,7 @@ object SparkEntry {
     // --- the trim-invariant screen, INCREMENTAL
     "dedup_audio_trim_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.audioTrimInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
           .toDF("id", "clip"), "id", "clip").toDF()
@@ -2123,7 +2144,7 @@ object SparkEntry {
     //     replays both orientations' thumbs and takes least()
     "dedup_image_mirror_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img")
       val flipped = base.filter((e: Long) => e % 3 == 0)
@@ -2141,7 +2162,7 @@ object SparkEntry {
     //     its original at Hamming 0 — the even original id keeps
     "dedup_image_mirror_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.imageMirrorInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img")
@@ -2158,7 +2179,7 @@ object SparkEntry {
     // --- the mirror-invariant screen, INCREMENTAL
     "dedup_image_mirror_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.imageMirrorInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
@@ -2191,7 +2212,7 @@ object SparkEntry {
     //     replays all eight orientations' thumbs and takes least()
     "dedup_image_rotation_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img")
       val rotated = base.filter((e: Long) => e % 4 == 0)
@@ -2209,7 +2230,7 @@ object SparkEntry {
     //     its original at Hamming 0 — the even original id keeps
     "dedup_image_rotation_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.imageRotationInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img")
@@ -2226,7 +2247,7 @@ object SparkEntry {
     // --- the rotation-invariant screen, INCREMENTAL
     "dedup_image_rotation_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.imageRotationInvariantHash(
         base.mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
           .toDF("id", "img"), "id", "img").toDF()
@@ -2257,7 +2278,7 @@ object SparkEntry {
     //     the fold
     "dedup_video_mirror_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
         .toDF("id", "vid")
       val flipped = base.filter((e: Long) => e % 3 == 0)
@@ -2274,7 +2295,7 @@ object SparkEntry {
     //     closure to keep/drop
     "dedup_video_mirror_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.videoMirrorInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid")
@@ -2291,7 +2312,7 @@ object SparkEntry {
     // --- the mirror-invariant video screen, INCREMENTAL
     "dedup_video_mirror_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.videoMirrorInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid"), "id", "vid").toDF()
@@ -2322,7 +2343,7 @@ object SparkEntry {
     //     before the fold
     "dedup_video_rotation_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
         .toDF("id", "vid")
       val rotated = base.filter((e: Long) => e % 4 == 0)
@@ -2339,7 +2360,7 @@ object SparkEntry {
     //     shared closure to keep/drop
     "dedup_video_rotation_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.videoRotationInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid")
@@ -2356,7 +2377,7 @@ object SparkEntry {
     // --- the rotation-invariant video screen, INCREMENTAL
     "dedup_video_rotation_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.videoRotationInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
           .toDF("id", "vid"), "id", "vid").toDF()
@@ -2390,7 +2411,7 @@ object SparkEntry {
     //     closed form — through the rate key's double-floor slot map
     "dedup_audio_channel_swap_invariant" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val orig = base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
         .toDF("id", "clip")
       val swapped = base.filter((e: Long) => e % 4 == 1)
@@ -2406,7 +2427,7 @@ object SparkEntry {
     // --- and the channel-swap pair graph through the shared closure
     "dedup_audio_channel_swap_invariant_keep" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val sigs = Multimodal.audioRateInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
           .toDF("id", "clip")
@@ -2424,7 +2445,7 @@ object SparkEntry {
     //     swapped re-uploads)
     "dedup_audio_channel_swap_invariant_incremental" -> ((s, d) => {
       import s.implicits._
-      val base = T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      val base = eventIds(s, d)
       val corpus = Multimodal.audioRateInvariantHash(
         base.mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
           .toDF("id", "clip"), "id", "clip").toDF()
@@ -2502,7 +2523,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => {
       import s.implicits._
       Multimodal.sampleKeyframes(
-        T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, d)
           .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
           .toDF("id", "vid"), "id", "vid")
         .toDF().select(col("id"), col("frameIdx").as("frame_idx"),
@@ -2955,7 +2976,7 @@ object SparkEntry {
   private def mediaAdmissionBook(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def assets(gen: Long => Array[Byte], c: String) =
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
     // image and audio decode ONCE via the fused passes (r14): the
     // pinned fused frame serves BOTH tiers (the exact tier's
@@ -3065,7 +3086,7 @@ object SparkEntry {
       val out = graft.util.Fs.workDir("media_index", key)
       graft.util.Fs.deleteRecursive(new java.io.File(out))
       def assets(gen: Long => Array[Byte], c: String) =
-        T(s, dir, "events").select(col("event_id").cast("long")).as[Long]
+        eventIds(s, dir)
           .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
       // fused decode (r14): bytes parse ONCE per modality; the pinned
       // fused frame writes both tier artifacts (identical rows to the
@@ -3110,10 +3131,10 @@ object SparkEntry {
     import s.implicits._
     val QBase = 10000000L
     def assets(gen: Long => Array[Byte], c: String) =
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .mapPartitions(_.map(id => (id, gen(id)))).toDF("id", c)
     def poisoned(gen: (Long, Int) => Array[Byte], c: String, k: Int) =
-      T(s, d, "events").select(col("event_id").cast("long")).as[Long]
+      eventIds(s, d)
         .filter((e: Long) => e % 5 == 0)
         .mapPartitions(_.map(e => (QBase + e, gen(e, ((e / 5) % k).toInt))))
         .toDF("id", c)

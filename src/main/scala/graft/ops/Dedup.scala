@@ -623,31 +623,78 @@ object Dedup {
     * propagation stays the cheaper core — both are kept, both
     * gate-covered.
     *
-    * Storage discipline matches the propagation loop: every phase
-    * localCheckpoints the edge frame (the rewrite embeds the previous
-    * plan several times — geometric plan growth without truncation)
-    * and the superseded round's blocks are released explicitly.
+    * Storage discipline matches the propagation loop: every ROUND
+    * (one fused large-star + small-star plan — r18: the phases used to
+    * checkpoint separately, two actions per round, and per-action job
+    * overhead dominated every closure gate) localCheckpoints the edge
+    * frame (the rewrite embeds the previous plan several times —
+    * geometric plan growth without truncation) and the superseded
+    * round's blocks are released explicitly.
     * Convergence probe: (count, Σu, Σv) of the canonical edge set as
     * DECIMAL — a deterministic rewrite with an unchanged triple is
     * treated as the fixpoint; the per-gate oracles and the union-find
     * property tests back that judgment with exact checks. */
   private[graft] def starContractLabels(ids: DataFrame, pairs: DataFrame,
                                         maxIters: Int = 25): DataFrame = {
-    // canonical undirected edge list (a < b), self-loops dropped
-    var edges = pairs.toDF("a", "b")
+    // PARTITION-LOCAL PRE-CONTRACTION (r18, guide §2.3 "aggregate
+    // before you shuffle" applied to connected components): a
+    // union-find over each input partition's edges rewrites them as
+    // star edges to the partition-local component minimum — one narrow
+    // mapPartitions pass, NO shuffle, state bounded by the partition's
+    // node count. Components spanning partitions still need the global
+    // loop, but every chain that is co-partitioned collapses to depth 1
+    // here, so contraction starts from a near-star forest (measured on
+    // the video-crop keep graph: 152k raw edges → the global loop's
+    // round count fell from 9 to a handful and each round's edge frame
+    // shrank). Correctness: replacing a partition's edge multiset with
+    // a star over the same nodes preserves global connectivity
+    // (a—root—b replaces a—b); min-root union makes every local root
+    // the partition-local minimum, deterministic regardless of edge
+    // order; and the global fixpoint labels are partition-independent
+    // (equivalence property-tested against an independent union-find).
+    val ss = pairs.sparkSession
+    import ss.implicits._
+    val pre = pairs.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // parent(x) always points at a STRICTLY smaller node, so the
+        // map's keys are exactly the partition's non-root nodes
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp
+            x = gp
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val ks = parent.keysIterator.toArray
+        ks.iterator.map(x => (find(x), x))
+      }
+      .toDF("a", "b")
+    // canonical undirected edge list (a < b), self-loops dropped;
+    // checkpointed below with the initial probe riding the
+    // materialization as observed metrics (r18: previously a separate
+    // aggregation job over the checkpointed frame)
+    val edges0 = pre
       .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
+        greatest(col("b"), col("a")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
 
     def adj(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
-    // m(u) = min(Γ(u) ∪ {u}) over the current edge set
-    def mins(a: DataFrame): DataFrame =
-      a.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
     def canonical(e: DataFrame): DataFrame =
       e.select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"))
@@ -702,35 +749,69 @@ object Dedup {
         edgeProbe(e)
       }
 
-    var probe = edgeProbe(edges)
+    val obs0 = org.apache.spark.sql.Observation(
+      "graft-contract-" + java.util.UUID.randomUUID().toString)
+    var edges = edges0.observe(obs0, probeExprs.head, probeExprs.tail: _*)
+      .localCheckpoint(true)
+    var probe = observedProbe(obs0, edges)
     var it = 0
     var converged = probe._1 == 0L // no edges: everything is a singleton
+    // m(u) = min(Γ(u) ∪ {u}) computed as a WINDOW over the adjacency
+    // rows (r18, guide §2.4): the old [groupBy(u).min + join-back on u]
+    // pair cost TWO exchanges per star (partial-agg exchange + raw-rows
+    // exchange for the join); a min window over partitionBy(u) delivers
+    // m on every adjacency row with ONE exchange + an in-partition
+    // sort of (long, long) rows. Skew posture unchanged: either shape
+    // routes a star root's whole neighborhood to one reducer task.
+    def withM(a: DataFrame): DataFrame =
+      a.withColumn("m", least(col("u"), min(col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u")))))
     while (it < maxIters && !converged) {
-      val a1 = adj(edges)
-      // LARGE-STAR: (v, m(u)) for every strictly-larger neighbor v of u
-      val large = canonical(
-        a1.join(mins(a1), "u").where(col("v") > col("u"))
-          .select(col("v").as("x"), col("m").as("y")))
-        .localCheckpoint(true)
-      releaseLocalCheckpoint(edges)
-      // SMALL-STAR: (v, m(u)) for every ≤ neighbor v ≠ m, plus (u, m)
-      val a2 = adj(large)
-      val m2 = mins(a2)
+      val t0r = System.nanoTime()
+      // LARGE-STAR: (v, m(u)) for every strictly-larger neighbor v of u.
+      // NOT materialized on its own (r18, guide §2.4/§2.6): the phase
+      // pair used to cost TWO actions per round — one localCheckpoint
+      // per star — and on the near-dup subgraphs the per-round fixed
+      // job overhead (AQE stage jobs × scheduler round-trips), not
+      // data, dominates every closure gate. Fusing both stars into ONE
+      // plan per round halves the actions, and plan depth stays bounded
+      // at two star rewrites over the previous round's CHECKPOINTED
+      // edges, so the geometric-plan-growth hazard the old per-phase
+      // checkpoint guarded against cannot return.
+      // The large-star output is NOT deduped (r18): min() over a
+      // multiset equals min() over its set and the small-star's
+      // canonical() dedups the round's final edge set, so dropping the
+      // intermediate distinct removes one Exchange+Aggregate per round
+      // without changing the edge SET any round produces. Duplicate
+      // large rows are bounded by the (deduped) previous round's edge
+      // count — no growth across rounds.
+      val large =
+        withM(adj(edges)).where(col("v") > col("u"))
+          .select(least(col("v"), col("m")).as("a"),
+            greatest(col("v"), col("m")).as("b"))
+          .where(col("a") =!= col("b"))
+      // SMALL-STAR: (v, m(u)) for every ≤ neighbor v ≠ m, plus (u, m) —
+      // the (u, m) leg rides the same window rows (one per adjacency
+      // row; duplicates collapse in canonical()'s distinct, exactly the
+      // set the old one-row-per-u m2 union produced)
+      val s2 = withM(adj(large))
       val obs = org.apache.spark.sql.Observation(
         "graft-contract-" + java.util.UUID.randomUUID().toString)
       val small = canonical(
-        a2.join(m2, "u")
-          .where(col("v") <= col("u") && col("v") =!= col("m"))
+        s2.where(col("v") <= col("u") && col("v") =!= col("m"))
           .select(col("v").as("x"), col("m").as("y"))
-          .union(m2.select(col("u").as("x"), col("m").as("y"))))
+          .union(s2.select(col("u").as("x"), col("m").as("y"))))
         .observe(obs, probeExprs.head, probeExprs.tail: _*)
         .localCheckpoint(true)
-      releaseLocalCheckpoint(large)
+      releaseLocalCheckpoint(edges)
       edges = small
       val next = observedProbe(obs, edges)
       converged = next == probe
       probe = next
       it += 1
+      if (sys.props.get("graft.dedup.timers").contains("1"))
+        System.err.println(f"[contract-timer] round $it edges=${next._1} " +
+          f"took ${(System.nanoTime() - t0r) / 1e9}%.2f s")
     }
     if (!converged)
       System.err.println(s"[dedup] WARNING: star contraction hit " +

@@ -272,7 +272,8 @@ object StreamingIngest {
     import spark.implicits._
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     def hashes(df: DataFrame) = Multimodal.imageAHash(
-      df.select(col("event_id").cast("long")).as[Long]
+      df.select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img"), "id", "img").toDF()
     // MATERIALIZE the standing index (eager localCheckpoint): the
@@ -343,7 +344,8 @@ object StreamingIngest {
     // provably disjoint at any sweep scale (matches the batch gates)
     val corpus = Multimodal.imageScaleInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img"), "id", "img").toDF()
       .localCheckpoint(true)
@@ -351,7 +353,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.syntheticBmp(e)))))
@@ -393,7 +396,8 @@ object StreamingIngest {
     // provably disjoint at any sweep scale (matches the batch gates)
     val corpus = Multimodal.audioRateInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
         .toDF("id", "clip"), "id", "clip").toDF()
       .localCheckpoint(true)
@@ -401,7 +405,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.zohUpsample2x(Multimodal.syntheticWavMixed(e)))))
@@ -443,7 +448,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.videoScaleInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
         .toDF("id", "vid"), "id", "vid").toDF()
       .localCheckpoint(true)
@@ -451,7 +457,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4(e)))))
@@ -491,7 +498,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.videoScaleInvariantHashTimeAligned(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4T(e))))
         .toDF("id", "vid"), "id", "vid").toDF()
       .localCheckpoint(true)
@@ -499,7 +507,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 7 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.syntheticVideoMp4T(e)))))
@@ -539,7 +548,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.imageCropInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img"), "id", "img").toDF()
       .localCheckpoint(true)
@@ -547,7 +557,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 5 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.letterbox(
@@ -586,7 +597,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.videoCropInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
         .toDF("id", "vid"), "id", "vid").toDF()
       .localCheckpoint(true)
@@ -594,7 +606,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 5 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.letterboxVideo(
@@ -634,7 +647,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.imageMirrorInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img"), "id", "img").toDF()
       .localCheckpoint(true)
@@ -642,7 +656,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 3 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.mirrorBmp(
@@ -684,7 +699,8 @@ object StreamingIngest {
     // would otherwise confirm against each other at Hamming 0
     val corpus = Multimodal.audioTrimInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticWavMixed(e))))
         .toDF("id", "clip"), "id", "clip").toDF()
       .filter(col("rfp") =!= 0L)
@@ -693,7 +709,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 5 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.padSilence(
@@ -733,7 +750,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.imageRotationInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticBmp(id))))
         .toDF("id", "img"), "id", "img").toDF()
       .localCheckpoint(true)
@@ -741,7 +759,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 4 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscale2x(Multimodal.rotateBmp(
@@ -780,7 +799,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.videoMirrorInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
         .toDF("id", "vid"), "id", "vid").toDF()
       .localCheckpoint(true)
@@ -788,7 +808,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 3 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.mirrorVideoMp4(
@@ -827,7 +848,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.videoRotationInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(e => (2 * e, Multimodal.syntheticVideoMp4(e))))
         .toDF("id", "vid"), "id", "vid").toDF()
       .localCheckpoint(true)
@@ -835,7 +857,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .filter((e: Long) => e % 4 == 0)
         .mapPartitions(_.map(e =>
           (2 * e + 1, Multimodal.nnUpscaleVideo2x(Multimodal.rotateVideoMp4(
@@ -879,7 +902,8 @@ object StreamingIngest {
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val corpus = Multimodal.audioRateInvariantHash(
       spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (2 * id, Multimodal.syntheticWavMixed(id))))
         .toDF("id", "clip"), "id", "clip").toDF()
       .localCheckpoint(true)
@@ -887,7 +911,8 @@ object StreamingIngest {
       spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "4")
         .parquet(s"$dir/events.*")
-        .select(col("event_id").cast("long")).as[Long]
+        .select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         // stereo rows only: swap on mono is the identity, and the
         // fixture plan gives odd events two channels
         .filter((e: Long) => e % 4 == 1)
@@ -953,7 +978,8 @@ object StreamingIngest {
       .where(expr("event_id div 20") % 2 === 1)
     val q = incoming.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val assets = b.select(col("event_id").cast("long")).as[Long]
+        val assets = b.select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
           .mapPartitions(_.flatMap { e =>
             val clean = Seq((e, Multimodal.syntheticBmp(e)))
             val poison =
@@ -1013,7 +1039,8 @@ object StreamingIngest {
     import spark.implicits._
     val evSchema = spark.read.parquet(s"$dir/events.parquet").schema
     def sigs(df: DataFrame) = Multimodal.videoPerceptualHash(
-      df.select(col("event_id").cast("long")).as[Long]
+      df.select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.syntheticVideoMp4(id))))
         .toDF("id", "vid"), "id", "vid").toDF()
     // (id div 2) parity puts each content's {v0, v1} in the corpus and
@@ -1353,7 +1380,8 @@ object StreamingIngest {
       .where(expr("event_id div 2") % 2 === 1)
     val q = incoming.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val assets = b.select(col("event_id").cast("long")).as[Long]
+        val assets = b.select(col("event_id").cast("long"))
+        .repartition(spark.sparkContext.defaultParallelism, col("event_id")).as[Long]
           .mapPartitions(_.flatMap { e =>
             val clean = Seq((e, Multimodal.syntheticVideoMp4(e)))
             val poison =
