@@ -617,11 +617,15 @@ object Dedup {
     * core exists: the r10 perceptual-video pair graph's candCap-pruned
     * chains exceeded eccentricity 30 at sf0.1 and propagation hit its
     * round cap (loudly); contraction converges in a handful of phase
-    * pairs. Trade: each phase pair costs ~3 shuffles (group-min, join
-    * back, dedup) against propagation's ~2, and the shuffled unit is
-    * the EDGE set, so for shallow graphs (text LSH near-dup cliques)
-    * propagation stays the cheaper core — both are kept, both
-    * gate-covered.
+    * pairs. Trade: each phase pair costs 3 shuffles (one window-min
+    * exchange per star + the round's dedup — r18; the groupBy-min +
+    * join-back shape cost 5) against propagation's ~2, and the
+    * shuffled unit is the EDGE set, so for shallow graphs (text LSH
+    * near-dup cliques) propagation stays the cheaper core — both are
+    * kept, both gate-covered. The global loop is seeded by a
+    * partition-local union-find pre-contraction (r18) — one narrow
+    * pass, no shuffle — so co-partitioned chains collapse before the
+    * first exchange.
     *
     * Storage discipline matches the propagation loop: every ROUND
     * (one fused large-star + small-star plan — r18: the phases used to
