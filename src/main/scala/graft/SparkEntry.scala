@@ -869,19 +869,28 @@ object SparkEntry {
       val kb = Curation.keepBestInClusters(docs)
         .where(col("keep")).select("doc_id")
       val band = Curation.logprobTrim(docs).select("doc_id")
+      // `admitted` feeds the PII injection AND the budget join; `red`
+      // (the regex-heavy redaction pass) feeds the budget sample AND
+      // the final audit join-back — pin each once instead of re-running
+      // the 4-signal join / redaction subtree per consumer (r19, the
+      // surgicalPretrainBook shape; guide §2.4)
       val admitted = docs.join(cp, "doc_id").join(kb, "doc_id")
         .join(band, "doc_id")
         .join(cont, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       val injected = admitted.select(col("doc_id"), col("source"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@mail.example.com ref "),
           (col("doc_id") * 1234567 + 10000000).cast("string")).as("text"))
-      val red = Curation.piiRedact(injected)
+      val red = Curation.piiRedact(injected).localCheckpoint(true)
       val forBudget = red.select(col("doc_id"), col("clean_text").as("text"))
         .join(admitted.select("doc_id", "source"), "doc_id")
-      graft.ops.Sampling.tokenBudgetSample(forBudget,
+      val out = graft.ops.Sampling.tokenBudgetSample(forBudget,
           budgetTokens = 15000L, seed = "mix1")
         .join(red.select("doc_id", "n_emails", "n_longnums"), "doc_id")
+        .localCheckpoint(true)
+      Seq(admitted, red).foreach(graft.ops.Dedup.releaseOwnCheckpoint)
+      out
     }),
 
     // --- the SURGICAL admission variant: where pipeline_pretrain_full
@@ -2939,17 +2948,29 @@ object SparkEntry {
     val kb = Curation.keepBestInClusters(docs)
       .where(col("keep")).select("doc_id")
     val band = Curation.logprobTrim(docs).select("doc_id")
+    // `admitted` (the 3-signal join) feeds the decontamination input
+    // AND the budget join; `red` (the span-decontamination pass — a
+    // gram explode + islands + trim subtree) feeds the budget sample
+    // AND the final stats join-back. Un-materialized, each consumer
+    // re-ran the whole upstream subtree inside the one action (r19,
+    // guide §2.4 duplicated-subtree audit: the book submitted 88 jobs).
+    // Both frames are corpus-row-sized; pin each once, release after
+    // the book materializes.
     val admitted = docs.join(cp, "doc_id").join(kb, "doc_id")
       .join(band, "doc_id")
       .where(col("doc_id") >= 20)
+      .localCheckpoint(true)
     val deconIn = docs.where(col("doc_id") < 20)
       .unionByName(admitted.select(docs.columns.map(col): _*))
-    val red = Curation.decontaminateSpans(deconIn)
+    val red = Curation.decontaminateSpans(deconIn).localCheckpoint(true)
     val forBudget = red.select(col("doc_id"), col("clean_text").as("text"))
       .join(admitted.select("doc_id", "source"), "doc_id")
-    graft.ops.Sampling.tokenBudgetSample(forBudget,
+    val out = graft.ops.Sampling.tokenBudgetSample(forBudget,
         budgetTokens = 15000L, seed = "mix1")
       .join(red.select("doc_id", "n_kept_words", "n_removed_words"), "doc_id")
+      .localCheckpoint(true)
+    Seq(admitted, red).foreach(graft.ops.Dedup.releaseOwnCheckpoint)
+    out
   }
 
   /** The media admission book (round 11) — factored so
@@ -2984,15 +3005,20 @@ object SparkEntry {
     // up to three corpus parses per modality, now one). Projections
     // are byte-identical to the separate passes (shared per-asset
     // bodies, spec-pinned), so the oracle replays unchanged.
-    val imgBin = assets(Multimodal.syntheticBmp, "img")
-    val imgSig = Multimodal.imageSignatures(imgBin, "id", "img").toDF()
-      .localCheckpoint(true)
-    val audBin = assets(Multimodal.syntheticWav, "clip")
-    val audSig = Multimodal.audioSignatures(audBin, "id", "clip").toDF()
-      .localCheckpoint(true)
-    val vidSigs = Multimodal.videoPerceptualHash(
-      assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
-      .localCheckpoint(true)
+    // the three signature materializations are independent decode
+    // passes over disjoint corpora — run them as CONCURRENT jobs
+    // (guide §2.6) so each pass's straggler tail is back-filled by the
+    // next instead of leaving cores idle between three serial actions
+    val Seq(imgSig, audSig, vidSigs) = graft.util.Par.map(Seq(
+      () => Multimodal.imageSignatures(
+        assets(Multimodal.syntheticBmp, "img"), "id", "img").toDF()
+        .localCheckpoint(true),
+      () => Multimodal.audioSignatures(
+        assets(Multimodal.syntheticWav, "clip"), "id", "clip").toDF()
+        .localCheckpoint(true),
+      () => Multimodal.videoPerceptualHash(
+        assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
+        .localCheckpoint(true)))
     val out = composeMediaBook(
       imgSig.select("id", "width", "height", "ahash"),
       audSig.select(col("id"), col("channels"), col("n_windows"),
@@ -3062,8 +3088,10 @@ object SparkEntry {
     textAdmitCache.computeIfAbsent(key, _ => {
       val out = graft.util.Fs.workDir("text_admit", key)
       graft.util.Fs.deleteRecursive(new java.io.File(out))
-      surgicalPretrainBook(s, d).select("doc_id").distinct()
+      val book = surgicalPretrainBook(s, d) // checkpoint-backed (r19)
+      book.select("doc_id").distinct()
         .write.mode("overwrite").parquet(out)
+      graft.ops.Dedup.releaseOwnCheckpoint(book)
       out
     })
   }
@@ -3092,29 +3120,39 @@ object SparkEntry {
       // fused frame writes both tier artifacts (identical rows to the
       // separate passes — shared per-asset bodies, spec-pinned), so
       // the six-dir artifact layout and every reader stay unchanged
-      val imgBin = assets(Multimodal.syntheticBmp, "img")
-      val audBin = assets(Multimodal.syntheticWav, "clip")
-      val imgSig = Multimodal.imageSignatures(imgBin, "id", "img").toDF()
-        .localCheckpoint(true)
-      imgSig.select("id", "width", "height", "ahash")
-        .write.mode("overwrite").parquet(s"$out/img_ahash")
-      imgSig.select("id", "width", "height", "fp")
-        .write.mode("overwrite").parquet(s"$out/img_fp")
-      val audSig = Multimodal.audioSignatures(audBin, "id", "clip").toDF()
-        .localCheckpoint(true)
-      audSig.select(col("id"), col("channels"), col("n_windows"),
-          col("wfp").as("fp"))
-        .write.mode("overwrite").parquet(s"$out/aud_fp_perceptual")
-      audSig.select(col("id"), col("channels"), col("n_samples"),
-          col("sfp").as("fp"))
-        .write.mode("overwrite").parquet(s"$out/aud_fp_exact")
-      Seq(imgSig, audSig).foreach(graft.ops.Dedup.releaseOwnCheckpoint)
-      Multimodal.videoPerceptualHash(
-          assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
-        .write.mode("overwrite").parquet(s"$out/vid_phash")
-      Multimodal.videoFingerprint(
-          assets(Multimodal.syntheticMp4, "vid"), "id", "vid").toDF()
-        .write.mode("overwrite").parquet(s"$out/vid_fp")
+      // the four modality pipelines (decode → artifact writes) are
+      // independent — run them as CONCURRENT driver jobs (guide §2.6)
+      // so the six artifact writes overlap the decode tails instead of
+      // serializing eight actions
+      graft.util.Par.run(Seq(
+        () => {
+          val imgSig = Multimodal.imageSignatures(
+            assets(Multimodal.syntheticBmp, "img"), "id", "img").toDF()
+            .localCheckpoint(true)
+          imgSig.select("id", "width", "height", "ahash")
+            .write.mode("overwrite").parquet(s"$out/img_ahash")
+          imgSig.select("id", "width", "height", "fp")
+            .write.mode("overwrite").parquet(s"$out/img_fp")
+          graft.ops.Dedup.releaseOwnCheckpoint(imgSig)
+        },
+        () => {
+          val audSig = Multimodal.audioSignatures(
+            assets(Multimodal.syntheticWav, "clip"), "id", "clip").toDF()
+            .localCheckpoint(true)
+          audSig.select(col("id"), col("channels"), col("n_windows"),
+              col("wfp").as("fp"))
+            .write.mode("overwrite").parquet(s"$out/aud_fp_perceptual")
+          audSig.select(col("id"), col("channels"), col("n_samples"),
+              col("sfp").as("fp"))
+            .write.mode("overwrite").parquet(s"$out/aud_fp_exact")
+          graft.ops.Dedup.releaseOwnCheckpoint(audSig)
+        },
+        () => Multimodal.videoPerceptualHash(
+            assets(Multimodal.syntheticVideoMp4, "vid"), "id", "vid").toDF()
+          .write.mode("overwrite").parquet(s"$out/vid_phash"),
+        () => Multimodal.videoFingerprint(
+            assets(Multimodal.syntheticMp4, "vid"), "id", "vid").toDF()
+          .write.mode("overwrite").parquet(s"$out/vid_fp")))
       out
     })
   }
@@ -3187,25 +3225,33 @@ object SparkEntry {
       // separate safe passes (shared bodies; on a shared corpus both
       // tiers fail the same first guard, so the one fused reason IS
       // each tier's reason — spec-pinned on the poisoned fixture)
-      val imgSig = Multimodal.imageSignaturesSafe(imgBin, "id", "img").toDF()
-        .localCheckpoint(true)
-      imgSig.select("id", "ok", "reason", "width", "height", "ahash")
-        .write.mode("overwrite").parquet(s"$out/img_ahash_safe")
-      imgSig.select("id", "ok", "reason", "width", "height", "fp")
-        .write.mode("overwrite").parquet(s"$out/img_fp_safe")
-      val audSig = Multimodal.audioSignaturesSafe(audBin, "id", "clip").toDF()
-        .localCheckpoint(true)
-      audSig.select(col("id"), col("ok"), col("reason"), col("channels"),
-          col("n_windows"), col("wfp").as("fp"))
-        .write.mode("overwrite").parquet(s"$out/aud_fp_perceptual_safe")
-      audSig.select(col("id"), col("ok"), col("reason"), col("channels"),
-          col("n_samples"), col("sfp").as("fp"))
-        .write.mode("overwrite").parquet(s"$out/aud_fp_exact_safe")
-      Seq(imgSig, audSig).foreach(graft.ops.Dedup.releaseOwnCheckpoint)
-      Multimodal.videoPerceptualHashSafe(vidPBin, "id", "vid").toDF()
-        .write.mode("overwrite").parquet(s"$out/vid_phash_safe")
-      Multimodal.videoFingerprintSafe(vidEBin, "id", "vid").toDF()
-        .write.mode("overwrite").parquet(s"$out/vid_fp_safe")
+      // independent modality pipelines run as concurrent driver jobs
+      // (guide §2.6) — same shape as mediaSignatureIndex
+      graft.util.Par.run(Seq(
+        () => {
+          val imgSig = Multimodal.imageSignaturesSafe(imgBin, "id", "img")
+            .toDF().localCheckpoint(true)
+          imgSig.select("id", "ok", "reason", "width", "height", "ahash")
+            .write.mode("overwrite").parquet(s"$out/img_ahash_safe")
+          imgSig.select("id", "ok", "reason", "width", "height", "fp")
+            .write.mode("overwrite").parquet(s"$out/img_fp_safe")
+          graft.ops.Dedup.releaseOwnCheckpoint(imgSig)
+        },
+        () => {
+          val audSig = Multimodal.audioSignaturesSafe(audBin, "id", "clip")
+            .toDF().localCheckpoint(true)
+          audSig.select(col("id"), col("ok"), col("reason"), col("channels"),
+              col("n_windows"), col("wfp").as("fp"))
+            .write.mode("overwrite").parquet(s"$out/aud_fp_perceptual_safe")
+          audSig.select(col("id"), col("ok"), col("reason"), col("channels"),
+              col("n_samples"), col("sfp").as("fp"))
+            .write.mode("overwrite").parquet(s"$out/aud_fp_exact_safe")
+          graft.ops.Dedup.releaseOwnCheckpoint(audSig)
+        },
+        () => Multimodal.videoPerceptualHashSafe(vidPBin, "id", "vid").toDF()
+          .write.mode("overwrite").parquet(s"$out/vid_phash_safe"),
+        () => Multimodal.videoFingerprintSafe(vidEBin, "id", "vid").toDF()
+          .write.mode("overwrite").parquet(s"$out/vid_fp_safe")))
       out
     })
   }

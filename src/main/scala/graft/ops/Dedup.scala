@@ -465,8 +465,19 @@ object Dedup {
     * min-label propagation over an undirected pair graph to fixpoint. */
   private[graft] def propagateMinLabels(ids: DataFrame, pairs: DataFrame,
                                         maxIters: Int): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    // union-find pre-contraction (r19, [[contractEdges]] with the FREE
+    // narrow pass only — gather = 0): propagation rounds are bounded by
+    // the min-node's eccentricity of the graph it walks, so collapsing
+    // every co-partitioned chain to depth 1 first trims rounds at zero
+    // shuffle cost. The full 2-pass gather seeding was measured a
+    // REGRESSION here (contractEdges scaladoc) — this core is kept for
+    // shallow graphs where per-round cost, not round count, dominates.
+    // The contraction rides the persisted edge frame's first
+    // materialization — no extra action — and preserves components and
+    // the node set exactly, so the fixpoint labels are unchanged.
+    val contracted = contractEdges(pairs.toDF("doc_a", "doc_b"), gather = 0)
+    val edges = contracted
+      .union(contracted.select(col("b"), col("a")))
       .toDF("src", "dst")
       .persist()
     var labels = ids.select(col("doc_id"), col("doc_id").as("cluster")).persist()
@@ -625,7 +636,12 @@ object Dedup {
     * kept, both gate-covered. The global loop is seeded by a
     * partition-local union-find pre-contraction (r18) — one narrow
     * pass, no shuffle — so co-partitioned chains collapse before the
-    * first exchange.
+    * first exchange, followed by two neighborhood-gather union-find
+    * passes (r19: shuffle both edge orientations by endpoint, union-find
+    * per partition) that ride the initial checkpoint's action and leave
+    * typical pair graphs needing ~2 global rounds (one real, one
+    * confirming — measured ledgers in OPTIMIZATION_r19.md: the r18
+    * video-crop keep graph ran 8 rounds / 49 jobs, now 2 / 27).
     *
     * Storage discipline matches the propagation loop: every ROUND
     * (one fused large-star + small-star plan — r18: the phases used to
@@ -638,54 +654,110 @@ object Dedup {
     * DECIMAL — a deterministic rewrite with an unchanged triple is
     * treated as the fixpoint; the per-gate oracles and the union-find
     * property tests back that judgment with exact checks. */
-  private[graft] def starContractLabels(ids: DataFrame, pairs: DataFrame,
-                                        maxIters: Int = 25): DataFrame = {
-    // PARTITION-LOCAL PRE-CONTRACTION (r18, guide §2.3 "aggregate
-    // before you shuffle" applied to connected components): a
-    // union-find over each input partition's edges rewrites them as
-    // star edges to the partition-local component minimum — one narrow
-    // mapPartitions pass, NO shuffle, state bounded by the partition's
-    // node count. Components spanning partitions still need the global
-    // loop, but every chain that is co-partitioned collapses to depth 1
-    // here, so contraction starts from a near-star forest (measured on
-    // the video-crop keep graph: 152k raw edges → the global loop's
-    // round count fell from 9 to a handful and each round's edge frame
-    // shrank). Correctness: replacing a partition's edge multiset with
-    // a star over the same nodes preserves global connectivity
-    // (a—root—b replaces a—b); min-root union makes every local root
-    // the partition-local minimum, deterministic regardless of edge
-    // order; and the global fixpoint labels are partition-independent
-    // (equivalence property-tested against an independent union-find).
+  /** UNION-FIND PRE-CONTRACTION, shared by both closure cores (r18
+    * local pass; r19 gather passes + factoring): rewrite a (possibly
+    * huge) edge multiset as near-star edges whose components equal the
+    * input's, so the iterative global loops start from a
+    * near-converged forest instead of raw pair chains.
+    *
+    * Pass 0 (r18, guide §2.3 "aggregate before you shuffle" applied to
+    * connected components): a union-find over each INPUT partition's
+    * edges rewrites them as star edges to the partition-local
+    * component minimum — one narrow mapPartitions pass, NO shuffle,
+    * state bounded by the partition's node count.
+    *
+    * Passes 1-2 (r19, NEIGHBORHOOD-GATHER): duplicate both edge
+    * orientations and hash-shuffle by the first endpoint, so EVERY
+    * edge incident to a node lands in that node's partition, then
+    * union-find again — any two partition-local stars sharing a node
+    * merge (a single-column shuffle provably misses root-to-child
+    * links: stars (1,2),(1,3) and (3,4),(3,5) connect through node 3
+    * yet no (a) or (b) hash co-locates the witnessing edges; the
+    * orientation duplicate does). Each pass is one exchange of the
+    * tiny (long, long) edge frame riding INSIDE the caller's first
+    * action — the global loops' rounds cost one checkpoint + 2-3
+    * exchanges EACH, so every round these passes shave repays them
+    * several times over (measured ledgers in OPTIMIZATION_r19.md).
+    *
+    * Correctness: replacing a partition's edge multiset with a star
+    * over the same nodes preserves global connectivity (outputs only
+    * connect nodes witnessed connected — a—root—b replaces a—b — and
+    * every input edge (u,v) is witnessed in u's partition, where both
+    * orientations co-locate); the node set is preserved (every node of
+    * an input edge appears in some output edge of its partition);
+    * min-root union is deterministic regardless of edge order, and
+    * hash partitioning on a deterministic column is retry-safe (guide
+    * §2.5). The global fixpoint labels are partition-independent
+    * (equivalence property-tested against an independent union-find).
+    * Null-id edges are dropped explicitly (ADVICE r18: the bare
+    * `.as[(Long, Long)]` turned a null id into an encoder crash; no
+    * current caller produces one). The gather partition count follows
+    * `spark.sql.shuffle.partitions` (scale-adaptive, not a local-mode
+    * constant).
+    *
+    * `gather`: number of gather passes. 2 for the star-contraction
+    * core (its per-round cost is high — one checkpoint + 3 exchanges —
+    * so deep seeding pays); 0 for the min-label-propagation core
+    * (measured on dedup_clusters at sf0.1: the full 2-pass seeding
+    * REGRESSED the gate 4.2 s → 7.8 s — its LSH-clique graphs are
+    * shallow, propagation was already 2-3 rounds, and the two gather
+    * exchanges plus the doubled post-exchange pass cost more than the
+    * round they saved; the free narrow pass 0 keeps what does pay). */
+  private[graft] def contractEdges(pairs: DataFrame,
+                                   gather: Int = 2): DataFrame = {
     val ss = pairs.sparkSession
     import ss.implicits._
-    val pre = pairs.toDF("a", "b")
-      .select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        // parent(x) always points at a STRICTLY smaller node, so the
-        // map's keys are exactly the partition's non-root nodes
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x0: Long): Long = {
-          var x = x0
-          var p = parent.getOrElse(x, x)
-          while (p != x) { // path halving
-            val gp = parent.getOrElse(p, p)
-            parent(x) = gp
-            x = gp
-            p = parent.getOrElse(x, x)
-          }
-          x
+    // one union-find pass over whatever edges land in a partition,
+    // rewriting them as star edges to the partition-local minimum
+    def ufStarEdges(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      // parent(x) always points at a STRICTLY smaller node, so the
+      // map's keys are exactly the partition's non-root nodes
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp
+          x = gp
+          p = parent.getOrElse(x, x)
         }
-        it.foreach { case (a, b) =>
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        val ks = parent.keysIterator.toArray
-        ks.iterator.map(x => (find(x), x))
+        x
       }
+      it.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ks = parent.keysIterator.toArray
+      ks.iterator.map(x => (find(x), x))
+    }
+    val pre0 = pairs.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .as[(Long, Long)]
+      .mapPartitions(ufStarEdges)
       .toDF("a", "b")
+    def gatherPass(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("u"))
+        .as[(Long, Long)]
+        .mapPartitions(ufStarEdges)
+        .toDF("a", "b")
+    if (gather <= 0) pre0
+    else (1 to gather).foldLeft(pre0)((e, _) => gatherPass(e))
+  }
+
+  private[graft] def starContractLabels(ids: DataFrame, pairs: DataFrame,
+                                        maxIters: Int = 25): DataFrame = {
+    val ss = pairs.sparkSession
+    import ss.implicits._
+    // union-find pre-contraction ([[contractEdges]]): the loop starts
+    // from a near-star forest; typical pair graphs finish in ~2 global
+    // rounds (one real, one confirming)
+    val pre = contractEdges(pairs)
     // canonical undirected edge list (a < b), self-loops dropped;
     // checkpointed below with the initial probe riding the
     // materialization as observed metrics (r18: previously a separate

@@ -3410,20 +3410,24 @@ object Multimodal {
     // rows to the separate safe passes (shared per-asset bodies,
     // spec-pinned), one fewer corpus parse per modality. The video
     // tiers read DIFFERENT corpora, so no fusion exists there.
-    val imgSig = imageSignaturesSafe(imgBin, "id", "img").toDF()
-      .localCheckpoint(true)
+    // the four safe decode passes are independent (disjoint corpora /
+    // tiers) — materialize them as CONCURRENT jobs (guide §2.6) so each
+    // pass's straggler tail back-fills instead of serializing 4 actions
+    val Seq(imgSig, audSig, vidPH, vidFp) = graft.util.Par.map(Seq(
+      () => imageSignaturesSafe(imgBin, "id", "img").toDF()
+        .localCheckpoint(true),
+      () => audioSignaturesSafe(audBin, "id", "clip").toDF()
+        .localCheckpoint(true),
+      () => videoPerceptualHashSafe(vidPerceptBin, "id", "vid").toDF()
+        .localCheckpoint(true),
+      () => videoFingerprintSafe(vidExactBin, "id", "vid").toDF()
+        .localCheckpoint(true)))
     val imgAH = imgSig.select("id", "ok", "reason", "width", "height", "ahash")
     val imgFp = imgSig.select("id", "ok", "reason", "width", "height", "fp")
-    val audSig = audioSignaturesSafe(audBin, "id", "clip").toDF()
-      .localCheckpoint(true)
     val audAH = audSig.select(col("id"), col("ok"), col("reason"),
       col("channels"), col("n_windows"), col("wfp").as("fp"))
     val audFp = audSig.select(col("id"), col("ok"), col("reason"),
       col("channels"), col("n_samples"), col("sfp").as("fp"))
-    val vidPH = videoPerceptualHashSafe(vidPerceptBin, "id", "vid").toDF()
-      .localCheckpoint(true)
-    val vidFp = videoFingerprintSafe(vidExactBin, "id", "vid").toDF()
-      .localCheckpoint(true)
     val out = composeSafeMediaBook(imgAH, imgFp, audAH, audFp, vidPH, vidFp,
       maxIters)
     Seq(imgSig, audSig, vidPH, vidFp)

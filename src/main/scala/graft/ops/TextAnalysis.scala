@@ -236,17 +236,28 @@ object TextAnalysis {
     * Tokens may not contain `'|'` (the sequence delimiter); words
     * containing it are excluded — mirrored in the oracle.
     *
-    * PLAN growth (VERDICT r9 #8): each round layers one `applyMerge`
-    * regexp onto the vocab frame's LOGICAL plan, the same
-    * linear-lineage class the closure loop hit — harmless at the gate's
-    * numMerges = 8, fatal at a real tokenizer's 32k merges. Every
-    * `checkpointEvery` rounds the frame is `localCheckpoint(true)`-ed
-    * (lineage truncated to the materialized vocabulary) and the
-    * superseded checkpoint's blocks are released explicitly, so both
-    * plan size AND executor storage stay bounded by ONE
-    * vocabulary-sized materialization regardless of numMerges; a
-    * property test pins checkpointed ≡ plain merge tables. The
-    * returned frame is a SELF-CONTAINED checkpoint the caller owns —
+    * PLAN growth (VERDICT r9 #8, re-diagnosed r19): each round layers
+    * one `applyMerge` fold onto the vocab frame's LOGICAL plan — and
+    * un-truncated that is not linear but EXPONENTIAL: `applyMerge`
+    * references its input sequence expression ~6 times, so project
+    * collapse substitutes the previous round's expression into each
+    * reference and round k's plan tree is O(6^k) NODES. The plan-string
+    * cap ([[graft.Sessions]]) bounds the rendered STRING but not the
+    * tree walk Spark 4 performs per action (`ExplainUtils.
+    * generateOperatorIDs` inside `withNewExecutionId`): measured on the
+    * cadence-1000 spec fixture, 7 un-truncated rounds = 31 s, 8 = 86 s,
+    * ~2.8× per round, with plan strings saturating the 2³¹ length
+    * counter — this is what kept `sbt test` from finishing under the
+    * r18 driver (VERDICT r18 #1). Since a "plain" round already paid
+    * two count actions to materialize its caches, EVERY round now
+    * `localCheckpoint(true)`s both frames instead (same action count,
+    * lineage truncated to the materialized vocabulary every round) and
+    * releases the superseded round's blocks, so plan size AND executor
+    * storage stay bounded by ONE vocabulary-sized materialization
+    * regardless of numMerges. `checkpointEvery` is retained for source
+    * compatibility (the cadence property test now pins that it cannot
+    * change results) but no longer selects a growing-lineage path.
+    * The returned frame is a SELF-CONTAINED checkpoint the caller owns —
     * release it with `Dedup.releaseLocalCheckpoint` when done. */
   private[graft] def bpeTrainState(docs: DataFrame, numMerges: Int,
                                    checkpointEvery: Int = 4)
@@ -310,32 +321,20 @@ object TextAnalysis {
           pairs.select(col("lhs"), col("rhs"), col("freq").as("w"))
             .unionByName(census(changed, "nseq", 1))
             .unionByName(census(changed, "seq", -1)))
-        if (round % checkpointEvery == 0) {
-          // checkpoint round: `next` is SELF-CONTAINED once the eager
-          // checkpoint returns, so the predecessor — and, through its
-          // plan, the superseded checkpoint it may embed — is safe to
-          // release in full (Dataset.unpersist alone is a no-op on
-          // checkpoint-backed frames, the closure loop's ADVICE r9 fix)
-          val nextV = grown.localCheckpoint(true)
-          val nextP = grownPairs.localCheckpoint(true)
-          annotated.unpersist()
-          vocab.unpersist(); Dedup.releaseLocalCheckpoint(vocab)
-          pairs.unpersist(); Dedup.releaseLocalCheckpoint(pairs)
-          vocab = nextV; pairs = nextP
-        } else {
-          // plain round: `next`'s lineage still roots at the LAST
-          // checkpoint, so only the predecessor's OWN cache entry may
-          // be dropped — the embedded checkpoint must stay resident
-          // until the next checkpoint round supersedes it. nextV.count()
-          // materializes `annotated` (the one applyMerge pass); the
-          // pairs materialization then reads it from cache, paying only
-          // the changed-rows census
-          val nextV = grown.persist(); nextV.count()
-          val nextP = grownPairs.persist(); nextP.count()
-          annotated.unpersist()
-          vocab.unpersist(); pairs.unpersist()
-          vocab = nextV; pairs = nextP
-        }
+        // every round truncates (r19, see the scaladoc): `next` is
+        // SELF-CONTAINED once the eager checkpoint returns — the
+        // checkpoint materializes `annotated`'s cache on the way, and
+        // the pairs checkpoint then reads it back, paying only the
+        // changed-rows census — so the predecessor (and, through its
+        // plan, any checkpoint it embeds) is safe to release in full
+        // (Dataset.unpersist alone is a no-op on checkpoint-backed
+        // frames, the closure loop's ADVICE r9 fix)
+        val nextV = grown.localCheckpoint(true)
+        val nextP = grownPairs.localCheckpoint(true)
+        annotated.unpersist()
+        vocab.unpersist(); Dedup.releaseLocalCheckpoint(vocab)
+        pairs.unpersist(); Dedup.releaseLocalCheckpoint(pairs)
+        vocab = nextV; pairs = nextP
       }
     }
     // normalize the handoff: a self-contained checkpoint, everything

@@ -15,12 +15,16 @@ import graft.ops.{Multimodal, Mp4}
 object MicroProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 20000
-    def time(tag: String)(body: => Long): Unit = {
+    // per-item cost divides by the ACTUAL item count of the loop
+    // (ADVICE r18: the n/7 upscale/resample loops previously divided by
+    // n, under-reporting their per-item cost ~7x)
+    def timeN(tag: String, items: Int)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val sink = body
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$tag%-30s $sec%8.3f s  ${sec * 1e6 / n}%8.2f us/item  (sink=$sink)")
+      println(f"$tag%-30s $sec%8.3f s  ${sec * 1e6 / items}%8.2f us/item  (sink=$sink)")
     }
+    def time(tag: String)(body: => Long): Unit = timeN(tag, n)(body)
     // JIT warmup on every path
     (0 until 3000).foreach { i =>
       val v = Multimodal.syntheticVideoMp4(i.toLong)
@@ -54,7 +58,7 @@ object MicroProbe {
       while (i < n) { s += Multimodal.videoRoOne(i.toLong, vids(i), 4, 8, 8).map(_.sig).getOrElse(0L); i += 1 }
       s
     }
-    time("nnUpscaleVideo2x") {
+    timeN("nnUpscaleVideo2x", n / 7) {
       var i = 0; var s = 0L
       while (i < n / 7) { s += Multimodal.nnUpscaleVideo2x(vids(i)).length; i += 1 }
       s
@@ -70,7 +74,7 @@ object MicroProbe {
       while (i < n) { s += Multimodal.syntheticPng(i.toLong).length; i += 1 }
       s
     }
-    time("imageSi thumb (via nnUpscale2x)") {
+    timeN("imageSi thumb (via nnUpscale2x)", n / 7) {
       var i = 0; var s = 0L
       while (i < n / 7) { s += Multimodal.nnUpscale2x(bmps(i)).length; i += 1 }
       s
@@ -81,7 +85,7 @@ object MicroProbe {
       while (i < n) { wavs(i) = Multimodal.syntheticWavMixed(i.toLong); s += wavs(i).length; i += 1 }
       s
     }
-    time("zohUpsample2x") {
+    timeN("zohUpsample2x", n / 7) {
       var i = 0; var s = 0L
       while (i < n / 7) { s += Multimodal.zohUpsample2x(wavs(i)).length; i += 1 }
       s
